@@ -1,13 +1,311 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.filter.FilterParser
+import graft.ops.DocumentOps
+import graft.sources.Tables
+import graft.vector.KnnSearch
+
+/** Driver contract: one `queries` entry (+ `oracleSql` where the op is
+  * SQL-expressible) per operator in SURVEY.md §2.
+  *
+  * Oracle-parity rules used throughout (see SURVEY.md §4):
+  *  - money aggregates go through DECIMAL(18,2) (exact) then cast to
+  *    double, so Spark's shuffle-order-dependent double summation can
+  *    never drift from DuckDB's;
+  *  - every floating score is computed in double with the same operation
+  *    order as DuckDB's list_* functions and rounded to 4 decimals AFTER
+  *    ranking;
+  *  - every result has a deterministic total ORDER BY, with id
+  *    tie-breaks, mirrored in the oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // Query-batch used by every KNN query: the stored vectors with id < 8.
+  private def knnQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------- relational / document
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_filter_compare" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(FilterParser.parse("""n_chars > 100 and lang != "en""""))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_filter_in" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(FilterParser.parse("""lang in ("en", "fr") and source not in ("src0", "src1")"""))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q_filter_bool" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(FilterParser.parse(
+          """not (lang = "en" or (n_chars >= 120 and n_chars < 400)) and source != "src3""""))
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")
+    }),
+
+    "q_filter_array" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("tags", slice(split(col("text"), " "), 1, 5))
+        .where(FilterParser.parse(
+          """tags include ("spark", "join") and tags exclude ("slow") and tags include_all ("the")"""))
+        .select(col("doc_id"), array_join(col("tags"), " ").as("tag_str"))
+        .orderBy("doc_id")
+    }),
+
+    "q_query_sort_page" -> ((s, dir) => {
+      DocumentOps.query(Tables.documents(s, dir),
+        filter = "n_chars >= 60",
+        sort = Seq(("n_chars", false), ("doc_id", true)),
+        limit = Some(50), offset = 100,
+        outputFields = Seq("doc_id", "n_chars", "lang"))
+    }),
+
+    "q_query_by_ids" -> ((s, dir) => {
+      DocumentOps.byIds(Tables.documents(s, dir), "doc_id",
+        Seq(3L, 17L, 42L, 99L, 123L, 256L, 400L, 499L),
+        outputFields = Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_count" -> ((s, dir) => {
+      DocumentOps.countRows(Tables.documents(s, dir),
+        """lang in ("en", "de") and n_chars > 150""")
+    }),
+
+    "q_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+      val updates = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("updated").as("source"), (col("n_chars") + 1).as("n_chars"))
+        .unionAll(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), lit("new").as("source"),
+            lit(42L).as("n_chars")))
+      DocumentOps.upsert(docs, updates, "doc_id").orderBy("doc_id")
+    }),
+
+    "q_delete" -> ((s, dir) => {
+      DocumentOps.delete(Tables.documents(s, dir), "doc_id",
+        """lang = "de" or n_chars < 60""", limit = Some(20))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_update" -> ((s, dir) => {
+      DocumentOps.update(Tables.documents(s, dir),
+        """source = "src1" and n_chars < 200""",
+        Map("lang" -> lit("xx"), "n_chars" -> (col("n_chars") + 1000)))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_join" -> ((s, dir) => {
+      // fact (orders) joined to broadcast dims (customer, nation):
+      // no fact-side shuffle until the final small groupBy.
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy("n_name")
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, dir)
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 5)
+        .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    }),
+
+    // ------------------------------------------------- dense vector search
+    "q_knn_cosine" -> ((s, dir) => {
+      KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "cosine", 10)
+    }),
+
+    "q_knn_l2" -> ((s, dir) => {
+      KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "l2", 10)
+    }),
+
+    "q_knn_ip" -> ((s, dir) => {
+      KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "ip", 10)
+    }),
+
+    "q_knn_filter" -> ((s, dir) => {
+      KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "cosine", 10,
+        filter = Some(FilterParser.parse("label in (1, 2, 3, 4)")))
+    }),
+
+    "q_knn_radius" -> ((s, dir) => {
+      KnnSearch.radius(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "cosine", 0.35)
+    }),
+
+    "q_knn_by_id" -> ((s, dir) => {
+      KnnSearch.byId(Tables.embeddings(s, dir), "vec_id", "embedding",
+        Seq(3L, 5L, 8L, 13L), "cosine", 5)
+    })
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  private val knnOracle: String => String = metric => {
+    val (fn, dir2) = metric match {
+      case "cosine" => ("list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)", "DESC")
+      case "l2" => ("list_distance(e.embedding::DOUBLE[], q.qvec)", "ASC")
+      case "ip" => ("list_dot_product(e.embedding::DOUBLE[], q.qvec)", "DESC")
+    }
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+       |s AS (SELECT q.qid AS query_id, e.vec_id AS id, $fn AS sc FROM embeddings e, q),
+       |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc $dir2, id) AS rnk FROM s)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_compare" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars > 100 AND lang != 'en' ORDER BY doc_id""".stripMargin,
+
+    "q_filter_in" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang IN ('en','fr') AND source NOT IN ('src0','src1') ORDER BY doc_id""".stripMargin,
+
+    "q_filter_bool" ->
+      """SELECT doc_id, lang, n_chars, source FROM documents
+        |WHERE NOT (lang = 'en' OR (n_chars >= 120 AND n_chars < 400)) AND source != 'src3'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_array" ->
+      """WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS tags FROM documents)
+        |SELECT doc_id, array_to_string(tags, ' ') AS tag_str FROM t
+        |WHERE list_has_any(tags, ['spark','join']) AND NOT list_has_any(tags, ['slow'])
+        |  AND list_has_all(tags, ['the'])
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_query_sort_page" ->
+      """SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 60
+        |ORDER BY n_chars DESC, doc_id LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q_query_by_ids" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (3,17,42,99,123,256,400,499) ORDER BY doc_id""".stripMargin,
+
+    "q_count" ->
+      "SELECT count(*) AS cnt FROM documents WHERE lang IN ('en','de') AND n_chars > 150",
+
+    "q_upsert" ->
+      """WITH updates AS (
+        |  SELECT doc_id, 'updated' AS source, n_chars + 1 AS n_chars FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new', CAST(42 AS BIGINT) FROM documents WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT doc_id, source, n_chars, 1 AS v FROM updates
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars, 0 AS v FROM documents)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC) AS rn FROM merged)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT doc_id FROM documents WHERE lang = 'de' OR n_chars < 60 ORDER BY doc_id LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src1' AND n_chars < 200 THEN 'xx' ELSE lang END AS lang,
+        |  CASE WHEN source = 'src1' AND n_chars < 200 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_join" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window" ->
+      """SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    "q_knn_cosine" -> knnOracle("cosine"),
+    "q_knn_l2" -> knnOracle("l2"),
+    "q_knn_ip" -> knnOracle("ip"),
+
+    "q_knn_filter" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q WHERE e.label IN (1,2,3,4)),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_radius" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q)
+        |SELECT query_id, id, round(sc, 4) AS score FROM s
+        |WHERE sc >= 0.35 ORDER BY query_id, id""".stripMargin,
+
+    "q_knn_by_id" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings
+        |           WHERE vec_id IN (3,5,8,13)),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  )
 }

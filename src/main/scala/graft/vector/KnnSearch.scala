@@ -1,0 +1,105 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact (FLAT-index) batch KNN, radius search, and search-by-id —
+  * the reference's `collection.search` / `search_by_id` semantics
+  * (/root/reference/aiotcvectordb/model/collection.py: search with
+  * vectors|document_ids, limit, radius, filter, output_fields).
+  *
+  * Scale shape: the query batch is small (an RPC carries at most a few
+  * hundred vectors) and the data side is huge, so queries are BROADCAST
+  * and the scan side never shuffles. Scoring happens in whole-stage
+  * codegen ([[VectorScore]]); per-partition bounded heaps ([[TopKAgg]])
+  * reduce each partition to k rows per query before the only shuffle
+  * (the final k-merge). Plan: Scan → BroadcastNestedLoopJoin →
+  * partial TopKAgg → exchange(query_id) → final TopKAgg.
+  */
+object KnnSearch {
+
+  /** Batch exact top-k.
+    *
+    * @param data     corpus with `idCol: long` and `vecCol: array<float|double>`
+    * @param queries  small query batch with `qIdCol`, `qVecCol`
+    * @param metric   cosine | l2 | ip
+    * @param filter   reference `filter` param — applied BEFORE scoring so
+    *                 Catalyst pushes it into the parquet scan
+    * @return (query_id, rank, id, score) with score rounded to 4 decimals,
+    *         ordered by (query_id, rank); ties broken by smaller id
+    */
+  def topK(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val m = VectorMetric(metric)
+    val corpus = filter.foldLeft(data)(_ where _)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+    val q = broadcast(
+      queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec")))
+    val scored = corpus.crossJoin(q)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
+        col("id"))
+    scored
+      .groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = !m.largerIsBetter).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(
+        col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__r.id").as("id"),
+        round(col("__r.score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Radius (score-threshold) search: reference `radius` param. For
+    * similarity metrics keeps score >= radius, for L2 keeps distance
+    * <= radius. No top-k heap — this is a pure filtered scan. */
+  def radius(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      r: Double,
+      filter: Option[Column] = None): DataFrame = {
+    val m = VectorMetric(metric)
+    val corpus = filter.foldLeft(data)(_ where _)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+    val q = broadcast(
+      queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec")))
+    val scored = corpus.crossJoin(q)
+      .select(col("query_id"), col("id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"))
+    val kept = if (m.largerIsBetter) scored.where(col("__s") >= r)
+               else scored.where(col("__s") <= r)
+    kept.select(col("query_id"), col("id"), round(col("__s"), 4).as("score"))
+      .orderBy("query_id", "id")
+  }
+
+  /** search_by_id: look the query vectors up from the stored corpus
+    * (reference `search_by_id(document_ids=...)`), then run exact KNN.
+    * The id lookup is a broadcast semi-join — no corpus shuffle. */
+  def byId(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ids: Seq[Long],
+      metric: String,
+      k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val queries = data
+      .where(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    topK(data, idCol, vecCol, queries, "__qid", "__qv", metric, k, filter)
+  }
+}

@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.dedup.Dedup
 import graft.filter.FilterParser
+import graft.hybrid.Fusion
 import graft.ops.DocumentOps
 import graft.sources.Tables
+import graft.sparse.Bm25
+import graft.text.TextAnalysis
 import graft.vector.KnnSearch
 
 /** Driver contract: one `queries` entry (+ `oracleSql` where the op is
@@ -177,10 +181,132 @@ object SparkEntry {
     "q_knn_by_id" -> ((s, dir) => {
       KnnSearch.byId(Tables.embeddings(s, dir), "vec_id", "embedding",
         Seq(3L, 5L, 8L, 13L), "cosine", 5)
+    }),
+
+    // --------------------------------------------- sparse / fulltext / hybrid
+    "q_bm25_encode" -> ((s, dir) => {
+      Bm25.encode(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), round(col("weight"), 4).as("weight"))
+        .orderBy("doc_id", "term")
+    }),
+
+    "q_fulltext" -> ((s, dir) => {
+      Bm25.fulltext(Tables.documents(s, dir), "doc_id", "text",
+        FulltextTerms, 20, cutoffFrequency = 0.9)
+    }),
+
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val (dense, sparseQ) = hybridLists(s, dir)
+      Fusion.rrf(Seq(dense.select("query_id", "id", "rank"), sparseQ),
+        Seq("query_id"), "id", "rank", k = 60, topN = 10)
+    }),
+
+    "q_hybrid_weighted" -> ((s, dir) => {
+      val (dense, _) = hybridLists(s, dir)
+      val sparse = Bm25.fulltext(Tables.documents(s, dir), "doc_id", "text",
+        FulltextTerms, 20, cutoffFrequency = 0.9)
+      val qids = Tables.embeddings(s, dir).where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"))
+      val sparseS = qids.crossJoin(broadcast(
+        sparse.select(col("doc_id").as("id"), col("score"))))
+      Fusion.weighted(Seq((dense.select("query_id", "id", "score"), 0.7), (sparseS, 0.3)),
+        Seq("query_id"), "id", "score", topN = 10)
+    }),
+
+    "q_chunk_split" -> ((s, dir) => {
+      TextAnalysis.chunkSplit(Tables.documents(s, dir), "doc_id", "text", "source",
+        chunkSize = 80, overlap = 20)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ------------------------------------------------------------ dedup
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("keep_id")
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      Dedup.embedCosine(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+    }),
+
+    // ----------------------------------------------------- text analysis
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCount(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     })
   )
 
+  private val FulltextTerms = Seq("spark", "join", "filter", "window", "scan")
+
+  /** Shared dense + (query-expanded) sparse ranked lists for hybrid search. */
+  private def hybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val dense = KnnSearch.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      Tables.embeddings(s, dir).where(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", "cosine", 20)
+    val sparse = Bm25.fulltext(Tables.documents(s, dir), "doc_id", "text",
+      FulltextTerms, 20, cutoffFrequency = 0.9)
+    val qids = Tables.embeddings(s, dir).where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"))
+    val sparseQ = qids.crossJoin(broadcast(
+      sparse.select(col("doc_id").as("id"), col("rank"))))
+      .select("query_id", "id", "rank")
+    (dense, sparseQ)
+  }
+
   // --------------------------------------------------------------- oracles
+
+  /** Shared BM25 CTE pipeline (mirrors [[Bm25.encode]] op-for-op so
+    * double arithmetic is bit-identical). */
+  private val Bm25Cte =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term != '' GROUP BY doc_id),
+      |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |enc AS (
+      |  SELECT t.doc_id, t.term, t.tf,
+      |    ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+      |    (t.tf * (1.2 + 1.0)) /
+      |    (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (corpus.sum_dl / corpus.n_docs))) AS weight
+      |  FROM tf t JOIN dl ON t.doc_id = dl.doc_id JOIN dfreq ON t.term = dfreq.term, corpus)""".stripMargin
+
+  /** Fulltext CTEs on top of [[Bm25Cte]] (mirrors [[Bm25.fulltext]]). */
+  private val FulltextCte =
+    s"""$Bm25Cte,
+       |qt AS (SELECT unnest(['spark','join','filter','window','scan']) AS term),
+       |elig AS (SELECT dfreq.term FROM dfreq, corpus WHERE dfreq.df <= 0.9 * corpus.n_docs),
+       |scored AS (
+       |  SELECT e.doc_id,
+       |    CAST(sum(CAST(round(e.weight, 4) AS DECIMAL(18,4))) AS DOUBLE) AS score,
+       |    count(*) AS n_terms
+       |  FROM enc e JOIN qt ON e.term = qt.term JOIN elig ON e.term = elig.term
+       |  GROUP BY e.doc_id),
+       |ranked AS (SELECT doc_id, n_terms, score,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM scored)""".stripMargin
+
+  /** Dense KNN CTE for hybrid fusion (cosine, qid < 4, mirrored ranks). */
+  private val HybridDenseCte =
+    """qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 4),
+      |ds AS (SELECT qv.qid AS query_id, e.vec_id AS id,
+      |         list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec) AS sc
+      |       FROM embeddings e, qv),
+      |dense AS (SELECT query_id, id, sc,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM ds)""".stripMargin
 
   private val knnOracle: String => String = metric => {
     val (fn, dir2) = metric match {
@@ -306,6 +432,117 @@ object SparkEntry {
         |      FROM embeddings e, q),
         |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bm25_encode" ->
+      s"""WITH $Bm25Cte
+         |SELECT doc_id, term, tf, round(weight, 4) AS weight FROM enc
+         |ORDER BY doc_id, term""".stripMargin,
+
+    "q_fulltext" ->
+      s"""WITH $FulltextCte
+         |SELECT CAST(rank AS INT) AS rank, doc_id, n_terms, score FROM ranked
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""WITH $FulltextCte,
+         |$HybridDenseCte,
+         |contrib AS (
+         |  SELECT query_id, id, 1.0 / (60 + rnk) AS c FROM dense WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT q.qid AS query_id, r.doc_id AS id, 1.0 / (60 + r.rank) AS c
+         |  FROM (SELECT DISTINCT qid FROM qv) q, ranked r WHERE r.rank <= 20),
+         |fused AS (SELECT query_id, id, sum(c) AS rrf FROM contrib GROUP BY query_id, id),
+         |final AS (SELECT query_id, id, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, round(rrf, 6) AS rrf
+         |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_weighted" ->
+      s"""WITH $FulltextCte,
+         |$HybridDenseCte,
+         |contrib AS (
+         |  SELECT query_id, id, 0.7 * round(sc, 4) AS c FROM dense WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT q.qid AS query_id, r.doc_id AS id, 0.3 * r.score AS c
+         |  FROM (SELECT DISTINCT qid FROM qv) q, ranked r WHERE r.rank <= 20),
+         |fused AS (SELECT query_id, id, sum(c) AS score FROM contrib GROUP BY query_id, id),
+         |final AS (SELECT query_id, id, score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 4) AS score
+         |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_chunk_split" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  source || ': ' || substr(text, CAST(i * 60 + 1 AS INT), 80) AS chunk
+        |FROM (SELECT doc_id, text, source,
+        |        unnest(generate_series(0, CAST(floor((length(text) - 1) / 60.0) AS INT))) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS text_hash
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('el','la','de','y','en','que'))) AS s_es,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('le','la','de','et','est','une'))) AS s_fr,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  (length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+        |  len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+        |  len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      + 0.3 * least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

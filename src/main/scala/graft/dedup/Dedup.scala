@@ -1,0 +1,171 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorScore
+
+/** Deduplication family for the LLM-data-pipeline layer: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale shapes:
+  *  - exact: one hash groupBy — the minimal shuffle.
+  *  - ngram Jaccard: the pair join runs on the POSTING list (shared
+  *    ngram), so only docs sharing an ngram ever meet; never all-pairs.
+  *  - MinHash LSH: only (band, signature)-equal docs meet; signature
+  *    computation is a single groupBy with 32 min() partial aggregates.
+  *  - SimHash: candidates must share one of four 16-bit blocks
+  *    (pigeonhole: hamming<=3 over 64 bits ⇒ some block is equal), so
+  *    the join key is a block value, not a cross product.
+  *  - embedding-cosine: exact pair scan here (oracle-checked); at 100 TB
+  *    the same verify step runs behind the LSH/IVF candidate generators.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups", "text_hash")
+
+  /** Distinct word-ngram sets: (doc_id, g). */
+  private[dedup] def ngrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val t = s"split($textCol, ' ')"
+    val parts = (1 to n).map(j => s"element_at($t, i + $j)").mkString(", ")
+    docs.where(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size($t) - $n), i -> concat_ws(' ', $parts))"))).as("g"))
+  }
+
+  /** n-gram Jaccard similarity join: pairs (a < b) with
+    * |A∩B| / |A∪B| >= threshold over distinct word n-grams. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ng = ngrams(docs, idCol, textCol, n)
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ng.as("a").join(ng.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), round(jac, 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
+    * Exact pair scan; the LSH/IVF variants are the candidate generators
+    * for this verify step at scale. */
+  def embedCosine(embs: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val cos = VectorScore.cosine(col("__va"), col("__vb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cos.as("__c"))
+      .where(col("__c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__c"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Deterministic permutation constants for minhash (seeded). */
+  private def perms(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerms)((math.abs(rnd.nextLong()) % 1000000007L + 1L,
+                        math.abs(rnd.nextLong()) % 1000000007L))
+  }
+
+  /** MinHash signatures: (doc_id, m0..m{p-1}). One groupBy over the
+    * shingle postings with p parallel min() aggregates. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numPerms: Int = 32,
+                        seed: Long = 42L): DataFrame = {
+    val ng = ngrams(docs, idCol, textCol, shingleN)
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(1000000007L)).as("h"))
+    val aggs = perms(numPerms, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(1000000007L))).as(s"m$i")
+    }
+    ng.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature, join on equal
+    * (band_idx, band_hash), then estimate jaccard as the fraction of
+    * equal minhash components; keep pairs >= threshold. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numPerms: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rowsPerBand = numPerms / bands
+    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed).cache()
+    val mcols = (0 until numPerms).map(i => col(s"m$i"))
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(bnd).as("b"), xxhash64(slice: _*).as("h"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val eqCount = (0 until numPerms)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(eqCount.cast("double") / numPerms, 4).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: bit i is the sign of Σ_tokens tf * (±1)
+    * where the sign comes from bit i of xxhash64(token). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term")).where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tf"), xxhash64(col("term")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$i")
+    }
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce[Column](_ bitwiseOR _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3):
+    * by pigeonhole a qualifying pair must agree on at least one of four
+    * 16-bit blocks, so candidates join on a block value. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-block pigeonhole guarantees hamming<=3 only")
+    val sig = simhashSignatures(docs, idCol, textCol).cache()
+    val blocks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(bnd =>
+        struct(lit(bnd).as("b"),
+          shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.b").as("b"), col("bk.v").as("v"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-pipeline layer: language ID,
+  * quality scoring, token counting, document fingerprinting and the
+  * chunk splitter (the reference's CollectionView SplitterProcess,
+  * /root/reference/aiotcvectordb/model/ai_database.py /
+  * collection_view.py: chunk_splitter with chunk size/overlap and
+  * append_title_to_chunk).
+  *
+  * Everything here is built from codegen'd `functions._` expressions
+  * over the raw text column — one narrow projection per operator, no
+  * shuffle, no UDF — so each op streams at parquet-scan speed
+  * regardless of corpus size.
+  */
+object TextAnalysis {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Per-language stopword hit counts; prediction = argmax with
+    * alphabetical tie-break. Heuristic n-gram/stopword language ID. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "une"))
+
+  private def hitCount(textColName: String, words: Seq[String]): Column = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split($textColName, ' '), x -> x IN ($list)))")
+  }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = docs.select(col(idCol),
+      hitCount(textCol, stopwords("de")).as("s_de"),
+      hitCount(textCol, stopwords("en")).as("s_en"),
+      hitCount(textCol, stopwords("es")).as("s_es"),
+      hitCount(textCol, stopwords("fr")).as("s_fr"))
+    scored.withColumn("predicted",
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Quality score from length / repetition / stopword ratios. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(toks(t))
+    val nDistinct = size(array_distinct(toks(t)))
+    val stopHits = hitCount(textCol, stopwords("en"))
+    // Ratios are left unrounded: both engines evaluate the identical
+    // IEEE expression tree over exact integer inputs, so raw doubles are
+    // bit-equal — while round(x, 4) can disagree on exact .00005
+    // boundaries (BigDecimal HALF_UP vs scaled std::round).
+    docs.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      nDistinct.as("n_distinct"),
+      ((length(t) - (nTokens - lit(1))) / nTokens.cast("double")).as("avg_token_len"),
+      (nDistinct / nTokens.cast("double")).as("distinct_ratio"),
+      (stopHits / nTokens.cast("double")).as("stopword_ratio"),
+      (lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
+        lit(0.3) * (nDistinct / nTokens.cast("double")) +
+        lit(0.3) * least(lit(1.0), (stopHits / nTokens.cast("double")) * lit(5.0)))
+        .as("quality"))
+  }
+
+  /** Whitespace token count + BPE-ish regex token count + char count. */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(toks(t)).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+        .as("bpe_tokens"),
+      length(t).as("n_chars"))
+  }
+
+  /** Rolling polynomial hash over characters:
+    * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) mod 1e9+7).
+    * Order-sensitive (a true rolling hash, not a bag-of-chars sum). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      expr(s"aggregate(filter(split($textCol, ''), c -> c <> ''), 0L, " +
+        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fingerprint"))
+
+  /** SplitterProcess: fixed-size character chunks with overlap, title
+    * (source field) prepended to each chunk. stride = size - overlap. */
+  def chunkSplit(docs: DataFrame, idCol: String, textCol: String, titleCol: String,
+                 chunkSize: Int = 80, overlap: Int = 20): DataFrame = {
+    val stride = chunkSize - overlap
+    require(stride > 0, "overlap must be smaller than chunkSize")
+    val chunks = expr(
+      s"transform(sequence(0, cast(floor((length($textCol) - 1) / $stride.0) as int)), " +
+      s"i -> substring($textCol, i * $stride + 1, $chunkSize))")
+    docs.select(col(idCol), col(titleCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id"),
+        concat(col(titleCol), lit(": "), col("chunk")).as("chunk"))
+  }
+}

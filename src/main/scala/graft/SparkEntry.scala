@@ -11,7 +11,9 @@ import graft.ops.DocumentOps
 import graft.sources.Tables
 import graft.sparse.Bm25
 import graft.text.TextAnalysis
-import graft.vector.KnnSearch
+import graft.multimodal.Multimodal
+import graft.text.TextEmbed
+import graft.vector.{IvfIndex, KnnSearch, LshIndex}
 
 /** Driver contract: one `queries` entry (+ `oracleSql` where the op is
   * SQL-expressible) per operator in SURVEY.md §2.
@@ -247,6 +249,49 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // ---------------------------------------- ANN indexes / rows-only ops
+    "q_ivf_search" -> ((s, dir) => {
+      // nprobe = nlist ⇒ exhaustive ⇒ equals the exact-KNN SQL oracle,
+      // while still executing the full cell-probe machinery.
+      val embs = Tables.embeddings(s, dir)
+      val model = IvfIndex.train(embs, "embedding", nlist = 16)
+      IvfIndex.search(model, embs, "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "l2", k = 5, nprobe = 16)
+    }),
+
+    "q_ivf_build" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val model = IvfIndex.train(embs, "embedding", nlist = 16)
+      IvfIndex.buildStats(model, embs, "embedding")
+    }),
+
+    "q_lsh_ann" -> ((s, dir) => {
+      LshIndex.ann(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10)
+    }),
+
+    "q_search_by_text" -> ((s, dir) => {
+      TextEmbed.searchByText(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark join filter window scan", "the fast key order sort table"), k = 10)
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text", threshold = 0.5)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"), col("checksum"),
+          round(element_at(col("feature"), 1), 4).as("f0"),
+          round(element_at(col("feature"), 2), 4).as("f1"))
+        .orderBy("doc_id")
     })
   )
 
@@ -431,6 +476,14 @@ object SparkEntry {
         |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
         |      FROM embeddings e, q),
         |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivf_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc ASC, id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -1,0 +1,129 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Databases / collections as parquet directories with JSON metadata —
+  * the reference's catalog surface (/root/reference/aiotcvectordb/
+  * client/stub.py + model/database.py: create_database, list_databases,
+  * drop_database, create_collection, list_collections,
+  * describe_collection, drop_collection, truncate_collection,
+  * set_alias / delete_alias).
+  *
+  * Layout: parquet files under `<root>/<db>/<collection>/data/` +
+  * `<root>/<db>/<collection>/meta.json`; aliases live in
+  * `<root>/<db>/_aliases.json`. On a cluster `root` is an object-store
+  * prefix; collections big enough to care are written partitioned (e.g.
+  * by IVF cell) so scans prune.
+  */
+final class Catalog(spark: SparkSession, root: String) {
+
+  private def dbPath(db: String): Path = Paths.get(root, db)
+  private def collPath(db: String, coll: String): Path = dbPath(db).resolve(coll)
+
+  // ------------------------------------------------------------ databases
+  def createDatabase(db: String): Unit = Files.createDirectories(dbPath(db))
+
+  def dropDatabase(db: String): Unit = deleteRecursively(dbPath(db))
+
+  def listDatabases(): Seq[String] =
+    listDirs(Paths.get(root))
+
+  def databaseExists(db: String): Boolean = Files.isDirectory(dbPath(db))
+
+  // ---------------------------------------------------------- collections
+  def createCollection(db: String, coll: String, meta: Map[String, String] = Map.empty): Unit = {
+    require(databaseExists(db), s"database $db does not exist")
+    val p = collPath(db, coll)
+    require(!Files.exists(p), s"collection $db.$coll already exists")
+    Files.createDirectories(p.resolve("data"))
+    Files.writeString(p.resolve("meta.json"), Json.render(meta))
+  }
+
+  def listCollections(db: String): Seq[String] =
+    listDirs(dbPath(db))
+
+  def collectionExists(db: String, coll: String): Boolean =
+    Files.isDirectory(collPath(db, coll))
+
+  def describeCollection(db: String, coll: String): Map[String, String] =
+    Json.parse(Files.readString(collPath(db, coll).resolve("meta.json")))
+
+  def dropCollection(db: String, coll: String): Unit =
+    deleteRecursively(collPath(db, coll))
+
+  /** Drop all rows, keep the collection + metadata (reference
+    * truncate_collection). */
+  def truncateCollection(db: String, coll: String): Unit = {
+    val data = collPath(db, coll).resolve("data")
+    deleteRecursively(data)
+    Files.createDirectories(data)
+  }
+
+  // ---------------------------------------------------------------- data
+  def write(db: String, coll: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(collPath(db, coll).resolve("data").toString)
+
+  def read(db: String, coll: String): DataFrame = {
+    val data = collPath(db, coll).resolve("data")
+    val hasFiles = Files.list(data).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    if (hasFiles) spark.read.parquet(data.toString)
+    else spark.emptyDataFrame
+  }
+
+  // -------------------------------------------------------------- aliases
+  private def aliasFile(db: String): Path = dbPath(db).resolve("_aliases.json")
+
+  private def aliases(db: String): Map[String, String] =
+    if (Files.exists(aliasFile(db))) Json.parse(Files.readString(aliasFile(db)))
+    else Map.empty
+
+  def setAlias(db: String, alias: String, coll: String): Unit = {
+    require(collectionExists(db, coll), s"collection $db.$coll does not exist")
+    Files.writeString(aliasFile(db), Json.render(aliases(db) + (alias -> coll)))
+  }
+
+  def deleteAlias(db: String, alias: String): Unit =
+    Files.writeString(aliasFile(db), Json.render(aliases(db) - alias))
+
+  /** Resolve a name that may be an alias to the collection name. */
+  def resolve(db: String, name: String): String = aliases(db).getOrElse(name, name)
+
+  // -------------------------------------------------------------- helpers
+  private def listDirs(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("_"))
+      .toSeq.sorted
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}
+
+/** Minimal flat string-map JSON (catalog metadata needs nothing more). */
+private[catalog] object Json {
+  def render(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ", ", "}")
+
+  def parse(s: String): Map[String, String] = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split("\",").map { pair =>
+      val Array(k, v) = pair.split(":", 2)
+      unq(k) -> unq(v)
+    }.toMap
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def unq(s: String): String = {
+    val t = s.trim.stripPrefix("\"").stripSuffix("\"")
+    t.replace("\\\"", "\"").replace("\\\\", "\\")
+  }
+}

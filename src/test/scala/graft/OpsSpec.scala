@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.DocumentOps
+import graft.text.TextAnalysis
+import graft.vector.{IvfIndex, LshIndex}
+
+class DocumentOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "c", 40L)
+  ).toDF("id", "tag", "n")
+
+  test("upsert is last-wins by id and appends new ids") {
+    val updates = Seq((2L, "B", 99L), (5L, "e", 50L)).toDF("id", "tag", "n")
+    val out = DocumentOps.upsert(docs, updates, "id")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "B", 99L), (3L, "a", 30L), (4L, "c", 40L), (5L, "e", 50L)))
+  }
+
+  test("delete with limit removes first matches by id") {
+    val out = DocumentOps.delete(docs, "id", """tag = "a"""", limit = Some(1))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("update sets fields only on matching rows") {
+    val out = DocumentOps.update(docs, "n >= 30", Map("tag" -> lit("z")))
+      .orderBy("id").select("tag").as[String].collect().toSeq
+    assert(out == Seq("a", "b", "z", "z"))
+  }
+
+  test("query paginates deterministically") {
+    val out = DocumentOps.query(docs, sort = Seq(("n", false)), limit = Some(2), offset = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words appear here today now"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-lsh finds near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: est jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming is 0 for identical docs") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .where($"id_a" === 1 && $"id_b" === 4).select("hamming").as[Int].collect()
+    assert(out.toSeq == Seq(0))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = embs.where($"vec_id" < 4)
+    .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+  test("ivf with nprobe=nlist equals exact knn") {
+    val model = IvfIndex.train(embs, "embedding", nlist = 8)
+    val ivf = IvfIndex.search(model, embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "l2", k = 5, nprobe = 8).collect().toSeq
+    val exact = graft.vector.KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "l2", 5).collect().toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivf with small nprobe still finds the query itself") {
+    val model = IvfIndex.train(embs, "embedding", nlist = 8)
+    val res = IvfIndex.search(model, embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "l2", k = 1, nprobe = 1).collect()
+    assert(res.forall(r => r.getLong(0) == r.getLong(2))) // top-1 is self
+  }
+
+  test("lsh ann top-1 is the query itself") {
+    val res = LshIndex.ann(embs, "vec_id", "embedding", queries, "qid", "qvec", k = 3)
+      .where($"rank" === 1).collect()
+    assert(res.forall(r => r.getLong(0) == r.getLong(2)))
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk splitter covers the text with overlap") {
+    val docs = Seq((1L, "abcdefghij" * 20, "t")).toDF("doc_id", "text", "source") // 200 chars
+    val chunks = TextAnalysis.chunkSplit(docs, "doc_id", "text", "source", 80, 20)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(chunks.length == 4) // starts 0,60,120,180
+    assert(chunks.head.startsWith("t: abcdefghij"))
+    assert(chunks.head.length == 3 + 80)
+    assert(chunks.last.length == 3 + 20)
+    // consecutive chunks overlap by 20 chars
+    assert(chunks(0).drop(3).takeRight(20) == chunks(1).drop(3).take(20))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val docs = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .orderBy("doc_id").select("fingerprint").as[Long].collect()
+    assert(fp(0) != fp(1))
+    assert(fp(0) == (97L * 31 + 98) % 1000000007) // 'a'*31 + 'b'
+  }
+}

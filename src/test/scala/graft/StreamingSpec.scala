@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("streaming upsert keeps latest version per key") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.streamingUpsert(in.toDS())
+      .writeStream.format("memory").queryName("ups").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(5), 10, "purchase", 9.0), Event(4, ts(1), 20, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from ups").as[Streams.KeyedLatest].collect()
+      val latest10 = rows.filter(_.user_id == 10).maxBy(_.n_versions)
+      assert(latest10.event_type == "purchase" && latest10.value == 9.0 && latest10.n_versions == 3)
+      assert(rows.exists(r => r.user_id == 20 && r.n_versions == 1))
+    } finally q.stop()
+  }
+
+  test("windowed aggregation with watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedCounts(in.toDF(), watermark = "10 minutes", windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("win").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "click", 10.0), Event(2, ts(2), 2, "click", 5.0),
+        Event(3, ts(7), 3, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from win").collect()
+      val clicks = rows.find(_.getString(2) == "click").get
+      assert(clicks.getLong(3) == 2 && clicks.getDouble(4) == 15.0)
+      assert(rows.find(_.getString(2) == "view").get.getLong(3) == 1)
+    } finally q.stop()
+  }
+}

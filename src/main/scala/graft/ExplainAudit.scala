@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the scale-critical queries so the
+  * shuffle/broadcast/pushdown shape can be audited per round. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q_knn_cosine", "q_knn_filter", "q_join", "q_dedup_ngram",
+        "q_dedup_minhash", "q_fulltext")
+    val spark = GraftSession.get()
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

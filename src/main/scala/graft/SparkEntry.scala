@@ -256,14 +256,14 @@ object SparkEntry {
       // nprobe = nlist ⇒ exhaustive ⇒ equals the exact-KNN SQL oracle,
       // while still executing the full cell-probe machinery.
       val embs = Tables.embeddings(s, dir)
-      val model = IvfIndex.train(embs, "embedding", nlist = 16)
+      val model = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
       IvfIndex.search(model, embs, "vec_id", "embedding",
         knnQueries(s, dir), "qid", "qvec", "l2", k = 5, nprobe = 16)
     }),
 
     "q_ivf_build" -> ((s, dir) => {
       val embs = Tables.embeddings(s, dir)
-      val model = IvfIndex.train(embs, "embedding", nlist = 16)
+      val model = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
       IvfIndex.buildStats(model, embs, "embedding")
     }),
 

@@ -24,10 +24,14 @@ object IvfIndex {
   /** Train centroids (deterministic for a fixed seed + input). */
   def train(data: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
             maxIter: Int = 20): Model = {
+    // cache the feature projection: Lloyd's iterates maxIter times over
+    // it, and uncached each pass would re-read + re-convert the corpus
     val feats = data.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .cache()
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
-    Model(km.fit(feats), nlist)
+    try Model(km.fit(feats), nlist)
+    finally feats.unpersist(blocking = false)
   }
 
   /** Corpus with its cell assignment column appended. */

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.hybrid.Fusion
+import graft.multimodal.Multimodal
+import graft.sparse.Bm25
+import graft.text.TextEmbed
+
+class SqlExtensionSpec extends SparkSpec {
+  test("vec_* functions are registered for SQL users") {
+    val row = spark.sql(
+      """SELECT vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       vec_ip(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS i,
+        |       vec_l2(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l""".stripMargin).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 11.0 && row.getDouble(2) == 5.0)
+  }
+
+  test("topk aggregate is registered for SQL users") {
+    val out = spark.sql(
+      """SELECT g, topk(s, id, 2, false) AS t FROM VALUES
+        |  (1, 0.5D, 10L), (1, 0.9D, 11L), (1, 0.7D, 12L), (2, 0.1D, 20L)
+        |  AS v(g, s, id) GROUP BY g ORDER BY g""".stripMargin).collect()
+    val t1 = out(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(t1.map(_.getLong(1)) == Seq(11L, 12L))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
+  }
+}
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry date")
+  ).toDF("doc_id", "text")
+
+  test("encode produces one row per (doc, term) with idf-downweighted common terms") {
+    val enc = Bm25.encode(docs, "doc_id", "text").cache()
+    assert(enc.count() == 6) // distinct (doc,term) pairs
+    val w = enc.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // 'apple' (df=1) in doc1 should outweigh 'banana' (df=2) in doc1
+    assert(w((1L, "apple")) > w((1L, "banana")))
+    // tf=2 of apple beats tf=1 cherry in doc2's banana... same doc comparisons only
+    assert(w((3L, "cherry")) > w((3L, "date")) * 0.5)
+  }
+
+  test("fulltext ranks the doc with more matching terms first") {
+    val res = Bm25.fulltext(docs, "doc_id", "text", Seq("apple", "banana"), 10)
+      .collect()
+    assert(res.head.getLong(1) == 1L) // doc1 matches both terms
+    assert(res.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
+  test("cutoff_frequency drops ubiquitous terms") {
+    val res = Bm25.fulltext(docs, "doc_id", "text", Seq("cherry"), 10,
+      cutoffFrequency = 0.5) // cherry df=2/3 > 0.5 -> dropped
+    assert(res.count() == 0)
+  }
+}
+
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrf fuses two ranked lists with k=60") {
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2)).toDF("q", "id", "rank")
+    val b = Seq((1L, 101L, 1), (1L, 102L, 2)).toDF("q", "id", "rank")
+    val out = Fusion.rrf(Seq(a, b), Seq("q"), "id", "rank", k = 60, topN = 10).collect()
+    // 101 appears in both lists -> highest rrf
+    assert(out.head.getLong(2) == 101L)
+    val expected = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(out.head.getDouble(3)) == expected)
+  }
+
+  test("weighted fusion respects weights") {
+    val dense = Seq((1L, 100L, 1.0), (1L, 101L, 0.5)).toDF("q", "id", "score")
+    val sparse = Seq((1L, 101L, 1.0)).toDF("q", "id", "score")
+    val out = Fusion.weighted(Seq((dense, 0.9), (sparse, 0.1)), Seq("q"), "id", "score", 10)
+      .collect()
+    assert(out.head.getLong(2) == 100L) // 0.9 > 0.45+0.1
+    assert(math.abs(out(1).getDouble(3) - 0.55) < 1e-9)
+  }
+}
+
+class TextEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash embeddings are unit-normalized and deterministic") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta")).toDF("id", "text")
+    val v = TextEmbed.hashEmbed(docs, "id", "text").orderBy("id")
+      .select("vec").as[Seq[Double]].collect()
+    assert(v(0) == v(1)) // same text, same vector
+    assert(math.abs(v(0).map(x => x * x).sum - 1.0) < 1e-9)
+    assert(v(0) != v(2))
+  }
+
+  test("search_by_text ranks the identical doc first") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val res = TextEmbed.searchByText(docs, "doc_id", "text", Seq("alpha beta gamma"), k = 2)
+      .collect()
+    assert(res.head.getLong(2) == 1L && res.head.getDouble(3) == 1.0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack + extract round-trips deterministic features") {
+    val docs = Seq((1L, "hello", "png"), (2L, "", "jpg")).toDF("doc_id", "text", "source")
+    val out = Multimodal.extractFeatures(
+      Multimodal.pack(docs, "doc_id", "text", "source")).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 5)
+    assert(out(0).checksum == "hello".getBytes("UTF-8").map(_ & 0xFF).sum)
+    assert(out(0).feature(0) == 'h'.toInt / 255.0)
+    assert(out(1).n_bytes == 0 && out(1).checksum == 0L)
+    assert(out(1).feature.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+}

@@ -81,6 +81,20 @@ object IvfIndex {
       .orderBy("query_id", "rank")
   }
 
+  /** rebuild_index / modify_vector_index: (re)write the collection
+    * PARTITIONED BY its cell assignment. A subsequent nprobe search
+    * reads only the probed cell directories — partition pruning at the
+    * file listing, before a single byte of vector data is scanned. This
+    * is the on-disk layout that makes IVF pay off at 100 TB. */
+  def writeIndexed(model: Model, data: DataFrame, vecCol: String, path: String): Unit =
+    assign(model, data, vecCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Scan only the given cells of an indexed collection (partition
+    * pruning — verify via .explain PartitionFilters). */
+  def readCells(spark: SparkSession, path: String, cells: Seq[Int]): DataFrame =
+    spark.read.parquet(path).where(col("cell").isin(cells: _*))
+
   /** Index-build statistics: (cell, n_vectors), the IVF posting-list
     * histogram (rebuild_index observability). */
   def buildStats(model: Model, data: DataFrame, vecCol: String): DataFrame =

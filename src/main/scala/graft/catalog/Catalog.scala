@@ -66,6 +66,19 @@ final class Catalog(spark: SparkSession, root: String) {
   def write(db: String, coll: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(collPath(db, coll).resolve("data").toString)
 
+  /** Overwrite a collection with a plan that READS the same collection
+    * (upsert/delete/update snapshots): stage to a sibling dir fully
+    * distributed, then swap — never a driver-side collect. */
+  def overwriteFromSelf(db: String, coll: String, df: DataFrame): Unit = {
+    val base = collPath(db, coll)
+    val staging = base.resolve("data_staging")
+    deleteRecursively(staging)
+    df.write.parquet(staging.toString)
+    val data = base.resolve("data")
+    deleteRecursively(data)
+    Files.move(staging, data)
+  }
+
   def read(db: String, coll: String): DataFrame = {
     val data = collPath(db, coll).resolve("data")
     val hasFiles = Files.list(data).iterator().asScala.exists(_.toString.endsWith(".parquet"))

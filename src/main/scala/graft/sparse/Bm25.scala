@@ -19,12 +19,16 @@ object Bm25 {
   val DefaultK1 = 1.2
   val DefaultB = 0.75
 
-  /** Tokenized postings (doc_id, term, tf) plus doc length (doc_id, dl). */
+  /** Tokenized postings (doc_id, term, tf) plus doc length (doc_id, dl).
+    * dl comes from a narrow `size(split(...))` projection — same value
+    * as counting exploded tokens, without a second explode+groupBy+join
+    * pipeline over the corpus. */
   private def postings(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term")).where(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("dl"))
     (tf, dl)
   }
 

@@ -63,14 +63,31 @@ object Bm25 {
     * fraction of the corpus are dropped before scoring (the reference's
     * `cutoff_frequency`) — at scale this is the stop-word guard that
     * keeps the hottest posting lists out of the join entirely.
+    *
+    * `terminateAfter`: cap on candidate documents examined per term
+    * (the reference's `terminate_after` early-termination knob),
+    * deterministic (lowest doc_id first). Trades recall for a hard
+    * bound on posting-list work.
     */
   def fulltext(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                cutoffFrequency: Double = 1.0,
+               terminateAfter: Option[Int] = None,
                k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
-    val enc = encode(docs, idCol, textCol, k1, b)
+    val enc0 = encode(docs, idCol, textCol, k1, b)
+    val enc = terminateAfter match {
+      case None => enc0
+      case Some(n) =>
+        // bounded-heap per term: smallest n doc_ids, never a full sort
+        enc0.where(col("term").isin(queryTerms: _*))
+          .groupBy("term")
+          .agg(graft.vector.TopKAgg.topk(col("doc_id").cast("double"), col("doc_id"),
+            n, asc = true).as("__t"))
+          .select(col("term"), explode(col("__t.id")).as("doc_id"))
+          .join(enc0, Seq("term", "doc_id"))
+    }
     val corpusN = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = enc.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = enc0.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(corpusN))
       .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))
       .select("term")

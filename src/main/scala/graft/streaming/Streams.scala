@@ -41,6 +41,12 @@ object Streams {
       }(Encoders.product[KeyedLatest], Encoders.product[KeyedLatest])
   }
 
+  /** Exactly-once-style streaming dedup: drop events whose event_id was
+    * already seen within the watermark horizon (the streaming analogue
+    * of exact dedup; state is bounded by the watermark). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
   /** Watermarked sliding-window aggregation over the events stream. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      windowLen: String = "5 minutes"): DataFrame =

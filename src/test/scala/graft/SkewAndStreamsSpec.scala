@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.sparse.Bm25
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation matches direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedAgg(df, col("k"), 8, sum, col("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join matches plain join") {
+    val fact = (1 to 500).map(i => (i % 3, i.toLong)).toDF("key", "v")
+    val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("key", "name")
+    val plain = fact.join(dim, "key").groupBy("name").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(fact, dim, "key", 4).groupBy("name").agg(sum("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("streaming dedup drops replayed event ids") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(1), 1, "click", 1.0), Event(3, ts(3), 2, "click", 3.0)) // replay of 1
+      q.processAllAvailable()
+      val ids = spark.sql("select event_id from dedup").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
+
+class TerminateAfterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("terminate_after caps per-term candidates deterministically") {
+    val docs = Seq(
+      (1L, "apple pie"), (2L, "apple cake"), (3L, "apple tart"), (4L, "banana split")
+    ).toDF("doc_id", "text")
+    val unlimited = Bm25.fulltext(docs, "doc_id", "text", Seq("apple"), 10)
+    assert(unlimited.count() == 3)
+    val capped = Bm25.fulltext(docs, "doc_id", "text", Seq("apple"), 10,
+      terminateAfter = Some(2))
+    // lowest two doc_ids survive
+    assert(capped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+}

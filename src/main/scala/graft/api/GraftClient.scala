@@ -72,17 +72,37 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def count(filter: String = ""): Long =
     DocumentOps.countRows(df, filter).head().getLong(0)
 
-  /** search(vectors, limit, filter): batch exact KNN. */
+  /** search(vectors, limit, filter, output_fields, retrieve_vector):
+    * batch exact KNN; requested document fields are joined back by id
+    * (the small hit-list broadcasts, the collection never shuffles). */
   def search(queries: DataFrame, qIdCol: String, qVecCol: String,
              metric: String = "cosine", limit: Int = 10,
-             filter: String = ""): DataFrame =
-    KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit,
+             filter: String = "", outputFields: Seq[String] = Nil,
+             retrieveVector: Boolean = false): DataFrame = {
+    val hits = KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit,
       if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
+    withOutputFields(hits, outputFields, retrieveVector)
+  }
 
-  def searchById(ids: Seq[Long], metric: String = "cosine", limit: Int = 10,
-                 filter: String = ""): DataFrame =
-    KnnSearch.byId(df, idCol, vecCol, ids, metric, limit,
-      if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
+  def searchById(ids: Seq[Any], metric: String = "cosine", limit: Int = 10,
+                 filter: String = "", outputFields: Seq[String] = Nil,
+                 retrieveVector: Boolean = false): DataFrame =
+    withOutputFields(
+      KnnSearch.byId(df, idCol, vecCol, ids, metric, limit,
+        if (filter.isEmpty) None else Some(FilterParser.parse(filter))),
+      outputFields, retrieveVector)
+
+  private def withOutputFields(hits: DataFrame, outputFields: Seq[String],
+                               retrieveVector: Boolean): DataFrame = {
+    val extra = outputFields ++ (if (retrieveVector) Seq(vecCol) else Nil)
+    if (extra.isEmpty) hits
+    else {
+      val fields = df.select(col(idCol).as("id") +: extra.distinct.map(col): _*)
+      hits.join(fields, "id")
+        .select((hits.columns.map(col) ++ extra.distinct.map(col)).toSeq: _*)
+        .orderBy("query_id", "rank")
+    }
+  }
 
   /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF. */
   def hybridSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -101,8 +121,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def delete(filter: String, limit: Option[Int] = None): Unit =
     catalog.overwriteFromSelf(db, coll, DocumentOps.delete(df, idCol, filter, limit))
 
+  /** delete(document_ids=...) — reference's by-ids deletion. */
+  def deleteByIds(ids: Seq[Any]): Unit =
+    catalog.overwriteFromSelf(db, coll, df.where(!col(idCol).isin(ids: _*)))
+
   def update(filter: String, set: Map[String, Column]): Unit =
     catalog.overwriteFromSelf(db, coll, DocumentOps.update(df, filter, set))
+
+  /** update(document_ids=..., data=...) — reference's by-ids update. */
+  def updateByIds(ids: Seq[Any], set: Map[String, Column]): Unit = {
+    val pred = col(idCol).isin(ids: _*)
+    val projections = df.columns.map { c =>
+      set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }
+    catalog.overwriteFromSelf(db, coll, df.select(projections.toSeq: _*))
+  }
 
   def truncate(): Unit = catalog.truncateCollection(db, coll)
 }

@@ -56,10 +56,10 @@ object IvfIndex {
     val spark = data.sparkSession
     val m = VectorMetric(metric)
     val assigned = assign(model, data, vecCol)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"), col("cell"))
+      .select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__vec"), col("cell"))
 
     // probe cells per query: queries × centroids (both tiny, broadcast)
-    val q = queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec"))
+    val q = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec"))
     val probes = q.crossJoin(broadcast(centroids(model, spark)))
       .select(col("query_id"), col("__qvec"), col("cell"),
         VectorScore.l2(col("__qvec"), col("centroid")).as("__d"))

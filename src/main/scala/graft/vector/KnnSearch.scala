@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object KnnSearch {
 
+  /** Keep string PKs as-is (the reference's document ids are strings),
+    * widen numeric ids to long. */
+  private[vector] def idNorm(df: DataFrame, idCol: String): Column =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => col(idCol)
+      case _ => col(idCol).cast("long")
+    }
+
   /** Batch exact top-k.
     *
     * @param data     corpus with `idCol: long` and `vecCol: array<float|double>`
@@ -40,9 +48,9 @@ object KnnSearch {
       filter: Option[Column] = None): DataFrame = {
     val m = VectorMetric(metric)
     val corpus = filter.foldLeft(data)(_ where _)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+      .select(idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
     val q = broadcast(
-      queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec")))
+      queries.select(idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
     val scored = corpus.crossJoin(q)
       .select(col("query_id"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
@@ -74,9 +82,9 @@ object KnnSearch {
       filter: Option[Column] = None): DataFrame = {
     val m = VectorMetric(metric)
     val corpus = filter.foldLeft(data)(_ where _)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__vec"))
+      .select(idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
     val q = broadcast(
-      queries.select(col(qIdCol).cast("long").as("query_id"), col(qVecCol).as("__qvec")))
+      queries.select(idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
     val scored = corpus.crossJoin(q)
       .select(col("query_id"), col("id"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"))
@@ -93,7 +101,7 @@ object KnnSearch {
       data: DataFrame,
       idCol: String,
       vecCol: String,
-      ids: Seq[Long],
+      ids: Seq[Any],
       metric: String,
       k: Int,
       filter: Option[Column] = None): DataFrame = {

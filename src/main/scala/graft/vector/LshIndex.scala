@@ -55,8 +55,8 @@ object LshIndex {
         .select(col("__i"), col("__v"), col("bk.b").as("b"), col("bk.v").as("v"))
     }
 
-    val d = banded(data, col(idCol).cast("long"), col(vecCol))
-    val q = broadcast(banded(queries, col(qIdCol).cast("long"), col(qVecCol)))
+    val d = banded(data, KnnSearch.idNorm(data, idCol), col(vecCol))
+    val q = broadcast(banded(queries, KnnSearch.idNorm(queries, qIdCol), col(qVecCol)))
     val cand = d.join(q.select(col("__i").as("query_id"), col("__v").as("__qv"),
         col("b"), col("v")), Seq("b", "v"))
       .select(col("query_id"), col("__i").as("id"), col("__v"), col("__qv"))

@@ -1,6 +1,7 @@
 package graft.vector
 
 import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -10,29 +11,39 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate,
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k buffer: a binary heap with the WORST element at the
   * root, so insertion into a full buffer is an O(log k) replace.
   *
   * Ordering: `asc=false` keeps the k largest scores (cosine/IP
   * similarity), `asc=true` the k smallest (L2 distance). Ties break
-  * toward the smaller id, which pins a total order so results are
-  * deterministic and match the SQL oracle's
-  * `row_number() OVER (ORDER BY score [DESC], id)`.
+  * toward the smaller id (numeric or lexicographic for string ids),
+  * which pins a total order so results are deterministic and match the
+  * SQL oracle's `row_number() OVER (ORDER BY score [DESC], id)`.
+  *
+  * Ids are `Long` or `UTF8String` (the reference's primary key is a
+  * string — /root/reference/aiotcvectordb/model/document.py `Document.id`).
   */
 final class TopKBuffer(val k: Int, val asc: Boolean) {
   private[vector] var scores = new Array[Double](math.min(k, 16))
-  private[vector] var ids = new Array[Long](math.min(k, 16))
+  private[vector] var ids = new Array[Any](math.min(k, 16))
   private[vector] var size = 0
 
+  @inline private def idWorse(i1: Any, i2: Any): Boolean = (i1, i2) match {
+    case (a: java.lang.Long, b: java.lang.Long) => a > b
+    case (a: UTF8String, b: UTF8String) => a.compareTo(b) > 0
+    case _ => false
+  }
+
   /** true if (s1,i1) ranks strictly worse than (s2,i2). */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    if (s1 != s2) { if (asc) s1 > s2 else s1 < s2 } else i1 > i2
+  @inline private def worse(s1: Double, i1: Any, s2: Double, i2: Any): Boolean =
+    if (s1 != s2) { if (asc) s1 > s2 else s1 < s2 } else idWorse(i1, i2)
 
   private def grow(): Unit = {
     val cap = math.min(k, math.max(scores.length * 2, 16))
     scores = java.util.Arrays.copyOf(scores, cap)
-    ids = java.util.Arrays.copyOf(ids, cap)
+    ids = java.util.Arrays.copyOf(ids.asInstanceOf[Array[AnyRef]], cap).asInstanceOf[Array[Any]]
   }
 
   private def siftUp(pos0: Int): Unit = {
@@ -62,7 +73,7 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
     val d = ids(i); ids(i) = ids(j); ids(j) = d
   }
 
-  def insert(score: Double, id: Long): Unit = {
+  def insert(score: Double, id: Any): Unit = {
     if (size < k) {
       if (size == scores.length) grow()
       scores(size) = score; ids(size) = id; size += 1
@@ -80,10 +91,10 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
   }
 
   /** (score, id) pairs best-first. */
-  def sortedPairs: Array[(Double, Long)] = {
+  def sortedPairs: Array[(Double, Any)] = {
     val out = Array.tabulate(size)(i => (scores(i), ids(i)))
     out.sortWith { case ((s1, i1), (s2, i2)) =>
-      if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+      if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else idWorse(i2, i1)
     }
   }
 }
@@ -98,7 +109,7 @@ final class TopKBuffer(val k: Int, val asc: Boolean) {
   * group cross the shuffle — at 100 TB that's the difference between
   * shuffling terabytes and kilobytes.
   *
-  * Returns `array<struct<score:double, id:bigint>>` sorted best-first.
+  * Returns `array<struct<score:double, id:<id type>>>` sorted best-first.
   */
 case class TopKAgg(
     score: Expression,
@@ -111,16 +122,20 @@ case class TopKAgg(
 
   require(k > 0, s"k must be positive, got $k")
 
+  private def idIsString: Boolean = id.dataType == StringType
+
   override def children: Seq[Expression] = Seq(score, id)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (score.dataType == DoubleType &&
+        (id.dataType == LongType || id.dataType == StringType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"topk requires (double, bigint) inputs, got " +
+      s"topk requires (double, bigint|string) inputs, got " +
         s"${score.dataType.catalogString}, ${id.dataType.catalogString}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     new StructType().add("score", DoubleType, nullable = false)
-      .add("id", LongType, nullable = false),
+      .add("id", id.dataType, nullable = false),
     containsNull = false)
   override def prettyName: String = "topk"
 
@@ -130,7 +145,15 @@ case class TopKAgg(
     val s = score.eval(input)
     if (s != null) {
       val i = id.eval(input)
-      if (i != null) buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      if (i != null) {
+        // UTF8String from an unsafe row may be backed by a reused
+        // buffer — copy before retaining across rows
+        val stable = i match {
+          case u: UTF8String => u.clone()
+          case other => other
+        }
+        buffer.insert(s.asInstanceOf[Double], stable)
+      }
     }
     buffer
   }
@@ -146,13 +169,26 @@ case class TopKAgg(
   }
 
   override def serialize(buffer: TopKBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
-    bb.putInt(buffer.size)
-    var i = 0
-    while (i < buffer.size) {
-      bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i)); i += 1
+    if (!idIsString) {
+      val bb = ByteBuffer.allocate(4 + 16 * buffer.size)
+      bb.putInt(buffer.size)
+      var i = 0
+      while (i < buffer.size) {
+        bb.putDouble(buffer.scores(i)); bb.putLong(buffer.ids(i).asInstanceOf[Long]); i += 1
+      }
+      bb.array()
+    } else {
+      val idBytes = (0 until buffer.size).map(i =>
+        buffer.ids(i).asInstanceOf[UTF8String].getBytes)
+      val bb = ByteBuffer.allocate(4 + idBytes.map(_.length + 12).sum)
+      bb.putInt(buffer.size)
+      var i = 0
+      while (i < buffer.size) {
+        bb.putDouble(buffer.scores(i))
+        bb.putInt(idBytes(i).length); bb.put(idBytes(i)); i += 1
+      }
+      bb.array()
     }
-    bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
@@ -160,7 +196,18 @@ case class TopKAgg(
     val n = bb.getInt
     val buf = new TopKBuffer(k, asc)
     var i = 0
-    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    if (!idIsString) {
+      while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    } else {
+      while (i < n) {
+        val s = bb.getDouble
+        val len = bb.getInt
+        val arr = new Array[Byte](len)
+        bb.get(arr)
+        buf.insert(s, UTF8String.fromBytes(arr))
+        i += 1
+      }
+    }
     buf
   }
 

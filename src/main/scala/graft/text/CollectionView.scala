@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.filter.FilterParser
+import graft.vector.KnnSearch
+
+/** The reference's AI-document layer (collection_view.py): document
+  * upload → split into chunks → embed chunks → search chunks by
+  * content, with `expand_chunk` neighbor expansion and scalar filters.
+  * Parsing/embedding are the deterministic stubs ([[TextAnalysis]] /
+  * [[TextEmbed]]); the dataflow is the production shape.
+  *
+  * Chunk index schema: (doc_id-ish key, chunk_id, chunk, vec). The key
+  * column keeps whatever type the source id has (string document-set
+  * names in the reference).
+  */
+object CollectionView {
+
+  /** Split + embed a corpus into a searchable chunk index. */
+  def buildChunkIndex(docs: DataFrame, idCol: String, textCol: String, titleCol: String,
+                      chunkSize: Int = 80, overlap: Int = 20, dim: Int = 64): DataFrame = {
+    val chunks = TextAnalysis.chunkSplit(docs, idCol, textCol, titleCol, chunkSize, overlap)
+      .withColumn("__cid", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
+    val embedded = TextEmbed.hashEmbed(
+      chunks.select(col("__cid"), col("chunk")), "__cid", "chunk", dim)
+    chunks.join(embedded, "__cid")
+      .select(col(idCol), col("chunk_id"), col("chunk"), col("vec"))
+  }
+
+  /** search(content, limit, expand_chunk, filter): embed the query
+    * text, cosine top-k over chunk vectors, join chunk text back, and
+    * optionally splice in `(before, after)` neighboring chunks of each
+    * hit (the reference's expand_chunk) as `expanded`. */
+  def search(chunkIndex: DataFrame, idCol: String, content: String, limit: Int,
+             expandChunk: (Int, Int) = (0, 0), filter: String = "",
+             dim: Int = 64): DataFrame = {
+    val spark = chunkIndex.sparkSession
+    import spark.implicits._
+    val indexed = chunkIndex
+      .where(FilterParser.parse(filter))
+      .withColumn("__key", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
+    val qdf = TextEmbed.hashEmbed(Seq((0L, content)).toDF("qid", "qtext"), "qid", "qtext", dim)
+    val hits = KnnSearch.topK(indexed, "__key", "vec", qdf, "qid", "vec", "cosine", limit)
+      .select(col("rank"), col("id").as("__key"), col("score"))
+    val annotated = hits.join(indexed.select(col("__key"), col(idCol), col("chunk_id")), "__key")
+
+    val (before, after) = expandChunk
+    if (before == 0 && after == 0) {
+      annotated.join(chunkIndex.select(col(idCol), col("chunk_id"), col("chunk")),
+          Seq(idCol.replace("`", ""), "chunk_id"))
+        .select(col("rank"), col(idCol), col("chunk_id"), col("score"), col("chunk"))
+        .orderBy("rank")
+    } else {
+      // hit list is tiny -> broadcast; neighbors found by an equi-join
+      // on the doc key plus a bounded chunk_id range
+      val h = annotated.alias("h")
+      val c = chunkIndex.alias("c")
+      broadcast(h).join(c,
+          col(s"h.$idCol") === col(s"c.$idCol") &&
+            col("c.chunk_id") >= col("h.chunk_id") - before &&
+            col("c.chunk_id") <= col("h.chunk_id") + after)
+        .groupBy(col("h.rank").as("rank"), col(s"h.$idCol").as(idCol),
+          col("h.chunk_id").as("chunk_id"), col("h.score").as("score"))
+        .agg(concat_ws(" ", sort_array(collect_list(
+          struct(col("c.chunk_id").as("i"), col("c.chunk").as("t")))).getField("t"))
+          .as("expanded"))
+        .orderBy("rank")
+    }
+  }
+}

@@ -285,6 +285,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
+    "q_chunk_search" -> ((s, dir) => {
+      // AI-document layer end-to-end: split -> embed -> content search
+      // with neighbor expansion (rows-only; embedding stub not SQL-able)
+      graft.text.CollectionView.search(
+        graft.text.CollectionView.buildChunkIndex(
+          Tables.documents(s, dir), "doc_id", "text", "source"),
+        "doc_id", "spark join filter window scan", limit = 10, expandChunk = (1, 1))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
       Multimodal.extractFeatures(media).toDF()

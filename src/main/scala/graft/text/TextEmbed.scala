@@ -29,8 +29,12 @@ object TextEmbed {
       .agg(map_from_entries(collect_list(struct(col("d"), col("w")))).as("m"))
       .select(col("__id"),
         expr(s"transform(sequence(0, ${dim - 1}), d -> coalesce(element_at(m, d), 0.0D))").as("__raw"))
+      // hoist the norm into its own column: a lambda-body aggregate
+      // would be re-evaluated per element (O(dim^2) interpreted)
+      .select(col("__id"), col("__raw"),
+        sqrt(expr("aggregate(__raw, 0.0D, (a, v) -> a + v * v)")).as("__norm"))
       .select(col("__id"),
-        expr("transform(__raw, x -> x / sqrt(aggregate(__raw, 0.0D, (a, v) -> a + v * v)))").as("vec"))
+        expr("transform(__raw, x -> x / __norm)").as("vec"))
       .withColumnRenamed("__id", idCol)
   }
 

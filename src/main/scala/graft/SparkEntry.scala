@@ -285,6 +285,32 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
+    "q_events_window" -> ((s, dir) => {
+      // batch form of the streaming windowed aggregation (row 40):
+      // tumbling 1h windows over the events stream table. The parquet
+      // carries TIMESTAMP(NANOS) which Spark reads as long (ns) under
+      // nanosAsLong; integer-divide to micros (same truncation DuckDB's
+      // ns->us reader applies).
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("win", "event_type")
+    }),
+
+    "q_json_field" -> ((s, dir) => {
+      // reference documents carry arbitrary JSON-typed fields
+      // (model/document.py): extract + filter + aggregate on a JSON attr
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .where(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     "q_chunk_search" -> ((s, dir) => {
       // AI-document layer end-to-end: split -> embed -> content search
       // with neighbor expansion (rows-only; embedding stub not SQL-able)
@@ -487,6 +513,18 @@ object SparkEntry {
         |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin,
+
+    "q_json_field" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ivf_search" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),

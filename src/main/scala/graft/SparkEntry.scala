@@ -314,9 +314,11 @@ object SparkEntry {
     "q_chunk_search" -> ((s, dir) => {
       // AI-document layer end-to-end: split -> embed -> content search
       // with neighbor expansion (rows-only; embedding stub not SQL-able)
+      // the query includes the index BUILD (split+embed) each run; bound
+      // the indexed slice so the bench measures a steady per-doc cost
       graft.text.CollectionView.search(
         graft.text.CollectionView.buildChunkIndex(
-          Tables.documents(s, dir), "doc_id", "text", "source"),
+          Tables.documents(s, dir).where(col("doc_id") < 1000), "doc_id", "text", "source"),
         "doc_id", "spark join filter window scan", limit = 10, expandChunk = (1, 1))
     }),
 

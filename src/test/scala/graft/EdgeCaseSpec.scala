@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filter.FilterParser
+import graft.text.TextAnalysis
+import graft.vector.KnnSearch
+
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knn with k larger than the corpus returns all rows ranked") {
+    val data = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("id", "v")
+    val q = Seq((9L, Array(1.0f, 1.0f))).toDF("qid", "qv")
+    val res = KnnSearch.topK(data, "id", "v", q, "qid", "qv", "cosine", 100).collect()
+    assert(res.length == 2 && res.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("knn over an empty (fully filtered) corpus returns no rows") {
+    val data = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val q = Seq((9L, Array(1.0f, 1.0f))).toDF("qid", "qv")
+    val res = KnnSearch.topK(data, "id", "v", q, "qid", "qv", "cosine", 5,
+      filter = Some(col("id") < 0))
+    assert(res.count() == 0)
+  }
+
+  test("filter parser handles escapes, unicode and numeric types") {
+    val df = Seq((1L, """say "hi"""", 1.5), (2L, "naïve café", -2.0)).toDF("id", "s", "x")
+    assert(df.where(FilterParser.parse("""s = "say \"hi\""""")).count() == 1)
+    assert(df.where(FilterParser.parse("""s = "naïve café"""")).count() == 1)
+    assert(df.where(FilterParser.parse("x >= -2.0 and x < 1.5")).count() == 1)
+    assert(df.where(FilterParser.parse("x in (1.5, 99)")).count() == 1)
+  }
+
+  test("chunk splitter on text shorter than one chunk yields a single chunk") {
+    val docs = Seq((1L, "tiny", "t")).toDF("doc_id", "text", "source")
+    val chunks = TextAnalysis.chunkSplit(docs, "doc_id", "text", "source", 80, 20).collect()
+    assert(chunks.length == 1 && chunks.head.getString(2) == "t: tiny")
+  }
+
+  test("fingerprint of empty-ish and single-char strings") {
+    val docs = Seq((1L, "a"), (2L, "aa")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .orderBy("doc_id").select("fingerprint").as[Long].collect()
+    assert(fp(0) == 97L && fp(1) == (97L * 31 + 97) % 1000000007)
+  }
+}

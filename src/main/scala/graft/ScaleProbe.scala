@@ -24,7 +24,7 @@ object ScaleProbe {
     // deterministic synthetic corpus: vec[i] = sin(id * primes[i]) — cheap,
     // fully distributed generation, no data skew
     def synth(ids: org.apache.spark.sql.DataFrame) = ids.select(col("id"),
-      expr(s"transform(sequence(0, ${dim - 1}), i -> cast(sin(id * (i * 2 + 3)) as double))")
+      expr(s"transform(sequence(0, ${dim - 1}), i -> cast(sin((id + 1) * (i * 2 + 3)) as double))")
         .as("vec"))
     // cache so the timed region measures scoring, not sin() generation
     val corpus = synth(spark.range(n).toDF("id")).cache()
@@ -32,17 +32,29 @@ object ScaleProbe {
       .withColumnRenamed("vec", "qvec")
 
     corpus.count() // warm + materialize cache
-    val t0 = System.nanoTime()
-    val res = graft.vector.KnnSearch.topK(corpus, "id", "vec", queries, "qid", "qvec",
-      "cosine", k)
-    val rows = res.count()
-    val sec = (System.nanoTime() - t0) / 1e9
     val scored = n * nq
-    println(f"[scale] n=$n dim=$dim queries=$nq k=$k -> $rows rows in $sec%.1f s " +
-      f"= ${scored / sec / 1e6}%.1f M vector-scores/s (${scored * dim / sec / 1e9}%.1f GFLOP-pair/s)")
-    // sanity: top-1 of query q is corpus id q (identical vector, cosine 1)
-    val top1 = res.where(col("rank") === 1).select("query_id", "id").collect()
-    assert(top1.forall(r => r.getLong(0) == r.getLong(1)), "self-match failed")
+
+    def run(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val res = mk
+      val rows = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label n=$n dim=$dim queries=$nq k=$k -> $rows rows in $sec%.1f s " +
+        f"= ${scored / sec / 1e6}%.1f M vector-scores/s " +
+        f"(${scored * dim * 2 / sec / 1e9}%.1f GFLOP/s)")
+      val top1 = res.where(col("rank") === 1).select("query_id", "id").collect()
+      assert(top1.forall(r => r.getLong(0) == r.getLong(1)), s"$label self-match failed")
+    }
+
+    // the expression path materializes |corpus| x |queries| joined rows
+    // through the BNLJ — beyond ~128 queries that collapses (measured
+    // 3 M/s at nq=512 vs gemm's 143 M/s); skip it there
+    if (nq <= 128)
+      run("expr")(graft.vector.KnnSearch.topK(corpus, "id", "vec", queries,
+        "qid", "qvec", "cosine", k))
+    val qLocal = queries.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))
+    run("gemm")(graft.vector.KnnGemm.topKGemm(corpus, "id", "vec", qLocal, "cosine", k))
     spark.stop()
   }
 }

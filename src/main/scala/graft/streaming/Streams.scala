@@ -47,6 +47,19 @@ object Streams {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (watermark-bounded state). */
+  def sessionize(events: DataFrame, gap: String = "5 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Watermarked sliding-window aggregation over the events stream. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      windowLen: String = "5 minutes"): DataFrame =

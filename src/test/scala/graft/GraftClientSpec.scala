@@ -52,6 +52,19 @@ class GraftClientSpec extends SparkSpec {
     coll.delete("""tag = "news"""", limit = Some(1)) // deletes smallest matching id (1)
     assert(coll.count() == 3 && coll.queryByIds(Seq(1L)).isEmpty)
 
+    // hybrid search: dense + keyword lists fused (doc ids overlap via text col)
+    val textColl = db.createCollection("texts")
+    textColl.upsert(Seq(
+      (10L, vec(1.0, 0.0), "spark join fast"),
+      (11L, vec(0.0, 1.0), "slow scan table"),
+      (12L, vec(0.9, 0.1), "spark window agg")
+    ).toDF("id", "vector", "text"))
+    val hq = Seq((0L, vec(1.0, 0.0))).toDF("qid", "qvec")
+    val fused = textColl.hybridSearch(hq, "qid", "qvec", Seq("spark"), limit = 3).collect()
+    assert(fused.nonEmpty)
+    // 10 is both dense-closest and keyword-matching -> top fused hit
+    assert(fused.head.getLong(2) == 10L)
+
     // aliases + truncate
     db.setAlias("prod", "docs")
     assert(db.collection("prod").count() == 3)

@@ -55,6 +55,29 @@ class StreamDedupSpec extends SparkSpec {
   }
 }
 
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("session windows merge events within the gap") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDF(), gap = "5 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    try {
+      // user 1: events at 00,02,04 (one session) and 20 (a second one)
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(2), 1, "a", 2.0),
+        Event(3, ts(4), 1, "a", 3.0), Event(4, ts(20), 1, "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sess where user_id = 1").collect()
+      assert(rows.length == 2)
+      val big = rows.maxBy(_.getLong(3))
+      assert(big.getLong(3) == 3 && big.getDouble(4) == 6.0)
+    } finally q.stop()
+  }
+}
+
 class TerminateAfterSpec extends SparkSpec {
   import spark.implicits._
 

@@ -230,6 +230,14 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> canonical (min-id)
+      // cluster label per involved doc
+      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("doc_id")
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embedCosine(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
     }),
@@ -599,6 +607,24 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -77,6 +77,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over near-dup pairs: assigns every involved
+    * doc the smallest doc_id of its component (the canonical survivor).
+    * Min-label propagation to fixpoint — each iteration is one join +
+    * one min-aggregate, the standard scalable CC shape (components from
+    * dedup are tiny, so convergence is 1–2 rounds; diameter bounds the
+    * worst case). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round: caching alone keeps the
+    // full logical lineage, which nests a join-of-joins per iteration
+    // and blows up analysis time/memory — checkpointing resets the plan
+    // to a leaf. (On a cluster: reliable checkpoint dir instead.)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(prop).groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .where(col("label") =!= col("__old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Deterministic permutation constants for minhash (seeded). */

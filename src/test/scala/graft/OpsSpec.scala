@@ -130,3 +130,22 @@ class TextSpec extends SparkSpec {
     assert(fp(0) == (97L * 31 + 98) % 1000000007) // 'a'*31 + 'b'
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components merge chains and leave singletons to their own label") {
+    // chain 1-2-3, pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("long chain converges within iteration bound") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+}

@@ -275,6 +275,17 @@ object SparkEntry {
       IvfIndex.buildStats(model, embs, "embedding")
     }),
 
+    "q_pq_search" -> ((s, dir) => {
+      // PQ codes -> ADC candidate scan -> exact rerank of the sliver
+      val embs = Tables.embeddings(s, dir)
+      val pq = graft.vector.PqIndex.train(embs, "embedding", dim = 64, m = 8, k = 16)
+      val enc = graft.vector.PqIndex.encode(pq, embs, "vec_id", "embedding")
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.PqIndex.searchRerank(pq, enc, embs, "vec_id", "embedding", qLocal, k = 10)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => {
       LshIndex.ann(Tables.embeddings(s, dir), "vec_id", "embedding",
         knnQueries(s, dir), "qid", "qvec", k = 10)

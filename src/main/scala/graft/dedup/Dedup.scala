@@ -94,6 +94,11 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // labels are monotonically non-increasing, so the label sum is a
+    // cheap convergence witness (one agg vs a join-diff per round)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -101,8 +106,9 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.unionAll(prop).groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .where(col("label") =!= col("__old")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

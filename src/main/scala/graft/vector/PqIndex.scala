@@ -1,7 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -26,21 +24,72 @@ object PqIndex {
     def dsub: Int = dim / m
   }
 
+  /** Codebook training runs LOCALLY over a bounded sample (the standard
+    * PQ recipe — codebooks need ~100k vectors, not the corpus): one
+    * Spark job collects the sample, then m seeded Lloyd's runs on the
+    * driver. No per-subspace Spark jobs, deterministic regardless of
+    * partitioning. */
   def train(data: DataFrame, vecCol: String, dim: Int, m: Int = 8, k: Int = 16,
-            seed: Long = 42L, maxIter: Int = 10): Model = {
+            seed: Long = 42L, maxIter: Int = 10, sampleSize: Int = 20000): Model = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val sliced = data.select((0 until m).map(s =>
-      array_to_vector(expr(s"transform(slice($vecCol, ${s * dsub + 1}, $dsub), x -> cast(x as double))"))
-        .as(s"sub$s")): _*).cache()
-    try {
-      val codebooks = (0 until m).map { s =>
-        val km = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
-          .setFeaturesCol(s"sub$s").setPredictionCol("cell")
-        km.fit(sliced.select(s"sub$s")).clusterCenters.map(_.toArray)
-      }.toArray
-      Model(m, k, dim, codebooks)
-    } finally sliced.unpersist(blocking = false)
+    val sample: Array[Array[Double]] = data
+      .select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"need at least k=$k sample vectors")
+    val codebooks = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      localLloyd(sub, k, maxIter, seed + s)
+    }
+    Model(m, k, dim, codebooks)
+  }
+
+  /** Seeded Lloyd's k-means on a local sample (k and dsub are tiny). */
+  private def localLloyd(points: Array[Array[Double]], k: Int, maxIter: Int,
+                         seed: Long): Array[Array[Double]] = {
+    val d = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.tabulate(k)(i =>
+      points((rnd.nextInt(points.length) + i) % points.length).clone())
+    val assign = new Array[Int](points.length)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < points.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var i = 0
+          while (i < d) { val df = points(p)(i) - centers(c)(i); dist += df * df; i += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      var p2 = 0
+      while (p2 < points.length) {
+        val c = assign(p2); counts(c) += 1
+        var i = 0
+        while (i < d) { sums(c)(i) += points(p2)(i); i += 1 }
+        p2 += 1
+      }
+      var c2 = 0
+      while (c2 < k) {
+        if (counts(c2) > 0) {
+          var i = 0
+          while (i < d) { centers(c2)(i) = sums(c2)(i) / counts(c2); i += 1 }
+        }
+        c2 += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** (id, codes: array<int>) — m codes per vector. Partition-wise

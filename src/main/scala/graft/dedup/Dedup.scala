@@ -89,9 +89,12 @@ object Dedup {
     // full logical lineage, which nests a join-of-joins per iteration
     // and blows up analysis time/memory — checkpointing resets the plan
     // to a leaf. (On a cluster: reliable checkpoint dir instead.)
+    // the edge set is orders of magnitude smaller than the corpus
+    // (near-dup survivors only) — shrink its partitioning so each
+    // propagation round is a handful of tasks, not a full-width shuffle
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().coalesce(8).localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     // labels are monotonically non-increasing, so the label sum is a

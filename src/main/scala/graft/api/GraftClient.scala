@@ -104,6 +104,28 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
   }
 
+  /** search_by_text: embed the query strings with the collection's
+    * (stub) embedder and KNN against embeddings derived from `textCol`
+    * — the reference's server-side-embedding search. */
+  def searchByText(texts: Seq[String], textCol: String = "text",
+                   limit: Int = 10): DataFrame = {
+    val corpus = graft.text.TextEmbed.hashEmbed(df, idCol, textCol)
+    import spark.implicits._
+    val qdf = graft.text.TextEmbed.hashEmbed(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("qid", "qtext"),
+      "qid", "qtext")
+    KnnSearch.topK(corpus, idCol, "vec", qdf, "qid", "vec", "cosine", limit)
+  }
+
+  /** rebuild_index / modify_vector_index: retrain IVF cells and rewrite
+    * the collection PARTITIONED BY cell, so subsequent nprobe searches
+    * prune whole partitions. Index params land in collection meta. */
+  def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
+    val model = graft.vector.IvfIndex.train(df, vecCol, nlist)
+    val assigned = graft.vector.IvfIndex.assign(model, df, vecCol)
+    catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq("cell"))
+  }
+
   /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF. */
   def hybridSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
                    keywords: Seq[String], textCol: String = "text",

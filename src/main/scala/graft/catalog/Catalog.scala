@@ -69,11 +69,14 @@ final class Catalog(spark: SparkSession, root: String) {
   /** Overwrite a collection with a plan that READS the same collection
     * (upsert/delete/update snapshots): stage to a sibling dir fully
     * distributed, then swap — never a driver-side collect. */
-  def overwriteFromSelf(db: String, coll: String, df: DataFrame): Unit = {
+  def overwriteFromSelf(db: String, coll: String, df: DataFrame,
+                        partitionBy: Seq[String] = Nil): Unit = {
     val base = collPath(db, coll)
     val staging = base.resolve("data_staging")
     deleteRecursively(staging)
-    df.write.parquet(staging.toString)
+    val writer = df.write
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
     val data = base.resolve("data")
     deleteRecursively(data)
     Files.move(staging, data)
@@ -81,7 +84,8 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def read(db: String, coll: String): DataFrame = {
     val data = collPath(db, coll).resolve("data")
-    val hasFiles = Files.list(data).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    // walk: partitioned collections keep files under key=value subdirs
+    val hasFiles = Files.walk(data).iterator().asScala.exists(_.toString.endsWith(".parquet"))
     if (hasFiles) spark.read.parquet(data.toString)
     else spark.emptyDataFrame
   }

@@ -65,6 +65,17 @@ class GraftClientSpec extends SparkSpec {
     // 10 is both dense-closest and keyword-matching -> top fused hit
     assert(fused.head.getLong(2) == 10L)
 
+    // search_by_text via the stub embedder: identical text ranks first
+    val byText = textColl.searchByText(Seq("spark join fast"), limit = 2).collect()
+    assert(byText.head.getLong(2) == 10L && byText.head.getDouble(3) == 1.0)
+
+    // rebuild_index: collection rewritten partitioned by IVF cell
+    textColl.rebuildIndex(nlist = 2)
+    val rebuilt = textColl.df
+    assert(rebuilt.columns.contains("cell") && rebuilt.count() == 3)
+    // data survives the partitioned rewrite and is still searchable
+    assert(textColl.searchById(Seq(10L), limit = 1).collect().head.getLong(2) == 10L)
+
     // aliases + truncate
     db.setAlias("prod", "docs")
     assert(db.collection("prod").count() == 3)

@@ -597,7 +597,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(i AS INT) AS chunk_id,
         |  source || ': ' || substr(text, CAST(i * 60 + 1 AS INT), 80) AS chunk
         |FROM (SELECT doc_id, text, source,
-        |        unnest(generate_series(0, CAST(floor((length(text) - 1) / 60.0) AS INT))) AS i
+        |        unnest(generate_series(0, greatest(0, CAST(floor((length(text) - 1) / 60.0) AS INT)))) AS i
         |      FROM documents)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 

@@ -132,7 +132,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                    rrfK: Int = 60, limit: Int = 10): DataFrame = {
     val dense = search(queries, qIdCol, qVecCol, "cosine", limit * 2)
     val sparse = Bm25.fulltext(df, idCol, textCol, keywords, limit * 2)
-    val qids = queries.select(col(qIdCol).cast("long").as("query_id")).distinct()
+    // same id normalization as the dense side: string query ids stay
+    // strings (a long cast would NULL them and orphan sparse scores)
+    val qids = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id")).distinct()
     val sparseQ = qids.crossJoin(broadcast(
       sparse.select(col("doc_id").as("id"), col("rank"))))
     Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),

@@ -63,8 +63,15 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   // ---------------------------------------------------------------- data
-  def write(db: String, coll: String, df: DataFrame): Unit =
+  def write(db: String, coll: String, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(collPath(db, coll).resolve("data").toString)
+    saveSchema(db, coll, df)
+  }
+
+  /** Last-written schema, so empty/truncated collections still resolve
+    * columns (the reference returns empty results, not errors). */
+  private def saveSchema(db: String, coll: String, df: DataFrame): Unit =
+    Files.writeString(collPath(db, coll).resolve("schema.json"), df.schema.json)
 
   /** Overwrite a collection with a plan that READS the same collection
     * (upsert/delete/update snapshots): stage to a sibling dir fully
@@ -80,14 +87,25 @@ final class Catalog(spark: SparkSession, root: String) {
     val data = base.resolve("data")
     deleteRecursively(data)
     Files.move(staging, data)
+    saveSchema(db, coll, df)
   }
 
   def read(db: String, coll: String): DataFrame = {
     val data = collPath(db, coll).resolve("data")
     // walk: partitioned collections keep files under key=value subdirs
-    val hasFiles = Files.walk(data).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    val walk = Files.walk(data)
+    val hasFiles = try walk.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+                   finally walk.close()
     if (hasFiles) spark.read.parquet(data.toString)
-    else spark.emptyDataFrame
+    else {
+      val schemaFile = collPath(db, coll).resolve("schema.json")
+      if (Files.exists(schemaFile)) {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaFile))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else spark.emptyDataFrame
+    }
   }
 
   // -------------------------------------------------------------- aliases
@@ -111,15 +129,22 @@ final class Catalog(spark: SparkSession, root: String) {
   // -------------------------------------------------------------- helpers
   private def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("_"))
-      .toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("_"))
+        .toSeq.sorted
+      finally s.close()
+    }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
 }
 
 /** Minimal flat string-map JSON (catalog metadata needs nothing more). */
@@ -128,19 +153,40 @@ private[catalog] object Json {
     m.toSeq.sorted.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ", ", "}")
 
+  /** Proper scanner for the flat {"k": "v", ...} shape — split-based
+    * parsing corrupts keys/values containing `",` or `:`. */
   def parse(s: String): Map[String, String] = {
-    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) Map.empty
-    else body.split("\",").map { pair =>
-      val Array(k, v) = pair.split(":", 2)
-      unq(k) -> unq(v)
-    }.toMap
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def readString(): String = {
+      require(s.charAt(i) == '"', s"expected string at $i in: $s")
+      i += 1
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    skipWs()
+    require(i < s.length && s.charAt(i) == '{', s"expected '{' in: $s")
+    i += 1
+    skipWs()
+    while (i < s.length && s.charAt(i) != '}') {
+      val k = readString()
+      skipWs()
+      require(s.charAt(i) == ':', s"expected ':' at $i in: $s"); i += 1
+      skipWs()
+      val v = readString()
+      out += (k -> v)
+      skipWs()
+      if (i < s.length && s.charAt(i) == ',') { i += 1; skipWs() }
+    }
+    out.result()
   }
 
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-  private def unq(s: String): String = {
-    val t = s.trim.stripPrefix("\"").stripSuffix("\"")
-    t.replace("\\\"", "\"").replace("\\\\", "\\")
-  }
 }

@@ -99,8 +99,10 @@ object Dedup {
       .withColumn("label", col("id")).localCheckpoint(true)
     // labels are monotonically non-increasing, so the label sum is a
     // cheap convergence witness (one agg vs a join-diff per round)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head().getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum("label")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty graph: sum is NULL
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

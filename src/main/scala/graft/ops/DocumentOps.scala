@@ -71,7 +71,10 @@ object DocumentOps {
   def delete(df: DataFrame, idCol: String, filter: String, limit: Option[Int] = None): DataFrame = {
     val pred = FilterParser.parse(filter)
     limit match {
-      case None => df.where(!pred)
+      // NULL-predicate rows did NOT match the filter -> they survive
+      // (coalesce, else `!pred` is NULL and where() drops them — silent
+      // data loss, and inconsistent with update()/the limit branch)
+      case None => df.where(!coalesce(pred, lit(false)))
       case Some(n) =>
         val doomed = df.where(pred).select(col(idCol)).orderBy(col(idCol)).limit(n)
         df.join(broadcast(doomed), Seq(idCol), "left_anti")

@@ -27,8 +27,12 @@ object Bm25 {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term")).where(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // zero-token docs are excluded from corpus stats (they have no
+    // postings), keeping n_docs/avgdl identical to a postings-derived
+    // count — and to the oracle's toks-based CTEs
     val dl = docs.select(col(idCol).as("doc_id"),
       size(filter(split(col(textCol), " "), t => t =!= "")).cast("long").as("dl"))
+      .where(col("dl") > 0)
     (tf, dl)
   }
 

@@ -19,12 +19,13 @@ object Streams {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class KeyedLatest(user_id: Long, ts: Timestamp, event_type: String,
-                               value: Double, n_versions: Long)
+  final case class KeyedLatest(user_id: Long, ts: Timestamp, event_id: Long,
+                               event_type: String, value: Double, n_versions: Long)
 
   /** Streaming upsert: for each key emit the latest-by-(ts, event_id)
-    * version seen so far plus how many versions arrived (last-wins,
-    * deterministic tie-break). Update-mode output. */
+    * version seen so far plus how many versions arrived. The (ts,
+    * event_id) tie-break is a total order, so the survivor is
+    * independent of micro-batch arrival order (replay-safe). */
   def streamingUpsert(events: Dataset[Event]): Dataset[KeyedLatest] = {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .mapGroupsWithState[KeyedLatest, KeyedLatest](GroupStateTimeout.NoTimeout) {
@@ -32,8 +33,8 @@ object Streams {
           val incoming = rows.toSeq
           val prior = state.getOption
           val newest = (incoming.map(e =>
-              KeyedLatest(key, e.ts, e.event_type, e.value, 1L)) ++ prior.toSeq)
-            .maxBy(k => (k.ts.getTime, k.value))
+              KeyedLatest(key, e.ts, e.event_id, e.event_type, e.value, 1L)) ++ prior.toSeq)
+            .maxBy(k => (k.ts.getTime, k.event_id))
           val updated = newest.copy(n_versions =
             prior.map(_.n_versions).getOrElse(0L) + incoming.size)
           state.update(updated)
@@ -42,10 +43,12 @@ object Streams {
   }
 
   /** Exactly-once-style streaming dedup: drop events whose event_id was
-    * already seen within the watermark horizon (the streaming analogue
-    * of exact dedup; state is bounded by the watermark). */
+    * already seen within the watermark horizon. dropDuplicatesWithinWatermark
+    * (not plain dropDuplicates on the id alone) is what lets Spark EVICT
+    * per-id state once the watermark passes — the difference between
+    * bounded state and an executor OOM on an unbounded stream. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows per user: events within `gap` of each other merge
     * into one session (watermark-bounded state). */

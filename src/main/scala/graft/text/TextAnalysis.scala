@@ -93,8 +93,11 @@ object TextAnalysis {
                  chunkSize: Int = 80, overlap: Int = 20): DataFrame = {
     val stride = chunkSize - overlap
     require(stride > 0, "overlap must be smaller than chunkSize")
+    // greatest(0, ...): for empty text Spark's sequence(0, -1) DESCENDS
+    // ([0, -1]) instead of returning empty — clamp so an empty doc
+    // yields exactly one empty chunk (mirrored in the SQL oracle)
     val chunks = expr(
-      s"transform(sequence(0, cast(floor((length($textCol) - 1) / $stride.0) as int)), " +
+      s"transform(sequence(0, greatest(0, cast(floor((length($textCol) - 1) / $stride.0) as int))), " +
       s"i -> substring($textCol, i * $stride + 1, $chunkSize))")
     docs.select(col(idCol), col(titleCol), posexplode(chunks).as(Seq("chunk_id", "chunk")))
       .select(col(idCol), col("chunk_id"),

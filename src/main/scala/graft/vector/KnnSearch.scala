@@ -20,7 +20,7 @@ object KnnSearch {
 
   /** Keep string PKs as-is (the reference's document ids are strings),
     * widen numeric ids to long. */
-  private[vector] def idNorm(df: DataFrame, idCol: String): Column =
+  private[graft] def idNorm(df: DataFrame, idCol: String): Column =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.StringType => col(idCol)
       case _ => col(idCol).cast("long")

@@ -38,6 +38,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(chunks.length == 1 && chunks.head.getString(2) == "t: tiny")
   }
 
+  test("connected components on an empty pair set returns empty, not NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b").count() == 0)
+  }
+
+  test("delete keeps rows where the predicate is NULL") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(100L)))
+      .toDF("id", "n")
+    val out = graft.ops.DocumentOps.delete(df, "id", "n < 50")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 3L)) // id=2 (NULL n) did not match -> kept
+  }
+
+  test("chunk splitter on empty text yields one empty chunk, not phantoms") {
+    val docs = Seq((1L, "", "t")).toDF("doc_id", "text", "source")
+    val chunks = TextAnalysis.chunkSplit(docs, "doc_id", "text", "source", 80, 20).collect()
+    assert(chunks.length == 1 && chunks.head.getString(2) == "t: ")
+  }
+
+  test("catalog meta round-trips hostile strings; empty collections keep schema") {
+    val cat = new graft.catalog.Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-edge").toString)
+    cat.createDatabase("db")
+    val hostile = Map("a:b" -> """x",y""", "k" -> """esc\"quote""")
+    cat.createCollection("db", "c", hostile)
+    assert(cat.describeCollection("db", "c") == hostile)
+    cat.write("db", "c", Seq((1L, "x")).toDF("id", "v"))
+    cat.truncateCollection("db", "c")
+    val empty = cat.read("db", "c")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
+  }
+
   test("fingerprint of empty-ish and single-char strings") {
     val docs = Seq((1L, "a"), (2L, "aa")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")

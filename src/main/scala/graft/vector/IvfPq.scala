@@ -1,0 +1,86 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** IVF_PQ — the composed "IVF series" index of the reference
+  * (/root/reference/aiotcvectordb/model/collection.py: "IVF series:
+  * nprobe, specifying the number of units to be queried"; Tencent
+  * VectorDB's IVF_PQ = coarse cells + product-quantized residuals').
+  *
+  * Storage: (id, cell, codes) — the cell prunes the scan (nprobe of
+  * nlist partitions), the codes make the surviving sliver scannable by
+  * table lookups. Together: scan cost ≈ (nprobe/nlist) · corpus · m
+  * adds per query, memory ≈ m bytes per vector.
+  */
+object IvfPq {
+
+  final case class Model(ivf: IvfIndex.Model, pq: PqIndex.Model)
+
+  def train(data: DataFrame, vecCol: String, dim: Int, nlist: Int = 16,
+            m: Int = 8, k: Int = 16, seed: Long = 42L): Model =
+    Model(
+      IvfIndex.train(data, vecCol, nlist, seed, maxIter = 10),
+      PqIndex.train(data, vecCol, dim, m, k, seed))
+
+  /** (id, cell, codes) — the on-disk representation (partition by cell
+    * via [[IvfIndex.writeIndexed]]-style layout at scale). */
+  def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = IvfIndex.assign(model.ivf, data, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("cell"))
+    PqIndex.encode(model.pq, data, idCol, vecCol).join(cells, "id")
+  }
+
+  /** nprobe cells per query + ADC over the candidates. nprobe = nlist
+    * degenerates to plain PQ search over everything. */
+  def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
+             kTop: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex
+
+    // driver-side probe ranking: queries and centroids are both tiny
+    val probes = queries.toSeq.flatMap { case (qid, qv) =>
+      centers.map { case (c, cell) =>
+        var d = 0.0
+        var i = 0
+        while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+        (qid, cell, d)
+      }.sortBy { case (_, cell, d) => (d, cell) }.take(nprobe)
+        .map { case (q, cell, _) => (q, cell) }
+    }.toDF("query_id", "cell")
+
+    val dsub = model.pq.dsub
+    val tables = queries.map { case (qid, qv) =>
+      (qid, Array.tabulate(model.pq.m, model.pq.k) { (s, c) =>
+        val cent = model.pq.codebooks(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val diff = qv(s * dsub + i) - cent(i); d += diff * diff; i += 1 }
+        d
+      })
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+
+    val cand = encoded.join(broadcast(probes), "cell")
+      .select(col("query_id"), col("id"), col("codes"))
+      .as(Encoders.product[(Long, Long, Array[Int])])
+    val scored = cand.mapPartitions { it =>
+      val tabs = bc.value
+      it.map { case (qid, id, codes) =>
+        val t = tabs(qid)
+        var d = 0.0
+        var s = 0
+        while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+        (qid, math.sqrt(d), id)
+      }
+    }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
+
+    scored.groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), kTop, asc = true).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -160,13 +160,16 @@ private[catalog] object Json {
     var i = 0
     def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def readString(): String = {
-      require(s.charAt(i) == '"', s"expected string at $i in: $s")
+      require(i < s.length && s.charAt(i) == '"', s"expected string at $i in: $s")
       i += 1
       val sb = new StringBuilder
-      while (s.charAt(i) != '"') {
-        if (s.charAt(i) == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
-        else { sb.append(s.charAt(i)); i += 1 }
+      while (i < s.length && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          require(i + 1 < s.length, s"dangling escape at $i in: $s")
+          sb.append(s.charAt(i + 1)); i += 2
+        } else { sb.append(s.charAt(i)); i += 1 }
       }
+      require(i < s.length, s"unterminated string in: $s")
       i += 1
       sb.toString
     }
@@ -177,7 +180,7 @@ private[catalog] object Json {
     while (i < s.length && s.charAt(i) != '}') {
       val k = readString()
       skipWs()
-      require(s.charAt(i) == ':', s"expected ':' at $i in: $s"); i += 1
+      require(i < s.length && s.charAt(i) == ':', s"expected ':' at $i in: $s"); i += 1
       skipWs()
       val v = readString()
       out += (k -> v)

@@ -79,6 +79,9 @@ object Bm25 {
                terminateAfter: Option[Int] = None,
                k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val enc0 = encode(docs, idCol, textCol, k1, b)
+    // corpus size for the cutoff must match encode's n_docs (zero-token
+    // docs excluded) or eligibility thresholds drift from the oracle
+    val (_, dlStats) = postings(docs, idCol, textCol)
     val enc = terminateAfter match {
       case None => enc0
       case Some(n) =>
@@ -90,7 +93,7 @@ object Bm25 {
           .select(col("term"), explode(col("__t.id")).as("doc_id"))
           .join(enc0, Seq("term", "doc_id"))
     }
-    val corpusN = docs.agg(count(lit(1)).as("n_docs"))
+    val corpusN = dlStats.agg(count(lit(1)).as("n_docs"))
     val dfreq = enc0.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(corpusN))
       .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))

@@ -50,17 +50,7 @@ object IvfPq {
         .map { case (q, cell, _) => (q, cell) }
     }.toDF("query_id", "cell")
 
-    val dsub = model.pq.dsub
-    val tables = queries.map { case (qid, qv) =>
-      (qid, Array.tabulate(model.pq.m, model.pq.k) { (s, c) =>
-        val cent = model.pq.codebooks(s)(c)
-        var d = 0.0
-        var i = 0
-        while (i < dsub) { val diff = qv(s * dsub + i) - cent(i); d += diff * diff; i += 1 }
-        d
-      })
-    }.toMap
-    val bc = spark.sparkContext.broadcast(tables)
+    val bc = spark.sparkContext.broadcast(PqIndex.adcTables(model.pq, queries).toMap)
 
     val cand = encoded.join(broadcast(probes), "cell")
       .select(col("query_id"), col("id"), col("codes"))
@@ -76,11 +66,6 @@ object IvfPq {
       }
     }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    scored.groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), kTop, asc = true).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(scored, kTop, asc = true)
   }
 }

@@ -100,12 +100,6 @@ object KnnGemm {
       }
     }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    partial
-      .groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = !m.largerIsBetter).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(partial, k, asc = !m.largerIsBetter)
   }
 }

@@ -55,16 +55,7 @@ object KnnSearch {
       .select(col("query_id"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
         col("id"))
-    scored
-      .groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = !m.largerIsBetter).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(
-        col("query_id"),
-        (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"),
-        round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(scored, k, asc = !m.largerIsBetter)
   }
 
   /** Radius (score-threshold) search: reference `radius` param. For

@@ -61,13 +61,8 @@ object LshIndex {
         col("b"), col("v")), Seq("b", "v"))
       .select(col("query_id"), col("__i").as("id"), col("__v"), col("__qv"))
       .distinct()
-    cand
-      .select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id"))
-      .groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = false).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(
+      cand.select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id")),
+      k, asc = false)
   }
 }

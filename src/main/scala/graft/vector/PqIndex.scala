@@ -93,8 +93,12 @@ object PqIndex {
   }
 
   /** (id, codes: array<int>) — m codes per vector. Partition-wise
-    * imperative encode against the broadcast codebooks. */
+    * imperative encode against the broadcast codebooks. PQ paths are
+    * numeric-id only (the typed block pipeline); string-id collections
+    * use KnnSearch / IvfIndex. */
   def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
+      "PQ paths require numeric ids (string-id collections: use KnnSearch/IvfIndex)")
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     data.select(col(idCol).cast("long").as("id"),
@@ -130,14 +134,13 @@ object PqIndex {
       }(Encoders.product[(Long, Array[Int])]).toDF("id", "codes")
   }
 
-  /** ADC search: approximate L2 top-k over the coded corpus.
-    * @param queries (query_id, query vector) — the broadcast batch */
-  def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
-             k: Int): DataFrame = {
-    val spark = encoded.sparkSession
+  /** Per-query ADC tables: table(sub)(code) = |q_sub - centroid|^2.
+    * Shared by [[search]] and [[IvfPq.search]] so the scoring math can
+    * never drift between the two. */
+  private[vector] def adcTables(model: Model,
+      queries: Array[(Long, Array[Double])]): Array[(Long, Array[Array[Double]])] = {
     val dsub = model.dsub
-    // per query: table(sub)(code) = |q_sub - centroid|^2
-    val tables = queries.map { case (qid, qv) =>
+    queries.map { case (qid, qv) =>
       (qid, Array.tabulate(model.m, model.k) { (s, c) =>
         val cent = model.codebooks(s)(c)
         var d = 0.0
@@ -146,7 +149,14 @@ object PqIndex {
         d
       })
     }
-    val bc = spark.sparkContext.broadcast(tables)
+  }
+
+  /** ADC search: approximate L2 top-k over the coded corpus.
+    * @param queries (query_id, query vector) — the broadcast batch */
+  def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
+             k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(adcTables(model, queries))
     val nq = queries.length
 
     val partial = encoded.as(Encoders.product[(Long, Array[Int])])
@@ -170,12 +180,7 @@ object PqIndex {
         }
       }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    partial.groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = true).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(partial, k, asc = true)
   }
 
   /** The production PQ pattern: ADC narrows the corpus to `k * candMult`
@@ -197,11 +202,6 @@ object PqIndex {
       .join(broadcast(cand), "id")
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    exact.groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k, asc = true).as("__top"))
-      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
-      .select(col("query_id"), (col("__pos") + 1).cast("int").as("rank"),
-        col("__r.id").as("id"), round(col("__r.score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    Ranked.topK(exact, k, asc = true)
   }
 }

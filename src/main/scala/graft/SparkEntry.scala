@@ -583,14 +583,18 @@ object SparkEntry {
       s"""WITH $FulltextCte,
          |$HybridDenseCte,
          |contrib AS (
-         |  SELECT query_id, id, 0.7 * round(sc, 4) AS c FROM dense WHERE rnk <= 20
+         |  SELECT query_id, id,
+         |    CAST(0.7 AS DECIMAL(8,4)) * CAST(round(sc, 4) AS DECIMAL(18,4)) AS c
+         |  FROM dense WHERE rnk <= 20
          |  UNION ALL
-         |  SELECT q.qid AS query_id, r.doc_id AS id, 0.3 * r.score AS c
+         |  SELECT q.qid AS query_id, r.doc_id AS id,
+         |    CAST(0.3 AS DECIMAL(8,4)) * CAST(r.score AS DECIMAL(18,4)) AS c
          |  FROM (SELECT DISTINCT qid FROM qv) q, ranked r WHERE r.rank <= 20),
-         |fused AS (SELECT query_id, id, sum(c) AS score FROM contrib GROUP BY query_id, id),
+         |fused AS (SELECT query_id, id, CAST(sum(c) AS DOUBLE) AS score
+         |          FROM contrib GROUP BY query_id, id),
          |final AS (SELECT query_id, id, score,
          |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM fused)
-         |SELECT query_id, CAST(rank AS INT) AS rank, id, round(score, 4) AS score
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, score
          |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_chunk_split" ->

@@ -41,22 +41,27 @@ object Fusion {
 
   /** Weighted score fusion: score(id) = Σ_lists w_i * score_i.
     *
+    * Inputs are 4-decimal scores and weights, so every fused score is an
+    * EXACT decimal — computed in DECIMAL arithmetic end-to-end. Rounding
+    * the double sum instead would sit exactly on .00005 boundaries
+    * (0.7·x₄ + 0.3·y₄ has 5 decimals) where Spark's BigDecimal HALF_UP
+    * and DuckDB's scaled std::round disagree about the 4th decimal.
+    *
     * @param lists (df, weight) pairs, each df (groupCols..., idCol, scoreCol)
     */
   def weighted(lists: Seq[(DataFrame, Double)], groupCols: Seq[String], idCol: String,
                scoreCol: String, topN: Int = 10): DataFrame = {
     val contribs = lists.map { case (df, w) =>
       df.select((groupCols :+ idCol).map(col) :+
-        (lit(w) * col(scoreCol)).as("__c"): _*)
+        (lit(w).cast("decimal(8,4)") * col(scoreCol).cast("decimal(18,4)")).as("__c"): _*)
     }.reduce(_ unionAll _)
     val fused = contribs.groupBy((groupCols :+ idCol).map(col): _*)
-      .agg(sum(col("__c")).as("score"))
+      .agg(sum(col("__c")).cast("double").as("score"))
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("score").desc, col(idCol).asc)
     fused.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topN)
-      .select(groupCols.map(col) ++ Seq(col("rank"), col(idCol),
-        round(col("score"), 4).as("score")): _*)
+      .select(groupCols.map(col) ++ Seq(col("rank"), col(idCol), col("score")): _*)
       .orderBy(groupCols.map(col) :+ col("rank"): _*)
   }
 }

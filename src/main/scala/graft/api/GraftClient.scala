@@ -26,6 +26,10 @@ final class GraftClient(val spark: SparkSession, root: String) {
   def createDatabase(name: String): GraftDatabase = {
     catalog.createDatabase(name); database(name)
   }
+  /** create_database_if_not_exists (reference client/stub.py). */
+  def createDatabaseIfNotExists(name: String): GraftDatabase = {
+    catalog.createDatabaseIfNotExists(name); database(name)
+  }
   def database(name: String): GraftDatabase = new GraftDatabase(this, catalog, name)
   def listDatabases(): Seq[String] = catalog.listDatabases()
   def dropDatabase(name: String): Unit = catalog.dropDatabase(name)
@@ -34,6 +38,10 @@ final class GraftClient(val spark: SparkSession, root: String) {
 final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: String) {
   def createCollection(coll: String, meta: Map[String, String] = Map.empty): GraftCollection = {
     catalog.createCollection(name, coll, meta); collection(coll)
+  }
+  /** create_collection_if_not_exists (reference client/stub.py). */
+  def createCollectionIfNotExists(coll: String, meta: Map[String, String] = Map.empty): GraftCollection = {
+    catalog.createCollectionIfNotExists(name, coll, meta); collection(coll)
   }
   def collection(coll: String): GraftCollection =
     new GraftCollection(client.spark, catalog, name, catalog.resolve(name, coll))
@@ -54,11 +62,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   def describe: Map[String, String] = catalog.describeCollection(db, coll)
 
+  /** Index-derived columns that live in the stored layout (e.g. the IVF
+    * `cell` partition key) but are NOT part of the user's document
+    * schema; mutation ops strip them so user-shaped batches merge
+    * cleanly (the index is invalidated by mutation — rebuild_index
+    * re-derives them, as in the reference). */
+  private def stripIndexCols(snapshot: DataFrame, incoming: DataFrame): DataFrame =
+    snapshot.drop(GraftCollection.IndexCols.filterNot(incoming.columns.contains): _*)
+
   /** upsert(documents): last-wins merge by id, persisted. */
   def upsert(docs: DataFrame): Unit = {
     val current = df
-    if (current.isEmpty) catalog.write(db, coll, docs)
-    else catalog.overwriteFromSelf(db, coll, DocumentOps.upsert(current, docs, idCol))
+    if (current.isEmpty) catalog.write(db, coll, withStoredEmbedding(docs))
+    else catalog.overwriteFromSelf(db, coll,
+      DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol))
+    invalidateDerived()
   }
 
   def query(filter: String = "", sort: Seq[(String, Boolean)] = Nil,
@@ -104,26 +122,95 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
   }
 
+  /** The collection's text-embedding config (reference: a collection
+    * created with an embedding model embeds `text_field` at ingest,
+    * model/collection.py Embedding). Set meta "embedding.text_field"
+    * (and optionally "embedding.dim") to enable. */
+  private lazy val embedTextCol: Option[String] = describe.get("embedding.text_field")
+  private lazy val embedDim: Int = describe.get("embedding.dim").map(_.toInt).getOrElse(64)
+
+  /** Embed-at-ingest: append the stored embedding column for
+    * text-bearing collections, so search_by_text never re-embeds the
+    * corpus (the reference server embeds at upsert, collection.py
+    * upsert build_index=True). Left join: zero-token docs keep a null
+    * embedding (they are unmatchable, not dropped). */
+  private def withStoredEmbedding(docs: DataFrame): DataFrame = embedTextCol match {
+    case Some(tc) if docs.columns.contains(tc) =>
+      val emb = graft.text.TextEmbed.hashEmbed(
+          docs.select(col(idCol), col(tc)), idCol, tc, embedDim)
+        .withColumnRenamed("vec", GraftCollection.EmbedCol)
+      docs.drop(GraftCollection.EmbedCol).join(emb, Seq(idCol), "left")
+    case _ => docs
+  }
+
   /** search_by_text: embed the query strings with the collection's
-    * (stub) embedder and KNN against embeddings derived from `textCol`
-    * — the reference's server-side-embedding search. */
+    * (stub) embedder and KNN against the embeddings STORED at upsert
+    * time (falling back to an inline corpus embed only when the
+    * collection was written without embedding config). */
   def searchByText(texts: Seq[String], textCol: String = "text",
                    limit: Int = 10): DataFrame = {
-    val corpus = graft.text.TextEmbed.hashEmbed(df, idCol, textCol)
+    val data = df
+    val corpus =
+      if (data.columns.contains(GraftCollection.EmbedCol))
+        data.select(col(idCol), col(GraftCollection.EmbedCol).as("vec"))
+          .where(col("vec").isNotNull)
+      else graft.text.TextEmbed.hashEmbed(data, idCol, textCol, embedDim)
     import spark.implicits._
     val qdf = graft.text.TextEmbed.hashEmbed(
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("qid", "qtext"),
-      "qid", "qtext")
+      "qid", "qtext", embedDim)
     KnnSearch.topK(corpus, idCol, "vec", qdf, "qid", "vec", "cosine", limit)
   }
 
   /** rebuild_index / modify_vector_index: retrain IVF cells and rewrite
     * the collection PARTITIONED BY cell, so subsequent nprobe searches
-    * prune whole partitions. Index params land in collection meta. */
+    * prune whole partitions. Index params land in collection meta.
+    * Idempotent: a prior rebuild's cell column is re-derived, never
+    * kept in the training input (it is layout, not document schema). */
   def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
-    val model = graft.vector.IvfIndex.train(df, vecCol, nlist)
-    val assigned = graft.vector.IvfIndex.assign(model, df, vecCol)
+    val base = df.drop(GraftCollection.IndexCols: _*)
+    val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
+    val assigned = graft.vector.IvfIndex.assign(model, base, vecCol)
     catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq("cell"))
+  }
+
+  /** rebuild_index for the fulltext surface: materialize the BM25
+    * posting lists + term stats as sibling collections. Postings are
+    * written term-clustered (range-partitioned + sorted by term) so a
+    * query's In(term) pushdown skips whole files/rowgroups — fulltext
+    * then reads O(postings of the query terms), not O(corpus). */
+  def rebuildFulltextIndex(textCol: String = "text"): Unit = {
+    val idx = Bm25.buildIndex(df, idCol, textCol)
+    catalog.createCollectionIfNotExists(db, GraftCollection.ftPostings(coll))
+    catalog.createCollectionIfNotExists(db, GraftCollection.ftTerms(coll))
+    catalog.write(db, GraftCollection.ftPostings(coll),
+      idx.postings.repartitionByRange(col("term")).sortWithinPartitions("term"))
+    catalog.write(db, GraftCollection.ftTerms(coll), idx.terms)
+  }
+
+  /** The persisted fulltext index, if [[rebuildFulltextIndex]] ran. */
+  private def sparseIndex: Option[Bm25.SparseIndex] =
+    if (catalog.collectionExists(db, GraftCollection.ftPostings(coll)))
+      Some(Bm25.SparseIndex(
+        catalog.read(db, GraftCollection.ftPostings(coll)),
+        catalog.read(db, GraftCollection.ftTerms(coll))))
+    else None
+
+  /** Mutations invalidate derived fulltext index collections (the
+    * reference requires an explicit rebuild after writes too; serving a
+    * stale index silently would be worse). */
+  private def invalidateDerived(): Unit =
+    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)).foreach { c =>
+      if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
+    }
+
+  /** fulltext_search: BM25-ranked docs containing the query terms; uses
+    * the persisted index when present, else encodes inline. */
+  def fulltext(queryTerms: Seq[String], k: Int = 10,
+               cutoffFrequency: Double = 1.0, terminateAfter: Option[Int] = None,
+               textCol: String = "text"): DataFrame = sparseIndex match {
+    case Some(idx) => Bm25.fulltextIndexed(idx, queryTerms, k, cutoffFrequency, terminateAfter)
+    case None => Bm25.fulltext(df, idCol, textCol, queryTerms, k, cutoffFrequency, terminateAfter)
   }
 
   /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF. */
@@ -131,7 +218,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                    keywords: Seq[String], textCol: String = "text",
                    rrfK: Int = 60, limit: Int = 10): DataFrame = {
     val dense = search(queries, qIdCol, qVecCol, "cosine", limit * 2)
-    val sparse = Bm25.fulltext(df, idCol, textCol, keywords, limit * 2)
+    val sparse = fulltext(keywords, limit * 2, textCol = textCol)
     // same id normalization as the dense side: string query ids stay
     // strings (a long cast would NULL them and orphan sparse scores)
     val qids = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id")).distinct()
@@ -142,15 +229,31 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       Seq("query_id"), "id", "rank", rrfK, limit)
   }
 
-  def delete(filter: String, limit: Option[Int] = None): Unit =
+  /** Updates that touch the embedded text field must re-derive the
+    * stored embedding column for the new snapshot. */
+  private def reembedIfNeeded(snapshot: DataFrame, touched: Iterable[String]): DataFrame =
+    embedTextCol match {
+      case Some(tc) if touched.exists(_ == tc) && snapshot.columns.contains(tc) =>
+        withStoredEmbedding(snapshot.drop(GraftCollection.EmbedCol))
+      case _ => snapshot
+    }
+
+  def delete(filter: String, limit: Option[Int] = None): Unit = {
     catalog.overwriteFromSelf(db, coll, DocumentOps.delete(df, idCol, filter, limit))
+    invalidateDerived()
+  }
 
   /** delete(document_ids=...) — reference's by-ids deletion. */
-  def deleteByIds(ids: Seq[Any]): Unit =
+  def deleteByIds(ids: Seq[Any]): Unit = {
     catalog.overwriteFromSelf(db, coll, df.where(!col(idCol).isin(ids: _*)))
+    invalidateDerived()
+  }
 
-  def update(filter: String, set: Map[String, Column]): Unit =
-    catalog.overwriteFromSelf(db, coll, DocumentOps.update(df, filter, set))
+  def update(filter: String, set: Map[String, Column]): Unit = {
+    catalog.overwriteFromSelf(db, coll,
+      reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys))
+    invalidateDerived()
+  }
 
   /** update(document_ids=..., data=...) — reference's by-ids update. */
   def updateByIds(ids: Seq[Any], set: Map[String, Column]): Unit = {
@@ -158,8 +261,22 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val projections = df.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
     }
-    catalog.overwriteFromSelf(db, coll, df.select(projections.toSeq: _*))
+    catalog.overwriteFromSelf(db, coll,
+      reembedIfNeeded(df.select(projections.toSeq: _*), set.keys))
+    invalidateDerived()
   }
 
-  def truncate(): Unit = catalog.truncateCollection(db, coll)
+  def truncate(): Unit = {
+    catalog.truncateCollection(db, coll)
+    invalidateDerived()
+  }
+}
+
+object GraftCollection {
+  /** Index-layout columns a rebuild derives (never user document schema). */
+  val IndexCols: Seq[String] = Seq("cell")
+  /** Stored stub-embedding column maintained at upsert. */
+  val EmbedCol = "__embed"
+  private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
+  private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
 }

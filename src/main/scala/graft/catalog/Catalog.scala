@@ -20,11 +20,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Catalog(spark: SparkSession, root: String) {
 
-  private def dbPath(db: String): Path = Paths.get(root, db)
-  private def collPath(db: String, coll: String): Path = dbPath(db).resolve(coll)
+  /** Database/collection/alias names become filesystem path segments;
+    * restrict them so "../x" can never escape the catalog root (and an
+    * alias can never resolve outside it). Leading '_' is reserved for
+    * catalog-internal files (_aliases.json). */
+  private def validName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"invalid catalog name '$name' (allowed: [A-Za-z0-9][A-Za-z0-9_.-]*)")
+    require(!name.contains(".."), s"invalid catalog name '$name'")
+    name
+  }
+
+  private def dbPath(db: String): Path = Paths.get(root, validName(db))
+  private def collPath(db: String, coll: String): Path = dbPath(db).resolve(validName(coll))
 
   // ------------------------------------------------------------ databases
   def createDatabase(db: String): Unit = Files.createDirectories(dbPath(db))
+
+  /** create_database_if_not_exists (reference client/stub.py). */
+  def createDatabaseIfNotExists(db: String): Unit =
+    if (!databaseExists(db)) createDatabase(db)
 
   def dropDatabase(db: String): Unit = deleteRecursively(dbPath(db))
 
@@ -42,6 +57,11 @@ final class Catalog(spark: SparkSession, root: String) {
     Files.writeString(p.resolve("meta.json"), Json.render(meta))
   }
 
+  /** create_collection_if_not_exists (reference client/stub.py). */
+  def createCollectionIfNotExists(db: String, coll: String,
+                                  meta: Map[String, String] = Map.empty): Unit =
+    if (!collectionExists(db, coll)) createCollection(db, coll, meta)
+
   def listCollections(db: String): Seq[String] =
     listDirs(dbPath(db))
 
@@ -50,6 +70,16 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def describeCollection(db: String, coll: String): Map[String, String] =
     Json.parse(Files.readString(collPath(db, coll).resolve("meta.json")))
+
+  /** Merge entries into a collection's metadata (a null value removes
+    * the key). Used by index lifecycle ops to record index state. */
+  def updateMeta(db: String, coll: String, entries: Map[String, String]): Unit = {
+    val merged = entries.foldLeft(describeCollection(db, coll)) {
+      case (m, (k, null)) => m - k
+      case (m, (k, v)) => m + (k -> v)
+    }
+    Files.writeString(collPath(db, coll).resolve("meta.json"), Json.render(merged))
+  }
 
   def dropCollection(db: String, coll: String): Unit =
     deleteRecursively(collPath(db, coll))
@@ -117,7 +147,7 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def setAlias(db: String, alias: String, coll: String): Unit = {
     require(collectionExists(db, coll), s"collection $db.$coll does not exist")
-    Files.writeString(aliasFile(db), Json.render(aliases(db) + (alias -> coll)))
+    Files.writeString(aliasFile(db), Json.render(aliases(db) + (validName(alias) -> coll)))
   }
 
   def deleteAlias(db: String, alias: String): Unit =

@@ -1,0 +1,35 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once, read-many parquet materialization for derived indexes
+  * (BM25 postings, corpus embeddings, chunk indexes) keyed by a logical
+  * name. The reference server maintains these structures persistently
+  * at ingest/rebuild time (client/stub.py rebuild_index,
+  * fulltext_search against a stored inverted index); queries then read
+  * the index instead of re-deriving it from the raw corpus — the
+  * difference between O(postings-of-query-terms) and O(corpus) per
+  * query, which is the whole game at 100 TB.
+  *
+  * Each JVM rebuilds an index the first time it is requested (so a
+  * stale on-disk copy from an older code version can never leak into
+  * results) and serves every subsequent request from the parquet files.
+  */
+object IndexStore {
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def root: String = sys.env.getOrElse("GRAFT_INDEX_DIR",
+    System.getProperty("java.io.tmpdir") + "/graft-index")
+
+  /** Read the index named `key`, building + persisting it first if this
+    * JVM has not yet done so. `build` runs fully distributed; the
+    * returned frame is a plain parquet scan (filters push down). */
+  def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val path = java.nio.file.Paths.get(root, key.replaceAll("[^A-Za-z0-9_.-]", "_")).toString
+    synchronized {
+      if (built.add(path)) build.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+}

@@ -60,8 +60,37 @@ object Bm25 {
       .select(col("doc_id"), col("term"), col("tf"), weight.as("weight"))
   }
 
-  /** Fulltext search: rank documents by summed BM25 weight of the query
-    * terms they contain.
+  /** A materializable sparse/fulltext index: BM25 `postings`
+    * (doc_id, term, tf, weight) and per-term `terms` stats
+    * (term, df, n_docs — n_docs denormalized onto each row so the stats
+    * table is self-contained). Both are plain DataFrames, so the index
+    * persists as two parquet collections (see
+    * [[graft.api.GraftCollection.rebuildFulltextIndex]]) and queries
+    * read ONLY the posting lists of their terms instead of re-encoding
+    * the corpus — the reference server's persistent-inverted-index
+    * behavior (client/stub.py fulltext_search). */
+  final case class SparseIndex(postings: DataFrame, terms: DataFrame)
+
+  /** Per-term stats derived from a postings frame. n_docs counts docs
+    * with >= 1 posting — identical to encode's corpus count (zero-token
+    * docs excluded), so cutoff eligibility matches the oracle even when
+    * the postings come back from parquet. */
+  def termsFromPostings(postings: DataFrame): DataFrame = {
+    val corpusN = postings.agg(countDistinct(col("doc_id")).as("n_docs"))
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpusN))
+  }
+
+  /** Build the index from a corpus (one encode + one term aggregate —
+    * paid once at rebuild time, not per query). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 k1: Double = DefaultK1, b: Double = DefaultB): SparseIndex = {
+    val enc = encode(docs, idCol, textCol, k1, b)
+    SparseIndex(enc, termsFromPostings(enc))
+  }
+
+  /** Fulltext search over a (possibly persisted) [[SparseIndex]]: rank
+    * documents by summed BM25 weight of the query terms they contain.
     *
     * `cutoffFrequency`: terms whose document frequency exceeds this
     * fraction of the corpus are dropped before scoring (the reference's
@@ -73,32 +102,35 @@ object Bm25 {
     * deterministic (lowest doc_id first). Trades recall for a hard
     * bound on posting-list work.
     */
-  def fulltext(docs: DataFrame, idCol: String, textCol: String,
-               queryTerms: Seq[String], k: Int,
-               cutoffFrequency: Double = 1.0,
-               terminateAfter: Option[Int] = None,
-               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
-    val enc0 = encode(docs, idCol, textCol, k1, b)
-    // corpus size for the cutoff must match encode's n_docs (zero-token
-    // docs excluded) or eligibility thresholds drift from the oracle
-    val (_, dlStats) = postings(docs, idCol, textCol)
+  def fulltextIndexed(index: SparseIndex, queryTerms: Seq[String], k: Int,
+                      cutoffFrequency: Double = 1.0,
+                      terminateAfter: Option[Int] = None): DataFrame = {
+    // the term filter sits directly on the postings scan: against a
+    // persisted index this is a parquet In-pushdown that reads only the
+    // query terms' posting lists (term-clustered rowgroups skip), which
+    // is the whole point of materializing the index
+    val enc0 = index.postings.where(col("term").isin(queryTerms: _*))
     val enc = terminateAfter match {
       case None => enc0
       case Some(n) =>
-        // bounded-heap per term: smallest n doc_ids, never a full sort
-        enc0.where(col("term").isin(queryTerms: _*))
-          .groupBy("term")
-          .agg(graft.vector.TopKAgg.topk(col("doc_id").cast("double"), col("doc_id"),
-            n, asc = true).as("__t"))
+        // bounded-heap per term: smallest n doc_ids, never a full sort.
+        // The heap is keyed on the id itself via a CONSTANT score (the
+        // buffer's id tie-break is the whole ordering) — a doc_id→double
+        // cast would NULL string ids (silently empty results) and lose
+        // precision past 2^53 for long ids.
+        val heapId = index.postings.schema("doc_id").dataType match {
+          case org.apache.spark.sql.types.StringType => col("doc_id")
+          case _ => col("doc_id").cast("long")
+        }
+        enc0.groupBy("term")
+          .agg(graft.vector.TopKAgg.topk(lit(0.0), heapId, n, asc = true).as("__t"))
           .select(col("term"), explode(col("__t.id")).as("doc_id"))
           .join(enc0, Seq("term", "doc_id"))
     }
-    val corpusN = dlStats.agg(count(lit(1)).as("n_docs"))
-    val dfreq = enc0.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(corpusN))
+    val wanted = index.terms
+      .where(col("term").isin(queryTerms: _*))
       .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))
       .select("term")
-    val wanted = dfreq.where(col("term").isin(queryTerms: _*))
     // Per-term weights are rounded to 4 decimals and summed as DECIMAL:
     // exact arithmetic makes the doc score independent of Spark's
     // aggregation order, so ranking is bit-stable vs the oracle.
@@ -107,7 +139,8 @@ object Bm25 {
       .agg(sum(round(col("weight"), 4).cast("decimal(18,4)")).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
     // top-k via TakeOrderedAndProject (distributed k-merge, no global
-    // sort), then a rank column over the k survivors only.
+    // sort), then a rank column over the k survivors only (the unparti-
+    // tioned window is benign: it only ever sees these k rows).
     val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
@@ -115,4 +148,15 @@ object Bm25 {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy("rank")
   }
+
+  /** Index-free fulltext (builds the index inline — per-query O(corpus)
+    * encode; use [[buildIndex]] + [[fulltextIndexed]] when serving many
+    * queries over one corpus). */
+  def fulltext(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               cutoffFrequency: Double = 1.0,
+               terminateAfter: Option[Int] = None,
+               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame =
+    fulltextIndexed(buildIndex(docs, idCol, textCol, k1, b), queryTerms, k,
+      cutoffFrequency, terminateAfter)
 }

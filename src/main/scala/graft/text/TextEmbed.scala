@@ -38,16 +38,22 @@ object TextEmbed {
       .withColumnRenamed("__id", idCol)
   }
 
-  /** search_by_text: embed the query strings with the same hasher and
-    * run exact cosine KNN against the (pre-)embedded corpus. */
-  def searchByText(docs: DataFrame, idCol: String, textCol: String,
-                   queryTexts: Seq[String], k: Int, dim: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
+  /** search_by_text against an ALREADY-embedded corpus (idCol, vec) —
+    * the scale path: the corpus is embedded once at ingest/rebuild and
+    * persisted; each query embeds only its few strings. */
+  def searchEmbedded(corpus: DataFrame, idCol: String,
+                     queryTexts: Seq[String], k: Int, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val corpus = hashEmbed(docs, idCol, textCol, dim)
     val qdf = hashEmbed(
       queryTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("qid", "qtext"),
       "qid", "qtext", dim)
     graft.vector.KnnSearch.topK(corpus, idCol, "vec", qdf, "qid", "vec", "cosine", k)
   }
+
+  /** search_by_text with an inline corpus embed (per-query O(corpus) —
+    * use [[searchEmbedded]] over a persisted embedding at scale). */
+  def searchByText(docs: DataFrame, idCol: String, textCol: String,
+                   queryTexts: Seq[String], k: Int, dim: Int = 64): DataFrame =
+    searchEmbedded(hashEmbed(docs, idCol, textCol, dim), idCol, queryTexts, k, dim)
 }

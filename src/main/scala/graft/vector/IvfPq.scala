@@ -35,6 +35,10 @@ object IvfPq {
     * degenerates to plain PQ search over everything. */
   def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
              kTop: Int, nprobe: Int): DataFrame = {
+    // ADC tables are broadcast keyed BY query id; duplicate qids would
+    // silently collapse to one entry (and one result group)
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in batch")
     val spark = encoded.sparkSession
     import spark.implicits._
     val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex

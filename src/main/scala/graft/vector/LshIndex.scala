@@ -34,35 +34,56 @@ object LshIndex {
     df.withColumn("sig", sig)
   }
 
+  /** Vector dimension from the (tiny) query side's first row; hyperplanes
+    * must span the FULL dimension or signatures silently use a prefix of
+    * each vector and recall degrades with no error. */
+  private[graft] def deriveDim(queries: DataFrame, qVecCol: String): Int = {
+    val row = queries.select(size(col(qVecCol))).limit(1).collect()
+    require(row.nonEmpty && !row(0).isNullAt(0), "cannot derive vector dim: no query vectors")
+    row(0).getInt(0)
+  }
+
   /** Banded ANN: candidates share at least one band of the signature;
     * exact cosine re-rank, top-k per query. Returns
     * (query_id, rank, id, score) like [[KnnSearch.topK]] (approximate:
-    * may return fewer than k when buckets are sparse). */
+    * may return fewer than k when buckets are sparse).
+    *
+    * `dim <= 0` (the default) derives the vector dimension from the
+    * query batch; an explicit dim must match it. */
   def ann(data: DataFrame, idCol: String, vecCol: String,
           queries: DataFrame, qIdCol: String, qVecCol: String,
-          k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+          k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 0,
           seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    val actualDim = deriveDim(queries, qVecCol)
+    require(dim <= 0 || dim == actualDim,
+      s"dim=$dim does not match actual vector dimension $actualDim")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
 
     def banded(df: DataFrame, id: Column, vec: Column): DataFrame = {
       val bandCol = (b: Int) =>
         struct(lit(b).as("b"), shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("v"))
-      withSignature(df.select(id.as("__i"), vec.as("__v")), "__v", nBits, dim, seed)
-        .select(col("__i"), col("__v"),
+      withSignature(df.select(id.as("__i"), vec.as("__v")), "__v", nBits, actualDim, seed)
+        .select(col("__i"),
           explode(array((0 until bands).map(bandCol): _*)).as("bk"))
-        .select(col("__i"), col("__v"), col("bk.b").as("b"), col("bk.v").as("v"))
+        .select(col("__i"), col("bk.b").as("b"), col("bk.v").as("v"))
     }
 
+    // candidate dedup carries ONLY (query_id, id) through the distinct —
+    // never the float vectors (a wide shuffle at scale); vectors are
+    // re-attached afterwards (queries broadcast, data joined by id).
     val d = banded(data, KnnSearch.idNorm(data, idCol), col(vecCol))
     val q = broadcast(banded(queries, KnnSearch.idNorm(queries, qIdCol), col(qVecCol)))
-    val cand = d.join(q.select(col("__i").as("query_id"), col("__v").as("__qv"),
-        col("b"), col("v")), Seq("b", "v"))
-      .select(col("query_id"), col("__i").as("id"), col("__v"), col("__qv"))
+    val cand = d.join(q.select(col("__i").as("query_id"), col("b"), col("v")), Seq("b", "v"))
+      .select(col("query_id"), col("__i").as("id"))
       .distinct()
+    val dVecs = data.select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__v"))
+    val qVecs = broadcast(queries.select(
+      KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qv")))
+    val scored = cand.join(dVecs, "id").join(qVecs, "query_id")
     Ranked.topK(
-      cand.select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id")),
+      scored.select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id")),
       k, asc = false)
   }
 }

@@ -214,6 +214,18 @@ object SparkEntry {
         Seq("query_id"), "id", "score", topN = 10)
     }),
 
+    "q_hybrid_perq" -> ((s, dir) => {
+      // per-query keyword lists (AnnSearch + KeywordSearch pairs): each
+      // dense query fuses with ITS OWN sparse ranked list
+      import s.implicits._
+      val (dense, _) = hybridLists(s, dir)
+      val kw = PerQueryKeywords.toDF("query_id", "term")
+      val sparse = Bm25.fulltextBatch(sparseIndexFor(s, dir), kw, 20, cutoffFrequency = 0.9)
+      Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),
+        sparse.select(col("query_id"), col("doc_id").as("id"), col("rank"))),
+        Seq("query_id"), "id", "rank", k = 60, topN = 10)
+    }),
+
     "q_chunk_split" -> ((s, dir) => {
       TextAnalysis.chunkSplit(Tables.documents(s, dir), "doc_id", "text", "source",
         chunkSize = 80, overlap = 20)
@@ -349,6 +361,18 @@ object SparkEntry {
         "doc_id", "spark join filter window scan", limit = 10, expandChunk = (1, 1))
     }),
 
+    "q_scalar_index" -> ((s, dir) => {
+      // scalar filter index (add_index): the collection is laid out
+      // partitioned by the indexed field, so the lang equality prunes
+      // whole directories at file listing (PartitionFilters) — the
+      // n_chars predicate still pushes into the parquet scan
+      val indexed = graft.catalog.IndexStore.ensure(s, s"scalaridx_${sfKey(dir)}",
+        partitionBy = Seq("lang")) { Tables.documents(s, dir) }
+      indexed.where(FilterParser.parse("""lang = "en" and n_chars > 200"""))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
       Multimodal.extractFeatures(media).toDF()
@@ -360,6 +384,13 @@ object SparkEntry {
   )
 
   private val FulltextTerms = Seq("spark", "join", "filter", "window", "scan")
+
+  /** Per-query keyword lists for q_hybrid_perq (mirrored in its oracle). */
+  private val PerQueryKeywords: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "join",
+    1L -> "filter", 1L -> "window",
+    2L -> "scan", 2L -> "table",
+    3L -> "spark", 3L -> "scan")
 
   private def sfKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
@@ -502,6 +533,10 @@ object SparkEntry {
     "q_count" ->
       "SELECT count(*) AS cnt FROM documents WHERE lang IN ('en','de') AND n_chars > 150",
 
+    "q_scalar_index" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id""".stripMargin,
+
     "q_upsert" ->
       """WITH updates AS (
         |  SELECT doc_id, 'updated' AS source, n_chars + 1 AS n_chars FROM documents WHERE doc_id % 7 = 0
@@ -611,6 +646,30 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT q.qid AS query_id, r.doc_id AS id, 1.0 / (60 + r.rank) AS c
          |  FROM (SELECT DISTINCT qid FROM qv) q, ranked r WHERE r.rank <= 20),
+         |fused AS (SELECT query_id, id, sum(c) AS rrf FROM contrib GROUP BY query_id, id),
+         |final AS (SELECT query_id, id, rrf,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, round(rrf, 6) AS rrf
+         |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_perq" ->
+      s"""WITH $Bm25Cte,
+         |$HybridDenseCte,
+         |qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term FROM (VALUES
+         |  (0,'spark'),(0,'join'),(1,'filter'),(1,'window'),
+         |  (2,'scan'),(2,'table'),(3,'spark'),(3,'scan')) AS t(query_id, term)),
+         |elig AS (SELECT dfreq.term FROM dfreq, corpus WHERE dfreq.df <= 0.9 * corpus.n_docs),
+         |sc AS (
+         |  SELECT qt.query_id, e.doc_id,
+         |    CAST(sum(CAST(round(e.weight, 4) AS DECIMAL(18,4))) AS DOUBLE) AS score
+         |  FROM enc e JOIN qt ON e.term = qt.term JOIN elig ON e.term = elig.term
+         |  GROUP BY qt.query_id, e.doc_id),
+         |sr AS (SELECT query_id, doc_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc),
+         |contrib AS (
+         |  SELECT query_id, id, 1.0 / (60 + rnk) AS c FROM dense WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT query_id, doc_id AS id, 1.0 / (60 + rank) AS c FROM sr WHERE rank <= 20),
          |fused AS (SELECT query_id, id, sum(c) AS rrf FROM contrib GROUP BY query_id, id),
          |final AS (SELECT query_id, id, rrf,
          |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank FROM fused)

@@ -1,0 +1,130 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.filter.FilterParser
+import graft.text.CollectionView
+
+/** The reference's AI-document (collection view) surface as a
+  * catalog-backed store (/root/reference/aiotcvectordb/model/
+  * collection_view.py: load_and_split_text :60, search :144, query
+  * :173, get_document_set :216, delete :244, update :272, get_chunks
+  * :304). A document set = one uploaded text, split + embedded at load
+  * time into a PERSISTED chunk index; every later search/get_chunks
+  * call reads the index — never re-splits or re-embeds.
+  *
+  * Storage: two sibling collections per view —
+  * `<view>__cv_sets` (doc_set, title, n_chars, n_chunks) the registry,
+  * `<view>__cv_chunks` (doc_set, chunk_id, chunk, vec) the chunk index.
+  */
+final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
+                                db: String, view: String) {
+  import GraftCollectionView._
+
+  private def setsColl = view + SetsSuffix
+  private def chunksColl = view + ChunksSuffix
+
+  private[api] def create(): this.type = {
+    catalog.createCollectionIfNotExists(db, setsColl)
+    catalog.createCollectionIfNotExists(db, chunksColl)
+    this
+  }
+
+  def sets: DataFrame = catalog.read(db, setsColl)
+  def chunks: DataFrame = catalog.read(db, chunksColl)
+
+  /** load_and_split_text: register the document set and persist its
+    * split + embedded chunks (replacing any previous upload of the same
+    * name — the reference's re-upload semantics). */
+  def loadAndSplitText(documentSetName: String, text: String, title: String = "",
+                       chunkSize: Int = 80, overlap: Int = 20): Unit = {
+    import spark.implicits._
+    require(text.nonEmpty, s"$documentSetName: empty document denied")
+    val t = if (title.isEmpty) documentSetName else title
+    val doc = Seq((documentSetName, text, t)).toDF("doc_set", "text", "title")
+    val newChunks = CollectionView.buildChunkIndex(doc, "doc_set", "text", "title",
+      chunkSize, overlap)
+    replaceIn(chunksColl, documentSetName, newChunks)
+    val nChunks = newChunks.count()
+    val row = Seq((documentSetName, t, text.length.toLong, nChunks))
+      .toDF("doc_set", "title", "n_chars", "n_chunks")
+    replaceIn(setsColl, documentSetName, row)
+  }
+
+  /** get_document_set(name): the registry row, or empty. */
+  def getDocumentSet(name: String): DataFrame =
+    sets.where(col("doc_set") === name)
+
+  /** query(filter, limit, offset): list document sets. */
+  def query(filter: String = "", limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    var out = sets.where(FilterParser.parse(filter)).orderBy("doc_set")
+    if (offset > 0) out = out.offset(offset)
+    limit.fold(out)(out.limit)
+  }
+
+  /** get_chunks(name, limit, offset): the stored chunks in order. */
+  def getChunks(name: String, limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    var out = chunks.where(col("doc_set") === name)
+      .select(col("chunk_id"), col("chunk")).orderBy("chunk_id")
+    if (offset > 0) out = out.offset(offset)
+    limit.fold(out)(out.limit)
+  }
+
+  /** delete(document_set_name | filter over the registry). */
+  def delete(names: Seq[String] = Nil, filter: String = ""): Unit = {
+    require(names.nonEmpty || filter.nonEmpty,
+      "please provide document_set_name or filter")
+    val doomed = (if (names.nonEmpty) sets.where(col("doc_set").isin(names: _*))
+                  else sets.where(FilterParser.parse(filter)))
+      .select("doc_set").collect().map(_.getString(0)).toSeq
+    if (doomed.nonEmpty) {
+      catalog.overwriteFromSelf(db, setsColl,
+        sets.where(!col("doc_set").isin(doomed: _*)))
+      catalog.overwriteFromSelf(db, chunksColl,
+        chunks.where(!col("doc_set").isin(doomed: _*)))
+    }
+  }
+
+  /** update(data, names | filter): set registry fields (title etc.) on
+    * matching document sets; chunk content is immutable — re-upload via
+    * [[loadAndSplitText]] to change it (mirrors the reference, which
+    * updates metadata only). */
+  def update(set: Map[String, Column], names: Seq[String] = Nil, filter: String = ""): Unit = {
+    require(set.nonEmpty, "please provide update data")
+    require(names.nonEmpty || filter.nonEmpty,
+      "please provide document_set_name or filter")
+    val pred = if (names.nonEmpty) col("doc_set").isin(names: _*)
+               else FilterParser.parse(filter)
+    val projections = sets.columns.map { c =>
+      set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }
+    catalog.overwriteFromSelf(db, setsColl, sets.select(projections.toSeq: _*))
+  }
+
+  /** search(content, limit, expand_chunk, filter): content search over
+    * the persisted chunk index (filter applies to chunk rows). */
+  def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
+             filter: String = ""): DataFrame =
+    CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter)
+
+  /** Drop the whole view (both backing collections). */
+  def drop(): Unit = {
+    catalog.dropCollection(db, setsColl)
+    catalog.dropCollection(db, chunksColl)
+  }
+
+  /** Replace `name`'s rows in a backing collection with `rows`. */
+  private def replaceIn(coll: String, name: String, rows: DataFrame): Unit = {
+    val existing = catalog.read(db, coll)
+    if (existing.isEmpty) catalog.write(db, coll, rows)
+    else catalog.overwriteFromSelf(db, coll,
+      existing.where(col("doc_set") =!= name).unionByName(rows))
+  }
+}
+
+object GraftCollectionView {
+  val SetsSuffix = "__cv_sets"
+  val ChunksSuffix = "__cv_chunks"
+}

@@ -50,6 +50,13 @@ final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: Strin
   def truncateCollection(coll: String): Unit = catalog.truncateCollection(name, coll)
   def setAlias(alias: String, coll: String): Unit = catalog.setAlias(name, alias, coll)
   def deleteAlias(alias: String): Unit = catalog.deleteAlias(name, alias)
+
+  /** create_collection_view (AI-document layer, collection_view.py). */
+  def createCollectionView(view: String): GraftCollectionView =
+    new GraftCollectionView(client.spark, catalog, name, view).create()
+  def collectionView(view: String): GraftCollectionView =
+    new GraftCollectionView(client.spark, catalog, name, view)
+  def dropCollectionView(view: String): Unit = collectionView(view).drop()
 }
 
 /** Collection ops. `idCol`/`vecCol` default to the reference's `id` /
@@ -58,7 +65,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                             db: String, coll: String,
                             idCol: String = "id", vecCol: String = "vector") {
 
-  def df: DataFrame = catalog.read(db, coll)
+  def df: DataFrame = catalog.read(db, coll).drop(GraftCollection.BucketCol)
+
+  /** Bucketed-by-id storage (meta "buckets" = N): rows live under
+    * hash(id)-bucket directory partitions. An upsert then rewrites ONLY
+    * the buckets its update ids hash into — at scale, a point-update
+    * batch touches a handful of buckets and the other 99% of the
+    * collection is neither read, shuffled, nor rewritten. The bucket
+    * column is derived (pmod(xxhash64(id), N)), internal, and invisible
+    * to readers. */
+  private lazy val numBuckets: Option[Int] = describe.get("buckets").map(_.toInt)
+
+  private def withBucket(d: DataFrame, n: Int): DataFrame =
+    d.withColumn(GraftCollection.BucketCol,
+      pmod(xxhash64(col(idCol)), lit(n.toLong)).cast("int"))
 
   def describe: Map[String, String] = catalog.describeCollection(db, coll)
 
@@ -70,13 +90,45 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def stripIndexCols(snapshot: DataFrame, incoming: DataFrame): DataFrame =
     snapshot.drop(GraftCollection.IndexCols.filterNot(incoming.columns.contains): _*)
 
-  /** upsert(documents): last-wins merge by id, persisted. */
+  /** upsert(documents): last-wins merge by id, persisted. Bucketed
+    * collections merge ONLY the touched buckets (partition-pruned read,
+    * dynamic-partition write); unbucketed collections rewrite the
+    * snapshot. */
   def upsert(docs: DataFrame): Unit = {
     val current = df
-    if (current.isEmpty) catalog.write(db, coll, withStoredEmbedding(docs))
-    else catalog.overwriteFromSelf(db, coll,
-      DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol))
+    (numBuckets, current.isEmpty) match {
+      case (Some(n), true) =>
+        catalog.write(db, coll, withBucket(withStoredEmbedding(docs), n),
+          partitionBy = Seq(GraftCollection.BucketCol))
+      case (Some(n), false) if catalog.read(db, coll).columns.contains(GraftCollection.BucketCol) =>
+        val updates = withBucket(withStoredEmbedding(docs), n)
+        // the touched-bucket set is at most N values — a tiny driver
+        // collect that turns the base read into a partition-pruned scan
+        val touched = updates.select(GraftCollection.BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val slice = catalog.read(db, coll)
+          .where(col(GraftCollection.BucketCol).isin(touched: _*))
+        val merged = DocumentOps.upsert(stripIndexCols(slice, updates), updates, idCol)
+        catalog.overwritePartitions(db, coll, merged, GraftCollection.BucketCol)
+      case (_, false) =>
+        // unbucketed — or a bucketed collection whose layout was
+        // replaced by another index rewrite: full merge (re-bucketing
+        // when configured)
+        persistSnapshot(
+          DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol))
+      case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
+    }
     invalidateDerived()
+  }
+
+  /** Persist a full new snapshot, restoring the bucketed layout when
+    * the collection is configured for it. */
+  private def persistSnapshot(snapshot: DataFrame): Unit = numBuckets match {
+    case Some(n) =>
+      catalog.overwriteFromSelf(db, coll,
+        withBucket(snapshot.drop(GraftCollection.BucketCol), n),
+        partitionBy = Seq(GraftCollection.BucketCol))
+    case None => catalog.overwriteFromSelf(db, coll, snapshot)
   }
 
   def query(filter: String = "", sort: Seq[(String, Boolean)] = Nil,
@@ -174,6 +226,52 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq("cell"))
   }
 
+  /** add_index (scalar filter index, reference stub.py add_index /
+    * collection.py add_index): record the field in collection meta and
+    * rewrite the collection CLUSTERED by its indexed fields —
+    * low-cardinality fields become directory partitions (an equality/In
+    * filter prunes whole directories before any data is read:
+    * PartitionFilters), high-cardinality fields are range-clustered +
+    * sorted within files (parquet rowgroup min/max stats skip). The
+    * layout is invisible to readers ([[Catalog]] restores the written
+    * schema); one clustering layout exists at a time — the latest
+    * add/drop/rebuild rewrite wins. */
+  def addIndex(field: String, partitioned: Boolean = true): Unit = {
+    require(df.columns.contains(field), s"no such field: $field")
+    val meta = describe
+    val key = if (partitioned) "index.partitioned" else "index.sorted"
+    val cur = meta.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    catalog.updateMeta(db, coll, Map(key -> (cur :+ field).distinct.mkString(",")))
+    rewriteIndexedLayout()
+  }
+
+  /** drop_index: remove the field from the indexed set and rewrite with
+    * the remaining layout (plain files when none remain). */
+  def dropIndex(field: String): Unit = {
+    val meta = describe
+    Seq("index.partitioned", "index.sorted").foreach { key =>
+      val rest = meta.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+        .filterNot(_ == field)
+      catalog.updateMeta(db, coll,
+        Map(key -> (if (rest.isEmpty) null else rest.mkString(","))))
+    }
+    rewriteIndexedLayout()
+  }
+
+  private def indexedFields(key: String): Seq[String] =
+    describe.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  private def rewriteIndexedLayout(): Unit = {
+    val parts = indexedFields("index.partitioned")
+    val sorted = indexedFields("index.sorted")
+    val base = df.drop(GraftCollection.IndexCols: _*)
+    val clustered =
+      if (sorted.nonEmpty)
+        base.repartitionByRange(sorted.map(col): _*).sortWithinPartitions(sorted.map(col): _*)
+      else base
+    catalog.overwriteFromSelf(db, coll, clustered, partitionBy = parts)
+  }
+
   /** rebuild_index for the fulltext surface: materialize the BM25
     * posting lists + term stats as sibling collections. Postings are
     * written term-clustered (range-partitioned + sorted by term) so a
@@ -238,20 +336,34 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       case _ => snapshot
     }
 
+  /** hybrid_search with PER-QUERY keyword lists: `keywords` is a
+    * (query_id, term) frame pairing each dense query with its own
+    * KeywordSearch terms (model/document.py AnnSearch + KeywordSearch),
+    * fused per query — no shared sparse list. */
+  def hybridSearchBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        keywords: DataFrame, textCol: String = "text",
+                        rrfK: Int = 60, limit: Int = 10): DataFrame = {
+    val dense = search(queries, qIdCol, qVecCol, "cosine", limit * 2)
+    val idx = sparseIndex.getOrElse(Bm25.buildIndex(df, idCol, textCol))
+    val sparse = Bm25.fulltextBatch(idx, keywords, limit * 2)
+    Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),
+      sparse.select(col("query_id"), col("doc_id").as("id"), col("rank"))),
+      Seq("query_id"), "id", "rank", rrfK, limit)
+  }
+
   def delete(filter: String, limit: Option[Int] = None): Unit = {
-    catalog.overwriteFromSelf(db, coll, DocumentOps.delete(df, idCol, filter, limit))
+    persistSnapshot(DocumentOps.delete(df, idCol, filter, limit))
     invalidateDerived()
   }
 
   /** delete(document_ids=...) — reference's by-ids deletion. */
   def deleteByIds(ids: Seq[Any]): Unit = {
-    catalog.overwriteFromSelf(db, coll, df.where(!col(idCol).isin(ids: _*)))
+    persistSnapshot(df.where(!col(idCol).isin(ids: _*)))
     invalidateDerived()
   }
 
   def update(filter: String, set: Map[String, Column]): Unit = {
-    catalog.overwriteFromSelf(db, coll,
-      reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys))
+    persistSnapshot(reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys))
     invalidateDerived()
   }
 
@@ -261,8 +373,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val projections = df.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
     }
-    catalog.overwriteFromSelf(db, coll,
-      reembedIfNeeded(df.select(projections.toSeq: _*), set.keys))
+    persistSnapshot(reembedIfNeeded(df.select(projections.toSeq: _*), set.keys))
     invalidateDerived()
   }
 
@@ -277,6 +388,8 @@ object GraftCollection {
   val IndexCols: Seq[String] = Seq("cell")
   /** Stored stub-embedding column maintained at upsert. */
   val EmbedCol = "__embed"
+  /** Derived hash-bucket partition column of bucketed collections. */
+  val BucketCol = "__bucket"
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
 }

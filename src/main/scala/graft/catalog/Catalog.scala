@@ -93,9 +93,40 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   // ---------------------------------------------------------------- data
-  def write(db: String, coll: String, df: DataFrame): Unit = {
-    df.write.mode("overwrite").parquet(collPath(db, coll).resolve("data").toString)
+  def write(db: String, coll: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(collPath(db, coll).resolve("data").toString)
     saveSchema(db, coll, df)
+  }
+
+  /** Dynamic-partition overwrite: replace ONLY the partition directories
+    * present in `df`, leaving every other partition's files untouched
+    * (and unread). This is the merge-on-write path for bucketed
+    * collections: an upsert touching 1% of buckets rewrites 1% of the
+    * data. The staged write is fully distributed; the swap is a per-
+    * partition directory move. */
+  def overwritePartitions(db: String, coll: String, df: DataFrame, partitionCol: String): Unit = {
+    val base = collPath(db, coll)
+    val staging = base.resolve("data_staging")
+    deleteRecursively(staging)
+    df.write.partitionBy(partitionCol).parquet(staging.toString)
+    val data = base.resolve("data")
+    Files.createDirectories(data)
+    // list directly (not listDirs: internal partition columns may start
+    // with "_", which listDirs reserves for catalog files)
+    val s = Files.list(staging)
+    val parts = try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$partitionCol="))
+      .map(_.getFileName.toString).toSeq
+    finally s.close()
+    parts.foreach { p =>
+      val target = data.resolve(p)
+      deleteRecursively(target)
+      Files.move(staging.resolve(p), target)
+    }
+    deleteRecursively(staging)
   }
 
   /** Last-written schema, so empty/truncated collections still resolve
@@ -126,7 +157,7 @@ final class Catalog(spark: SparkSession, root: String) {
     val walk = Files.walk(data)
     val hasFiles = try walk.iterator().asScala.exists(_.toString.endsWith(".parquet"))
                    finally walk.close()
-    if (hasFiles) spark.read.parquet(data.toString)
+    if (hasFiles) normalizeToSavedSchema(db, coll, spark.read.parquet(data.toString))
     else {
       val schemaFile = collPath(db, coll).resolve("schema.json")
       if (Files.exists(schemaFile)) {
@@ -135,6 +166,34 @@ final class Catalog(spark: SparkSession, root: String) {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       } else spark.emptyDataFrame
+    }
+  }
+
+  /** Partition-column values are directory names, so Spark re-infers
+    * their type on read (a partitioned bigint comes back int) and moves
+    * them to the end of the schema. Cast + reorder back to the schema
+    * the collection was WRITTEN with, so a partitioned layout (scalar
+    * index, IVF cell) is invisible to readers. Columns absent from the
+    * saved schema (none in practice) are preserved at the end. */
+  private def normalizeToSavedSchema(db: String, coll: String, df: DataFrame): DataFrame = {
+    val schemaFile = collPath(db, coll).resolve("schema.json")
+    if (!Files.exists(schemaFile)) df
+    else {
+      val saved = org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(schemaFile))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
+      val savedCols = saved.fields.toSeq.filter(f => have.contains(f.name)).map { f =>
+        // catalogString ignores nullability: only cast on REAL drift (a
+        // partition-inferred int where a bigint was written), never on
+        // containsNull differences (such casts are rejected anyway)
+        if (have(f.name).catalogString == f.dataType.catalogString)
+          org.apache.spark.sql.functions.col(f.name)
+        else org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      }
+      val extras = df.columns.filterNot(saved.fieldNames.contains)
+        .map(org.apache.spark.sql.functions.col).toSeq
+      df.select(savedCols ++ extras: _*)
     }
   }
 

@@ -24,11 +24,18 @@ object IndexStore {
 
   /** Read the index named `key`, building + persisting it first if this
     * JVM has not yet done so. `build` runs fully distributed; the
-    * returned frame is a plain parquet scan (filters push down). */
-  def ensure(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    * returned frame is a plain parquet scan (filters push down).
+    * `partitionBy` lays the files out under key=value directories, so
+    * equality/In filters on those columns prune whole directories at
+    * file listing (PartitionFilters). */
+  def ensure(spark: SparkSession, key: String, partitionBy: Seq[String] = Nil)
+            (build: => DataFrame): DataFrame = {
     val path = java.nio.file.Paths.get(root, key.replaceAll("[^A-Za-z0-9_.-]", "_")).toString
     synchronized {
-      if (built.add(path)) build.write.mode("overwrite").parquet(path)
+      if (built.add(path)) {
+        val w = build.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }

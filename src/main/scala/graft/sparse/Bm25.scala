@@ -149,6 +149,34 @@ object Bm25 {
       .orderBy("rank")
   }
 
+  /** Batched per-query fulltext over the index: `queryTerms` is a
+    * (query_id, term) frame — each query carries its OWN keyword list,
+    * the reference's per-AnnSearch KeywordSearch pairing
+    * (model/document.py). One postings pass scores every query: the
+    * union of query terms prunes the postings scan (parquet In
+    * pushdown, the term lists are a driver-known batch), the per-query
+    * term lists broadcast onto the surviving postings, and a bounded
+    * heap ranks each query without a global sort. */
+  def fulltextBatch(index: SparseIndex, queryTerms: DataFrame, k: Int,
+                    cutoffFrequency: Double = 1.0): DataFrame = {
+    val allTerms = queryTerms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val elig = index.terms
+      .where(col("term").isin(allTerms: _*))
+      .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))
+      .select("term")
+    val q = broadcast(queryTerms.select(col("query_id"), col("term")).join(elig, "term"))
+    val scored = index.postings
+      .where(col("term").isin(allTerms: _*))
+      .join(q, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(col("weight"), 4).cast("decimal(18,4)")).cast("double").as("score"))
+    graft.vector.Ranked.topK(
+      scored.select(col("query_id"), col("score").as("__s"), col("doc_id").as("id")),
+      k, asc = false)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Index-free fulltext (builds the index inline — per-query O(corpus)
     * encode; use [[buildIndex]] + [[fulltextIndexed]] when serving many
     * queries over one corpus). */

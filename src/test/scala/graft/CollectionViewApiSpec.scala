@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+
+/** Document-set CRUD parity with the reference AI-document surface
+  * (collection_view.py get_document_set/delete/update/get_chunks and
+  * the upload→search flow of tests/test_documents). */
+class CollectionViewApiSpec extends SparkSpec {
+
+  test("document-set lifecycle: load, get, chunks, search, update, delete, re-upload") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cv").toString)
+    val db = client.createDatabase("db")
+    val view = db.createCollectionView("docs")
+
+    val textA = ("spark join fast " * 12).trim
+    val textB = ("slow table scan " * 12).trim
+    view.loadAndSplitText("a.md", textA)
+    view.loadAndSplitText("b.md", textB, title = "B title")
+
+    // registry: both sets with stats
+    assert(view.query().collect().map(_.getString(0)).toSeq == Seq("a.md", "b.md"))
+    val a = view.getDocumentSet("a.md").head()
+    assert(a.getString(1) == "a.md" && a.getLong(2) == textA.length.toLong)
+    assert(view.getDocumentSet("missing.md").isEmpty)
+
+    // chunks: ordered, pageable; chunkSize 80 / stride 60 over ~190 chars
+    val all = view.getChunks("a.md").collect()
+    assert(all.length == view.getDocumentSet("a.md").head().getLong(3))
+    assert(all.map(_.getInt(0)).toSeq == all.indices.toSeq)
+    val page = view.getChunks("a.md", limit = Some(2), offset = 1).collect()
+    assert(page.map(_.getInt(0)).toSeq == Seq(1, 2))
+
+    // content search hits the right document set
+    val hits = view.search("spark join", limit = 3).collect()
+    assert(hits.nonEmpty && hits.head.getString(1) == "a.md")
+    // filter restricts the searched chunks
+    val hitsB = view.search("spark join", limit = 3,
+      filter = """doc_set = "b.md"""").collect()
+    assert(hitsB.forall(_.getString(1) == "b.md"))
+
+    // update registry metadata by name
+    view.update(Map("title" -> lit("renamed")), names = Seq("a.md"))
+    assert(view.getDocumentSet("a.md").head().getString(1) == "renamed")
+
+    // re-upload replaces chunks (not appends)
+    view.loadAndSplitText("b.md", "tiny now")
+    assert(view.getChunks("b.md").count() == 1)
+    assert(view.getDocumentSet("b.md").head().getLong(2) == "tiny now".length.toLong)
+
+    // delete by name removes registry + chunks
+    view.delete(names = Seq("a.md"))
+    assert(view.getDocumentSet("a.md").isEmpty)
+    assert(view.chunks.where(col("doc_set") === "a.md").isEmpty)
+    // delete by filter
+    view.delete(filter = """n_chars < 100""")
+    assert(view.query().isEmpty)
+    intercept[IllegalArgumentException](view.delete())
+  }
+}

@@ -135,6 +135,79 @@ class Round3Spec extends SparkSpec {
     assert(after.exists(_.getLong(1) == 5L))
   }
 
+  test("addIndex partitions the layout so filters prune; dropIndex restores; schema survives") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-sidx").toString)
+    val coll = client.createDatabase("db").createCollection("docs")
+    coll.upsert((1L to 40L).map(i => (i, s"tag${i % 4}", i * 10)).toDF("id", "tag", "score"))
+    coll.addIndex("tag")
+    assert(coll.describe("index.partitioned") == "tag")
+    // numeric columns keep their written types through the partitioned round-trip
+    assert(coll.df.schema("score").dataType.typeName == "long")
+    assert(coll.df.columns.toSeq == Seq("id", "tag", "score"))
+    val q = coll.query(filter = """tag = "tag1"""")
+    assert(q.count() == 10)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("tag1"),
+      s"expected a partition-pruned scan, got:\n$physical")
+    // a second scalar index on a numeric field: partition pruning still applies
+    coll.addIndex("score")
+    assert(coll.query(filter = "score > 350").count() == 5)
+    assert(coll.df.schema("score").dataType.typeName == "long")
+    coll.dropIndex("tag")
+    coll.dropIndex("score")
+    assert(!coll.describe.contains("index.partitioned"))
+    assert(coll.count() == 40)
+  }
+
+  test("addIndex sorted mode range-clusters without directory partitions") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-sortidx").toString)
+    val coll = client.createDatabase("db").createCollection("docs")
+    coll.upsert((1L to 100L).map(i => (i, i * 3 % 97)).toDF("id", "v"))
+    coll.addIndex("v", partitioned = false)
+    assert(coll.describe("index.sorted") == "v")
+    assert(coll.query(filter = "v > 90").count() ==
+      (1L to 100L).count(i => i * 3 % 97 > 90))
+  }
+
+  test("bucketed collection: upsert rewrites only touched buckets, last-wins intact") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-bkt").toString
+    val client = new GraftClient(spark, root)
+    val coll = client.createDatabase("db").createCollection("docs", Map("buckets" -> "8"))
+    coll.upsert((1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    assert(coll.count() == 200)
+    assert(!coll.df.columns.contains("__bucket"), "bucket column must stay internal")
+
+    def partFiles(): Map[String, Long] = {
+      val data = Paths.get(root, "db", "docs", "data")
+      val s = JFiles.walk(data)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> JFiles.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    val before = partFiles()
+    Thread.sleep(20)
+    // update two existing ids + one new — touches at most 3 of 8 buckets
+    coll.upsert(Seq((5L, "five"), (6L, "six"), (1000L, "new")).toDF("id", "payload"))
+    val after = partFiles()
+    assert(coll.count() == 201)
+    assert(coll.queryByIds(Seq(5L)).head().getString(1) == "five")
+    assert(coll.queryByIds(Seq(17L)).head().getString(1) == "v17")
+    // untouched buckets keep their exact files
+    val untouchedSurvivors = before.keySet.intersect(after.keySet)
+      .filter(k => before(k) == after(k))
+    assert(untouchedSurvivors.nonEmpty, "some bucket files must survive the upsert untouched")
+    assert(after.size >= untouchedSurvivors.size && before.size == 8 || before.size > 0)
+    // delete preserves the bucketed layout, so the next upsert still prunes
+    coll.deleteByIds(Seq(6L))
+    assert(coll.count() == 200)
+    coll.upsert(Seq((7L, "seven")).toDF("id", "payload"))
+    assert(coll.queryByIds(Seq(7L)).head().getString(1) == "seven")
+    assert(coll.count() == 200) // id 7 existed: replaced, not added
+  }
+
   test("embed-at-upsert: searchByText uses the stored embedding column") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-emb").toString)
     val coll = client.createDatabase("db")

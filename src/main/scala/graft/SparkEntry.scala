@@ -226,6 +226,17 @@ object SparkEntry {
         Seq("query_id"), "id", "rank", k = 60, topN = 10)
     }),
 
+    "q_sparse_search" -> ((s, dir) => {
+      // user-supplied sparse_vector field: documents store a pre-encoded
+      // term->weight list (persisted once); the query brings its own
+      // weighted sparse vector and scores by dot product
+      val sv = graft.catalog.IndexStore.ensure(s, s"sparsevec_${sfKey(dir)}") {
+        graft.sparse.SparseSearch.packSparse(sparseIndexFor(s, dir).postings)
+      }
+      graft.sparse.SparseSearch.dotTopK(sv, "doc_id", "sparse_vector",
+        Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 0.5), k = 15)
+    }),
+
     "q_chunk_split" -> ((s, dir) => {
       TextAnalysis.chunkSplit(Tables.documents(s, dir), "doc_id", "text", "source",
         chunkSize = 80, overlap = 20)
@@ -632,6 +643,18 @@ object SparkEntry {
       s"""WITH $Bm25Cte
          |SELECT doc_id, term, tf, round(weight, 4) AS weight FROM enc
          |ORDER BY doc_id, term""".stripMargin,
+
+    "q_sparse_search" ->
+      s"""WITH $Bm25Cte,
+         |qw AS (SELECT term, qw FROM (VALUES
+         |  ('spark', 2.0), ('join', 1.0), ('scan', 0.5)) AS t(term, qw)),
+         |sc AS (SELECT e.doc_id,
+         |  CAST(sum(CAST(round(e.weight, 4) AS DECIMAL(18,4)) * CAST(qw.qw AS DECIMAL(8,4))) AS DOUBLE) AS score
+         |  FROM enc e JOIN qw ON e.term = qw.term GROUP BY e.doc_id),
+         |r AS (SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, score FROM r
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "q_fulltext" ->
       s"""WITH $FulltextCte

@@ -143,14 +143,32 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     DocumentOps.countRows(df, filter).head().getLong(0)
 
   /** search(vectors, limit, filter, output_fields, retrieve_vector):
-    * batch exact KNN; requested document fields are joined back by id
-    * (the small hit-list broadcasts, the collection never shuffles). */
+    * batch KNN; requested document fields are joined back by id
+    * (the small hit-list broadcasts, the collection never shuffles).
+    *
+    * `nprobe`: serve from the IVF index built by [[rebuildIndex]] —
+    * probe ranking uses the PERSISTED centroids, candidates come from
+    * the cell-partitioned layout (no retraining, no full scan). Exact
+    * scan when unset or when no index exists. */
   def search(queries: DataFrame, qIdCol: String, qVecCol: String,
              metric: String = "cosine", limit: Int = 10,
              filter: String = "", outputFields: Seq[String] = Nil,
-             retrieveVector: Boolean = false): DataFrame = {
-    val hits = KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit,
-      if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
+             retrieveVector: Boolean = false,
+             nprobe: Option[Int] = None): DataFrame = {
+    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
+    val raw = catalog.read(db, coll)
+    val hits = nprobe match {
+      case Some(np) if raw.columns.contains("cell") &&
+          catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)) =>
+        val base = pred.fold(raw)(raw.where)
+        val assigned = base.select(KnnSearch.idNorm(base, idCol).as("id"),
+          col(vecCol).as("__vec"), col("cell"))
+        graft.vector.IvfIndex.searchAssigned(assigned,
+          catalog.read(db, GraftCollection.ivfCentroids(coll)),
+          queries, qIdCol, qVecCol, metric, limit, np)
+      case _ =>
+        KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit, pred)
+    }
     withOutputFields(hits, outputFields, retrieveVector)
   }
 
@@ -224,6 +242,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
     val assigned = graft.vector.IvfIndex.assign(model, base, vecCol)
     catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq("cell"))
+    // persist the model (centroids) so later sessions serve nprobe
+    // searches from the stored layout without retraining
+    catalog.createCollectionIfNotExists(db, GraftCollection.ivfCentroids(coll))
+    catalog.write(db, GraftCollection.ivfCentroids(coll),
+      graft.vector.IvfIndex.centroids(model, spark))
+    catalog.updateMeta(db, coll,
+      Map("index.ivf.nlist" -> nlist.toString, "index.ivf.metric" -> metric))
   }
 
   /** add_index (scalar filter index, reference stub.py add_index /
@@ -298,7 +323,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * reference requires an explicit rebuild after writes too; serving a
     * stale index silently would be worse). */
   private def invalidateDerived(): Unit =
-    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)).foreach { c =>
+    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll),
+        GraftCollection.ivfCentroids(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
 
@@ -310,6 +336,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     case Some(idx) => Bm25.fulltextIndexed(idx, queryTerms, k, cutoffFrequency, terminateAfter)
     case None => Bm25.fulltext(df, idCol, textCol, queryTerms, k, cutoffFrequency, terminateAfter)
   }
+
+  /** fulltext_search(data=SparseVector, field_name): dot-product top-k
+    * over a caller-populated stored sparse-vector field
+    * (collection.py:403 — the client encodes documents with its own
+    * vocabulary and supplies the query's sparse vector). */
+  def fulltextSearchSparse(data: Seq[(String, Double)],
+                           fieldName: String = "sparse_vector",
+                           limit: Int = 10, filter: String = ""): DataFrame =
+    graft.sparse.SparseSearch.dotTopK(df, idCol, fieldName, data, limit,
+      if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
 
   /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF. */
   def hybridSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
@@ -392,4 +428,5 @@ object GraftCollection {
   val BucketCol = "__bucket"
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
+  private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"
 }

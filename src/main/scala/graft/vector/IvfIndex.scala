@@ -53,14 +53,24 @@ object IvfIndex {
   def search(model: Model, data: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, qIdCol: String, qVecCol: String,
              metric: String, k: Int, nprobe: Int): DataFrame = {
-    val spark = data.sparkSession
-    val m = VectorMetric(metric)
     val assigned = assign(model, data, vecCol)
       .select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__vec"), col("cell"))
+    searchAssigned(assigned, centroids(model, data.sparkSession),
+      queries, qIdCol, qVecCol, metric, k, nprobe)
+  }
 
+  /** IVF search over a STORED index: `assigned` is (id, __vec, cell) —
+    * typically a cell-partitioned collection written at rebuild_index
+    * time — and `centroidsDf` the persisted (cell, centroid) table.
+    * No model object or retraining needed: the serving path of an index
+    * built in an earlier session. */
+  def searchAssigned(assigned: DataFrame, centroidsDf: DataFrame,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     metric: String, k: Int, nprobe: Int): DataFrame = {
+    val m = VectorMetric(metric)
     // probe cells per query: queries × centroids (both tiny, broadcast)
     val q = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec"))
-    val probes = q.crossJoin(broadcast(centroids(model, spark)))
+    val probes = q.crossJoin(broadcast(centroidsDf))
       .select(col("query_id"), col("__qvec"), col("cell"),
         VectorScore.l2(col("__qvec"), col("centroid")).as("__d"))
       .groupBy("query_id")

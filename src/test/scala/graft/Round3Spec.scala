@@ -45,11 +45,21 @@ class Round3Spec extends SparkSpec {
       (4L, vec(-1.0, 0.0))).toDF("id", "vector"))
     coll.rebuildIndex(nlist = 2)
     coll.rebuildIndex(nlist = 2) // second rebuild must not trip on a stored cell column
+    assert(coll.describe("index.ivf.nlist") == "2")
+    // nprobe search serves from the persisted centroids + cell layout;
+    // nprobe = nlist is exhaustive, so it equals the exact scan
+    val q = Seq((9L, vec(1.0, 0.0))).toDF("qid", "qvec")
+    val exact = coll.search(q, "qid", "qvec", limit = 3).collect().toSeq
+    val ivf = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(2)).collect().toSeq
+    assert(ivf == exact)
+    val pruned = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(1)).collect()
+    assert(pruned.nonEmpty && pruned.length <= 3)
     // user batches never carry the internal cell column
     coll.upsert(Seq((5L, vec(0.5, -0.5)), (2L, vec(0.1, 0.9))).toDF("id", "vector"))
     assert(coll.count() == 5)
-    assert(!coll.df.columns.contains("cell") || coll.df.where(col("id") === 5L).count() == 1)
-    val hits = coll.search(Seq((9L, vec(1.0, 0.0))).toDF("qid", "qvec"), "qid", "qvec", limit = 2)
+    // mutation invalidates the persisted model; nprobe falls back to exact
+    val hits = coll.search(Seq((9L, vec(1.0, 0.0))).toDF("qid", "qvec"), "qid", "qvec",
+      limit = 2, nprobe = Some(2))
     assert(hits.count() == 2)
   }
 
@@ -206,6 +216,29 @@ class Round3Spec extends SparkSpec {
     coll.upsert(Seq((7L, "seven")).toDF("id", "payload"))
     assert(coll.queryByIds(Seq(7L)).head().getString(1) == "seven")
     assert(coll.count() == 200) // id 7 existed: replaced, not added
+  }
+
+  test("stored sparse_vector field: dot-product search with filter") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-sv").toString)
+    val coll = client.createDatabase("db").createCollection("docs")
+    def sv(pairs: (String, Double)*): Seq[(String, Double)] = pairs
+    coll.upsert(Seq(
+      (1L, "a", sv("spark" -> 0.5, "join" -> 0.3)),
+      (2L, "b", sv("spark" -> 0.9)),
+      (3L, "a", sv("scan" -> 1.0, "join" -> 0.1)),
+      (4L, "a", sv("other" -> 9.9))
+    ).toDF("id", "tag", "sv0")
+      .select(col("id"), col("tag"),
+        expr("transform(sv0, e -> struct(e._1 AS term, e._2 AS weight))")
+          .as("sparse_vector")))
+    val hits = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0), limit = 3)
+      .collect()
+    // scores: d1 = .5 + .6 = 1.1, d2 = .9, d3 = .2; d4 no overlap
+    assert(hits.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 1.1), (2L, 0.9), (3L, 0.2)))
+    val filtered = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
+      limit = 3, filter = """tag = "a"""").collect()
+    assert(filtered.map(_.getLong(1)).toSeq == Seq(1L, 3L))
   }
 
   test("embed-at-upsert: searchByText uses the stored embedding column") {

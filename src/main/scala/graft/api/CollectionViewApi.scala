@@ -32,8 +32,19 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     this
   }
 
-  def sets: DataFrame = catalog.read(db, setsColl)
-  def chunks: DataFrame = catalog.read(db, chunksColl)
+  /** Reads on a never-loaded view must behave like empty collections
+    * (the round-2 "schemaless empty reads" invariant): a raw
+    * catalog.read before the first load has NO columns, so pin the
+    * expected schema. */
+  private def withViewSchema(df: DataFrame, ddl: String): DataFrame =
+    if (df.columns.nonEmpty) df
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  def sets: DataFrame = withViewSchema(catalog.read(db, setsColl),
+    "doc_set STRING, title STRING, n_chars BIGINT, n_chunks BIGINT")
+  def chunks: DataFrame = withViewSchema(catalog.read(db, chunksColl),
+    "doc_set STRING, chunk_id INT, chunk STRING, vec ARRAY<DOUBLE>")
 
   /** load_and_split_text: register the document set and persist its
     * split + embedded chunks (replacing any previous upload of the same
@@ -47,7 +58,10 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     val newChunks = CollectionView.buildChunkIndex(doc, "doc_set", "text", "title",
       chunkSize, overlap)
     replaceIn(chunksColl, documentSetName, newChunks)
-    val nChunks = newChunks.count()
+    // count the chunks as WRITTEN (a parquet scan) rather than re-running
+    // the split+embed pipeline a second time
+    val nChunks = catalog.read(db, chunksColl)
+      .where(col("doc_set") === documentSetName).count()
     val row = Seq((documentSetName, t, text.length.toLong, nChunks))
       .toDF("doc_set", "title", "n_chars", "n_chunks")
     replaceIn(setsColl, documentSetName, row)

@@ -65,7 +65,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                             db: String, coll: String,
                             idCol: String = "id", vecCol: String = "vector") {
 
-  def df: DataFrame = catalog.read(db, coll).drop(GraftCollection.BucketCol)
+  /** Internal layout columns (hash bucket, IVF cell) never reach
+    * readers — layout is a storage detail, not document schema. */
+  def df: DataFrame = catalog.read(db, coll)
+    .drop(GraftCollection.BucketCol +: GraftCollection.IndexCols: _*)
 
   /** Bucketed-by-id storage (meta "buckets" = N): rows live under
     * hash(id)-bucket directory partitions. An upsert then rewrites ONLY
@@ -121,14 +124,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived()
   }
 
-  /** Persist a full new snapshot, restoring the bucketed layout when
-    * the collection is configured for it. */
+  /** Persist a full new snapshot, restoring the layout the collection
+    * is configured for: hash buckets take precedence, else the scalar
+    * indexed layout (so add_index survives mutations and describe()
+    * keeps telling the truth). */
   private def persistSnapshot(snapshot: DataFrame): Unit = numBuckets match {
     case Some(n) =>
       catalog.overwriteFromSelf(db, coll,
         withBucket(snapshot.drop(GraftCollection.BucketCol), n),
         partitionBy = Seq(GraftCollection.BucketCol))
-    case None => catalog.overwriteFromSelf(db, coll, snapshot)
+    case None =>
+      val parts = indexedFields("index.partitioned")
+      val sorted = indexedFields("index.sorted")
+      val clustered =
+        if (sorted.nonEmpty)
+          snapshot.repartitionByRange(sorted.map(col): _*)
+            .sortWithinPartitions(sorted.map(col): _*)
+        else snapshot
+      catalog.overwriteFromSelf(db, coll, clustered, partitionBy = parts)
   }
 
   def query(filter: String = "", sort: Seq[(String, Boolean)] = Nil,
@@ -286,16 +299,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def indexedFields(key: String): Seq[String] =
     describe.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 
-  private def rewriteIndexedLayout(): Unit = {
-    val parts = indexedFields("index.partitioned")
-    val sorted = indexedFields("index.sorted")
-    val base = df.drop(GraftCollection.IndexCols: _*)
-    val clustered =
-      if (sorted.nonEmpty)
-        base.repartitionByRange(sorted.map(col): _*).sortWithinPartitions(sorted.map(col): _*)
-      else base
-    catalog.overwriteFromSelf(db, coll, clustered, partitionBy = parts)
-  }
+  /** Rewrite with the currently configured layout (same policy as
+    * mutations: buckets first, else the scalar indexed layout). */
+  private def rewriteIndexedLayout(): Unit = persistSnapshot(df)
 
   /** rebuild_index for the fulltext surface: materialize the BM25
     * posting lists + term stats as sibling collections. Postings are
@@ -322,11 +328,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** Mutations invalidate derived fulltext index collections (the
     * reference requires an explicit rebuild after writes too; serving a
     * stale index silently would be worse). */
-  private def invalidateDerived(): Unit =
+  private def invalidateDerived(): Unit = {
     Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll),
         GraftCollection.ivfCentroids(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
+    // the vector index is gone with its centroids — meta must not keep
+    // advertising it
+    if (describe.contains("index.ivf.nlist"))
+      catalog.updateMeta(db, coll,
+        Map("index.ivf.nlist" -> null, "index.ivf.metric" -> null))
+  }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses
     * the persisted index when present, else encodes inline. */

@@ -32,9 +32,13 @@ object IndexStore {
             (build: => DataFrame): DataFrame = {
     val path = java.nio.file.Paths.get(root, key.replaceAll("[^A-Za-z0-9_.-]", "_")).toString
     synchronized {
-      if (built.add(path)) {
+      // mark as built only AFTER the write succeeds: a failed/interrupted
+      // build must be retried by the next caller, not served as a
+      // phantom empty index for the rest of the JVM's life
+      if (!built.contains(path)) {
         val w = build.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+        built.add(path)
       }
     }
     spark.read.parquet(path)

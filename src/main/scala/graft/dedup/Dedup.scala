@@ -85,7 +85,7 @@ object Dedup {
     require(nBits % bands == 0, "bands must divide nBits")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
-    val dim = graft.vector.LshIndex.deriveDim(embs, vecCol)
+    val dim = graft.vector.LshIndex.deriveDim((embs, vecCol))
     val sig = graft.vector.LshIndex.withSignature(
       embs.select(col(idCol).as("doc_id"), col(vecCol).as("__v")), "__v", nBits, dim, seed)
     val buckets = sig.select(col("doc_id"), explode(array((0 until bands).map(bnd =>

@@ -34,14 +34,19 @@ object LshIndex {
     df.withColumn("sig", sig)
   }
 
-  /** Vector dimension from the (tiny) query side's first row; hyperplanes
-    * must span the FULL dimension or signatures silently use a prefix of
-    * each vector and recall degrades with no error. */
-  private[graft] def deriveDim(queries: DataFrame, qVecCol: String): Int = {
-    val row = queries.select(size(col(qVecCol))).limit(1).collect()
-    require(row.nonEmpty && !row(0).isNullAt(0), "cannot derive vector dim: no query vectors")
-    row(0).getInt(0)
-  }
+  /** Vector dimension from a frame's first row (None when empty);
+    * hyperplanes must span the FULL dimension or signatures silently
+    * use a prefix of each vector and recall degrades with no error. */
+  private[graft] def deriveDimOpt(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0))
+
+  /** Dimension for LSH planes: first non-empty of the given frames;
+    * 1 when all are empty (any plane set works — every downstream
+    * result is empty anyway, and empty input must not throw). */
+  private[graft] def deriveDim(frames: (DataFrame, String)*): Int =
+    frames.iterator.flatMap { case (d, c) => deriveDimOpt(d, c) }
+      .nextOption().getOrElse(1)
 
   /** Banded ANN: candidates share at least one band of the signature;
     * exact cosine re-rank, top-k per query. Returns
@@ -55,9 +60,10 @@ object LshIndex {
           k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 0,
           seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val actualDim = deriveDim(queries, qVecCol)
-    require(dim <= 0 || dim == actualDim,
-      s"dim=$dim does not match actual vector dimension $actualDim")
+    val derived = deriveDimOpt(queries, qVecCol).orElse(deriveDimOpt(data, vecCol))
+    derived.foreach(d => require(dim <= 0 || dim == d,
+      s"dim=$dim does not match actual vector dimension $d"))
+    val actualDim = derived.getOrElse(math.max(dim, 1))
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
 

@@ -11,6 +11,15 @@ import graft.api.GraftClient
   * the upload→search flow of tests/test_documents). */
 class CollectionViewApiSpec extends SparkSpec {
 
+  test("reads on a never-loaded view return empty results, not errors") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cv0").toString)
+    val view = client.createDatabase("db").createCollectionView("fresh")
+    assert(view.query().isEmpty)
+    assert(view.getDocumentSet("nope").isEmpty)
+    assert(view.getChunks("nope").isEmpty)
+    view.delete(names = Seq("nope")) // no-op, not an error
+  }
+
   test("document-set lifecycle: load, get, chunks, search, update, delete, re-upload") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cv").toString)
     val db = client.createDatabase("db")

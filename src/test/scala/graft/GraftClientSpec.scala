@@ -69,10 +69,11 @@ class GraftClientSpec extends SparkSpec {
     val byText = textColl.searchByText(Seq("spark join fast"), limit = 2).collect()
     assert(byText.head.getLong(2) == 10L && byText.head.getDouble(3) == 1.0)
 
-    // rebuild_index: collection rewritten partitioned by IVF cell
+    // rebuild_index: collection rewritten partitioned by IVF cell —
+    // the layout column stays internal, readers see document schema only
     textColl.rebuildIndex(nlist = 2)
     val rebuilt = textColl.df
-    assert(rebuilt.columns.contains("cell") && rebuilt.count() == 3)
+    assert(!rebuilt.columns.contains("cell") && rebuilt.count() == 3)
     // data survives the partitioned rewrite and is still searchable
     assert(textColl.searchById(Seq(10L), limit = 1).collect().head.getLong(2) == 10L)
 

@@ -99,6 +99,16 @@ class Round3Spec extends SparkSpec {
     intercept[IllegalArgumentException](IvfPq.search(model, enc, dup, kTop = 2, nprobe = 2))
   }
 
+  test("LSH paths return empty results on empty input (no dim-derivation crash)") {
+    val emptyV = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, embedding ARRAY<DOUBLE>"))
+    assert(Dedup.embedLsh(emptyV, "vec_id", "embedding", 0.5).isEmpty)
+    val data = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    assert(LshIndex.ann(data, "id", "v",
+      emptyV.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", k = 3).isEmpty)
+  }
+
   test("embedLsh equals all-pairs embedCosine with exhaustive bands") {
     val embs = Tables.embeddingsDf(spark)
     val exact = Dedup.embedCosine(embs, "vec_id", "embedding", 0.45).collect().toSeq
@@ -159,14 +169,20 @@ class Round3Spec extends SparkSpec {
     val physical = q.queryExecution.executedPlan.toString
     assert(physical.contains("PartitionFilters") && physical.contains("tag1"),
       s"expected a partition-pruned scan, got:\n$physical")
+    // mutations preserve the indexed layout (describe stays truthful)
+    coll.upsert(Seq((41L, "tag1", 999L)).toDF("id", "tag", "score"))
+    val q2 = coll.query(filter = """tag = "tag1"""")
+    assert(q2.count() == 11)
+    assert(q2.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "scalar index layout must survive an upsert")
     // a second scalar index on a numeric field: partition pruning still applies
     coll.addIndex("score")
-    assert(coll.query(filter = "score > 350").count() == 5)
+    assert(coll.query(filter = "score > 350").count() == 6) // 360..400 + the upserted 999
     assert(coll.df.schema("score").dataType.typeName == "long")
     coll.dropIndex("tag")
     coll.dropIndex("score")
     assert(!coll.describe.contains("index.partitioned"))
-    assert(coll.count() == 40)
+    assert(coll.count() == 41)
   }
 
   test("addIndex sorted mode range-clusters without directory partitions") {
@@ -205,11 +221,17 @@ class Round3Spec extends SparkSpec {
     assert(coll.count() == 201)
     assert(coll.queryByIds(Seq(5L)).head().getString(1) == "five")
     assert(coll.queryByIds(Seq(17L)).head().getString(1) == "v17")
-    // untouched buckets keep their exact files
+    // untouched buckets keep their exact files; at most 3 bucket dirs
+    // (the buckets of ids 5, 6, 1000) may differ
     val untouchedSurvivors = before.keySet.intersect(after.keySet)
       .filter(k => before(k) == after(k))
     assert(untouchedSurvivors.nonEmpty, "some bucket files must survive the upsert untouched")
-    assert(after.size >= untouchedSurvivors.size && before.size == 8 || before.size > 0)
+    def bucketOf(p: String): String =
+      Paths.get(p).getParent.getFileName.toString
+    val changedBuckets = (after.keySet ++ before.keySet)
+      .filter(k => before.get(k) != after.get(k)).map(bucketOf)
+    assert(changedBuckets.size <= 3,
+      s"upsert of 3 ids must rewrite at most 3 buckets, touched: $changedBuckets")
     // delete preserves the bucketed layout, so the next upsert still prunes
     coll.deleteByIds(Seq(6L))
     assert(coll.count() == 200)

@@ -30,7 +30,8 @@ object Bench {
     // corpus embedding, chunk index) that production pays at ingest —
     // timed queries then measure the serving path.
     Seq("q1_agg", "q_knn_cosine", "q_lang_id", "q_fulltext",
-        "q_search_by_text", "q_chunk_search", "q_scalar_index", "q_sparse_search")
+        "q_search_by_text", "q_chunk_search", "q_scalar_index", "q_sparse_search",
+        "q_dedup_clusters")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

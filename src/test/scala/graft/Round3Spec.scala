@@ -99,6 +99,23 @@ class Round3Spec extends SparkSpec {
     intercept[IllegalArgumentException](IvfPq.search(model, enc, dup, kTop = 2, nprobe = 2))
   }
 
+  test("ngramJaccard hot-gram cutoff bounds fanout, keeps rare-gram near-dups") {
+    // 2 near-identical docs + 30 docs sharing one boilerplate shingle
+    val boiler = "terms of service apply"
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")) ++
+      (10L until 40L).map(i => (i, s"doc$i unique$i words$i $boiler"))).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5,
+      maxDf = Some(5L))
+    // the true near-dup pair (rare grams) survives the cutoff
+    assert(capped.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
+    // boilerplate-only pairs can only shrink the result, never grow it
+    assert(capped.count() <= exact.count())
+  }
+
   test("LSH paths return empty results on empty input (no dim-derivation crash)") {
     val emptyV = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, embedding ARRAY<DOUBLE>"))

@@ -36,15 +36,24 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     * (the round-2 "schemaless empty reads" invariant): a raw
     * catalog.read before the first load has NO columns, so pin the
     * expected schema. */
-  private def withViewSchema(df: DataFrame, ddl: String): DataFrame =
+  private def withViewSchema(df: DataFrame,
+                             schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (df.columns.nonEmpty) df
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Chunk schema derived from the REAL pipeline over an empty input
+    * (analysis only, no job) — it can never drift from what
+    * buildChunkIndex actually writes. */
+  private lazy val chunksSchema: org.apache.spark.sql.types.StructType = {
+    import spark.implicits._
+    CollectionView.buildChunkIndex(
+      Seq.empty[(String, String, String)].toDF("doc_set", "text", "title"),
+      "doc_set", "text", "title").schema
+  }
 
   def sets: DataFrame = withViewSchema(catalog.read(db, setsColl),
-    "doc_set STRING, title STRING, n_chars BIGINT, n_chunks BIGINT")
-  def chunks: DataFrame = withViewSchema(catalog.read(db, chunksColl),
-    "doc_set STRING, chunk_id INT, chunk STRING, vec ARRAY<DOUBLE>")
+    GraftCollectionView.SetsSchema)
+  def chunks: DataFrame = withViewSchema(catalog.read(db, chunksColl), chunksSchema)
 
   /** load_and_split_text: register the document set and persist its
     * split + embedded chunks (replacing any previous upload of the same
@@ -62,8 +71,10 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     // the split+embed pipeline a second time
     val nChunks = catalog.read(db, chunksColl)
       .where(col("doc_set") === documentSetName).count()
-    val row = Seq((documentSetName, t, text.length.toLong, nChunks))
-      .toDF("doc_set", "title", "n_chars", "n_chunks")
+    val row = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        documentSetName, t, text.length.toLong, nChunks)),
+      GraftCollectionView.SetsSchema)
     replaceIn(setsColl, documentSetName, row)
   }
 
@@ -141,4 +152,9 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
 object GraftCollectionView {
   val SetsSuffix = "__cv_sets"
   val ChunksSuffix = "__cv_chunks"
+  /** Registry schema — the single definition both the row writer and
+    * the empty-read path use. */
+  val SetsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_set STRING, title STRING, n_chars BIGINT, n_chunks BIGINT")
 }

@@ -171,11 +171,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
     val raw = catalog.read(db, coll)
     val hits = nprobe match {
-      case Some(np) if raw.columns.contains("cell") &&
+      case Some(np) if raw.columns.contains(GraftCollection.CellCol) &&
           catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)) =>
         val base = pred.fold(raw)(raw.where)
         val assigned = base.select(KnnSearch.idNorm(base, idCol).as("id"),
-          col(vecCol).as("__vec"), col("cell"))
+          col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
         graft.vector.IvfIndex.searchAssigned(assigned,
           catalog.read(db, GraftCollection.ivfCentroids(coll)),
           queries, qIdCol, qVecCol, metric, limit, np)
@@ -253,8 +253,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
     val base = df.drop(GraftCollection.IndexCols: _*)
     val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
-    val assigned = graft.vector.IvfIndex.assign(model, base, vecCol)
-    catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq("cell"))
+    val assigned = graft.vector.IvfIndex.assign(model, base, vecCol,
+      outCol = GraftCollection.CellCol)
+    catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq(GraftCollection.CellCol))
     // persist the model (centroids) so later sessions serve nprobe
     // searches from the stored layout without retraining
     catalog.createCollectionIfNotExists(db, GraftCollection.ivfCentroids(coll))
@@ -276,6 +277,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * add/drop/rebuild rewrite wins. */
   def addIndex(field: String, partitioned: Boolean = true): Unit = {
     require(df.columns.contains(field), s"no such field: $field")
+    // the bucket layout owns the directory partitioning; recording a
+    // scalar index the layout policy would never honor is a lie
+    require(numBuckets.isEmpty,
+      "scalar index layout is not supported on bucketed collections")
     val meta = describe
     val key = if (partitioned) "index.partitioned" else "index.sorted"
     val cur = meta.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
@@ -300,8 +305,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     describe.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
 
   /** Rewrite with the currently configured layout (same policy as
-    * mutations: buckets first, else the scalar indexed layout). */
-  private def rewriteIndexedLayout(): Unit = persistSnapshot(df)
+    * mutations: buckets first, else the scalar indexed layout). The
+    * rewrite drops the IVF cell layout, so the vector index is
+    * invalidated with it — meta and centroids must not survive. */
+  private def rewriteIndexedLayout(): Unit = {
+    persistSnapshot(df)
+    invalidateVectorIndex()
+  }
 
   /** rebuild_index for the fulltext surface: materialize the BM25
     * posting lists + term stats as sibling collections. Postings are
@@ -329,12 +339,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * reference requires an explicit rebuild after writes too; serving a
     * stale index silently would be worse). */
   private def invalidateDerived(): Unit = {
-    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll),
-        GraftCollection.ivfCentroids(coll)).foreach { c =>
+    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
-    // the vector index is gone with its centroids — meta must not keep
-    // advertising it
+    invalidateVectorIndex()
+  }
+
+  /** Drop the persisted IVF model and its meta — the index is gone
+    * whenever the cell layout is rewritten away; meta must not keep
+    * advertising it. */
+  private def invalidateVectorIndex(): Unit = {
+    val c = GraftCollection.ivfCentroids(coll)
+    if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     if (describe.contains("index.ivf.nlist"))
       catalog.updateMeta(db, coll,
         Map("index.ivf.nlist" -> null, "index.ivf.metric" -> null))
@@ -432,8 +448,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 }
 
 object GraftCollection {
+  /** Stored IVF cell layout column. Internal names use the reserved
+    * "__" prefix so they can never collide with (and silently hide or
+    * drop) a user document field — "cell" is a perfectly plausible user
+    * column. */
+  val CellCol = "__cell"
   /** Index-layout columns a rebuild derives (never user document schema). */
-  val IndexCols: Seq[String] = Seq("cell")
+  val IndexCols: Seq[String] = Seq(CellCol)
   /** Stored stub-embedding column maintained at upsert. */
   val EmbedCol = "__embed"
   /** Derived hash-bucket partition column of bucketed collections. */

@@ -64,9 +64,10 @@ object Dedup {
       case Some(cap) =>
         val hot = ng.groupBy("g").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("g")
-        // hot-gram set is small by construction (few grams exceed the
-        // cap) — broadcast anti-join, postings never reshuffle
-        ng.join(broadcast(hot), Seq("g"), "left_anti")
+        // no forced broadcast: the hot-gram COUNT is not bounded by the
+        // cap (aggressive caps over template-heavy corpora can exceed
+        // driver memory) — AQE picks broadcast when the set is small
+        ng.join(hot, Seq("g"), "left_anti")
     }
     val inter = joinable.as("a").join(joinable.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -34,11 +34,14 @@ object IvfIndex {
     finally feats.unpersist(blocking = false)
   }
 
-  /** Corpus with its cell assignment column appended. */
-  def assign(model: Model, data: DataFrame, vecCol: String): DataFrame = {
+  /** Corpus with its cell assignment column appended. `outCol` lets
+    * callers pick a non-colliding name ("cell" is a plausible USER
+    * field — MLlib refuses to overwrite an existing column). */
+  def assign(model: Model, data: DataFrame, vecCol: String,
+             outCol: String = "cell"): DataFrame = {
     val withFeat = data.withColumn("features",
       array_to_vector(col(vecCol).cast("array<double>")))
-    model.kmeans.transform(withFeat).drop("features")
+    model.kmeans.setPredictionCol(outCol).transform(withFeat).drop("features")
   }
 
   /** Centroids as a small DataFrame (cell, centroid: array<double>). */

@@ -38,8 +38,11 @@ object LshIndex {
     * hyperplanes must span the FULL dimension or signatures silently
     * use a prefix of each vector and recall degrades with no error. */
   private[graft] def deriveDimOpt(df: DataFrame, vecCol: String): Option[Int] =
-    df.select(size(col(vecCol))).limit(1).collect()
-      .headOption.filter(!_.isNullAt(0)).map(_.getInt(0))
+    // skip null vectors (a product state: zero-token docs store null
+    // embeddings) — giving up on a null FIRST row would silently build
+    // 1-dim planes and collapse recall
+    df.where(col(vecCol).isNotNull).select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
 
   /** Dimension for LSH planes: first non-empty of the given frames;
     * 1 when all are empty (any plane set works — every downstream

@@ -257,6 +257,20 @@ class Round3Spec extends SparkSpec {
     assert(coll.count() == 200) // id 7 existed: replaced, not added
   }
 
+  test("a user document field named 'cell' survives reads, mutations, and rebuilds") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cellcol").toString)
+    val coll = client.createDatabase("db").createCollection("v")
+    coll.upsert(Seq((1L, Seq(1.0, 0.0), "A1"), (2L, Seq(0.0, 1.0), "B2"))
+      .toDF("id", "vector", "cell"))
+    assert(coll.df.columns.contains("cell"))
+    coll.rebuildIndex(nlist = 2) // internal layout column is __cell, never "cell"
+    assert(coll.df.columns.contains("cell"))
+    assert(coll.queryByIds(Seq(1L)).head().getString(2) == "A1")
+    coll.updateByIds(Seq(2L), Map("cell" -> lit("B9")))
+    assert(coll.queryByIds(Seq(2L)).head().getString(2) == "B9")
+    assert(coll.df.columns.count(_ == "cell") == 1)
+  }
+
   test("stored sparse_vector field: dot-product search with filter") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-sv").toString)
     val coll = client.createDatabase("db").createCollection("docs")

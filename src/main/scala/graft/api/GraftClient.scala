@@ -33,6 +33,13 @@ final class GraftClient(val spark: SparkSession, root: String) {
   def database(name: String): GraftDatabase = new GraftDatabase(this, catalog, name)
   def listDatabases(): Seq[String] = catalog.listDatabases()
   def dropDatabase(name: String): Unit = catalog.dropDatabase(name)
+
+  /** create_ai_database / drop_ai_database (stub.py:105, :144): the
+    * reference separates AI (collection-view) databases from document
+    * databases as a server concern; here any database can hold both, so
+    * these are 1:1 naming aliases. */
+  def createAIDatabase(name: String): GraftDatabase = createDatabase(name)
+  def dropAIDatabase(name: String): Unit = dropDatabase(name)
 }
 
 final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: String) {
@@ -46,6 +53,11 @@ final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: Strin
   def collection(coll: String): GraftCollection =
     new GraftCollection(client.spark, catalog, name, catalog.resolve(name, coll))
   def listCollections(): Seq[String] = catalog.listCollections(name)
+  /** exists_collection (stub.py:302). */
+  def existsCollection(coll: String): Boolean = catalog.collectionExists(name, coll)
+  /** describe_collection (stub.py:317). */
+  def describeCollection(coll: String): Map[String, String] =
+    catalog.describeCollection(name, catalog.resolve(name, coll))
   def dropCollection(coll: String): Unit = catalog.dropCollection(name, coll)
   def truncateCollection(coll: String): Unit = catalog.truncateCollection(name, coll)
   def setAlias(alias: String, coll: String): Unit = catalog.setAlias(name, alias, coll)
@@ -264,6 +276,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll,
       Map("index.ivf.nlist" -> nlist.toString, "index.ivf.metric" -> metric))
   }
+
+  /** modify_vector_index (stub.py:887): change index params and
+    * re-derive the layout — a rebuild with the new configuration. */
+  def modifyVectorIndex(nlist: Int = 16, metric: String = "l2"): Unit =
+    rebuildIndex(nlist, metric)
 
   /** add_index (scalar filter index, reference stub.py add_index /
     * collection.py add_index): record the field in collection meta and

@@ -36,6 +36,14 @@ class Round3Spec extends SparkSpec {
     db.createCollectionIfNotExists("c", Map("k" -> "v"))
     db.createCollectionIfNotExists("c")
     assert(db.collection("c").describe == Map("k" -> "v"))
+    // 1:1 parity surface: exists/describe/AI-database aliases
+    assert(db.existsCollection("c") && !db.existsCollection("nope"))
+    assert(db.describeCollection("c") == Map("k" -> "v"))
+    val ai = client.createAIDatabase("aidb")
+    assert(client.listDatabases().contains("aidb"))
+    ai.createCollectionView("docs")
+    client.dropAIDatabase("aidb")
+    assert(!client.listDatabases().contains("aidb"))
   }
 
   test("rebuildIndex twice, then upsert with user-shaped docs (no cell leak)") {

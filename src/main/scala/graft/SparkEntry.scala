@@ -180,6 +180,13 @@ object SparkEntry {
         knnQueries(s, dir), "qid", "qvec", "cosine", 0.35)
     }),
 
+    "q_knn_radius_limit" -> ((s, dir) => {
+      // reference search(limit, radius) combined: top-5 among the
+      // in-radius rows; the radius filter precedes the bounded heap
+      KnnSearch.radiusTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "cosine", r = 0.3, k = 5)
+    }),
+
     "q_knn_by_id" -> ((s, dir) => {
       KnnSearch.byId(Tables.embeddings(s, dir), "vec_id", "embedding",
         Seq(3L, 5L, 8L, 13L), "cosine", 5)
@@ -612,6 +619,16 @@ object SparkEntry {
         |      FROM embeddings e, q)
         |SELECT query_id, id, round(sc, 4) AS score FROM s
         |WHERE sc >= 0.35 ORDER BY query_id, id""".stripMargin,
+
+    "q_knn_radius_limit" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk
+        |      FROM s WHERE sc >= 0.3)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_by_id" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings

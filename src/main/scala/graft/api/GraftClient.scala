@@ -179,11 +179,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
              metric: String = "cosine", limit: Int = 10,
              filter: String = "", outputFields: Seq[String] = Nil,
              retrieveVector: Boolean = false,
-             nprobe: Option[Int] = None): DataFrame = {
+             nprobe: Option[Int] = None,
+             radius: Option[Double] = None): DataFrame = {
+    require(nprobe.isEmpty || radius.isEmpty,
+      "radius applies to the exact scan; combine it with nprobe is unsupported")
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
     val raw = catalog.read(db, coll)
-    val hits = nprobe match {
-      case Some(np) if raw.columns.contains(GraftCollection.CellCol) &&
+    val hits = (nprobe, radius) match {
+      case (Some(np), _) if raw.columns.contains(GraftCollection.CellCol) &&
           catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)) =>
         val base = pred.fold(raw)(raw.where)
         val assigned = base.select(KnnSearch.idNorm(base, idCol).as("id"),
@@ -191,6 +194,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         graft.vector.IvfIndex.searchAssigned(assigned,
           catalog.read(db, GraftCollection.ivfCentroids(coll)),
           queries, qIdCol, qVecCol, metric, limit, np)
+      case (_, Some(r)) =>
+        KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
+          metric, r, limit, pred)
       case _ =>
         KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit, pred)
     }

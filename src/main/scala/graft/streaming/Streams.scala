@@ -63,6 +63,20 @@ object Streams {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Continuous ingestion into a persisted collection: every
+    * micro-batch is an upsert (last-wins by id) against the catalog
+    * collection, so embed-at-ingest, bucketed merge-on-write, and index
+    * invalidation all apply per batch — the streaming form of the
+    * reference's upsert API. Precondition (same as upsert): each batch
+    * carries at most one row per id. */
+  def ingestInto(stream: DataFrame, coll: graft.api.GraftCollection,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) => coll.upsert(batch) }
+      .start()
+
   /** Watermarked sliding-window aggregation over the events stream. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      windowLen: String = "5 minutes"): DataFrame =

@@ -85,6 +85,35 @@ object KnnSearch {
       .orderBy("query_id", "id")
   }
 
+  /** radius AND limit together (the reference's search accepts both):
+    * top-k among the rows within the radius. The radius predicate runs
+    * BEFORE the bounded heap, so each partition still reduces to at
+    * most k in-radius rows before the only shuffle. */
+  def radiusTopK(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      r: Double,
+      k: Int,
+      filter: Option[Column] = None): DataFrame = {
+    val m = VectorMetric(metric)
+    val corpus = filter.foldLeft(data)(_ where _)
+      .select(idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
+    val q = broadcast(
+      queries.select(idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
+    val scored = corpus.crossJoin(q)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
+        col("id"))
+    val kept = if (m.largerIsBetter) scored.where(col("__s") >= r)
+               else scored.where(col("__s") <= r)
+    Ranked.topK(kept, k, asc = !m.largerIsBetter)
+  }
+
   /** search_by_id: look the query vectors up from the stored corpus
     * (reference `search_by_id(document_ids=...)`), then run exact KNN.
     * The id lookup is a broadcast semi-join — no corpus shuffle. */

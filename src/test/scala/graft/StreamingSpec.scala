@@ -30,6 +30,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest into a persisted collection upserts per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ingest").toString
+    val client = new graft.api.GraftClient(spark, root)
+    val coll = client.createDatabase("db").createCollection("live")
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = Streams.ingestInto(in.toDF().toDF("id", "payload"), coll, ckpt)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(coll.count() == 2)
+      // second batch replaces id 2 and adds id 3 (last-wins across batches)
+      in.addData((2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      assert(coll.count() == 3)
+      assert(coll.queryByIds(Seq(2L)).head().getString(1) == "b2")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]

@@ -288,6 +288,45 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def modifyVectorIndex(nlist: Int = 16, metric: String = "l2"): Unit =
     rebuildIndex(nlist, metric)
 
+  /** rebuild_index for the PQ family (reference index.py PQ / IVF_PQ
+    * params M, nbits): train subspace codebooks, encode the corpus, and
+    * persist BOTH as sibling collections — [[searchPq]] then serves in
+    * any later session without retraining. Numeric-id collections only
+    * (the PQ block pipeline's contract). */
+  def rebuildPqIndex(m: Int = 8, k: Int = 16): Unit = {
+    val base = df
+    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
+      .getOrElse(throw new IllegalArgumentException("cannot train PQ on an empty collection"))
+    val model = graft.vector.PqIndex.train(base, vecCol, dim, m, k)
+    val codes = graft.vector.PqIndex.encode(model, base, idCol, vecCol)
+    catalog.createCollectionIfNotExists(db, GraftCollection.pqCodes(coll))
+    catalog.createCollectionIfNotExists(db, GraftCollection.pqCodebooks(coll))
+    catalog.write(db, GraftCollection.pqCodes(coll), codes)
+    catalog.write(db, GraftCollection.pqCodebooks(coll),
+      graft.vector.PqIndex.codebooksDf(model, spark))
+    catalog.updateMeta(db, coll, Map(
+      "index.pq.m" -> m.toString, "index.pq.k" -> k.toString,
+      "index.pq.dim" -> dim.toString))
+  }
+
+  /** PQ search served from the persisted index: ADC over the stored
+    * codes narrows to limit·candMult candidates, then the original
+    * vectors of that sliver are exactly re-ranked (L2). */
+  def searchPq(queries: DataFrame, qIdCol: String, qVecCol: String,
+               limit: Int = 10, candMult: Int = 10): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
+    val model = graft.vector.PqIndex.modelFromDf(
+      catalog.read(db, GraftCollection.pqCodebooks(coll)),
+      meta("index.pq.m").toInt, meta("index.pq.k").toInt, meta("index.pq.dim").toInt)
+    val q = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    graft.vector.PqIndex.searchRerank(model,
+      catalog.read(db, GraftCollection.pqCodes(coll)),
+      df, idCol, vecCol, q, limit, candMult)
+  }
+
   /** add_index (scalar filter index, reference stub.py add_index /
     * collection.py add_index): record the field in collection meta and
     * rewrite the collection CLUSTERED by its indexed fields —
@@ -368,15 +407,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateVectorIndex()
   }
 
-  /** Drop the persisted IVF model and its meta — the index is gone
-    * whenever the cell layout is rewritten away; meta must not keep
-    * advertising it. */
+  /** Drop the persisted vector-index models (IVF centroids, PQ
+    * codes+codebooks) and their meta — an index is gone whenever its
+    * layout or corpus is rewritten; meta must not keep advertising it. */
   private def invalidateVectorIndex(): Unit = {
-    val c = GraftCollection.ivfCentroids(coll)
-    if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
-    if (describe.contains("index.ivf.nlist"))
-      catalog.updateMeta(db, coll,
-        Map("index.ivf.nlist" -> null, "index.ivf.metric" -> null))
+    Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodes(coll),
+        GraftCollection.pqCodebooks(coll)).foreach { c =>
+      if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
+    }
+    val meta = describe
+    val stale = Seq("index.ivf.nlist", "index.ivf.metric",
+      "index.pq.m", "index.pq.k", "index.pq.dim").filter(meta.contains)
+    if (stale.nonEmpty)
+      catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
   }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses
@@ -485,4 +528,6 @@ object GraftCollection {
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
   private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"
+  private[api] def pqCodes(coll: String): String = coll + "__pq_codes"
+  private[api] def pqCodebooks(coll: String): String = coll + "__pq_codebooks"
 }

@@ -92,6 +92,25 @@ object PqIndex {
     centers
   }
 
+  /** Model → (sub, code, centroid) rows, the persistable form of the
+    * codebooks (m·k tiny rows; m/k/dim ride in collection meta). */
+  def codebooksDf(model: Model, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (s <- 0 until model.m; c <- 0 until model.k)
+      yield (s, c, model.codebooks(s)(c).toSeq)).toDF("sub", "code", "centroid")
+  }
+
+  /** Rebuild a [[Model]] from persisted codebook rows — the serving
+    * path of an index trained in an earlier session. */
+  def modelFromDf(df: DataFrame, m: Int, k: Int, dim: Int): Model = {
+    val books = Array.ofDim[Array[Double]](m, k)
+    df.select(col("sub"), col("code"), col("centroid")).collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(books.forall(_.forall(_ != null)), s"incomplete codebooks for m=$m k=$k")
+    Model(m, k, dim, books)
+  }
+
   /** (id, codes: array<int>) — m codes per vector. Partition-wise
     * imperative encode against the broadcast codebooks. PQ paths are
     * numeric-id only (the typed block pipeline); string-id collections

@@ -279,6 +279,31 @@ class Round3Spec extends SparkSpec {
     assert(coll.df.columns.count(_ == "cell") == 1)
   }
 
+  test("PQ index persists: a fresh client serves searchPq without retraining") {
+    val root = Files.createTempDirectory("graft-pq").toString
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val builderClient = new GraftClient(spark, root)
+    val collA = builderClient.createDatabase("db").createCollection("v")
+    collA.upsert(rows.toDF("id", "vector"))
+    collA.rebuildPqIndex(m = 4, k = 16)
+    // brand-new client: model comes from the persisted codebooks
+    val coll2 = new GraftClient(spark, root).database("db").collection("v")
+    assert(coll2.describe("index.pq.m") == "4")
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    // candMult covering the whole corpus makes the rerank exhaustive ->
+    // equals the exact L2 top-k
+    val pq = coll2.searchPq(q, "qid", "qvec", limit = 5, candMult = 40).collect().toSeq
+    val exact = coll2.search(q, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
+    assert(pq == exact)
+    assert(pq.head.getLong(2) == 7L) // self is the nearest neighbor
+    // mutation invalidates the PQ index and clears its meta
+    coll2.upsert(Seq((999L, Seq.fill(16)(0.0))).toDF("id", "vector"))
+    assert(!coll2.describe.contains("index.pq.m"))
+    intercept[IllegalArgumentException](coll2.searchPq(q, "qid", "qvec"))
+  }
+
   test("stored sparse_vector field: dot-product search with filter") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-sv").toString)
     val coll = client.createDatabase("db").createCollection("docs")

@@ -55,13 +55,12 @@ object StorageProbe {
     // merge. Wall-clock at toy scale is constant-dominated (file count,
     // JVM); at 100 TB volume is everything.
     val touched = upd.select(pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int"))
-      .distinct().count()
+      .distinct().collect().map(_.getInt(0)).toSeq
     val sliceRows = docs.where(
-      pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int").isin(
-        upd.select(pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int"))
-          .distinct().collect().map(_.getInt(0)).toSeq: _*)).count()
+      pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int")
+        .isin(touched: _*)).count()
     println(f"[probe] volume: full rewrite touches $n rows; bucketed merge touches " +
-      f"$sliceRows rows in $touched of $buckets buckets " +
+      f"$sliceRows rows in ${touched.size} of $buckets buckets " +
       f"(${100.0 * sliceRows / n}%.1f%% of the collection)")
 
     require(bucketed.count() == n && plain.count() == n)

@@ -53,8 +53,10 @@ final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: Strin
   def collection(coll: String): GraftCollection =
     new GraftCollection(client.spark, catalog, name, catalog.resolve(name, coll))
   def listCollections(): Seq[String] = catalog.listCollections(name)
-  /** exists_collection (stub.py:302). */
-  def existsCollection(coll: String): Boolean = catalog.collectionExists(name, coll)
+  /** exists_collection (stub.py:302); resolves aliases like every
+    * other read path. */
+  def existsCollection(coll: String): Boolean =
+    catalog.collectionExists(name, catalog.resolve(name, coll))
   /** describe_collection (stub.py:317). */
   def describeCollection(coll: String): Map[String, String] =
     catalog.describeCollection(name, catalog.resolve(name, coll))
@@ -273,7 +275,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
     val assigned = graft.vector.IvfIndex.assign(model, base, vecCol,
       outCol = GraftCollection.CellCol)
-    catalog.overwriteFromSelf(db, coll, assigned, partitionBy = Seq(GraftCollection.CellCol))
+    // bucketed collections KEEP the bucket directory layout (upserts
+    // still merge-on-write); the cell lives as a data column — nprobe
+    // search still prunes candidates by cell, just not at file listing
+    numBuckets match {
+      case Some(n) =>
+        catalog.overwriteFromSelf(db, coll,
+          withBucket(assigned.drop(GraftCollection.BucketCol), n),
+          partitionBy = Seq(GraftCollection.BucketCol))
+      case None =>
+        catalog.overwriteFromSelf(db, coll, assigned,
+          partitionBy = Seq(GraftCollection.CellCol))
+    }
     // persist the model (centroids) so later sessions serve nprobe
     // searches from the stored layout without retraining
     catalog.createCollectionIfNotExists(db, GraftCollection.ivfCentroids(coll))
@@ -316,6 +329,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                limit: Int = 10, candMult: Int = 10): DataFrame = {
     val meta = describe
     require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
+    require(queries.schema(qIdCol).dataType !=
+        org.apache.spark.sql.types.StringType,
+      "PQ paths require numeric query ids (string-id collections: use search)")
     val model = graft.vector.PqIndex.modelFromDf(
       catalog.read(db, GraftCollection.pqCodebooks(coll)),
       meta("index.pq.m").toInt, meta("index.pq.k").toInt, meta("index.pq.dim").toInt)

@@ -74,7 +74,11 @@ object Streams {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => coll.upsert(batch) }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // restart recovery fires empty batches — an unconditional upsert
+        // would pay a full snapshot rewrite + index invalidation for a no-op
+        if (!batch.isEmpty) coll.upsert(batch)
+      }
       .start()
 
   /** Watermarked sliding-window aggregation over the events stream. */

@@ -36,12 +36,16 @@ object IvfIndex {
 
   /** Corpus with its cell assignment column appended. `outCol` lets
     * callers pick a non-colliding name ("cell" is a plausible USER
-    * field — MLlib refuses to overwrite an existing column). */
+    * field — MLlib refuses to overwrite an existing column); the MLlib
+    * feature column uses a reserved name so a user field called
+    * "features" is never overwritten-then-dropped. */
   def assign(model: Model, data: DataFrame, vecCol: String,
              outCol: String = "cell"): DataFrame = {
-    val withFeat = data.withColumn("features",
+    val fcol = "__graft_features"
+    val withFeat = data.withColumn(fcol,
       array_to_vector(col(vecCol).cast("array<double>")))
-    model.kmeans.setPredictionCol(outCol).transform(withFeat).drop("features")
+    model.kmeans.setFeaturesCol(fcol).setPredictionCol(outCol)
+      .transform(withFeat).drop(fcol)
   }
 
   /** Centroids as a small DataFrame (cell, centroid: array<double>). */

@@ -220,6 +220,35 @@ class Round3Spec extends SparkSpec {
       (1L to 100L).count(i => i * 3 % 97 > 90))
   }
 
+  test("rebuildIndex on a bucketed collection keeps the bucket layout") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-bktivf").toString)
+    val coll = client.createDatabase("db")
+      .createCollection("v", Map("buckets" -> "4"))
+    coll.upsert((0L until 40L).map(i =>
+      (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7)))).toDF("id", "vector"))
+    coll.rebuildIndex(nlist = 2)
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    // nprobe search serves from the cell column (no directory partitioning)
+    val ivf = coll.search(q, "qid", "qvec", metric = "l2", limit = 3, nprobe = Some(2))
+      .collect().toSeq
+    val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 3).collect().toSeq
+    assert(ivf == exact)
+    // upsert after rebuild still takes the pruned merge path (bucket
+    // layout intact) and the index invalidates cleanly
+    coll.upsert(Seq((100L, Seq(0.5, 0.5))).toDF("id", "vector"))
+    assert(coll.count() == 41)
+    assert(!coll.describe.contains("index.ivf.nlist"))
+  }
+
+  test("existsCollection resolves aliases") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-alias").toString)
+    val db = client.createDatabase("db")
+    db.createCollection("real")
+    db.setAlias("nick", "real")
+    assert(db.existsCollection("nick") && db.existsCollection("real"))
+    assert(!db.existsCollection("ghost"))
+  }
+
   test("bucketed collection: upsert rewrites only touched buckets, last-wins intact") {
     import java.nio.file.{Files => JFiles, Path, Paths}
     import scala.jdk.CollectionConverters._
@@ -268,11 +297,13 @@ class Round3Spec extends SparkSpec {
   test("a user document field named 'cell' survives reads, mutations, and rebuilds") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cellcol").toString)
     val coll = client.createDatabase("db").createCollection("v")
-    coll.upsert(Seq((1L, Seq(1.0, 0.0), "A1"), (2L, Seq(0.0, 1.0), "B2"))
-      .toDF("id", "vector", "cell"))
+    coll.upsert(Seq((1L, Seq(1.0, 0.0), "A1", Seq(9.0)), (2L, Seq(0.0, 1.0), "B2", Seq(8.0)))
+      .toDF("id", "vector", "cell", "features"))
     assert(coll.df.columns.contains("cell"))
-    coll.rebuildIndex(nlist = 2) // internal layout column is __cell, never "cell"
+    coll.rebuildIndex(nlist = 2) // internal columns are __cell/__graft_features
     assert(coll.df.columns.contains("cell"))
+    // user 'features' field data survives the MLlib pipeline
+    assert(coll.queryByIds(Seq(1L)).head().getSeq[Double](3) == Seq(9.0))
     assert(coll.queryByIds(Seq(1L)).head().getString(2) == "A1")
     coll.updateByIds(Seq(2L), Map("cell" -> lit("B9")))
     assert(coll.queryByIds(Seq(2L)).head().getString(2) == "B9")

@@ -402,6 +402,15 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"),
           round(element_at(col("feature"), 2), 4).as("f1"))
         .orderBy("doc_id")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      // video-shaped multimodal pipeline: resize then sample every 2nd
+      // fixed-size frame; one media row fans out to many frame rows
+      // (rows-only: stub decode is not SQL-expressible)
+      val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
+      Multimodal.frameSample(Multimodal.resize(media, 320, 180)).toDF()
+        .orderBy("doc_id", "frame_idx")
     })
   )
 

@@ -53,4 +53,42 @@ object Multimodal {
       // per-partition init of the (stub) decoder would go here
       it.map(decodeStub)
     }(Encoders.product[FeatureRow])
+
+  /** STUB resize: a real stage would decode, scale to target, and
+    * re-encode; the stub resamples every stride-th payload byte so the
+    * output size tracks the target deterministically. The metadata
+    * update + per-partition map is the production geometry. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] =
+    media.mapPartitions { it =>
+      it.map { m =>
+        val stride = math.max(1, (m.width.toLong * m.height /
+          math.max(1, targetW.toLong * targetH)).toInt)
+        val out = new Array[Byte]((m.payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i * stride); i += 1 }
+        MediaRow(m.doc_id, m.format, targetW, targetH, out)
+      }
+    }(Encoders.product[MediaRow])
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  /** STUB frame sampling: treat the payload as a fixed-frame-size
+    * "video" and emit every `everyN`-th frame (capped at `maxFrames`).
+    * One media row fans out to many frame rows — the flatMap geometry a
+    * real video sampler has; each frame row carries its own stats so
+    * downstream stages (dedup, embedding) treat frames as documents. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64,
+                  everyN: Int = 2, maxFrames: Int = 8): Dataset[FrameRow] =
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = m.payload.length / frameBytes
+        (0 until nFrames by everyN).take(maxFrames).map { f =>
+          var sum = 0L
+          var i = f * frameBytes
+          val end = (f + 1) * frameBytes
+          while (i < end) { sum += (m.payload(i) & 0xFF); i += 1 }
+          FrameRow(m.doc_id, f, frameBytes, sum % 1000000007L)
+        }
+      }
+    }(Encoders.product[FrameRow])
 }

@@ -107,6 +107,24 @@ class Round3Spec extends SparkSpec {
     intercept[IllegalArgumentException](IvfPq.search(model, enc, dup, kTop = 2, nprobe = 2))
   }
 
+  test("multimodal resize + frame sampling are deterministic and fan out per frame") {
+    import graft.multimodal.Multimodal
+    val docs = Seq((1L, "x" * 400, "img"), (2L, "y" * 100, "img")).toDF("doc_id", "text", "source")
+    val media = Multimodal.pack(docs, "doc_id", "text", "source")
+    val resized = Multimodal.resize(media, 320, 180).collect()
+    assert(resized.forall(m => m.width == 320 && m.height == 180))
+    // stride shrinks the payload deterministically
+    assert(resized.find(_.doc_id == 1L).get.payload.length < 400)
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyN = 2, maxFrames = 3)
+      .collect()
+    // doc 1: 400/64 = 6 frames -> sampled 0,2,4; doc 2: 100/64 = 1 frame -> 0
+    assert(frames.filter(_.doc_id == 1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(frames.filter(_.doc_id == 2L).map(_.frame_idx).toSeq == Seq(0))
+    // identical byte content -> identical checksums (deterministic stub)
+    val cks = frames.filter(_.doc_id == 1L).map(_.checksum).distinct
+    assert(cks.length == 1) // all-'x' payload: every frame identical
+  }
+
   test("ngramJaccard hot-gram cutoff bounds fanout, keeps rare-gram near-dups") {
     // 2 near-identical docs + 30 docs sharing one boilerplate shingle
     val boiler = "terms of service apply"

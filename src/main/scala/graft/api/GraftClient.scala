@@ -322,6 +322,57 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "index.pq.dim" -> dim.toString))
   }
 
+  /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
+    * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving
+    * sliver scannable by table lookups). Persists centroids, codebooks,
+    * and the (id, cell, codes) table; [[searchIvfPq]] serves from them
+    * in any later session. */
+  def rebuildIvfPqIndex(nlist: Int = 16, m: Int = 8, k: Int = 16): Unit = {
+    val base = df
+    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
+      .getOrElse(throw new IllegalArgumentException("cannot train IVF_PQ on an empty collection"))
+    val model = graft.vector.IvfPq.train(base, vecCol, dim, nlist, m, k)
+    val enc = graft.vector.IvfPq.encode(model, base, idCol, vecCol)
+    Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodebooks(coll),
+        GraftCollection.ivfPqCodes(coll))
+      .foreach(catalog.createCollectionIfNotExists(db, _))
+    catalog.write(db, GraftCollection.ivfCentroids(coll),
+      graft.vector.IvfIndex.centroids(model.ivf, spark))
+    catalog.write(db, GraftCollection.pqCodebooks(coll),
+      graft.vector.PqIndex.codebooksDf(model.pq, spark))
+    // cell-partitioned codes: an nprobe search lists only probed cells
+    catalog.write(db, GraftCollection.ivfPqCodes(coll), enc,
+      partitionBy = Seq("cell"))
+    catalog.updateMeta(db, coll, Map(
+      "index.ivfpq.nlist" -> nlist.toString, "index.ivfpq.m" -> m.toString,
+      "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString))
+  }
+
+  /** IVF_PQ search served from the persisted artifacts: probe ranking
+    * from stored centroids, ADC from stored codebooks, candidates from
+    * the cell-partitioned code table. Approximate (no rerank) — the
+    * reference's IVF_PQ behavior. */
+  def searchIvfPq(queries: DataFrame, qIdCol: String, qVecCol: String,
+                  limit: Int = 10, nprobe: Int = 4): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivfpq.nlist"), "no IVF_PQ index: run rebuildIvfPqIndex first")
+    require(queries.schema(qIdCol).dataType !=
+        org.apache.spark.sql.types.StringType,
+      "PQ paths require numeric query ids (string-id collections: use search)")
+    val pq = graft.vector.PqIndex.modelFromDf(
+      catalog.read(db, GraftCollection.pqCodebooks(coll)),
+      meta("index.ivfpq.m").toInt, meta("index.ivfpq.k").toInt,
+      meta("index.ivfpq.dim").toInt)
+    val centers = catalog.read(db, GraftCollection.ivfCentroids(coll))
+      .select(col("centroid"), col("cell")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
+    val q = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    graft.vector.IvfPq.searchStored(centers, pq,
+      catalog.read(db, GraftCollection.ivfPqCodes(coll)), q, limit, nprobe)
+  }
+
   /** PQ search served from the persisted index: ADC over the stored
     * codes narrows to limit·candMult candidates, then the original
     * vectors of that sliver are exactly re-ranked (L2). */
@@ -428,12 +479,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * layout or corpus is rewritten; meta must not keep advertising it. */
   private def invalidateVectorIndex(): Unit = {
     Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodes(coll),
-        GraftCollection.pqCodebooks(coll)).foreach { c =>
+        GraftCollection.pqCodebooks(coll), GraftCollection.ivfPqCodes(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
     val meta = describe
     val stale = Seq("index.ivf.nlist", "index.ivf.metric",
-      "index.pq.m", "index.pq.k", "index.pq.dim").filter(meta.contains)
+      "index.pq.m", "index.pq.k", "index.pq.dim",
+      "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim")
+      .filter(meta.contains)
     if (stale.nonEmpty)
       catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
   }
@@ -546,4 +599,5 @@ object GraftCollection {
   private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"
   private[api] def pqCodes(coll: String): String = coll + "__pq_codes"
   private[api] def pqCodebooks(coll: String): String = coll + "__pq_codebooks"
+  private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
 }

@@ -24,24 +24,34 @@ object IvfPq {
       PqIndex.train(data, vecCol, dim, m, k, seed))
 
   /** (id, cell, codes) — the on-disk representation (partition by cell
-    * via [[IvfIndex.writeIndexed]]-style layout at scale). */
+    * via [[IvfIndex.writeIndexed]]-style layout at scale). The
+    * assignment uses a reserved column internally so source data with a
+    * user field named "cell" encodes cleanly. */
   def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cells = IvfIndex.assign(model.ivf, data, vecCol)
-      .select(col(idCol).cast("long").as("id"), col("cell"))
+    val cells = IvfIndex.assign(model.ivf, data, vecCol, outCol = "__graft_cell")
+      .select(col(idCol).cast("long").as("id"), col("__graft_cell").as("cell"))
     PqIndex.encode(model.pq, data, idCol, vecCol).join(cells, "id")
   }
 
   /** nprobe cells per query + ADC over the candidates. nprobe = nlist
     * degenerates to plain PQ search over everything. */
   def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
-             kTop: Int, nprobe: Int): DataFrame = {
+             kTop: Int, nprobe: Int): DataFrame =
+    searchStored(model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
+      model.pq, encoded, queries, kTop, nprobe)
+
+  /** The serving path over PERSISTED artifacts: centroids as
+    * (centroid, cell) pairs and the PQ model reconstructed from stored
+    * codebooks — no KMeansModel object, no retraining. */
+  def searchStored(centers: Seq[(Array[Double], Int)], pq: PqIndex.Model,
+                   encoded: DataFrame, queries: Array[(Long, Array[Double])],
+                   kTop: Int, nprobe: Int): DataFrame = {
     // ADC tables are broadcast keyed BY query id; duplicate qids would
     // silently collapse to one entry (and one result group)
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids in batch")
     val spark = encoded.sparkSession
     import spark.implicits._
-    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex
 
     // driver-side probe ranking: queries and centroids are both tiny
     val probes = queries.toSeq.flatMap { case (qid, qv) =>
@@ -54,7 +64,7 @@ object IvfPq {
         .map { case (q, cell, _) => (q, cell) }
     }.toDF("query_id", "cell")
 
-    val bc = spark.sparkContext.broadcast(PqIndex.adcTables(model.pq, queries).toMap)
+    val bc = spark.sparkContext.broadcast(PqIndex.adcTables(pq, queries).toMap)
 
     val cand = encoded.join(broadcast(probes), "cell")
       .select(col("query_id"), col("id"), col("codes"))

@@ -353,6 +353,30 @@ class Round3Spec extends SparkSpec {
     intercept[IllegalArgumentException](coll2.searchPq(q, "qid", "qvec"))
   }
 
+  test("IVF_PQ index persists: a fresh client probes cells and scans codes") {
+    val root = Files.createTempDirectory("graft-ivfpq").toString
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val builder = new GraftClient(spark, root)
+    val collA = builder.createDatabase("db").createCollection("v")
+    collA.upsert(rows.toDF("id", "vector"))
+    collA.rebuildIvfPqIndex(nlist = 4, m = 4, k = 16)
+    // fresh client: centroids + codebooks + codes all come from disk
+    val coll2 = new GraftClient(spark, root).database("db").collection("v")
+    assert(coll2.describe("index.ivfpq.nlist") == "4")
+    val q = Seq((0L, rows(42)._2)).toDF("qid", "qvec")
+    val full = coll2.searchIvfPq(q, "qid", "qvec", limit = 10, nprobe = 4).collect()
+    assert(full.length == 10 && full.head.getLong(2) == 42L) // ADC finds self first
+    val pruned = coll2.searchIvfPq(q, "qid", "qvec", limit = 10, nprobe = 1).collect()
+    assert(pruned.nonEmpty && pruned.map(_.getLong(2)).toSet.subsetOf(
+      full.map(_.getLong(2)).toSet ++ pruned.map(_.getLong(2))))
+    // mutation invalidates the composed index
+    coll2.deleteByIds(Seq(0L))
+    assert(!coll2.describe.contains("index.ivfpq.nlist"))
+    intercept[IllegalArgumentException](coll2.searchIvfPq(q, "qid", "qvec"))
+  }
+
   test("stored sparse_vector field: dot-product search with filter") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-sv").toString)
     val coll = client.createDatabase("db").createCollection("docs")

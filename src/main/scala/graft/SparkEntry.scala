@@ -330,8 +330,15 @@ object SparkEntry {
     }),
 
     "q_lsh_ann" -> ((s, dir) => {
-      LshIndex.ann(Tables.embeddings(s, dir), "vec_id", "embedding",
-        knnQueries(s, dir), "qid", "qvec", k = 10)
+      // banded ANN over the PERSISTED bucket table (signatures are the
+      // O(corpus) part — computed once at rebuild, not per query)
+      val buckets = graft.catalog.IndexStore.ensure(s, s"lshbuckets_${sfKey(dir)}") {
+        LshIndex.bucketTable(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nBits = 16, bands = 4, dim = 64)
+      }
+      LshIndex.annIndexed(buckets, Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, nBits = 16, bands = 4,
+        dim = 64, seed = 42L)
     }),
 
     "q_search_by_text" -> ((s, dir) => {

@@ -322,6 +322,34 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "index.pq.dim" -> dim.toString))
   }
 
+  /** rebuild_index for the LSH index: persist the banded bucket table
+    * (the O(corpus · nBits) signature work) so ANN queries touch only
+    * their own buckets. Config rides in meta — the query side must sign
+    * with the same planes. */
+  def rebuildLshIndex(nBits: Int = 16, bands: Int = 4, seed: Long = 42L): Unit = {
+    val base = df
+    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
+      .getOrElse(throw new IllegalArgumentException("cannot build LSH on an empty collection"))
+    catalog.createCollectionIfNotExists(db, GraftCollection.lshBuckets(coll))
+    catalog.write(db, GraftCollection.lshBuckets(coll),
+      graft.vector.LshIndex.bucketTable(base, idCol, vecCol, nBits, bands, dim, seed))
+    catalog.updateMeta(db, coll, Map(
+      "index.lsh.nbits" -> nBits.toString, "index.lsh.bands" -> bands.toString,
+      "index.lsh.dim" -> dim.toString, "index.lsh.seed" -> seed.toString))
+  }
+
+  /** Banded ANN served from the persisted bucket table. */
+  def searchLsh(queries: DataFrame, qIdCol: String, qVecCol: String,
+                limit: Int = 10): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.lsh.nbits"), "no LSH index: run rebuildLshIndex first")
+    graft.vector.LshIndex.annIndexed(
+      catalog.read(db, GraftCollection.lshBuckets(coll)),
+      df, idCol, vecCol, queries, qIdCol, qVecCol, limit,
+      meta("index.lsh.nbits").toInt, meta("index.lsh.bands").toInt,
+      meta("index.lsh.dim").toInt, meta("index.lsh.seed").toLong)
+  }
+
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
     * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving
     * sliver scannable by table lookups). Persists centroids, codebooks,
@@ -479,13 +507,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * layout or corpus is rewritten; meta must not keep advertising it. */
   private def invalidateVectorIndex(): Unit = {
     Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodes(coll),
-        GraftCollection.pqCodebooks(coll), GraftCollection.ivfPqCodes(coll)).foreach { c =>
+        GraftCollection.pqCodebooks(coll), GraftCollection.ivfPqCodes(coll),
+        GraftCollection.lshBuckets(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
     val meta = describe
     val stale = Seq("index.ivf.nlist", "index.ivf.metric",
       "index.pq.m", "index.pq.k", "index.pq.dim",
-      "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim")
+      "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim",
+      "index.lsh.nbits", "index.lsh.bands", "index.lsh.dim", "index.lsh.seed")
       .filter(meta.contains)
     if (stale.nonEmpty)
       catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
@@ -600,4 +630,5 @@ object GraftCollection {
   private[api] def pqCodes(coll: String): String = coll + "__pq_codes"
   private[api] def pqCodebooks(coll: String): String = coll + "__pq_codebooks"
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
+  private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
 }

@@ -51,41 +51,48 @@ object LshIndex {
     frames.iterator.flatMap { case (d, c) => deriveDimOpt(d, c) }
       .nextOption().getOrElse(1)
 
-  /** Banded ANN: candidates share at least one band of the signature;
-    * exact cosine re-rank, top-k per query. Returns
-    * (query_id, rank, id, score) like [[KnnSearch.topK]] (approximate:
-    * may return fewer than k when buckets are sparse).
-    *
-    * `dim <= 0` (the default) derives the vector dimension from the
-    * query batch; an explicit dim must match it. */
-  def ann(data: DataFrame, idCol: String, vecCol: String,
-          queries: DataFrame, qIdCol: String, qVecCol: String,
-          k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 0,
-          seed: Long = 42L): DataFrame = {
-    require(nBits % bands == 0, "bands must divide nBits")
-    val derived = deriveDimOpt(queries, qVecCol).orElse(deriveDimOpt(data, vecCol))
-    derived.foreach(d => require(dim <= 0 || dim == d,
-      s"dim=$dim does not match actual vector dimension $d"))
-    val actualDim = derived.getOrElse(math.max(dim, 1))
+  /** Banded bucket rows (id-or-__i, b, v) for one side of the
+    * candidate join. */
+  private def banded(df: DataFrame, id: Column, vec: Column,
+                     nBits: Int, bands: Int, dim: Int, seed: Long): DataFrame = {
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
+    val bandCol = (b: Int) =>
+      struct(lit(b).as("b"), shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("v"))
+    withSignature(df.select(id.as("__i"), vec.as("__v")), "__v", nBits, dim, seed)
+      .select(col("__i"),
+        explode(array((0 until bands).map(bandCol): _*)).as("bk"))
+      .select(col("__i").as("id"), col("bk.b").as("b"), col("bk.v").as("v"))
+  }
 
-    def banded(df: DataFrame, id: Column, vec: Column): DataFrame = {
-      val bandCol = (b: Int) =>
-        struct(lit(b).as("b"), shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("v"))
-      withSignature(df.select(id.as("__i"), vec.as("__v")), "__v", nBits, actualDim, seed)
-        .select(col("__i"),
-          explode(array((0 until bands).map(bandCol): _*)).as("bk"))
-        .select(col("__i"), col("bk.b").as("b"), col("bk.v").as("v"))
-    }
+  /** The corpus bucket table (id, b, v) — the PERSISTABLE LSH index:
+    * computing it is the O(corpus · nBits) part of ANN, so it is built
+    * once at rebuild time; queries touch only their own buckets. */
+  def bucketTable(data: DataFrame, idCol: String, vecCol: String,
+                  nBits: Int = 16, bands: Int = 4, dim: Int = 0,
+                  seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val actualDim = if (dim > 0) dim else deriveDim((data, vecCol))
+    banded(data, KnnSearch.idNorm(data, idCol), col(vecCol), nBits, bands, actualDim, seed)
+  }
 
+  /** Banded ANN over a (possibly persisted) corpus bucket table:
+    * candidates share at least one band; exact cosine re-rank, top-k
+    * per query. The query batch is signed with the SAME (nBits, bands,
+    * dim, seed) configuration the table was built with. */
+  def annIndexed(buckets: DataFrame, data: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, nBits: Int, bands: Int, dim: Int,
+                 seed: Long): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
     // candidate dedup carries ONLY (query_id, id) through the distinct —
     // never the float vectors (a wide shuffle at scale); vectors are
     // re-attached afterwards (queries broadcast, data joined by id).
-    val d = banded(data, KnnSearch.idNorm(data, idCol), col(vecCol))
-    val q = broadcast(banded(queries, KnnSearch.idNorm(queries, qIdCol), col(qVecCol)))
-    val cand = d.join(q.select(col("__i").as("query_id"), col("b"), col("v")), Seq("b", "v"))
-      .select(col("query_id"), col("__i").as("id"))
+    val q = broadcast(banded(queries, KnnSearch.idNorm(queries, qIdCol), col(qVecCol),
+      nBits, bands, dim, seed))
+    val cand = buckets.join(q.select(col("id").as("query_id"), col("b"), col("v")),
+        Seq("b", "v"))
+      .select(col("query_id"), col("id"))
       .distinct()
     val dVecs = data.select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__v"))
     val qVecs = broadcast(queries.select(
@@ -94,5 +101,20 @@ object LshIndex {
     Ranked.topK(
       scored.select(col("query_id"), VectorScore.cosine(col("__v"), col("__qv")).as("__s"), col("id")),
       k, asc = false)
+  }
+
+  /** Index-free banded ANN (builds the bucket table inline).
+    * `dim <= 0` (the default) derives the vector dimension from the
+    * query batch; an explicit dim must match it. */
+  def ann(data: DataFrame, idCol: String, vecCol: String,
+          queries: DataFrame, qIdCol: String, qVecCol: String,
+          k: Int, nBits: Int = 16, bands: Int = 4, dim: Int = 0,
+          seed: Long = 42L): DataFrame = {
+    val derived = deriveDimOpt(queries, qVecCol).orElse(deriveDimOpt(data, vecCol))
+    derived.foreach(d => require(dim <= 0 || dim == d,
+      s"dim=$dim does not match actual vector dimension $d"))
+    val actualDim = derived.getOrElse(math.max(dim, 1))
+    annIndexed(bucketTable(data, idCol, vecCol, nBits, bands, actualDim, seed),
+      data, idCol, vecCol, queries, qIdCol, qVecCol, k, nBits, bands, actualDim, seed)
   }
 }

@@ -353,6 +353,25 @@ class Round3Spec extends SparkSpec {
     intercept[IllegalArgumentException](coll2.searchPq(q, "qid", "qvec"))
   }
 
+  test("LSH index persists: fresh-client banded ANN equals the inline path") {
+    val root = Files.createTempDirectory("graft-lshidx").toString
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 150L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val builder = new GraftClient(spark, root)
+    val collA = builder.createDatabase("db").createCollection("v")
+    collA.upsert(rows.toDF("id", "vector"))
+    collA.rebuildLshIndex(nBits = 16, bands = 4)
+    val coll2 = new GraftClient(spark, root).database("db").collection("v")
+    val q = Seq((0L, rows(9)._2)).toDF("qid", "qvec")
+    val served = coll2.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq
+    val inline = LshIndex.ann(coll2.df, "id", "vector", q, "qid", "qvec",
+      k = 5, nBits = 16, bands = 4).collect().toSeq
+    assert(served == inline && served.head.getLong(2) == 9L)
+    coll2.deleteByIds(Seq(0L))
+    assert(!coll2.describe.contains("index.lsh.nbits"))
+  }
+
   test("IVF_PQ index persists: a fresh client probes cells and scans codes") {
     val root = Files.createTempDirectory("graft-ivfpq").toString
     val rnd = new scala.util.Random(23)

@@ -270,7 +270,40 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * prune whole partitions. Index params land in collection meta.
     * Idempotent: a prior rebuild's cell column is re-derived, never
     * kept in the training input (it is layout, not document schema). */
+  /** One vector index exists per collection (reference semantics):
+    * every rebuild first clears ALL families' artifacts + meta, so a
+    * type switch can never leave one family's probe tables pointing at
+    * another family's assignments. */
+  private def beginVectorRebuild(what: String): Int = {
+    invalidateVectorIndex()
+    require(df.where(col(vecCol).isNull).isEmpty,
+      s"cannot build $what: collection contains null vectors")
+    graft.vector.LshIndex.deriveDimOpt(df, vecCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot build $what on an empty collection"))
+  }
+
+  /** Query batch → driver-side (id, vector) pairs for the PQ paths
+    * (numeric ids only — the PQ block pipeline's contract). */
+  private def collectNumericQueries(queries: DataFrame, qIdCol: String,
+                                    qVecCol: String): Array[(Long, Array[Double])] = {
+    require(queries.schema(qIdCol).dataType !=
+        org.apache.spark.sql.types.StringType,
+      "PQ paths require numeric query ids (string-id collections: use search)")
+    queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
+
+  /** Reconstruct a PQ model from the persisted codebooks using the
+    * given meta prefix ("index.pq" or "index.ivfpq"). */
+  private def pqModelFromMeta(meta: Map[String, String], prefix: String,
+                              codebookColl: String): graft.vector.PqIndex.Model =
+    graft.vector.PqIndex.modelFromDf(catalog.read(db, codebookColl),
+      meta(s"$prefix.m").toInt, meta(s"$prefix.k").toInt, meta(s"$prefix.dim").toInt)
+
   def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
+    beginVectorRebuild("IVF")
     val base = df.drop(GraftCollection.IndexCols: _*)
     val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
     val assigned = graft.vector.IvfIndex.assign(model, base, vecCol,
@@ -307,9 +340,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * any later session without retraining. Numeric-id collections only
     * (the PQ block pipeline's contract). */
   def rebuildPqIndex(m: Int = 8, k: Int = 16): Unit = {
+    val dim = beginVectorRebuild("PQ")
     val base = df
-    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
-      .getOrElse(throw new IllegalArgumentException("cannot train PQ on an empty collection"))
     val model = graft.vector.PqIndex.train(base, vecCol, dim, m, k)
     val codes = graft.vector.PqIndex.encode(model, base, idCol, vecCol)
     catalog.createCollectionIfNotExists(db, GraftCollection.pqCodes(coll))
@@ -327,12 +359,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * their own buckets. Config rides in meta — the query side must sign
     * with the same planes. */
   def rebuildLshIndex(nBits: Int = 16, bands: Int = 4, seed: Long = 42L): Unit = {
-    val base = df
-    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
-      .getOrElse(throw new IllegalArgumentException("cannot build LSH on an empty collection"))
+    val dim = beginVectorRebuild("LSH")
     catalog.createCollectionIfNotExists(db, GraftCollection.lshBuckets(coll))
     catalog.write(db, GraftCollection.lshBuckets(coll),
-      graft.vector.LshIndex.bucketTable(base, idCol, vecCol, nBits, bands, dim, seed))
+      graft.vector.LshIndex.bucketTable(df, idCol, vecCol, nBits, bands, dim, seed))
     catalog.updateMeta(db, coll, Map(
       "index.lsh.nbits" -> nBits.toString, "index.lsh.bands" -> bands.toString,
       "index.lsh.dim" -> dim.toString, "index.lsh.seed" -> seed.toString))
@@ -356,17 +386,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * and the (id, cell, codes) table; [[searchIvfPq]] serves from them
     * in any later session. */
   def rebuildIvfPqIndex(nlist: Int = 16, m: Int = 8, k: Int = 16): Unit = {
+    val dim = beginVectorRebuild("IVF_PQ")
     val base = df
-    val dim = graft.vector.LshIndex.deriveDimOpt(base, vecCol)
-      .getOrElse(throw new IllegalArgumentException("cannot train IVF_PQ on an empty collection"))
     val model = graft.vector.IvfPq.train(base, vecCol, dim, nlist, m, k)
     val enc = graft.vector.IvfPq.encode(model, base, idCol, vecCol)
-    Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodebooks(coll),
+    // per-family artifact names: IVF_PQ never shares tables with the
+    // plain IVF / PQ indexes, so a rebuild of one can never leave
+    // another family probing against foreign assignments
+    Seq(GraftCollection.ivfPqCentroids(coll), GraftCollection.ivfPqCodebooks(coll),
         GraftCollection.ivfPqCodes(coll))
       .foreach(catalog.createCollectionIfNotExists(db, _))
-    catalog.write(db, GraftCollection.ivfCentroids(coll),
+    catalog.write(db, GraftCollection.ivfPqCentroids(coll),
       graft.vector.IvfIndex.centroids(model.ivf, spark))
-    catalog.write(db, GraftCollection.pqCodebooks(coll),
+    catalog.write(db, GraftCollection.ivfPqCodebooks(coll),
       graft.vector.PqIndex.codebooksDf(model.pq, spark))
     // cell-partitioned codes: an nprobe search lists only probed cells
     catalog.write(db, GraftCollection.ivfPqCodes(coll), enc,
@@ -384,21 +416,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                   limit: Int = 10, nprobe: Int = 4): DataFrame = {
     val meta = describe
     require(meta.contains("index.ivfpq.nlist"), "no IVF_PQ index: run rebuildIvfPqIndex first")
-    require(queries.schema(qIdCol).dataType !=
-        org.apache.spark.sql.types.StringType,
-      "PQ paths require numeric query ids (string-id collections: use search)")
-    val pq = graft.vector.PqIndex.modelFromDf(
-      catalog.read(db, GraftCollection.pqCodebooks(coll)),
-      meta("index.ivfpq.m").toInt, meta("index.ivfpq.k").toInt,
-      meta("index.ivfpq.dim").toInt)
-    val centers = catalog.read(db, GraftCollection.ivfCentroids(coll))
+    val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
+    val centers = catalog.read(db, GraftCollection.ivfPqCentroids(coll))
       .select(col("centroid"), col("cell")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
-    val q = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     graft.vector.IvfPq.searchStored(centers, pq,
-      catalog.read(db, GraftCollection.ivfPqCodes(coll)), q, limit, nprobe)
+      catalog.read(db, GraftCollection.ivfPqCodes(coll)),
+      collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe)
   }
 
   /** PQ search served from the persisted index: ADC over the stored
@@ -408,18 +432,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                limit: Int = 10, candMult: Int = 10): DataFrame = {
     val meta = describe
     require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
-    require(queries.schema(qIdCol).dataType !=
-        org.apache.spark.sql.types.StringType,
-      "PQ paths require numeric query ids (string-id collections: use search)")
-    val model = graft.vector.PqIndex.modelFromDf(
-      catalog.read(db, GraftCollection.pqCodebooks(coll)),
-      meta("index.pq.m").toInt, meta("index.pq.k").toInt, meta("index.pq.dim").toInt)
-    val q = queries
-      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
     graft.vector.PqIndex.searchRerank(model,
       catalog.read(db, GraftCollection.pqCodes(coll)),
-      df, idCol, vecCol, q, limit, candMult)
+      df, idCol, vecCol, collectNumericQueries(queries, qIdCol, qVecCol),
+      limit, candMult)
   }
 
   /** add_index (scalar filter index, reference stub.py add_index /
@@ -508,6 +525,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def invalidateVectorIndex(): Unit = {
     Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodes(coll),
         GraftCollection.pqCodebooks(coll), GraftCollection.ivfPqCodes(coll),
+        GraftCollection.ivfPqCentroids(coll), GraftCollection.ivfPqCodebooks(coll),
         GraftCollection.lshBuckets(coll)).foreach { c =>
       if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
     }
@@ -630,5 +648,7 @@ object GraftCollection {
   private[api] def pqCodes(coll: String): String = coll + "__pq_codes"
   private[api] def pqCodebooks(coll: String): String = coll + "__pq_codebooks"
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
+  private[api] def ivfPqCentroids(coll: String): String = coll + "__ivfpq_centroids"
+  private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
   private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
 }

@@ -72,7 +72,10 @@ object LshIndex {
                   nBits: Int = 16, bands: Int = 4, dim: Int = 0,
                   seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
-    val actualDim = if (dim > 0) dim else deriveDim((data, vecCol))
+    val derived = deriveDimOpt(data, vecCol)
+    derived.foreach(d => require(dim <= 0 || dim == d,
+      s"dim=$dim does not match actual vector dimension $d"))
+    val actualDim = derived.getOrElse(math.max(dim, 1))
     banded(data, KnnSearch.idNorm(data, idCol), col(vecCol), nBits, bands, actualDim, seed)
   }
 
@@ -85,6 +88,10 @@ object LshIndex {
                  k: Int, nBits: Int, bands: Int, dim: Int,
                  seed: Long): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
+    // a query batch whose dimension differs from the table's would sign
+    // vector prefixes and return silently wrong candidates
+    deriveDimOpt(queries, qVecCol).foreach(d => require(d == dim,
+      s"query vector dimension $d does not match the index dimension $dim"))
     // candidate dedup carries ONLY (query_id, id) through the distinct —
     // never the float vectors (a wide shuffle at scale); vectors are
     // re-attached afterwards (queries broadcast, data joined by id).

@@ -238,7 +238,8 @@ object SparkEntry {
       // term->weight list (persisted once); the query brings its own
       // weighted sparse vector and scores by dot product
       val sv = graft.catalog.IndexStore.ensure(s, s"sparsevec_${sfKey(dir)}") {
-        graft.sparse.SparseSearch.packSparse(sparseIndexFor(s, dir).postings)
+        graft.sparse.SparseSearch.packSparse(
+          Bm25.weightedPostings(sparseIndexFor(s, dir)))
       }
       graft.sparse.SparseSearch.dotTopK(sv, "doc_id", "sparse_vector",
         Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 0.5), k = 15)
@@ -438,11 +439,11 @@ object SparkEntry {
     * over the term-clustered files. */
   private[graft] def sparseIndexFor(s: SparkSession, dir: String): Bm25.SparseIndex = {
     val postings = graft.catalog.IndexStore.ensure(s, s"ftpost_${sfKey(dir)}") {
-      Bm25.buildIndex(Tables.documents(s, dir), "doc_id", "text").postings
+      Bm25.rawPostings(Tables.documents(s, dir), "doc_id", "text")
         .repartitionByRange(col("term")).sortWithinPartitions("term")
     }
     val terms = graft.catalog.IndexStore.ensure(s, s"ftterms_${sfKey(dir)}") {
-      Bm25.termsFromPostings(postings)
+      Bm25.statsFromPostings(postings)
     }
     Bm25.SparseIndex(postings, terms)
   }

@@ -110,15 +110,52 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** upsert(documents): last-wins merge by id, persisted. Bucketed
     * collections merge ONLY the touched buckets (partition-pruned read,
     * dynamic-partition write); unbucketed collections rewrite the
-    * snapshot. */
+    * snapshot.
+    *
+    * Live indexes are maintained INCREMENTALLY (the reference server
+    * keeps indexes live across upserts, collection.py upsert
+    * build_index=True): the batch's postings/buckets land as a new
+    * segment partition and the mutation ledger masks replaced rows
+    * (fulltext, LSH); the batch's vectors are assigned to the EXISTING
+    * IVF centroids inside the merge projection. No index is dropped, no
+    * corpus-sized rebuild is paid — an upsert costs O(batch), not
+    * O(corpus). PQ-coded families still invalidate (ADC tables are
+    * driver-side batch state; rebuild is their contract). */
   def upsert(docs: DataFrame): Unit = {
+    val meta = describe
+    val ftLive = meta.contains("index.ft.text_col") &&
+      catalog.collectionExists(db, GraftCollection.ftPostings(coll))
+    val lshLive = meta.contains("index.lsh.nbits") &&
+      catalog.collectionExists(db, GraftCollection.lshBuckets(coll))
+    val ivfLive = meta.contains("index.ivf.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll))
+
+    // segment-based artifacts read PRE-write state: append them (and the
+    // ledger) before the collection data is overwritten
+    if (ftLive || lshLive) {
+      val seg = mutationSeg + 1
+      if (ftLive) appendFulltextSegment(docs, seg, meta("index.ft.text_col"))
+      if (lshLive) appendLshSegment(docs, seg, meta)
+      advanceLedger(docs, seg)
+    }
+
+    val ivfCenters =
+      if (ivfLive) Some(graft.vector.IvfIndex.centersFromDf(
+        catalog.read(db, GraftCollection.ivfCentroids(coll))))
+      else None
+    def withCell(d: DataFrame): DataFrame = ivfCenters match {
+      case Some(cs) => d.withColumn(GraftCollection.CellCol,
+        graft.vector.IvfIndex.assignExpr(cs, col(vecCol)))
+      case None => d
+    }
+
     val current = df
     (numBuckets, current.isEmpty) match {
       case (Some(n), true) =>
-        catalog.write(db, coll, withBucket(withStoredEmbedding(docs), n),
+        catalog.write(db, coll, withBucket(withCell(withStoredEmbedding(docs)), n),
           partitionBy = Seq(GraftCollection.BucketCol))
       case (Some(n), false) if catalog.read(db, coll).columns.contains(GraftCollection.BucketCol) =>
-        val updates = withBucket(withStoredEmbedding(docs), n)
+        val updates = withBucket(withCell(withStoredEmbedding(docs)), n)
         // the touched-bucket set is at most N values — a tiny driver
         // collect that turns the base read into a partition-pruned scan
         val touched = updates.select(GraftCollection.BucketCol).distinct()
@@ -128,14 +165,122 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         val merged = DocumentOps.upsert(stripIndexCols(slice, updates), updates, idCol)
         catalog.overwritePartitions(db, coll, merged, GraftCollection.BucketCol)
       case (_, false) =>
-        // unbucketed — or a bucketed collection whose layout was
-        // replaced by another index rewrite: full merge (re-bucketing
-        // when configured)
-        persistSnapshot(
-          DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol))
+        val merged =
+          DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol)
+        if (ivfCenters.isDefined && numBuckets.isEmpty)
+          // keep the cell-partitioned IVF layout: re-assign the merged
+          // snapshot against the stored centroids (one projection — the
+          // snapshot rewrite is what an unbucketed upsert costs anyway)
+          catalog.overwriteFromSelf(db, coll, withCell(merged),
+            partitionBy = Seq(GraftCollection.CellCol))
+        else persistSnapshot(merged)
       case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
     }
-    invalidateDerived()
+    invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive)
+  }
+
+  // ----------------------------------------- incremental index maintenance
+
+  /** Monotone mutation counter; each indexed mutation claims the next
+    * segment number. */
+  private def mutationSeg: Int = describe.get("mut.seg").map(_.toInt).getOrElse(0)
+
+  /** Record the batch ids' new segment in the collection's mutation
+    * ledger (doc_id, seg). A row of a seg-partitioned artifact is live
+    * iff its segment == greatest(family base_seg, ledger(doc_id)) —
+    * re-upserted docs serve from their newest segment, untouched docs
+    * from the family's rebuild segment. O(mutated ids) storage,
+    * superseded by the next full rebuild's base_seg. */
+  private def advanceLedger(docs: DataFrame, seg: Int): Unit = {
+    val led = GraftCollection.mutLedger(coll)
+    val entries = docs.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("seg", lit(seg))
+    if (catalog.collectionExists(db, led))
+      catalog.overwriteFromSelf(db, led,
+        DocumentOps.upsert(catalog.read(db, led), entries, "doc_id"))
+    else {
+      catalog.createCollectionIfNotExists(db, led)
+      catalog.write(db, led, entries)
+    }
+    catalog.updateMeta(db, coll, Map("mut.seg" -> seg.toString))
+  }
+
+  /** Last-wins segment mask over a seg-partitioned index artifact. */
+  private def liveSegRows(rows: DataFrame, rowIdCol: String, baseSeg: Int): DataFrame = {
+    val led = GraftCollection.mutLedger(coll)
+    if (!rows.columns.contains(GraftCollection.SegCol)) rows
+    else if (!catalog.collectionExists(db, led)) rows.drop(GraftCollection.SegCol)
+    else {
+      val l = catalog.read(db, led)
+        .select(col("doc_id").as("__lid"), col("seg").as("__live"))
+      rows.join(l, rows(rowIdCol) === col("__lid"), "left")
+        .where(col(GraftCollection.SegCol) ===
+          greatest(lit(baseSeg), coalesce(col("__live"), lit(0))))
+        .drop("__lid", "__live", GraftCollection.SegCol)
+    }
+  }
+
+  /** Merge an upsert batch into the LIVE fulltext index: the batch's raw
+    * postings land as a NEW __seg partition (O(batch) write — untouched
+    * segments are neither read nor rewritten) and the small stats table
+    * is rewritten with the exact delta (replaced docs' term counts out,
+    * batch term counts in). Query results are bit-identical to a
+    * from-scratch rebuild on the post-upsert corpus: postings store
+    * (tf, dl) and the BM25 weight is a query-time expression over the
+    * refreshed stats. */
+  private def appendFulltextSegment(docs: DataFrame, seg: Int, textCol: String): Unit = {
+    require(docs.columns.contains(textCol),
+      s"upsert on a fulltext-indexed collection must carry '$textCol'")
+    // the OLD versions of replaced ids — their contributions leave the stats
+    val replaced = df.join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val decRaw = Bm25.rawPostings(replaced, idCol, textCol)
+    val incRaw = Bm25.rawPostings(docs, idCol, textCol)
+
+    def corpusStats(raw: DataFrame): (Long, Long) = {
+      val r = raw.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)), sum(col("dl"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val (decN, decDl) = corpusStats(decRaw)
+    val (incN, incDl) = corpusStats(incRaw)
+    val oldStats = catalog.read(db, GraftCollection.ftTerms(coll))
+    val (oldN, oldDl) = oldStats.select(col("n_docs"), col("sum_dl")).limit(1).collect()
+      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+
+    val dec = decRaw.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__dec"))
+    val inc = incRaw.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__inc"))
+    val newTerms = oldStats.select(col("term"), col("df"))
+      .join(dec, Seq("term"), "full_outer")
+      .join(inc, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("__dec"), lit(0L)) +
+          coalesce(col("__inc"), lit(0L))).as("df"))
+      .where(col("df") > 0)
+      .withColumn("n_docs", lit(oldN - decN + incN))
+      .withColumn("sum_dl", lit(oldDl - decDl + incDl))
+
+    // order matters: the stats plan reads the OLD collection (decRaw),
+    // so it must land before the collection data is overwritten
+    catalog.overwriteFromSelf(db, GraftCollection.ftTerms(coll), newTerms)
+    catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
+      incRaw.repartitionByRange(col("term")).sortWithinPartitions("term")
+        .withColumn(GraftCollection.SegCol, lit(seg)),
+      GraftCollection.SegCol)
+  }
+
+  /** Sign the upsert batch into the EXISTING LSH buckets (same planes —
+    * config and seed ride in meta) as a new __seg partition; stale
+    * bucket rows of replaced ids are masked by the ledger at query time.
+    * O(batch · nBits); the persisted table is never rewritten. */
+  private def appendLshSegment(docs: DataFrame, seg: Int, meta: Map[String, String]): Unit = {
+    val batch = graft.vector.LshIndex.bucketTable(
+      docs.where(col(vecCol).isNotNull), idCol, vecCol,
+      meta("index.lsh.nbits").toInt, meta("index.lsh.bands").toInt,
+      meta("index.lsh.dim").toInt, meta("index.lsh.seed").toLong)
+    catalog.overwritePartitions(db, GraftCollection.lshBuckets(coll),
+      batch.withColumn(GraftCollection.SegCol, lit(seg)), GraftCollection.SegCol)
   }
 
   /** Persist a full new snapshot, restoring the layout the collection
@@ -360,21 +505,27 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * with the same planes. */
   def rebuildLshIndex(nBits: Int = 16, bands: Int = 4, seed: Long = 42L): Unit = {
     val dim = beginVectorRebuild("LSH")
+    val base = mutationSeg
     catalog.createCollectionIfNotExists(db, GraftCollection.lshBuckets(coll))
     catalog.write(db, GraftCollection.lshBuckets(coll),
-      graft.vector.LshIndex.bucketTable(df, idCol, vecCol, nBits, bands, dim, seed))
+      graft.vector.LshIndex.bucketTable(df, idCol, vecCol, nBits, bands, dim, seed)
+        .withColumn(GraftCollection.SegCol, lit(base)),
+      partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
       "index.lsh.nbits" -> nBits.toString, "index.lsh.bands" -> bands.toString,
-      "index.lsh.dim" -> dim.toString, "index.lsh.seed" -> seed.toString))
+      "index.lsh.dim" -> dim.toString, "index.lsh.seed" -> seed.toString,
+      "index.lsh.base_seg" -> base.toString))
   }
 
-  /** Banded ANN served from the persisted bucket table. */
+  /** Banded ANN served from the persisted bucket table (ledger-masked:
+    * upserted docs sign from their newest segment only). */
   def searchLsh(queries: DataFrame, qIdCol: String, qVecCol: String,
                 limit: Int = 10): DataFrame = {
     val meta = describe
     require(meta.contains("index.lsh.nbits"), "no LSH index: run rebuildLshIndex first")
-    graft.vector.LshIndex.annIndexed(
-      catalog.read(db, GraftCollection.lshBuckets(coll)),
+    val buckets = liveSegRows(catalog.read(db, GraftCollection.lshBuckets(coll)),
+      "id", meta.get("index.lsh.base_seg").map(_.toInt).getOrElse(0))
+    graft.vector.LshIndex.annIndexed(buckets,
       df, idCol, vecCol, queries, qIdCol, qVecCol, limit,
       meta("index.lsh.nbits").toInt, meta("index.lsh.bands").toInt,
       meta("index.lsh.dim").toInt, meta("index.lsh.seed").toLong)
@@ -493,50 +644,75 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * query's In(term) pushdown skips whole files/rowgroups — fulltext
     * then reads O(postings of the query terms), not O(corpus). */
   def rebuildFulltextIndex(textCol: String = "text"): Unit = {
-    val idx = Bm25.buildIndex(df, idCol, textCol)
+    val base = mutationSeg
     catalog.createCollectionIfNotExists(db, GraftCollection.ftPostings(coll))
     catalog.createCollectionIfNotExists(db, GraftCollection.ftTerms(coll))
     catalog.write(db, GraftCollection.ftPostings(coll),
-      idx.postings.repartitionByRange(col("term")).sortWithinPartitions("term"))
-    catalog.write(db, GraftCollection.ftTerms(coll), idx.terms)
+      Bm25.rawPostings(df, idCol, textCol)
+        .repartitionByRange(col("term")).sortWithinPartitions("term")
+        .withColumn(GraftCollection.SegCol, lit(base)),
+      partitionBy = Seq(GraftCollection.SegCol))
+    // stats derive from the postings just WRITTEN — one tokenize pass
+    catalog.write(db, GraftCollection.ftTerms(coll),
+      Bm25.statsFromPostings(
+        catalog.read(db, GraftCollection.ftPostings(coll)).drop(GraftCollection.SegCol)))
+    catalog.updateMeta(db, coll, Map(
+      "index.ft.text_col" -> textCol, "index.ft.base_seg" -> base.toString))
   }
 
-  /** The persisted fulltext index, if [[rebuildFulltextIndex]] ran. */
+  /** The persisted fulltext index, if [[rebuildFulltextIndex]] ran
+    * (ledger-masked when mutations appended segments). */
   private def sparseIndex: Option[Bm25.SparseIndex] =
-    if (catalog.collectionExists(db, GraftCollection.ftPostings(coll)))
+    if (catalog.collectionExists(db, GraftCollection.ftPostings(coll))) {
+      val led = GraftCollection.mutLedger(coll)
       Some(Bm25.SparseIndex(
         catalog.read(db, GraftCollection.ftPostings(coll)),
-        catalog.read(db, GraftCollection.ftTerms(coll))))
-    else None
+        catalog.read(db, GraftCollection.ftTerms(coll)),
+        ledger = if (catalog.collectionExists(db, led)) Some(catalog.read(db, led)) else None,
+        baseSeg = describe.get("index.ft.base_seg").map(_.toInt).getOrElse(0)))
+    } else None
 
-  /** Mutations invalidate derived fulltext index collections (the
-    * reference requires an explicit rebuild after writes too; serving a
-    * stale index silently would be worse). */
-  private def invalidateDerived(): Unit = {
-    Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)).foreach { c =>
-      if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
-    }
-    invalidateVectorIndex()
+  /** Drop a family's artifact collections + meta keys. */
+  private def invalidateFamily(colls: Seq[String], keys: Seq[String]): Unit = {
+    colls.foreach(c => if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c))
+    val meta = describe
+    val stale = keys.filter(meta.contains)
+    if (stale.nonEmpty)
+      catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
+  }
+
+  /** Invalidate derived indexes after a mutation. Upsert passes keep
+    * flags for the families it maintained incrementally; other mutations
+    * (delete / update / truncate) still invalidate everything — the
+    * reference requires an explicit rebuild after writes too, and
+    * serving a stale index silently would be worse. */
+  private def invalidateDerived(keepFt: Boolean = false, keepIvf: Boolean = false,
+                                keepLsh: Boolean = false): Unit = {
+    if (!keepFt)
+      invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
+        Seq("index.ft.text_col", "index.ft.base_seg"))
+    invalidateVectorIndex(keepIvf, keepLsh)
   }
 
   /** Drop the persisted vector-index models (IVF centroids, PQ
-    * codes+codebooks) and their meta — an index is gone whenever its
-    * layout or corpus is rewritten; meta must not keep advertising it. */
-  private def invalidateVectorIndex(): Unit = {
-    Seq(GraftCollection.ivfCentroids(coll), GraftCollection.pqCodes(coll),
-        GraftCollection.pqCodebooks(coll), GraftCollection.ivfPqCodes(coll),
-        GraftCollection.ivfPqCentroids(coll), GraftCollection.ivfPqCodebooks(coll),
-        GraftCollection.lshBuckets(coll)).foreach { c =>
-      if (catalog.collectionExists(db, c)) catalog.dropCollection(db, c)
-    }
-    val meta = describe
-    val stale = Seq("index.ivf.nlist", "index.ivf.metric",
-      "index.pq.m", "index.pq.k", "index.pq.dim",
-      "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim",
-      "index.lsh.nbits", "index.lsh.bands", "index.lsh.dim", "index.lsh.seed")
-      .filter(meta.contains)
-    if (stale.nonEmpty)
-      catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
+    * codes+codebooks, LSH buckets) and their meta — an index is gone
+    * whenever its layout or corpus is rewritten, unless the caller
+    * maintained it incrementally; meta must not keep advertising it. */
+  private def invalidateVectorIndex(keepIvf: Boolean = false,
+                                    keepLsh: Boolean = false): Unit = {
+    if (!keepIvf)
+      invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
+        Seq("index.ivf.nlist", "index.ivf.metric"))
+    if (!keepLsh)
+      invalidateFamily(Seq(GraftCollection.lshBuckets(coll)),
+        Seq("index.lsh.nbits", "index.lsh.bands", "index.lsh.dim",
+          "index.lsh.seed", "index.lsh.base_seg"))
+    invalidateFamily(
+      Seq(GraftCollection.pqCodes(coll), GraftCollection.pqCodebooks(coll),
+        GraftCollection.ivfPqCodes(coll), GraftCollection.ivfPqCentroids(coll),
+        GraftCollection.ivfPqCodebooks(coll)),
+      Seq("index.pq.m", "index.pq.k", "index.pq.dim",
+        "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim"))
   }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses
@@ -642,6 +818,10 @@ object GraftCollection {
   val EmbedCol = "__embed"
   /** Derived hash-bucket partition column of bucketed collections. */
   val BucketCol = "__bucket"
+  /** Segment partition column of incrementally maintained index
+    * artifacts (same name as [[graft.sparse.Bm25.SegCol]]). */
+  val SegCol: String = graft.sparse.Bm25.SegCol
+  private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
   private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"

@@ -60,34 +60,94 @@ object Bm25 {
       .select(col("doc_id"), col("term"), col("tf"), weight.as("weight"))
   }
 
-  /** A materializable sparse/fulltext index: BM25 `postings`
-    * (doc_id, term, tf, weight) and per-term `terms` stats
-    * (term, df, n_docs — n_docs denormalized onto each row so the stats
-    * table is self-contained). Both are plain DataFrames, so the index
-    * persists as two parquet collections (see
+  /** A materializable sparse/fulltext index: RAW `postings`
+    * (doc_id, term, tf, dl [, __seg]) and per-term `terms` stats
+    * (term, df, n_docs, sum_dl — corpus stats denormalized onto each row
+    * so the stats table is self-contained). Both are plain DataFrames,
+    * so the index persists as two parquet collections (see
     * [[graft.api.GraftCollection.rebuildFulltextIndex]]) and queries
     * read ONLY the posting lists of their terms instead of re-encoding
     * the corpus — the reference server's persistent-inverted-index
-    * behavior (client/stub.py fulltext_search). */
-  final case class SparseIndex(postings: DataFrame, terms: DataFrame)
+    * behavior (client/stub.py fulltext_search).
+    *
+    * Postings store (tf, dl), NOT the final BM25 weight: the weight
+    * depends on global corpus stats (df, N, avgdl), so persisting it
+    * would invalidate every posting row on any mutation. With raw
+    * postings, an upsert appends ONLY the batch's postings (a new
+    * `__seg` partition) and rewrites the small stats table — the weight
+    * is a query-time expression over the joined stats, bit-identical to
+    * computing it at build time.
+    *
+    * `ledger` + `baseSeg` implement last-wins masking for incrementally
+    * maintained indexes: a posting row in segment s is live iff
+    * s == greatest(baseSeg, ledger(doc_id)) — re-upserted docs serve
+    * from their newest segment, base docs from the rebuild segment,
+    * absent ids from nowhere. */
+  final case class SparseIndex(postings: DataFrame, terms: DataFrame,
+                               ledger: Option[DataFrame] = None, baseSeg: Int = 0)
 
-  /** Per-term stats derived from a postings frame. n_docs counts docs
-    * with >= 1 posting — identical to encode's corpus count (zero-token
-    * docs excluded), so cutoff eligibility matches the oracle even when
-    * the postings come back from parquet. */
-  def termsFromPostings(postings: DataFrame): DataFrame = {
-    val corpusN = postings.agg(countDistinct(col("doc_id")).as("n_docs"))
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(corpusN))
+  /** Segment partition column of incrementally maintained postings. */
+  val SegCol = "__seg"
+
+  /** Raw postings (doc_id, term, tf, dl) — the persistable, appendable
+    * form of the inverted index. */
+  def rawPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (tf, dl) = postings(docs, idCol, textCol)
+    tf.join(dl, "doc_id").select("doc_id", "term", "tf", "dl")
   }
 
-  /** Build the index from a corpus (one encode + one term aggregate —
+  /** Per-term + corpus stats from a raw postings frame:
+    * (term, df, n_docs, sum_dl). n_docs counts docs with >= 1 posting —
+    * identical to encode's corpus count (zero-token docs excluded), so
+    * cutoff eligibility matches the oracle even when the postings come
+    * back from parquet. */
+  def statsFromPostings(raw: DataFrame): DataFrame = {
+    val perDoc = raw.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    raw.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+  }
+
+  /** The BM25 weight as a query-time expression over a postings row
+    * joined with its term's stats — the SAME expression tree [[encode]]
+    * applies at build time, so scores are bit-identical either way. */
+  private def weightCol(k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sum_dl") / col("n_docs")
+    idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+  }
+
+  /** Apply the last-wins segment mask to a (term-filtered) postings
+    * frame. No-op for single-snapshot indexes (no __seg column); without
+    * a ledger every stored row is live (no mutations since rebuild). */
+  private def liveRows(index: SparseIndex, filtered: DataFrame): DataFrame =
+    if (!filtered.columns.contains(SegCol)) filtered
+    else index.ledger match {
+      case None => filtered.drop(SegCol)
+      case Some(led) =>
+        filtered
+          .join(led.select(col("doc_id"), col("seg").as("__live")), Seq("doc_id"), "left")
+          .where(col(SegCol) ===
+            greatest(lit(index.baseSeg), coalesce(col("__live"), lit(0))))
+          .drop("__live", SegCol)
+    }
+
+  /** Build the index from a corpus (one tokenize + one term aggregate —
     * paid once at rebuild time, not per query). */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-                 k1: Double = DefaultK1, b: Double = DefaultB): SparseIndex = {
-    val enc = encode(docs, idCol, textCol, k1, b)
-    SparseIndex(enc, termsFromPostings(enc))
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): SparseIndex = {
+    val raw = rawPostings(docs, idCol, textCol)
+    SparseIndex(raw, statsFromPostings(raw))
   }
+
+  /** Weighted postings (doc_id, term, tf, weight) materialized from a
+    * raw index — for consumers that need the full BM25 encoding of every
+    * live row (e.g. packing stored sparse vectors). */
+  def weightedPostings(index: SparseIndex,
+                       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame =
+    liveRows(index, index.postings)
+      .join(broadcast(index.terms), "term")
+      .select(col("doc_id"), col("term"), col("tf"), weightCol(k1, b).as("weight"))
 
   /** Fulltext search over a (possibly persisted) [[SparseIndex]]: rank
     * documents by summed BM25 weight of the query terms they contain.
@@ -104,12 +164,15 @@ object Bm25 {
     */
   def fulltextIndexed(index: SparseIndex, queryTerms: Seq[String], k: Int,
                       cutoffFrequency: Double = 1.0,
-                      terminateAfter: Option[Int] = None): DataFrame = {
+                      terminateAfter: Option[Int] = None,
+                      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     // the term filter sits directly on the postings scan: against a
     // persisted index this is a parquet In-pushdown that reads only the
     // query terms' posting lists (term-clustered rowgroups skip), which
-    // is the whole point of materializing the index
-    val enc0 = index.postings.where(col("term").isin(queryTerms: _*))
+    // is the whole point of materializing the index. The segment mask
+    // applies AFTER the term filter, so it only ever touches the query
+    // terms' postings.
+    val enc0 = liveRows(index, index.postings.where(col("term").isin(queryTerms: _*)))
     val enc = terminateAfter match {
       case None => enc0
       case Some(n) =>
@@ -130,13 +193,12 @@ object Bm25 {
     val wanted = index.terms
       .where(col("term").isin(queryTerms: _*))
       .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))
-      .select("term")
     // Per-term weights are rounded to 4 decimals and summed as DECIMAL:
     // exact arithmetic makes the doc score independent of Spark's
     // aggregation order, so ranking is bit-stable vs the oracle.
     val scored = enc.join(broadcast(wanted), "term")
       .groupBy("doc_id")
-      .agg(sum(round(col("weight"), 4).cast("decimal(18,4)")).cast("double").as("score"),
+      .agg(sum(round(weightCol(k1, b), 4).cast("decimal(18,4)")).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
     // top-k via TakeOrderedAndProject (distributed k-merge, no global
     // sort), then a rank column over the k survivors only (the unparti-
@@ -158,19 +220,20 @@ object Bm25 {
     * term lists broadcast onto the surviving postings, and a bounded
     * heap ranks each query without a global sort. */
   def fulltextBatch(index: SparseIndex, queryTerms: DataFrame, k: Int,
-                    cutoffFrequency: Double = 1.0): DataFrame = {
+                    cutoffFrequency: Double = 1.0,
+                    k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     val allTerms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     val elig = index.terms
       .where(col("term").isin(allTerms: _*))
       .where(col("df") <= lit(cutoffFrequency) * col("n_docs"))
-      .select("term")
+    // the broadcast rider carries each term's stats alongside its query
+    // ids, so the weight is computable per posting row with no extra join
     val q = broadcast(queryTerms.select(col("query_id"), col("term")).join(elig, "term"))
-    val scored = index.postings
-      .where(col("term").isin(allTerms: _*))
+    val scored = liveRows(index, index.postings.where(col("term").isin(allTerms: _*)))
       .join(q, "term")
       .groupBy("query_id", "doc_id")
-      .agg(sum(round(col("weight"), 4).cast("decimal(18,4)")).cast("double").as("score"))
+      .agg(sum(round(weightCol(k1, b), 4).cast("decimal(18,4)")).cast("double").as("score"))
     graft.vector.Ranked.topK(
       scored.select(col("query_id"), col("score").as("__s"), col("doc_id").as("id")),
       k, asc = false)
@@ -185,6 +248,6 @@ object Bm25 {
                cutoffFrequency: Double = 1.0,
                terminateAfter: Option[Int] = None,
                k1: Double = DefaultK1, b: Double = DefaultB): DataFrame =
-    fulltextIndexed(buildIndex(docs, idCol, textCol, k1, b), queryTerms, k,
-      cutoffFrequency, terminateAfter)
+    fulltextIndexed(buildIndex(docs, idCol, textCol), queryTerms, k,
+      cutoffFrequency, terminateAfter, k1, b)
 }

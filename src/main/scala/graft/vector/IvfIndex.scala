@@ -2,7 +2,7 @@ package graft.vector
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) index: the reference's IVF_FLAT/IVF_* index
@@ -54,6 +54,28 @@ object IvfIndex {
     model.kmeans.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
   }
+
+  /** Cell assignment against FIXED (persisted) centroids as a single
+    * expression: least() over (distance, cell) structs is the argmin,
+    * earliest cell on ties — the same assignment the trained model
+    * computes, with no model object, no shuffle, and no retraining.
+    * This is the INCREMENTAL index-maintenance path: an upsert batch is
+    * assigned to the existing cells in O(batch · nlist) inside the
+    * batch's own projection. Null vectors get a null cell (they are
+    * unsearchable, not dropped — same contract as null embeddings). */
+  def assignExpr(centers: Seq[(Seq[Double], Int)], vec: Column): Column = {
+    require(centers.nonEmpty, "no centroids to assign against")
+    val best = least(centers.map { case (c, i) =>
+      struct(VectorScore.l2(vec, typedLit(c)).as("d"), lit(i).as("c"))
+    }: _*)
+    when(vec.isNull, lit(null)).otherwise(best.getField("c"))
+  }
+
+  /** Collect a persisted (cell, centroid) table to the driver-side
+    * literal form [[assignExpr]] needs (nlist rows — tiny by contract). */
+  def centersFromDf(centroidsDf: DataFrame): Seq[(Seq[Double], Int)] =
+    centroidsDf.select(col("centroid").cast("array<double>"), col("cell").cast("int"))
+      .collect().map(r => (r.getSeq[Double](0), r.getInt(1))).toSeq
 
   /** IVF search: prune to each query's `nprobe` nearest cells, exact
     * KNN within the union of those cells. */

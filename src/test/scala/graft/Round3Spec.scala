@@ -65,7 +65,8 @@ class Round3Spec extends SparkSpec {
     // user batches never carry the internal cell column
     coll.upsert(Seq((5L, vec(0.5, -0.5)), (2L, vec(0.1, 0.9))).toDF("id", "vector"))
     assert(coll.count() == 5)
-    // mutation invalidates the persisted model; nprobe falls back to exact
+    // the index survives the upsert (incremental assignment to the
+    // stored centroids) and nprobe search keeps serving
     val hits = coll.search(Seq((9L, vec(1.0, 0.0))).toDF("qid", "qvec"), "qid", "qvec",
       limit = 2, nprobe = Some(2))
     assert(hits.count() == 2)
@@ -179,7 +180,7 @@ class Round3Spec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
 
-  test("rebuildFulltextIndex: persisted index serves fulltext, invalidated on write") {
+  test("rebuildFulltextIndex: persisted index serves fulltext, stays live across upsert") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-ft").toString)
     val db = client.createDatabase("db")
     val coll = db.createCollection("texts")
@@ -191,11 +192,16 @@ class Round3Spec extends SparkSpec {
     assert(db.listCollections().contains("texts__ft_postings"))
     val indexed = coll.fulltext(Seq("spark", "join"), k = 4).collect().toSeq
     assert(indexed == inline)
-    // a mutation drops the derived index (stale results are never served)
+    // an upsert is merged into the LIVE index (round-4 incremental
+    // maintenance): the batch's postings land as a new segment and the
+    // stats refresh — no drop, no full rebuild, results identical to one
     coll.upsert(Seq((5L, "fresh spark doc")).toDF("id", "text"))
-    assert(!db.listCollections().contains("texts__ft_postings"))
-    val after = coll.fulltext(Seq("spark", "join"), k = 5).collect()
+    assert(db.listCollections().contains("texts__ft_postings"))
+    val after = coll.fulltext(Seq("spark", "join"), k = 5).collect().toSeq
     assert(after.exists(_.getLong(1) == 5L))
+    coll.rebuildFulltextIndex()
+    val rebuilt = coll.fulltext(Seq("spark", "join"), k = 5).collect().toSeq
+    assert(after == rebuilt, "incremental index must equal a from-scratch rebuild")
   }
 
   test("addIndex partitions the layout so filters prune; dropIndex restores; schema survives") {
@@ -252,10 +258,16 @@ class Round3Spec extends SparkSpec {
     val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 3).collect().toSeq
     assert(ivf == exact)
     // upsert after rebuild still takes the pruned merge path (bucket
-    // layout intact) and the index invalidates cleanly
+    // layout intact) and the index stays LIVE: the batch is assigned to
+    // the existing centroids, so nprobe search keeps serving (round-4
+    // incremental maintenance; previously the upsert invalidated it)
     coll.upsert(Seq((100L, Seq(0.5, 0.5))).toDF("id", "vector"))
     assert(coll.count() == 41)
-    assert(!coll.describe.contains("index.ivf.nlist"))
+    assert(coll.describe.contains("index.ivf.nlist"))
+    val after = coll.search(q, "qid", "qvec", metric = "l2", limit = 3, nprobe = Some(2))
+      .collect().toSeq
+    val exactAfter = coll.search(q, "qid", "qvec", metric = "l2", limit = 3).collect().toSeq
+    assert(after == exactAfter)
   }
 
   test("existsCollection resolves aliases") {

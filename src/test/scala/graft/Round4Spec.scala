@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+
+/** Round-4 regressions: incremental index maintenance on upsert.
+  * Every maintained family (fulltext postings, LSH buckets, IVF cell
+  * assignment) must serve results IDENTICAL to a from-scratch rebuild
+  * on the post-upsert corpus, across repeated upserts and re-upserts
+  * of the same ids (multi-segment ledger last-wins). */
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH index stays live across upsert; results equal a from-scratch rebuild") {
+    val root = Files.createTempDirectory("graft-lshinc").toString
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 150L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildLshIndex(nBits = 16, bands = 4)
+
+    // a later batch: two NEW ids and one REPLACED id (9 moves far away)
+    val moved: Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    coll.upsert(Seq(
+      (200L, rows(9)._2), (201L, Seq.fill(8)(rnd.nextGaussian())), (9L, moved))
+      .toDF("id", "vector"))
+    assert(coll.describe.contains("index.lsh.nbits"), "upsert must keep the LSH index live")
+
+    val q = Seq((0L, rows(9)._2)).toDF("qid", "qvec")
+    val incremental = coll.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq
+    // the new doc 200 carries doc 9's OLD vector — it must be findable,
+    // and doc 9's STALE bucket rows must be masked by the ledger
+    assert(incremental.head.getLong(2) == 200L)
+
+    coll.rebuildLshIndex(nBits = 16, bands = 4)
+    val rebuilt = coll.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq
+    assert(incremental == rebuilt, "incremental LSH must equal a from-scratch rebuild")
+  }
+
+  test("fulltext index across repeated upserts: re-upserted id serves newest segment only") {
+    val root = Files.createTempDirectory("graft-ftinc").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq(
+      (1L, "spark join fast spark"), (2L, "slow scan table"),
+      (3L, "spark window agg")).toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+
+    // segment 1: new doc + replace doc 1 (drops the word 'spark')
+    coll.upsert(Seq((4L, "join planner"), (1L, "tuple relocation")).toDF("id", "text"))
+    // segment 2: replace doc 1 AGAIN (re-adds 'spark' twice)
+    coll.upsert(Seq((1L, "spark spark rises")).toDF("id", "text"))
+
+    val inc = coll.fulltext(Seq("spark", "join"), k = 5).collect().toSeq
+    coll.rebuildFulltextIndex()
+    val rebuilt = coll.fulltext(Seq("spark", "join"), k = 5).collect().toSeq
+    assert(inc == rebuilt, "multi-segment fulltext must equal a from-scratch rebuild")
+    // doc 1 must rank by its NEWEST text (two 'spark' hits), not the
+    // seg-0 or seg-1 versions
+    assert(inc.exists(r => r.getLong(1) == 1L))
+    assert(inc.filter(_.getLong(1) == 1L).head.getLong(2) == 1L, // n_terms: spark only
+      s"doc 1 must match only 'spark' from its newest text, got $inc")
+  }
+
+  test("fulltext stats refresh on upsert: scores match rebuild exactly (df/avgdl drift)") {
+    val root = Files.createTempDirectory("graft-ftstats").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert((1L to 20L).map(i =>
+      (i, if (i % 3 == 0) s"alpha beta gamma doc$i" else s"delta epsilon doc$i words"))
+      .toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    // the batch shifts df(alpha) and the corpus avgdl
+    coll.upsert((21L to 30L).map(i => (i, s"alpha long doc$i with many extra words here"))
+      .toDF("id", "text"))
+    val inc = coll.fulltext(Seq("alpha", "delta"), k = 10).collect().toSeq
+    coll.rebuildFulltextIndex()
+    val rebuilt = coll.fulltext(Seq("alpha", "delta"), k = 10).collect().toSeq
+    assert(inc == rebuilt, "BM25 scores after incremental upsert must be bit-identical")
+  }
+
+  test("IVF incremental assignment equals rebuild on unbucketed collection") {
+    val root = Files.createTempDirectory("graft-ivfinc").toString
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 200L).map(i => (i, Seq.fill(4)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIndex(nlist = 4)
+    coll.upsert((300L until 320L).map(i => (i, Seq.fill(4)(rnd.nextGaussian())))
+      .toDF("id", "vector"))
+    assert(coll.describe.contains("index.ivf.nlist"), "upsert must keep the IVF index live")
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    val inc = coll.search(q, "qid", "qvec", metric = "l2", limit = 5, nprobe = Some(4))
+      .collect().toSeq
+    val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
+    assert(inc == exact, "nprobe=nlist after incremental assignment must equal exact")
+  }
+
+  test("delete still invalidates incrementally-maintained indexes") {
+    val root = Files.createTempDirectory("graft-delinv").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    coll.upsert(Seq((3L, "alpha delta")).toDF("id", "text")) // keeps index live
+    coll.deleteByIds(Seq(2L))
+    assert(!coll.describe.contains("index.ft.text_col"),
+      "delete must invalidate the fulltext index (no silent stale serving)")
+  }
+}

@@ -16,7 +16,9 @@ import graft.text.CollectionView
   * call reads the index — never re-splits or re-embeds.
   *
   * Storage: two sibling collections per view —
-  * `<view>__cv_sets` (doc_set, title, n_chars, n_chunks) the registry,
+  * `<view>__cv_sets` (doc_set, title, text, n_chars, n_chunks) the
+  * registry — the raw uploaded body is STORED, so get_text can return
+  * the user's document (document_set.py:47) —
   * `<view>__cv_chunks` (doc_set, chunk_id, chunk, vec) the chunk index.
   */
 final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
@@ -73,18 +75,28 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       .where(col("doc_set") === documentSetName).count()
     val row = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        documentSetName, t, text.length.toLong, nChunks)),
+        documentSetName, t, text, text.length.toLong, nChunks)),
       GraftCollectionView.SetsSchema)
     replaceIn(setsColl, documentSetName, row)
   }
 
-  /** get_document_set(name): the registry row, or empty. */
+  /** get_document_set(name): the registry row — INCLUDING the stored
+    * raw body (collection_view.py:216 returns the document text). */
   def getDocumentSet(name: String): DataFrame =
     sets.where(col("doc_set") === name)
 
-  /** query(filter, limit, offset): list document sets. */
+  /** get_text(name): the uploaded document body round-tripped back to
+    * the caller (document_set.py:47). One named set — a bounded
+    * single-row collect by design. */
+  def getText(name: String): Option[String] =
+    getDocumentSet(name).select("text").collect().headOption.map(_.getString(0))
+
+  /** query(filter, limit, offset): list document sets (metadata only —
+    * the raw body is column-pruned out; fetch it per set via
+    * [[getText]] / [[getDocumentSet]], the reference's lazy
+    * DocumentSet.get_text split). */
   def query(filter: String = "", limit: Option[Int] = None, offset: Int = 0): DataFrame = {
-    var out = sets.where(FilterParser.parse(filter)).orderBy("doc_set")
+    var out = sets.drop("text").where(FilterParser.parse(filter)).orderBy("doc_set")
     if (offset > 0) out = out.offset(offset)
     limit.fold(out)(out.limit)
   }
@@ -97,18 +109,22 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     limit.fold(out)(out.limit)
   }
 
-  /** delete(document_set_name | filter over the registry). */
+  /** delete(document_set_name | filter over the registry). The doomed
+    * set is a FRAME anti-joined against both backing collections — the
+    * matched names never land on the driver, so a filter matching
+    * millions of document sets costs a join, not a driver OOM. */
   def delete(names: Seq[String] = Nil, filter: String = ""): Unit = {
     require(names.nonEmpty || filter.nonEmpty,
       "please provide document_set_name or filter")
     val doomed = (if (names.nonEmpty) sets.where(col("doc_set").isin(names: _*))
                   else sets.where(FilterParser.parse(filter)))
-      .select("doc_set").collect().map(_.getString(0)).toSeq
-    if (doomed.nonEmpty) {
-      catalog.overwriteFromSelf(db, setsColl,
-        sets.where(!col("doc_set").isin(doomed: _*)))
+      .select("doc_set")
+    if (!doomed.isEmpty) {
+      // chunks first: its anti-join reads the still-unmodified registry
       catalog.overwriteFromSelf(db, chunksColl,
-        chunks.where(!col("doc_set").isin(doomed: _*)))
+        chunks.join(doomed, Seq("doc_set"), "left_anti"))
+      catalog.overwriteFromSelf(db, setsColl,
+        sets.join(doomed, Seq("doc_set"), "left_anti"))
     }
   }
 
@@ -156,5 +172,5 @@ object GraftCollectionView {
     * the empty-read path use. */
   val SetsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_set STRING, title STRING, n_chars BIGINT, n_chunks BIGINT")
+      "doc_set STRING, title STRING, text STRING, n_chars BIGINT, n_chunks BIGINT")
 }

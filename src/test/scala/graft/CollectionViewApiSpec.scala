@@ -33,12 +33,15 @@ class CollectionViewApiSpec extends SparkSpec {
     // registry: both sets with stats
     assert(view.query().collect().map(_.getString(0)).toSeq == Seq("a.md", "b.md"))
     val a = view.getDocumentSet("a.md").head()
-    assert(a.getString(1) == "a.md" && a.getLong(2) == textA.length.toLong)
+    assert(a.getString(1) == "a.md" && a.getLong(3) == textA.length.toLong)
     assert(view.getDocumentSet("missing.md").isEmpty)
+    // get_text round-trips the uploaded body (document_set.py:47)
+    assert(view.getText("a.md").contains(textA))
+    assert(view.getText("missing.md").isEmpty)
 
     // chunks: ordered, pageable; chunkSize 80 / stride 60 over ~190 chars
     val all = view.getChunks("a.md").collect()
-    assert(all.length == view.getDocumentSet("a.md").head().getLong(3))
+    assert(all.length == view.getDocumentSet("a.md").head().getLong(4))
     assert(all.map(_.getInt(0)).toSeq == all.indices.toSeq)
     val page = view.getChunks("a.md", limit = Some(2), offset = 1).collect()
     assert(page.map(_.getInt(0)).toSeq == Seq(1, 2))
@@ -58,7 +61,8 @@ class CollectionViewApiSpec extends SparkSpec {
     // re-upload replaces chunks (not appends)
     view.loadAndSplitText("b.md", "tiny now")
     assert(view.getChunks("b.md").count() == 1)
-    assert(view.getDocumentSet("b.md").head().getLong(2) == "tiny now".length.toLong)
+    assert(view.getDocumentSet("b.md").head().getLong(3) == "tiny now".length.toLong)
+    assert(view.getText("b.md").contains("tiny now"))
 
     // delete by name removes registry + chunks
     view.delete(names = Seq("a.md"))
@@ -68,5 +72,19 @@ class CollectionViewApiSpec extends SparkSpec {
     view.delete(filter = """n_chars < 100""")
     assert(view.query().isEmpty)
     intercept[IllegalArgumentException](view.delete())
+  }
+
+  test("filter delete over many document sets stays distributed (anti-join path)") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvdel").toString)
+    val view = client.createDatabase("db").createCollectionView("bulk")
+    (1 to 30).foreach(i => view.loadAndSplitText(s"d$i.md",
+      s"document number $i " * (if (i % 2 == 0) 10 else 3)))
+    assert(view.query().count() == 30)
+    // a filter matching half the registry: the doomed set is a frame,
+    // never a driver-side name list
+    view.delete(filter = "n_chars > 100")
+    val left = view.query().collect().map(_.getString(0)).toSet
+    assert(left == (1 to 30).filter(_ % 2 == 1).map(i => s"d$i.md").toSet)
+    assert(view.chunks.select("doc_set").distinct().count() == 15)
   }
 }

@@ -129,13 +129,33 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.collectionExists(db, GraftCollection.lshBuckets(coll))
     val ivfLive = meta.contains("index.ivf.nlist") &&
       catalog.collectionExists(db, GraftCollection.ivfCentroids(coll))
+    val mhLive = meta.contains("index.mh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.mhSig(coll))
+    val shLive = meta.contains("index.sh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.shSig(coll))
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
-    if (ftLive || lshLive) {
+    if (ftLive || lshLive || mhLive || shLive) {
       val seg = mutationSeg + 1
       if (ftLive) appendFulltextSegment(docs, seg, meta("index.ft.text_col"))
       if (lshLive) appendLshSegment(docs, seg, meta)
+      // dedup signatures are per-doc pure functions of the text — the
+      // batch's signatures are a self-contained new segment
+      if (mhLive) {
+        require(docs.columns.contains(meta("index.mh.text_col")),
+          s"upsert on a minhash-indexed collection must carry '${meta("index.mh.text_col")}'")
+        appendSegRows(GraftCollection.mhSig(coll), seg,
+          graft.dedup.Dedup.minhashSignatures(docs, idCol, meta("index.mh.text_col"),
+            meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
+            meta("index.mh.seed").toLong))
+      }
+      if (shLive) {
+        require(docs.columns.contains(meta("index.sh.text_col")),
+          s"upsert on a simhash-indexed collection must carry '${meta("index.sh.text_col")}'")
+        appendSegRows(GraftCollection.shSig(coll), seg,
+          graft.dedup.Dedup.simhashSignatures(docs, idCol, meta("index.sh.text_col")))
+      }
       advanceLedger(docs, seg)
     }
 
@@ -176,7 +196,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         else persistSnapshot(merged)
       case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
     }
-    invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive)
+    invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
+      keepMh = mhLive, keepSh = shLive)
   }
 
   // ----------------------------------------- incremental index maintenance
@@ -282,6 +303,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.overwritePartitions(db, GraftCollection.lshBuckets(coll),
       batch.withColumn(GraftCollection.SegCol, lit(seg)), GraftCollection.SegCol)
   }
+
+  /** Land `rows` as segment `seg` of an artifact collection (dynamic
+    * partition overwrite: only the new segment's directory is written). */
+  private def appendSegRows(artifact: String, seg: Int, rows: DataFrame): Unit =
+    catalog.overwritePartitions(db, artifact,
+      rows.withColumn(GraftCollection.SegCol, lit(seg)), GraftCollection.SegCol)
 
   /** Persist a full new snapshot, restoring the layout the collection
     * is configured for: hash buckets take precedence, else the scalar
@@ -531,6 +558,61 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       meta("index.lsh.dim").toInt, meta("index.lsh.seed").toLong)
   }
 
+  /** rebuild_index for the MinHash dedup index: persist per-doc minhash
+    * signatures (the O(corpus) shingle+min pass) so near-dup queries
+    * pay only the banded join. Incrementally maintained on upsert —
+    * signatures are per-doc pure functions, so a batch appends its own
+    * segment. */
+  def rebuildMinhashIndex(textCol: String = "text", shingleN: Int = 3,
+                          numPerms: Int = 32, seed: Long = 42L): Unit = {
+    val base = mutationSeg
+    catalog.createCollectionIfNotExists(db, GraftCollection.mhSig(coll))
+    catalog.write(db, GraftCollection.mhSig(coll),
+      graft.dedup.Dedup.minhashSignatures(df, idCol, textCol, shingleN, numPerms, seed)
+        .withColumn(GraftCollection.SegCol, lit(base)),
+      partitionBy = Seq(GraftCollection.SegCol))
+    catalog.updateMeta(db, coll, Map(
+      "index.mh.text_col" -> textCol, "index.mh.shingle" -> shingleN.toString,
+      "index.mh.perms" -> numPerms.toString, "index.mh.seed" -> seed.toString,
+      "index.mh.base_seg" -> base.toString))
+  }
+
+  /** MinHash+LSH near-dup pairs served from the persisted signature
+    * table (ledger-masked). */
+  def nearDupMinhash(bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.mh.text_col"),
+      "no minhash index: run rebuildMinhashIndex first")
+    val sig = liveSegRows(catalog.read(db, GraftCollection.mhSig(coll)),
+      "doc_id", meta.get("index.mh.base_seg").map(_.toInt).getOrElse(0))
+    graft.dedup.Dedup.minhashLshFromSignatures(sig,
+      meta("index.mh.perms").toInt, bands, threshold)
+  }
+
+  /** rebuild_index for the SimHash dedup index (see
+    * [[rebuildMinhashIndex]]). */
+  def rebuildSimhashIndex(textCol: String = "text"): Unit = {
+    val base = mutationSeg
+    catalog.createCollectionIfNotExists(db, GraftCollection.shSig(coll))
+    catalog.write(db, GraftCollection.shSig(coll),
+      graft.dedup.Dedup.simhashSignatures(df, idCol, textCol)
+        .withColumn(GraftCollection.SegCol, lit(base)),
+      partitionBy = Seq(GraftCollection.SegCol))
+    catalog.updateMeta(db, coll, Map(
+      "index.sh.text_col" -> textCol, "index.sh.base_seg" -> base.toString))
+  }
+
+  /** SimHash near-dup pairs served from the persisted signature table
+    * (ledger-masked). */
+  def nearDupSimhash(maxHamming: Int = 3): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.sh.text_col"),
+      "no simhash index: run rebuildSimhashIndex first")
+    val sig = liveSegRows(catalog.read(db, GraftCollection.shSig(coll)),
+      "doc_id", meta.get("index.sh.base_seg").map(_.toInt).getOrElse(0))
+    graft.dedup.Dedup.simhashPairsFromSignatures(sig, maxHamming)
+  }
+
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
     * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving
     * sliver scannable by table lookups). Persists centroids, codebooks,
@@ -687,10 +769,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * reference requires an explicit rebuild after writes too, and
     * serving a stale index silently would be worse. */
   private def invalidateDerived(keepFt: Boolean = false, keepIvf: Boolean = false,
-                                keepLsh: Boolean = false): Unit = {
+                                keepLsh: Boolean = false, keepMh: Boolean = false,
+                                keepSh: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
+    if (!keepMh)
+      invalidateFamily(Seq(GraftCollection.mhSig(coll)),
+        Seq("index.mh.text_col", "index.mh.shingle", "index.mh.perms",
+          "index.mh.seed", "index.mh.base_seg"))
+    if (!keepSh)
+      invalidateFamily(Seq(GraftCollection.shSig(coll)),
+        Seq("index.sh.text_col", "index.sh.base_seg"))
     invalidateVectorIndex(keepIvf, keepLsh)
   }
 
@@ -822,6 +912,8 @@ object GraftCollection {
     * artifacts (same name as [[graft.sparse.Bm25.SegCol]]). */
   val SegCol: String = graft.sparse.Bm25.SegCol
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
+  private[api] def mhSig(coll: String): String = coll + "__mh_sig"
+  private[api] def shSig(coll: String): String = coll + "__sh_sig"
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
   private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"

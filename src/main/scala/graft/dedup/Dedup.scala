@@ -51,13 +51,22 @@ object Dedup {
     * related only through boilerplate (the pairs you don't want). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxDf: Option[Long] = None): DataFrame = {
+                   maxDf: Option[Long] = None): DataFrame =
     // The posting list feeds 4 consumers (both self-join sides + the two
     // size lookups); persisting it turns 4 explode pipelines into 1
-    // (measured 3x on sf0.1). At cluster scale this is a checkpoint of
-    // the (doc_id, gram) postings before the similarity join.
-    val ng = ngrams(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (measured 3x on sf0.1). At cluster scale the postings are an
+    // ingest-time artifact — see [[ngramJaccardFromPostings]].
+    ngramJaccardFromPostings(
+      ngrams(docs, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, maxDf)
+
+  /** [[ngramJaccard]] served from a precomputed (doc_id, g) posting
+    * frame — the ingest-artifact path: signatures of the corpus are
+    * derived once (and persisted, e.g. via IndexStore) and every dedup
+    * run joins the stored postings instead of re-tokenizing 100 TB. */
+  def ngramJaccardFromPostings(ng: DataFrame, threshold: Double = 0.5,
+                               maxDf: Option[Long] = None): DataFrame = {
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val joinable = maxDf match {
       case None => ng
@@ -83,10 +92,31 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
-    * Exact pair scan; the LSH/IVF variants are the candidate generators
-    * for this verify step at scale. */
+    *
+    * Corpus-size guard: at or below [[AllPairsGuard]] rows the exact
+    * pair scan runs directly (n ≤ 20k ⇒ ≤ 2·10⁸ codegen cosines —
+    * faster than generating candidates); above it the plan is the
+    * LSH-candidate path ([[embedLsh]]) with exhaustive-grade bands
+    * (r=2, b=32: a qualifying pair at t >= 0.45 misses all bands with
+    * p ≈ 3e-8), equal results on every oracled config — so no caller
+    * can reach an UNBOUNDED O(n²) cross product. Callers with high
+    * thresholds should call [[embedLsh]] directly with selective bands
+    * (r=8, b=8) for ~30x harder pruning. */
   def embedCosine(embs: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double): DataFrame =
+    if (embs.count() <= AllPairsGuard)
+      embedCosineAllPairs(embs, idCol, vecCol, threshold)
+    else
+      embedLsh(embs, idCol, vecCol, threshold, nBits = 64, bands = 32)
+
+  /** Largest corpus the exact all-pairs scan may plan for. */
+  val AllPairsGuard: Long = 20000L
+
+  /** The exhaustive all-pairs scan — the ORACLE PROBE for the LSH
+    * path's band configs (tests compare [[embedLsh]] against it).
+    * Deliberately not part of the production API: O(n²). */
+  private[graft] def embedCosineAllPairs(embs: DataFrame, idCol: String, vecCol: String,
+                                         threshold: Double): DataFrame = {
     val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     val cos = VectorScore.cosine(col("__va"), col("__vb"))
@@ -159,17 +189,27 @@ object Dedup {
     * dedup are tiny, so convergence is 1–2 rounds; diameter bounds the
     * worst case). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          numPartitions: Option[Int] = None): DataFrame = {
     // localCheckpoint (eager) after every round: caching alone keeps the
     // full logical lineage, which nests a join-of-joins per iteration
     // and blows up analysis time/memory — checkpointing resets the plan
     // to a leaf. (On a cluster: reliable checkpoint dir instead.)
-    // the edge set is orders of magnitude smaller than the corpus
+    // The edge set is orders of magnitude smaller than the corpus
     // (near-dup survivors only) — shrink its partitioning so each
-    // propagation round is a handful of tasks, not a full-width shuffle
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // propagation round is a handful of tasks, not a full-width
+    // shuffle. The width is derived from the MEASURED edge count
+    // (~1M edges per task; the eager checkpoint makes the count free),
+    // so a laptop edge set is one task and a 100 TB corpus's pair list
+    // still spreads — not a local[32] hardcode.
+    val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().coalesce(8).localCheckpoint(true)
+      .distinct().localCheckpoint(true)
+    val parts = numPartitions.getOrElse(
+      math.min(2000L, edges0.count() / 1000000L + 1L).toInt)
+    val edges =
+      if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts).localCheckpoint(true)
+      else edges0
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
     // labels are monotonically non-increasing, so the label sum is a
@@ -222,11 +262,20 @@ object Dedup {
     * equal minhash components; keep pairs >= threshold. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numPerms: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame =
+    minhashLshFromSignatures(
+      minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed).cache(),
+      numPerms, bands, threshold)
+
+  /** [[minhashLsh]] served from a precomputed signature frame
+    * (doc_id, m0..m{p-1}) — the ingest-artifact path: the O(corpus)
+    * shingle+min work is paid once at rebuild and persisted; every
+    * dedup run reads the signature table (three scans of a (1+p)-column
+    * parquet, each column-pruned) and pays only the banded join. */
+  def minhashLshFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.5): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed).cache()
-    val mcols = (0 until numPerms).map(i => col(s"m$i"))
     val bandCols = (0 until bands).map { bnd =>
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(bnd).as("b"), xxhash64(slice: _*).as("h"))
@@ -274,9 +323,15 @@ object Dedup {
     * by pigeonhole a qualifying pair must agree on at least one of four
     * 16-bit blocks, so candidates join on a block value. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSignatures(
+      simhashSignatures(docs, idCol, textCol).cache(), maxHamming)
+
+  /** [[simhashPairs]] served from a precomputed (doc_id, simhash)
+    * frame — the ingest-artifact path (see
+    * [[minhashLshFromSignatures]]). */
+  def simhashPairsFromSignatures(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-block pigeonhole guarantees hamming<=3 only")
-    val sig = simhashSignatures(docs, idCol, textCol).cache()
     val blocks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bnd =>
         struct(lit(bnd).as("b"),

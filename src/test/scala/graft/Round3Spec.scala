@@ -155,7 +155,7 @@ class Round3Spec extends SparkSpec {
 
   test("embedLsh equals all-pairs embedCosine with exhaustive bands") {
     val embs = Tables.embeddingsDf(spark)
-    val exact = Dedup.embedCosine(embs, "vec_id", "embedding", 0.45).collect().toSeq
+    val exact = Dedup.embedCosineAllPairs(embs, "vec_id", "embedding", 0.45).collect().toSeq
     val lsh = Dedup.embedLsh(embs, "vec_id", "embedding", 0.45).collect().toSeq
     assert(lsh == exact)
     assert(exact.nonEmpty)

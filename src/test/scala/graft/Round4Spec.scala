@@ -99,6 +99,43 @@ class Round4Spec extends SparkSpec {
     assert(inc == exact, "nprobe=nlist after incremental assignment must equal exact")
   }
 
+  test("dedup signature indexes: persisted, served, incrementally maintained") {
+    val root = Files.createTempDirectory("graft-ddidx").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    coll.upsert(Seq(
+      (1L, base), (2L, base), (3L, "completely different words entirely here now"))
+      .toDF("id", "text"))
+    coll.rebuildMinhashIndex()
+    coll.rebuildSimhashIndex()
+
+    val mh0 = coll.nearDupMinhash(threshold = 0.5).collect().toSeq
+    assert(mh0.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    val sh0 = coll.nearDupSimhash(maxHamming = 3).collect().toSeq
+    assert(sh0.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+
+    // upsert: a new near-dup of doc 1 and a REPLACEMENT of doc 2 that is
+    // no longer similar — the index must serve from the new segments
+    coll.upsert(Seq(
+      (4L, base), (2L, "now this text shares zero overlap whatsoever"))
+      .toDF("id", "text"))
+    assert(coll.describe.contains("index.mh.text_col") &&
+      coll.describe.contains("index.sh.text_col"), "upsert must keep dedup indexes live")
+
+    val mhInc = coll.nearDupMinhash(threshold = 0.5).collect().toSeq
+    coll.rebuildMinhashIndex()
+    val mhRebuilt = coll.nearDupMinhash(threshold = 0.5).collect().toSeq
+    assert(mhInc == mhRebuilt, "incremental minhash must equal a from-scratch rebuild")
+    assert(mhInc.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
+    assert(!mhInc.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "replaced doc 2 must be served from its newest signature only")
+
+    val shInc = coll.nearDupSimhash(maxHamming = 3).collect().toSeq
+    coll.rebuildSimhashIndex()
+    val shRebuilt = coll.nearDupSimhash(maxHamming = 3).collect().toSeq
+    assert(shInc == shRebuilt, "incremental simhash must equal a from-scratch rebuild")
+  }
+
   test("delete still invalidates incrementally-maintained indexes") {
     val root = Files.createTempDirectory("graft-delinv").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

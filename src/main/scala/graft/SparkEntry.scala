@@ -381,6 +381,24 @@ object SparkEntry {
         .orderBy("win", "event_type")
     }),
 
+    "q_skew_join" -> ((s, dir) => {
+      // deliberately skewed fact: ~75% of events map to nation key 3.
+      // The salted join (ops.Skew) spreads the hot key over 8 reducers
+      // in the PLAN; AQE's runtime skew-join split handles whatever
+      // residual imbalance the stats reveal. The dim side is 25 rows —
+      // salting explodes it 8x, still broadcastable.
+      val fact = Tables.events(s, dir).select(
+        when(col("user_id") % 4 =!= 0, lit(3L))
+          .otherwise(col("user_id") % 25).as("n_nationkey"),
+        col("value"))
+      val dim = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      graft.ops.Skew.saltedJoin(fact, dim, "n_nationkey", salts = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("n_name")
+    }),
+
     "q_json_field" -> ((s, dir) => {
       // reference documents carry arbitrary JSON-typed fields
       // (model/document.py): extract + filter + aggregate on a JSON attr
@@ -679,6 +697,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT n_name, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT CASE WHEN user_id % 4 <> 0 THEN 3 ELSE user_id % 25 END AS k, value
+        |      FROM events) e
+        |JOIN nation n ON n.n_nationkey = e.k
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_json_field" ->
       """SELECT event_type, count(*) AS n,

@@ -32,6 +32,38 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("AQE splits the skewed side of a sort-merge join at runtime") {
+    // Lowered thresholds so local[4]-sized partitions trigger the same
+    // OptimizeSkewedJoin rewrite a 100 TB hot key would: one partition
+    // >> median x factor is split into advisory-sized reads, and the
+    // join node reports skew=true in the final adaptive plan.
+    val tuned = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // keep AQE from converting the SMJ to broadcast (which would
+      // sidestep skew handling entirely for this demonstration)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 120000).select(
+        when($"id" % 10 =!= 0, lit(0L)).otherwise($"id" % 16).as("k"),
+        concat(lit("padding-padding-padding-padding-"), $"id").as("payload"))
+      val dim = spark.range(0, 16).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+      val joined = fact.join(dim, "k")
+      val n = joined.collect().length
+      assert(n == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected a runtime skew-join split, got:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {

@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk"), info("topk"),
       (args: Seq[Expression]) => TopKAgg(args(0), args(1),
         litInt(args(2), "k"), litBool(args(3), "asc")).toAggregateExpression()))
+    // rank-then-filter -> bounded-heap rewrite (radius+limit fusion)
+    e.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
   }
 }

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
+
+import graft.vector.TopKAgg
+
+/** Fuses the naive "rank-then-filter" top-k formulation into graft's
+  * bounded-heap aggregate, so a caller who writes the declarative
+  * pattern
+  *
+  * {{{
+  *   scored.withColumn("rank",
+  *       row_number().over(Window.partitionBy($"query_id")
+  *         .orderBy($"__s".desc, $"id")))
+  *     .where($"rank" <= k)
+  * }}}
+  *
+  * (or its SQL equivalent — e.g. a radius search followed by a top-k,
+  * the reference's `search(radius=…, limit=…)`) gets the SAME physical
+  * plan as [[graft.vector.Ranked.topK]]: a partial [[TopKAgg]] heap per
+  * partition, one k-row-per-group shuffle, no sort, no Window exec.
+  * The un-fused plan shuffles EVERY in-radius row to sort it; the fused
+  * plan moves at most k rows per query per partition — at 100 TB that
+  * is the difference between shuffling terabytes and kilobytes.
+  *
+  * Match conditions (all must hold, otherwise the plan is untouched):
+  *  - Filter is exactly `rank <= lit` / `rank < lit` on the Window's
+  *    single row_number column;
+  *  - one partition attribute; ordering is (score [asc|desc], id asc)
+  *    with score double and id long/string ([[TopKAgg]]'s domain) —
+  *    the id tie-break also makes row_number deterministic, which is
+  *    what licenses the rewrite;
+  *  - the window child's output is exactly {partition, score, id}: the
+  *    aggregate can only carry those three through.
+  *
+  * Null contract: [[TopKAgg]] ignores null scores (as every other graft
+  * ranking path does); the window form would rank them last. Scored
+  * frames in this library null-filter upstream (radius predicates,
+  * score expressions over non-null vectors), so the shapes this rule
+  * targets never observe the difference.
+  *
+  * Registered by [[graft.GraftExtensions]] via `injectOptimizerRule`
+  * (post-optimization batch, so Spark's own InferWindowGroupLimit may
+  * already have inserted a WindowGroupLimit below the Window — both
+  * shapes are matched and the group-limit node is dropped along with
+  * the Window).
+  */
+object RankLimitToTopK extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(rankAlias @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(Seq(part: AttributeReference), orderSpec, _)), _)),
+          _, _, wchild, _))
+        if rankLimit(cond, rankAlias.toAttribute).isDefined =>
+      val k = rankLimit(cond, rankAlias.toAttribute).get
+      // InferWindowGroupLimit may have slid a WindowGroupLimit between
+      // the Window and its real child: the heap subsumes it
+      val child = wchild match {
+        case WindowGroupLimit(_, _, _, _, inner) => inner
+        case other => other
+      }
+      rewrite(part, orderSpec, child, k, rankAlias).getOrElse(f)
+  }
+
+  /** `rank <= k` / `rank < k+1` over the window's rank attribute. */
+  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(r: AttributeReference, IntegerLiteral(k))
+      if r.exprId == rank.exprId && k > 0 => Some(k)
+    case LessThan(r: AttributeReference, IntegerLiteral(k))
+      if r.exprId == rank.exprId && k > 1 => Some(k - 1)
+    case _ => None
+  }
+
+  private def rewrite(part: AttributeReference, orderSpec: Seq[SortOrder],
+                      child: LogicalPlan, k: Int,
+                      rankAlias: Alias): Option[LogicalPlan] = orderSpec match {
+    case Seq(SortOrder(score: AttributeReference, scoreDir, _, _),
+             SortOrder(id: AttributeReference, Ascending, _, _))
+        if score.dataType == DoubleType &&
+          (id.dataType == LongType || id.dataType == StringType) &&
+          child.outputSet == AttributeSet(Seq(part, score, id)) &&
+          child.output.length == 3 =>
+      val asc = scoreDir == Ascending
+      val top = Alias(TopKAgg(score, id, k, asc).toAggregateExpression(), "__top")()
+      val agg = Aggregate(Seq(part), Seq(part, top), child)
+      val elemType = new StructType()
+        .add("score", DoubleType, nullable = false)
+        .add("id", id.dataType, nullable = false)
+      val pos = AttributeReference("__pos", IntegerType, nullable = false)()
+      val elem = AttributeReference("__r", elemType, nullable = false)()
+      val gen = Generate(PosExplode(top.toAttribute), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(pos, elem), agg)
+      // reproduce the Filter's exact output: the window child's columns
+      // (same exprIds, so downstream Projects keep resolving) + rank
+      val byId = Map(
+        score.exprId -> Alias(GetStructField(elem, 0, Some("score")), score.name)(
+          exprId = score.exprId),
+        id.exprId -> Alias(GetStructField(elem, 1, Some("id")), id.name)(
+          exprId = id.exprId))
+      val childCols: Seq[NamedExpression] = child.output.map { a =>
+        if (a.exprId == part.exprId) part else byId(a.exprId)
+      }
+      val rank = Alias(Add(pos, Literal(1)), rankAlias.name)(exprId = rankAlias.exprId)
+      Some(Project(childCols :+ rank, gen))
+    case _ => None
+  }
+}

@@ -99,6 +99,24 @@ object KnnSearch {
       metric: String,
       r: Double,
       k: Int,
+      filter: Option[Column] = None): DataFrame =
+    Ranked.topK(
+      radiusScored(data, idCol, vecCol, queries, qIdCol, qVecCol, metric, r, filter),
+      k, asc = !VectorMetric(metric).largerIsBetter)
+
+  /** The in-radius scored rows (query_id, __s, id) with RAW scores — the
+    * shared radius stage of [[radiusTopK]], also the shape a caller's
+    * own window-rank top-k composes on (which the RankLimitToTopK rule
+    * then fuses back into the bounded heap). */
+  private[graft] def radiusScored(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      r: Double,
       filter: Option[Column] = None): DataFrame = {
     val m = VectorMetric(metric)
     val corpus = filter.foldLeft(data)(_ where _)
@@ -109,9 +127,8 @@ object KnnSearch {
       .select(col("query_id"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
         col("id"))
-    val kept = if (m.largerIsBetter) scored.where(col("__s") >= r)
-               else scored.where(col("__s") <= r)
-    Ranked.topK(kept, k, asc = !m.largerIsBetter)
+    if (m.largerIsBetter) scored.where(col("__s") >= r)
+    else scored.where(col("__s") <= r)
   }
 
   /** search_by_id: look the query vectors up from the stored corpus

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.vector.KnnSearch
+
+/** The RankLimitToTopK optimizer rule: the naive window-rank-then-filter
+  * top-k must plan graft's bounded heap (TopKAgg objectagg, no Window
+  * exec), produce identical results, and leave non-matching plans
+  * untouched. */
+class RankLimitRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored = (0L until 400L).map { i =>
+    (i % 4, (i * 37 % 101).toDouble + i * 1e-3, i)
+  }.toDF("query_id", "__s", "id")
+
+  private def naiveTopK(k: Int) = scored
+    .withColumn("rank", row_number().over(
+      Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+    .where($"rank" <= k)
+
+  test("window rank <= k plans the bounded heap, no Window exec") {
+    val df = naiveTopK(5)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("topk"), s"expected the TopKAgg plan, got:\n$physical")
+    assert(!physical.contains("Window"), s"expected no Window exec, got:\n$physical")
+  }
+
+  test("fused plan returns exactly what the window form computes") {
+    val expected = scored.collect().toSeq
+      .groupBy(_.getLong(0)).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r.getDouble(1), r.getLong(2))).take(5).zipWithIndex
+          .map { case (r, i) => (q, r.getDouble(1), r.getLong(2), i + 1) }
+      }.toSet
+    val got = naiveTopK(5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
+  test("radius-then-rank (the reference search(radius, limit)) fuses too") {
+    val data = (0L until 300L).map(i => (i, Seq((i % 17).toDouble, 1.0, (i % 5).toDouble)))
+      .toDF("id", "vec")
+    val queries = Seq((1L, Seq(3.0, 1.0, 2.0)), (2L, Seq(9.0, 1.0, 0.0)))
+      .toDF("qid", "qvec")
+    // the naive user composition: radius scan, then window top-k
+    val inRadius = KnnSearch.radiusScored(data, "id", "vec",
+      queries, "qid", "qvec", "cosine", r = 0.8)
+    val naive = inRadius.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 3)
+    val physical = naive.queryExecution.executedPlan.toString
+    assert(physical.contains("topk") && !physical.contains("Window"),
+      s"expected the fused bounded-heap plan, got:\n$physical")
+    // identical rows to the explicit bounded-heap API
+    val viaApi = KnnSearch.radiusTopK(data, "id", "vec", queries, "qid", "qvec",
+      "cosine", r = 0.8, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaRule = naive.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(2))).toSet
+    assert(viaRule == viaApi)
+  }
+
+  test("plans the rule cannot prove equivalent are left untouched") {
+    // extra payload column: the aggregate cannot carry it — no rewrite
+    val extra = scored.withColumn("payload", $"id" * 2)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    assert(extra.queryExecution.executedPlan.toString.contains("Window"))
+    assert(extra.count() == 20)
+    // no id tie-break: row_number is nondeterministic there — no rewrite
+    val noTie = scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc)))
+      .where($"rank" <= 5)
+    assert(noTie.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}

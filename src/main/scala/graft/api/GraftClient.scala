@@ -93,9 +93,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * to readers. */
   private lazy val numBuckets: Option[Int] = describe.get("buckets").map(_.toInt)
 
+  /** Adds the hash-bucket column AND clusters rows by it: a bucketed
+    * write without the repartition has every shuffle task spray a
+    * sliver into every bucket directory (tasks x buckets files of a few
+    * rows), and all later reads pay the footer storm. One task per
+    * bucket = one well-sized file per directory. */
   private def withBucket(d: DataFrame, n: Int): DataFrame =
     d.withColumn(GraftCollection.BucketCol,
       pmod(xxhash64(col(idCol)), lit(n.toLong)).cast("int"))
+      .repartition(col(GraftCollection.BucketCol))
 
   def describe: Map[String, String] = catalog.describeCollection(db, coll)
 
@@ -183,7 +189,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         val slice = catalog.read(db, coll)
           .where(col(GraftCollection.BucketCol).isin(touched: _*))
         val merged = DocumentOps.upsert(stripIndexCols(slice, updates), updates, idCol)
-        catalog.overwritePartitions(db, coll, merged, GraftCollection.BucketCol)
+        catalog.overwritePartitions(db, coll,
+          merged.repartition(col(GraftCollection.BucketCol)), GraftCollection.BucketCol)
       case (_, false) =>
         val merged =
           DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol)
@@ -191,7 +198,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           // keep the cell-partitioned IVF layout: re-assign the merged
           // snapshot against the stored centroids (one projection — the
           // snapshot rewrite is what an unbucketed upsert costs anyway)
-          catalog.overwriteFromSelf(db, coll, withCell(merged),
+          catalog.overwriteFromSelf(db, coll,
+            withCell(merged).repartition(col(GraftCollection.CellCol)),
             partitionBy = Seq(GraftCollection.CellCol))
         else persistSnapshot(merged)
       case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
@@ -205,6 +213,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** Monotone mutation counter; each indexed mutation claims the next
     * segment number. */
   private def mutationSeg: Int = describe.get("mut.seg").map(_.toInt).getOrElse(0)
+
+  /** The current collection restricted (by partition pruning) to the
+    * buckets the batch's ids hash into — the O(batch) way to read the
+    * rows an upsert may replace. Falls back to the full read when the
+    * collection is not bucket-partitioned. */
+  private def bucketPrunedCurrent(docs: DataFrame): DataFrame = numBuckets match {
+    case Some(n) =>
+      val raw = catalog.read(db, coll)
+      if (!raw.columns.contains(GraftCollection.BucketCol)) df
+      else {
+        val touched = withBucket(docs, n)
+          .select(GraftCollection.BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        raw.where(col(GraftCollection.BucketCol).isin(touched: _*))
+          .drop(GraftCollection.BucketCol +: GraftCollection.IndexCols: _*)
+      }
+    case None => df
+  }
 
   /** Record the batch ids' new segment in the collection's mutation
     * ledger (doc_id, seg). A row of a seg-partitioned artifact is live
@@ -252,22 +278,41 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def appendFulltextSegment(docs: DataFrame, seg: Int, textCol: String): Unit = {
     require(docs.columns.contains(textCol),
       s"upsert on a fulltext-indexed collection must carry '$textCol'")
-    // the OLD versions of replaced ids — their contributions leave the stats
-    val replaced = df.join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // the OLD versions of replaced ids — their contributions leave the
+    // stats. On a bucketed collection the lookup scans ONLY the batch
+    // ids' buckets (partition-pruned), keeping the whole maintenance
+    // pass O(batch), not O(corpus).
+    val replaced = bucketPrunedCurrent(docs)
+      .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // both delta posting sets feed two consumers (stats delta, segment
+    // write) — persist so tokenization runs once. Everything else is a
+    // SINGLE plan per artifact write: the whole maintenance pass is two
+    // write jobs + the ledger, no driver round-trips (at toy scale the
+    // orchestration overhead IS the cost; at cluster scale it's noise).
     val decRaw = Bm25.rawPostings(replaced, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incRaw = Bm25.rawPostings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def corpusStats(raw: DataFrame): (Long, Long) = {
-      val r = raw.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-        .agg(org.apache.spark.sql.functions.count(lit(1)), sum(col("dl"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val (decN, decDl) = corpusStats(decRaw)
-    val (incN, incDl) = corpusStats(incRaw)
+    // corpus-stat deltas computed IN-PLAN (1-row frames, broadcast):
+    // n_docs/sum_dl = old - replaced + batch
+    def corpusStats(raw: DataFrame, n: String, dl: String): DataFrame =
+      raw.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as(n),
+          coalesce(sum(col("dl")), lit(0L)).as(dl))
     val oldStats = catalog.read(db, GraftCollection.ftTerms(coll))
-    val (oldN, oldDl) = oldStats.select(col("n_docs"), col("sum_dl")).limit(1).collect()
-      .headOption.map(r => (r.getLong(0), r.getLong(1))).getOrElse((0L, 0L))
+    val oldCorpus = oldStats.agg(
+      coalesce(max(col("n_docs")), lit(0L)).as("__on"),
+      coalesce(max(col("sum_dl")), lit(0L)).as("__od"))
+    val corpus = broadcast(oldCorpus
+      .crossJoin(corpusStats(decRaw, "__dn", "__dd"))
+      .crossJoin(corpusStats(incRaw, "__in", "__id"))
+      .select((col("__on") - col("__dn") + col("__in")).as("n_docs"),
+        (col("__od") - col("__dd") + col("__id")).as("sum_dl")))
 
+    // the stats rewrite joins batch-sized df deltas against the vocab
+    // table: O(vocab) — corpus-size-independent (AQE picks broadcast
+    // for the delta sides when they are small)
     val dec = decRaw.groupBy("term")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("__dec"))
     val inc = incRaw.groupBy("term")
@@ -279,16 +324,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         (coalesce(col("df"), lit(0L)) - coalesce(col("__dec"), lit(0L)) +
           coalesce(col("__inc"), lit(0L))).as("df"))
       .where(col("df") > 0)
-      .withColumn("n_docs", lit(oldN - decN + incN))
-      .withColumn("sum_dl", lit(oldDl - decDl + incDl))
+      .crossJoin(corpus)
 
     // order matters: the stats plan reads the OLD collection (decRaw),
     // so it must land before the collection data is overwritten
     catalog.overwriteFromSelf(db, GraftCollection.ftTerms(coll), newTerms)
+    // hash-cluster + in-partition sort (not repartitionByRange: that
+    // costs an extra boundary-sampling pass) — each segment file is
+    // term-sorted, so rowgroup min/max stats stay tight for In(term)
+    // pruning
     catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
-      incRaw.repartitionByRange(col("term")).sortWithinPartitions("term")
+      incRaw.repartition(col("term")).sortWithinPartitions("term")
         .withColumn(GraftCollection.SegCol, lit(seg)),
       GraftCollection.SegCol)
+    decRaw.unpersist()
+    incRaw.unpersist()
   }
 
   /** Sign the upsert batch into the EXISTING LSH buckets (same planes —

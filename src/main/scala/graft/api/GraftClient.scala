@@ -123,10 +123,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * build_index=True): the batch's postings/buckets land as a new
     * segment partition and the mutation ledger masks replaced rows
     * (fulltext, LSH); the batch's vectors are assigned to the EXISTING
-    * IVF centroids inside the merge projection. No index is dropped, no
-    * corpus-sized rebuild is paid — an upsert costs O(batch), not
-    * O(corpus). PQ-coded families still invalidate (ADC tables are
-    * driver-side batch state; rebuild is their contract). */
+    * IVF centroids inside the merge projection; PQ / IVF_PQ codes are
+    * encoded against the stored codebooks (+ stored coarse centroids)
+    * as a new segment. No index is dropped, no corpus-sized rebuild is
+    * paid — an upsert costs O(batch), not O(corpus). */
   def upsert(docs: DataFrame): Unit = {
     val meta = describe
     val ftLive = meta.contains("index.ft.text_col") &&
@@ -139,13 +139,39 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.collectionExists(db, GraftCollection.mhSig(coll))
     val shLive = meta.contains("index.sh.text_col") &&
       catalog.collectionExists(db, GraftCollection.shSig(coll))
+    // PQ-coded families maintain too: encoding against the STORED
+    // codebooks (and stored centroids for the coarse cell) is a pure
+    // per-doc function, exactly like LSH signing
+    val pqLive = meta.contains("index.pq.m") &&
+      catalog.collectionExists(db, GraftCollection.pqCodes(coll)) &&
+      docs.columns.contains(vecCol)
+    val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)) &&
+      docs.columns.contains(vecCol)
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
-    if (ftLive || lshLive || mhLive || shLive) {
+    if (ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive) {
       val seg = mutationSeg + 1
       if (ftLive) appendFulltextSegment(docs, seg, meta("index.ft.text_col"))
       if (lshLive) appendLshSegment(docs, seg, meta)
+      if (pqLive) {
+        val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
+        appendSegRows(GraftCollection.pqCodes(coll), seg,
+          graft.vector.PqIndex.encode(model,
+            docs.where(col(vecCol).isNotNull), idCol, vecCol))
+      }
+      if (ivfPqLive) {
+        val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
+        val centers = graft.vector.IvfIndex.centersFromDf(
+          catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
+        val batch = docs.where(col(vecCol).isNotNull)
+        val cells = batch.select(col(idCol).cast("long").as("id"),
+          graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
+        appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
+          graft.vector.PqIndex.encode(pq, batch, idCol, vecCol).join(cells, "id"),
+          subPartition = Seq("cell"))
+      }
       // dedup signatures are per-doc pure functions of the text — the
       // batch's signatures are a self-contained new segment
       if (mhLive) {
@@ -205,7 +231,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
     }
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
-      keepMh = mhLive, keepSh = shLive)
+      keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
   }
 
   // ----------------------------------------- incremental index maintenance
@@ -355,10 +381,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   }
 
   /** Land `rows` as segment `seg` of an artifact collection (dynamic
-    * partition overwrite: only the new segment's directory is written). */
-  private def appendSegRows(artifact: String, seg: Int, rows: DataFrame): Unit =
+    * partition overwrite: only the new segment's directory is written).
+    * `subPartition` nests further partition columns inside the segment
+    * (e.g. IVF_PQ codes keep cell pruning inside each segment). */
+  private def appendSegRows(artifact: String, seg: Int, rows: DataFrame,
+                            subPartition: Seq[String] = Nil): Unit =
     catalog.overwritePartitions(db, artifact,
-      rows.withColumn(GraftCollection.SegCol, lit(seg)), GraftCollection.SegCol)
+      rows.withColumn(GraftCollection.SegCol, lit(seg)),
+      GraftCollection.SegCol +: subPartition)
 
   /** Persist a full new snapshot, restoring the layout the collection
     * is configured for: hash buckets take precedence, else the scalar
@@ -563,17 +593,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * (the PQ block pipeline's contract). */
   def rebuildPqIndex(m: Int = 8, k: Int = 16): Unit = {
     val dim = beginVectorRebuild("PQ")
+    val baseSeg = mutationSeg
     val base = df
     val model = graft.vector.PqIndex.train(base, vecCol, dim, m, k)
     val codes = graft.vector.PqIndex.encode(model, base, idCol, vecCol)
     catalog.createCollectionIfNotExists(db, GraftCollection.pqCodes(coll))
     catalog.createCollectionIfNotExists(db, GraftCollection.pqCodebooks(coll))
-    catalog.write(db, GraftCollection.pqCodes(coll), codes)
+    catalog.write(db, GraftCollection.pqCodes(coll),
+      codes.withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol))
     catalog.write(db, GraftCollection.pqCodebooks(coll),
       graft.vector.PqIndex.codebooksDf(model, spark))
     catalog.updateMeta(db, coll, Map(
       "index.pq.m" -> m.toString, "index.pq.k" -> k.toString,
-      "index.pq.dim" -> dim.toString))
+      "index.pq.dim" -> dim.toString, "index.pq.base_seg" -> baseSeg.toString))
   }
 
   /** rebuild_index for the LSH index: persist the banded bucket table
@@ -663,6 +696,40 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     graft.dedup.Dedup.simhashPairsFromSignatures(sig, maxHamming)
   }
 
+  /** Compact the mutation history of every live segmented index: fold
+    * the ledger-masked live rows of each artifact into a single fresh
+    * base segment and retire the ledger. O(live artifact rows) — no
+    * re-tokenizing, re-signing, or re-encoding of the corpus (the rows
+    * already hold the derived form), so compaction is strictly cheaper
+    * than a rebuild while restoring single-segment read performance
+    * after a long upsert history. */
+  def compactIndexes(): Unit = {
+    val meta = describe
+    val seg = mutationSeg
+    def compact(artifact: String, rowId: String, baseKey: String,
+                layout: DataFrame => DataFrame = identity,
+                subPartition: Seq[String] = Nil): Unit =
+      if (meta.contains(baseKey) && catalog.collectionExists(db, artifact)) {
+        val live = liveSegRows(catalog.read(db, artifact), rowId, meta(baseKey).toInt)
+        catalog.overwriteFromSelf(db, artifact,
+          layout(live).withColumn(GraftCollection.SegCol, lit(seg)),
+          partitionBy = GraftCollection.SegCol +: subPartition)
+        catalog.updateMeta(db, coll, Map(baseKey -> seg.toString))
+      }
+    compact(GraftCollection.ftPostings(coll), "doc_id", "index.ft.base_seg",
+      _.repartition(col("term")).sortWithinPartitions("term"))
+    compact(GraftCollection.lshBuckets(coll), "id", "index.lsh.base_seg")
+    compact(GraftCollection.mhSig(coll), "doc_id", "index.mh.base_seg")
+    compact(GraftCollection.shSig(coll), "doc_id", "index.sh.base_seg")
+    compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg")
+    compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
+      _.repartition(col("cell")), Seq("cell"))
+    // every family now serves from its single fresh segment — the
+    // ledger has nothing left to mask
+    if (catalog.collectionExists(db, GraftCollection.mutLedger(coll)))
+      catalog.dropCollection(db, GraftCollection.mutLedger(coll))
+  }
+
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
     * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving
     * sliver scannable by table lookups). Persists centroids, codebooks,
@@ -683,12 +750,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       graft.vector.IvfIndex.centroids(model.ivf, spark))
     catalog.write(db, GraftCollection.ivfPqCodebooks(coll),
       graft.vector.PqIndex.codebooksDf(model.pq, spark))
-    // cell-partitioned codes: an nprobe search lists only probed cells
-    catalog.write(db, GraftCollection.ivfPqCodes(coll), enc,
-      partitionBy = Seq("cell"))
+    // (__seg, cell)-partitioned codes: an nprobe search lists only
+    // probed cells (inside each segment); upserts append new segments
+    val baseSeg = mutationSeg
+    catalog.write(db, GraftCollection.ivfPqCodes(coll),
+      enc.withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol, "cell"))
     catalog.updateMeta(db, coll, Map(
       "index.ivfpq.nlist" -> nlist.toString, "index.ivfpq.m" -> m.toString,
-      "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString))
+      "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
+      "index.ivfpq.base_seg" -> baseSeg.toString))
   }
 
   /** IVF_PQ search served from the persisted artifacts: probe ranking
@@ -703,8 +774,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val centers = catalog.read(db, GraftCollection.ivfPqCentroids(coll))
       .select(col("centroid"), col("cell")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
-    graft.vector.IvfPq.searchStored(centers, pq,
-      catalog.read(db, GraftCollection.ivfPqCodes(coll)),
+    val codes = liveSegRows(catalog.read(db, GraftCollection.ivfPqCodes(coll)),
+      "id", meta.get("index.ivfpq.base_seg").map(_.toInt).getOrElse(0))
+    graft.vector.IvfPq.searchStored(centers, pq, codes,
       collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe)
   }
 
@@ -716,8 +788,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val meta = describe
     require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
     val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
-    graft.vector.PqIndex.searchRerank(model,
-      catalog.read(db, GraftCollection.pqCodes(coll)),
+    val codes = liveSegRows(catalog.read(db, GraftCollection.pqCodes(coll)),
+      "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0))
+    graft.vector.PqIndex.searchRerank(model, codes,
       df, idCol, vecCol, collectNumericQueries(queries, qIdCol, qVecCol),
       limit, candMult)
   }
@@ -820,7 +893,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * serving a stale index silently would be worse. */
   private def invalidateDerived(keepFt: Boolean = false, keepIvf: Boolean = false,
                                 keepLsh: Boolean = false, keepMh: Boolean = false,
-                                keepSh: Boolean = false): Unit = {
+                                keepSh: Boolean = false, keepPq: Boolean = false,
+                                keepIvfPq: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
@@ -831,7 +905,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))
-    invalidateVectorIndex(keepIvf, keepLsh)
+    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq)
   }
 
   /** Drop the persisted vector-index models (IVF centroids, PQ
@@ -839,7 +913,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * whenever its layout or corpus is rewritten, unless the caller
     * maintained it incrementally; meta must not keep advertising it. */
   private def invalidateVectorIndex(keepIvf: Boolean = false,
-                                    keepLsh: Boolean = false): Unit = {
+                                    keepLsh: Boolean = false,
+                                    keepPq: Boolean = false,
+                                    keepIvfPq: Boolean = false): Unit = {
     if (!keepIvf)
       invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
         Seq("index.ivf.nlist", "index.ivf.metric"))
@@ -847,12 +923,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       invalidateFamily(Seq(GraftCollection.lshBuckets(coll)),
         Seq("index.lsh.nbits", "index.lsh.bands", "index.lsh.dim",
           "index.lsh.seed", "index.lsh.base_seg"))
-    invalidateFamily(
-      Seq(GraftCollection.pqCodes(coll), GraftCollection.pqCodebooks(coll),
-        GraftCollection.ivfPqCodes(coll), GraftCollection.ivfPqCentroids(coll),
-        GraftCollection.ivfPqCodebooks(coll)),
-      Seq("index.pq.m", "index.pq.k", "index.pq.dim",
-        "index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k", "index.ivfpq.dim"))
+    if (!keepPq)
+      invalidateFamily(
+        Seq(GraftCollection.pqCodes(coll), GraftCollection.pqCodebooks(coll)),
+        Seq("index.pq.m", "index.pq.k", "index.pq.dim", "index.pq.base_seg"))
+    if (!keepIvfPq)
+      invalidateFamily(
+        Seq(GraftCollection.ivfPqCodes(coll), GraftCollection.ivfPqCentroids(coll),
+          GraftCollection.ivfPqCodebooks(coll)),
+        Seq("index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k",
+          "index.ivfpq.dim", "index.ivfpq.base_seg"))
   }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses

@@ -106,11 +106,22 @@ final class Catalog(spark: SparkSession, root: String) {
     * collections: an upsert touching 1% of buckets rewrites 1% of the
     * data. The staged write is fully distributed; the swap is a per-
     * partition directory move. */
-  def overwritePartitions(db: String, coll: String, df: DataFrame, partitionCol: String): Unit = {
+  def overwritePartitions(db: String, coll: String, df: DataFrame, partitionCol: String): Unit =
+    overwritePartitions(db, coll, df, Seq(partitionCol))
+
+  /** Multi-level variant: rows are laid out under nested
+    * `c1=v1/c2=v2/...` directories and the swap replaces the TOP-level
+    * (`partitionCols.head`) directories present in `df` — e.g. a
+    * segment append partitioned `(__seg, cell)` lands one new `__seg=N`
+    * tree with cell pruning intact inside it. */
+  def overwritePartitions(db: String, coll: String, df: DataFrame,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val partitionCol = partitionCols.head
     val base = collPath(db, coll)
     val staging = base.resolve("data_staging")
     deleteRecursively(staging)
-    df.write.partitionBy(partitionCol).parquet(staging.toString)
+    df.write.partitionBy(partitionCols: _*).parquet(staging.toString)
     val data = base.resolve("data")
     Files.createDirectories(data)
     // list directly (not listDirs: internal partition columns may start

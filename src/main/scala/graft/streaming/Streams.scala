@@ -65,10 +65,13 @@ object Streams {
 
   /** Continuous ingestion into a persisted collection: every
     * micro-batch is an upsert (last-wins by id) against the catalog
-    * collection, so embed-at-ingest, bucketed merge-on-write, and index
-    * invalidation all apply per batch — the streaming form of the
-    * reference's upsert API. Precondition (same as upsert): each batch
-    * carries at most one row per id. */
+    * collection, so embed-at-ingest, bucketed merge-on-write, AND
+    * incremental index maintenance all apply per batch — a collection
+    * with a live fulltext/LSH/PQ/dedup index keeps serving fresh
+    * results as the stream runs, each micro-batch appending its own
+    * O(batch) index segment (the streaming form of the reference's
+    * upsert with build_index=True). Precondition (same as upsert):
+    * each batch carries at most one row per id. */
   def ingestInto(stream: DataFrame, coll: graft.api.GraftCollection,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

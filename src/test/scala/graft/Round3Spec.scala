@@ -359,8 +359,14 @@ class Round3Spec extends SparkSpec {
     val exact = coll2.search(q, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
     assert(pq == exact)
     assert(pq.head.getLong(2) == 7L) // self is the nearest neighbor
-    // mutation invalidates the PQ index and clears its meta
+    // upsert keeps the index LIVE (round-4 incremental maintenance:
+    // the batch is encoded against the stored codebooks); delete still
+    // invalidates
     coll2.upsert(Seq((999L, Seq.fill(16)(0.0))).toDF("id", "vector"))
+    assert(coll2.describe.contains("index.pq.m"))
+    assert(coll2.searchPq(q, "qid", "qvec", limit = 5, candMult = 40)
+      .collect().head.getLong(2) == 7L)
+    coll2.deleteByIds(Seq(999L))
     assert(!coll2.describe.contains("index.pq.m"))
     intercept[IllegalArgumentException](coll2.searchPq(q, "qid", "qvec"))
   }

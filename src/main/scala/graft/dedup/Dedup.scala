@@ -127,27 +127,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** LSH candidate pairs: docs sharing at least one `bandBits`-bit band
-    * of an nBits sign-LSH signature. Ids ONLY cross the distinct —
-    * vectors are re-attached by join afterwards. */
-  private[graft] def lshCandidates(embs: DataFrame, idCol: String, vecCol: String,
-                                   nBits: Int, bands: Int, seed: Long): DataFrame = {
+  /** The (doc_id, b, v) band-bucket table of an nBits sign-LSH
+    * signature — the persistable ingest artifact for embedding dedup
+    * (derive once, reuse across dedup runs). */
+  private[graft] def lshBandBuckets(embs: DataFrame, idCol: String, vecCol: String,
+                                    nBits: Int, bands: Int, seed: Long): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1
     val dim = graft.vector.LshIndex.deriveDim((embs, vecCol))
     val sig = graft.vector.LshIndex.withSignature(
       embs.select(col(idCol).as("doc_id"), col(vecCol).as("__v")), "__v", nBits, dim, seed)
-    val buckets = sig.select(col("doc_id"), explode(array((0 until bands).map(bnd =>
+    sig.select(col("doc_id"), explode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("b"),
           shiftright(col("sig"), bnd * bandBits).bitwiseAND(mask).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.v").as("v"))
+  }
+
+  /** LSH candidate pairs: docs sharing at least one `bandBits`-bit band
+    * of an nBits sign-LSH signature. Ids ONLY cross the distinct —
+    * vectors are re-attached by join afterwards. */
+  private[graft] def lshCandidates(embs: DataFrame, idCol: String, vecCol: String,
+                                   nBits: Int, bands: Int, seed: Long): DataFrame =
+    lshCandidatesFromBuckets(lshBandBuckets(embs, idCol, vecCol, nBits, bands, seed))
+
+  /** [[lshCandidates]] over a precomputed (persisted) band-bucket
+    * table. */
+  private[graft] def lshCandidatesFromBuckets(buckets: DataFrame): DataFrame =
     buckets.as("x").join(buckets.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-  }
 
   /** Embedding-cosine near-dup with LSH candidate generation composed in
     * front of the exact verify — the scale path for [[embedCosine]]:
@@ -164,13 +175,22 @@ object Dedup {
     * thresholds (>= 0.8) should use r=8, b=8 (miss ≈ 1e-3 per pair,
     * random-pair candidate rate 8·2^-8 ≈ 3%). */
   def embedLsh(embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
-               nBits: Int = 64, bands: Int = 32, seed: Long = 42L): DataFrame = {
+               nBits: Int = 64, bands: Int = 32, seed: Long = 42L): DataFrame =
+    embedLshFromBuckets(lshBandBuckets(embs, idCol, vecCol, nBits, bands, seed),
+      embs, idCol, vecCol, threshold)
+
+  /** [[embedLsh]] served from a precomputed (doc_id, b, v) band-bucket
+    * table (see [[lshBandBuckets]]) — the ingest-artifact path: the
+    * O(corpus · nBits) signature pass is persisted once; every dedup
+    * run pays only the bucket self-join + exact verify. */
+  def embedLshFromBuckets(buckets: DataFrame, embs: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double): DataFrame = {
     // candidates dedup on ids BEFORE vectors are attached (a pair
     // surfaces from ~b·p^r bands; scoring the duplicates instead
     // measured 2x slower than the ids-only distinct), then the exact
     // verify joins the (tiny at high thresholds, broadcastable here)
     // vector table back on each side.
-    val cand = lshCandidates(embs, idCol, vecCol, nBits, bands, seed)
+    val cand = lshCandidatesFromBuckets(buckets)
     val vecs = embs.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
     val cos = VectorScore.cosine(col("__va"), col("__vb"))
     cand

@@ -315,10 +315,12 @@ object SparkEntry {
     // ---------------------------------------- ANN indexes / rows-only ops
     "q_ivf_search" -> ((s, dir) => {
       // nprobe = nlist ⇒ exhaustive ⇒ equals the exact-KNN SQL oracle,
-      // while still executing the full cell-probe machinery.
-      val embs = Tables.embeddings(s, dir)
-      val model = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
-      IvfIndex.search(model, embs, "vec_id", "embedding",
+      // while still executing the full cell-probe machinery. The
+      // centroids and cell assignments are ingest artifacts (training
+      // is deterministic, so the two ensure blocks share one model);
+      // the query serves from the stored index like the client path.
+      IvfIndex.searchAssigned(
+        ivfAssignedFor(s, dir), ivfCentroidsFor(s, dir),
         knnQueries(s, dir), "qid", "qvec", "l2", k = 5, nprobe = 16)
     }),
 
@@ -482,6 +484,23 @@ object SparkEntry {
     }
     Bm25.SparseIndex(postings, terms)
   }
+
+  /** Persisted IVF artifacts (training is seed-deterministic, so the
+    * two tables derive from the same model even across separate ensure
+    * builds). */
+  private[graft] def ivfAssignedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfassign_${sfKey(dir)}", partitionBy = Seq("cell")) {
+      val embs = Tables.embeddings(s, dir)
+      val model = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
+      IvfIndex.assign(model, embs, "embedding")
+        .select(col("vec_id").as("id"), col("embedding").as("__vec"), col("cell"))
+    }
+
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfcent_${sfKey(dir)}") {
+      IvfIndex.centroids(
+        IvfIndex.train(Tables.embeddings(s, dir), "embedding", nlist = 16, maxIter = 10), s)
+    }
 
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family
     * ingest artifact shared by q_dedup_ngram and the cluster pair

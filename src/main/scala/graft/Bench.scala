@@ -92,6 +92,8 @@ object Bench {
       coll.rebuildFulltextIndex()        // the old cost: O(corpus)
       val tRebuild = (System.nanoTime() - t1) / 1e9
       Seq("m_upsert_live_index" -> tUpsert, "m_fulltext_rebuild" -> tRebuild)
-    } catch { case _: Throwable => Seq("m_upsert_live_index" -> -1.0) }
+    } catch { case _: Throwable =>
+      Seq("m_upsert_live_index" -> -1.0, "m_fulltext_rebuild" -> -1.0)
+    }
   }
 }

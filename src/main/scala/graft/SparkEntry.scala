@@ -485,22 +485,28 @@ object SparkEntry {
     Bm25.SparseIndex(postings, terms)
   }
 
-  /** Persisted IVF artifacts (training is seed-deterministic, so the
-    * two tables derive from the same model even across separate ensure
-    * builds). */
-  private[graft] def ivfAssignedFor(s: SparkSession, dir: String): DataFrame =
+  /** Persisted IVF artifacts. One lazily-trained model feeds BOTH
+    * ensure blocks — training runs at most once per JVM (zero times
+    * when both artifacts are already on disk), and assignments can
+    * never come from a different model than the centroids. */
+  private[graft] def ivfAssignedFor(s: SparkSession, dir: String): DataFrame = {
+    lazy val model = IvfIndex.train(Tables.embeddings(s, dir), "embedding",
+      nlist = 16, maxIter = 10)
+    graft.catalog.IndexStore.ensure(s, s"ivfcent_${sfKey(dir)}") {
+      IvfIndex.centroids(model, s)
+    }
     graft.catalog.IndexStore.ensure(s, s"ivfassign_${sfKey(dir)}", partitionBy = Seq("cell")) {
-      val embs = Tables.embeddings(s, dir)
-      val model = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
-      IvfIndex.assign(model, embs, "embedding")
+      IvfIndex.assign(model, Tables.embeddings(s, dir), "embedding")
         .select(col("vec_id").as("id"), col("embedding").as("__vec"), col("cell"))
     }
+  }
 
-  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame = {
+    ivfAssignedFor(s, dir) // guarantees both artifacts exist, one model
     graft.catalog.IndexStore.ensure(s, s"ivfcent_${sfKey(dir)}") {
-      IvfIndex.centroids(
-        IvfIndex.train(Tables.embeddings(s, dir), "embedding", nlist = 16, maxIter = 10), s)
+      sys.error("unreachable: ivfAssignedFor built the centroids")
     }
+  }
 
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family
     * ingest artifact shared by q_dedup_ngram and the cluster pair

@@ -146,50 +146,65 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.collectionExists(db, GraftCollection.pqCodes(coll))
     val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
       catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll))
+    val anyLive = ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive
+
+    // ALL batch-shape validation runs BEFORE anything is written: a
+    // batch that cannot complete the whole upsert must fail with the
+    // index artifacts, stats, ledger, and data all untouched
+    if (ftLive) require(docs.columns.contains(meta("index.ft.text_col")),
+      s"upsert on a fulltext-indexed collection must carry '${meta("index.ft.text_col")}'")
+    if (mhLive) require(docs.columns.contains(meta("index.mh.text_col")),
+      s"upsert on a minhash-indexed collection must carry '${meta("index.mh.text_col")}'")
+    if (shLive) require(docs.columns.contains(meta("index.sh.text_col")),
+      s"upsert on a simhash-indexed collection must carry '${meta("index.sh.text_col")}'")
+    if (lshLive || pqLive || ivfPqLive || ivfLive)
+      require(docs.columns.contains(vecCol),
+        s"upsert on a vector-indexed collection must carry '$vecCol'")
+
+    // One-row-per-id within the batch, enforced ONCE for data and index
+    // paths alike: DocumentOps.upsert would keep an arbitrary duplicate
+    // while segment appends would keep BOTH (the ledger masks by
+    // segment, not within one), silently diverging index from data.
+    // The batch is also persisted — it feeds up to ~6 consumers
+    // (segments, ledger, merge), and re-executing an arbitrary caller
+    // plan per consumer is both slow and (for nondeterministic dedup)
+    // inconsistent.
+    val batch = docs.dropDuplicates(Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
-    if (ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive) {
+    if (anyLive) {
       val seg = mutationSeg + 1
-      if (ftLive) appendFulltextSegment(docs, seg, meta("index.ft.text_col"))
-      if (lshLive) appendLshSegment(docs, seg, meta)
-      if (pqLive || ivfPqLive)
-        require(docs.columns.contains(vecCol),
-          s"upsert on a PQ-indexed collection must carry '$vecCol'")
+      if (ftLive) appendFulltextSegment(batch, seg, meta("index.ft.text_col"))
+      if (lshLive) appendLshSegment(batch, seg, meta)
       if (pqLive) {
         val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
         appendSegRows(GraftCollection.pqCodes(coll), seg,
           graft.vector.PqIndex.encode(model,
-            docs.where(col(vecCol).isNotNull), idCol, vecCol))
+            batch.where(col(vecCol).isNotNull), idCol, vecCol))
       }
       if (ivfPqLive) {
         val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
         val centers = graft.vector.IvfIndex.centersFromDf(
           catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
-        val batch = docs.where(col(vecCol).isNotNull)
-        val cells = batch.select(col(idCol).cast("long").as("id"),
+        val vecs = batch.where(col(vecCol).isNotNull)
+        val cells = vecs.select(col(idCol).cast("long").as("id"),
           graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
         appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
-          graft.vector.PqIndex.encode(pq, batch, idCol, vecCol).join(cells, "id"),
+          graft.vector.PqIndex.encode(pq, vecs, idCol, vecCol).join(cells, "id"),
           subPartition = Seq("cell"))
       }
       // dedup signatures are per-doc pure functions of the text — the
       // batch's signatures are a self-contained new segment
-      if (mhLive) {
-        require(docs.columns.contains(meta("index.mh.text_col")),
-          s"upsert on a minhash-indexed collection must carry '${meta("index.mh.text_col")}'")
-        appendSegRows(GraftCollection.mhSig(coll), seg,
-          graft.dedup.Dedup.minhashSignatures(docs, idCol, meta("index.mh.text_col"),
-            meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
-            meta("index.mh.seed").toLong))
-      }
-      if (shLive) {
-        require(docs.columns.contains(meta("index.sh.text_col")),
-          s"upsert on a simhash-indexed collection must carry '${meta("index.sh.text_col")}'")
-        appendSegRows(GraftCollection.shSig(coll), seg,
-          graft.dedup.Dedup.simhashSignatures(docs, idCol, meta("index.sh.text_col")))
-      }
-      advanceLedger(docs, seg)
+      if (mhLive) appendSegRows(GraftCollection.mhSig(coll), seg,
+        graft.dedup.Dedup.minhashSignatures(batch, idCol, meta("index.mh.text_col"),
+          meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
+          meta("index.mh.seed").toLong))
+      if (shLive) appendSegRows(GraftCollection.shSig(coll), seg,
+        graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
+      advanceLedger(batch, seg)
     }
 
     val ivfCenters =
@@ -205,14 +220,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val current = df
     (numBuckets, current.isEmpty) match {
       case (Some(n), true) =>
-        catalog.write(db, coll, withBucket(withCell(withStoredEmbedding(docs)), n),
+        catalog.write(db, coll, withBucket(withCell(withStoredEmbedding(batch)), n),
           partitionBy = Seq(GraftCollection.BucketCol))
       case (Some(n), false) if catalog.read(db, coll).columns.contains(GraftCollection.BucketCol) =>
-        val updates = withBucket(withCell(withStoredEmbedding(docs)), n)
+        val updates = withBucket(withCell(withStoredEmbedding(batch)), n)
         // the touched-bucket set is at most N values — a tiny driver
-        // collect that turns the base read into a partition-pruned scan
-        val touched = updates.select(GraftCollection.BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        // collect (over id hashes only — no embed/cell projection) that
+        // turns the base read into a partition-pruned scan; shared with
+        // bucketPrunedCurrent via touchedBuckets
+        val touched = touchedBuckets(batch, n)
         val slice = catalog.read(db, coll)
           .where(col(GraftCollection.BucketCol).isin(touched: _*))
         val merged = DocumentOps.upsert(stripIndexCols(slice, updates), updates, idCol)
@@ -220,7 +236,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           merged.repartition(col(GraftCollection.BucketCol)), GraftCollection.BucketCol)
       case (_, false) =>
         val merged =
-          DocumentOps.upsert(stripIndexCols(current, docs), withStoredEmbedding(docs), idCol)
+          DocumentOps.upsert(stripIndexCols(current, batch), withStoredEmbedding(batch), idCol)
         if (ivfCenters.isDefined && numBuckets.isEmpty)
           // keep the cell-partitioned IVF layout: re-assign the merged
           // snapshot against the stored centroids (one projection — the
@@ -229,11 +245,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             withCell(merged).repartition(col(GraftCollection.CellCol)),
             partitionBy = Seq(GraftCollection.CellCol))
         else persistSnapshot(merged)
-      case (None, true) => catalog.write(db, coll, withStoredEmbedding(docs))
+      case (None, true) => catalog.write(db, coll, withStoredEmbedding(batch))
     }
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
+    } finally batch.unpersist()
   }
+
+  /** The distinct buckets a batch's ids hash into — computed from the
+    * id column alone, so no embed/cell projection runs just to learn
+    * bucket membership (a tiny job over the persisted batch). */
+  private def touchedBuckets(batch: DataFrame, n: Int): Seq[Int] =
+    batch.select(pmod(xxhash64(col(idCol)), lit(n.toLong)).cast("int")
+        .as(GraftCollection.BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
 
   // ----------------------------------------- incremental index maintenance
 
@@ -249,13 +274,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     case Some(n) =>
       val raw = catalog.read(db, coll)
       if (!raw.columns.contains(GraftCollection.BucketCol)) df
-      else {
-        val touched = withBucket(docs, n)
-          .select(GraftCollection.BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        raw.where(col(GraftCollection.BucketCol).isin(touched: _*))
-          .drop(GraftCollection.BucketCol +: GraftCollection.IndexCols: _*)
-      }
+      else raw.where(col(GraftCollection.BucketCol).isin(touchedBuckets(docs, n): _*))
+        .drop(GraftCollection.BucketCol +: GraftCollection.IndexCols: _*)
     case None => df
   }
 

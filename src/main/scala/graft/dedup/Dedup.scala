@@ -103,14 +103,21 @@ object Dedup {
     * thresholds should call [[embedLsh]] directly with selective bands
     * (r=8, b=8) for ~30x harder pruning. */
   def embedCosine(embs: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame =
-    if (embs.count() <= AllPairsGuard)
+                  threshold: Double): DataFrame = {
+    // size from plan STATISTICS (no job): parquet scans report file
+    // bytes; derived plans overestimate — which errs toward the LSH
+    // path, the safe direction. A count() here would execute the whole
+    // upstream plan once per call just to pick a strategy.
+    val bytes = embs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= AllPairsGuardBytes)
       embedCosineAllPairs(embs, idCol, vecCol, threshold)
     else
       embedLsh(embs, idCol, vecCol, threshold, nBits = 64, bands = 32)
+  }
 
-  /** Largest corpus the exact all-pairs scan may plan for. */
-  val AllPairsGuard: Long = 20000L
+  /** Largest corpus the exact all-pairs scan may plan for
+    * (~20k rows of 128-dim float vectors). */
+  val AllPairsGuardBytes: BigInt = BigInt(32L * 1024 * 1024)
 
   /** The exhaustive all-pairs scan — the ORACLE PROBE for the LSH
     * path's band configs (tests compare [[embedLsh]] against it).

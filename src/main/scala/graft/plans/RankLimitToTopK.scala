@@ -33,14 +33,13 @@ import graft.vector.TopKAgg
   *    with score double and id long/string ([[TopKAgg]]'s domain) —
   *    the id tie-break also makes row_number deterministic, which is
   *    what licenses the rewrite;
+  *  - the score attribute is NON-NULLABLE: [[TopKAgg]] ignores null
+  *    scores while the window form would rank them (first under asc),
+  *    so a nullable score is never rewritten. Library shapes qualify
+  *    naturally — a radius predicate (`__s >= r`) narrows the filtered
+  *    attribute to non-nullable in the logical plan;
   *  - the window child's output is exactly {partition, score, id}: the
   *    aggregate can only carry those three through.
-  *
-  * Null contract: [[TopKAgg]] ignores null scores (as every other graft
-  * ranking path does); the window form would rank them last. Scored
-  * frames in this library null-filter upstream (radius predicates,
-  * score expressions over non-null vectors), so the shapes this rule
-  * targets never observe the difference.
   *
   * Registered by [[graft.GraftExtensions]] via `injectOptimizerRule`
   * (post-optimization batch, so Spark's own InferWindowGroupLimit may
@@ -75,12 +74,44 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** No null score can reach the window: either the child's attribute
+    * copy is non-nullable outright, or the score is projected from an
+    * expression that a null-INTOLERANT comparison (a radius predicate
+    * `__s >= r`, possibly pushed into a join condition by the
+    * optimizer) already filtered below the projection — a comparison on
+    * a semantically-equal expression evaluates to null for null scores
+    * and the Filter/Join drops those rows. */
+  private def provablyNonNull(score: AttributeReference, child: LogicalPlan): Boolean =
+    child.output.exists(a => a.exprId == score.exprId && !a.nullable) || (child match {
+      case Project(projList, grandchild) =>
+        val scoreExpr = projList.collectFirst {
+          case a @ Alias(e, _) if a.exprId == score.exprId => e
+        }
+        scoreExpr.exists { e =>
+          !e.nullable || grandchild.collect {
+            case Filter(cond, _) => cond
+            case j: Join => j.condition.getOrElse(Literal(true))
+          }.exists(guardsNonNull(_, e))
+        }
+      case _ => false
+    })
+
+  /** Does `cond` contain a null-intolerant comparison with `e` on
+    * either side? (`<=>` is null-safe and deliberately excluded.) */
+  private def guardsNonNull(cond: Expression, e: Expression): Boolean =
+    cond.exists {
+      case _: EqualNullSafe => false
+      case b: BinaryComparison => b.left.semanticEquals(e) || b.right.semanticEquals(e)
+      case _ => false
+    }
+
   private def rewrite(part: AttributeReference, orderSpec: Seq[SortOrder],
                       child: LogicalPlan, k: Int,
                       rankAlias: Alias): Option[LogicalPlan] = orderSpec match {
     case Seq(SortOrder(score: AttributeReference, scoreDir, _, _),
              SortOrder(id: AttributeReference, Ascending, _, _))
         if score.dataType == DoubleType &&
+          provablyNonNull(score, child) &&
           (id.dataType == LongType || id.dataType == StringType) &&
           child.outputSet == AttributeSet(Seq(part, score, id)) &&
           child.output.length == 3 =>

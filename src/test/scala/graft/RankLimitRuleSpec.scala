@@ -76,5 +76,13 @@ class RankLimitRuleSpec extends SparkSpec {
         Window.partitionBy($"query_id").orderBy($"__s".desc)))
       .where($"rank" <= 5)
     assert(noTie.queryExecution.executedPlan.toString.contains("Window"))
+    // nullable score with no null-dropping predicate below the window:
+    // the window would rank nulls, TopKAgg drops them — no rewrite
+    val nullableScore = scored
+      .select($"query_id", when($"id" % 7 =!= 0, $"__s").as("__s"), $"id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    assert(nullableScore.queryExecution.executedPlan.toString.contains("Window"))
   }
 }

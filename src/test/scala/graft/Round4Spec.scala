@@ -211,6 +211,48 @@ class Round4Spec extends SparkSpec {
     assert(coll.fulltext(Seq("spark"), k = 6).collect().map(_.getLong(1)).toSet == ids)
   }
 
+  test("a rejected batch leaves index state untouched and serving") {
+    val root = Files.createTempDirectory("graft-atomic").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "spark join fast"), (2L, "slow scan")).toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    val before = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+
+    // batch missing the indexed text column: must fail BEFORE any
+    // artifact/stats/ledger write
+    intercept[IllegalArgumentException](
+      coll.upsert(Seq((3L, 99)).toDF("id", "other")))
+    assert(coll.describe.contains("index.ft.text_col"))
+    assert(coll.fulltext(Seq("spark"), k = 5).collect().toSeq == before,
+      "a rejected batch must not change index contents or stats")
+    assert(coll.count() == 2)
+    // and the next valid upsert proceeds normally (seg numbering intact)
+    coll.upsert(Seq((3L, "spark works")).toDF("id", "text"))
+    val after = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+    coll.rebuildFulltextIndex()
+    assert(coll.fulltext(Seq("spark"), k = 5).collect().toSeq == after)
+  }
+
+  test("duplicate ids within one batch stay consistent between data and index") {
+    val root = Files.createTempDirectory("graft-dupids").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    // id 3 appears twice with different texts: exactly ONE version may
+    // exist, and the index must agree with the data on which
+    coll.upsert(Seq((3L, "alpha rocket"), (3L, "gamma rocket")).toDF("id", "text"))
+    assert(coll.count() == 3)
+    val stored = coll.queryByIds(Seq(3L)).head().getString(1)
+    val hits = coll.fulltext(Seq("alpha", "gamma"), k = 5).collect()
+      .filter(_.getLong(1) == 3L)
+    assert(hits.length == 1)
+    assert(hits.head.getLong(2) == 1L, // n_terms: exactly one of alpha|gamma
+      s"index must hold ONE version of doc 3 (stored text: '$stored')")
+    // and that version is the stored one
+    val term = if (stored.startsWith("alpha")) "alpha" else "gamma"
+    assert(coll.fulltext(Seq(term), k = 5).collect().exists(_.getLong(1) == 3L))
+  }
+
   test("delete still invalidates incrementally-maintained indexes") {
     val root = Files.createTempDirectory("graft-delinv").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -457,7 +457,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
              nprobe: Option[Int] = None,
              radius: Option[Double] = None): DataFrame = {
     require(nprobe.isEmpty || radius.isEmpty,
-      "radius applies to the exact scan; combine it with nprobe is unsupported")
+      "radius applies to the exact scan; combining it with nprobe is unsupported")
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
     val raw = catalog.read(db, coll)
     val hits = (nprobe, radius) match {

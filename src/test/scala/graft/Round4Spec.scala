@@ -253,6 +253,21 @@ class Round4Spec extends SparkSpec {
     assert(coll.fulltext(Seq(term), k = 5).collect().exists(_.getLong(1) == 3L))
   }
 
+  test("incremental fulltext maintenance works with string document ids") {
+    val root = Files.createTempDirectory("graft-ftstr").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq(("doc-a", "spark join fast"), ("doc-b", "slow scan table"))
+      .toDF("id", "text"))
+    coll.rebuildFulltextIndex()
+    coll.upsert(Seq(("doc-c", "spark lands"), ("doc-a", "rewritten entirely"))
+      .toDF("id", "text"))
+    val inc = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+    assert(inc.map(_.getString(1)).toSet == Set("doc-c"),
+      s"string-id ledger masking must serve newest segments, got $inc")
+    coll.rebuildFulltextIndex()
+    assert(coll.fulltext(Seq("spark"), k = 5).collect().toSeq == inc)
+  }
+
   test("delete still invalidates incrementally-maintained indexes") {
     val root = Files.createTempDirectory("graft-delinv").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -322,7 +322,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * from-scratch rebuild on the post-upsert corpus: postings store
     * (tf, dl) and the BM25 weight is a query-time expression over the
     * refreshed stats. */
-  private def appendFulltextSegment(docs: DataFrame, seg: Int, textCol: String): Unit = {
+  /** `add = false` is the DELETION form: the docs' contributions leave
+    * the stats and no segment rows are written — the ledger tombstone
+    * alone masks their old postings. */
+  private def appendFulltextSegment(docs: DataFrame, seg: Int, textCol: String,
+                                    add: Boolean = true): Unit = {
     require(docs.columns.contains(textCol),
       s"upsert on a fulltext-indexed collection must carry '$textCol'")
     // the OLD versions of replaced ids — their contributions leave the
@@ -338,7 +342,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // orchestration overhead IS the cost; at cluster scale it's noise).
     val decRaw = Bm25.rawPostings(replaced, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incRaw = Bm25.rawPostings(docs, idCol, textCol)
+    val incRaw = Bm25.rawPostings(if (add) docs else docs.limit(0), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // corpus-stat deltas computed IN-PLAN (1-row frames, broadcast):
@@ -380,7 +384,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // costs an extra boundary-sampling pass) — each segment file is
     // term-sorted, so rowgroup min/max stats stay tight for In(term)
     // pruning
-    catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
+    if (add) catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
       incRaw.repartition(col("term")).sortWithinPartitions("term")
         .withColumn(GraftCollection.SegCol, lit(seg)),
       GraftCollection.SegCol)
@@ -1015,15 +1019,49 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       Seq("query_id"), "id", "rank", rrfK, limit)
   }
 
-  def delete(filter: String, limit: Option[Int] = None): Unit = {
-    persistSnapshot(DocumentOps.delete(df, idCol, filter, limit))
-    invalidateDerived()
-  }
+  def delete(filter: String, limit: Option[Int] = None): Unit =
+    deleteKeeping(DocumentOps.delete(df, idCol, filter, limit))
 
   /** delete(document_ids=...) — reference's by-ids deletion. */
-  def deleteByIds(ids: Seq[Any]): Unit = {
-    persistSnapshot(df.where(!col(idCol).isin(ids: _*)))
-    invalidateDerived()
+  def deleteByIds(ids: Seq[Any]): Unit =
+    deleteKeeping(df.where(!col(idCol).isin(ids: _*)))
+
+  /** Shared deletion path: segment-maintained indexes stay LIVE — the
+    * doomed docs' contributions leave the fulltext stats and a ledger
+    * TOMBSTONE segment (which has no artifact rows) masks every stored
+    * index row of those ids, so fulltext/LSH/minhash/simhash/PQ/IVF_PQ
+    * keep serving, minus the deleted documents, at O(deleted) cost.
+    * Plain IVF still invalidates: its assignments ride in the data
+    * layout the snapshot rewrite replaces. */
+  private def deleteKeeping(survivors: DataFrame): Unit = {
+    val meta = describe
+    val ftLive = meta.contains("index.ft.text_col") &&
+      catalog.collectionExists(db, GraftCollection.ftPostings(coll))
+    val lshLive = meta.contains("index.lsh.nbits") &&
+      catalog.collectionExists(db, GraftCollection.lshBuckets(coll))
+    val mhLive = meta.contains("index.mh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.mhSig(coll))
+    val shLive = meta.contains("index.sh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.shSig(coll))
+    val pqLive = meta.contains("index.pq.m") &&
+      catalog.collectionExists(db, GraftCollection.pqCodes(coll))
+    val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll))
+    if (ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive) {
+      val doomed = df.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!doomed.isEmpty) {
+          val seg = mutationSeg + 1
+          if (ftLive)
+            appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
+          advanceLedger(doomed, seg)
+        }
+        persistSnapshot(survivors)
+      } finally doomed.unpersist()
+    } else persistSnapshot(survivors)
+    invalidateDerived(keepFt = ftLive, keepLsh = lshLive, keepMh = mhLive,
+      keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
   }
 
   def update(filter: String, set: Map[String, Column]): Unit = {

@@ -359,14 +359,17 @@ class Round3Spec extends SparkSpec {
     val exact = coll2.search(q, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
     assert(pq == exact)
     assert(pq.head.getLong(2) == 7L) // self is the nearest neighbor
-    // upsert keeps the index LIVE (round-4 incremental maintenance:
-    // the batch is encoded against the stored codebooks); delete still
-    // invalidates
+    // upsert AND delete keep the index LIVE (round-4 incremental
+    // maintenance); truncate invalidates
     coll2.upsert(Seq((999L, Seq.fill(16)(0.0))).toDF("id", "vector"))
     assert(coll2.describe.contains("index.pq.m"))
     assert(coll2.searchPq(q, "qid", "qvec", limit = 5, candMult = 40)
       .collect().head.getLong(2) == 7L)
     coll2.deleteByIds(Seq(999L))
+    assert(coll2.describe.contains("index.pq.m"))
+    assert(coll2.searchPq(q, "qid", "qvec", limit = 5, candMult = 40)
+      .collect().head.getLong(2) == 7L)
+    coll2.truncate()
     assert(!coll2.describe.contains("index.pq.m"))
     intercept[IllegalArgumentException](coll2.searchPq(q, "qid", "qvec"))
   }
@@ -386,8 +389,12 @@ class Round3Spec extends SparkSpec {
     val inline = LshIndex.ann(coll2.df, "id", "vector", q, "qid", "qvec",
       k = 5, nBits = 16, bands = 4).collect().toSeq
     assert(served == inline && served.head.getLong(2) == 9L)
-    coll2.deleteByIds(Seq(0L))
-    assert(!coll2.describe.contains("index.lsh.nbits"))
+    // delete keeps the LSH index live (tombstone masking, round 4);
+    // the deleted doc stops serving
+    coll2.deleteByIds(Seq(9L))
+    assert(coll2.describe.contains("index.lsh.nbits"))
+    assert(!coll2.searchLsh(q, "qid", "qvec", limit = 5).collect()
+      .exists(_.getLong(2) == 9L))
   }
 
   test("IVF_PQ index persists: a fresh client probes cells and scans codes") {
@@ -408,8 +415,13 @@ class Round3Spec extends SparkSpec {
     val pruned = coll2.searchIvfPq(q, "qid", "qvec", limit = 10, nprobe = 1).collect()
     assert(pruned.nonEmpty && pruned.map(_.getLong(2)).toSet.subsetOf(
       full.map(_.getLong(2)).toSet ++ pruned.map(_.getLong(2))))
-    // mutation invalidates the composed index
-    coll2.deleteByIds(Seq(0L))
+    // delete keeps the composed index live (tombstone masking); the
+    // deleted doc stops serving; truncate invalidates
+    coll2.deleteByIds(Seq(42L))
+    assert(coll2.describe.contains("index.ivfpq.nlist"))
+    assert(!coll2.searchIvfPq(q, "qid", "qvec", limit = 10, nprobe = 4).collect()
+      .exists(_.getLong(2) == 42L))
+    coll2.truncate()
     assert(!coll2.describe.contains("index.ivfpq.nlist"))
     intercept[IllegalArgumentException](coll2.searchIvfPq(q, "qid", "qvec"))
   }

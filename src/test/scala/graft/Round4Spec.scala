@@ -268,14 +268,32 @@ class Round4Spec extends SparkSpec {
     assert(coll.fulltext(Seq("spark"), k = 5).collect().toSeq == inc)
   }
 
-  test("delete still invalidates incrementally-maintained indexes") {
-    val root = Files.createTempDirectory("graft-delinv").toString
+  test("delete keeps segment indexes live via ledger tombstones; results equal rebuild") {
+    val root = Files.createTempDirectory("graft-deltomb").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
-    coll.upsert(Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "text"))
+    coll.upsert(Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha delta"), (4L, "alpha echo"))
+      .toDF("id", "text"))
     coll.rebuildFulltextIndex()
-    coll.upsert(Seq((3L, "alpha delta")).toDF("id", "text")) // keeps index live
-    coll.deleteByIds(Seq(2L))
-    assert(!coll.describe.contains("index.ft.text_col"),
-      "delete must invalidate the fulltext index (no silent stale serving)")
+    coll.upsert(Seq((5L, "alpha fresh")).toDF("id", "text")) // live segment 1
+
+    coll.deleteByIds(Seq(1L, 5L)) // one base-seg doc + one upserted doc
+    assert(coll.describe.contains("index.ft.text_col"),
+      "delete must keep the fulltext index live (tombstone masking)")
+    val served = coll.fulltext(Seq("alpha", "beta"), k = 5).collect().toSeq
+    assert(!served.exists(r => r.getLong(1) == 1L || r.getLong(1) == 5L),
+      s"deleted docs must not serve, got $served")
+    coll.rebuildFulltextIndex()
+    val rebuilt = coll.fulltext(Seq("alpha", "beta"), k = 5).collect().toSeq
+    assert(served == rebuilt,
+      "tombstoned serving must be bit-identical to a rebuild (stats delta included)")
+
+    // filter-delete takes the same path
+    coll.delete(filter = "id = 3")
+    assert(coll.describe.contains("index.ft.text_col"))
+    assert(!coll.fulltext(Seq("alpha"), k = 5).collect().exists(_.getLong(1) == 3L))
+    // truncate still invalidates everything
+    coll.truncate()
+    assert(!coll.describe.contains("index.ft.text_col"))
   }
 }

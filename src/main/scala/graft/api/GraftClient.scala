@@ -129,24 +129,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * paid — an upsert costs O(batch), not O(corpus). */
   def upsert(docs: DataFrame): Unit = {
     val meta = describe
-    val ftLive = meta.contains("index.ft.text_col") &&
-      catalog.collectionExists(db, GraftCollection.ftPostings(coll))
-    val lshLive = meta.contains("index.lsh.nbits") &&
-      catalog.collectionExists(db, GraftCollection.lshBuckets(coll))
-    val ivfLive = meta.contains("index.ivf.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll))
-    val mhLive = meta.contains("index.mh.text_col") &&
-      catalog.collectionExists(db, GraftCollection.mhSig(coll))
-    val shLive = meta.contains("index.sh.text_col") &&
-      catalog.collectionExists(db, GraftCollection.shSig(coll))
-    // PQ-coded families maintain too: encoding against the STORED
-    // codebooks (and stored centroids for the coarse cell) is a pure
-    // per-doc function, exactly like LSH signing
-    val pqLive = meta.contains("index.pq.m") &&
-      catalog.collectionExists(db, GraftCollection.pqCodes(coll))
-    val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll))
-    val anyLive = ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive
+    val live = liveIndexes(meta)
+    import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive}
+    val anyLive = live.anySeg
 
     // ALL batch-shape validation runs BEFORE anything is written: a
     // batch that cannot complete the whole upsert must fail with the
@@ -175,37 +160,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
-    if (anyLive) {
-      val seg = mutationSeg + 1
-      if (ftLive) appendFulltextSegment(batch, seg, meta("index.ft.text_col"))
-      if (lshLive) appendLshSegment(batch, seg, meta)
-      if (pqLive) {
-        val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
-        appendSegRows(GraftCollection.pqCodes(coll), seg,
-          graft.vector.PqIndex.encode(model,
-            batch.where(col(vecCol).isNotNull), idCol, vecCol))
-      }
-      if (ivfPqLive) {
-        val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
-        val centers = graft.vector.IvfIndex.centersFromDf(
-          catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
-        val vecs = batch.where(col(vecCol).isNotNull)
-        val cells = vecs.select(col(idCol).cast("long").as("id"),
-          graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
-        appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
-          graft.vector.PqIndex.encode(pq, vecs, idCol, vecCol).join(cells, "id"),
-          subPartition = Seq("cell"))
-      }
-      // dedup signatures are per-doc pure functions of the text — the
-      // batch's signatures are a self-contained new segment
-      if (mhLive) appendSegRows(GraftCollection.mhSig(coll), seg,
-        graft.dedup.Dedup.minhashSignatures(batch, idCol, meta("index.mh.text_col"),
-          meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
-          meta("index.mh.seed").toLong))
-      if (shLive) appendSegRows(GraftCollection.shSig(coll), seg,
-        graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
-      advanceLedger(batch, seg)
-    }
+    if (anyLive) appendLiveSegments(batch, meta, live)
 
     val ivfCenters =
       if (ivfLive) Some(graft.vector.IvfIndex.centersFromDf(
@@ -261,6 +216,71 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       .distinct().collect().map(_.getInt(0)).toSeq
 
   // ----------------------------------------- incremental index maintenance
+
+  /** Which derived indexes exist and can be maintained across a
+    * mutation. `anySeg` = at least one segment-maintained family is
+    * live (plain IVF is maintained in the data layout instead). */
+  private case class LiveIndexes(ftLive: Boolean, lshLive: Boolean, ivfLive: Boolean,
+                                 mhLive: Boolean, shLive: Boolean, pqLive: Boolean,
+                                 ivfPqLive: Boolean) {
+    def anySeg: Boolean = ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive
+  }
+
+  private def liveIndexes(meta: Map[String, String]): LiveIndexes = LiveIndexes(
+    ftLive = meta.contains("index.ft.text_col") &&
+      catalog.collectionExists(db, GraftCollection.ftPostings(coll)),
+    lshLive = meta.contains("index.lsh.nbits") &&
+      catalog.collectionExists(db, GraftCollection.lshBuckets(coll)),
+    ivfLive = meta.contains("index.ivf.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)),
+    mhLive = meta.contains("index.mh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.mhSig(coll)),
+    shLive = meta.contains("index.sh.text_col") &&
+      catalog.collectionExists(db, GraftCollection.shSig(coll)),
+    // PQ-coded families maintain too: encoding against the STORED
+    // codebooks (and stored centroids for the coarse cell) is a pure
+    // per-doc function, exactly like LSH signing
+    pqLive = meta.contains("index.pq.m") &&
+      catalog.collectionExists(db, GraftCollection.pqCodes(coll)),
+    ivfPqLive = meta.contains("index.ivfpq.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)))
+
+  /** Append one segment per live family for `batch` (one row per id —
+    * caller enforces — with the full document schema) and advance the
+    * ledger. Shared by upsert and update: an update's post-image rows
+    * are exactly an upsert batch as far as the indexes care. */
+  private def appendLiveSegments(batch: DataFrame, meta: Map[String, String],
+                                 live: LiveIndexes): Unit = {
+    val seg = mutationSeg + 1
+    if (live.ftLive) appendFulltextSegment(batch, seg, meta("index.ft.text_col"))
+    if (live.lshLive) appendLshSegment(batch, seg, meta)
+    if (live.pqLive) {
+      val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
+      appendSegRows(GraftCollection.pqCodes(coll), seg,
+        graft.vector.PqIndex.encode(model,
+          batch.where(col(vecCol).isNotNull), idCol, vecCol))
+    }
+    if (live.ivfPqLive) {
+      val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
+      val centers = graft.vector.IvfIndex.centersFromDf(
+        catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
+      val vecs = batch.where(col(vecCol).isNotNull)
+      val cells = vecs.select(col(idCol).cast("long").as("id"),
+        graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
+      appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
+        graft.vector.PqIndex.encode(pq, vecs, idCol, vecCol).join(cells, "id"),
+        subPartition = Seq("cell"))
+    }
+    // dedup signatures are per-doc pure functions of the text — the
+    // batch's signatures are a self-contained new segment
+    if (live.mhLive) appendSegRows(GraftCollection.mhSig(coll), seg,
+      graft.dedup.Dedup.minhashSignatures(batch, idCol, meta("index.mh.text_col"),
+        meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
+        meta("index.mh.seed").toLong))
+    if (live.shLive) appendSegRows(GraftCollection.shSig(coll), seg,
+      graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
+    advanceLedger(batch, seg)
+  }
 
   /** Monotone mutation counter; each indexed mutation claims the next
     * segment number. */
@@ -1035,39 +1055,28 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * layout the snapshot rewrite replaces. */
   private def deleteKeeping(survivors: DataFrame): Unit = {
     val meta = describe
-    val ftLive = meta.contains("index.ft.text_col") &&
-      catalog.collectionExists(db, GraftCollection.ftPostings(coll))
-    val lshLive = meta.contains("index.lsh.nbits") &&
-      catalog.collectionExists(db, GraftCollection.lshBuckets(coll))
-    val mhLive = meta.contains("index.mh.text_col") &&
-      catalog.collectionExists(db, GraftCollection.mhSig(coll))
-    val shLive = meta.contains("index.sh.text_col") &&
-      catalog.collectionExists(db, GraftCollection.shSig(coll))
-    val pqLive = meta.contains("index.pq.m") &&
-      catalog.collectionExists(db, GraftCollection.pqCodes(coll))
-    val ivfPqLive = meta.contains("index.ivfpq.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll))
-    if (ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive) {
+    val live = liveIndexes(meta)
+    if (live.anySeg) {
       val doomed = df.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!doomed.isEmpty) {
           val seg = mutationSeg + 1
-          if (ftLive)
+          if (live.ftLive)
             appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
           advanceLedger(doomed, seg)
         }
         persistSnapshot(survivors)
       } finally doomed.unpersist()
     } else persistSnapshot(survivors)
-    invalidateDerived(keepFt = ftLive, keepLsh = lshLive, keepMh = mhLive,
-      keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
+    invalidateDerived(keepFt = live.ftLive, keepLsh = live.lshLive, keepMh = live.mhLive,
+      keepSh = live.shLive, keepPq = live.pqLive, keepIvfPq = live.ivfPqLive)
   }
 
-  def update(filter: String, set: Map[String, Column]): Unit = {
-    persistSnapshot(reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys))
-    invalidateDerived()
-  }
+  def update(filter: String, set: Map[String, Column]): Unit =
+    updateKeeping(
+      reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys),
+      coalesce(graft.filter.FilterParser.parse(filter), lit(false)))
 
   /** update(document_ids=..., data=...) — reference's by-ids update. */
   def updateByIds(ids: Seq[Any], set: Map[String, Column]): Unit = {
@@ -1075,8 +1084,32 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val projections = df.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
     }
-    persistSnapshot(reembedIfNeeded(df.select(projections.toSeq: _*), set.keys))
-    invalidateDerived()
+    updateKeeping(reembedIfNeeded(df.select(projections.toSeq: _*), set.keys), pred)
+  }
+
+  /** Shared update path: the matched docs' POST-image rows are exactly
+    * an upsert batch as far as the segment-maintained indexes care —
+    * append them as a new segment and the ledger masks the old
+    * versions, so fulltext/LSH/minhash/simhash/PQ/IVF_PQ keep serving
+    * the updated documents at O(matched) maintenance cost. `matchPred`
+    * evaluates against PRE-update values (the reference filter
+    * semantics), so matched ids are resolved on the old snapshot.
+    * Plain IVF still invalidates (assignments ride in the data
+    * layout). */
+  private def updateKeeping(updatedSnapshot: DataFrame, matchPred: Column): Unit = {
+    val meta = describe
+    val live = liveIndexes(meta)
+    if (live.anySeg) {
+      val matchedIds = df.where(matchPred).select(col(idCol))
+      val batch = updatedSnapshot.join(matchedIds, Seq(idCol), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
+        persistSnapshot(updatedSnapshot)
+      } finally batch.unpersist()
+    } else persistSnapshot(updatedSnapshot)
+    invalidateDerived(keepFt = live.ftLive, keepLsh = live.lshLive, keepMh = live.mhLive,
+      keepSh = live.shLive, keepPq = live.pqLive, keepIvfPq = live.ivfPqLive)
   }
 
   def truncate(): Unit = {

@@ -253,6 +253,28 @@ class Round4Spec extends SparkSpec {
     assert(coll.fulltext(Seq(term), k = 5).collect().exists(_.getLong(1) == 3L))
   }
 
+  test("update keeps segment indexes live: post-image rows re-index, results equal rebuild") {
+    val root = Files.createTempDirectory("graft-updlive").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq(
+      (1L, "spark join fast", "a"), (2L, "slow scan table", "b"),
+      (3L, "spark window agg", "a")).toDF("id", "text", "tag"))
+    coll.rebuildFulltextIndex()
+
+    // metadata-only update: text unchanged, postings re-added identically
+    coll.updateByIds(Seq(1L), Map("tag" -> lit("z")))
+    assert(coll.describe.contains("index.ft.text_col"),
+      "update must keep the fulltext index live")
+    // text update by FILTER: the post-image rows re-index, ledger masks old
+    coll.update("""tag = "b"""", Map("text" -> lit("spark replaces scan")))
+    val served = coll.fulltext(Seq("spark", "scan"), k = 5).collect().toSeq
+    assert(served.filter(_.getLong(1) == 2L).head.getLong(2) == 2L,
+      s"doc 2 must match spark AND scan from its updated text, got $served")
+    coll.rebuildFulltextIndex()
+    val rebuilt = coll.fulltext(Seq("spark", "scan"), k = 5).collect().toSeq
+    assert(served == rebuilt, "incremental update must equal a from-scratch rebuild")
+  }
+
   test("incremental fulltext maintenance works with string document ids") {
     val root = Files.createTempDirectory("graft-ftstr").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -439,6 +439,28 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * is configured for: hash buckets take precedence, else the scalar
     * indexed layout (so add_index survives mutations and describe()
     * keeps telling the truth). */
+  /** Persist a full snapshot preserving the live-IVF cell layout: the
+    * rows are re-assigned against the STORED centroids (a projection —
+    * the snapshot rewrite is what the mutation costs anyway), so
+    * `search(nprobe)` keeps pruning after updates and deletes too.
+    * Returns whether the IVF layout was kept (the caller's keepIvf). */
+  private def persistSnapshotKeepingCell(snapshot: DataFrame, ivfLive: Boolean): Boolean = {
+    if (!ivfLive || !snapshot.columns.contains(vecCol)) {
+      persistSnapshot(snapshot); false
+    } else {
+      val centers = graft.vector.IvfIndex.centersFromDf(
+        catalog.read(db, GraftCollection.ivfCentroids(coll)))
+      val assigned = snapshot.withColumn(GraftCollection.CellCol,
+        graft.vector.IvfIndex.assignExpr(centers, col(vecCol)))
+      if (numBuckets.isEmpty)
+        catalog.overwriteFromSelf(db, coll,
+          assigned.repartition(col(GraftCollection.CellCol)),
+          partitionBy = Seq(GraftCollection.CellCol))
+      else persistSnapshot(assigned) // bucket layout owns the dirs; cell rides as a column
+      true
+    }
+  }
+
   private def persistSnapshot(snapshot: DataFrame): Unit = numBuckets match {
     case Some(n) =>
       catalog.overwriteFromSelf(db, coll,
@@ -1056,6 +1078,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def deleteKeeping(survivors: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
+    var keptCell = false
     if (live.anySeg) {
       val doomed = df.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1066,11 +1089,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
           advanceLedger(doomed, seg)
         }
-        persistSnapshot(survivors)
+        keptCell = persistSnapshotKeepingCell(survivors, live.ivfLive)
       } finally doomed.unpersist()
-    } else persistSnapshot(survivors)
-    invalidateDerived(keepFt = live.ftLive, keepLsh = live.lshLive, keepMh = live.mhLive,
-      keepSh = live.shLive, keepPq = live.pqLive, keepIvfPq = live.ivfPqLive)
+    } else keptCell = persistSnapshotKeepingCell(survivors, live.ivfLive)
+    invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
+      keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
+      keepIvfPq = live.ivfPqLive)
   }
 
   def update(filter: String, set: Map[String, Column]): Unit =
@@ -1099,17 +1123,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def updateKeeping(updatedSnapshot: DataFrame, matchPred: Column): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
+    var keptCell = false
     if (live.anySeg) {
       val matchedIds = df.where(matchPred).select(col(idCol))
       val batch = updatedSnapshot.join(matchedIds, Seq(idCol), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
-        persistSnapshot(updatedSnapshot)
+        keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
       } finally batch.unpersist()
-    } else persistSnapshot(updatedSnapshot)
-    invalidateDerived(keepFt = live.ftLive, keepLsh = live.lshLive, keepMh = live.mhLive,
-      keepSh = live.shLive, keepPq = live.pqLive, keepIvfPq = live.ivfPqLive)
+    } else keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
+    invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
+      keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
+      keepIvfPq = live.ivfPqLive)
   }
 
   def truncate(): Unit = {

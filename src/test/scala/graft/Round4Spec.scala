@@ -97,6 +97,19 @@ class Round4Spec extends SparkSpec {
       .collect().toSeq
     val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
     assert(inc == exact, "nprobe=nlist after incremental assignment must equal exact")
+
+    // delete and update keep the IVF layout too: the snapshot rewrite
+    // re-assigns against the stored centroids
+    coll.deleteByIds(Seq(rows(7)._1 + 0L))
+    assert(coll.describe.contains("index.ivf.nlist"), "delete must keep IVF live")
+    coll.updateByIds(Seq(301L), Map("vector" -> typedlit(Seq.fill(4)(0.25))))
+    assert(coll.describe.contains("index.ivf.nlist"), "update must keep IVF live")
+    val q2 = Seq((0L, Seq(0.25, 0.25, 0.25, 0.25))).toDF("qid", "qvec")
+    val inc2 = coll.search(q2, "qid", "qvec", metric = "l2", limit = 5, nprobe = Some(4))
+      .collect().toSeq
+    val exact2 = coll.search(q2, "qid", "qvec", metric = "l2", limit = 5).collect().toSeq
+    assert(inc2 == exact2 && inc2.head.getLong(2) == 301L)
+    assert(!inc2.exists(_.getLong(2) == 7L), "deleted doc must not serve")
   }
 
   test("dedup signature indexes: persisted, served, incrementally maintained") {

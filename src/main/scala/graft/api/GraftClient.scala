@@ -157,6 +157,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val batch = docs.dropDuplicates(Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // null primary keys break last-wins merge and ledger masking alike
+    // (null join keys never match) — reject them like the reference's
+    // required document id
+    require(batch.where(col(idCol).isNull).isEmpty,
+      s"documents must carry a non-null '$idCol'")
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
@@ -353,8 +358,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // stats. On a bucketed collection the lookup scans ONLY the batch
     // ids' buckets (partition-pruned), keeping the whole maintenance
     // pass O(batch), not O(corpus).
-    val replaced = bucketPrunedCurrent(docs)
-      .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    // In the deletion form the caller hands over the doomed CURRENT
+    // rows — they ARE the replaced set; only an upsert must look the
+    // old versions up (bucket-pruned)
+    val replaced =
+      if (add) bucketPrunedCurrent(docs)
+        .join(docs.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      else docs
     // both delta posting sets feed two consumers (stats delta, segment
     // write) — persist so tokenization runs once. Everything else is a
     // SINGLE plan per artifact write: the whole maintenance pass is two
@@ -953,11 +963,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.updateMeta(db, coll, stale.map(_ -> (null: String)).toMap)
   }
 
-  /** Invalidate derived indexes after a mutation. Upsert passes keep
-    * flags for the families it maintained incrementally; other mutations
-    * (delete / update / truncate) still invalidate everything — the
-    * reference requires an explicit rebuild after writes too, and
-    * serving a stale index silently would be worse. */
+  /** Invalidate derived indexes after a mutation. Upsert, update, and
+    * delete pass keep flags for every family they maintained
+    * incrementally (segments + ledger, or the re-assigned IVF layout);
+    * a family is dropped only when it could NOT be maintained —
+    * truncate invalidates everything. Serving a stale index silently
+    * would be worse than the rebuild cost, so any unmaintained family
+    * loses its meta too. */
   private def invalidateDerived(keepFt: Boolean = false, keepIvf: Boolean = false,
                                 keepLsh: Boolean = false, keepMh: Boolean = false,
                                 keepSh: Boolean = false, keepPq: Boolean = false,
@@ -1061,12 +1073,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       Seq("query_id"), "id", "rank", rrfK, limit)
   }
 
-  def delete(filter: String, limit: Option[Int] = None): Unit =
-    deleteKeeping(DocumentOps.delete(df, idCol, filter, limit))
+  def delete(filter: String, limit: Option[Int] = None): Unit = {
+    val pred = coalesce(graft.filter.FilterParser.parse(filter), lit(false))
+    // the doomed set mirrors DocumentOps.delete exactly: all matches,
+    // or the first `limit` matches ordered by id — derived as a direct
+    // (prunable) predicate scan, never a corpus-wide anti-join
+    val doomed = limit.foldLeft(df.where(pred))((d, n) => d.orderBy(col(idCol)).limit(n))
+    deleteKeeping(DocumentOps.delete(df, idCol, filter, limit), doomed)
+  }
 
   /** delete(document_ids=...) — reference's by-ids deletion. */
   def deleteByIds(ids: Seq[Any]): Unit =
-    deleteKeeping(df.where(!col(idCol).isin(ids: _*)))
+    deleteKeeping(df.where(!col(idCol).isin(ids: _*)),
+      df.where(col(idCol).isin(ids: _*)))
 
   /** Shared deletion path: segment-maintained indexes stay LIVE — the
     * doomed docs' contributions leave the fulltext stats and a ledger
@@ -1075,12 +1094,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * keep serving, minus the deleted documents, at O(deleted) cost.
     * Plain IVF still invalidates: its assignments ride in the data
     * layout the snapshot rewrite replaces. */
-  private def deleteKeeping(survivors: DataFrame): Unit = {
+  private def deleteKeeping(survivors: DataFrame, doomedRows: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
     var keptCell = false
     if (live.anySeg) {
-      val doomed = df.join(survivors.select(col(idCol)), Seq(idCol), "left_anti")
+      val doomed = doomedRows
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         if (!doomed.isEmpty) {
@@ -1097,13 +1116,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       keepIvfPq = live.ivfPqLive)
   }
 
-  def update(filter: String, set: Map[String, Column]): Unit =
+  def update(filter: String, set: Map[String, Column]): Unit = {
+    require(!set.contains(idCol),
+      s"update may not rewrite the primary key '$idCol' (delete + upsert instead)")
     updateKeeping(
       reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys),
       coalesce(graft.filter.FilterParser.parse(filter), lit(false)))
+  }
 
   /** update(document_ids=..., data=...) — reference's by-ids update. */
   def updateByIds(ids: Seq[Any], set: Map[String, Column]): Unit = {
+    require(!set.contains(idCol),
+      s"update may not rewrite the primary key '$idCol' (delete + upsert instead)")
     val pred = col(idCol).isin(ids: _*)
     val projections = df.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))
@@ -1125,13 +1149,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val live = liveIndexes(meta)
     var keptCell = false
     if (live.anySeg) {
-      val matchedIds = df.where(matchPred).select(col(idCol))
-      val batch = updatedSnapshot.join(matchedIds, Seq(idCol), "left_semi")
+      // the WHOLE post-image snapshot is persisted and both the index
+      // batch and the data write read the SAME cached evaluation — a
+      // nondeterministic set-expression must not index one value and
+      // store another
+      val snap = updatedSnapshot
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val matchedIds = df.where(matchPred).select(col(idCol))
+        val batch = snap.join(matchedIds, Seq(idCol), "left_semi")
         if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
-        keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
-      } finally batch.unpersist()
+        keptCell = persistSnapshotKeepingCell(snap, live.ivfLive)
+      } finally snap.unpersist()
     } else keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,

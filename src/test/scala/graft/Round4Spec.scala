@@ -288,6 +288,53 @@ class Round4Spec extends SparkSpec {
     assert(served == rebuilt, "incremental update must equal a from-scratch rebuild")
   }
 
+  test("update and delete keep LSH and minhash indexes rebuild-identical") {
+    val root = Files.createTempDirectory("graft-mutfam").toString
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 120L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()), s"document number $i with shared words " * 2))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector", "text"))
+    coll.rebuildLshIndex(nBits = 16, bands = 4)
+    coll.rebuildMinhashIndex()
+
+    // update moves doc 9's vector and rewrites doc 10's text
+    coll.updateByIds(Seq(9L), Map("vector" -> typedlit(rows(3)._2)))
+    coll.updateByIds(Seq(10L), Map("text" -> lit(rows(3)._3)))
+    // delete a doc covered by both indexes
+    coll.deleteByIds(Seq(5L))
+    assert(coll.describe.contains("index.lsh.nbits") &&
+      coll.describe.contains("index.mh.text_col"))
+
+    val q = Seq((0L, rows(3)._2)).toDF("qid", "qvec")
+    val lshInc = coll.searchLsh(q, "qid", "qvec", limit = 6).collect().toSeq
+    val mhInc = coll.nearDupMinhash(threshold = 0.5).collect().toSeq
+    assert(lshInc.exists(_.getLong(2) == 9L), "updated vector must serve from LSH")
+    assert(mhInc.exists(r => r.getLong(0) == 3L && r.getLong(1) == 10L),
+      s"updated text must near-dup match, got $mhInc")
+    assert(!lshInc.exists(_.getLong(2) == 5L) &&
+      !mhInc.exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
+
+    coll.rebuildLshIndex(nBits = 16, bands = 4)
+    coll.rebuildMinhashIndex()
+    assert(coll.searchLsh(q, "qid", "qvec", limit = 6).collect().toSeq == lshInc)
+    assert(coll.nearDupMinhash(threshold = 0.5).collect().toSeq == mhInc)
+  }
+
+  test("primary-key hygiene: id rewrites and null ids are rejected") {
+    val root = Files.createTempDirectory("graft-pkhyg").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "alpha")).toDF("id", "text"))
+    intercept[IllegalArgumentException](
+      coll.updateByIds(Seq(1L), Map("id" -> lit(99L))))
+    intercept[IllegalArgumentException](
+      coll.update("id = 1", Map("id" -> lit(99L))))
+    intercept[IllegalArgumentException](
+      coll.upsert(Seq((Some(2L), "beta"), (None, "gamma"))
+        .toDF("id", "text")))
+    assert(coll.count() == 1)
+  }
+
   test("incremental fulltext maintenance works with string document ids") {
     val root = Files.createTempDirectory("graft-ftstr").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -163,6 +163,25 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(batch.where(col(idCol).isNull).isEmpty,
       s"documents must carry a non-null '$idCol'")
 
+    val current = df
+    val currentEmpty = current.isEmpty
+    // the merge projects the batch onto the stored document schema —
+    // a batch missing stored columns throws there, which is AFTER the
+    // index artifacts below are written. Check coverage first, so a
+    // batch that cannot complete the merge leaves segments, stats,
+    // ledger, and data all untouched. Layout columns (__cell/__bucket)
+    // are derived here, and the stored embedding re-derives from the
+    // configured text column.
+    if (!currentEmpty) {
+      val layoutCols = Set(GraftCollection.CellCol, GraftCollection.BucketCol)
+      val missing = current.columns.filterNot(layoutCols.contains).filterNot { c =>
+        batch.columns.contains(c) ||
+          (c == GraftCollection.EmbedCol && embedTextCol.exists(batch.columns.contains))
+      }
+      require(missing.isEmpty,
+        s"upsert batch is missing stored document columns: ${missing.mkString(", ")}")
+    }
+
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
     if (anyLive) appendLiveSegments(batch, meta, live)
@@ -177,8 +196,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       case None => d
     }
 
-    val current = df
-    (numBuckets, current.isEmpty) match {
+    (numBuckets, currentEmpty) match {
       case (Some(n), true) =>
         catalog.write(db, coll, withBucket(withCell(withStoredEmbedding(batch)), n),
           partitionBy = Seq(GraftCollection.BucketCol))
@@ -205,7 +223,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             withCell(merged).repartition(col(GraftCollection.CellCol)),
             partitionBy = Seq(GraftCollection.CellCol))
         else persistSnapshot(merged)
-      case (None, true) => catalog.write(db, coll, withStoredEmbedding(batch))
+      case (None, true) =>
+        // a live IVF index on an emptied collection must come back in
+        // the cell-partitioned layout too, or describe() would keep
+        // advertising an index search(nprobe) can no longer prune on
+        if (ivfCenters.isDefined)
+          catalog.write(db, coll,
+            withCell(withStoredEmbedding(batch))
+              .repartition(col(GraftCollection.CellCol)),
+            partitionBy = Seq(GraftCollection.CellCol))
+        else catalog.write(db, coll, withStoredEmbedding(batch))
     }
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
@@ -346,8 +373,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * batch term counts in). Query results are bit-identical to a
     * from-scratch rebuild on the post-upsert corpus: postings store
     * (tf, dl) and the BM25 weight is a query-time expression over the
-    * refreshed stats. */
-  /** `add = false` is the DELETION form: the docs' contributions leave
+    * refreshed stats.
+    *
+    * `add = false` is the DELETION form: the docs' contributions leave
     * the stats and no segment rows are written — the ledger tombstone
     * alone masks their old postings. */
   private def appendFulltextSegment(docs: DataFrame, seg: Int, textCol: String,
@@ -445,10 +473,6 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       rows.withColumn(GraftCollection.SegCol, lit(seg)),
       GraftCollection.SegCol +: subPartition)
 
-  /** Persist a full new snapshot, restoring the layout the collection
-    * is configured for: hash buckets take precedence, else the scalar
-    * indexed layout (so add_index survives mutations and describe()
-    * keeps telling the truth). */
   /** Persist a full snapshot preserving the live-IVF cell layout: the
     * rows are re-assigned against the STORED centroids (a projection —
     * the snapshot rewrite is what the mutation costs anyway), so
@@ -471,6 +495,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
   }
 
+  /** Persist a full new snapshot, restoring the layout the collection
+    * is configured for: hash buckets take precedence, else the scalar
+    * indexed layout (so add_index survives mutations and describe()
+    * keeps telling the truth). */
   private def persistSnapshot(snapshot: DataFrame): Unit = numBuckets match {
     case Some(n) =>
       catalog.overwriteFromSelf(db, coll,
@@ -1074,18 +1102,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   }
 
   def delete(filter: String, limit: Option[Int] = None): Unit = {
-    val pred = coalesce(graft.filter.FilterParser.parse(filter), lit(false))
-    // the doomed set mirrors DocumentOps.delete exactly: all matches,
-    // or the first `limit` matches ordered by id — derived as a direct
-    // (prunable) predicate scan, never a corpus-wide anti-join
-    val doomed = limit.foldLeft(df.where(pred))((d, n) => d.orderBy(col(idCol)).limit(n))
-    deleteKeeping(DocumentOps.delete(df, idCol, filter, limit), doomed)
+    // survivors and doomed come from ONE derivation (deleteSplit) —
+    // the data write and the index tombstones can never desync
+    val (survivors, doomed) = DocumentOps.deleteSplit(df, idCol, filter, limit)
+    deleteKeeping(survivors, doomed)
   }
 
   /** delete(document_ids=...) — reference's by-ids deletion. */
-  def deleteByIds(ids: Seq[Any]): Unit =
-    deleteKeeping(df.where(!col(idCol).isin(ids: _*)),
-      df.where(col(idCol).isin(ids: _*)))
+  def deleteByIds(ids: Seq[Any]): Unit = {
+    // a null in the IN-list makes `!isin` NULL for every non-matching
+    // row — where() would then drop the whole collection while the
+    // doomed set (and its tombstones) covered only the non-null ids
+    require(ids.forall(_ != null), "delete document_ids must be non-null")
+    val pred = coalesce(col(idCol).isin(ids: _*), lit(false))
+    deleteKeeping(df.where(!pred), df.where(pred))
+  }
 
   /** Shared deletion path: segment-maintained indexes stay LIVE — the
     * doomed docs' contributions leave the fulltext stats and a ledger
@@ -1156,9 +1187,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val snap = updatedSnapshot
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the batch is persisted too: appendLiveSegments fans it out to
+        // one write per live family, and re-running the corpus-wide
+        // semi-join (plus a fresh pre-image scan for matchedIds) per
+        // artifact would pay O(live families) full scans
         val matchedIds = df.where(matchPred).select(col(idCol))
         val batch = snap.join(matchedIds, Seq(idCol), "left_semi")
-        if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
+        } finally batch.unpersist()
         keptCell = persistSnapshotKeepingCell(snap, live.ivfLive)
       } finally snap.unpersist()
     } else keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)

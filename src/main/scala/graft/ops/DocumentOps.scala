@@ -68,16 +68,26 @@ object DocumentOps {
     * matches ordered by id (deterministic, mirrors a stable server).
     * The doomed-id set is tiny → broadcast anti-join, corpus never
     * shuffles. Without a limit it's a pure negated filter. */
-  def delete(df: DataFrame, idCol: String, filter: String, limit: Option[Int] = None): DataFrame = {
-    val pred = FilterParser.parse(filter)
+  def delete(df: DataFrame, idCol: String, filter: String, limit: Option[Int] = None): DataFrame =
+    deleteSplit(df, idCol, filter, limit)._1
+
+  /** [[delete]] split into (survivors, doomed) from ONE shared
+    * derivation — callers that tombstone indexes for the doomed rows
+    * while writing the survivors (incremental index maintenance) can
+    * never desync the two sets, because there is no second place for
+    * the limit/ordering semantics to drift. */
+  def deleteSplit(df: DataFrame, idCol: String, filter: String,
+                  limit: Option[Int] = None): (DataFrame, DataFrame) = {
+    // NULL-predicate rows did NOT match the filter -> they survive
+    // (coalesce, else `!pred` is NULL and where() drops them — silent
+    // data loss, and inconsistent with update()/the limit branch)
+    val pred = coalesce(FilterParser.parse(filter), lit(false))
     limit match {
-      // NULL-predicate rows did NOT match the filter -> they survive
-      // (coalesce, else `!pred` is NULL and where() drops them — silent
-      // data loss, and inconsistent with update()/the limit branch)
-      case None => df.where(!coalesce(pred, lit(false)))
+      case None => (df.where(!pred), df.where(pred))
       case Some(n) =>
-        val doomed = df.where(pred).select(col(idCol)).orderBy(col(idCol)).limit(n)
-        df.join(broadcast(doomed), Seq(idCol), "left_anti")
+        val doomedIds = df.where(pred).select(col(idCol)).orderBy(col(idCol)).limit(n)
+        (df.join(broadcast(doomedIds), Seq(idCol), "left_anti"),
+          df.join(broadcast(doomedIds), Seq(idCol), "left_semi"))
     }
   }
 

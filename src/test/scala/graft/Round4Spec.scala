@@ -378,4 +378,56 @@ class Round4Spec extends SparkSpec {
     coll.truncate()
     assert(!coll.describe.contains("index.ft.text_col"))
   }
+
+  test("a batch missing a NON-indexed stored column is rejected before any index write") {
+    val root = Files.createTempDirectory("graft-cover").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "spark join fast", "a")).toDF("id", "text", "tag"))
+    coll.rebuildFulltextIndex()
+    val before = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+
+    // carries the indexed text column but not the stored 'tag' column:
+    // the merge cannot complete, so NOTHING may be written first
+    intercept[IllegalArgumentException](
+      coll.upsert(Seq((2L, "sneaky spark doc")).toDF("id", "text")))
+    assert(coll.count() == 1)
+    val served = coll.fulltext(Seq("spark"), k = 5).collect().toSeq
+    assert(served == before, "rejected batch must leave postings and stats untouched")
+    coll.rebuildFulltextIndex()
+    assert(coll.fulltext(Seq("spark"), k = 5).collect().toSeq == before,
+      "serving state must still equal a from-scratch rebuild")
+  }
+
+  test("deleteByIds rejects null ids (a null IN-list would drop every row)") {
+    val root = Files.createTempDirectory("graft-delnull").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text"))
+    intercept[IllegalArgumentException](coll.deleteByIds(Seq(2L, null)))
+    assert(coll.count() == 3, "a rejected delete must not touch the data")
+  }
+
+  test("delete-all then upsert restores the live-IVF cell layout") {
+    val root = Files.createTempDirectory("graft-ivfempty").toString
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 40L).map(i => (i, Seq.fill(4)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIndex(nlist = 2)
+
+    coll.deleteByIds(rows.map(_._1)) // empty the collection, index meta kept
+    assert(coll.count() == 0)
+    coll.upsert(rows.take(10).toDF("id", "vector"))
+    assert(coll.describe.contains("index.ivf.nlist"),
+      "upsert into the emptied collection must keep the IVF index")
+    // describe() advertises IVF, so the data MUST be back in the
+    // cell-partitioned layout nprobe pruning reads
+    val dataDir = java.nio.file.Paths.get(root, "db", "v", "data")
+    val cellDirs = Files.list(dataDir).filter(p =>
+      p.getFileName.toString.startsWith("__cell=")).count()
+    assert(cellDirs > 0, "fresh write with live IVF must restore the __cell layout")
+    val q = Seq((0L, rows(3)._2)).toDF("qid", "qvec")
+    val ivf = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(2)).collect().toSeq
+    assert(ivf == coll.search(q, "qid", "qvec", limit = 3).collect().toSeq,
+      "nprobe = nlist must equal the exact scan on the re-filled collection")
+  }
 }

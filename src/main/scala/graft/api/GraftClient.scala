@@ -180,6 +180,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       }
       require(missing.isEmpty,
         s"upsert batch is missing stored document columns: ${missing.mkString(", ")}")
+      // ... and columns the schema does NOT have would be silently
+      // dropped by the merge projection — reject instead of losing data
+      val extra = batch.columns.filterNot(current.columns.contains)
+      require(extra.isEmpty,
+        s"upsert batch carries columns not in the stored document schema: " +
+          s"${extra.mkString(", ")} (the schema is fixed at first write)")
+    } else {
+      val reserved = batch.columns.filter(_.startsWith("__"))
+      require(reserved.isEmpty,
+        s"the '__' column-name prefix is reserved for internal layout: ${reserved.mkString(", ")}")
     }
 
     // segment-based artifacts read PRE-write state: append them (and the
@@ -1147,9 +1157,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       keepIvfPq = live.ivfPqLive)
   }
 
-  def update(filter: String, set: Map[String, Column]): Unit = {
+  /** The update projection maps stored columns only — a `set` key that
+    * is not a document column would be SILENTLY ignored (a typo'd field
+    * name becoming a no-op update), and internal layout columns are not
+    * user schema. Rejected up front instead. */
+  private def validateUpdateSet(set: Map[String, Column]): Unit = {
     require(!set.contains(idCol),
       s"update may not rewrite the primary key '$idCol' (delete + upsert instead)")
+    val cols = df.columns.toSet
+    val bad = set.keys.filter(k => !cols.contains(k) || k.startsWith("__"))
+    require(bad.isEmpty,
+      s"update sets non-document columns: ${bad.mkString(", ")}")
+  }
+
+  def update(filter: String, set: Map[String, Column]): Unit = {
+    validateUpdateSet(set)
     updateKeeping(
       reembedIfNeeded(DocumentOps.update(df, filter, set), set.keys),
       coalesce(graft.filter.FilterParser.parse(filter), lit(false)))
@@ -1157,8 +1179,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   /** update(document_ids=..., data=...) — reference's by-ids update. */
   def updateByIds(ids: Seq[Any], set: Map[String, Column]): Unit = {
-    require(!set.contains(idCol),
-      s"update may not rewrite the primary key '$idCol' (delete + upsert instead)")
+    validateUpdateSet(set)
     val pred = col(idCol).isin(ids: _*)
     val projections = df.columns.map { c =>
       set.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))

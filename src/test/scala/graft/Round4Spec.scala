@@ -398,6 +398,26 @@ class Round4Spec extends SparkSpec {
       "serving state must still equal a from-scratch rebuild")
   }
 
+  test("schema hygiene: extra upsert columns, unknown update keys, reserved names rejected") {
+    val root = Files.createTempDirectory("graft-schemahyg").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    // reserved internal prefix is rejected at first write
+    intercept[IllegalArgumentException](
+      coll.upsert(Seq((1L, "x", 0)).toDF("id", "text", "__cell")))
+    coll.upsert(Seq((1L, "alpha")).toDF("id", "text"))
+    // a column the stored schema lacks would be silently dropped by the
+    // merge projection — rejected instead
+    intercept[IllegalArgumentException](
+      coll.upsert(Seq((2L, "beta", 7)).toDF("id", "text", "extra")))
+    assert(coll.count() == 1)
+    // a typo'd update key would be a silent no-op — rejected
+    intercept[IllegalArgumentException](
+      coll.update("id = 1", Map("txet" -> lit("oops"))))
+    intercept[IllegalArgumentException](
+      coll.updateByIds(Seq(1L), Map("__embed" -> lit("oops"))))
+    assert(coll.queryByIds(Seq(1L)).head().getString(1) == "alpha")
+  }
+
   test("deleteByIds rejects null ids (a null IN-list would drop every row)") {
     val root = Files.createTempDirectory("graft-delnull").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

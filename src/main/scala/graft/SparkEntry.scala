@@ -376,6 +376,39 @@ object SparkEntry {
       Dedup.simhashPairsFromSignatures(sig, maxHamming = 3)
     }),
 
+    "q_dedup_minhash_verified" -> ((s, dir) => {
+      // minhash-banded candidates (exhaustive-grade r=1: a j>=0.5 pair
+      // misses all 32 bands with p = 2^-32) verified with EXACT jaccard
+      // over the persisted ngram postings — approximate candidate
+      // generation, exact output: hash-matches the q_dedup_ngram oracle
+      // while the pair join stays candidate-bounded
+      val sig = graft.catalog.IndexStore.ensure(s, s"minhashsig_${sfKey(dir)}") {
+        Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      }
+      Dedup.minhashVerified(sig, ngramPostingsFor(s, dir),
+        numPerms = 32, bands = 32, threshold = 0.5)
+    }),
+
+    "q_det_split" -> ((s, dir) => {
+      // deterministic content-addressed train/eval split: a pure
+      // projection (no shuffle, no RNG state) reproducible across runs
+      // and engines — eval docs can never leak into train between
+      // pipeline versions
+      graft.ops.Curation.hashSplit(
+        Tables.documents(s, dir).select("doc_id"), "doc_id").orderBy("doc_id")
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      // per-language top-quartile quality selection: thresholds derive
+      // from a (lang, score) value-histogram (the corpus never sorts or
+      // shuffles — the only full-width pass is the final filter scan)
+      val scored = TextAnalysis.quality(
+        Tables.documents(s, dir), "doc_id", "text", keep = Seq("lang"))
+        .select("doc_id", "lang", "quality")
+      graft.ops.Curation.topQuantileByGroup(scored, "lang", "quality", q = 0.75)
+        .select("doc_id", "lang", "quality").orderBy("doc_id")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. The parquet
@@ -930,6 +963,40 @@ object SparkEntry {
         |    list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // minhash-candidates + exact-verify must equal the full posting
+    // self-join answer when the band configuration is exhaustive for
+    // the threshold (same oracle as q_dedup_ngram)
+    "q_dedup_minhash_verified" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_det_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) < 90
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      + 0.3 * least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, quality,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr FROM q)
+        |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin
   )
 }

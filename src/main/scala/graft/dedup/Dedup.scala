@@ -294,13 +294,11 @@ object Dedup {
       minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed).cache(),
       numPerms, bands, threshold)
 
-  /** [[minhashLsh]] served from a precomputed signature frame
-    * (doc_id, m0..m{p-1}) — the ingest-artifact path: the O(corpus)
-    * shingle+min work is paid once at rebuild and persisted; every
-    * dedup run reads the signature table (three scans of a (1+p)-column
-    * parquet, each column-pruned) and pays only the banded join. */
-  def minhashLshFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8,
-                               threshold: Double = 0.5): DataFrame = {
+  /** Banded candidate pairs from a minhash signature frame: docs whose
+    * signatures agree on at least one band of `numPerms / bands`
+    * contiguous components. Ids only cross the distinct. */
+  private[graft] def minhashCandidates(sig: DataFrame, numPerms: Int,
+                                       bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     val bandCols = (0 until bands).map { bnd =>
@@ -309,11 +307,21 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** [[minhashLsh]] served from a precomputed signature frame
+    * (doc_id, m0..m{p-1}) — the ingest-artifact path: the O(corpus)
+    * shingle+min work is paid once at rebuild and persisted; every
+    * dedup run reads the signature table (three scans of a (1+p)-column
+    * parquet, each column-pruned) and pays only the banded join. */
+  def minhashLshFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(sig, numPerms, bands)
     val eqCount = (0 until numPerms)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -323,6 +331,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(eqCount.cast("double") / numPerms, 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH candidate generation composed with an EXACT n-gram
+    * Jaccard verify — the minhash twin of [[embedLsh]]'s
+    * candidates-then-verify shape, and like it SQL-oracle-able: the
+    * verify recomputes true Jaccard from the (doc_id, g) postings, so
+    * (with exhaustive-grade banding) the output equals
+    * [[ngramJaccardFromPostings]] exactly while the pair join stays
+    * candidate-bounded (only banded-bucket collisions are ever verified,
+    * never the full posting self-join).
+    *
+    * Band math (r = numPerms/bands rows per band): a pair with true
+    * Jaccard j agrees on one band with p = j^r, misses all bands with
+    * (1-j^r)^bands. The exhaustive-grade default r=1, b=32 misses a
+    * j >= 0.5 pair with p = 2^-32 ≈ 2e-10 — and docs sharing NO shingle
+    * (j = 0) are never candidates, so unrelated docs never meet.
+    * Production thresholds (j >= 0.8) should use r=4, b=8: random
+    * low-overlap pairs (j <= 0.2) collide at ~8·0.0016 ≈ 1.3% while a
+    * qualifying pair still misses at only (1-0.41)^8 ≈ 1.5%. */
+  def minhashVerified(sig: DataFrame, postings: DataFrame,
+                      numPerms: Int = 32, bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame =
+    jaccardOverPairs(minhashCandidates(sig, numPerms, bands), postings, threshold)
+
+  /** Exact n-gram Jaccard over a GIVEN pair list: intersections come
+    * from a candidate-bounded postings join (each side's postings are
+    * narrowed to candidate docs before grams meet), sizes from the
+    * per-doc posting counts. Same output shape and semantics as
+    * [[ngramJaccardFromPostings]] restricted to `pairs`. */
+  private def jaccardOverPairs(pairs: DataFrame, ng: DataFrame,
+                               threshold: Double): DataFrame = {
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ng.as("a")
+      .join(pairs, col("a.doc_id") === col("id_a"))
+      .join(ng.as("b"),
+        col("b.doc_id") === col("id_b") && col("a.g") === col("b.g"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") / (col("sz_a") + col("sz_b") - col("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), round(jac, 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 

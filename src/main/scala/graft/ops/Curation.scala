@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the LLM-training-data pipeline:
+  * deterministic dataset splits and per-group quality selection.
+  *
+  * Both are designed around the 100 TB rule that the CORPUS must not
+  * shuffle: the split is a pure projection, and the quantile filter
+  * reduces the corpus to a (group, score) value-histogram first —
+  * thresholds are derived on the tiny histogram and broadcast back, so
+  * the only full-width pass over the data is the final filter scan.
+  */
+object Curation {
+
+  /** Deterministic train/eval split: bucket = md5(id) mod `buckets`,
+    * split = "train" below `trainPct` buckets, else "eval".
+    *
+    * Content-addressed (a cryptographic hash of the PRIMARY KEY, not a
+    * RNG): the assignment is reproducible across runs, engines, and
+    * re-shards — the property a training pipeline needs so that eval
+    * documents can never leak into train between pipeline versions.
+    * Pure projection: no shuffle, no state; at 100 TB this runs at
+    * parquet-scan speed and composes with any downstream filter. */
+  def hashSplit(docs: DataFrame, idCol: String,
+                trainPct: Int = 90, buckets: Int = 100): DataFrame = {
+    require(trainPct >= 0 && trainPct <= buckets, "trainPct must be within buckets")
+    // first 4 md5 hex chars -> 16 bits: plenty for bucket assignment,
+    // and cheap to mirror bit-for-bit in any engine with md5()
+    val bucket =
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
+        lit(buckets.toLong)).cast("int")
+    docs.withColumn("bucket", bucket)
+      .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("eval"))
+  }
+
+  /** Keep each group's top quality quantile: docs whose percent_rank of
+    * `scoreCol` within `groupCol` (ascending; SQL percent_rank
+    * semantics, ties share a rank) is at least `q`.
+    *
+    * Scale shape: the corpus itself never shuffles or sorts. Pass 1
+    * collapses it to a (group, score) value-count histogram — near-dup
+    * scores collide heavily for ratio-of-small-int score formulas — and
+    * ranks live on the histogram: cntBelow(v) = Σ counts of smaller
+    * values, computed with a cumulative window over the (small) distinct
+    * value table. Pass 2 broadcasts the per-group keep-thresholds (one
+    * row per group) and filters the corpus in place. A window
+    * partitioned by group over the raw docs would instead sort whole
+    * groups on single partitions — the non-scalable plan this avoids.
+    * (If distinct scores ever approached corpus size, pass 1 coarsens
+    * to an equi-width histogram + an exact in-bucket second pass; not
+    * needed for bounded-ratio scores.) */
+  def topQuantileByGroup(docs: DataFrame, groupCol: String, scoreCol: String,
+                         q: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+    // per-value rank-1 (= docs with strictly smaller score) and group
+    // size, on the histogram: the window input is distinct values only
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol)
+    val ranked = hist
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.partitionBy(groupCol)))
+    // SQL percent_rank = (rank-1)/(n-1), 0.0 for single-row groups;
+    // the smallest value with pr >= q is the group's keep-threshold
+    val pr = when(col("__n") === 1, lit(0.0))
+      .otherwise(col("__below").cast("double") / (col("__n") - 1).cast("double"))
+    val thresholds = ranked.select(col(groupCol), col(scoreCol), pr.as("__pr"))
+      .where(col("__pr") >= q)
+      .groupBy(groupCol).agg(min(col(scoreCol)).as("__thr"))
+    docs.join(broadcast(thresholds), Seq(groupCol), "inner")
+      .where(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -45,8 +45,11 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
-  /** Quality score from length / repetition / stopword ratios. */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Quality score from length / repetition / stopword ratios. `keep`
+    * columns pass through unchanged (e.g. a group key for downstream
+    * per-group curation — cheaper than joining them back by id). */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val nTokens = size(toks(t))
     val nDistinct = size(array_distinct(toks(t)))
@@ -55,8 +58,7 @@ object TextAnalysis {
     // IEEE expression tree over exact integer inputs, so raw doubles are
     // bit-equal — while round(x, 4) can disagree on exact .00005
     // boundaries (BigDecimal HALF_UP vs scaled std::round).
-    docs.select(
-      col(idCol),
+    docs.select((col(idCol) +: keep.map(col)) ++ Seq(
       nTokens.as("n_tokens"),
       nDistinct.as("n_distinct"),
       ((length(t) - (nTokens - lit(1))) / nTokens.cast("double")).as("avg_token_len"),
@@ -65,7 +67,7 @@ object TextAnalysis {
       (lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
         lit(0.3) * (nDistinct / nTokens.cast("double")) +
         lit(0.3) * least(lit(1.0), (stopHits / nTokens.cast("double")) * lit(5.0)))
-        .as("quality"))
+        .as("quality")): _*)
   }
 
   /** Whitespace token count + BPE-ish regex token count + char count. */

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Curation
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, total, and respects the train fraction") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val split = Curation.hashSplit(docs, "doc_id", trainPct = 90)
+    val n = docs.count()
+    assert(split.count() == n) // total: every doc gets an assignment
+    // deterministic: a second evaluation assigns identically
+    val again = Curation.hashSplit(docs, "doc_id", trainPct = 90)
+    assert(split.as("a").join(again.as("b"), "doc_id")
+      .where(col("a.split") =!= col("b.split")).isEmpty)
+    val train = split.where(col("split") === "train").count()
+    // md5 spreads uniformly: the train share lands near 90%
+    assert(math.abs(train.toDouble / n - 0.9) < 0.1)
+    // no shuffle: the plan is scan + project only
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("hashSplit assignment is content-addressed, not positional") {
+    // the same id must land in the same bucket regardless of which
+    // frame it arrives in (re-shard safety)
+    val a = Curation.hashSplit(Seq(7L, 8L, 9L).toDF("doc_id"), "doc_id")
+    val b = Curation.hashSplit(Seq(9L, 7L).toDF("doc_id"), "doc_id")
+    val joined = a.select(col("doc_id"), col("bucket").as("ba"))
+      .join(b.select(col("doc_id"), col("bucket").as("bb")), "doc_id")
+    assert(joined.where(col("ba") =!= col("bb")).isEmpty)
+    assert(joined.count() == 2)
+  }
+
+  test("topQuantileByGroup matches the window percent_rank definition") {
+    val scored = TextAnalysis.quality(
+      Tables.documents(spark, sf), "doc_id", "text", keep = Seq("lang"))
+      .select("doc_id", "lang", "quality")
+    val got = Curation.topQuantileByGroup(scored, "lang", "quality", q = 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    // oracle-by-definition: percent_rank window over the raw docs
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("quality")
+    val want = scored.withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= 0.75).select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("topQuantileByGroup: all-tied group keeps nothing (pr = 0 for all)") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0),
+                 ("b", 4L, 1.0), ("b", 5L, 2.0)).toDF("g", "id", "s")
+    val kept = Curation.topQuantileByGroup(df, "g", "s", q = 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(5L)) // b: pr(2.0) = 1.0 >= 0.75; a: all pr = 0
+  }
+
+  test("topQuantileByGroup: single-row group has pr 0 and is dropped") {
+    val df = Seq(("a", 1L, 9.0), ("b", 2L, 1.0), ("b", 3L, 2.0)).toDF("g", "id", "s")
+    val kept = Curation.topQuantileByGroup(df, "g", "s", q = 0.75)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("minhashVerified equals the exact posting self-join at exhaustive bands") {
+    val docs = Tables.documents(spark, sf)
+    val ng = Dedup.ngrams(docs, "doc_id", "text", 3).cache()
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+    val got = Dedup.minhashVerified(sig, ng, numPerms = 32, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b", "inter", "jaccard").collect().toSeq
+    val want = Dedup.ngramJaccardFromPostings(ng, threshold = 0.5)
+      .select("id_a", "id_b", "inter", "jaccard").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("minhashVerified candidates are bounded by banded collisions") {
+    // selective banding (r=8) prunes: candidate count well below the
+    // full pair-join population, and the verified output is a subset of
+    // the exact answer (never a superset with false positives)
+    val docs = Tables.documents(spark, sf)
+    val ng = Dedup.ngrams(docs, "doc_id", "text", 3).cache()
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+    val selective = Dedup.minhashVerified(sig, ng, numPerms = 32, bands = 4,
+      threshold = 0.5).select("id_a", "id_b").collect().toSet
+    val exact = Dedup.ngramJaccardFromPostings(ng, threshold = 0.5)
+      .select("id_a", "id_b").collect().toSet
+    assert(selective.subsetOf(exact))
+  }
+}

@@ -52,48 +52,57 @@ object Bench {
   }
 
   /** Index-maintenance costs (reported as m_* keys, excluded from the
-    * query total): an upsert against a live fulltext index must cost
+    * query total): an upsert against a live fulltext index costs
     * O(batch) — the batch's postings land as a new segment and the
     * stats table refreshes — while a full rebuild re-pays O(corpus).
-    * The two numbers side by side are the round-4 incremental-
-    * maintenance claim, measured. */
+    *
+    * Measured as a SCALING experiment, not a single point: the same
+    * 200-doc point-batch upsert and the full rebuild each run against a
+    * 1x and an 8x corpus. The incremental upsert must stay FLAT across
+    * the 8x growth while the rebuild grows with the corpus — the pair
+    * of slopes is the incremental-maintenance claim, robust to the
+    * fixed orchestration floor that dominates any single small-scale
+    * measurement. */
   private def maintenanceOps(spark: SparkSession,
                              sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     try {
       val root = java.nio.file.Files.createTempDirectory("graft-bench-maint").toString
-      // bucketed collection (the mutation-cost answer at scale) + an 8x
-      // corpus multiplier, so the O(corpus) rebuild and the O(batch)
-      // incremental path separate measurably at the bench SF
-      val coll = new graft.api.GraftClient(spark, root)
-        .createDatabase("bench").createCollection("docs", Map("buckets" -> "32"))
+      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
       val base = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id").as("id"), col("text"))
-      val docs = (0 until 64).map(i =>
-          base.select((col("id") + lit(i * 1000000L)).as("id"), col("text")))
-        .reduce(_ unionAll _)
-      coll.upsert(docs)                  // untimed: initial corpus load
-      coll.rebuildFulltextIndex()        // untimed: ingest-time build
-      // materialize the batch (a real caller hands over concrete rows,
-      // not a corpus-sized lazy plan that re-executes per reference).
-      // The batch is a POINT batch — all ids hash into bucket 0 — the
-      // workload hash-bucketed storage exists for: the data merge reads
-      // and rewrites one bucket, the index append tokenizes 200 docs.
+      // the POINT batch — all ids hash into bucket 0 — the workload
+      // hash-bucketed storage exists for: the data merge reads and
+      // rewrites one bucket, the index append tokenizes 200 docs.
+      // Materialized: a real caller hands over concrete rows, not a
+      // corpus-sized lazy plan that re-executes per reference.
       val ids = spark.range(10000000L, 12000000L).toDF("id")
         .where(pmod(xxhash64(col("id")), lit(32L)) === 0).limit(200)
         .collect().map(_.getLong(0)).toSeq
       val texts = base.limit(200).select(col("text")).collect().map(_.getString(0)).toSeq
       import spark.implicits._
-      val batch = ids.zip(texts).toDF("id", "text")
-      val t0 = System.nanoTime()
-      coll.upsert(batch)                 // incremental: O(batch) segment
-      val tUpsert = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      coll.rebuildFulltextIndex()        // the old cost: O(corpus)
-      val tRebuild = (System.nanoTime() - t1) / 1e9
-      Seq("m_upsert_live_index" -> tUpsert, "m_fulltext_rebuild" -> tRebuild)
+
+      def measure(name: String, mult: Int): Seq[(String, Double)] = {
+        val coll = client.createCollection(name, Map("buckets" -> "32"))
+        val docs = (0 until mult).map(i =>
+            base.select((col("id") + lit(i * 1000000L)).as("id"), col("text")))
+          .reduce(_ unionAll _)
+        coll.upsert(docs)                // untimed: initial corpus load
+        coll.rebuildFulltextIndex()      // untimed: ingest-time build (warms too)
+        val batch = ids.zip(texts).toDF("id", "text")
+        val t0 = System.nanoTime()
+        coll.upsert(batch)               // incremental: O(batch) segment
+        val tUpsert = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        coll.rebuildFulltextIndex()      // the old cost: O(corpus)
+        val tRebuild = (System.nanoTime() - t1) / 1e9
+        Seq(s"m_upsert_live_index_$name" -> tUpsert,
+            s"m_fulltext_rebuild_$name" -> tRebuild)
+      }
+      measure("1x", 8) ++ measure("8x", 64)
     } catch { case _: Throwable =>
-      Seq("m_upsert_live_index" -> -1.0, "m_fulltext_rebuild" -> -1.0)
+      Seq("m_upsert_live_index_1x" -> -1.0, "m_fulltext_rebuild_1x" -> -1.0,
+          "m_upsert_live_index_8x" -> -1.0, "m_fulltext_rebuild_8x" -> -1.0)
     }
   }
 }

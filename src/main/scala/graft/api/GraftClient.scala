@@ -79,6 +79,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                             db: String, coll: String,
                             idCol: String = "id", vecCol: String = "vector") {
 
+  /** Step timing for the mutation paths, printed only when
+    * GRAFT_PROF is set (profiling runs; zero cost otherwise). */
+  private def ptime[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_PROF")) {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[gprof]   $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    } else f
+
   /** Internal layout columns (hash bucket, IVF cell) never reach
     * readers — layout is a storage detail, not document schema. */
   def df: DataFrame = catalog.read(db, coll)
@@ -160,11 +168,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // null primary keys break last-wins merge and ledger masking alike
     // (null join keys never match) — reject them like the reference's
     // required document id
-    require(batch.where(col(idCol).isNull).isEmpty,
-      s"documents must carry a non-null '$idCol'")
+    ptime("null-id check")(require(batch.where(col(idCol).isNull).isEmpty,
+      s"documents must carry a non-null '$idCol'"))
 
     val current = df
-    val currentEmpty = current.isEmpty
+    val currentEmpty = ptime("currentEmpty")(current.isEmpty)
     // the merge projects the batch onto the stored document schema —
     // a batch missing stored columns throws there, which is AFTER the
     // index artifacts below are written. Check coverage first, so a
@@ -194,7 +202,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
-    if (anyLive) appendLiveSegments(batch, meta, live)
+    if (anyLive) ptime("appendLiveSegments")(appendLiveSegments(batch, meta, live))
 
     val ivfCenters =
       if (ivfLive) Some(graft.vector.IvfIndex.centersFromDf(
@@ -216,12 +224,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         // collect (over id hashes only — no embed/cell projection) that
         // turns the base read into a partition-pruned scan; shared with
         // bucketPrunedCurrent via touchedBuckets
-        val touched = touchedBuckets(batch, n)
+        val touched = ptime("touchedBuckets")(touchedBuckets(batch, n))
         val slice = catalog.read(db, coll)
           .where(col(GraftCollection.BucketCol).isin(touched: _*))
         val merged = DocumentOps.upsert(stripIndexCols(slice, updates), updates, idCol)
-        catalog.overwritePartitions(db, coll,
-          merged.repartition(col(GraftCollection.BucketCol)), GraftCollection.BucketCol)
+        ptime("bucket merge write")(catalog.overwritePartitions(db, coll,
+          merged.repartition(col(GraftCollection.BucketCol)), GraftCollection.BucketCol))
       case (_, false) =>
         val merged =
           DocumentOps.upsert(stripIndexCols(current, batch), withStoredEmbedding(batch), idCol)
@@ -352,8 +360,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val entries = docs.select(col(idCol).as("doc_id")).distinct()
       .withColumn("seg", lit(seg))
     if (catalog.collectionExists(db, led))
-      catalog.overwriteFromSelf(db, led,
-        DocumentOps.upsert(catalog.read(db, led), entries, "doc_id"))
+      ptime("ledger rewrite")(catalog.overwriteFromSelf(db, led,
+        DocumentOps.upsert(catalog.read(db, led), entries, "doc_id")))
     else {
       catalog.createCollectionIfNotExists(db, led)
       catalog.write(db, led, entries)
@@ -447,15 +455,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
     // order matters: the stats plan reads the OLD collection (decRaw),
     // so it must land before the collection data is overwritten
-    catalog.overwriteFromSelf(db, GraftCollection.ftTerms(coll), newTerms)
+    ptime("ft stats rewrite")(catalog.overwriteFromSelf(db, GraftCollection.ftTerms(coll), newTerms))
     // hash-cluster + in-partition sort (not repartitionByRange: that
     // costs an extra boundary-sampling pass) — each segment file is
     // term-sorted, so rowgroup min/max stats stay tight for In(term)
     // pruning
-    if (add) catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
+    if (add) ptime("ft seg write")(catalog.overwritePartitions(db, GraftCollection.ftPostings(coll),
       incRaw.repartition(col("term")).sortWithinPartitions("term")
         .withColumn(GraftCollection.SegCol, lit(seg)),
-      GraftCollection.SegCol)
+      GraftCollection.SegCol))
     decRaw.unpersist()
     incRaw.unpersist()
   }

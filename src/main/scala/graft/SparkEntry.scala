@@ -518,28 +518,32 @@ object SparkEntry {
     Bm25.SparseIndex(postings, terms)
   }
 
-  /** Persisted IVF artifacts. One lazily-trained model feeds BOTH
-    * ensure blocks — training runs at most once per JVM (zero times
-    * when both artifacts are already on disk), and assignments can
-    * never come from a different model than the centroids. */
+  /** One trained IVF model per (JVM, sf): both artifact builders pull
+    * from this memo, so assignments can never come from a different
+    * model than the centroids — and neither builder depends on the
+    * OTHER having run first (each ensure block is self-sufficient;
+    * training runs at most once per JVM, zero times when both
+    * artifacts are already on disk in this JVM's built-set). */
+  private val ivfModels =
+    scala.collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
+  private def ivfModelFor(s: SparkSession, dir: String): IvfIndex.Model =
+    ivfModels.getOrElseUpdate(sfKey(dir),
+      IvfIndex.train(Tables.embeddings(s, dir), "embedding", nlist = 16, maxIter = 10))
+
+  /** Persisted IVF artifacts: cell-partitioned assignments (+ ensures
+    * the centroids artifact exists alongside, same model). */
   private[graft] def ivfAssignedFor(s: SparkSession, dir: String): DataFrame = {
-    lazy val model = IvfIndex.train(Tables.embeddings(s, dir), "embedding",
-      nlist = 16, maxIter = 10)
-    graft.catalog.IndexStore.ensure(s, s"ivfcent_${sfKey(dir)}") {
-      IvfIndex.centroids(model, s)
-    }
+    ivfCentroidsFor(s, dir)
     graft.catalog.IndexStore.ensure(s, s"ivfassign_${sfKey(dir)}", partitionBy = Seq("cell")) {
-      IvfIndex.assign(model, Tables.embeddings(s, dir), "embedding")
+      IvfIndex.assign(ivfModelFor(s, dir), Tables.embeddings(s, dir), "embedding")
         .select(col("vec_id").as("id"), col("embedding").as("__vec"), col("cell"))
     }
   }
 
-  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame = {
-    ivfAssignedFor(s, dir) // guarantees both artifacts exist, one model
+  private[graft] def ivfCentroidsFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"ivfcent_${sfKey(dir)}") {
-      sys.error("unreachable: ivfAssignedFor built the centroids")
+      IvfIndex.centroids(ivfModelFor(s, dir), s)
     }
-  }
 
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family
     * ingest artifact shared by q_dedup_ngram and the cluster pair

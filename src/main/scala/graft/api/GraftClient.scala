@@ -200,6 +200,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         s"the '__' column-name prefix is reserved for internal layout: ${reserved.mkString(", ")}")
     }
 
+    // Past this point writes begin. Shape validation above covers
+    // column names, not every way a batch can fail mid-execution (a
+    // malformed vector column only throws when an index encoder runs),
+    // so the whole write sequence is fail-SAFE instead: any error after
+    // the first artifact write drops every derived index (failSafe
+    // below) — a failed mutation may cost a rebuild, but can never
+    // leave a live index silently desynced from the data (segments
+    // written without their ledger advance, stats counting phantom
+    // docs).
+    failSafe {
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
     if (anyLive) ptime("appendLiveSegments")(appendLiveSegments(batch, meta, live))
@@ -252,10 +262,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             partitionBy = Seq(GraftCollection.CellCol))
         else catalog.write(db, coll, withStoredEmbedding(batch))
     }
+    } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
     } finally batch.unpersist()
   }
+
+  /** Run a mutation's write sequence; on ANY failure drop every derived
+    * index before rethrowing. Serving a stale or half-updated index
+    * silently would be worse than the rebuild cost — the same principle
+    * invalidateDerived applies to unmaintainable families, extended to
+    * interrupted writes. */
+  private def failSafe[A](writes: => A): A =
+    try writes
+    catch { case t: Throwable =>
+      try invalidateDerived()
+      catch { case c: Throwable => t.addSuppressed(c) }
+      throw t
+    }
 
   /** The distinct buckets a batch's ids hash into — computed from the
     * id column alone, so no embed/cell projection runs just to learn
@@ -369,19 +393,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll, Map("mut.seg" -> seg.toString))
   }
 
-  /** Last-wins segment mask over a seg-partitioned index artifact. */
+  /** Last-wins segment mask over a seg-partitioned index artifact —
+    * delegates to the shared [[graft.catalog.SegMask]]. */
   private def liveSegRows(rows: DataFrame, rowIdCol: String, baseSeg: Int): DataFrame = {
     val led = GraftCollection.mutLedger(coll)
-    if (!rows.columns.contains(GraftCollection.SegCol)) rows
-    else if (!catalog.collectionExists(db, led)) rows.drop(GraftCollection.SegCol)
-    else {
-      val l = catalog.read(db, led)
-        .select(col("doc_id").as("__lid"), col("seg").as("__live"))
-      rows.join(l, rows(rowIdCol) === col("__lid"), "left")
-        .where(col(GraftCollection.SegCol) ===
-          greatest(lit(baseSeg), coalesce(col("__live"), lit(0))))
-        .drop("__lid", "__live", GraftCollection.SegCol)
-    }
+    graft.catalog.SegMask.live(rows, rowIdCol,
+      if (catalog.collectionExists(db, led)) Some(catalog.read(db, led)) else None,
+      baseSeg)
   }
 
   /** Merge an upsert batch into the LIVE fulltext index: the batch's raw
@@ -1146,20 +1164,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def deleteKeeping(survivors: DataFrame, doomedRows: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    var keptCell = false
-    if (live.anySeg) {
-      val doomed = doomedRows
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if (!doomed.isEmpty) {
-          val seg = mutationSeg + 1
-          if (live.ftLive)
-            appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
-          advanceLedger(doomed, seg)
-        }
-        keptCell = persistSnapshotKeepingCell(survivors, live.ivfLive)
-      } finally doomed.unpersist()
-    } else keptCell = persistSnapshotKeepingCell(survivors, live.ivfLive)
+    val keptCell = failSafe {
+      if (live.anySeg) {
+        val doomed = doomedRows
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!doomed.isEmpty) {
+            val seg = mutationSeg + 1
+            if (live.ftLive)
+              appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
+            advanceLedger(doomed, seg)
+          }
+          persistSnapshotKeepingCell(survivors, live.ivfLive)
+        } finally doomed.unpersist()
+      } else persistSnapshotKeepingCell(survivors, live.ivfLive)
+    }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)
@@ -1207,28 +1226,29 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def updateKeeping(updatedSnapshot: DataFrame, matchPred: Column): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    var keptCell = false
-    if (live.anySeg) {
-      // the WHOLE post-image snapshot is persisted and both the index
-      // batch and the data write read the SAME cached evaluation — a
-      // nondeterministic set-expression must not index one value and
-      // store another
-      val snap = updatedSnapshot
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // the batch is persisted too: appendLiveSegments fans it out to
-        // one write per live family, and re-running the corpus-wide
-        // semi-join (plus a fresh pre-image scan for matchedIds) per
-        // artifact would pay O(live families) full scans
-        val matchedIds = df.where(matchPred).select(col(idCol))
-        val batch = snap.join(matchedIds, Seq(idCol), "left_semi")
+    val keptCell = failSafe {
+      if (live.anySeg) {
+        // the WHOLE post-image snapshot is persisted and both the index
+        // batch and the data write read the SAME cached evaluation — a
+        // nondeterministic set-expression must not index one value and
+        // store another
+        val snap = updatedSnapshot
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
-        } finally batch.unpersist()
-        keptCell = persistSnapshotKeepingCell(snap, live.ivfLive)
-      } finally snap.unpersist()
-    } else keptCell = persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
+          // the batch is persisted too: appendLiveSegments fans it out to
+          // one write per live family, and re-running the corpus-wide
+          // semi-join (plus a fresh pre-image scan for matchedIds) per
+          // artifact would pay O(live families) full scans
+          val matchedIds = df.where(matchPred).select(col(idCol))
+          val batch = snap.join(matchedIds, Seq(idCol), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
+          } finally batch.unpersist()
+          persistSnapshotKeepingCell(snap, live.ivfLive)
+        } finally snap.unpersist()
+      } else persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
+    }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)

@@ -71,8 +71,13 @@ object Curation {
     val thresholds = ranked.select(col(groupCol), col(scoreCol), pr.as("__pr"))
       .where(col("__pr") >= q)
       .groupBy(groupCol).agg(min(col(scoreCol)).as("__thr"))
-    docs.join(broadcast(thresholds), Seq(groupCol), "inner")
+      .withColumnRenamed(groupCol, "__grp")
+    // null-safe join: SQL percent_rank treats a NULL group key as its
+    // own partition (PARTITION BY matches nulls together) — a plain
+    // equi-join would silently drop every null-keyed doc instead of
+    // curating them as a group
+    docs.join(broadcast(thresholds), col(groupCol) <=> col("__grp"), "inner")
       .where(col(scoreCol) >= col("__thr"))
-      .drop("__thr")
+      .drop("__grp", "__thr")
   }
 }

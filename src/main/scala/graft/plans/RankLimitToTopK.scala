@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructType}
@@ -47,7 +48,7 @@ import graft.vector.TopKAgg
   * shapes are matched and the group-limit node is dropped along with
   * the Window).
   */
-object RankLimitToTopK extends Rule[LogicalPlan] {
+object RankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
@@ -83,24 +84,48 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
     * and the Filter/Join drops those rows. */
   private def provablyNonNull(score: AttributeReference, child: LogicalPlan): Boolean =
     child.output.exists(a => a.exprId == score.exprId && !a.nullable) || (child match {
+      // bare filter under the window (no projection — e.g. a 3-column
+      // source): a conjunct guarding the score attribute itself
+      case f: Filter =>
+        splitConjunctivePredicates(f.condition).exists(guardsNonNull(_, score))
       case Project(projList, grandchild) =>
         val scoreExpr = projList.collectFirst {
           case a @ Alias(e, _) if a.exprId == score.exprId => e
+          case a: AttributeReference if a.exprId == score.exprId => a // pass-through
+        }
+        // A guard below the projection is only trustworthy if no join
+        // between it and the window can null-EXTEND rows back in: any
+        // outer join in the subtree voids every proof below it.
+        def nullExtending(p: LogicalPlan): Boolean = p.exists {
+          case j: Join => j.joinType match {
+            case Inner | Cross | LeftSemi => false
+            case _ => true // outer joins null-extend; anti keeps null-cond rows
+          }
+          case _ => false
         }
         scoreExpr.exists { e =>
-          !e.nullable || grandchild.collect {
+          !e.nullable || (!nullExtending(grandchild) && grandchild.collect {
+            // a row survives a Filter / inner-equivalent join condition
+            // only if the condition is TRUE — so a top-level CONJUNCT
+            // comparing e drops null-e rows. (LeftAnti is excluded
+            // above: it KEEPS rows whose condition is null.)
             case Filter(cond, _) => cond
-            case j: Join => j.condition.getOrElse(Literal(true))
-          }.exists(guardsNonNull(_, e))
+            case j: Join if j.joinType == Inner || j.joinType == Cross ||
+              j.joinType == LeftSemi => j.condition.getOrElse(Literal(true))
+          }.flatMap(splitConjunctivePredicates).exists(guardsNonNull(_, e)))
         }
       case _ => false
     })
 
-  /** Does `cond` contain a null-intolerant comparison with `e` on
-    * either side? (`<=>` is null-safe and deliberately excluded.) */
-  private def guardsNonNull(cond: Expression, e: Expression): Boolean =
-    cond.exists {
+  /** Is the conjunct ITSELF a null-intolerant comparison with `e` on
+    * either side? Deliberately not a tree search: a comparison nested
+    * inside an Or / Not / conditional does not force the row out when
+    * e is null (`x >= 0.5 OR id < 10` passes null-x rows), so only a
+    * top-level conjunct counts. (`<=>` is null-safe and excluded.) */
+  private def guardsNonNull(conjunct: Expression, e: Expression): Boolean =
+    conjunct match {
       case _: EqualNullSafe => false
+      case IsNotNull(x) => x.semanticEquals(e)
       case b: BinaryComparison => b.left.semanticEquals(e) || b.right.semanticEquals(e)
       case _ => false
     }
@@ -113,6 +138,12 @@ object RankLimitToTopK extends Rule[LogicalPlan] {
         if score.dataType == DoubleType &&
           provablyNonNull(score, child) &&
           (id.dataType == LongType || id.dataType == StringType) &&
+          // TopKAgg drops null-id rows while row_number would rank them
+          // (NullsFirst under asc): the id needs the same non-null
+          // proof as the score (non-nullable attribute, or a
+          // null-intolerant guard below — e.g. `id.isNotNull` over a
+          // parquet source whose schema is nullable)
+          provablyNonNull(id, child) &&
           child.outputSet == AttributeSet(Seq(part, score, id)) &&
           child.output.length == 3 =>
       val asc = scoreDir == Ascending

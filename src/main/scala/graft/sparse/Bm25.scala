@@ -86,8 +86,9 @@ object Bm25 {
   final case class SparseIndex(postings: DataFrame, terms: DataFrame,
                                ledger: Option[DataFrame] = None, baseSeg: Int = 0)
 
-  /** Segment partition column of incrementally maintained postings. */
-  val SegCol = "__seg"
+  /** Segment partition column of incrementally maintained postings
+    * (shared with every other segment-maintained artifact). */
+  val SegCol: String = graft.catalog.SegMask.SegCol
 
   /** Raw postings (doc_id, term, tf, dl) — the persistable, appendable
     * form of the inverted index. */
@@ -119,19 +120,10 @@ object Bm25 {
   }
 
   /** Apply the last-wins segment mask to a (term-filtered) postings
-    * frame. No-op for single-snapshot indexes (no __seg column); without
-    * a ledger every stored row is live (no mutations since rebuild). */
+    * frame — delegates to the shared [[graft.catalog.SegMask]] so the
+    * fulltext mask can never diverge from the other families'. */
   private def liveRows(index: SparseIndex, filtered: DataFrame): DataFrame =
-    if (!filtered.columns.contains(SegCol)) filtered
-    else index.ledger match {
-      case None => filtered.drop(SegCol)
-      case Some(led) =>
-        filtered
-          .join(led.select(col("doc_id"), col("seg").as("__live")), Seq("doc_id"), "left")
-          .where(col(SegCol) ===
-            greatest(lit(index.baseSeg), coalesce(col("__live"), lit(0))))
-          .drop("__live", SegCol)
-    }
+    graft.catalog.SegMask.live(filtered, "doc_id", index.ledger, index.baseSeg)
 
   /** Build the index from a corpus (one tokenize + one term aggregate —
     * paid once at rebuild time, not per query). */

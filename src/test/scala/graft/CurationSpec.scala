@@ -61,6 +61,18 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(5L)) // b: pr(2.0) = 1.0 >= 0.75; a: all pr = 0
   }
 
+  test("topQuantileByGroup: NULL group keys form their own partition") {
+    // SQL percent_rank partitions nulls together; a plain equi-join
+    // would silently drop every null-keyed doc
+    val df = Seq((Some("a"), 1L, 1.0), (Some("a"), 2L, 2.0),
+                 (None, 3L, 1.0), (None, 4L, 2.0), (None, 5L, 3.0))
+      .toDF("g", "id", "s")
+    val kept = Curation.topQuantileByGroup(df, "g", "s", q = 0.75)
+      .select("id").as[Long].collect().toSet
+    // a: pr(2.0)=1.0 -> keep 2; null group: pr(3.0)=1.0 -> keep 5
+    assert(kept == Set(2L, 5L))
+  }
+
   test("topQuantileByGroup: single-row group has pr 0 and is dropped") {
     val df = Seq(("a", 1L, 9.0), ("b", 2L, 1.0), ("b", 3L, 2.0)).toDF("g", "id", "s")
     val kept = Curation.topQuantileByGroup(df, "g", "s", q = 0.75)

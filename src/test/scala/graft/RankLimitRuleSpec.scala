@@ -85,4 +85,46 @@ class RankLimitRuleSpec extends SparkSpec {
       .where($"rank" <= 5)
     assert(nullableScore.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("a guard inside an OR disjunct proves nothing — no rewrite") {
+    // parquet round-trip: columns come back NULLABLE (the schema any
+    // real corpus read has), and a filter on them stays a bare
+    // comparison conjunct instead of folding into the fixture
+    val p = java.nio.file.Files.createTempDirectory("rank-guard").toString
+    scored.write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    // `__s >= 0.5 OR id < 10` passes null-score rows (the id arm), so
+    // the comparison must NOT count as a null guard: the window form
+    // ranks those rows while the heap would drop them
+    val naive = base.where($"__s" >= 0.5 || $"id" < 10)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    val physical = naive.queryExecution.executedPlan.toString
+    assert(physical.contains("Window"),
+      s"an OR-guarded nullable score must not fuse, got:\n$physical")
+    assert(naive.count() == 20)
+    // the same guard as a CONJUNCT does license the rewrite (the
+    // radius shape: a null-intolerant comparison below the window) —
+    // the parquet-nullable id needs its own guard too
+    val guarded = base.where($"__s" >= 0.5 && $"id".isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    val gphysical = guarded.queryExecution.executedPlan.toString
+    assert(!gphysical.contains("Window"),
+      s"a conjunct score guard must license the rewrite, got:\n$gphysical")
+    assert(guarded.count() == 20)
+  }
+
+  test("a nullable id is never rewritten (heap drops null ids)") {
+    val nullableId = scored
+      .select($"query_id", $"__s", when($"id" % 11 =!= 0, $"id").as("id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    val physical = nullableId.queryExecution.executedPlan.toString
+    assert(physical.contains("Window"),
+      s"a nullable id must not fuse, got:\n$physical")
+  }
 }

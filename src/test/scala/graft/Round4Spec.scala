@@ -41,6 +41,28 @@ class Round4Spec extends SparkSpec {
     assert(incremental == rebuilt, "incremental LSH must equal a from-scratch rebuild")
   }
 
+  test("a mutation failing mid-write drops every index instead of serving desynced state") {
+    val root = Files.createTempDirectory("graft-failsafe").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("m")
+    val rnd = new scala.util.Random(5)
+    coll.upsert((0L until 40L).map(i =>
+      (i, s"alpha beta doc$i", Seq.fill(6)(rnd.nextGaussian()))).toDF("id", "text", "vector"))
+    coll.rebuildFulltextIndex()
+    coll.rebuildLshIndex(nBits = 8, bands = 2)
+    // the batch passes every NAME check but its vector column has the
+    // wrong inner type — the failure only surfaces when the LSH encoder
+    // executes, AFTER the fulltext segment + stats are already written
+    val bad = Seq((100L, "gamma delta", Seq("not", "a", "vector")))
+      .toDF("id", "text", "vector")
+    intercept[Exception] { coll.upsert(bad) }
+    val meta = coll.describe
+    assert(!meta.contains("index.ft.text_col") && !meta.contains("index.lsh.nbits"),
+      s"a failed mutation must invalidate the indexes it may have half-written, got $meta")
+    // data is untouched and fulltext still answers (inline path)
+    assert(coll.count() == 40)
+    assert(coll.fulltext(Seq("alpha"), k = 3).count() == 3)
+  }
+
   test("fulltext index across repeated upserts: re-upserted id serves newest segment only") {
     val root = Files.createTempDirectory("graft-ftinc").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

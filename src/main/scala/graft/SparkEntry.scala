@@ -409,6 +409,15 @@ object SparkEntry {
         .select("doc_id", "lang", "quality").orderBy("doc_id")
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // eval-split docs whose 3-grams already appear in the train
+      // split: the held-out-contamination probe. Train grams collapse
+      // to a distinct set, so each eval gram matches at most once —
+      // a containment join, never a pair fan-out
+      graft.ops.Curation.contamination(
+        Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. The parquet
@@ -1001,6 +1010,24 @@ object SparkEntry {
         |  FROM documents),
         |r AS (SELECT doc_id, lang, quality,
         |  percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr FROM q)
-        |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sp AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) AS bucket
+        |  FROM documents),
+        |evalg AS (SELECT ng.doc_id, g FROM ng JOIN sp USING (doc_id) WHERE bucket >= 90),
+        |traing AS (SELECT DISTINCT g FROM ng JOIN sp USING (doc_id) WHERE bucket < 90),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM evalg GROUP BY doc_id)
+        |SELECT e.doc_id AS doc_id, sz.n_grams, count(*) AS n_shared,
+        |  count(*) / CAST(sz.n_grams AS DOUBLE) AS share
+        |FROM evalg e JOIN traing t ON e.g = t.g JOIN sz ON e.doc_id = sz.doc_id
+        |GROUP BY e.doc_id, sz.n_grams
+        |ORDER BY e.doc_id""".stripMargin
   )
 }

@@ -35,6 +35,42 @@ object Curation {
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("eval"))
   }
 
+  /** Train/eval contamination detection: for every eval-split document,
+    * how much of it already appears in the train split — the standard
+    * n-gram-overlap check a training pipeline runs before trusting its
+    * held-out metrics.
+    *
+    * Returns (doc_id, n_grams, n_shared, share) for eval docs sharing
+    * at least one word n-gram with ANY train document, where share =
+    * n_shared / n_grams (unrounded: both sides of an oracle compute the
+    * identical int/int division).
+    *
+    * Scale shape: the train side collapses to DISTINCT grams first, so
+    * each eval gram matches AT MOST ONE train row — the join is a
+    * containment probe (semi-join semantics with a countable match),
+    * never a posting-fanout pair join; a boilerplate gram shared by a
+    * million train docs still contributes one row. Cost is two gram
+    * scans + one equi-join on gram — each side shuffled once by gram,
+    * no step quadratic in anything. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, trainPct: Int = 90,
+                    buckets: Int = 100): DataFrame = {
+    val split = hashSplit(docs.select(col(idCol)), idCol, trainPct, buckets)
+      .select(col(idCol).as("doc_id"), col("split"))
+    val grams = graft.dedup.Dedup.ngrams(docs, idCol, textCol, n)
+    val evalG = grams.join(split.where(col("split") === "eval"), "doc_id")
+      .select("doc_id", "g")
+    val trainG = grams.join(split.where(col("split") === "train"), "doc_id")
+      .select("g").distinct()
+    val sizes = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    evalG.join(trainG, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared") / col("n_grams")).as("share"))
+      .orderBy("doc_id")
+  }
+
   /** Keep each group's top quality quantile: docs whose percent_rank of
     * `scoreCol` within `groupCol` (ascending; SQL percent_rank
     * semantics, ties share a rank) is at least `q`.

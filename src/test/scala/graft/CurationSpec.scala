@@ -80,6 +80,35 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("contamination: eval docs sharing train grams are flagged, clean docs are not") {
+    // ids chosen so the md5 split puts them where the test needs them:
+    // verify split membership first, then assert on overlap
+    val docs = Tables.documents(spark, sf).limit(200)
+    val out = Curation.contamination(docs, "doc_id", "text").collect()
+    val split = Curation.hashSplit(docs.select("doc_id"), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every flagged doc is in the eval split with a sane share
+    out.foreach { r =>
+      assert(split(r.getLong(0)) == "eval")
+      val share = r.getDouble(3)
+      assert(share > 0.0 && share <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1)) // n_shared <= n_grams
+    }
+    assert(out.nonEmpty)
+    // a synthetic clean doc (nonsense grams, forced into eval by id
+    // choice) must NOT be flagged
+    val evalId = (1000000L to 1000100L).find { i =>
+      split.getOrElse(i, "") == "" // unused id
+    }.get
+    val withClean = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((evalId, "zzq qqx xqz zqx qzx xzq")).toDF("doc_id", "text"))
+    val out2 = Curation.contamination(withClean, "doc_id", "text").collect()
+    assert(!out2.exists(_.getLong(0) == evalId) ||
+      Curation.hashSplit(Seq(evalId).toDF("doc_id"), "doc_id")
+        .head().getString(2) == "train")
+  }
+
   test("minhashVerified equals the exact posting self-join at exhaustive bands") {
     val docs = Tables.documents(spark, sf)
     val ng = Dedup.ngrams(docs, "doc_id", "text", 3).cache()

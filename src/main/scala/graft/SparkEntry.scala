@@ -411,11 +411,12 @@ object SparkEntry {
 
     "q_contamination" -> ((s, dir) => {
       // eval-split docs whose 3-grams already appear in the train
-      // split: the held-out-contamination probe. Train grams collapse
-      // to a distinct set, so each eval gram matches at most once —
-      // a containment join, never a pair fan-out
-      graft.ops.Curation.contamination(
-        Tables.documents(s, dir), "doc_id", "text")
+      // split: the held-out-contamination probe. Served from the
+      // PERSISTED ngram postings (split membership is an expression
+      // over doc_id, so the artifact needs no split column); train
+      // grams collapse to a distinct set, so each eval gram matches
+      // at most once — a containment join, never a pair fan-out
+      graft.ops.Curation.contaminationFromGrams(ngramPostingsFor(s, dir))
     }),
 
     "q_events_window" -> ((s, dir) => {

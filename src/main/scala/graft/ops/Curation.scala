@@ -23,15 +23,19 @@ object Curation {
     * documents can never leak into train between pipeline versions.
     * Pure projection: no shuffle, no state; at 100 TB this runs at
     * parquet-scan speed and composes with any downstream filter. */
+  /** The split-bucket expression: first 4 md5 hex chars of the id ->
+    * 16 bits -> mod `buckets`. An EXPRESSION, not a table — any frame
+    * carrying the id can compute its split membership in place, with
+    * no join against a corpus-sized assignment map. Cheap to mirror
+    * bit-for-bit in any engine with md5(). */
+  private def bucketOf(id: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
   def hashSplit(docs: DataFrame, idCol: String,
                 trainPct: Int = 90, buckets: Int = 100): DataFrame = {
     require(trainPct >= 0 && trainPct <= buckets, "trainPct must be within buckets")
-    // first 4 md5 hex chars -> 16 bits: plenty for bucket assignment,
-    // and cheap to mirror bit-for-bit in any engine with md5()
-    val bucket =
-      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long"),
-        lit(buckets.toLong)).cast("int")
-    docs.withColumn("bucket", bucket)
+    docs.withColumn("bucket", bucketOf(col(idCol), buckets))
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("eval"))
   }
 
@@ -45,23 +49,31 @@ object Curation {
     * n_shared / n_grams (unrounded: both sides of an oracle compute the
     * identical int/int division).
     *
-    * Scale shape: the train side collapses to DISTINCT grams first, so
-    * each eval gram matches AT MOST ONE train row — the join is a
-    * containment probe (semi-join semantics with a countable match),
-    * never a posting-fanout pair join; a boilerplate gram shared by a
-    * million train docs still contributes one row. Cost is two gram
-    * scans + one equi-join on gram — each side shuffled once by gram,
-    * no step quadratic in anything. */
+    * Scale shape: split membership is the [[bucketOf]] EXPRESSION
+    * evaluated on each gram row's doc_id — no join against a
+    * corpus-sized assignment table. The train side then collapses to
+    * DISTINCT grams, so each eval gram matches AT MOST ONE train row —
+    * the join is a containment probe (semi-join semantics with a
+    * countable match), never a posting-fanout pair join; a boilerplate
+    * gram shared by a million train docs still contributes one row.
+    * Cost is two gram scans + one equi-join on gram — each side
+    * shuffled once by gram, no step quadratic in anything. */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, trainPct: Int = 90,
-                    buckets: Int = 100): DataFrame = {
-    val split = hashSplit(docs.select(col(idCol)), idCol, trainPct, buckets)
-      .select(col(idCol).as("doc_id"), col("split"))
-    val grams = graft.dedup.Dedup.ngrams(docs, idCol, textCol, n)
-    val evalG = grams.join(split.where(col("split") === "eval"), "doc_id")
-      .select("doc_id", "g")
-    val trainG = grams.join(split.where(col("split") === "train"), "doc_id")
-      .select("g").distinct()
+                    buckets: Int = 100): DataFrame =
+    contaminationFromGrams(
+      graft.dedup.Dedup.ngrams(docs, idCol, textCol, n), trainPct, buckets)
+
+  /** [[contamination]] over a precomputed (doc_id, g) gram/posting
+    * frame — the ingest-artifact path: the probe's three consumers
+    * (eval grams, train distinct grams, eval sizes) each column-prune
+    * a stored posting table instead of re-tokenizing the corpus three
+    * times. */
+  def contaminationFromGrams(grams: DataFrame, trainPct: Int = 90,
+                             buckets: Int = 100): DataFrame = {
+    val g = grams.withColumn("__b", bucketOf(col("doc_id"), buckets))
+    val evalG = g.where(col("__b") >= trainPct).select("doc_id", "g")
+    val trainG = g.where(col("__b") < trainPct).select("g").distinct()
     val sizes = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     evalG.join(trainG, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -70,6 +70,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
   }
 
+  test("hashSplit works on string primary keys (the reference id type)") {
+    val df = Seq("a", "b", "naïve café", """qu"ote""").toDF("id")
+    val out = graft.ops.Curation.hashSplit(df, "id").collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 100))
+    assert(out.forall(r => Set("train", "eval")(r.getString(2))))
+  }
+
+  test("curation ops on empty frames return empty, not errors") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Curation.hashSplit(docs.select("doc_id"), "doc_id").count() == 0)
+    assert(graft.ops.Curation.contamination(docs, "doc_id", "text").count() == 0)
+    val scored = Seq.empty[(String, Long, Double)].toDF("g", "id", "s")
+    assert(graft.ops.Curation.topQuantileByGroup(scored, "g", "s").count() == 0)
+  }
+
+  test("minhashVerified on a corpus with no qualifying pairs is empty") {
+    val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    val ng = graft.dedup.Dedup.ngrams(docs, "doc_id", "text", 3)
+    val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(graft.dedup.Dedup.minhashVerified(sig, ng, 32, 32, 0.5).count() == 0)
+  }
+
   test("fingerprint of empty-ish and single-char strings") {
     val docs = Seq((1L, "a"), (2L, "aa")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")

@@ -200,6 +200,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         s"the '__' column-name prefix is reserved for internal layout: ${reserved.mkString(", ")}")
     }
 
+    // pure READ, hoisted above the fail-safe region: a failure here
+    // (e.g. a corrupted centroids artifact) leaves every index intact
+    val ivfCenters =
+      if (ivfLive) Some(graft.vector.IvfIndex.centersFromDf(
+        catalog.read(db, GraftCollection.ivfCentroids(coll))))
+      else None
+
     // Past this point writes begin. Shape validation above covers
     // column names, not every way a batch can fail mid-execution (a
     // malformed vector column only throws when an index encoder runs),
@@ -213,11 +220,6 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // segment-based artifacts read PRE-write state: append them (and the
     // ledger) before the collection data is overwritten
     if (anyLive) ptime("appendLiveSegments")(appendLiveSegments(batch, meta, live))
-
-    val ivfCenters =
-      if (ivfLive) Some(graft.vector.IvfIndex.centersFromDf(
-        catalog.read(db, GraftCollection.ivfCentroids(coll))))
-      else None
     def withCell(d: DataFrame): DataFrame = ivfCenters match {
       case Some(cs) => d.withColumn(GraftCollection.CellCol,
         graft.vector.IvfIndex.assignExpr(cs, col(vecCol)))
@@ -1164,21 +1166,26 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def deleteKeeping(survivors: DataFrame, doomedRows: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    val keptCell = failSafe {
+    val keptCell =
       if (live.anySeg) {
         val doomed = doomedRows
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (!doomed.isEmpty) {
-            val seg = mutationSeg + 1
-            if (live.ftLive)
-              appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
-            advanceLedger(doomed, seg)
+          // evaluating the doomed set is a pure READ: a filter that
+          // errors at runtime (bad cast, malformed predicate) fails
+          // HERE, before the fail-safe region, with every index intact
+          val anyDoomed = !doomed.isEmpty
+          failSafe {
+            if (anyDoomed) {
+              val seg = mutationSeg + 1
+              if (live.ftLive)
+                appendFulltextSegment(doomed, seg, meta("index.ft.text_col"), add = false)
+              advanceLedger(doomed, seg)
+            }
+            persistSnapshotKeepingCell(survivors, live.ivfLive)
           }
-          persistSnapshotKeepingCell(survivors, live.ivfLive)
         } finally doomed.unpersist()
-      } else persistSnapshotKeepingCell(survivors, live.ivfLive)
-    }
+      } else failSafe { persistSnapshotKeepingCell(survivors, live.ivfLive) }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)
@@ -1226,7 +1233,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def updateKeeping(updatedSnapshot: DataFrame, matchPred: Column): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    val keptCell = failSafe {
+    val keptCell =
       if (live.anySeg) {
         // the WHOLE post-image snapshot is persisted and both the index
         // batch and the data write read the SAME cached evaluation — a
@@ -1243,12 +1250,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           val batch = snap.join(matchedIds, Seq(idCol), "left_semi")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            if (!batch.isEmpty) appendLiveSegments(batch, meta, live)
+            // pure READ: a set-expression or predicate that errors at
+            // runtime fails here, before any write, indexes intact
+            val anyMatched = !batch.isEmpty
+            failSafe {
+              if (anyMatched) appendLiveSegments(batch, meta, live)
+              persistSnapshotKeepingCell(snap, live.ivfLive)
+            }
           } finally batch.unpersist()
-          persistSnapshotKeepingCell(snap, live.ivfLive)
         } finally snap.unpersist()
-      } else persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive)
-    }
+      } else failSafe { persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive) }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)

@@ -14,15 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Deterministic train/eval split: bucket = md5(id) mod `buckets`,
-    * split = "train" below `trainPct` buckets, else "eval".
-    *
-    * Content-addressed (a cryptographic hash of the PRIMARY KEY, not a
-    * RNG): the assignment is reproducible across runs, engines, and
-    * re-shards — the property a training pipeline needs so that eval
-    * documents can never leak into train between pipeline versions.
-    * Pure projection: no shuffle, no state; at 100 TB this runs at
-    * parquet-scan speed and composes with any downstream filter. */
   /** The split-bucket expression: first 4 md5 hex chars of the id ->
     * 16 bits -> mod `buckets`. An EXPRESSION, not a table — any frame
     * carrying the id can compute its split membership in place, with
@@ -32,6 +23,15 @@ object Curation {
     pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
       lit(buckets.toLong)).cast("int")
 
+  /** Deterministic train/eval split: bucket = md5(id) mod `buckets`,
+    * split = "train" below `trainPct` buckets, else "eval".
+    *
+    * Content-addressed (a cryptographic hash of the PRIMARY KEY, not a
+    * RNG): the assignment is reproducible across runs, engines, and
+    * re-shards — the property a training pipeline needs so that eval
+    * documents can never leak into train between pipeline versions.
+    * Pure projection: no shuffle, no state; at 100 TB this runs at
+    * parquet-scan speed and composes with any downstream filter. */
   def hashSplit(docs: DataFrame, idCol: String,
                 trainPct: Int = 90, buckets: Int = 100): DataFrame = {
     require(trainPct >= 0 && trainPct <= buckets, "trainPct must be within buckets")

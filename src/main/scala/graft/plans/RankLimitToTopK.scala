@@ -93,14 +93,22 @@ object RankLimitToTopK extends Rule[LogicalPlan] with PredicateHelper {
           case a @ Alias(e, _) if a.exprId == score.exprId => e
           case a: AttributeReference if a.exprId == score.exprId => a // pass-through
         }
-        // A guard below the projection is only trustworthy if no join
-        // between it and the window can null-EXTEND rows back in: any
-        // outer join in the subtree voids every proof below it.
+        // A guard below the projection is only trustworthy if no node
+        // between it and the window can reintroduce null rows: outer
+        // joins null-EXTEND, and multi-child nodes (Union) or
+        // outer/expanding generators can surface rows from legs a
+        // guard in ANOTHER leg never saw — a Filter in the Union's
+        // head leg carries the union-output exprIds, so it would
+        // falsely prove the whole Union. Any such node voids every
+        // proof below it.
         def nullExtending(p: LogicalPlan): Boolean = p.exists {
           case j: Join => j.joinType match {
             case Inner | Cross | LeftSemi => false
             case _ => true // outer joins null-extend; anti keeps null-cond rows
           }
+          case _: Union => true
+          case _: Expand => true
+          case g: Generate => g.outer
           case _ => false
         }
         scoreExpr.exists { e =>

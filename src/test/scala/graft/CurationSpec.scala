@@ -96,17 +96,26 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1)) // n_shared <= n_grams
     }
     assert(out.nonEmpty)
-    // a synthetic clean doc (nonsense grams, forced into eval by id
-    // choice) must NOT be flagged
-    val evalId = (1000000L to 1000100L).find { i =>
-      split.getOrElse(i, "") == "" // unused id
-    }.get
+    // a synthetic doc with nonsense grams, in an id VERIFIED to land in
+    // the eval split: present in the probe's input, absent from its
+    // output (clean eval docs must not be flagged)
+    val evalId = Curation.hashSplit(
+        spark.range(1000000L, 1001000L).toDF("doc_id"), "doc_id")
+      .where(col("split") === "eval").select("doc_id").as[Long].collect()
+      .find(i => !split.contains(i)).get
     val withClean = docs.select(col("doc_id"), col("text"))
       .unionAll(Seq((evalId, "zzq qqx xqz zqx qzx xzq")).toDF("doc_id", "text"))
     val out2 = Curation.contamination(withClean, "doc_id", "text").collect()
-    assert(!out2.exists(_.getLong(0) == evalId) ||
-      Curation.hashSplit(Seq(evalId).toDF("doc_id"), "doc_id")
-        .head().getString(2) == "train")
+    assert(!out2.exists(_.getLong(0) == evalId),
+      "a clean eval doc must not be flagged as contaminated")
+    // and a twin whose text copies a TRAIN doc must be flagged
+    val trainText = docs.select(col("doc_id"), col("text")).collect()
+      .find(r => split(r.getLong(0)) == "train").get.getString(1)
+    val withDirty = docs.select(col("doc_id"), col("text"))
+      .unionAll(Seq((evalId, trainText)).toDF("doc_id", "text"))
+    val out3 = Curation.contamination(withDirty, "doc_id", "text").collect()
+    assert(out3.exists(r => r.getLong(0) == evalId && r.getDouble(3) == 1.0),
+      "an eval doc copying a train doc must be flagged with share 1.0")
   }
 
   test("minhashVerified equals the exact posting self-join at exhaustive bands") {

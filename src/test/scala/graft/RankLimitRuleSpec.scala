@@ -117,6 +117,24 @@ class RankLimitRuleSpec extends SparkSpec {
     assert(guarded.count() == 20)
   }
 
+  test("a guard in one Union leg proves nothing for the whole Union — no rewrite") {
+    val p = java.nio.file.Files.createTempDirectory("rank-union").toString
+    scored.write.mode("overwrite").parquet(p)
+    def base = spark.read.parquet(p)
+    val guardedLeg = base.where($"__s" >= 0.5 && $"id".isNotNull)
+    // union output reuses the FIRST child's exprIds, so the guarded
+    // leg's Filter would falsely vouch for the unguarded leg's rows;
+    // the non-deterministic id keeps the projection above the Union
+    val mixed = guardedLeg.unionAll(base)
+      .select($"query_id", $"__s", monotonically_increasing_id().as("id"))
+    val naive = mixed.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"__s".desc, $"id")))
+      .where($"rank" <= 5)
+    val physical = naive.queryExecution.executedPlan.toString
+    assert(physical.contains("Window"),
+      s"a Union below the window must void guard proofs, got:\n$physical")
+  }
+
   test("a nullable id is never rewritten (heap drops null ids)") {
     val nullableId = scored
       .select($"query_id", $"__s", when($"id" % 11 =!= 0, $"id").as("id"))

@@ -419,6 +419,38 @@ object SparkEntry {
       graft.ops.Curation.contaminationFromGrams(ngramPostingsFor(s, dir))
     }),
 
+    "q_domain_mix" -> ((s, dir) => {
+      // deterministic weighted domain sampling (data mixing): per-source
+      // keep rates applied as a content-addressed hash threshold — a
+      // pure projection (no shuffle, no RNG), reproducible across
+      // engines, monotone in the rate (raising a rate only ADDS docs)
+      graft.ops.Curation.sampleByWeights(
+        Tables.documents(s, dir).select("doc_id", "source"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25,
+          "src4" -> 0.0),
+        defaultWeight = 0.6)
+        .orderBy("doc_id")
+    }),
+
+    "q_pack" -> ((s, dir) => {
+      // deterministic sequence packing: concat-and-chunk docs into
+      // 256-token training rows; canonical order = (salted hash shard,
+      // id) so the corpus shuffles once on shard and no global sort
+      // exists — nShards bounds per-partition window size at scale
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.ops.Curation.packSequences(docs, "doc_id",
+          size(split($"text", " ")), budget = 256, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signal: duplicate-word fraction
+      // + top-word share, pure per-row array expressions (zero shuffle)
+      graft.text.TextAnalysis.repetitionStats(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. The parquet
@@ -771,6 +803,38 @@ object SparkEntry {
         |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4))::BIGINT % 10000 AS INT)
+        |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |                WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
+        |                WHEN 'src4' THEN 0     ELSE 6000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 4))::BIGINT % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT doc_id, shard, tokens,
+        |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, tokens, start_tok,
+        |  start_tok // 256 AS pack, start_tok % 256 AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |  len(l) AS n_words,
+        |  len(list_distinct(l)) AS n_distinct,
+        |  (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) AS dup_frac,
+        |  list_max(list_transform(list_distinct(l),
+        |    w -> len(list_filter(l, x -> x = w)))) AS top_cnt,
+        |  list_max(list_transform(list_distinct(l),
+        |    w -> len(list_filter(l, x -> x = w)))) / CAST(len(l) AS DOUBLE) AS top_share
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,

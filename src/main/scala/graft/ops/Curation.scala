@@ -128,4 +128,73 @@ object Curation {
       .where(col(scoreCol) >= col("__thr"))
       .drop("__grp", "__thr")
   }
+
+  /** [[bucketOf]] with a salt folded into the hash input: independent
+    * hash-derived decisions made from the SAME primary key (train/eval
+    * split, sampling, pack sharding) must not correlate — md5(id) mod k
+    * and md5(id) mod k' share low-order structure, md5(id||salt) does
+    * not. */
+  private def saltedBucket(id: org.apache.spark.sql.Column, salt: String,
+                           buckets: Int) =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 4), 16, 10)
+      .cast("long"), lit(buckets.toLong)).cast("int")
+
+  /** Deterministic weighted domain sampling — the data-mixing step of a
+    * training pipeline: keep each document of domain d with rate
+    * `weights(d)` (fraction in [0,1]; `defaultWeight` for unlisted
+    * domains).
+    *
+    * Content-addressed, not random: a doc survives iff its salted hash
+    * bucket falls below rate×`buckets`, so the kept set is reproducible
+    * across runs/engines/re-shards, is a strict SUBSET relation as a
+    * rate grows (raising src from 0.25 to 0.5 keeps every previously
+    * kept doc — stable ablations), and never correlates with the
+    * [[hashSplit]] assignment (different salt). Pure projection over a
+    * broadcast-free when-chain: no shuffle, no RNG state, runs at
+    * parquet-scan speed at 100 TB. Rates quantize to 1/`buckets`. */
+  def sampleByWeights(docs: DataFrame, idCol: String, domainCol: String,
+                      weights: Map[String, Double], defaultWeight: Double = 1.0,
+                      buckets: Int = 10000): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0.0 && w <= 1.0),
+      "sampling weights must be fractions in [0, 1]")
+    val thresh = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultWeight * buckets).toInt)) { case (acc, (d, w)) =>
+        when(col(domainCol) === d, lit(math.round(w * buckets).toInt)).otherwise(acc)
+      }
+    docs.where(saltedBucket(col(idCol), ":mix", buckets) < thresh)
+  }
+
+  /** Deterministic sequence packing — the materialization step that
+    * turns a curated corpus into fixed-token-budget training rows:
+    * documents are concatenated in a canonical order and sliced into
+    * `budget`-token packs (concat-and-chunk; a doc whose tokens
+    * straddle a boundary starts in one pack and overflows into the
+    * next, exactly like a pretraining context window).
+    *
+    * Returns (id, shard, tokens, start_tok, pack, pack_off): the doc's
+    * shard, its global token offset within the shard stream, the pack
+    * (= training row) its first token lands in, and the offset inside
+    * that pack.
+    *
+    * Scale shape: a single GLOBAL ordering would funnel 100 TB through
+    * one sorted partition, so the canonical order is (salted hash shard,
+    * id) — the corpus shuffles ONCE on shard, each shard's running
+    * offset is an independent window, and `nShards` directly bounds
+    * per-partition sort size (pick shards of a few GB at the target
+    * scale). Assignment is content-addressed end-to-end: re-running the
+    * pipeline, on any engine, yields byte-identical pack layouts. */
+  def packSequences(docs: DataFrame, idCol: String,
+                    tokensCol: org.apache.spark.sql.Column,
+                    budget: Int, nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "token budget must be positive")
+    require(nShards > 0, "need at least one shard")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), saltedBucket(col(idCol), ":pack", nShards).as("shard"),
+        tokensCol.cast("long").as("tokens"))
+      .withColumn("start_tok", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("pack", expr(s"start_tok div ${budget.toLong}").cast("long"))
+      .withColumn("pack_off", pmod(col("start_tok"), lit(budget.toLong)))
+  }
 }

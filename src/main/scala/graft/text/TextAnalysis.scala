@@ -81,6 +81,35 @@ object TextAnalysis {
       length(t).as("n_chars"))
   }
 
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * quality signal (machine-generated and boilerplate text repeats
+    * itself; heavy repetition is the canonical pretraining drop rule):
+    * duplicate-word fraction and the share of the single most frequent
+    * word.
+    *
+    * Returns (id, n_words, n_distinct, dup_frac, top_cnt, top_share)
+    * with dup_frac = (n_words - n_distinct) / n_words and top_share =
+    * top_cnt / n_words (unrounded int/int divisions, identical in any
+    * engine).
+    *
+    * Pure per-row array expressions: no explode, no shuffle — at 100 TB
+    * this is a projection at parquet-scan speed. The top-count scan is
+    * O(distinct × words) per row, bounded by document length, not by
+    * corpus size. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nW = size(t)
+    val nD = size(array_distinct(t))
+    val topCnt = array_max(expr(
+      s"transform(array_distinct(split($textCol, ' ')), " +
+      s"w -> size(filter(split($textCol, ' '), x -> x = w)))"))
+    docs.select(col(idCol),
+      nW.as("n_words"), nD.as("n_distinct"),
+      ((nW - nD).cast("double") / nW.cast("double")).as("dup_frac"),
+      topCnt.as("top_cnt"),
+      (topCnt.cast("double") / nW.cast("double")).as("top_share"))
+  }
+
   /** Rolling polynomial hash over characters:
     * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) mod 1e9+7).
     * Order-sensitive (a true rolling hash, not a bag-of-chars sum). */

@@ -27,6 +27,106 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("sampleByWeights: rate 1 keeps all, rate 0 drops all, rates nest as subsets") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val n = docs.count()
+    def kept(rate: Double) = Curation.sampleByWeights(
+      docs, "doc_id", "source", Map.empty, defaultWeight = rate)
+    assert(kept(1.0).count() == n)
+    assert(kept(0.0).count() == 0)
+    // monotone: a higher rate keeps a strict superset (stable ablations)
+    val half = kept(0.5).select("doc_id")
+    val quarter = kept(0.25).select("doc_id")
+    assert(quarter.join(half, Seq("doc_id"), "left_anti").isEmpty)
+    // the 50% rate lands near half the corpus (md5 spreads uniformly)
+    assert(math.abs(half.count().toDouble / n - 0.5) < 0.1)
+    // pure projection: no shuffle in the plan
+    val plan = kept(0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("sampleByWeights applies per-domain rates and does not correlate with hashSplit") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val mixed = Curation.sampleByWeights(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == total("src0"))
+    assert(!bySrc.contains("src1"))
+    // decorrelated from the split hash: the kept set at rate .5 holds
+    // ~50% of BOTH train and eval docs (same-hash sampling would keep
+    // exactly the train prefix)
+    val splitKept = Curation.hashSplit(
+      Curation.sampleByWeights(docs, "doc_id", "source", Map.empty, 0.5),
+      "doc_id")
+    val evalShare = splitKept.where(col("split") === "eval").count().toDouble /
+      splitKept.count()
+    assert(evalShare > 0.02 && evalShare < 0.3) // ~10% eval survives sampling
+  }
+
+  test("packSequences: per-shard offsets are a contiguous token stream") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val packed = Curation.packSequences(docs, "doc_id",
+      size(split($"text", " ")), budget = 256, nShards = 8)
+    assert(packed.count() == docs.count()) // total
+    // within each shard, ordered by id, start_tok is the running sum
+    val rows = packed.orderBy("shard", "doc_id")
+      .select("shard", "tokens", "start_tok", "pack", "pack_off").collect()
+    var shard = -1; var cum = 0L
+    rows.foreach { r =>
+      if (r.getInt(0) != shard) { shard = r.getInt(0); cum = 0L }
+      assert(r.getLong(2) == cum, s"offset gap in shard $shard")
+      assert(r.getLong(3) == cum / 256)
+      assert(r.getLong(4) == cum % 256)
+      cum += r.getLong(1)
+    }
+    // every pack index up to the shard's last is populated by some doc
+    // boundary or straddled by a long doc — spot-check density: packs
+    // are consecutive integers per shard with no jump > max doc span
+    val maxTokens = packed.agg(max("tokens")).head().getLong(0)
+    val packs = packed.groupBy("shard").agg(max("pack").as("mx"),
+      countDistinct("pack").as("nd")).collect()
+    packs.foreach { r => // row = (shard, mx, nd)
+      assert(r.getLong(2) >= (r.getLong(1) + 1) / (maxTokens / 256 + 1),
+        "pack ids must cover the shard stream")
+    }
+  }
+
+  test("packSequences is content-addressed: a re-sharded frame packs identically") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val a = Curation.packSequences(docs, "doc_id",
+      size(split($"text", " ")), budget = 128, nShards = 4)
+    val b = Curation.packSequences(docs.repartition(13).orderBy(rand(7)), "doc_id",
+      size(split($"text", " ")), budget = 128, nShards = 4)
+    assert(a.as("a").join(b.as("b"), "doc_id")
+      .where(col("a.pack") =!= col("b.pack") ||
+        col("a.start_tok") =!= col("b.start_tok")).isEmpty)
+  }
+
+  test("repetitionStats matches hand-computed duplicate and top-word fractions") {
+    val docs = Seq(
+      (1L, "a b a c a"),     // 5 words, 3 distinct, top 'a' ×3
+      (2L, "x y z"),         // no repetition
+      (3L, "q q q q")        // all one word
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 5 && out(0).getInt(2) == 3)
+    assert(out(0).getDouble(3) == 2.0 / 5 && out(0).getInt(4) == 3)
+    assert(out(0).getDouble(5) == 3.0 / 5)
+    assert(out(1).getDouble(3) == 0.0 && out(1).getInt(4) == 1)
+    assert(out(2).getDouble(3) == 0.75 && out(2).getDouble(5) == 1.0)
+    // zero-shuffle projection
+    val plan = TextAnalysis.repetitionStats(
+      Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("hashSplit assignment is content-addressed, not positional") {
     // the same id must land in the same bucket regardless of which
     // frame it arrives in (re-shard safety)

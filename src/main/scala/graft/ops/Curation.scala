@@ -151,7 +151,9 @@ object Curation {
     * kept doc — stable ablations), and never correlates with the
     * [[hashSplit]] assignment (different salt). Pure projection over a
     * broadcast-free when-chain: no shuffle, no RNG state, runs at
-    * parquet-scan speed at 100 TB. Rates quantize to 1/`buckets`. */
+    * parquet-scan speed at 100 TB. Rates quantize to 1/`buckets`.
+    * A NULL domain never equals any listed domain, so null-domain docs
+    * sample at `defaultWeight`. */
   def sampleByWeights(docs: DataFrame, idCol: String, domainCol: String,
                       weights: Map[String, Double], defaultWeight: Double = 1.0,
                       buckets: Int = 10000): DataFrame = {

@@ -66,6 +66,42 @@ class CurationSpec extends SparkSpec {
     assert(evalShare > 0.02 && evalShare < 0.3) // ~10% eval survives sampling
   }
 
+  test("curation op guards: bad weights and budgets are rejected, null domains sample at default") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Curation.sampleByWeights(docs, "doc_id", "source", Map("a" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.sampleByWeights(docs, "doc_id", "source", Map.empty, defaultWeight = -0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "doc_id", lit(1), budget = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "doc_id", lit(1), budget = 16, nShards = 0)
+    }
+    // a null domain never matches a listed rate: it samples at default
+    val kept = Curation.sampleByWeights(docs, "doc_id", "source",
+      Map("a" -> 0.0, "b" -> 0.0), defaultWeight = 1.0)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val dropped = Curation.sampleByWeights(docs, "doc_id", "source",
+      Map("a" -> 1.0, "b" -> 1.0), defaultWeight = 0.0)
+    assert(dropped.count() == 2 && dropped.where(col("source").isNull).isEmpty)
+  }
+
+  test("repetitionStats: empty text is one empty token, not a crash or a null") {
+    import spark.implicits._
+    val out = TextAnalysis.repetitionStats(
+        Seq((1L, ""), (2L, "w")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // split("", " ") yields [""] — one (empty) word, zero repetition
+    assert(out(0).getInt(1) == 1 && out(0).getDouble(3) == 0.0 &&
+      out(0).getDouble(5) == 1.0)
+    assert(out(1).getInt(1) == 1 && out(1).getInt(4) == 1)
+  }
+
   test("packSequences: per-shard offsets are a contiguous token stream") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -806,7 +806,7 @@ object SparkEntry {
 
     "q_domain_mix" ->
       """SELECT doc_id, source FROM documents
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4))::BIGINT % 10000 AS INT)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT % 10000 AS INT)
         |  < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |                WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
         |                WHEN 'src4' THEN 0     ELSE 6000 END
@@ -814,7 +814,7 @@ object SparkEntry {
 
     "q_pack" ->
       """WITH d AS (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 4))::BIGINT % 8 AS INT) AS shard,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8))::BIGINT % 8 AS INT) AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
         |c AS (SELECT doc_id, shard, tokens,
         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1062,8 +1062,8 @@ object SparkEntry {
 
     "q_det_split" ->
       """SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) AS bucket,
-        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) < 90
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) < 90
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1084,7 +1084,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
         |sp AS (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS INT) AS bucket
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket
         |  FROM documents),
         |evalg AS (SELECT ng.doc_id, g FROM ng JOIN sp USING (doc_id) WHERE bucket >= 90),
         |traing AS (SELECT DISTINCT g FROM ng JOIN sp USING (doc_id) WHERE bucket < 90),

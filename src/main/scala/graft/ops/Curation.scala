@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** The split-bucket expression: first 4 md5 hex chars of the id ->
-    * 16 bits -> mod `buckets`. An EXPRESSION, not a table — any frame
+  /** The split-bucket expression: first 8 md5 hex chars of the id ->
+    * 32 bits -> mod `buckets`. An EXPRESSION, not a table — any frame
     * carrying the id can compute its split membership in place, with
     * no join against a corpus-sized assignment map. Cheap to mirror
-    * bit-for-bit in any engine with md5(). */
+    * bit-for-bit in any engine with md5(). 32 bits keeps the modulo
+    * bias ≤ buckets/2^32 (a 16-bit hash mod 10000 would over-sample
+    * buckets below 65536 mod 10000 = 5536 by a material ~7% relative —
+    * the bias an A/B split must not have). */
   private def bucketOf(id: org.apache.spark.sql.Column, buckets: Int) =
-    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(buckets.toLong)).cast("int")
+    saltedBucket(id, "", buckets)
 
   /** Deterministic train/eval split: bucket = md5(id) mod `buckets`,
     * split = "train" below `trainPct` buckets, else "eval".
@@ -133,10 +135,11 @@ object Curation {
     * hash-derived decisions made from the SAME primary key (train/eval
     * split, sampling, pack sharding) must not correlate — md5(id) mod k
     * and md5(id) mod k' share low-order structure, md5(id||salt) does
-    * not. */
+    * not. The empty salt is the identity (md5(id||"") = md5(id)), so
+    * [[bucketOf]] delegates here — ONE definition of the hash width. */
   private def saltedBucket(id: org.apache.spark.sql.Column, salt: String,
                            buckets: Int) =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 4), 16, 10)
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long"), lit(buckets.toLong)).cast("int")
 
   /** Deterministic weighted domain sampling — the data-mixing step of a
@@ -153,7 +156,10 @@ object Curation {
     * broadcast-free when-chain: no shuffle, no RNG state, runs at
     * parquet-scan speed at 100 TB. Rates quantize to 1/`buckets`.
     * A NULL domain never equals any listed domain, so null-domain docs
-    * sample at `defaultWeight`. */
+    * sample at `defaultWeight`; a NULL id has no content to address
+    * and coalesces to bucket 0 — kept at any nonzero rate, dropped at
+    * rate 0 (the rate-1-keeps-all / rate-0-drops-all contract stays
+    * total). */
   def sampleByWeights(docs: DataFrame, idCol: String, domainCol: String,
                       weights: Map[String, Double], defaultWeight: Double = 1.0,
                       buckets: Int = 10000): DataFrame = {
@@ -163,7 +169,7 @@ object Curation {
       lit(math.round(defaultWeight * buckets).toInt)) { case (acc, (d, w)) =>
         when(col(domainCol) === d, lit(math.round(w * buckets).toInt)).otherwise(acc)
       }
-    docs.where(saltedBucket(col(idCol), ":mix", buckets) < thresh)
+    docs.where(coalesce(saltedBucket(col(idCol), ":mix", buckets), lit(0)) < thresh)
   }
 
   /** Deterministic sequence packing — the materialization step that
@@ -184,7 +190,9 @@ object Curation {
     * offset is an independent window, and `nShards` directly bounds
     * per-partition sort size (pick shards of a few GB at the target
     * scale). Assignment is content-addressed end-to-end: re-running the
-    * pipeline, on any engine, yields byte-identical pack layouts. */
+    * pipeline, on any engine, yields byte-identical pack layouts.
+    * `idCol` must be the collection's primary key (unique, non-null) —
+    * the canonical order is undefined between duplicate or null ids. */
   def packSequences(docs: DataFrame, idCol: String,
                     tokensCol: org.apache.spark.sql.Column,
                     budget: Int, nShards: Int = 64): DataFrame = {

@@ -97,17 +97,19 @@ object TextAnalysis {
     * O(distinct × words) per row, bounded by document length, not by
     * corpus size. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = toks(col(textCol))
-    val nW = size(t)
-    val nD = size(array_distinct(t))
+    // tokenize ONCE into a projected column: HOF lambda bodies get no
+    // common-subexpression elimination, so split() references inside
+    // transform/filter would re-tokenize the document per distinct word
+    val nW = size(col("__toks"))
+    val nD = size(array_distinct(col("__toks")))
     val topCnt = array_max(expr(
-      s"transform(array_distinct(split($textCol, ' ')), " +
-      s"w -> size(filter(split($textCol, ' '), x -> x = w)))"))
-    docs.select(col(idCol),
-      nW.as("n_words"), nD.as("n_distinct"),
-      ((nW - nD).cast("double") / nW.cast("double")).as("dup_frac"),
-      topCnt.as("top_cnt"),
-      (topCnt.cast("double") / nW.cast("double")).as("top_share"))
+      "transform(array_distinct(__toks), w -> size(filter(__toks, x -> x = w)))"))
+    docs.withColumn("__toks", toks(col(textCol)))
+      .select(col(idCol),
+        nW.as("n_words"), nD.as("n_distinct"),
+        ((nW - nD).cast("double") / nW.cast("double")).as("dup_frac"),
+        topCnt.as("top_cnt"),
+        (topCnt.cast("double") / nW.cast("double")).as("top_share"))
   }
 
   /** Rolling polynomial hash over characters:

@@ -207,4 +207,34 @@ object Curation {
       .withColumn("pack", expr(s"start_tok div ${budget.toLong}").cast("long"))
       .withColumn("pack_off", pmod(col("start_tok"), lit(budget.toLong)))
   }
+
+  /** One micro-batch (or one partition of a backfill) through the full
+    * curation front door: quality-score and threshold, apply the
+    * deterministic domain mix, then re-key each surviving doc by its
+    * CONTENT fingerprint. Returns one row per fingerprint —
+    * (id = fingerprint, src_id, text, domain, quality), lowest source
+    * id winning ties deterministically.
+    *
+    * Content keying is what makes exact dedup FREE across an unbounded
+    * stream: upserting these rows into a collection collapses every
+    * re-arrival of the same text into one stored row (last-wins by id)
+    * with no dedup state beyond the collection itself — see
+    * [[graft.streaming.Streams.curatedIngest]]. Every step is a
+    * projection or filter except the per-batch fingerprint dedup, whose
+    * shuffle is bounded by the micro-batch, never the corpus. */
+  def curateBatch(batch: DataFrame, idCol: String, textCol: String,
+                  domainCol: String, weights: Map[String, Double] = Map.empty,
+                  defaultWeight: Double = 1.0,
+                  minQuality: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.text.TextAnalysis.quality(
+        batch, idCol, textCol, keep = Seq(textCol, domainCol))
+      .where(col("quality") >= minQuality)
+    sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
+      .select(graft.text.TextAnalysis.fingerprintCol(textCol).as("id"),
+        col(idCol).as("src_id"), col(textCol), col(domainCol), col("quality"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("id").orderBy("src_id")))
+      .where(col("__rn") === 1).drop("__rn")
+  }
 }

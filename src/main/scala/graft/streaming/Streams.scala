@@ -84,6 +84,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming curation ingest — the training-data front door as one
+    * continuous pipeline: each micro-batch of raw documents is
+    * quality-scored and thresholded, domain-sampled (deterministic
+    * hash, so replays and retries sample identically), content-
+    * fingerprinted, and upserted keyed BY the fingerprint. Exact
+    * duplicates therefore collapse across the entire stream — a doc
+    * re-arriving hours later overwrites its earlier self instead of
+    * duplicating — with zero streaming dedup state: the collection is
+    * the state, and incremental index maintenance (fulltext segments,
+    * LSH buckets, …) applies per batch exactly as in [[ingestInto]].
+    *
+    * Curation params mirror [[graft.ops.Curation.curateBatch]]. */
+  def curatedIngest(docs: DataFrame, coll: graft.api.GraftCollection,
+                    checkpoint: String, idCol: String = "doc_id",
+                    textCol: String = "text", domainCol: String = "source",
+                    weights: Map[String, Double] = Map.empty,
+                    defaultWeight: Double = 1.0,
+                    minQuality: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val curated = graft.ops.Curation.curateBatch(
+          batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
+        // curation can empty a batch (all filtered/sampled out) — skip
+        // the snapshot rewrite, same as the restart-recovery guard above
+        if (!curated.isEmpty) coll.upsert(curated)
+      }
+      .start()
+
   /** Watermarked sliding-window aggregation over the events stream. */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      windowLen: String = "5 minutes"): DataFrame =

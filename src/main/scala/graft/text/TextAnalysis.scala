@@ -116,9 +116,13 @@ object TextAnalysis {
     * h = fold(chars, 0, (acc, c) => (acc*31 + ascii(c)) mod 1e9+7).
     * Order-sensitive (a true rolling hash, not a bag-of-chars sum). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      expr(s"aggregate(filter(split($textCol, ''), c -> c <> ''), 0L, " +
-        "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fingerprint"))
+    docs.select(col(idCol), fingerprintCol(textCol).as("fingerprint"))
+
+  /** The [[fingerprint]] hash as a reusable column expression (content
+    * identity for dedup-at-ingest keys). */
+  def fingerprintCol(textCol: String): Column =
+    expr(s"aggregate(filter(split($textCol, ''), c -> c <> ''), 0L, " +
+      "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
 
   /** SplitterProcess: fixed-size character chunks with overlap, title
     * (source field) prepended to each chunk. stride = size - overlap. */

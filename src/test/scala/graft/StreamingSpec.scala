@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.Streams
@@ -47,6 +48,36 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(coll.count() == 3)
       assert(coll.queryByIds(Seq(2L)).head().getString(1) == "b2")
+    } finally q.stop()
+  }
+
+  test("curatedIngest filters, samples, and collapses duplicate content across batches") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("curated")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curated-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    // 'the of and is to in' maximizes the stopword term; one-word docs
+    // score low on the length term — threshold between them
+    val good = "the cat sat on the mat and the dog is here to stay in peace"
+    val q = Streams.curatedIngest(in.toDF().toDF("doc_id", "text", "source"),
+      // 0.35: above a one-word doc's floor (distinct_ratio alone = 0.3)
+      coll, ckpt, weights = Map("drop_me" -> 0.0), minQuality = 0.35)
+    try {
+      in.addData((1L, good, "web"), (2L, "x", "web"), (3L, good, "drop_me"))
+      q.processAllAvailable()
+      // low-quality doc 2 filtered, doc 3's domain sampled out, doc 1 stored
+      assert(coll.count() == 1)
+      val row = coll.df.collect().head
+      assert(row.getAs[Long]("src_id") == 1L)
+      // the same CONTENT re-arrives under a new doc_id in a later batch:
+      // it overwrites (content-keyed upsert), never duplicates
+      in.addData((9L, good, "web"), (10L, "another long doc here with the and is to in it", "web"))
+      q.processAllAvailable()
+      assert(coll.count() == 2)
+      assert(coll.df.where(col("text") === good).count() == 1)
+      assert(coll.df.where(col("text") === good).head().getAs[Long]("src_id") == 9L)
     } finally q.stop()
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthetic-scale probe for the curation operators: runs weighted
+  * domain sampling, sequence packing, and repetition stats over a
+  * deterministic generated corpus at 1x and 8x, printing wall times.
+  *
+  * What the pair of timings must show: sampling and repetition are
+  * pure projections (time ~ scan, linear), and packing's only shuffle
+  * is the single hashpartitioning(shard) — per-shard window sorts are
+  * bounded by nShards, so its time also grows linearly with the
+  * corpus, never super-linearly on a single global sort.
+  *
+  * Usage: runMain graft.CurationProbe [nDocs] [mult]
+  */
+object CurationProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val mult = if (args.length > 1) args(1).toInt else 8
+
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic synthetic docs: 10-60 pseudo-words drawn from a
+    // 1000-word vocabulary, 16 domains — fully distributed generation
+    def docs(k: Long) = spark.range(k).toDF("doc_id").select(
+      col("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, cast(pmod(doc_id, 51) as int) + 9), " +
+        "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"),
+      concat(lit("src"), pmod(col("doc_id"), lit(16L))).as("source"))
+
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"""{"probe":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+    }
+
+    Seq(("1x", n), (s"${mult}x", n * mult)).foreach { case (tag, k) =>
+      val d = docs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // materialize so timed regions measure the operator
+      val weights = (0 until 16).map(i => s"src$i" -> (i % 4) * 0.25).toMap
+      time(s"sample_$tag") {
+        graft.ops.Curation.sampleByWeights(d, "doc_id", "source", weights).count()
+      }
+      time(s"pack_$tag") {
+        // collect()ing the 1-row agg forces the full window evaluation
+        // (a count() here would let Catalyst prune the aggregate away)
+        graft.ops.Curation.packSequences(d, "doc_id",
+            size(split(col("text"), " ")), budget = 2048, nShards = 256)
+          .agg(max("start_tok"), sum("pack")).collect().length.toLong
+      }
+      time(s"repetition_$tag") {
+        graft.text.TextAnalysis.repetitionStats(d, "doc_id", "text")
+          .agg(sum("top_cnt"), sum("n_distinct")).collect().length.toLong
+      }
+      d.unpersist()
+    }
+    spark.stop()
+  }
+}

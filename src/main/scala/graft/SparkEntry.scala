@@ -444,6 +444,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_curate_pipeline" -> ((s, dir) => {
+      // the COMPLETE training-set build, end-to-end: quality threshold
+      // -> domain mix -> exact content dedup (lowest id per
+      // fingerprint) -> train split -> token-budget packing. Every
+      // stage content-addressed, the whole pipeline oracle-verified as
+      // one query.
+      graft.ops.Curation.buildTrainingSet(
+        Tables.documents(s, dir), "doc_id", "text", "source",
+        weights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+          "src3" -> 0.25, "src4" -> 0.0),
+        defaultWeight = 0.6, minQuality = 0.45,
+        trainPct = 90, budget = 256, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     "q_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signal: duplicate-word fraction
       // + top-word share, pure per-row array expressions (zero shuffle)
@@ -816,6 +831,37 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8))::BIGINT % 8 AS INT) AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT doc_id, shard, tokens,
+        |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM d)
+        |SELECT doc_id, shard, tokens, start_tok,
+        |  start_tok // 256 AS pack, start_tok % 256 AS pack_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_curate_pipeline" ->
+      """WITH q AS (SELECT doc_id, source, text,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      + 0.3 * least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) AS quality
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE quality >= 0.45),
+        |s AS (SELECT * FROM f
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT % 10000 AS INT)
+        |    < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |                  WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
+        |                  WHEN 'src4' THEN 0     ELSE 6000 END),
+        |fp AS (SELECT doc_id, text,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fpr FROM s),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fpr),
+        |tr AS (SELECT fp.doc_id, fp.text FROM fp JOIN dd ON fp.doc_id = dd.doc_id
+        |  WHERE CAST(('0x' || substr(md5(CAST(fp.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) < 90),
+        |d AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM tr),
         |c AS (SELECT doc_id, shard, tokens,
         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok

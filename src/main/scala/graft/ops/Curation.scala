@@ -208,6 +208,47 @@ object Curation {
       .withColumn("pack_off", pmod(col("start_tok"), lit(budget.toLong)))
   }
 
+  /** The complete batch training-set build — every curation stage
+    * composed end-to-end, each reusing its standalone operator:
+    *
+    *   1. quality-score and threshold ([[graft.text.TextAnalysis.quality]])
+    *   2. deterministic domain mix ([[sampleByWeights]])
+    *   3. exact content dedup: one survivor per fingerprint, lowest id
+    *      wins (content identity, not row identity — re-crawled copies
+    *      under new ids collapse)
+    *   4. train split ([[hashSplit]]; eval docs never reach packing)
+    *   5. sequence packing into `budget`-token training rows
+    *      ([[packSequences]])
+    *
+    * Returns the packed layout (id, shard, tokens, start_tok, pack,
+    * pack_off) of the surviving train docs. Fully content-addressed:
+    * every stage is reproducible across runs, engines, and re-shards,
+    * so the SAME corpus + params always yields byte-identical training
+    * rows — the provenance property a model-training audit needs.
+    *
+    * Scale shape: stages 1, 2, 4 are projections/filters fused into the
+    * scan; stage 3 is one hash aggregation on the fingerprint plus a
+    * semi-join of survivors; stage 5 is the single shard shuffle. No
+    * stage holds the corpus in memory or sorts it globally. */
+  def buildTrainingSet(docs: DataFrame, idCol: String, textCol: String,
+                       domainCol: String,
+                       weights: Map[String, Double] = Map.empty,
+                       defaultWeight: Double = 1.0, minQuality: Double = 0.0,
+                       trainPct: Int = 90, budget: Int = 2048,
+                       nShards: Int = 64): DataFrame = {
+    val scored = graft.text.TextAnalysis.quality(
+        docs, idCol, textCol, keep = Seq(textCol, domainCol))
+      .where(col("quality") >= minQuality)
+    val mixed = sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
+    val withFp = mixed.withColumn("__fp",
+      graft.text.TextAnalysis.fingerprintCol(textCol))
+    val canon = withFp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    val deduped = withFp.join(canon, Seq("__fp", idCol), "left_semi")
+    val train = hashSplit(deduped, idCol, trainPct)
+      .where(col("split") === "train")
+    packSequences(train, idCol, size(split(col(textCol), " ")), budget, nShards)
+  }
+
   /** One micro-batch (or one partition of a backfill) through the full
     * curation front door: quality-score and threshold, apply the
     * deterministic domain mix, then re-key each surviving doc by its

@@ -143,6 +143,35 @@ class CurationSpec extends SparkSpec {
         col("a.start_tok") =!= col("b.start_tok")).isEmpty)
   }
 
+  test("buildTrainingSet: gates compose and duplicate content collapses to the lowest id") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val out = Curation.buildTrainingSet(docs, "doc_id", "text", "source",
+      weights = Map("src4" -> 0.0), minQuality = 0.45, budget = 256, nShards = 8)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // sampled-out domain and eval-split docs never reach packing
+    val src4 = docs.where(col("source") === "src4")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(src4).isEmpty)
+    val evals = Curation.hashSplit(docs.select("doc_id"), "doc_id")
+      .where(col("split") === "eval").select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(evals).isEmpty)
+    // a duplicate of a surviving doc's TEXT under a fresh train-split id
+    // collapses: the twin id is absent, the original id stays
+    val origId = ids.min
+    val origText = docs.where(col("doc_id") === origId).head().getString(1)
+    val twinId = Curation.hashSplit(
+        spark.range(99990000L, 99999999L).toDF("doc_id"), "doc_id")
+      .where(col("split") === "train").select("doc_id").as[Long].head()
+    val withTwin = docs.unionAll(
+      Seq((twinId, origText, "src9")).toDF("doc_id", "text", "source"))
+    val out2 = Curation.buildTrainingSet(withTwin, "doc_id", "text", "source",
+      minQuality = 0.45, budget = 256, nShards = 8)
+    val ids2 = out2.select("doc_id").as[Long].collect().toSet
+    assert(!ids2.contains(twinId) && ids2.contains(origId))
+  }
+
   test("repetitionStats matches hand-computed duplicate and top-word fractions") {
     val docs = Seq(
       (1L, "a b a c a"),     // 5 words, 3 distinct, top 'a' ×3

@@ -11,7 +11,7 @@ object ExplainAudit {
       else Seq("q1_agg", "q_knn_cosine", "q_knn_filter", "q_join", "q_dedup_ngram",
         "q_dedup_minhash", "q_fulltext", "q_dedup_minhash_verified",
         "q_det_split", "q_quality_filter", "q_contamination",
-        "q_domain_mix", "q_pack", "q_repetition")
+        "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

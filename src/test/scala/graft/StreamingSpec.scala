@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curatedIngest keeps a live fulltext index serving only curated docs") {
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-curated-idx").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("ci")
+    // seed one curated row so the index can be built before the stream
+    coll.upsert(graft.ops.Curation.curateBatch(
+      Seq((1L, "the seed doc is here to stay in the corpus and rest", "web"))
+        .toDF("doc_id", "text", "source"), "doc_id", "text", "source"))
+    coll.rebuildFulltextIndex()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-curated-idx-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.curatedIngest(in.toDF().toDF("doc_id", "text", "source"),
+      coll, ckpt, minQuality = 0.35)
+    try {
+      in.addData(
+        (2L, "the spark engine is here to win and the scan is fast", "web"),
+        (3L, "junk", "web")) // below the quality floor — never indexed
+      q.processAllAvailable()
+      assert(coll.describe.contains("index.ft.text_col")) // index stayed live
+      val hits = coll.fulltext(Seq("spark"), k = 5).collect()
+      assert(hits.length == 1) // the curated streamed doc serves
+      assert(coll.fulltext(Seq("junk"), k = 5).isEmpty) // the filtered doc does not
+    } finally q.stop()
+  }
+
   test("streaming ingest keeps a live fulltext index maintained per micro-batch") {
     implicit val sq = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString

@@ -31,10 +31,13 @@ object CurationProbe {
         "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"),
       concat(lit("src"), pmod(col("doc_id"), lit(16L))).as("source"))
 
+    // `work` is the op's own output volume (kept rows / tokens / words
+    // processed) — it must scale with the corpus, proving the timed run
+    // wasn't a pruned plan
     def time(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
-      val rows = body
-      println(f"""{"probe":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$rows}""")
+      val work = body
+      println(f"""{"probe":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"work":$work}""")
     }
 
     Seq(("1x", n), (s"${mult}x", n * mult)).foreach { case (tag, k) =>
@@ -45,15 +48,21 @@ object CurationProbe {
         graft.ops.Curation.sampleByWeights(d, "doc_id", "source", weights).count()
       }
       time(s"pack_$tag") {
-        // collect()ing the 1-row agg forces the full window evaluation
-        // (a count() here would let Catalyst prune the aggregate away)
+        // collect()ing the agg forces the full window evaluation (a
+        // count() would let Catalyst prune the aggregate away; an agg
+        // without max(start_tok) would prune the Window itself). The
+        // reported number is sum(tokens) — REAL evidence the run
+        // processed the whole corpus, not a pruned plan: it must be
+        // ~8x larger at 8x.
         graft.ops.Curation.packSequences(d, "doc_id",
             size(split(col("text"), " ")), budget = 2048, nShards = 256)
-          .agg(max("start_tok"), sum("pack")).collect().length.toLong
+          .agg(max("start_tok"), sum("tokens").as("t")).collect().head.getLong(1)
       }
       time(s"repetition_$tag") {
+        // sum(top_cnt) forces the run-length aggregate; sum(n_words)
+        // is the scale evidence (8x at 8x)
         graft.text.TextAnalysis.repetitionStats(d, "doc_id", "text")
-          .agg(sum("top_cnt"), sum("n_distinct")).collect().length.toLong
+          .agg(sum("top_cnt"), sum("n_words")).collect().head.getLong(1)
       }
       d.unpersist()
     }

@@ -446,10 +446,10 @@ object SparkEntry {
 
     "q_curate_pipeline" -> ((s, dir) => {
       // the COMPLETE training-set build, end-to-end: quality threshold
-      // -> domain mix -> exact content dedup (lowest id per
-      // fingerprint) -> train split -> token-budget packing. Every
-      // stage content-addressed, the whole pipeline oracle-verified as
-      // one query.
+      // -> domain mix -> exact content dedup (lowest id per md5(text))
+      // -> train split -> token-budget packing. Every stage
+      // content-addressed, the whole pipeline oracle-verified as one
+      // query.
       graft.ops.Curation.buildTrainingSet(
         Tables.documents(s, dir), "doc_id", "text", "source",
         weights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
@@ -851,11 +851,7 @@ object SparkEntry {
         |    < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |                  WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
         |                  WHEN 'src4' THEN 0     ELSE 6000 END),
-        |fp AS (SELECT doc_id, text,
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fpr FROM s),
+        |fp AS (SELECT doc_id, text, md5(text) AS fpr FROM s),
         |dd AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fpr),
         |tr AS (SELECT fp.doc_id, fp.text FROM fp JOIN dd ON fp.doc_id = dd.doc_id
         |  WHERE CAST(('0x' || substr(md5(CAST(fp.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) < 90),

@@ -213,7 +213,7 @@ object Curation {
     *
     *   1. quality-score and threshold ([[graft.text.TextAnalysis.quality]])
     *   2. deterministic domain mix ([[sampleByWeights]])
-    *   3. exact content dedup: one survivor per fingerprint, lowest id
+    *   3. exact content dedup: one survivor per md5(text), lowest id
     *      wins (content identity, not row identity — re-crawled copies
     *      under new ids collapse)
     *   4. train split ([[hashSplit]]; eval docs never reach packing)
@@ -236,14 +236,21 @@ object Curation {
                        defaultWeight: Double = 1.0, minQuality: Double = 0.0,
                        trainPct: Int = 90, budget: Int = 2048,
                        nShards: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = graft.text.TextAnalysis.quality(
         docs, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     val mixed = sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
-    val withFp = mixed.withColumn("__fp",
-      graft.text.TextAnalysis.fingerprintCol(textCol))
-    val canon = withFp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    val deduped = withFp.join(canon, Seq("__fp", idCol), "left_semi")
+    // content key = md5(text): 128 bits, so birthday collisions are
+    // negligible at any corpus size (the rolling-hash fingerprint
+    // METRIC is ~30 bits — keying dedup on it would silently merge
+    // distinct docs from ~37k distinct texts up). One pass: the window
+    // formulation dedups with a single shuffle, where a groupBy +
+    // semi-join would re-evaluate the quality/mix scan on both sides.
+    val deduped = mixed.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__fp").orderBy(idCol)))
+      .where(col("__rn") === 1).drop("__rn", "__fp")
     val train = hashSplit(deduped, idCol, trainPct)
       .where(col("split") === "train")
     packSequences(train, idCol, size(split(col(textCol), " ")), budget, nShards)
@@ -252,9 +259,11 @@ object Curation {
   /** One micro-batch (or one partition of a backfill) through the full
     * curation front door: quality-score and threshold, apply the
     * deterministic domain mix, then re-key each surviving doc by its
-    * CONTENT fingerprint. Returns one row per fingerprint —
-    * (id = fingerprint, src_id, text, domain, quality), lowest source
-    * id winning ties deterministically.
+    * content identity, md5(text) — 128 bits, collision-negligible at
+    * any corpus size (never the ~30-bit rolling-hash fingerprint
+    * metric, which would silently merge distinct docs). Returns one
+    * row per content key — (id = md5, src_id, text, domain, quality),
+    * lowest source id winning ties deterministically.
     *
     * Content keying is what makes exact dedup FREE across an unbounded
     * stream: upserting these rows into a collection collapses every
@@ -272,7 +281,7 @@ object Curation {
         batch, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
-      .select(graft.text.TextAnalysis.fingerprintCol(textCol).as("id"),
+      .select(md5(col(textCol).cast("binary")).as("id"),
         col(idCol).as("src_id"), col(textCol), col(domainCol), col("quality"))
       .withColumn("__rn",
         row_number().over(Window.partitionBy("id").orderBy("src_id")))

@@ -106,11 +106,16 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist BEFORE the emptiness probe: curation carries scoring,
+        // sampling, hashing, and a dedup shuffle — unpersisted, the
+        // isEmpty check and the upsert would each run the whole plan
         val curated = graft.ops.Curation.curateBatch(
-          batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
+            batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
         // the snapshot rewrite, same as the restart-recovery guard above
-        if (!curated.isEmpty) coll.upsert(curated)
+        try { if (!curated.isEmpty) coll.upsert(curated) }
+        finally curated.unpersist()
       }
       .start()
 

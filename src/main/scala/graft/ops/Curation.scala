@@ -195,18 +195,39 @@ object Curation {
     * the canonical order is undefined between duplicate or null ids. */
   def packSequences(docs: DataFrame, idCol: String,
                     tokensCol: org.apache.spark.sql.Column,
-                    budget: Int, nShards: Int = 64): DataFrame = {
+                    budget: Int, nShards: Int = 64,
+                    keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "token budget must be positive")
     require(nShards > 0, "need at least one shard")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), saltedBucket(col(idCol), ":pack", nShards).as("shard"),
-        tokensCol.cast("long").as("tokens"))
+    docs.select(col(idCol) +: saltedBucket(col(idCol), ":pack", nShards).as("shard") +:
+        tokensCol.cast("long").as("tokens") +: keep.map(col): _*)
       .withColumn("start_tok", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .withColumn("pack", expr(s"start_tok div ${budget.toLong}").cast("long"))
       .withColumn("pack_off", pmod(col("start_tok"), lit(budget.toLong)))
   }
+
+  /** Materialize a packed training set: [[packSequences]] with the
+    * document payload carried through (`keep`), written
+    * shard-partitioned and sorted by id within each shard's files, so
+    * a training loader streams any shard directory and reads its packs
+    * in exact pack order with zero runtime sorting or joining.
+    *
+    * One corpus pass: the payload rides through the pack window (no
+    * second scan or join-back), the shard shuffle doubles as the write
+    * partitioning, and the within-partition sort is the same per-shard
+    * order the window already established. `nShards` is both the
+    * parallelism and the file-layout granularity. */
+  def writePacked(docs: DataFrame, idCol: String, textCol: String,
+                  outPath: String, budget: Int = 2048,
+                  nShards: Int = 64): Unit =
+    packSequences(docs, idCol, size(split(col(textCol), " ")), budget, nShards,
+        keep = Seq(textCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
 
   /** The complete batch training-set build — every curation stage
     * composed end-to-end, each reusing its standalone operator:

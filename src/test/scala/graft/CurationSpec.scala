@@ -143,6 +143,30 @@ class CurationSpec extends SparkSpec {
         col("a.start_tok") =!= col("b.start_tok")).isEmpty)
   }
 
+  test("writePacked materializes shard dirs whose contents equal the pack assignment") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-packed").toString
+    Curation.writePacked(docs, "doc_id", "text", out, budget = 256, nShards = 8)
+    val written = spark.read.parquet(out)
+    val direct = Curation.packSequences(docs, "doc_id",
+      size(split(col("text"), " ")), budget = 256, nShards = 8)
+    // every doc lands in its assigned shard dir with its pack metadata
+    assert(written.count() == direct.count())
+    assert(written.as("w").join(direct.as("d"), "doc_id")
+      .where(col("w.shard") =!= col("d.shard") ||
+        col("w.pack") =!= col("d.pack") ||
+        col("w.start_tok") =!= col("d.start_tok")).isEmpty)
+    // the payload rides along, and shard is a partition DIRECTORY
+    assert(written.columns.contains("text"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("shard=")))
+    // within one shard file, rows are stored in pack (= id) order
+    val aFile = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+      .head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ids = spark.read.parquet(aFile.toString).select("doc_id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted))
+  }
+
   test("buildTrainingSet: gates compose and duplicate content collapses to the lowest id") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")

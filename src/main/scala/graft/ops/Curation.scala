@@ -131,6 +131,26 @@ object Curation {
       .drop("__grp", "__thr")
   }
 
+  /** Sketch-based variant of [[topQuantileByGroup]] for score columns
+    * whose DISTINCT-value count approaches the corpus size (continuous
+    * model scores, where the exact value-histogram would itself be
+    * corpus-sized): per-group thresholds come from percentile_approx
+    * (a bounded-memory KLL-style sketch, mergeable map-side), so pass 1
+    * is one aggregation with O(accuracy) state per group regardless of
+    * corpus size, and pass 2 is the same broadcast-threshold filter
+    * scan. Keeps docs with score >= the approximate q-quantile; rank
+    * error is bounded by 1/accuracy of the group size. */
+  def topQuantileByGroupApprox(docs: DataFrame, groupCol: String,
+                               scoreCol: String, q: Double = 0.75,
+                               accuracy: Int = 10000): DataFrame = {
+    val thr = docs.groupBy(groupCol)
+      .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy)).as("__thr"))
+      .withColumnRenamed(groupCol, "__grp")
+    docs.join(broadcast(thr), col(groupCol) <=> col("__grp"), "inner")
+      .where(col(scoreCol) >= col("__thr"))
+      .drop("__grp", "__thr")
+  }
+
   /** [[bucketOf]] with a salt folded into the hash input: independent
     * hash-derived decisions made from the SAME primary key (train/eval
     * split, sampling, pack sharding) must not correlate — md5(id) mod k

@@ -143,6 +143,32 @@ class CurationSpec extends SparkSpec {
         col("a.start_tok") =!= col("b.start_tok")).isEmpty)
   }
 
+  test("topQuantileByGroupApprox agrees with exact except at the boundary score, no Window") {
+    val scored = TextAnalysis.quality(
+        Tables.documents(spark, sf), "doc_id", "text", keep = Seq("lang"))
+      .select("doc_id", "lang", "quality")
+    val exact = Curation.topQuantileByGroup(scored, "lang", "quality", q = 0.75)
+      .select("doc_id", "lang", "quality")
+    val approx = Curation.topQuantileByGroupApprox(scored, "lang", "quality", q = 0.75)
+      .select("doc_id", "lang", "quality")
+    // at accuracy 10000 on small groups the sketch is exact, so any
+    // disagreement is the boundary-value semantics difference only:
+    // every disagreeing row carries its group's single boundary score
+    val diff = exact.unionAll(approx)
+      .groupBy("doc_id", "lang", "quality").count()
+      .where(col("count") === 1)
+    val perGroup = diff.groupBy("lang")
+      .agg(countDistinct("quality").as("nv")).collect()
+    perGroup.foreach(r => assert(r.getLong(1) <= 1,
+      s"disagreements in ${r.getString(0)} must share one boundary score"))
+    // both keep roughly the top quarter
+    val n = scored.count().toDouble
+    assert(math.abs(approx.count() / n - 0.25) < 0.15)
+    // the sketch path has no Window over the corpus
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("writePacked materializes shard dirs whose contents equal the pack assignment") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

@@ -84,6 +84,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.ops.Curation.contamination(docs, "doc_id", "text").count() == 0)
     val scored = Seq.empty[(String, Long, Double)].toDF("g", "id", "s")
     assert(graft.ops.Curation.topQuantileByGroup(scored, "g", "s").count() == 0)
+    assert(graft.ops.Curation.topQuantileByGroupApprox(scored, "g", "s").count() == 0)
+    val full = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(graft.ops.Curation.buildTrainingSet(full, "doc_id", "text", "source").count() == 0)
+    assert(graft.ops.Curation.curateBatch(full, "doc_id", "text", "source").count() == 0)
+    assert(graft.ops.Curation.sampleByWeights(full, "doc_id", "source", Map.empty).count() == 0)
+    assert(graft.ops.Curation.packSequences(full, "doc_id",
+      org.apache.spark.sql.functions.lit(1), budget = 16).count() == 0)
+    assert(graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text").count() == 0)
   }
 
   test("minhashVerified on a corpus with no qualifying pairs is empty") {

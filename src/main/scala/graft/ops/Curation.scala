@@ -139,7 +139,14 @@ object Curation {
     * is one aggregation with O(accuracy) state per group regardless of
     * corpus size, and pass 2 is the same broadcast-threshold filter
     * scan. Keeps docs with score >= the approximate q-quantile; rank
-    * error is bounded by 1/accuracy of the group size. */
+    * error is bounded by 1/accuracy of the group size.
+    *
+    * NOT a drop-in for [[topQuantileByGroup]] on TIE-HEAVY scores: this
+    * keeps every row AT the threshold value, while exact percent_rank
+    * semantics can drop whole tied runs (an all-tied group keeps 100%
+    * here, 0% there). For continuous scores — the case this variant
+    * exists for — the boundary mass is negligible and the two agree to
+    * within the rank-error bound. */
   def topQuantileByGroupApprox(docs: DataFrame, groupCol: String,
                                scoreCol: String, q: Double = 0.75,
                                accuracy: Int = 10000): DataFrame = {
@@ -222,8 +229,12 @@ object Curation {
     require(nShards > 0, "need at least one shard")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // clamp tokens at 0: size(NULL) is -1 under Spark's default config,
+    // and ONE negative count would silently shift every later doc's
+    // offset in its shard — corrupting pack alignment with no error
     docs.select(col(idCol) +: saltedBucket(col(idCol), ":pack", nShards).as("shard") +:
-        tokensCol.cast("long").as("tokens") +: keep.map(col): _*)
+        greatest(coalesce(tokensCol.cast("long"), lit(0L)), lit(0L)).as("tokens") +:
+        keep.map(col): _*)
       .withColumn("start_tok", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .withColumn("pack", expr(s"start_tok div ${budget.toLong}").cast("long"))
       .withColumn("pack_off", pmod(col("start_tok"), lit(budget.toLong)))
@@ -243,9 +254,14 @@ object Curation {
   def writePacked(docs: DataFrame, idCol: String, textCol: String,
                   outPath: String, budget: Int = 2048,
                   nShards: Int = 64): Unit =
-    packSequences(docs, idCol, size(split(col(textCol), " ")), budget, nShards,
-        keep = Seq(textCol))
-      .repartition(col("shard"))
+    // no repartition here: the pack window's own Exchange already hash-
+    // partitions by shard (each shard wholly inside one partition, so
+    // each shard DIR gets one file), and an explicit repartition would
+    // re-shuffle the corpus + payload a second time. The sort is the
+    // window's (shard, id) order re-stated for the writer; Spark elides
+    // it when already satisfied.
+    packSequences(docs, idCol, size(split(coalesce(col(textCol), lit("")), " ")),
+        budget, nShards, keep = Seq(textCol))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(outPath)
 
@@ -268,31 +284,38 @@ object Curation {
     * rows — the provenance property a model-training audit needs.
     *
     * Scale shape: stages 1, 2, 4 are projections/filters fused into the
-    * scan; stage 3 is one hash aggregation on the fingerprint plus a
-    * semi-join of survivors; stage 5 is the single shard shuffle. No
-    * stage holds the corpus in memory or sorts it globally. */
+    * scan; stage 3 is ONE shuffle of the surviving rows by content hash
+    * (the only pass that moves the payload — size the dedup stage for
+    * it); stage 5 is the single shard shuffle. No stage holds the
+    * corpus in memory or sorts it globally. */
+  /** THE content-identity dedup, shared by the batch pipeline and the
+    * streaming front door so both always agree on what a duplicate is:
+    * key = md5(text) — 128 bits, birthday collisions negligible at any
+    * corpus size (never the ~30-bit rolling-hash fingerprint METRIC,
+    * which silently merges distinct docs from ~37k distinct texts up).
+    * One shuffle: the window formulation dedups in a single pass where
+    * a groupBy + semi-join would re-evaluate the upstream on both
+    * sides. Lowest id wins deterministically. */
+  private def dedupByContent(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("__fp", md5(col(textCol).cast("binary")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__fp").orderBy(idCol)))
+      .where(col("__rn") === 1).drop("__rn", "__fp")
+  }
+
   def buildTrainingSet(docs: DataFrame, idCol: String, textCol: String,
                        domainCol: String,
                        weights: Map[String, Double] = Map.empty,
                        defaultWeight: Double = 1.0, minQuality: Double = 0.0,
                        trainPct: Int = 90, budget: Int = 2048,
                        nShards: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = graft.text.TextAnalysis.quality(
         docs, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     val mixed = sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
-    // content key = md5(text): 128 bits, so birthday collisions are
-    // negligible at any corpus size (the rolling-hash fingerprint
-    // METRIC is ~30 bits — keying dedup on it would silently merge
-    // distinct docs from ~37k distinct texts up). One pass: the window
-    // formulation dedups with a single shuffle, where a groupBy +
-    // semi-join would re-evaluate the quality/mix scan on both sides.
-    val deduped = mixed.withColumn("__fp", md5(col(textCol).cast("binary")))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("__fp").orderBy(idCol)))
-      .where(col("__rn") === 1).drop("__rn", "__fp")
-    val train = hashSplit(deduped, idCol, trainPct)
+    val train = hashSplit(dedupByContent(mixed, idCol, textCol), idCol, trainPct)
       .where(col("split") === "train")
     packSequences(train, idCol, size(split(col(textCol), " ")), budget, nShards)
   }
@@ -317,15 +340,13 @@ object Curation {
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,
                   minQuality: Double = 0.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = graft.text.TextAnalysis.quality(
         batch, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
-    sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
+    dedupByContent(
+        sampleByWeights(scored, idCol, domainCol, weights, defaultWeight),
+        idCol, textCol)
       .select(md5(col(textCol).cast("binary")).as("id"),
         col(idCol).as("src_id"), col(textCol), col(domainCol), col("quality"))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("id").orderBy("src_id")))
-      .where(col("__rn") === 1).drop("__rn")
   }
 }

@@ -106,6 +106,9 @@ object TextAnalysis {
     // per row vs the naive per-distinct-word count's O(distinct × n) —
     // at 8M synthetic docs (CurationProbe) this is the difference
     // between 7s and 40s, and the gap widens with document length
+    // top_cnt is projected ONCE, like __toks: it contains lambda
+    // expressions, which Spark's subexpression elimination skips — two
+    // references would run the O(n log n) sort+scan twice per row
     val topCnt = expr(
       """aggregate(array_sort(__toks),
         |  named_struct('run', 0, 'best', 0, 'prev', cast(null as string)),
@@ -114,12 +117,16 @@ object TextAnalysis {
         |    'best', greatest(acc.best, if(acc.prev <=> x, acc.run + 1, 1)),
         |    'prev', x),
         |  acc -> acc.best)""".stripMargin)
-    docs.withColumn("__toks", toks(col(textCol)))
+    // coalesce: a NULL text behaves as the empty document ([""], one
+    // empty token) — without it size() yields -1 and the stats row
+    // silently reads as "negative-length, zero repetition"
+    docs.withColumn("__toks", toks(coalesce(col(textCol), lit(""))))
+      .withColumn("top_cnt", topCnt)
       .select(col(idCol),
         nW.as("n_words"), nD.as("n_distinct"),
         ((nW - nD).cast("double") / nW.cast("double")).as("dup_frac"),
-        topCnt.as("top_cnt"),
-        (topCnt.cast("double") / nW.cast("double")).as("top_share"))
+        col("top_cnt"),
+        (col("top_cnt").cast("double") / nW.cast("double")).as("top_share"))
   }
 
   /** Rolling polynomial hash over characters:

@@ -91,15 +91,33 @@ class CurationSpec extends SparkSpec {
     assert(dropped.count() == 2 && dropped.where(col("source").isNull).isEmpty)
   }
 
-  test("repetitionStats: empty text is one empty token, not a crash or a null") {
+  test("repetitionStats: empty and NULL text are one empty token, never negative sizes") {
     import spark.implicits._
     val out = TextAnalysis.repetitionStats(
-        Seq((1L, ""), (2L, "w")).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((1L, ""), (2L, "w"), (3L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text"), "doc_id", "text")
       .orderBy("doc_id").collect()
-    // split("", " ") yields [""] — one (empty) word, zero repetition
+    // split("", " ") yields [""] — one (empty) word, zero repetition;
+    // NULL text coalesces to the same shape (size(NULL) would be -1)
     assert(out(0).getInt(1) == 1 && out(0).getDouble(3) == 0.0 &&
       out(0).getDouble(5) == 1.0)
     assert(out(1).getInt(1) == 1 && out(1).getInt(4) == 1)
+    assert(out(2).getInt(1) == 1 && out(2).getDouble(3) == 0.0 &&
+      out(2).getDouble(5) == 1.0)
+  }
+
+  test("packSequences clamps null/negative token counts so offsets never regress") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, null.asInstanceOf[String]), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, "doc_id",
+        size(split(col("text"), " ")), budget = 16, nShards = 1)
+      .orderBy("doc_id").collect()
+    // null text -> size = -1 -> clamped to 0: doc 2 occupies no tokens
+    // and doc 3's offset is exactly doc 1's length
+    assert(packed.map(_.getLong(2)).toSeq == Seq(2L, 0L, 3L))
+    val byId = packed.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(3L) == byId(2L) && byId(2L) == 2L)
   }
 
   test("packSequences: per-shard offsets are a contiguous token stream") {

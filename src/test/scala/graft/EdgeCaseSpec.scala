@@ -94,6 +94,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text").count() == 0)
   }
 
+  test("curation pipeline accepts string primary keys (the reference id type)") {
+    val docs = Seq(
+      ("doc-a", "the cat sat on the mat and the dog is here to stay", "web"),
+      ("doc-b", "the cat sat on the mat and the dog is here to stay", "web"),
+      ("doc-c", "an entirely different text with the and is to in words", "web"))
+      .toDF("doc_id", "text", "source")
+    val packed = graft.ops.Curation.packSequences(docs, "doc_id",
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")), budget = 16)
+    assert(packed.count() == 3)
+    // content dedup keeps the lexicographically lowest string id
+    val out = graft.ops.Curation.buildTrainingSet(docs, "doc_id", "text", "source",
+      trainPct = 100) // all-train so only the dedup gate filters
+    val kept = out.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(!kept.contains("doc-b"))
+    assert(kept.contains("doc-a") || kept.contains("doc-c"))
+    assert(graft.ops.Curation.sampleByWeights(
+      docs, "doc_id", "source", Map.empty).count() == 3)
+  }
+
   test("minhashVerified on a corpus with no qualifying pairs is empty") {
     val docs = Seq((1L, "one two three four"), (2L, "five six seven eight"))
       .toDF("doc_id", "text")

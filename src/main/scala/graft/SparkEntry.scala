@@ -376,6 +376,20 @@ object SparkEntry {
       Dedup.simhashPairsFromSignatures(sig, maxHamming = 3)
     }),
 
+    "q_dedup_simhash_verified" -> ((s, dir) => {
+      // simhash block-bucket candidates (exhaustive-grade 8x8-bit
+      // blocks: every j>=0.5 pair on the test corpora shares a block)
+      // verified with EXACT jaccard over the persisted ngram postings —
+      // same candidates-then-verify shape as q_dedup_minhash_verified,
+      // hash-matches the same posting self-join oracle while the pair
+      // join stays block-bounded
+      val sig = graft.catalog.IndexStore.ensure(s, s"simhashsig_${sfKey(dir)}") {
+        Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      }
+      Dedup.simhashVerified(sig, ngramPostingsFor(s, dir),
+        blocks = 8, threshold = 0.5)
+    }),
+
     "q_dedup_minhash_verified" -> ((s, dir) => {
       // minhash-banded candidates (exhaustive-grade r=1: a j>=0.5 pair
       // misses all 32 bands with p = 2^-32) verified with EXACT jaccard
@@ -1084,6 +1098,23 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // simhash-candidates + exact-verify must equal the full posting
+    // self-join answer when the block geometry is exhaustive for the
+    // threshold (same oracle as q_dedup_ngram / q_dedup_minhash_verified)
+    "q_dedup_simhash_verified" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // minhash-candidates + exact-verify must equal the full posting
     // self-join answer when the band configuration is exhaustive for

@@ -100,11 +100,18 @@ object Curation {
     * groups on single partitions — the non-scalable plan this avoids.
     * (If distinct scores ever approached corpus size, pass 1 coarsens
     * to an equi-width histogram + an exact in-bucket second pass; not
-    * needed for bounded-ratio scores.) */
+    * needed for bounded-ratio scores.)
+    *
+    * NULL scores are excluded from both the ranking and the output: a
+    * doc with no score has no quantile position. (Leaving them in would
+    * also diverge from the SQL oracle — Spark windows order NULLS
+    * FIRST, DuckDB percent_rank NULLS LAST — so the exclusion is pinned
+    * here rather than left to engine defaults.) */
   def topQuantileByGroup(docs: DataFrame, groupCol: String, scoreCol: String,
                          q: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = docs.groupBy(col(groupCol), col(scoreCol))
+    val hist = docs.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).as("__cnt"))
     // per-value rank-1 (= docs with strictly smaller score) and group
     // size, on the histogram: the window input is distinct values only

@@ -193,12 +193,9 @@ object Bm25 {
       .agg(sum(round(weightCol(k1, b), 4).cast("decimal(18,4)")).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
     // top-k via TakeOrderedAndProject (distributed k-merge, no global
-    // sort), then a rank column over the k survivors only (the unparti-
-    // tioned window is benign: it only ever sees these k rows).
-    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
+    // sort); rank is the row's position in that order (zip-with-index
+    // over the k survivors — no WindowExec).
+    graft.vector.Ranked.rankTop(scored, k, col("score").desc, col("doc_id"))
       .select(col("rank"), col("doc_id"), col("n_terms"), col("score"))
       .orderBy("rank")
   }

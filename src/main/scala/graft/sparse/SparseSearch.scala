@@ -43,10 +43,7 @@ object SparseSearch {
       .groupBy("doc_id")
       .agg(sum(round(col("weight"), 4).cast("decimal(18,4)") *
           col("qw").cast("decimal(8,4)")).cast("double").as("score"))
-    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w))
+    graft.vector.Ranked.rankTop(scored, k, col("score").desc, col("doc_id"))
       .select(col("rank"), col("doc_id"), col("score"))
       .orderBy("rank")
   }

@@ -119,8 +119,14 @@ object TextAnalysis {
         |  acc -> acc.best)""".stripMargin)
     // coalesce: a NULL text behaves as the empty document ([""], one
     // empty token) — without it size() yields -1 and the stats row
-    // silently reads as "negative-length, zero repetition"
-    docs.withColumn("__toks", toks(coalesce(col(textCol), lit(""))))
+    // silently reads as "negative-length, zero repetition".
+    // Project down to (idCol, textCol) BEFORE adding internal columns:
+    // this operator takes arbitrary caller frames, and withColumn on
+    // the full frame would silently clobber a pre-existing __toks /
+    // top_cnt column (the __ prefix is only reserved at the
+    // collection-ingest boundary, not here).
+    docs.select(col(idCol), col(textCol))
+      .withColumn("__toks", toks(coalesce(col(textCol), lit(""))))
       .withColumn("top_cnt", topCnt)
       .select(col(idCol),
         nW.as("n_words"), nD.as("n_distinct"),

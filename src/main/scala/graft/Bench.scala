@@ -43,13 +43,33 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results ++ maintenanceOps(spark, sfDir))
+    val qs = (results ++ maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir))
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Serving cost of the banded embedding dedup at the PRODUCTION band
+    * config (r=4 selective bands, t=0.5) vs the exhaustive-grade r=2
+    * config the q_dedup_embed_lsh oracle entry must run (m_ key,
+    * excluded from the query total). The pair quantifies what the
+    * exhaustive banding costs: candidate volume is ~99% of all pairs at
+    * r=2 (LshProfile, sf0.1) vs ~64% at r=4 — the measured recall trade
+    * lives in SURVEY §5b (selective bands lose ~5–7% of pairs sitting
+    * AT the threshold on this clusterless synthetic corpus). */
+  private def prodBandCost(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    try {
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      val buckets = graft.catalog.IndexStore.ensure(spark, "emblsh_prod_bench") {
+        graft.dedup.Dedup.lshBandBuckets(embs, "vec_id", "embedding", 64, 16, 42L)
+      }
+      val t0 = System.nanoTime()
+      graft.dedup.Dedup.embedLshFromBuckets(buckets, embs,
+        "vec_id", "embedding", threshold = 0.5).count()
+      Seq("m_dedup_embed_lsh_prod" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => Seq("m_dedup_embed_lsh_prod" -> -1.0) }
 
   /** Index-maintenance costs (reported as m_* keys, excluded from the
     * query total): an upsert against a live fulltext index costs

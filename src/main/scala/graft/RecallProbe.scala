@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.vector._
+
+/** Measured recall@k for every approximate ANN family against the
+  * exact FLAT ground truth, plus pair recall for the banded embedding
+  * dedup — turning "correct by construction" into numbers a user can
+  * pick index params from.
+  *
+  * Sweeps (on the driver testdata embeddings, dim 64):
+  *  - sign-LSH: (nBits, bands) grid, cosine
+  *  - IVF: nprobe 1..nlist at nlist=16, L2
+  *  - PQ: (m, k) codebook grid, ADC-only vs exact-rerank, L2
+  *  - IVF_PQ: nprobe sweep at nlist=16, m=8, k=16, L2
+  *  - embedLsh dedup: band configs x thresholds vs the all-pairs scan
+  *
+  * Each line is one JSON object {"family","config","recall",...}; the
+  * run ends with one summary line (machine-readable, like Bench).
+  *
+  * Usage: runMain graft.RecallProbe [sfDir] [nQueries] [k]
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQ = if (args.length > 1) args(1).toInt else 32
+    val k = if (args.length > 2) args(2).toInt else 10
+
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]",
+      shufflePartitions = 16).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val embs = Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusN = embs.count()
+    val queries = embs.where(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    // FLAT ground truth per metric (the oracle every family is graded
+    // against; cosine for LSH, L2 for the IVF/PQ families)
+    val gtCos = KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "cosine", k).cache()
+    val gtL2 = KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "l2", k).cache()
+    gtCos.count(); gtL2.count()
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    def emit(family: String, config: String, recall: Double): Unit = {
+      results += ((family, config, recall))
+      println(f"""{"family":"$family","config":"$config","recall@$k":$recall%.4f}""")
+    }
+
+    // ---- sign-LSH (cosine): r = nBits/bands bits per band ----------
+    for ((nBits, bands) <- Seq((16, 4), (32, 8), (32, 16), (64, 8), (64, 16), (64, 32)))
+      emit("lsh", s"nBits=$nBits bands=$bands r=${nBits / bands}",
+        Recall.atK(LshIndex.ann(embs, "vec_id", "embedding",
+          queries, "qid", "qvec", k, nBits, bands), gtCos))
+
+    // ---- IVF (L2): nprobe sweep at nlist=16 ------------------------
+    val ivf = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
+    for (nprobe <- Seq(1, 2, 4, 8, 16))
+      emit("ivf", s"nlist=16 nprobe=$nprobe",
+        Recall.atK(IvfIndex.search(ivf, embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "l2", k, nprobe), gtL2))
+
+    // ---- PQ (L2): codebook grid, ADC-only vs exact rerank ----------
+    val qLocal = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for ((m, cb) <- Seq((8, 16), (8, 64), (16, 16))) {
+      val pq = PqIndex.train(embs, "embedding", dim = 64, m = m, k = cb)
+      val enc = PqIndex.encode(pq, embs, "vec_id", "embedding").cache()
+      enc.count()
+      emit("pq_adc", s"m=$m k=$cb",
+        Recall.atK(PqIndex.search(pq, enc, qLocal, k), gtL2))
+      emit("pq_rerank", s"m=$m k=$cb candMult=10",
+        Recall.atK(PqIndex.searchRerank(pq, enc, embs, "vec_id", "embedding",
+          qLocal, k, candMult = 10), gtL2))
+      enc.unpersist()
+    }
+
+    // ---- IVF_PQ (L2): nprobe sweep, ADC-only vs exact rerank --------
+    // (code-only ranking is capped by PQ quantization error regardless
+    // of nprobe — the rerank lifts it back onto the IVF coverage curve)
+    val ivfpq = IvfPq.train(embs, "embedding", dim = 64, nlist = 16, m = 8, k = 16)
+    val encP = IvfPq.encode(ivfpq, embs, "vec_id", "embedding").cache()
+    encP.count()
+    for (nprobe <- Seq(2, 4, 8, 16)) {
+      emit("ivf_pq_adc", s"nlist=16 m=8 k=16 nprobe=$nprobe",
+        Recall.atK(IvfPq.search(ivfpq, encP, qLocal, k, nprobe), gtL2))
+      emit("ivf_pq_rerank", s"nlist=16 m=8 k=16 nprobe=$nprobe candMult=10",
+        Recall.atK(IvfPq.searchRerank(ivfpq, encP, embs, "vec_id", "embedding",
+          qLocal, k, nprobe, candMult = 10), gtL2))
+    }
+    encP.unpersist()
+
+    // ---- embedLsh dedup: pair recall vs the all-pairs scan ----------
+    // (precision is exact by construction — the verify rescores — so
+    // recall is the only axis; configs straddle the exhaustive-grade
+    // oracle setting and the selective production setting. Thresholds
+    // sit where this corpus HAS pairs — max pair cosine is 0.48 / 0.51
+    // / 0.60 at the three SFs, so t=0.8 would grade against an empty
+    // truth set and prove nothing.)
+    for ((nBits, bands, t) <- Seq(
+        (32, 16, 0.45), (64, 32, 0.45), (64, 16, 0.45), (64, 16, 0.5), (64, 8, 0.5))) {
+      val truth = graft.dedup.Dedup
+        .embedCosineAllPairs(embs, "vec_id", "embedding", t)
+        .withColumnRenamed("cosine", "c")
+      emit("dedup_embed_lsh", s"nBits=$nBits bands=$bands r=${nBits / bands} t=$t",
+        Recall.pairRecall(
+          graft.dedup.Dedup.embedLsh(embs, "vec_id", "embedding", t, nBits, bands),
+          truth))
+    }
+
+    val qs = results.map { case (f, c, r) =>
+      "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir","results":$qs}""")
+    spark.stop()
+  }
+}

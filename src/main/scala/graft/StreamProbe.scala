@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Sustained micro-batch throughput for the streaming curation front
+  * door ([[graft.streaming.Streams.curatedIngest]]) with LIVE indexes —
+  * the streaming counterpart of CurationProbe's batch evidence and of
+  * the m_upsert_live_index_* bench pair.
+  *
+  * For a 1x and an 8x base corpus, the probe feeds `nBatches`
+  * micro-batches of `batchSize` fresh docs through curatedIngest into a
+  * bucketed collection with a live fulltext + minhash index (the first
+  * batch is an untimed warmup), and reports sustained docs/sec. The
+  * flat-cost claim this measures: per-batch cost is O(batch) —
+  * curation is per-doc, the data merge touches only the batch's hash
+  * buckets, each index appends its own segment — so docs/sec must NOT
+  * fall as the standing corpus grows 8x. Auto-compaction (default
+  * threshold 16 segments) runs inside the measured window whenever the
+  * batch count crosses it — steady-state throughput includes the folds
+  * a real stream would pay.
+  *
+  * Usage: runMain graft.StreamProbe [nBase] [mult] [nBatches] [batchSize]
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val nBase = args.headOption.map(_.toLong).getOrElse(20000L)
+    val mult = if (args.length > 1) args(1).toInt else 8
+    val nBatches = if (args.length > 2) args(2).toInt else 6
+    val batchSize = if (args.length > 3) args(3).toInt else 1000
+
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // deterministic synthetic docs (same generator family as
+    // CurationProbe): unique text per id, 16 domains
+    def corpus(k: Long) = spark.range(k).toDF("doc_id").select(
+      col("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, cast(pmod(doc_id, 51) as int) + 9), " +
+        "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"),
+      concat(lit("src"), pmod(col("doc_id"), lit(16L))).as("source"))
+    def mkText(id: Long): String = {
+      val n = (id % 51).toInt + 10
+      (0 until n).map(i =>
+        java.lang.Long.toString(Math.floorMod(id * 31 + i * 7L, 1000), 36)).mkString(" ")
+    }
+
+    Seq(("1x", nBase), (s"${mult}x", nBase * mult)).foreach { case (tag, k) =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-streamprobe-$tag").toString
+      val coll = new graft.api.GraftClient(spark, root)
+        .createDatabase("probe").createCollection("docs", Map("buckets" -> "32"))
+      coll.upsert(graft.ops.Curation.curateBatch(corpus(k), "doc_id", "text", "source"))
+      coll.rebuildFulltextIndex()
+      coll.rebuildMinhashIndex()
+      val stored = coll.count()
+
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-streamprobe-ck-$tag").toString
+      val in = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.Streams.curatedIngest(
+        in.toDF().toDF("doc_id", "text", "source"), coll, ckpt)
+      try {
+        def feed(b: Int): Unit = {
+          // fresh ids & fresh content per batch, disjoint from the corpus
+          val lo = 1000000000L + b.toLong * batchSize
+          in.addData((lo until lo + batchSize).map(i =>
+            (i, mkText(i), s"src${i % 16}")))
+          q.processAllAvailable()
+        }
+        feed(0) // untimed warmup batch (JIT + first-touch artifacts)
+        val t0 = System.nanoTime()
+        (1 until nBatches).foreach(feed)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val ingested = coll.count() - stored
+        val rate = (nBatches - 1).toLong * batchSize / sec
+        println(f"""{"probe":"curated_ingest_$tag","corpus":$stored,"batches":${nBatches - 1},""" +
+          f""""batch_size":$batchSize,"sec":$sec%.2f,"docs_per_sec":$rate%.0f,""" +
+          f""""ingested":$ingested,"segment_debt":${coll.segmentDebt}}""")
+      } finally q.stop()
+    }
+    spark.stop()
+  }
+}

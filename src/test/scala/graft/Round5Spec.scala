@@ -56,6 +56,39 @@ class Round5Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("auto-compaction bounds segment history under sustained ingest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-autocompact").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("ac")
+    val rnd = new scala.util.Random(11)
+    def batch(lo: Long, n: Int) = (lo until lo + n)
+      .map(i => (i, s"alpha doc$i beta", Seq.fill(6)(rnd.nextGaussian())))
+      .toDF("id", "text", "vector")
+    coll.upsert(batch(0, 30))
+    coll.rebuildFulltextIndex()
+    coll.rebuildLshIndex(nBits = 8, bands = 2)
+    coll.setAutoCompact(4)
+
+    var sawFold = false
+    for (b <- 1 to 10) {
+      coll.upsert(batch(b * 100L, 5))
+      val debt = coll.segmentDebt
+      assert(debt < 4, s"segment debt must stay below the threshold, got $debt after batch $b")
+      if (debt == 0) sawFold = true
+    }
+    assert(sawFold, "10 batches past threshold 4 must have triggered at least one compaction")
+    assert(coll.count() == 80)
+
+    // compacted history serves the same results as a from-scratch rebuild
+    val served = coll.fulltext(Seq("alpha"), k = 7).collect().toSeq
+    val q = Seq((0L, Seq.fill(6)(rnd.nextGaussian()))).toDF("qid", "qvec")
+    val lshServed = coll.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq
+    coll.rebuildFulltextIndex()
+    coll.rebuildLshIndex(nBits = 8, bands = 2)
+    assert(coll.fulltext(Seq("alpha"), k = 7).collect().toSeq == served)
+    assert(coll.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq == lshServed)
+  }
+
   test("rankTop matches an unpartitioned row_number over the same order") {
     val scored = spark.range(100)
       .select(col("id").cast("string").as("doc_id"),

@@ -36,16 +36,20 @@ object StreamProbe {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // deterministic synthetic docs (same generator family as
-    // CurationProbe): unique text per id, 16 domains
+    // CurationProbe) with the doc_id itself as the leading token — the
+    // mod-pattern words alone repeat with period 51000, and the
+    // content-keyed upsert would silently collapse a "bigger" corpus
+    // back to 51k stored rows
     def corpus(k: Long) = spark.range(k).toDF("doc_id").select(
       col("doc_id"),
-      expr("concat_ws(' ', transform(sequence(0, cast(pmod(doc_id, 51) as int) + 9), " +
+      expr("concat_ws(' ', conv(doc_id, 10, 36), " +
+        "transform(sequence(0, cast(pmod(doc_id, 51) as int) + 9), " +
         "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"),
       concat(lit("src"), pmod(col("doc_id"), lit(16L))).as("source"))
     def mkText(id: Long): String = {
       val n = (id % 51).toInt + 10
-      (0 until n).map(i =>
-        java.lang.Long.toString(Math.floorMod(id * 31 + i * 7L, 1000), 36)).mkString(" ")
+      (java.lang.Long.toString(id, 36) +: (0 until n).map(i =>
+        java.lang.Long.toString(Math.floorMod(id * 31 + i * 7L, 1000), 36))).mkString(" ")
     }
 
     Seq(("1x", nBase), (s"${mult}x", nBase * mult)).foreach { case (tag, k) =>

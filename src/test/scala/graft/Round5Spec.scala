@@ -89,6 +89,40 @@ class Round5Spec extends SparkSpec {
     assert(coll.searchLsh(q, "qid", "qvec", limit = 5).collect().toSeq == lshServed)
   }
 
+  test("IVF_PQ exact rerank with full coverage equals exact KNN") {
+    // nprobe = nlist (every cell probed) and candMult covering the whole
+    // corpus make the rerank path EXACTLY exhaustive KNN: the ADC stage
+    // may misrank, but every row reaches the exact re-scoring
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val queries = embs.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qLocal = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val model = graft.vector.IvfPq.train(embs, "embedding", dim = 64, nlist = 4, m = 4, k = 16)
+    val enc = graft.vector.IvfPq.encode(model, embs, "vec_id", "embedding")
+    val got = graft.vector.IvfPq.searchRerank(model, enc, embs, "vec_id", "embedding",
+        qLocal, kTop = 5, nprobe = 4, candMult = 1000)
+      .select("query_id", "rank", "id").collect().toSeq
+    val want = graft.vector.KnnSearch.topK(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", "l2", 5)
+      .select("query_id", "rank", "id").collect().toSeq
+    assert(got.sortBy(r => (r.getLong(0), r.getInt(1))) ==
+      want.sortBy(r => (r.getLong(0), r.getInt(1))))
+  }
+
+  test("verified twins serve identically from postings or the persisted gram-set artifact") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ng = graft.dedup.Dedup.ngrams(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.dedup.Dedup.gramSets(ng)
+    val sig = graft.dedup.Dedup.simhashSignatures(docs, "doc_id", "text")
+    val fromPost = graft.dedup.Dedup.simhashVerified(sig, ng, 8, 0.5).collect().toSeq
+    val fromSets = graft.dedup.Dedup.simhashVerifiedFromSets(sig, sets, 8, 0.5).collect().toSeq
+    ng.unpersist()
+    assert(fromSets == fromPost)
+    assert(fromSets.nonEmpty)
+  }
+
   test("rankTop matches an unpartitioned row_number over the same order") {
     val scored = spark.range(100)
       .select(col("id").cast("string").as("doc_id"),

@@ -62,7 +62,8 @@ object Bench {
   private def prodBandCost(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     try {
       val embs = graft.sources.Tables.embeddings(spark, sfDir)
-      val buckets = graft.catalog.IndexStore.ensure(spark, "emblsh_prod_bench") {
+      val buckets = graft.catalog.IndexStore.ensure(spark,
+          s"emblsh_prod_bench_${SparkEntry.sfKey(sfDir)}") {
         graft.dedup.Dedup.lshBandBuckets(embs, "vec_id", "embedding", 64, 16, 42L)
       }
       val t0 = System.nanoTime()

@@ -10,6 +10,7 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_knn_cosine", "q_knn_filter", "q_join", "q_dedup_ngram",
         "q_dedup_minhash", "q_fulltext", "q_dedup_minhash_verified",
+        "q_dedup_simhash_verified", "q_lsh_ann",
         "q_det_split", "q_quality_filter", "q_contamination",
         "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline")
     val spark = GraftSession.get()

@@ -94,6 +94,13 @@ object RecallProbe {
         Recall.atK(IvfPq.searchRerank(ivfpq, encP, embs, "vec_id", "embedding",
           qLocal, k, nprobe, candMult = 10), gtL2))
     }
+    // candMult is THE per-query recall knob at fixed index params: the
+    // rerank fetch is k·candMult rows per query regardless of corpus
+    // size, so recall lost to corpus growth is bought back by raising it
+    for (cm <- Seq(20, 40))
+      emit("ivf_pq_rerank", s"nlist=16 m=8 k=16 nprobe=16 candMult=$cm",
+        Recall.atK(IvfPq.searchRerank(ivfpq, encP, embs, "vec_id", "embedding",
+          qLocal, k, 16, candMult = cm), gtL2))
     encP.unpersist()
 
     // ---- embedLsh dedup: pair recall vs the all-pairs scan ----------
@@ -103,16 +110,17 @@ object RecallProbe {
     // sit where this corpus HAS pairs — max pair cosine is 0.48 / 0.51
     // / 0.60 at the three SFs, so t=0.8 would grade against an empty
     // truth set and prove nothing.)
+    // the O(n²) truth scan runs once per distinct threshold, not per config
+    val truthByT = Seq(0.45, 0.5).map(t => t -> graft.dedup.Dedup
+      .embedCosineAllPairs(embs, "vec_id", "embedding", t)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
     for ((nBits, bands, t) <- Seq(
-        (32, 16, 0.45), (64, 32, 0.45), (64, 16, 0.45), (64, 16, 0.5), (64, 8, 0.5))) {
-      val truth = graft.dedup.Dedup
-        .embedCosineAllPairs(embs, "vec_id", "embedding", t)
-        .withColumnRenamed("cosine", "c")
+        (32, 16, 0.45), (64, 32, 0.45), (64, 16, 0.45), (64, 16, 0.5), (64, 8, 0.5)))
       emit("dedup_embed_lsh", s"nBits=$nBits bands=$bands r=${nBits / bands} t=$t",
         Recall.pairRecall(
           graft.dedup.Dedup.embedLsh(embs, "vec_id", "embedding", t, nBits, bands),
-          truth))
-    }
+          truthByT(t)))
+    truthByT.values.foreach(_.unpersist())
 
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")

@@ -575,7 +575,7 @@ object SparkEntry {
     2L -> "scan", 2L -> "table",
     3L -> "spark", 3L -> "scan")
 
-  private def sfKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+  private[graft] def sfKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Persisted BM25 index for a testdata dir: built once per JVM (the
     * reference server's rebuild-at-ingest), then every fulltext/hybrid

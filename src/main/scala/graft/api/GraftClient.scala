@@ -267,7 +267,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
-    if (anyLive) maybeAutoCompact(meta)
+    if (anyLive) maybeAutoCompact()
     } finally batch.unpersist()
   }
 
@@ -867,13 +867,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   private def segmentDebt(meta: Map[String, String]): Int = {
     val bases = GraftCollection.baseSegKeys.flatMap(meta.get).map(_.toInt)
-    if (bases.isEmpty) 0 else mutationSeg - bases.min
+    if (bases.isEmpty) 0
+    else meta.get("mut.seg").map(_.toInt).getOrElse(0) - bases.min
   }
 
-  private def maybeAutoCompact(meta: Map[String, String]): Unit = {
+  /** ONE post-mutation meta read decides both threshold and debt (the
+    * caller's snapshot is pre-mutation — it would under-count the
+    * segment just appended). */
+  private def maybeAutoCompact(): Unit = {
+    val meta = describe
     val threshold = meta.get("compact.auto_segments").map(_.toInt)
       .getOrElse(GraftCollection.DefaultAutoCompactSegments)
-    if (threshold > 0 && segmentDebt(describe) >= threshold) compactIndexes()
+    if (threshold > 0 && segmentDebt(meta) >= threshold) compactIndexes()
   }
 
   def compactIndexes(): Unit = {
@@ -1230,7 +1235,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)
-    if (live.anySeg) maybeAutoCompact(meta)
+    if (live.anySeg) maybeAutoCompact()
   }
 
   /** The update projection maps stored columns only — a `set` key that
@@ -1305,7 +1310,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive)
-    if (live.anySeg) maybeAutoCompact(meta)
+    if (live.anySeg) maybeAutoCompact()
   }
 
   def truncate(): Unit = {

@@ -449,11 +449,9 @@ object Dedup {
         struct(lit(bnd).as("b"),
           shiftright(col("simhash"), bnd * bits).bitwiseAND(mask).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.v").as("v"))
-    bl.as("x").join(bl.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    // same (doc_id, b, v) bucket shape as the embedding bands — one
+    // shared candidate join, not a third copy of it
+    lshCandidatesFromBuckets(bl)
   }
 
   /** SimHash-bucketed candidate generation composed with the EXACT

@@ -29,9 +29,12 @@ object Recall {
   def atK(approx: DataFrame, exact: DataFrame): Double = {
     val e = exact.select("query_id", "id")
     val denom = e.count()
+    // approx deduped: a caller handing over a raw banded join (a pair
+    // surfaces once per agreeing band) must not count a hit twice —
+    // recall could silently exceed 1 and floors would pass vacuously
     if (denom == 0L) 1.0
-    else e.join(approx.select("query_id", "id"), Seq("query_id", "id"))
-      .count().toDouble / denom
+    else e.join(approx.select("query_id", "id").dropDuplicates(Seq("query_id", "id")),
+      Seq("query_id", "id")).count().toDouble / denom
   }
 
   /** Pair recall of an approximate near-dup pair list against the
@@ -43,7 +46,7 @@ object Recall {
     val t = truth.select("id_a", "id_b")
     val denom = t.count()
     if (denom == 0L) 1.0
-    else t.join(approx.select("id_a", "id_b"), Seq("id_a", "id_b"))
-      .count().toDouble / denom
+    else t.join(approx.select("id_a", "id_b").dropDuplicates(Seq("id_a", "id_b")),
+      Seq("id_a", "id_b")).count().toDouble / denom
   }
 }

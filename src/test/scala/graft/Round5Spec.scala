@@ -110,6 +110,30 @@ class Round5Spec extends SparkSpec {
       want.sortBy(r => (r.getLong(0), r.getInt(1))))
   }
 
+  test("client searchIvfPq with candMult reranks to exact order; None keeps ADC ranking") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-rr").toString
+    val rnd = new scala.util.Random(29)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIvfPqIndex(nlist = 4, m = 4, k = 16)
+    val q = Seq((0L, rows(42)._2)).toDF("qid", "qvec")
+    // full coverage (nprobe = nlist, candMult spanning the corpus) must
+    // equal the exact KNN serving path, row for row
+    val rr = coll.searchIvfPq(q, "qid", "qvec", limit = 5, nprobe = 4,
+        candMult = Some(100))
+      .select("query_id", "rank", "id").collect().toSeq
+    val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 5)
+      .select("query_id", "rank", "id").collect().toSeq
+    assert(rr == exact)
+    // the reference-faithful default stays code-only (may misrank, but
+    // still returns limit rows and is served from the same artifacts)
+    val adc = coll.searchIvfPq(q, "qid", "qvec", limit = 5, nprobe = 4)
+    assert(adc.count() == 5)
+  }
+
   test("verified twins serve identically from postings or the persisted gram-set artifact") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val ng = graft.dedup.Dedup.ngrams(docs, "doc_id", "text", 3)

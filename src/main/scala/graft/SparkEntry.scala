@@ -356,6 +356,23 @@ object SparkEntry {
         dim = 64, seed = 42L)
     }),
 
+    "q_lsh_ann_exhaustive" -> ((s, dir) => {
+      // the LSH family's ORACLED row: at exhaustive-grade r=2 bands
+      // (64/32 — measured recall@10 = 1.0 at all three SFs) the band
+      // candidates cover the true top-k, and since the final ranking is
+      // the SAME exact-cosine Ranked.topK the FLAT path uses, the
+      // output is byte-identical to exact KNN — so the q_knn_cosine
+      // oracle applies. The same candidates-then-verify oracle pattern
+      // as the dedup twins, on the ANN side.
+      val buckets = graft.catalog.IndexStore.ensure(s, s"lshbuckets6432_${sfKey(dir)}") {
+        LshIndex.bucketTable(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nBits = 64, bands = 32, dim = 64)
+      }
+      LshIndex.annIndexed(buckets, Tables.embeddings(s, dir), "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", k = 10, nBits = 64, bands = 32,
+        dim = 64, seed = 42L)
+    }),
+
     "q_search_by_text" -> ((s, dir) => {
       // corpus embedded once at ingest (persisted index); per query only
       // the two query strings are embedded
@@ -805,6 +822,9 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
 
     "q_knn_cosine" -> knnOracle("cosine"),
+    // exhaustive-grade banded LSH covers the true top-k and re-ranks by
+    // exact cosine through the same topk pipeline => equals exact KNN
+    "q_lsh_ann_exhaustive" -> knnOracle("cosine"),
     "q_knn_l2" -> knnOracle("l2"),
     "q_knn_ip" -> knnOracle("ip"),
 

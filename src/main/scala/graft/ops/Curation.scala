@@ -304,12 +304,16 @@ object Curation {
     * a groupBy + semi-join would re-evaluate the upstream on both
     * sides. Lowest id wins deterministically. */
   private def dedupByContent(docs: DataFrame, idCol: String,
-                             textCol: String): DataFrame = {
+                             textCol: String,
+                             keepFp: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.withColumn("__fp", md5(col(textCol).cast("binary")))
+    val deduped = docs.withColumn("__fp", md5(col(textCol).cast("binary")))
       .withColumn("__rn",
         row_number().over(Window.partitionBy("__fp").orderBy(idCol)))
-      .where(col("__rn") === 1).drop("__rn", "__fp")
+      .where(col("__rn") === 1).drop("__rn")
+    // keepFp lets content-keyed callers (curateBatch) reuse the
+    // fingerprint instead of re-hashing every surviving text
+    if (keepFp) deduped else deduped.drop("__fp")
   }
 
   def buildTrainingSet(docs: DataFrame, idCol: String, textCol: String,
@@ -352,8 +356,8 @@ object Curation {
       .where(col("quality") >= minQuality)
     dedupByContent(
         sampleByWeights(scored, idCol, domainCol, weights, defaultWeight),
-        idCol, textCol)
-      .select(md5(col(textCol).cast("binary")).as("id"),
+        idCol, textCol, keepFp = true)
+      .select(col("__fp").as("id"),
         col(idCol).as("src_id"), col(textCol), col(domainCol), col("quality"))
   }
 }

@@ -147,6 +147,36 @@ class Round5Spec extends SparkSpec {
     assert(fromSets.nonEmpty)
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted sets") {
+    // Random distinct-sorted long arrays through a parquet round-trip so
+    // the expression runs inside real codegen, not a LocalTableScan fold.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = rnd.shuffle((0L until 60L).toList).take(rnd.nextInt(30) + 1).sorted
+      val b = rnd.shuffle((0L until 60L).toList).take(rnd.nextInt(30) + 1).sorted
+      (i, a, b)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("sic").toString
+    rows.toDF("i", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val mismatches = df.select(
+        graft.dedup.SortedIntersectCount(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
+      .where(col("got") =!= col("want")).count()
+    assert(mismatches == 0)
+    // null input -> null out (BinaryExpression null-safety)
+    val n = df.limit(1)
+      .select(graft.dedup.SortedIntersectCount(lit(null).cast("array<bigint>"),
+        col("b")).as("got")).collect()
+    assert(n.head.isNullAt(0))
+    // disjoint and identical edges
+    val edge = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L)), (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(graft.dedup.SortedIntersectCount(col("a"), col("b")).as("c"))
+      .as[Long].collect().toSeq
+    assert(edge == Seq(0L, 2L))
+  }
+
   test("rankTop matches an unpartitioned row_number over the same order") {
     val scored = spark.range(100)
       .select(col("id").cast("string").as("doc_id"),

@@ -274,6 +274,22 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("doc_id")
     }),
 
+    "q_cluster_reps" -> ((s, dir) => {
+      // near-dup cluster COLLAPSE: keep the best-quality doc per
+      // connected component of the near-dup pair graph (ties -> lowest
+      // id), docs in no pair survive as their own cluster — the step
+      // that APPLIES the near-dup report to the corpus (exact dedup
+      // only ever removes byte-identical texts)
+      val pairs = graft.catalog.IndexStore.ensure(s, s"ngrampairs_${sfKey(dir)}") {
+        Dedup.ngramJaccardFromPostings(ngramPostingsFor(s, dir), threshold = 0.5)
+      }
+      val scored = graft.text.TextAnalysis
+        .quality(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "quality")
+      Dedup.clusterRepresentatives(scored, "doc_id", "quality", pairs)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embedCosine(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
     }),
@@ -1073,6 +1089,39 @@ object SparkEntry {
         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
         |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE components as q_dedup_clusters, then keep the
+    // best-quality doc per component (row_number over quality DESC, id)
+    // and pass docs in no pair through as their own cluster
+    "q_cluster_reps" ->
+      """WITH RECURSIVE toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |q AS (SELECT doc_id,
+        |  0.4 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        |      + 0.3 * (len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      + 0.3 * least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','is','to','in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) AS quality
+        |  FROM documents),
+        |clustered AS (SELECT q.doc_id, q.quality, comp.cluster_id,
+        |  row_number() OVER (PARTITION BY comp.cluster_id ORDER BY q.quality DESC, q.doc_id) AS rn
+        |  FROM q JOIN comp ON q.doc_id = comp.doc_id)
+        |SELECT doc_id, quality, cluster_id FROM clustered WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, quality, doc_id AS cluster_id FROM q
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

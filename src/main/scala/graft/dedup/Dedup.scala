@@ -262,6 +262,39 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-dup cluster COLLAPSE: one surviving representative per
+    * connected component of the near-dup pair graph — the step that
+    * turns a pair/cluster REPORT into an actually-deduplicated corpus
+    * (exact dedup removes byte-identical docs; this removes the
+    * near-identical ones the minhash/simhash/embedding families find).
+    *
+    * Representative = highest `scoreCol` in the component, ties broken
+    * by lowest id, so a quality-scored corpus keeps its best-written
+    * duplicate rather than an arbitrary one. Docs in no pair survive
+    * untouched with themselves as cluster.
+    *
+    * Scale shape: components run over the EDGE list only (near-dup
+    * survivors — orders of magnitude smaller than the corpus); the
+    * rank-and-keep window shuffles only the CLUSTERED docs; untouched
+    * docs flow through a single anti-join against the (small) component
+    * map, broadcast under AQE. The corpus is never globally sorted or
+    * windowed. */
+  def clusterRepresentatives(docs: DataFrame, idCol: String, scoreCol: String,
+                             pairs: DataFrame,
+                             aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as("__cdoc"), col("cluster_id"))
+    val clustered = docs.join(comp, docs(idCol) === col("__cdoc")).drop("__cdoc")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val reps = clustered.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val loners = docs.join(comp, docs(idCol) === col("__cdoc"), "left_anti")
+      .withColumn("cluster_id", col(idCol))
+    reps.unionByName(loners)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Deterministic permutation constants for minhash (seeded). */

@@ -177,6 +177,28 @@ class Round5Spec extends SparkSpec {
     assert(edge == Seq(0L, 2L))
   }
 
+  test("clusterRepresentatives keeps the best-score doc per cluster, loners pass through") {
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7))
+      .toDF("doc_id", "score")
+    // one component {1,2,3} via 1-2, 2-3; doc 4 in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup
+      .clusterRepresentatives(docs, "doc_id", "score", pairs)
+      .orderBy("doc_id").collect()
+    // survivor of {1,2,3} is doc 2 (highest score), labeled min-id 1;
+    // loner 4 survives as its own cluster
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSeq
+      == Seq((2L, 1L), (4L, 4L)))
+
+    // score ties break to the lowest id
+    val tied = Seq((5L, 1.0), (6L, 1.0)).toDF("doc_id", "score")
+    val tp = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val rep = graft.dedup.Dedup
+      .clusterRepresentatives(tied, "doc_id", "score", tp)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(rep == Seq(5L))
+  }
+
   test("rankTop matches an unpartitioned row_number over the same order") {
     val scored = spark.range(100)
       .select(col("id").cast("string").as("doc_id"),

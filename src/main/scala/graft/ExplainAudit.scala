@@ -12,7 +12,8 @@ object ExplainAudit {
         "q_dedup_minhash", "q_fulltext", "q_dedup_minhash_verified",
         "q_dedup_simhash_verified", "q_lsh_ann",
         "q_det_split", "q_quality_filter", "q_contamination",
-        "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline")
+        "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline",
+        "q_cluster_reps")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -350,10 +350,23 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
     // dedup signatures are per-doc pure functions of the text — the
     // batch's signatures are a self-contained new segment
-    if (live.mhLive) appendSegRows(GraftCollection.mhSig(coll), seg,
-      graft.dedup.Dedup.minhashSignatures(batch, idCol, meta("index.mh.text_col"),
-        meta("index.mh.shingle").toInt, meta("index.mh.perms").toInt,
-        meta("index.mh.seed").toLong))
+    if (live.mhLive) {
+      val sig = graft.dedup.Dedup.minhashSignatures(batch, idCol,
+          meta("index.mh.text_col"), meta("index.mh.shingle").toInt,
+          meta("index.mh.perms").toInt, meta("index.mh.seed").toLong)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        appendSegRows(GraftCollection.mhSig(coll), seg, sig)
+        // keep the joinable band-bucket form in lockstep (one O(batch)
+        // projection; the table may predate the bucket artifact)
+        if (catalog.collectionExists(db, GraftCollection.mhBkt(coll)))
+          appendSegRows(GraftCollection.mhBkt(coll), seg,
+            graft.dedup.Dedup.minhashBandBuckets(sig,
+                meta("index.mh.perms").toInt,
+                meta.getOrElse("index.mh.bands", "8").toInt)
+              .sortWithinPartitions("h"))
+      } finally sig.unpersist()
+    }
     if (live.shLive) appendSegRows(GraftCollection.shSig(coll), seg,
       graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
     advanceLedger(batch, seg)
@@ -794,17 +807,31 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * signatures are per-doc pure functions, so a batch appends its own
     * segment. */
   def rebuildMinhashIndex(textCol: String = "text", shingleN: Int = 3,
-                          numPerms: Int = 32, seed: Long = 42L): Unit = {
+                          numPerms: Int = 32, seed: Long = 42L,
+                          bands: Int = 8): Unit = {
     val base = mutationSeg
-    catalog.createCollectionIfNotExists(db, GraftCollection.mhSig(coll))
-    catalog.write(db, GraftCollection.mhSig(coll),
-      graft.dedup.Dedup.minhashSignatures(df, idCol, textCol, shingleN, numPerms, seed)
-        .withColumn(GraftCollection.SegCol, lit(base)),
-      partitionBy = Seq(GraftCollection.SegCol))
-    catalog.updateMeta(db, coll, Map(
-      "index.mh.text_col" -> textCol, "index.mh.shingle" -> shingleN.toString,
-      "index.mh.perms" -> numPerms.toString, "index.mh.seed" -> seed.toString,
-      "index.mh.base_seg" -> base.toString))
+    val sig = graft.dedup.Dedup
+      .minhashSignatures(df, idCol, textCol, shingleN, numPerms, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      catalog.createCollectionIfNotExists(db, GraftCollection.mhSig(coll))
+      catalog.write(db, GraftCollection.mhSig(coll),
+        sig.withColumn(GraftCollection.SegCol, lit(base)),
+        partitionBy = Seq(GraftCollection.SegCol))
+      // the joinable band-bucket form, h-clustered so an ingest batch's
+      // In(h, ...) probe prunes to its own rowgroups (see nearDupFilter)
+      catalog.createCollectionIfNotExists(db, GraftCollection.mhBkt(coll))
+      catalog.write(db, GraftCollection.mhBkt(coll),
+        graft.dedup.Dedup.minhashBandBuckets(sig, numPerms, bands)
+          .repartitionByRange(col("h")).sortWithinPartitions("h")
+          .withColumn(GraftCollection.SegCol, lit(base)),
+        partitionBy = Seq(GraftCollection.SegCol))
+      catalog.updateMeta(db, coll, Map(
+        "index.mh.text_col" -> textCol, "index.mh.shingle" -> shingleN.toString,
+        "index.mh.perms" -> numPerms.toString, "index.mh.seed" -> seed.toString,
+        "index.mh.bands" -> bands.toString,
+        "index.mh.base_seg" -> base.toString))
+    } finally sig.unpersist()
   }
 
   /** MinHash+LSH near-dup pairs served from the persisted signature
@@ -817,6 +844,81 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "doc_id", meta.get("index.mh.base_seg").map(_.toInt).getOrElse(0))
     graft.dedup.Dedup.minhashLshFromSignatures(sig,
       meta("index.mh.perms").toInt, bands, threshold)
+  }
+
+  /** Near-dup INGEST GATE: the rows of `batch` that are not
+    * near-duplicates (banded-minhash estimated jaccard >= threshold) of
+    * any live doc already in the collection, nor of a lower-id row of
+    * the batch itself. The streaming complement of
+    * [[nearDupMinhash]]: that reports pairs after the fact, this stops
+    * them at the door — see
+    * [[graft.streaming.Streams.curatedIngest]]'s nearDupThreshold.
+    *
+    * Per-batch cost is O(batch), never O(corpus): the batch's band
+    * buckets are collected (|batch| x bands values, driver-bounded) and
+    * probed against the h-clustered persisted bucket table with a
+    * pushed In(h, ...) filter — the minhash analog of the fulltext
+    * In(term, ...) postings pruning — so only colliding rowgroups are
+    * read; the signature verify then reads only the candidates' rows
+    * via In(doc_id, ...). A doc re-arriving under its own id (for a
+    * content-keyed stream: byte-identical text) is an UPDATE, not a
+    * duplicate — same-id matches are excluded, preserving upsert
+    * semantics. Within-batch suppression is greedy (any row with a
+    * qualifying lower-id partner drops, even if that partner itself
+    * dropped) — deterministic and conservative in the dedup direction;
+    * chains wanting cluster-exact semantics run the batch through
+    * [[graft.dedup.Dedup.clusterRepresentatives]] instead. */
+  def nearDupFilter(batch: DataFrame, threshold: Double = 0.8,
+                    batchIdCol: Option[String] = None,
+                    batchTextCol: Option[String] = None): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.mh.text_col"),
+      "no minhash index: run rebuildMinhashIndex first")
+    require(catalog.collectionExists(db, GraftCollection.mhBkt(coll)),
+      "no band-bucket table: rebuild the minhash index (pre-bucket-artifact index)")
+    val perms = meta("index.mh.perms").toInt
+    val bands = meta.getOrElse("index.mh.bands", "8").toInt
+    val base = meta.get("index.mh.base_seg").map(_.toInt).getOrElse(0)
+    val idC = batchIdCol.getOrElse(idCol)
+    val txtC = batchTextCol.getOrElse(meta("index.mh.text_col"))
+    val sig = graft.dedup.Dedup.minhashSignatures(
+        batch.select(col(idC).as("doc_id"), col(txtC)), "doc_id", txtC,
+        meta("index.mh.shingle").toInt, perms, meta("index.mh.seed").toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nb = graft.dedup.Dedup.minhashBandBuckets(sig, perms, bands)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hs = nb.select("h").distinct().collect().map(_.getLong(0))
+      val oldBkt = liveSegRows(
+          catalog.read(db, GraftCollection.mhBkt(coll)), "doc_id", base)
+        .where(col("h").isin(hs: _*))
+      val cand = nb.as("x").join(oldBkt.as("y"),
+          col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("id_new"), col("y.doc_id").as("id_old"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldIds = cand.select("id_old").distinct().collect().map(_.get(0))
+      val oldSig = liveSegRows(
+          catalog.read(db, GraftCollection.mhSig(coll)), "doc_id", base)
+        .where(col("doc_id").isin(oldIds: _*))
+      val vsCorpus = cand
+        .join(sig.as("a"), col("id_new") === col("a.doc_id"))
+        .join(oldSig.as("b"), col("id_old") === col("b.doc_id"))
+        .where(graft.dedup.Dedup.sigAgreement(perms) >= threshold)
+        .select(col("id_new"))
+      val withinBatch = graft.dedup.Dedup
+        .minhashLshFromSignatures(sig, perms, bands, threshold)
+        .select(col("id_b").as("id_new")) // id_a < id_b: lowest id survives
+      // suppressed ids are <= |batch| — collected, so the returned plan
+      // is a plain filter over the batch (no index joins left in it for
+      // the caller to re-execute)
+      val suppressed = vsCorpus.unionByName(withinBatch).distinct()
+        .collect().map(_.get(0))
+      nb.unpersist(); cand.unpersist()
+      if (suppressed.isEmpty) batch
+      else batch.where(not(coalesce(col(idC).isin(suppressed: _*), lit(false))))
+    } finally sig.unpersist()
   }
 
   /** rebuild_index for the SimHash dedup index (see
@@ -898,6 +1000,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       _.repartition(col("term")).sortWithinPartitions("term"))
     compact(GraftCollection.lshBuckets(coll), "id", "index.lsh.base_seg")
     compact(GraftCollection.mhSig(coll), "doc_id", "index.mh.base_seg")
+    compact(GraftCollection.mhBkt(coll), "doc_id", "index.mh.base_seg",
+      _.repartitionByRange(col("h")).sortWithinPartitions("h"))
     compact(GraftCollection.shSig(coll), "doc_id", "index.sh.base_seg")
     compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg")
     compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
@@ -1336,6 +1440,7 @@ object GraftCollection {
   val SegCol: String = graft.sparse.Bm25.SegCol
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def mhSig(coll: String): String = coll + "__mh_sig"
+  private[api] def mhBkt(coll: String): String = coll + "__mh_bkt"
   private[api] def shSig(coll: String): String = coll + "__sh_sig"
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"

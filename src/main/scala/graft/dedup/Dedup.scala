@@ -330,16 +330,28 @@ object Dedup {
   /** Banded candidate pairs from a minhash signature frame: docs whose
     * signatures agree on at least one band of `numPerms / bands`
     * contiguous components. Ids only cross the distinct. */
-  private[graft] def minhashCandidates(sig: DataFrame, numPerms: Int,
-                                       bands: Int): DataFrame = {
+  /** (doc_id, b, h) band-bucket rows of a minhash signature frame: one
+    * row per (doc, band), h = the band's combined hash. Two docs are
+    * banded candidates iff they share a (b, h) row — the joinable (and
+    * persistable) form of the signature: stored sorted by h, a batch of
+    * incoming docs prunes the scan to its own bucket values with a
+    * pushed In(h, …) filter (the minhash analog of the fulltext
+    * postings' In(term, …) pruning). */
+  private[graft] def minhashBandBuckets(sig: DataFrame, numPerms: Int,
+                                        bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     val bandCols = (0 until bands).map { bnd =>
       val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(bnd).as("b"), xxhash64(slice: _*).as("h"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
+  }
+
+  private[graft] def minhashCandidates(sig: DataFrame, numPerms: Int,
+                                       bands: Int): DataFrame = {
+    val buckets = minhashBandBuckets(sig, numPerms, bands)
     buckets.as("x").join(buckets.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -352,17 +364,21 @@ object Dedup {
     * shingle+min work is paid once at rebuild and persisted; every
     * dedup run reads the signature table (three scans of a (1+p)-column
     * parquet, each column-pruned) and pays only the banded join. */
+  /** Estimated jaccard between two signature rows joined under aliases
+    * `a` and `b`: the fraction of equal minhash components. */
+  private[graft] def sigAgreement(numPerms: Int): Column =
+    (0 until numPerms)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numPerms
+
   def minhashLshFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8,
                                threshold: Double = 0.5): DataFrame = {
     val cand = minhashCandidates(sig, numPerms, bands)
-    val eqCount = (0 until numPerms)
-      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     cand
       .join(sig.as("a"), col("id_a") === col("a.doc_id"))
       .join(sig.as("b"), col("id_b") === col("b.doc_id"))
       .select(col("id_a"), col("id_b"),
-        round(eqCount.cast("double") / numPerms, 4).as("est_jaccard"))
+        round(sigAgreement(numPerms), 4).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }

@@ -316,17 +316,34 @@ object Curation {
     if (keepFp) deduped else deduped.drop("__fp")
   }
 
+  /** `nearDupPairs`: an optional near-dup pair list (id_a, id_b — e.g.
+    * a persisted [[graft.dedup.Dedup.minhashLsh]] /
+    * [[graft.dedup.Dedup.ngramJaccard]] artifact). When given, a
+    * near-dup collapse runs after the exact content dedup:
+    * [[graft.dedup.Dedup.clusterRepresentatives]] keeps the
+    * highest-quality doc per connected component, so the packed set
+    * contains one representative per near-dup cluster, not one per
+    * distinct byte string. Components and ranking run over the pair
+    * graph only — the stage adds no corpus-wide shuffle. */
   def buildTrainingSet(docs: DataFrame, idCol: String, textCol: String,
                        domainCol: String,
                        weights: Map[String, Double] = Map.empty,
                        defaultWeight: Double = 1.0, minQuality: Double = 0.0,
                        trainPct: Int = 90, budget: Int = 2048,
-                       nShards: Int = 64): DataFrame = {
+                       nShards: Int = 64,
+                       nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val scored = graft.text.TextAnalysis.quality(
         docs, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     val mixed = sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
-    val train = hashSplit(dedupByContent(mixed, idCol, textCol), idCol, trainPct)
+    val deduped = dedupByContent(mixed, idCol, textCol)
+    val collapsed = nearDupPairs match {
+      case Some(pairs) => graft.dedup.Dedup
+        .clusterRepresentatives(deduped, idCol, "quality", pairs)
+        .drop("cluster_id")
+      case None => deduped
+    }
+    val train = hashSplit(collapsed, idCol, trainPct)
       .where(col("split") === "train")
     packSequences(train, idCol, size(split(col(textCol), " ")), budget, nShards)
   }

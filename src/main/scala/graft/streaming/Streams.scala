@@ -95,13 +95,24 @@ object Streams {
     * the state, and incremental index maintenance (fulltext segments,
     * LSH buckets, …) applies per batch exactly as in [[ingestInto]].
     *
+    * `nearDupThreshold` (requires the collection to have a minhash
+    * index) extends the same state-free shape to NEAR-duplicates:
+    * each batch is gated through
+    * [[graft.api.GraftCollection.nearDupFilter]] before the upsert, so
+    * a doc that is almost — but not byte — identical to anything
+    * already ingested is suppressed at the door. The gate probes the
+    * collection's own incrementally-maintained band-bucket index
+    * (O(batch) per batch, pushed In(h) pruning), so here too the
+    * collection IS the dedup state.
+    *
     * Curation params mirror [[graft.ops.Curation.curateBatch]]. */
   def curatedIngest(docs: DataFrame, coll: graft.api.GraftCollection,
                     checkpoint: String, idCol: String = "doc_id",
                     textCol: String = "text", domainCol: String = "source",
                     weights: Map[String, Double] = Map.empty,
                     defaultWeight: Double = 1.0,
-                    minQuality: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+                    minQuality: Double = 0.0,
+                    nearDupThreshold: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -114,8 +125,19 @@ object Streams {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
         // the snapshot rewrite, same as the restart-recovery guard above
-        try { if (!curated.isEmpty) coll.upsert(curated) }
-        finally curated.unpersist()
+        try {
+          if (!curated.isEmpty) {
+            // curateBatch keys rows by content (id = md5(text)): the
+            // gate's same-id exclusion is then exactly "byte-identical
+            // re-arrival updates, near-identical suppresses"
+            val gated = nearDupThreshold match {
+              case Some(t) => coll.nearDupFilter(curated, t,
+                batchIdCol = Some("id"), batchTextCol = Some(textCol))
+              case None => curated
+            }
+            if (nearDupThreshold.isEmpty || !gated.isEmpty) coll.upsert(gated)
+          }
+        } finally curated.unpersist()
       }
       .start()
 

@@ -240,6 +240,24 @@ class CurationSpec extends SparkSpec {
     assert(!ids2.contains(twinId) && ids2.contains(origId))
   }
 
+  test("buildTrainingSet near-dup stage keeps one representative per cluster") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val base = Curation.buildTrainingSet(docs, "doc_id", "text", "source",
+      minQuality = 0.45, budget = 256, nShards = 8)
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    // near-dup the two lowest surviving ids to each other: exactly one
+    // of them must survive the collapse, everything else is untouched
+    val sortedIds = baseIds.toSeq.sorted
+    val (a, b) = (sortedIds(0), sortedIds(1))
+    val pairs = Seq((a, b)).toDF("id_a", "id_b")
+    val out = Curation.buildTrainingSet(docs, "doc_id", "text", "source",
+      minQuality = 0.45, budget = 256, nShards = 8, nearDupPairs = Some(pairs))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert((baseIds -- ids).size == 1 && (baseIds -- ids).subsetOf(Set(a, b)))
+    assert((ids -- baseIds).isEmpty)
+  }
+
   test("repetitionStats matches hand-computed duplicate and top-word fractions") {
     val docs = Seq(
       (1L, "a b a c a"),     // 5 words, 3 distinct, top 'a' ×3

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   * batch count crosses it — steady-state throughput includes the folds
   * a real stream would pay.
   *
-  * Usage: runMain graft.StreamProbe [nBase] [mult] [nBatches] [batchSize]
+  * With a 5th arg `gate`, each batch additionally passes the near-dup
+  * ingest gate ([[graft.api.GraftCollection.nearDupFilter]] via
+  * curatedIngest's nearDupThreshold) — measuring that the gate's
+  * per-batch probe cost is also flat in corpus size (pushed In(h)
+  * bucket pruning, O(batch) candidates), i.e. suppression does not
+  * break the front door's O(batch) claim.
+  *
+  * Usage: runMain graft.StreamProbe [nBase] [mult] [nBatches] [batchSize] [gate]
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -28,6 +35,7 @@ object StreamProbe {
     val mult = if (args.length > 1) args(1).toInt else 8
     val nBatches = if (args.length > 2) args(2).toInt else 6
     val batchSize = if (args.length > 3) args(3).toInt else 1000
+    val gated = args.length > 4 && args(4) == "gate"
 
     val spark = GraftSession.builder(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
@@ -64,7 +72,8 @@ object StreamProbe {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft-streamprobe-ck-$tag").toString
       val in = MemoryStream[(Long, String, String)]
       val q = graft.streaming.Streams.curatedIngest(
-        in.toDF().toDF("doc_id", "text", "source"), coll, ckpt)
+        in.toDF().toDF("doc_id", "text", "source"), coll, ckpt,
+        nearDupThreshold = if (gated) Some(0.8) else None)
       try {
         def feed(b: Int): Unit = {
           // fresh ids & fresh content per batch, disjoint from the corpus
@@ -79,7 +88,8 @@ object StreamProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         val ingested = coll.count() - stored
         val rate = (nBatches - 1).toLong * batchSize / sec
-        println(f"""{"probe":"curated_ingest_$tag","corpus":$stored,"batches":${nBatches - 1},""" +
+        val label = if (gated) s"curated_ingest_gated_$tag" else s"curated_ingest_$tag"
+        println(f"""{"probe":"$label","corpus":$stored,"batches":${nBatches - 1},""" +
           f""""batch_size":$batchSize,"sec":$sec%.2f,"docs_per_sec":$rate%.0f,""" +
           f""""ingested":$ingested,"segment_debt":${coll.segmentDebt}}""")
       } finally q.stop()

@@ -54,10 +54,20 @@ object StreamProbe {
         "transform(sequence(0, cast(pmod(doc_id, 51) as int) + 9), " +
         "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"),
       concat(lit("src"), pmod(col("doc_id"), lit(16L))).as("source"))
+    // streamed docs use token step 11 where the corpus uses step 7: the
+    // corpus generator's content repeats with period 51000, so at the
+    // 8x corpus (160k > 51000) a same-step stream would near-dup ~3
+    // corpus docs per streamed doc while the 1x corpus (20k) holds no
+    // twin — the two runs would measure different suppression work. A
+    // different step means NO streamed doc near-dups the standing
+    // corpus at either scale; the near-dup gate's suppression work
+    // (within-stream progression-aligned pairs) is identical across
+    // scales by construction, so the 1x-vs-8x comparison isolates
+    // corpus-size effects only.
     def mkText(id: Long): String = {
       val n = (id % 51).toInt + 10
       (java.lang.Long.toString(id, 36) +: (0 until n).map(i =>
-        java.lang.Long.toString(Math.floorMod(id * 31 + i * 7L, 1000), 36))).mkString(" ")
+        java.lang.Long.toString(Math.floorMod(id * 31 + i * 11L, 1000), 36))).mkString(" ")
     }
 
     Seq(("1x", nBase), (s"${mult}x", nBase * mult)).foreach { case (tag, k) =>

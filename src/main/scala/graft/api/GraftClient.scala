@@ -867,7 +867,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * qualifying lower-id partner drops, even if that partner itself
     * dropped) — deterministic and conservative in the dedup direction;
     * chains wanting cluster-exact semantics run the batch through
-    * [[graft.dedup.Dedup.clusterRepresentatives]] instead. */
+    * [[graft.dedup.Dedup.clusterRepresentatives]] instead.
+    *
+    * Accepted cost: a later `upsert` of the survivors re-derives their
+    * signatures for the index segment (one extra O(batch) projection
+    * per batch) — threading the gate's signature frame through the
+    * public upsert API isn't worth the coupling; both passes are
+    * per-doc work, so the front door stays O(batch). */
   def nearDupFilter(batch: DataFrame, threshold: Double = 0.8,
                     batchIdCol: Option[String] = None,
                     batchTextCol: Option[String] = None): DataFrame = {
@@ -885,27 +891,42 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         batch.select(col(idC).as("doc_id"), col(txtC)), "doc_id", txtC,
         meta("index.mh.shingle").toInt, perms, meta("index.mh.seed").toLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the In(...) prunes are the micro-batch fast path; a backfill-sized
+    // "batch" (or a pathological collision set) would blow the literal
+    // list past what the planner handles well — fall back to the plain
+    // join there, same results
+    val inCap = 100000
+    var nb: DataFrame = null
+    var cand: DataFrame = null
     try {
-      val nb = graft.dedup.Dedup.minhashBandBuckets(sig, perms, bands)
+      nb = graft.dedup.Dedup.minhashBandBuckets(sig, perms, bands)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hs = nb.select("h").distinct().collect().map(_.getLong(0))
-      val oldBkt = liveSegRows(
-          catalog.read(db, GraftCollection.mhBkt(coll)), "doc_id", base)
-        .where(col("h").isin(hs: _*))
-      val cand = nb.as("x").join(oldBkt.as("y"),
+      val hs = nb.select("h").distinct().limit(inCap + 1).collect().map(_.getLong(0))
+      val oldBktAll = liveSegRows(
+        catalog.read(db, GraftCollection.mhBkt(coll)), "doc_id", base)
+      val oldBkt =
+        if (hs.length <= inCap) oldBktAll.where(col("h").isin(hs: _*))
+        else oldBktAll
+      cand = nb.as("x").join(oldBkt.as("y"),
           col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
             col("x.doc_id") =!= col("y.doc_id"))
         .select(col("x.doc_id").as("id_new"), col("y.doc_id").as("id_old"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val oldIds = cand.select("id_old").distinct().collect().map(_.get(0))
-      val oldSig = liveSegRows(
-          catalog.read(db, GraftCollection.mhSig(coll)), "doc_id", base)
-        .where(col("doc_id").isin(oldIds: _*))
+      val oldIds = cand.select("id_old").distinct().limit(inCap + 1)
+        .collect().map(_.get(0))
+      val oldSigAll = liveSegRows(
+        catalog.read(db, GraftCollection.mhSig(coll)), "doc_id", base)
+      val oldSig =
+        if (oldIds.length <= inCap) oldSigAll.where(col("doc_id").isin(oldIds: _*))
+        else oldSigAll
+      // round(est, 4) >= t on BOTH suppression paths, matching
+      // minhashLshFromSignatures / nearDupMinhash exactly: the gate and
+      // the after-the-fact report must never disagree about a pair
       val vsCorpus = cand
         .join(sig.as("a"), col("id_new") === col("a.doc_id"))
         .join(oldSig.as("b"), col("id_old") === col("b.doc_id"))
-        .where(graft.dedup.Dedup.sigAgreement(perms) >= threshold)
+        .where(round(graft.dedup.Dedup.sigAgreement(perms), 4) >= threshold)
         .select(col("id_new"))
       val withinBatch = graft.dedup.Dedup
         .minhashLshFromSignatures(sig, perms, bands, threshold)
@@ -915,10 +936,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // the caller to re-execute)
       val suppressed = vsCorpus.unionByName(withinBatch).distinct()
         .collect().map(_.get(0))
-      nb.unpersist(); cand.unpersist()
       if (suppressed.isEmpty) batch
       else batch.where(not(coalesce(col(idC).isin(suppressed: _*), lit(false))))
-    } finally sig.unpersist()
+    } finally {
+      if (cand != null) cand.unpersist()
+      if (nb != null) nb.unpersist()
+      sig.unpersist()
+    }
   }
 
   /** rebuild_index for the SimHash dedup index (see
@@ -1194,9 +1218,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
     if (!keepMh)
-      invalidateFamily(Seq(GraftCollection.mhSig(coll)),
+      invalidateFamily(Seq(GraftCollection.mhSig(coll), GraftCollection.mhBkt(coll)),
         Seq("index.mh.text_col", "index.mh.shingle", "index.mh.perms",
-          "index.mh.seed", "index.mh.base_seg"))
+          "index.mh.seed", "index.mh.bands", "index.mh.base_seg"))
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))

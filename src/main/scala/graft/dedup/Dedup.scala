@@ -327,9 +327,6 @@ object Dedup {
       minhashSignatures(docs, idCol, textCol, shingleN, numPerms, seed).cache(),
       numPerms, bands, threshold)
 
-  /** Banded candidate pairs from a minhash signature frame: docs whose
-    * signatures agree on at least one band of `numPerms / bands`
-    * contiguous components. Ids only cross the distinct. */
   /** (doc_id, b, h) band-bucket rows of a minhash signature frame: one
     * row per (doc, band), h = the band's combined hash. Two docs are
     * banded candidates iff they share a (b, h) row — the joinable (and
@@ -349,6 +346,9 @@ object Dedup {
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
   }
 
+  /** Banded candidate pairs from a minhash signature frame: docs whose
+    * signatures agree on at least one band of `numPerms / bands`
+    * contiguous components. Ids only cross the distinct. */
   private[graft] def minhashCandidates(sig: DataFrame, numPerms: Int,
                                        bands: Int): DataFrame = {
     val buckets = minhashBandBuckets(sig, numPerms, bands)
@@ -359,11 +359,6 @@ object Dedup {
       .distinct()
   }
 
-  /** [[minhashLsh]] served from a precomputed signature frame
-    * (doc_id, m0..m{p-1}) — the ingest-artifact path: the O(corpus)
-    * shingle+min work is paid once at rebuild and persisted; every
-    * dedup run reads the signature table (three scans of a (1+p)-column
-    * parquet, each column-pruned) and pays only the banded join. */
   /** Estimated jaccard between two signature rows joined under aliases
     * `a` and `b`: the fraction of equal minhash components. */
   private[graft] def sigAgreement(numPerms: Int): Column =
@@ -371,6 +366,11 @@ object Dedup {
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numPerms
 
+  /** [[minhashLsh]] served from a precomputed signature frame
+    * (doc_id, m0..m{p-1}) — the ingest-artifact path: the O(corpus)
+    * shingle+min work is paid once at rebuild and persisted; every
+    * dedup run reads the signature table (three scans of a (1+p)-column
+    * parquet, each column-pruned) and pays only the banded join. */
   def minhashLshFromSignatures(sig: DataFrame, numPerms: Int = 32, bands: Int = 8,
                                threshold: Double = 0.5): DataFrame = {
     val cand = minhashCandidates(sig, numPerms, bands)

@@ -482,6 +482,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_stats" -> ((s, dir) => {
+      // per-domain corpus report card: doc count, distinct-content
+      // count (md5 identity), token volume, vocabulary size, char
+      // volume, mean doc length — every metric integer-derived so the
+      // oracle compare is exact (the sole ratio is one long/long
+      // division, identical IEEE in both engines)
+      graft.ops.Curation.corpusStats(
+          Tables.documents(s, dir), "text", "source")
+        .orderBy("domain")
+    }),
+
     "q_pack" -> ((s, dir) => {
       // deterministic sequence packing: concat-and-chunk docs into
       // 256-token training rows; canonical order = (salted hash shard,
@@ -888,6 +899,19 @@ object SparkEntry {
         |                WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
         |                WHEN 'src4' THEN 0     ELSE 6000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH doclvl AS (SELECT source AS domain, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS distinct_texts,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1),
+        |tok AS (SELECT source AS domain, count(DISTINCT tk) AS distinct_tokens FROM
+        |  (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents) GROUP BY 1)
+        |SELECT d.domain, n_docs, distinct_texts, total_tokens, total_chars,
+        |  distinct_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
+        |FROM doclvl d JOIN tok t ON d.domain = t.domain
+        |ORDER BY d.domain""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (SELECT doc_id,

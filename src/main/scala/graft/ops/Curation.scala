@@ -364,6 +364,37 @@ object Curation {
     * [[graft.streaming.Streams.curatedIngest]]. Every step is a
     * projection or filter except the per-batch fingerprint dedup, whose
     * shuffle is bounded by the micro-batch, never the corpus. */
+  /** Per-domain corpus report card — the "know your data" pass a
+    * training-data pipeline runs before (and after) curation: document
+    * count, distinct-content count (md5 identity, the same key the
+    * dedup stages use), token volume, vocabulary size, char volume,
+    * and mean doc length. Two aggregation passes: one doc-level groupBy
+    * and one token-level distinct (the vocabulary count is the only
+    * stage that explodes tokens; with `approxVocabulary` it switches to
+    * HLL++ `approx_count_distinct`, whose map-side sketch merge avoids
+    * shuffling the token stream — the 100 TB default, left off here so
+    * the output stays exactly SQL-oracle-able). Every metric is
+    * integer-derived; the one ratio is a single long/long division, so
+    * both engines evaluate the identical IEEE expression (no
+    * order-dependent double summation anywhere). */
+  def corpusStats(docs: DataFrame, textCol: String, domainCol: String,
+                  approxVocabulary: Boolean = false): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val docLevel = docs.groupBy(col(domainCol).as("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("distinct_texts"),
+      sum(size(toks).cast("long")).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"))
+    val tokLevel = docs
+      .select(col(domainCol).as("domain"), explode(toks).as("__tk"))
+      .groupBy("domain")
+      .agg((if (approxVocabulary) approx_count_distinct(col("__tk"))
+            else countDistinct(col("__tk"))).as("distinct_tokens"))
+    docLevel.join(tokLevel, Seq("domain"))
+      .withColumn("avg_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+  }
+
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,

@@ -258,6 +258,29 @@ class CurationSpec extends SparkSpec {
     assert((ids -- baseIds).isEmpty)
   }
 
+  test("corpusStats matches hand-computed per-domain counts") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y x", "web"),    // 3 tokens, 5 chars
+      ("b", "x y x", "web"),    // duplicate content
+      ("c", "z w", "web"),      // 2 tokens, 3 chars
+      ("d", "p q r s", "book")  // 4 tokens, 7 chars
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Curation.corpusStats(docs, "text", "source")
+      .orderBy("domain").collect()
+    val book = out(0); val web = out(1)
+    assert(web.getAs[Long]("n_docs") == 3 && web.getAs[Long]("distinct_texts") == 2)
+    assert(web.getAs[Long]("total_tokens") == 8 && web.getAs[Long]("total_chars") == 13)
+    assert(web.getAs[Long]("distinct_tokens") == 4) // x y z w
+    assert(web.getAs[Double]("avg_doc_tokens") == 8.0 / 3)
+    assert(book.getAs[Long]("n_docs") == 1 && book.getAs[Long]("distinct_tokens") == 4)
+
+    // the HLL++ scale path returns the exact value on tiny vocabularies
+    val approx = graft.ops.Curation.corpusStats(docs, "text", "source",
+      approxVocabulary = true).orderBy("domain").collect()
+    assert(approx(1).getAs[Long]("distinct_tokens") == 4)
+  }
+
   test("repetitionStats matches hand-computed duplicate and top-word fractions") {
     val docs = Seq(
       (1L, "a b a c a"),     // 5 words, 3 distinct, top 'a' ×3

@@ -907,10 +907,12 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |  FROM documents GROUP BY 1),
         |tok AS (SELECT source AS domain, count(DISTINCT tk) AS distinct_tokens FROM
-        |  (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents) GROUP BY 1)
+        |  (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |  WHERE tk <> '' GROUP BY 1)
         |SELECT d.domain, n_docs, distinct_texts, total_tokens, total_chars,
-        |  distinct_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
-        |FROM doclvl d JOIN tok t ON d.domain = t.domain
+        |  COALESCE(distinct_tokens, 0) AS distinct_tokens,
+        |  CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
+        |FROM doclvl d LEFT JOIN tok t ON d.domain = t.domain
         |ORDER BY d.domain""".stripMargin,
 
     "q_pack" ->

@@ -46,7 +46,8 @@ object VerifyPairsProfile {
             greatest(col("na"), col("nb")) >= 0.5)
           .count()
       }
-      println(s"candidates=$nCand kept=$kept (${100.0 * kept / nCand}%)")
+      val keptPct = if (nCand == 0) 100.0 else 100.0 * kept / nCand
+      println(s"candidates=$nCand kept=$kept ($keptPct%)")
       time("attach-arrays only") {
         cand
           .join(sets.select(col("doc_id").as("id_a"), col("__gs").as("__ga")), "id_a")

@@ -348,6 +348,50 @@ object Curation {
     packSequences(train, idCol, size(split(col(textCol), " ")), budget, nShards)
   }
 
+  /** Per-domain corpus report card — the "know your data" pass a
+    * training-data pipeline runs before (and after) curation: document
+    * count, distinct-content count (md5 identity, the same key the
+    * dedup stages use), token volume, vocabulary size, char volume,
+    * and mean doc length. Two aggregation passes: one doc-level groupBy
+    * and one token-level distinct (the vocabulary count is the only
+    * stage that explodes tokens; with `approxVocabulary` it switches to
+    * HLL++ `approx_count_distinct`, whose map-side sketch merge avoids
+    * shuffling the token stream — the 100 TB default, left off here so
+    * the output stays exactly SQL-oracle-able). Every metric is
+    * integer-derived; the one ratio is a single long/long division, so
+    * both engines evaluate the identical IEEE expression (no
+    * order-dependent double summation anywhere).
+    *
+    * The vocabulary excludes the empty token (the convention of every
+    * tokenizer here: BM25, TextEmbed, simhash), while token/char
+    * volumes follow the raw `split` convention of q_token_count /
+    * q_quality. The vocabulary join is LEFT: a domain whose docs are
+    * all null-text still reports its doc count with vocabulary 0 —
+    * a profiling report must surface pathological domains, not drop
+    * them. */
+  def corpusStats(docs: DataFrame, textCol: String, domainCol: String,
+                  approxVocabulary: Boolean = false): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // null text contributes NULL (sum-skipped, the SQL convention) —
+    // never size(null) = -1, which would silently DEDUCT from the total
+    val tokCount = when(col(textCol).isNotNull, size(toks).cast("long"))
+    val docLevel = docs.groupBy(col(domainCol).as("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("distinct_texts"),
+      sum(tokCount).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"))
+    val tokLevel = docs
+      .select(col(domainCol).as("domain"), explode(toks).as("__tk"))
+      .where(col("__tk") =!= "")
+      .groupBy("domain")
+      .agg((if (approxVocabulary) approx_count_distinct(col("__tk"))
+            else countDistinct(col("__tk"))).as("distinct_tokens"))
+    docLevel.join(tokLevel, Seq("domain"), "left")
+      .withColumn("distinct_tokens", coalesce(col("distinct_tokens"), lit(0L)))
+      .withColumn("avg_doc_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+  }
+
   /** One micro-batch (or one partition of a backfill) through the full
     * curation front door: quality-score and threshold, apply the
     * deterministic domain mix, then re-key each surviving doc by its
@@ -364,37 +408,6 @@ object Curation {
     * [[graft.streaming.Streams.curatedIngest]]. Every step is a
     * projection or filter except the per-batch fingerprint dedup, whose
     * shuffle is bounded by the micro-batch, never the corpus. */
-  /** Per-domain corpus report card — the "know your data" pass a
-    * training-data pipeline runs before (and after) curation: document
-    * count, distinct-content count (md5 identity, the same key the
-    * dedup stages use), token volume, vocabulary size, char volume,
-    * and mean doc length. Two aggregation passes: one doc-level groupBy
-    * and one token-level distinct (the vocabulary count is the only
-    * stage that explodes tokens; with `approxVocabulary` it switches to
-    * HLL++ `approx_count_distinct`, whose map-side sketch merge avoids
-    * shuffling the token stream — the 100 TB default, left off here so
-    * the output stays exactly SQL-oracle-able). Every metric is
-    * integer-derived; the one ratio is a single long/long division, so
-    * both engines evaluate the identical IEEE expression (no
-    * order-dependent double summation anywhere). */
-  def corpusStats(docs: DataFrame, textCol: String, domainCol: String,
-                  approxVocabulary: Boolean = false): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val docLevel = docs.groupBy(col(domainCol).as("domain")).agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(md5(col(textCol).cast("binary"))).as("distinct_texts"),
-      sum(size(toks).cast("long")).as("total_tokens"),
-      sum(length(col(textCol)).cast("long")).as("total_chars"))
-    val tokLevel = docs
-      .select(col(domainCol).as("domain"), explode(toks).as("__tk"))
-      .groupBy("domain")
-      .agg((if (approxVocabulary) approx_count_distinct(col("__tk"))
-            else countDistinct(col("__tk"))).as("distinct_tokens"))
-    docLevel.join(tokLevel, Seq("domain"))
-      .withColumn("avg_doc_tokens",
-        col("total_tokens").cast("double") / col("n_docs"))
-  }
-
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,

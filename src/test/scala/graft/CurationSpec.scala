@@ -261,24 +261,33 @@ class CurationSpec extends SparkSpec {
   test("corpusStats matches hand-computed per-domain counts") {
     import spark.implicits._
     val docs = Seq(
-      ("a", "x y x", "web"),    // 3 tokens, 5 chars
-      ("b", "x y x", "web"),    // duplicate content
-      ("c", "z w", "web"),      // 2 tokens, 3 chars
-      ("d", "p q r s", "book")  // 4 tokens, 7 chars
+      ("a", "x y x", "web"),     // 3 tokens, 5 chars
+      ("b", "x y x", "web"),     // duplicate content
+      ("c", "z  w", "web"),      // double space: 3 raw tokens incl "", 4 chars
+      ("d", "p q r s", "book"),  // 4 tokens, 7 chars
+      ("e", null, "nullsrc")     // pathological domain: must still report
     ).toDF("doc_id", "text", "source")
     val out = graft.ops.Curation.corpusStats(docs, "text", "source")
       .orderBy("domain").collect()
-    val book = out(0); val web = out(1)
+    val book = out(0); val nullsrc = out(1); val web = out(2)
     assert(web.getAs[Long]("n_docs") == 3 && web.getAs[Long]("distinct_texts") == 2)
-    assert(web.getAs[Long]("total_tokens") == 8 && web.getAs[Long]("total_chars") == 13)
-    assert(web.getAs[Long]("distinct_tokens") == 4) // x y z w
-    assert(web.getAs[Double]("avg_doc_tokens") == 8.0 / 3)
+    // token volume follows the raw split convention (q_token_count):
+    // "z  w" is 3 tokens; the VOCABULARY excludes the empty token
+    assert(web.getAs[Long]("total_tokens") == 9 && web.getAs[Long]("total_chars") == 14)
+    assert(web.getAs[Long]("distinct_tokens") == 4) // x y z w, no ""
+    assert(web.getAs[Double]("avg_doc_tokens") == 9.0 / 3)
     assert(book.getAs[Long]("n_docs") == 1 && book.getAs[Long]("distinct_tokens") == 4)
+    // an all-null-text domain is reported, not dropped: doc count real,
+    // vocabulary 0, volumes NULL (sum-skipped, never size(null) = -1)
+    assert(nullsrc.getAs[Long]("n_docs") == 1)
+    assert(nullsrc.getAs[Long]("distinct_texts") == 0)
+    assert(nullsrc.getAs[Long]("distinct_tokens") == 0)
+    assert(nullsrc.isNullAt(nullsrc.fieldIndex("total_tokens")))
 
     // the HLL++ scale path returns the exact value on tiny vocabularies
     val approx = graft.ops.Curation.corpusStats(docs, "text", "source",
       approxVocabulary = true).orderBy("domain").collect()
-    assert(approx(1).getAs[Long]("distinct_tokens") == 4)
+    assert(approx(2).getAs[Long]("distinct_tokens") == 4)
   }
 
   test("repetitionStats matches hand-computed duplicate and top-word fractions") {

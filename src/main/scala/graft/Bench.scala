@@ -35,7 +35,9 @@ object Bench {
         "q_dedup_embed_lsh", "q_ivf_search",
         // first touch builds the persisted gram-set / band-bucket
         // artifacts (ingest-time cost) — timed runs measure serving
-        "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive")
+        "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive",
+        // builds pqbooks + pqcodes / ivfpqcodes artifacts
+        "q_pq_search", "q_ivfpq_exhaustive")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

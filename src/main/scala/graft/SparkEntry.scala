@@ -312,6 +312,29 @@ object SparkEntry {
     }),
 
 
+    "q_cross_dedup" -> ((s, dir) => {
+      // cross-corpus exact dedup (the re-ingest gate): a candidate
+      // batch — here the whole documents table, as a re-crawl naturally
+      // re-contains previously accepted pages — deduped by CONTENT
+      // against the reference corpus (docs with doc_id % 3 == 0).
+      // Bloom-gated: rows missing the broadcast bloom are accepted with
+      // zero join; only bloom hits enter the verifying anti-join, so
+      // the result is exact at any fpp.
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusExact(docs.select("doc_id", "source", "text"), "text",
+          docs.where(col("doc_id") % 3 === 0), "text")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    "q_passage_repeats" -> ((s, dir) => {
+      // repeated-passage (boilerplate) report: 16-token stride-16
+      // windows appearing verbatim in >= 2 distinct docs — the
+      // corpus-frequency form of exact substring dedup (one explode +
+      // one groupBy; nothing pairwise)
+      Dedup.passageRepeats(Tables.documents(s, dir), "doc_id", "text",
+        window = 16, stride = 16, minDocs = 2)
+    }),
+
     // ----------------------------------------------------- text analysis
     "q_lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -348,14 +371,52 @@ object SparkEntry {
     }),
 
     "q_pq_search" -> ((s, dir) => {
-      // PQ codes -> ADC candidate scan -> exact rerank of the sliver
+      // PQ codes -> ADC candidate scan -> exact rerank of the sliver.
+      // Codebooks + codes are persisted ingest artifacts (pqbooks /
+      // pqcodes) — the serving run loads them, no retraining.
       val embs = Tables.embeddings(s, dir)
-      val pq = graft.vector.PqIndex.train(embs, "embedding", dim = 64, m = 8, k = 16)
-      val enc = graft.vector.PqIndex.encode(pq, embs, "vec_id", "embedding")
+      val enc = pqEncodedFor(s, dir)
       val qLocal = embs.where(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      graft.vector.PqIndex.searchRerank(pq, enc, embs, "vec_id", "embedding", qLocal, k = 10)
+      graft.vector.PqIndex.searchRerank(pqModelFor(s, dir), enc, embs,
+        "vec_id", "embedding", qLocal, k = 10)
+    }),
+
+    "q_pq_exhaustive" -> ((s, dir) => {
+      // the PQ family's ORACLED row (the verified-twin pattern on the
+      // ANN side): with candMult spanning the whole corpus the ADC
+      // stage cannot drop a true neighbor, and the exact rerank runs
+      // the SAME VectorScore.l2 + Ranked.topK pipeline as FLAT search
+      // => byte-equal to exact L2 KNN, so the q_knn_l2 oracle applies
+      // while the full codebook/ADC/rerank machinery executes.
+      val embs = Tables.embeddings(s, dir)
+      val enc = pqEncodedFor(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val n = enc.count()
+      graft.vector.PqIndex.searchRerank(pqModelFor(s, dir), enc, embs,
+        "vec_id", "embedding", qLocal, k = 10, candMult = ((n + 9) / 10).toInt)
+    }),
+
+    "q_ivfpq_exhaustive" -> ((s, dir) => {
+      // IVF_PQ's ORACLED row: nprobe = nlist probes every cell and the
+      // corpus-spanning candMult makes the exact rerank degenerate to
+      // exact L2 KNN (Round5Spec pins the same equality at the API
+      // level; this runs it through the persisted artifacts — coarse
+      // centroids, codebooks, cell-partitioned codes — end-to-end).
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfpqEncodedFor(s, dir)
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val n = enc.count()
+      graft.vector.IvfPq.searchStoredRerank(centers, pqModelFor(s, dir), enc,
+        embs, "vec_id", "embedding", qLocal, kTop = 10, nprobe = 16,
+        candMult = ((n + 9) / 10).toInt)
     }),
 
     "q_lsh_ann" -> ((s, dir) => {
@@ -467,6 +528,16 @@ object SparkEntry {
       // grams collapse to a distinct set, so each eval gram matches
       // at most once — a containment join, never a pair fan-out
       graft.ops.Curation.contaminationFromGrams(ngramPostingsFor(s, dir))
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // the APPLY step of row 51: keep train-split docs whose gram
+      // overlap with the eval split stays below 80% — the eval side
+      // (the benchmark: small by construction) collapses to a
+      // broadcast distinct-gram set, so the train corpus never
+      // shuffles for the probe. Served from the persisted postings.
+      graft.ops.Curation.decontaminateFromGrams(ngramPostingsFor(s, dir),
+        maxShare = 0.8)
     }),
 
     "q_domain_mix" -> ((s, dir) => {
@@ -680,6 +751,40 @@ object SparkEntry {
       Dedup.gramSets(ngramPostingsFor(s, dir))
     }
 
+  /** One trained PQ model per (JVM, sf), persisted as the codebooks
+    * artifact and reconstructed from it — serving sessions load the
+    * stored (sub, code, centroid) rows, no retraining (same contract as
+    * [[ivfModelFor]]). */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.vector.PqIndex.Model]
+  private def pqModelFor(s: SparkSession, dir: String): graft.vector.PqIndex.Model =
+    pqModels.getOrElseUpdate(sfKey(dir), {
+      val books = graft.catalog.IndexStore.ensure(s, s"pqbooks_${sfKey(dir)}") {
+        graft.vector.PqIndex.codebooksDf(
+          graft.vector.PqIndex.train(Tables.embeddings(s, dir), "embedding",
+            dim = 64, m = 8, k = 16), s)
+      }
+      graft.vector.PqIndex.modelFromDf(books, m = 8, k = 16, dim = 64)
+    })
+
+  /** Persisted PQ codes (id, codes) — the scannable compressed corpus. */
+  private[graft] def pqEncodedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"pqcodes_${sfKey(dir)}") {
+      graft.vector.PqIndex.encode(pqModelFor(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
+  /** Persisted IVF_PQ codes (id, codes, cell), cell-partitioned so
+    * nprobe pruning happens at file listing; shares the IVF model with
+    * [[ivfAssignedFor]] and the PQ codebooks with [[pqEncodedFor]]. */
+  private[graft] def ivfpqEncodedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfpqcodes_${sfKey(dir)}",
+      partitionBy = Seq("cell")) {
+      graft.vector.IvfPq.encode(
+        graft.vector.IvfPq.Model(ivfModelFor(s, dir), pqModelFor(s, dir)),
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */
   private[graft] def embedIndexFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"embed_${sfKey(dir)}") {
@@ -853,6 +958,12 @@ object SparkEntry {
     // exact cosine through the same topk pipeline => equals exact KNN
     "q_lsh_ann_exhaustive" -> knnOracle("cosine"),
     "q_knn_l2" -> knnOracle("l2"),
+    // corpus-spanning candMult: ADC cannot drop a true neighbor and the
+    // exact L2 rerank shares the FLAT pipeline => equals exact KNN
+    "q_pq_exhaustive" -> knnOracle("l2"),
+    // nprobe = nlist + corpus-spanning candMult: every cell probed,
+    // exact rerank => equals exact KNN
+    "q_ivfpq_exhaustive" -> knnOracle("l2"),
     "q_knn_ip" -> knnOracle("ip"),
 
     "q_knn_filter" ->
@@ -1256,6 +1367,41 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, quality,
         |  percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr FROM q)
         |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin,
+
+    "q_cross_dedup" ->
+      """SELECT b.doc_id, b.source FROM documents b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents a
+        |                  WHERE a.doc_id % 3 = 0 AND a.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_passage_repeats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (SELECT doc_id, array_to_string(t[i:i+15], ' ') AS passage
+        |        FROM toks, UNNEST(range(1, len(t) - 14, 16)) AS r(i)
+        |        WHERE len(t) >= 16)
+        |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM win GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sp AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket
+        |  FROM documents),
+        |traing AS (SELECT ng.doc_id, g FROM ng JOIN sp USING (doc_id) WHERE bucket < 90),
+        |evalg AS (SELECT DISTINCT g FROM ng JOIN sp USING (doc_id) WHERE bucket >= 90),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM traing GROUP BY doc_id),
+        |sh AS (SELECT t.doc_id, count(*) AS n_shared FROM traing t
+        |       JOIN evalg e ON t.g = e.g GROUP BY t.doc_id)
+        |SELECT sz.doc_id, sz.n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
+        |  COALESCE(sh.n_shared, 0) / CAST(sz.n_grams AS DOUBLE) AS share
+        |FROM sz LEFT JOIN sh USING (doc_id)
+        |WHERE COALESCE(sh.n_shared, 0) / CAST(sz.n_grams AS DOUBLE) < 0.8
+        |ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -543,6 +543,112 @@ object Dedup {
                               blocks: Int = 8, threshold: Double = 0.5): DataFrame =
     jaccardOverPairsFromSets(simhashCandidates(sig, blocks), sets, threshold)
 
+  /** Cross-corpus exact dedup: rows of `corpus` whose text does NOT
+    * already appear in `reference` (the re-crawl / re-ingest gate — a
+    * new batch is deduplicated against everything previously accepted;
+    * the reference's upsert is last-wins by ID, this is the
+    * content-keyed complement across two corpora).
+    *
+    * Scale shape (100 TB corpus vs large reference): the reference side
+    * collapses to DISTINCT md5 fingerprints once. A Bloom filter over
+    * those fingerprints (built with Spark's own BloomFilterAggregate,
+    * probed by the codegen BloomFilterMightContain expression — the
+    * exact pair Catalyst's runtime row-level filtering uses, no UDF) is
+    * broadcast as a literal, and corpus rows that MISS the bloom are
+    * accepted with ZERO join — a definite negative. Only the bloom HITS
+    * (true dups + the fpp sliver of false positives) enter the
+    * verifying anti-join, so the shuffle is bounded by the overlap
+    * volume, not the corpus: at a 1% overlap the anti-join moves ~1%
+    * of the corpus instead of all of it. The corpus is scanned twice
+    * (once per bloom side) — at scale two parquet scans are far
+    * cheaper than one corpus-wide shuffle. Bloom false positives are
+    * CAUGHT by the anti-join, so the result is exact for any fpp; with
+    * `bloomExpectedItems = None` (or an empty reference) the gate is
+    * skipped and the plain distinct+anti-join runs.
+    *
+    * Rows with NULL text survive on both paths (a null fingerprint
+    * matches nothing — SQL NOT EXISTS semantics). */
+  def crossCorpusExact(corpus: DataFrame, textCol: String,
+                       reference: DataFrame, refTextCol: String,
+                       bloomExpectedItems: Option[Long] = Some(1L << 20),
+                       bloomFpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val refFp = reference
+      .select(md5(col(refTextCol).cast("binary")).as("__fp"))
+      .where(col("__fp").isNotNull).distinct()
+    val b = corpus.withColumn("__fp", md5(col(textCol).cast("binary")))
+
+    val survivors = bloomExpectedItems match {
+      case Some(n) =>
+        // BloomFilterAggregate's own item cap is 4M by default; past it
+        // the gate degrades to fpp creep, so clamp and let the verify
+        // join keep the result exact regardless.
+        val items = math.min(math.max(n, 64L), 4000000L)
+        val nBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(items, bloomFpp)
+        val hashedFp = new XxHash64(Seq(GraftShims.expression(col("__fp"))))
+        val agg = new BloomFilterAggregate(hashedFp,
+          Literal(items), Literal(nBits)).toAggregateExpression()
+        val bloomBytes = refFp.select(GraftShims.column(agg))
+          .head().getAs[Array[Byte]](0)
+        if (bloomBytes == null) b // empty reference: everything survives
+        else {
+          val mightContain = GraftShims.column(BloomFilterMightContain(
+            Literal(bloomBytes, BinaryType), hashedFp))
+          val misses = b.where(!mightContain || col("__fp").isNull)
+          val hits = b.where(mightContain && col("__fp").isNotNull)
+            .join(refFp, Seq("__fp"), "left_anti")
+          misses.unionByName(hits)
+        }
+      case None => b.join(refFp, Seq("__fp"), "left_anti")
+    }
+    survivors.drop("__fp")
+  }
+
+  /** Repeated-passage (boilerplate) detection: fixed-width token
+    * windows (`window` tokens, step `stride`) that occur in at least
+    * `minDocs` DISTINCT documents — the corpus-frequency form of exact
+    * substring dedup (headers, footers, license blocks, navigation
+    * chrome repeat VERBATIM across pages; near-dup pair mining never
+    * surfaces them because the surrounding documents differ).
+    *
+    * Scale shape: one tokenize + one window explode (pure projection,
+    * ~n_tokens/stride rows per doc), then a single groupBy(passage)
+    * with partial aggregation — no join, no pair fan-out, nothing
+    * quadratic. The report is corpus-frequency-bounded (only passages
+    * clearing `minDocs` survive). `approxDocs = true` swaps the exact
+    * distinct-doc count for HLL++ (approx_count_distinct) — at 100 TB
+    * the exact count's per-passage doc-id de-dup is the only part that
+    * grows with corpus size, and boilerplate detection tolerates ±2%
+    * on a >= 2 threshold over millions of occurrences.
+    *
+    * The tokens and the window array are each projected ONCE before
+    * reuse (lambda/HOF expressions get no common-subexpression
+    * elimination). */
+  def passageRepeats(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 16, stride: Int = 16, minDocs: Int = 2,
+                     approxDocs: Boolean = false): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= window)
+    val passages = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), size(col("__toks")) - window, lit(stride)),
+        i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(window)))))
+        .as("passage"))
+    val nd = (if (approxDocs) approx_count_distinct(col("doc_id"))
+              else countDistinct(col("doc_id"))).as("n_docs")
+    passages.groupBy("passage")
+      .agg(nd, count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy("passage")
+  }
+
   /** [[simhashPairs]] served from a precomputed (doc_id, simhash)
     * frame — the ingest-artifact path (see
     * [[minhashLshFromSignatures]]). */

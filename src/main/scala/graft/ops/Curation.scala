@@ -85,6 +85,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Train-side decontamination — the APPLY step that [[contamination]]
+    * reports feed: keep the train-split documents whose n-gram overlap
+    * with the eval split stays BELOW `maxShare` (a training set is
+    * decontaminated against its benchmark by dropping the train docs
+    * that contain the benchmark, not by touching the benchmark).
+    *
+    * Returns (doc_id, n_grams, n_shared, share) for every surviving
+    * train doc that has at least one n-gram (share = n_shared/n_grams,
+    * unrounded — both engines compute the identical long/long → double
+    * division). Docs too short to produce a gram have no containment
+    * measure and are not reported; [[decontaminate]] passes them
+    * through.
+    *
+    * Scale shape (the mirror image of [[contaminationFromGrams]], with
+    * the asymmetry exploited the other way): the EVAL side is the
+    * benchmark — small by construction — so its distinct grams
+    * BROADCAST, and the 100-TB train side never shuffles for the
+    * probe join; it pays only the per-doc gram counts, both of which
+    * partial-aggregate map-side over doc-clustered postings. Nothing
+    * is quadratic, nothing corpus-sized crosses the network. */
+  def decontaminateFromGrams(grams: DataFrame, trainPct: Int = 90,
+                             buckets: Int = 100,
+                             maxShare: Double = 0.8): DataFrame = {
+    val g = grams.withColumn("__b", bucketOf(col("doc_id"), buckets))
+    val trainG = g.where(col("__b") < trainPct).select("doc_id", "g")
+    val evalG = g.where(col("__b") >= trainPct).select("g").distinct()
+    val sizes = trainG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = trainG.join(broadcast(evalG), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    sizes.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("share", col("n_shared") / col("n_grams"))
+      .where(col("share") < maxShare)
+      .orderBy("doc_id")
+  }
+
+  /** [[decontaminateFromGrams]] applied to the documents themselves:
+    * the surviving train-split rows of `docs` (gramless train docs
+    * pass through — with no grams they cannot contain the benchmark). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, trainPct: Int = 90, buckets: Int = 100,
+                    maxShare: Double = 0.8): DataFrame = {
+    val grams = graft.dedup.Dedup.ngrams(docs, idCol, textCol, n)
+    val g = grams.withColumn("__b", bucketOf(col("doc_id"), buckets))
+    val trainG = g.where(col("__b") < trainPct).select("doc_id", "g")
+    val evalG = g.where(col("__b") >= trainPct).select("g").distinct()
+    val sizes = trainG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val contaminated = trainG.join(broadcast(evalG), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .where(col("n_shared") / col("n_grams") >= maxShare)
+      .select(col("doc_id").as("__dc_id"))
+    docs
+      .where(bucketOf(col(idCol), buckets) < trainPct)
+      .join(broadcast(contaminated), col(idCol) === col("__dc_id"), "left_anti")
+  }
+
   /** Keep each group's top quality quantile: docs whose percent_rank of
     * `scoreCol` within `groupCol` (ascending; SQL percent_rank
     * semantics, ties share a rank) is at least `q`.

@@ -103,6 +103,24 @@ object RecallProbe {
           qLocal, k, 16, candMult = cm), gtL2))
     encP.unpersist()
 
+    // ---- IVF_SQ8 (L2): nprobe sweep, code-only vs exact rerank ------
+    // (8-bit-per-dim quantization error is far below PQ's — code-only
+    // ranking tracks the IVF coverage curve almost exactly, so SQ8 is
+    // the "compression for free" point of the family)
+    val ivfsq = IvfSq.train(embs, "embedding", nlist = 16)
+    val encS = IvfSq.encode(ivfsq, embs, "vec_id", "embedding").cache()
+    encS.count()
+    emit("sq_code", "flat (nprobe=nlist=16)",
+      Recall.atK(IvfSq.search(ivfsq, encS, qLocal, k, 16), gtL2))
+    for (nprobe <- Seq(2, 4, 8)) {
+      emit("ivf_sq_code", s"nlist=16 nprobe=$nprobe",
+        Recall.atK(IvfSq.search(ivfsq, encS, qLocal, k, nprobe), gtL2))
+      emit("ivf_sq_rerank", s"nlist=16 nprobe=$nprobe candMult=10",
+        Recall.atK(IvfSq.searchRerank(ivfsq, encS, embs, "vec_id", "embedding",
+          qLocal, k, nprobe, candMult = 10), gtL2))
+    }
+    encS.unpersist()
+
     // ---- embedLsh dedup: pair recall vs the all-pairs scan ----------
     // (precision is exact by construction — the verify rescores — so
     // recall is the only axis; configs straddle the exhaustive-grade

@@ -419,6 +419,44 @@ object SparkEntry {
         candMult = ((n + 9) / 10).toInt)
     }),
 
+    "q_ivfsq_search" -> ((s, dir) => {
+      // IVF_SQ8 production path (the remaining member of the
+      // reference's "IVF series"): nprobe cells prune the scan, the
+      // uint8-coded (4x-compressed) rows rank by dequantized distance.
+      // Rows-only by design — the quantized ranking is approximate
+      // (RecallProbe measures it); the exhaustive twin below oracles
+      // the same machinery.
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfsqEncodedFor(s, dir)
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.IvfSq.searchStored(centers, sqModelFor(s, dir), enc,
+        qLocal, kTop = 10, nprobe = 4)
+    }),
+
+    "q_ivfsq_exhaustive" -> ((s, dir) => {
+      // IVF_SQ8's ORACLED row (the verified-twin pattern): nprobe =
+      // nlist probes every cell, and the corpus-spanning candMult makes
+      // the exact rerank — the SAME VectorScore.l2 + Ranked.topK
+      // pipeline as FLAT — degenerate to exact L2 KNN while the full
+      // bounds/code/dequant machinery executes end-to-end from the
+      // persisted artifacts.
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfsqEncodedFor(s, dir)
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val n = enc.count()
+      graft.vector.IvfSq.searchStoredRerank(centers, sqModelFor(s, dir), enc,
+        embs, "vec_id", "embedding", qLocal, kTop = 10, nprobe = 16,
+        candMult = ((n + 9) / 10).toInt)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => {
       // banded ANN over the PERSISTED bucket table (signatures are the
       // O(corpus) part — computed once at rebuild, not per query) at
@@ -600,13 +638,19 @@ object SparkEntry {
 
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
-      // tumbling 1h windows over the events stream table. The parquet
-      // carries TIMESTAMP(NANOS) which Spark reads as long (ns) under
-      // nanosAsLong; integer-divide to micros (same truncation DuckDB's
-      // ns->us reader applies).
-      Tables.events(s, dir)
-        .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("win"),
-          col("event_type"))
+      // tumbling 1h windows over the events stream table. Handles both
+      // testdata vintages: TIMESTAMP(MICROS) parquet reads as a native
+      // timestamp (used directly); TIMESTAMP(NANOS) reads as long (ns)
+      // under nanosAsLong — integer-divide to micros (same truncation
+      // DuckDB's ns->us reader applies).
+      val events = Tables.events(s, dir)
+      val tsCol = events.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case _ => col("ts")
+      }
+      events
+        .groupBy(date_trunc("hour", tsCol).as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("win", "event_type")
@@ -782,6 +826,33 @@ object SparkEntry {
       partitionBy = Seq("cell")) {
       graft.vector.IvfPq.encode(
         graft.vector.IvfPq.Model(ivfModelFor(s, dir), pqModelFor(s, dir)),
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
+  /** One SQ8 quantizer per (JVM, sf), persisted as the per-dim bounds
+    * artifact and reconstructed from it (same contract as
+    * [[pqModelFor]]). */
+  private val sqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.vector.SqIndex.Model]
+  private def sqModelFor(s: SparkSession, dir: String): graft.vector.SqIndex.Model =
+    sqModels.getOrElseUpdate(sfKey(dir), {
+      val bounds = graft.catalog.IndexStore.ensure(s, s"sqbounds_${sfKey(dir)}") {
+        graft.vector.SqIndex.boundsDf(
+          graft.vector.SqIndex.train(Tables.embeddings(s, dir), "embedding"), s)
+      }
+      graft.vector.SqIndex.modelFromDf(bounds, dim = 64)
+    })
+
+  /** Persisted IVF_SQ8 codes (id, codes, cell), cell-partitioned so
+    * nprobe pruning happens at file listing; shares the coarse
+    * centroids with [[ivfAssignedFor]] and the bounds with
+    * [[sqModelFor]]. */
+  private[graft] def ivfsqEncodedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfsqcodes_${sfKey(dir)}",
+      partitionBy = Seq("cell")) {
+      val centers = graft.vector.IvfIndex.centersFromDf(ivfCentroidsFor(s, dir))
+        .map { case (c, i) => (c.toArray, i) }
+      graft.vector.IvfSq.encodeAssigned(centers, sqModelFor(s, dir),
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
 
@@ -964,6 +1035,7 @@ object SparkEntry {
     // nprobe = nlist + corpus-spanning candMult: every cell probed,
     // exact rerank => equals exact KNN
     "q_ivfpq_exhaustive" -> knnOracle("l2"),
+    "q_ivfsq_exhaustive" -> knnOracle("l2"),
     "q_knn_ip" -> knnOracle("ip"),
 
     "q_knn_filter" ->

@@ -138,7 +138,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def upsert(docs: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive}
+    import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive, ivfSqLive}
     val anyLive = live.anySeg
 
     // ALL batch-shape validation runs BEFORE anything is written: a
@@ -150,7 +150,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       s"upsert on a minhash-indexed collection must carry '${meta("index.mh.text_col")}'")
     if (shLive) require(docs.columns.contains(meta("index.sh.text_col")),
       s"upsert on a simhash-indexed collection must carry '${meta("index.sh.text_col")}'")
-    if (lshLive || pqLive || ivfPqLive || ivfLive)
+    if (lshLive || pqLive || ivfPqLive || ivfSqLive || ivfLive)
       require(docs.columns.contains(vecCol),
         s"upsert on a vector-indexed collection must carry '$vecCol'")
 
@@ -266,7 +266,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
     } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
-      keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive)
+      keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive,
+      keepIvfSq = ivfSqLive)
     if (anyLive) maybeAutoCompact()
     } finally batch.unpersist()
   }
@@ -299,8 +300,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * live (plain IVF is maintained in the data layout instead). */
   private case class LiveIndexes(ftLive: Boolean, lshLive: Boolean, ivfLive: Boolean,
                                  mhLive: Boolean, shLive: Boolean, pqLive: Boolean,
-                                 ivfPqLive: Boolean) {
-    def anySeg: Boolean = ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive
+                                 ivfPqLive: Boolean, ivfSqLive: Boolean) {
+    def anySeg: Boolean =
+      ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive || ivfSqLive
   }
 
   private def liveIndexes(meta: Map[String, String]): LiveIndexes = LiveIndexes(
@@ -320,7 +322,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     pqLive = meta.contains("index.pq.m") &&
       catalog.collectionExists(db, GraftCollection.pqCodes(coll)),
     ivfPqLive = meta.contains("index.ivfpq.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)))
+      catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)),
+    ivfSqLive = meta.contains("index.ivfsq.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfSqCodes(coll)))
 
   /** Append one segment per live family for `batch` (one row per id —
     * caller enforces — with the full document schema) and advance the
@@ -346,6 +350,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
       appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
         graft.vector.PqIndex.encode(pq, vecs, idCol, vecCol).join(cells, "id"),
+        subPartition = Seq("cell"))
+    }
+    if (live.ivfSqLive) {
+      // SQ8 codes against the STORED bounds + coarse centroids — a pure
+      // per-doc projection like the PQ families (bounds are NOT
+      // retrained: out-of-range batch values clamp, as in any SQ index)
+      val sq = sqModelFromMeta(meta)
+      val centers = graft.vector.IvfIndex.centersFromDf(
+          catalog.read(db, GraftCollection.ivfSqCentroids(coll)))
+        .map { case (c, i) => (c.toArray, i) }
+      appendSegRows(GraftCollection.ivfSqCodes(coll), seg,
+        graft.vector.IvfSq.encodeAssigned(centers, sq,
+          batch.where(col(vecCol).isNotNull), idCol, vecCol),
         subPartition = Seq("cell"))
     }
     // dedup signatures are per-doc pure functions of the text — the
@@ -711,6 +728,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     graft.vector.PqIndex.modelFromDf(catalog.read(db, codebookColl),
       meta(s"$prefix.m").toInt, meta(s"$prefix.k").toInt, meta(s"$prefix.dim").toInt)
 
+  /** Reconstruct the SQ8 quantizer from the persisted per-dim bounds. */
+  private def sqModelFromMeta(meta: Map[String, String]): graft.vector.SqIndex.Model =
+    graft.vector.SqIndex.modelFromDf(
+      catalog.read(db, GraftCollection.ivfSqBounds(coll)),
+      meta("index.ivfsq.dim").toInt)
+
   def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
     beginVectorRebuild("IVF")
     val base = df.drop(GraftCollection.IndexCols: _*)
@@ -1030,6 +1053,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg")
     compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
       _.repartition(col("cell")), Seq("cell"))
+    compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
+      _.repartition(col("cell")), Seq("cell"))
     // every family now serves from its single fresh segment — the
     // ledger has nothing left to mask
     if (catalog.collectionExists(db, GraftCollection.mutLedger(coll)))
@@ -1066,6 +1091,61 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "index.ivfpq.nlist" -> nlist.toString, "index.ivfpq.m" -> m.toString,
       "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
       "index.ivfpq.base_seg" -> baseSeg.toString))
+  }
+
+  /** rebuild_index for the composed IVF_SQ8 index (the remaining
+    * member of the reference's "IVF series", collection.py search
+    * params: Tencent VectorDB's IVF_SQ8 = coarse cells + one uint8
+    * code per dimension). Persists centroids, per-dim bounds, and the
+    * (id, cell, codes) table; [[searchIvfSq]] serves from them in any
+    * later session. Numeric-id collections only (the coded block
+    * pipeline's contract, like PQ). */
+  def rebuildIvfSqIndex(nlist: Int = 16): Unit = {
+    val dim = beginVectorRebuild("IVF_SQ8")
+    val base = df
+    val model = graft.vector.IvfSq.train(base, vecCol, nlist)
+    val enc = graft.vector.IvfSq.encode(model, base, idCol, vecCol)
+    Seq(GraftCollection.ivfSqCentroids(coll), GraftCollection.ivfSqBounds(coll),
+        GraftCollection.ivfSqCodes(coll))
+      .foreach(catalog.createCollectionIfNotExists(db, _))
+    catalog.write(db, GraftCollection.ivfSqCentroids(coll),
+      graft.vector.IvfIndex.centroids(model.ivf, spark))
+    catalog.write(db, GraftCollection.ivfSqBounds(coll),
+      graft.vector.SqIndex.boundsDf(model.sq, spark))
+    // (__seg, cell)-partitioned codes, exactly like IVF_PQ: an nprobe
+    // search lists only probed cells; upserts append new segments
+    val baseSeg = mutationSeg
+    catalog.write(db, GraftCollection.ivfSqCodes(coll),
+      enc.withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol, "cell"))
+    catalog.updateMeta(db, coll, Map(
+      "index.ivfsq.nlist" -> nlist.toString, "index.ivfsq.dim" -> dim.toString,
+      "index.ivfsq.base_seg" -> baseSeg.toString))
+  }
+
+  /** IVF_SQ8 search served from the persisted artifacts. `candMult =
+    * None` ranks by the dequantized distance alone (the index's native
+    * behavior — SQ8 error is small enough that this is near-exact,
+    * RecallProbe measures it); `Some(c)` exactly re-ranks the top
+    * limit·c candidates against their original vectors. */
+  def searchIvfSq(queries: DataFrame, qIdCol: String, qVecCol: String,
+                  limit: Int = 10, nprobe: Int = 4,
+                  candMult: Option[Int] = None): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivfsq.nlist"), "no IVF_SQ8 index: run rebuildIvfSqIndex first")
+    val sq = sqModelFromMeta(meta)
+    val centers = catalog.read(db, GraftCollection.ivfSqCentroids(coll))
+      .select(col("centroid"), col("cell")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
+    val codes = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
+      "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0))
+    candMult match {
+      case None => graft.vector.IvfSq.searchStored(centers, sq, codes,
+        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe)
+      case Some(c) => graft.vector.IvfSq.searchStoredRerank(centers, sq, codes,
+        df, idCol, vecCol,
+        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe, c)
+    }
   }
 
   /** IVF_PQ search served from the persisted artifacts: probe ranking
@@ -1213,7 +1293,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def invalidateDerived(keepFt: Boolean = false, keepIvf: Boolean = false,
                                 keepLsh: Boolean = false, keepMh: Boolean = false,
                                 keepSh: Boolean = false, keepPq: Boolean = false,
-                                keepIvfPq: Boolean = false): Unit = {
+                                keepIvfPq: Boolean = false,
+                                keepIvfSq: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
@@ -1224,7 +1305,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))
-    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq)
+    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq)
   }
 
   /** Drop the persisted vector-index models (IVF centroids, PQ
@@ -1234,7 +1315,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def invalidateVectorIndex(keepIvf: Boolean = false,
                                     keepLsh: Boolean = false,
                                     keepPq: Boolean = false,
-                                    keepIvfPq: Boolean = false): Unit = {
+                                    keepIvfPq: Boolean = false,
+                                    keepIvfSq: Boolean = false): Unit = {
     if (!keepIvf)
       invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
         Seq("index.ivf.nlist", "index.ivf.metric"))
@@ -1252,6 +1334,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           GraftCollection.ivfPqCodebooks(coll)),
         Seq("index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k",
           "index.ivfpq.dim", "index.ivfpq.base_seg"))
+    if (!keepIvfSq)
+      invalidateFamily(
+        Seq(GraftCollection.ivfSqCodes(coll), GraftCollection.ivfSqCentroids(coll),
+          GraftCollection.ivfSqBounds(coll)),
+        Seq("index.ivfsq.nlist", "index.ivfsq.dim", "index.ivfsq.base_seg"))
   }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses
@@ -1362,7 +1449,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       } else failSafe { persistSnapshotKeepingCell(survivors, live.ivfLive) }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
-      keepIvfPq = live.ivfPqLive)
+      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -1437,7 +1524,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       } else failSafe { persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive) }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
-      keepIvfPq = live.ivfPqLive)
+      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -1474,13 +1561,17 @@ object GraftCollection {
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
   private[api] def ivfPqCentroids(coll: String): String = coll + "__ivfpq_centroids"
   private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
+  private[api] def ivfSqCodes(coll: String): String = coll + "__ivfsq_codes"
+  private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
+  private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"
   private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
 
   /** Meta keys recording each segment-maintained family's base segment
     * — the compaction policy measures debt against the OLDEST one. */
   private[api] val baseSegKeys: Seq[String] = Seq(
     "index.ft.base_seg", "index.lsh.base_seg", "index.mh.base_seg",
-    "index.sh.base_seg", "index.pq.base_seg", "index.ivfpq.base_seg")
+    "index.sh.base_seg", "index.pq.base_seg", "index.ivfpq.base_seg",
+    "index.ivfsq.base_seg")
 
   /** Default auto-compaction threshold (segments past the oldest base
     * before [[GraftCollection.compactIndexes]] fires): high enough that

@@ -1,8 +1,7 @@
 package graft.vector
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Shared KNN result postlude: bounded-heap top-k per query over a
   * scored frame, exploded to (query_id, rank, id, score) with the
@@ -28,18 +27,21 @@ private[graft] object Ranked {
   /** Single-list variant: rank the global top-k of `df` under `order`
     * without a WindowExec. `orderBy(...).limit(k)` collapses to
     * TakeOrderedAndProject (distributed k-merge, one sorted output
-    * partition — never a global sort), and rank is each row's position
-    * in that order: a zip-with-index projection over the k survivors.
-    * Replaces the unpartitioned `row_number()` postlude, which emitted
-    * a `WindowExec: No Partition Defined` warning on every run despite
-    * only ever seeing k rows — identical values, quiet plan. */
+    * partition — never a global sort); the explicit coalesce(1) +
+    * sortWithinPartitions pins the single-partition total order
+    * independent of planner choice (k rows — free), and rank is then a
+    * monotonically_increasing_id projection over that one partition
+    * (partition 0 ⇒ consecutive 0-based ids in row order). Replaces
+    * the unpartitioned `row_number()` postlude, which emitted a
+    * `WindowExec: No Partition Defined` warning on every run despite
+    * only ever seeing k rows — identical values, quiet plan, and no
+    * RDD closure (pure expressions, nothing for ClosureCleaner to
+    * clean). */
   def rankTop(df: DataFrame, k: Int, order: Column*): DataFrame = {
     val top = df.orderBy(order: _*).limit(k)
-    val schema = StructType(
-      StructField("rank", IntegerType, nullable = false) +: top.schema.fields)
-    val rows = top.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((i + 1).toInt +: r.toSeq)
-    }
-    top.sparkSession.createDataFrame(rows, schema)
+      .coalesce(1).sortWithinPartitions(order: _*)
+    top
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select(col("rank") +: top.columns.map(col): _*)
   }
 }

@@ -65,6 +65,19 @@ class RecallSpec extends SparkSpec {
     assert(rr > adc + 0.2, s"rerank ($rr) must clearly beat the ADC ceiling ($adc)")
   }
 
+  test("IVF_SQ8 code-only ranking tracks plain IVF (>= 0.8 at nprobe=8, no rerank)") {
+    // SQ8's contract: 4x compression with near-lossless ranking — the
+    // dequantized scan must hold the same floor plain IVF holds at the
+    // same nprobe, WITHOUT an exact-rerank crutch (PQ code-only sits
+    // at ~0.33 on this corpus)
+    val model = IvfSq.train(embs, "embedding", nlist = 16)
+    val enc = IvfSq.encode(model, embs, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = Recall.atK(IvfSq.search(model, enc, qLocal, 10, nprobe = 8), gtL2)
+    enc.unpersist()
+    assert(r >= 0.8, s"ivf_sq8 code-only recall@10 = $r")
+  }
+
   test("embedLsh near-dup at the production band config (64/16, t=0.45) misses no true pair") {
     // t=0.45 is where THIS corpus has pairs (max pair cosine 0.48 at
     // sf0.001) — a higher "production" threshold would grade against an

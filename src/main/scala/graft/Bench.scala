@@ -36,8 +36,8 @@ object Bench {
         // first touch builds the persisted gram-set / band-bucket
         // artifacts (ingest-time cost) — timed runs measure serving
         "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive",
-        // builds pqbooks + pqcodes / ivfpqcodes artifacts
-        "q_pq_search", "q_ivfpq_exhaustive")
+        // builds pqbooks + pqcodes / ivfpqcodes / sqbounds + ivfsqcodes
+        "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

@@ -636,6 +636,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
+    "q_rare_bigrams" -> ((s, dir) => {
+      // corpus-conditioned fluency scoring (the n-gram-LM quality
+      // proxy, integer-exact): rare = corpus P(bigram) <= 1/20000,
+      // probed against the persisted bigram-frequency artifact
+      graft.text.TextAnalysis.bigramNovelty(
+          Tables.documents(s, dir), "doc_id", "text",
+          bigramCountsFor(s, dir))
+        .orderBy("doc_id")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. Handles both
@@ -854,6 +864,13 @@ object SparkEntry {
         .map { case (c, i) => (c.toArray, i) }
       graft.vector.IvfSq.encodeAssigned(centers, sqModelFor(s, dir),
         Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
+  /** Persisted corpus bigram frequencies — the trained "LM" artifact
+    * of the rare-bigram fluency signal. */
+  private[graft] def bigramCountsFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"bgcounts_${sfKey(dir)}") {
+      graft.text.TextAnalysis.bigramCounts(Tables.documents(s, dir), "doc_id", "text")
     }
 
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */
@@ -1148,6 +1165,22 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(l),
         |    w -> len(list_filter(l, x -> x = w)))) / CAST(len(l) AS DOUBLE) AS top_share
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_rare_bigrams" ->
+      """WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |base AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |       ELSE [] END AS bgs FROM tk),
+        |bg AS (SELECT doc_id, unnest(bgs) AS bg FROM base),
+        |cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        |tot AS (SELECT sum(c) AS n FROM cnt),
+        |rare AS (SELECT bg FROM cnt, tot WHERE c * 20000 <= n),
+        |hits AS (SELECT doc_id, count(*) AS n_rare FROM bg JOIN rare USING (bg) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.bgs) AS INT) AS n_bigrams,
+        |  coalesce(h.n_rare, 0) AS n_rare,
+        |  CASE WHEN len(b.bgs) > 0
+        |       THEN CAST(coalesce(h.n_rare, 0) AS DOUBLE) / CAST(len(b.bgs) AS DOUBLE) END AS rare_rate
+        |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,

@@ -163,4 +163,67 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_id"),
         concat(col(titleCol), lit(": "), col("chunk")).as("chunk"))
   }
+
+  /** Adjacent-token bigram array of `textCol` — the shared projection
+    * of the corpus-LM fluency ops below. zip_with over the array and
+    * its own tail; slice lengths clamp at 0 so sub-2-token (and empty)
+    * docs yield an empty array, never a descending `sequence` or a
+    * negative slice. The token array is projected ONCE (`__tk`):
+    * lambda bodies get no common-subexpression elimination, so inline
+    * `split()` references would re-tokenize per use. */
+  private def withBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("__tk"))
+      .select(col(idCol), expr(
+        """zip_with(
+          |  slice(__tk, 1, greatest(size(__tk) - 1, 0)),
+          |  slice(__tk, 2, greatest(size(__tk) - 1, 0)),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin).as("__bg"))
+
+  /** Corpus bigram frequency table (bg, c) — the trained "language
+    * model" of [[bigramNovelty]], and an ingest artifact at scale: one
+    * explode + one groupBy over the corpus, paid once, served forever. */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withBigrams(docs, idCol, textCol)
+      .select(explode(col("__bg")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+
+  /** Corpus-conditioned fluency signal — the n-gram-LM quality proxy
+    * of pretraining pipelines (a KenLM-style perplexity filter without
+    * the float log-probs, so the result is integer-exact and
+    * engine-reproducible): a doc's rate of RARE bigrams, where rare
+    * means corpus probability ≤ 1/invFreq (count · invFreq ≤ total —
+    * pure integer arithmetic; a relative threshold, so the semantics
+    * survive corpus growth where any absolute count cutoff goes
+    * vacuous). High rare_rate = disfluent/novel word sequences; the
+    * canonical use is a drop-or-downweight rule next to the Gopher
+    * repetition stats.
+    *
+    * Returns (id, n_bigrams, n_rare, rare_rate) with rare_rate =
+    * n_rare / n_bigrams (one int/int double division, identical IEEE
+    * in any engine; null for sub-2-token docs).
+    *
+    * 100 TB shape: `counts` is the persisted artifact; the rare set is
+    * a filter over it (the heavy tail — large in a real corpus, so it
+    * is NOT broadcast-hinted: the probe is a plain equi-join on the
+    * bigram key that AQE broadcasts only when it fits); n_bigrams is a
+    * per-row size() projection, so only rare-set membership ever
+    * joins. */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                    counts: DataFrame, invFreq: Long = 20000L): DataFrame = {
+    // one bounded driver scalar (the corpus bigram volume), same
+    // contract as centroid/codebook collects
+    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    val rare = counts.where(col("c") * lit(invFreq) <= lit(total)).select("bg")
+    val base = withBigrams(docs, idCol, textCol)
+    val hits = base.select(col(idCol), explode(col("__bg")).as("bg"))
+      .join(rare, "bg")
+      .groupBy(idCol).agg(count(lit(1)).as("n_rare"))
+    base.select(col(idCol), size(col("__bg")).as("n_bigrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_bigrams") > 0,
+          coalesce(col("n_rare"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double")).as("rare_rate"))
+  }
 }

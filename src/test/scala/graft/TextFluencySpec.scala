@@ -1,0 +1,59 @@
+package graft
+
+import graft.text.TextAnalysis
+
+/** Corpus-conditioned rare-bigram fluency signal: threshold semantics,
+  * edge docs (empty / single-token / null text), and the counts
+  * artifact round-trip. */
+class TextFluencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rare bigrams flag the disfluent doc and only it") {
+    // 10 fluent docs share all their bigrams (c=10 or 20 each); one doc
+    // carries a unique word pair. total = 51 bigram instances; at
+    // invFreq=50 a bigram is rare iff c*50 <= 51, i.e. c=1.
+    val docs = ((0L until 10L).map(i => (i, "a b a b a b")) :+ (99L, "q z"))
+      .toDF("id", "text")
+    val counts = TextAnalysis.bigramCounts(docs, "id", "text")
+    val out = TextAnalysis.bigramNovelty(docs, "id", "text", counts, invFreq = 50L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(99L) == ((1, 1L, Some(1.0))))
+    (0L until 10L).foreach { i =>
+      assert(out(i) == ((5, 0L, Some(0.0))), s"doc $i: ${out(i)}")
+    }
+  }
+
+  test("a corpus-common bigram in a rare context still counts per position") {
+    // the rare bigram occurs TWICE in one doc — both positions count
+    val docs = ((0L until 20L).map(i => (i, "a b a b")) :+ (99L, "q z w q z"))
+      .toDF("id", "text")
+    val counts = TextAnalysis.bigramCounts(docs, "id", "text")
+    // total = 20*3 + 4 = 64; "q z" has c=2: rare iff 2*inv <= 64 (inv <= 32)
+    val out = TextAnalysis.bigramNovelty(docs, "id", "text", counts, invFreq = 16L)
+      .where($"id" === 99L).collect().head
+    // "q z"(x2), "z w", "w q" all rare at c<=4*16<=64: n_rare = 4 of 4
+    assert(out.getInt(1) == 4 && out.getLong(2) == 4L)
+  }
+
+  test("edge docs: empty, single-token, and null texts get zero bigrams and null rate") {
+    val docs = Seq((1L, "a b a b"), (2L, ""), (3L, "solo"), (4L, null))
+      .toDF("id", "text")
+    val counts = TextAnalysis.bigramCounts(docs, "id", "text")
+    val out = TextAnalysis.bigramNovelty(docs, "id", "text", counts)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(2L) == ((0, 0L, None)))
+    assert(out(3L) == ((0, 0L, None)))
+    assert(out(4L) == ((0, 0L, None)))
+    assert(out(1L)._1 == 3)
+  }
+
+  test("counts artifact: frequencies sum to the corpus bigram volume") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x")).toDF("id", "text")
+    val counts = TextAnalysis.bigramCounts(docs, "id", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 1L, "b c" -> 2L, "c d" -> 1L))
+  }
+}

@@ -13,7 +13,7 @@ object ExplainAudit {
         "q_dedup_simhash_verified", "q_lsh_ann",
         "q_det_split", "q_quality_filter", "q_contamination",
         "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline",
-        "q_cluster_reps")
+        "q_cluster_reps", "q_ivfsq_search", "q_rare_bigrams")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

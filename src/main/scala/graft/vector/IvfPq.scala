@@ -62,11 +62,17 @@ object IvfPq {
         (qid, cell, d)
       }.sortBy { case (_, cell, d) => (d, cell) }.take(nprobe)
         .map { case (q, cell, _) => (q, cell) }
-    }.toDF("query_id", "cell")
+    }
+    val probesDf = probes.toDF("query_id", "cell")
 
     val bc = spark.sparkContext.broadcast(PqIndex.adcTables(pq, queries).toMap)
 
-    val cand = encoded.join(broadcast(probes), "cell")
+    // the probed-cell union is driver-known — pushing it as an In()
+    // filter prunes the cell-partitioned code table at FILE LISTING
+    // (PartitionFilters), instead of scanning every cell into the join
+    val probedCells = probes.map(_._2).distinct
+    val cand = encoded.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probesDf), "cell")
       .select(col("query_id"), col("id"), col("codes"))
       .as(Encoders.product[(Long, Long, Array[Int])])
     val scored = cand.mapPartitions { it =>

@@ -636,6 +636,19 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
+    "q_quality_classifier" -> ((s, dir) => {
+      // learned quality filter (GPT-3-style LR over hashed token
+      // counts), distilled from the heuristic quality threshold and
+      // served from the persisted (idx, w) model artifact. Rows-only:
+      // the L-BFGS fit is not SQL-expressible; determinism + held-out
+      // accuracy are pinned in QualityClassifierSpec.
+      val model = qcModelFor(s, dir)
+      graft.ops.QualityClassifier.score(
+          model, Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+        .orderBy("doc_id")
+    }),
+
     "q_rare_bigrams" -> ((s, dir) => {
       // corpus-conditioned fluency scoring (the n-gram-LM quality
       // proxy, integer-exact): rare = corpus P(bigram) <= 1/20000,
@@ -865,6 +878,24 @@ object SparkEntry {
       graft.vector.IvfSq.encodeAssigned(centers, sqModelFor(s, dir),
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
+
+  /** One distilled quality-classifier model per (JVM, sf), persisted
+    * as the (idx, w) artifact and reconstructed from it (same contract
+    * as [[pqModelFor]]). */
+  private val qcModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.QualityClassifier.Model]
+  private def qcModelFor(s: SparkSession, dir: String): graft.ops.QualityClassifier.Model =
+    qcModels.getOrElseUpdate(sfKey(dir), {
+      val nF = 1024
+      val weights = graft.catalog.IndexStore.ensure(s, s"qcmodel_${sfKey(dir)}") {
+        val labeled = graft.text.TextAnalysis
+          .quality(Tables.documents(s, dir), "doc_id", "text", keep = Seq("text"))
+        graft.ops.QualityClassifier.modelDf(
+          graft.ops.QualityClassifier.distill(labeled, "text",
+            col("quality") >= 0.45, numFeatures = nF), s)
+      }
+      graft.ops.QualityClassifier.modelFromDf(weights, nF)
+    })
 
   /** Persisted corpus bigram frequencies — the trained "LM" artifact
     * of the rare-bigram fluency signal. */

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF => MlHashingTF}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned document-quality classifier — the GPT-3-style quality
+  * filter of pretraining pipelines (logistic regression over hashed
+  * token counts, scoring every candidate document against a
+  * known-good positive class; the learned complement of the heuristic
+  * `TextAnalysis.quality` ratios).
+  *
+  * Train: MLlib LogisticRegression on HashingTF features (murmur3
+  * hashed token counts, `numFeatures` buckets) — one distributed fit,
+  * deterministic for a fixed input (L-BFGS over partition-wise
+  * gradient sums; no sampling, no random init).
+  * Score: the model collapses to (intercept, coef[numFeatures]) and
+  * scoring is a PURE column expression — hashed counts via the same
+  * HashingTF, then sigmoid(intercept + Σ feat·coef) as
+  * zip_with/aggregate over the densified feature array. No UDF, no
+  * RDD: at 100 TB the score is a projection at parquet-scan speed
+  * (O(numFeatures) per row — keep numFeatures at the classifier scale,
+  * 1–4k, not the hashing-trick-embedding scale).
+  *
+  * The standard bootstrap has no hand labels: `distill` trains against
+  * a weak label (a heuristic score threshold, or domain membership à
+  * la "reference corpus vs crawl"), which is exactly how production
+  * quality classifiers are seeded.
+  */
+object QualityClassifier {
+
+  /** The portable model: one intercept + one weight per hash bucket.
+    * Persistable as [[modelDf]] (numFeatures tiny rows). */
+  final case class Model(numFeatures: Int, intercept: Double, coef: Array[Double])
+
+  private def withFeatures(docs: DataFrame, textCol: String,
+                           numFeatures: Int): DataFrame = {
+    val tf = new MlHashingTF().setInputCol("__toks").setOutputCol("__feat")
+      .setNumFeatures(numFeatures)
+    tf.transform(docs.withColumn("__toks", split(coalesce(col(textCol), lit("")), " ")))
+  }
+
+  /** Fit on `labelCol` (0.0/1.0). */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            numFeatures: Int = 1024, maxIter: Int = 50,
+            regParam: Double = 0.01): Model = {
+    val data = withFeatures(docs.select(col(textCol), col(labelCol)), textCol, numFeatures)
+    val lr = new LogisticRegression().setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("__feat").setLabelCol(labelCol)
+    val m = lr.fit(data)
+    Model(numFeatures, m.intercept, m.coefficients.toArray)
+  }
+
+  /** Weak-label bootstrap: positives are the rows where `weakLabel`
+    * holds (a heuristic-score threshold, a known-good domain, ...). */
+  def distill(docs: DataFrame, textCol: String, weakLabel: Column,
+              numFeatures: Int = 1024, maxIter: Int = 50,
+              regParam: Double = 0.01): Model =
+    train(docs.withColumn("__label", weakLabel.cast("double")),
+      textCol, "__label", numFeatures, maxIter, regParam)
+
+  /** Model → (idx, w) rows + the intercept at idx = -1 — the
+    * persistable artifact form. */
+  def modelDf(model: Model, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    ((-1, model.intercept) +: model.coef.toSeq.zipWithIndex.map(_.swap))
+      .toDF("idx", "w")
+  }
+
+  def modelFromDf(df: DataFrame, numFeatures: Int): Model = {
+    val coef = new Array[Double](numFeatures)
+    var intercept = 0.0
+    df.select(col("idx"), col("w")).collect().foreach { r =>
+      val i = r.getInt(0)
+      if (i < 0) intercept = r.getDouble(1) else coef(i) = r.getDouble(1)
+    }
+    Model(numFeatures, intercept, coef)
+  }
+
+  /** (id, quality_prob) for every doc — P(high quality). Pure column
+    * expressions end-to-end (see object Scaladoc). */
+  def score(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val feats = withFeatures(docs.select(col(idCol), col(textCol)),
+      textCol, model.numFeatures)
+    val raw = lit(model.intercept) + expr(
+      "aggregate(zip_with(__fa, __cf, (x, w) -> x * w), 0.0d, (acc, v) -> acc + v)")
+    feats
+      .withColumn("__fa", vector_to_array(col("__feat")))
+      .withColumn("__cf", typedLit(model.coef.toSeq))
+      .select(col(idCol), (lit(1.0) / (lit(1.0) + exp(-raw))).as("quality_prob"))
+  }
+
+  /** The apply step: docs scoring at or above `minProb`. */
+  def filterByQuality(model: Model, docs: DataFrame, idCol: String,
+                      textCol: String, minProb: Double): DataFrame =
+    docs.join(score(model, docs, idCol, textCol)
+        .where(col("quality_prob") >= minProb).select(idCol),
+      Seq(idCol), "left_semi")
+}

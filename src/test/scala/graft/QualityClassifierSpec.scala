@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, QualityClassifier}
+import graft.text.TextAnalysis
+
+/** Learned quality filter: the distilled classifier must recover the
+  * weak label on held-out docs, train deterministically, and round-trip
+  * through the persisted model form. */
+class QualityClassifierSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private lazy val labeled = TextAnalysis
+    .quality(docs, "doc_id", "text", keep = Seq("text"))
+    .select(col("doc_id"), col("text"),
+      (col("quality") >= 0.45).cast("double").as("label"))
+    .cache()
+
+  test("distilled classifier recovers the heuristic label on held-out docs") {
+    val split = Curation.hashSplit(labeled, "doc_id", trainPct = 80)
+    val train = split.where(col("split") === "train")
+    val eval = split.where(col("split") === "eval")
+    val model = QualityClassifier.train(train, "text", "label")
+    val scored = QualityClassifier.score(model, eval, "doc_id", "text")
+      .join(eval.select("doc_id", "label"), "doc_id")
+    val agg = scored.select(
+      count(lit(1)).as("n"),
+      sum(when((col("quality_prob") >= 0.5).cast("double") === col("label"), 1L)
+        .otherwise(0L)).as("correct")).collect().head
+    val acc = agg.getLong(1).toDouble / agg.getLong(0)
+    assert(agg.getLong(0) > 50, s"eval split too small: ${agg.getLong(0)}")
+    assert(acc >= 0.85, s"held-out accuracy = $acc")
+  }
+
+  test("training is deterministic: two fits give identical coefficients") {
+    val m1 = QualityClassifier.distill(labeled, "text", col("label") === 1.0)
+    val m2 = QualityClassifier.distill(labeled, "text", col("label") === 1.0)
+    assert(m1.intercept == m2.intercept)
+    assert(m1.coef.toSeq == m2.coef.toSeq)
+  }
+
+  test("model round-trips through the persisted (idx, w) form; scores unchanged") {
+    val model = QualityClassifier.train(labeled, "text", "label")
+    val back = QualityClassifier.modelFromDf(
+      QualityClassifier.modelDf(model, spark), model.numFeatures)
+    assert(back.intercept == model.intercept && back.coef.toSeq == model.coef.toSeq)
+    val a = QualityClassifier.score(model, docs.limit(50), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = QualityClassifier.score(back, docs.limit(50), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("filterByQuality keeps only rows at or above the probability floor") {
+    val model = QualityClassifier.train(labeled, "text", "label")
+    val kept = QualityClassifier.filterByQuality(model, docs, "doc_id", "text", 0.5)
+    val scores = QualityClassifier.score(model, docs, "doc_id", "text")
+    val expected = scores.where(col("quality_prob") >= 0.5).count()
+    assert(kept.count() == expected && expected > 0 && expected < docs.count())
+  }
+}

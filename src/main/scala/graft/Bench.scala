@@ -37,7 +37,10 @@ object Bench {
         // artifacts (ingest-time cost) — timed runs measure serving
         "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive",
         // builds pqbooks + pqcodes / ivfpqcodes / sqbounds + ivfsqcodes
-        "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search")
+        "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search",
+        // builds the bigram-frequency and distilled-classifier artifacts
+        // (ingest-time cost) — timed runs then measure serving
+        "q_rare_bigrams", "q_quality_classifier")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

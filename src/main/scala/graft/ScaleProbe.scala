@@ -55,6 +55,15 @@ object ScaleProbe {
     val qLocal = queries.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toArray))
     run("gemm")(graft.vector.KnnGemm.topKGemm(corpus, "id", "vec", qLocal, "cosine", k))
+
+    // SQ8 coded scan: one uint8 per dim — the scan touches n·dim bytes
+    // instead of n·dim·8, the memory-bandwidth play the family exists
+    // for; the exact rerank restores the self-match the assert demands
+    val sqModel = graft.vector.SqIndex.train(corpus, "vec")
+    val enc = graft.vector.SqIndex.encode(sqModel, corpus, "id", "vec").cache()
+    enc.count()
+    run("sq8")(graft.vector.SqIndex.searchRerank(sqModel, enc, corpus,
+      "id", "vec", qLocal, k, candMult = 10))
     spark.stop()
   }
 }

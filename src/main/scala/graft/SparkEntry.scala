@@ -636,6 +636,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
+    "q_vocab_drift" -> ((s, dir) => {
+      // ingest-drift monitoring: token-frequency comparison between two
+      // corpus slices (here: domains src0-9 vs src10-19 standing in for
+      // accepted-corpus vs incoming-batch). Exact counts + one division
+      // per rate => engine-reproducible full-outer frequency report.
+      val docs = Tables.documents(s, dir)
+      val sideA = docs.where(substring(col("source"), 4, 10).cast("int") < 10)
+      val sideB = docs.where(substring(col("source"), 4, 10).cast("int") >= 10)
+      graft.ops.Curation.vocabDrift(sideA, sideB, "text").orderBy("tok")
+    }),
+
     "q_quality_classifier" -> ((s, dir) => {
       // learned quality filter (GPT-3-style LR over hashed token
       // counts), distilled from the heuristic quality threshold and
@@ -1196,6 +1207,24 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(l),
         |    w -> len(list_filter(l, x -> x = w)))) / CAST(len(l) AS DOUBLE) AS top_share
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_drift" ->
+      """WITH t AS (SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS side,
+        |            unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents),
+        |c AS (SELECT side, tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY side, tok),
+        |tot AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN side = 'a' THEN c END), 0) AS BIGINT) AS na,
+        |    CAST(coalesce(sum(CASE WHEN side = 'b' THEN c END), 0) AS BIGINT) AS nb FROM c),
+        |p AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+        |             coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+        |      FROM (SELECT tok, c FROM c WHERE side = 'a') ca
+        |      FULL OUTER JOIN (SELECT tok, c FROM c WHERE side = 'b') cb USING (tok))
+        |SELECT tok, c_a, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(tot.na AS DOUBLE) AS rate_a,
+        |  CAST(c_b AS DOUBLE) / CAST(tot.nb AS DOUBLE) AS rate_b,
+        |  CAST(c_a AS DOUBLE) / CAST(tot.na AS DOUBLE) -
+        |    CAST(c_b AS DOUBLE) / CAST(tot.nb AS DOUBLE) AS rate_diff
+        |FROM p, tot ORDER BY tok""".stripMargin,
 
     "q_rare_bigrams" ->
       """WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),

@@ -450,6 +450,38 @@ object Curation {
         col("total_tokens").cast("double") / col("n_docs"))
   }
 
+  /** Vocabulary drift report between two corpora — the ingest-monitor
+    * companion of [[corpusStats]] (is today's crawl batch distributed
+    * like the accepted corpus? did a scraper change shift the token
+    * mix?): per token, counts and relative frequencies on both sides
+    * plus the frequency delta. One groupBy per side over exploded
+    * tokens, one full-outer equi-join on the token key — no doc-level
+    * or pairwise work anywhere, so the report costs two token scans at
+    * any corpus size. Totals are two bounded driver scalars (same
+    * contract as the centroid/codebook collects). Counts are exact
+    * integers and each rate is one long/long double division, so the
+    * report is engine-reproducible (DuckDB-oracled). */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val nA = ca.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    val nB = cb.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    val rateA = col("c_a").cast("double") / lit(nA).cast("double")
+    val rateB = col("c_b").cast("double") / lit(nB).cast("double")
+    ca.select(col("tok"), col("c").as("c_a"))
+      .join(cb.select(col("tok"), col("c").as("c_b")), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        rateA.as("rate_a"), rateB.as("rate_b"),
+        (rateA - rateB).as("rate_diff"))
+  }
+
   /** One micro-batch (or one partition of a backfill) through the full
     * curation front door: quality-score and threshold, apply the
     * deterministic domain mix, then re-key each surviving doc by its

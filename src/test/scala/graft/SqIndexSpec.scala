@@ -103,6 +103,18 @@ class SqIndexSpec extends SparkSpec {
     assert(cellsPerQuery.forall(_.getLong(1) <= 2))
   }
 
+  test("contract edges: string ids rejected, empty corpus untrainable") {
+    import org.apache.spark.sql.functions.col
+    val model = SqIndex.train(embs, "embedding")
+    val strIds = embs.select(col("vec_id").cast("string").as("sid"), col("embedding"))
+    assertThrows[IllegalArgumentException] {
+      SqIndex.encode(model, strIds, "sid", "embedding")
+    }
+    assertThrows[IllegalArgumentException] {
+      SqIndex.train(embs.where(col("vec_id") < 0), "embedding")
+    }
+  }
+
   test("IVF_SQ8 stays live across upsert; exhaustive search equals exact") {
     val root = Files.createTempDirectory("graft-ivfsqinc").toString
     val rnd = new scala.util.Random(37)

@@ -50,6 +50,18 @@ class TextFluencySpec extends SparkSpec {
     assert(out(1L)._1 == 3)
   }
 
+  test("vocabDrift: one-sided tokens, shared tokens, and rates line up") {
+    val a = Seq((1L, "x x y"), (2L, "x z")).toDF("id", "text")   // 5 toks
+    val b = Seq((3L, "y y z z"), (4L, null)).toDF("id", "text")  // 4 toks
+    val out = graft.ops.Curation.vocabDrift(a, b, "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set("x", "y", "z"))
+    assert(out("x") == ((3L, 0L, 3.0 / 5.0, 0.0)))
+    assert(out("y") == ((1L, 2L, 1.0 / 5.0, 2.0 / 4.0)))
+    assert(out("z") == ((1L, 2L, 1.0 / 5.0, 2.0 / 4.0)))
+  }
+
   test("counts artifact: frequencies sum to the corpus bigram volume") {
     val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x")).toDF("id", "text")
     val counts = TextAnalysis.bigramCounts(docs, "id", "text").collect()

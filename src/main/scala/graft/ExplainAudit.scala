@@ -13,7 +13,8 @@ object ExplainAudit {
         "q_dedup_simhash_verified", "q_lsh_ann",
         "q_det_split", "q_quality_filter", "q_contamination",
         "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline",
-        "q_cluster_reps", "q_ivfsq_search", "q_rare_bigrams")
+        "q_cluster_reps", "q_ivfsq_search", "q_rare_bigrams",
+        "q_quality_classifier", "q_vocab_drift")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

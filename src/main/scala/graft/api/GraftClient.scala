@@ -1148,6 +1148,53 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
   }
 
+  /** Train + persist the distilled document-quality model (the
+    * curation front door's learned filter — no reference counterpart;
+    * see [[graft.ops.QualityClassifier]]): logistic regression over
+    * hashed token counts, weak-labeled by the heuristic quality
+    * threshold. The model is a SNAPSHOT, not a row index: it stays
+    * valid (and persisted) across upserts/deletes — mutations never
+    * invalidate it, a retrain is an explicit call. */
+  def trainQualityModel(textCol: String = "text", threshold: Double = 0.45,
+                        numFeatures: Int = 1024): Unit = {
+    require(df.columns.contains(textCol), s"no such field: $textCol")
+    val labeled = graft.text.TextAnalysis.quality(df, idCol, textCol,
+      keep = Seq(textCol).filterNot(_ == idCol))
+    val model = graft.ops.QualityClassifier.distill(labeled, textCol,
+      col("quality") >= threshold, numFeatures)
+    catalog.createCollectionIfNotExists(db, GraftCollection.qcWeights(coll))
+    catalog.write(db, GraftCollection.qcWeights(coll),
+      graft.ops.QualityClassifier.modelDf(model, spark))
+    catalog.updateMeta(db, coll, Map(
+      "model.qc.num_features" -> numFeatures.toString,
+      "model.qc.text_col" -> textCol,
+      "model.qc.threshold" -> threshold.toString))
+  }
+
+  /** (id, quality_prob) for every stored doc, served from the
+    * persisted model — pure-expression scoring, no UDF. */
+  def scoreQuality(): DataFrame = {
+    val meta = describe
+    require(meta.contains("model.qc.num_features"),
+      "no quality model: run trainQualityModel first")
+    val model = graft.ops.QualityClassifier.modelFromDf(
+      catalog.read(db, GraftCollection.qcWeights(coll)),
+      meta("model.qc.num_features").toInt)
+    graft.ops.QualityClassifier.score(model, df, idCol, meta("model.qc.text_col"))
+  }
+
+  /** The apply step: stored docs scoring at or above `minProb`. */
+  def qualityFilter(minProb: Double): DataFrame = {
+    val meta = describe
+    require(meta.contains("model.qc.num_features"),
+      "no quality model: run trainQualityModel first")
+    val model = graft.ops.QualityClassifier.modelFromDf(
+      catalog.read(db, GraftCollection.qcWeights(coll)),
+      meta("model.qc.num_features").toInt)
+    graft.ops.QualityClassifier.filterByQuality(model, df, idCol,
+      meta("model.qc.text_col"), minProb)
+  }
+
   /** IVF_PQ search served from the persisted artifacts: probe ranking
     * from stored centroids, ADC from stored codebooks, candidates from
     * the cell-partitioned code table. `candMult = None` is the pure
@@ -1561,6 +1608,7 @@ object GraftCollection {
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
   private[api] def ivfPqCentroids(coll: String): String = coll + "__ivfpq_centroids"
   private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
+  private[api] def qcWeights(coll: String): String = coll + "__qc_weights"
   private[api] def ivfSqCodes(coll: String): String = coll + "__ivfsq_codes"
   private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"

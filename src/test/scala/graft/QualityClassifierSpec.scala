@@ -53,6 +53,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("client: quality model persists, serves in a fresh client, survives upsert") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-qc").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("d")
+    coll.upsert(docs.limit(200).select(col("doc_id").as("id"), col("text")))
+    coll.trainQualityModel()
+    val probs = coll.scoreQuality().collect()
+    assert(probs.length == 200 &&
+      probs.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+
+    // a later session serves from the stored (idx, w) artifact
+    val again = new graft.api.GraftClient(spark, root).database("db").collection("d")
+    val kept = again.qualityFilter(0.5)
+    assert(kept.count() == probs.count(_.getDouble(1) >= 0.5))
+
+    // mutations do NOT invalidate the model (it is a snapshot, not a
+    // row index): scoring covers the new row too
+    again.upsert(Seq((999999L, "the quick spark table join")).toDF("id", "text"))
+    val after = again.scoreQuality()
+    assert(after.count() == 201 &&
+      after.where(col("id") === 999999L).count() == 1)
+  }
+
   test("filterByQuality keeps only rows at or above the probability floor") {
     val model = QualityClassifier.train(labeled, "text", "label")
     val kept = QualityClassifier.filterByQuality(model, docs, "doc_id", "text", 0.5)

@@ -1171,27 +1171,34 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "model.qc.threshold" -> threshold.toString))
   }
 
+  private def qcStoredModel(meta: Map[String, String]): graft.ops.QualityClassifier.Model = {
+    require(meta.contains("model.qc.num_features"),
+      "no quality model: run trainQualityModel first")
+    graft.ops.QualityClassifier.modelFromDf(
+      catalog.read(db, GraftCollection.qcWeights(coll)),
+      meta("model.qc.num_features").toInt)
+  }
+
   /** (id, quality_prob) for every stored doc, served from the
     * persisted model — pure-expression scoring, no UDF. */
   def scoreQuality(): DataFrame = {
     val meta = describe
-    require(meta.contains("model.qc.num_features"),
-      "no quality model: run trainQualityModel first")
-    val model = graft.ops.QualityClassifier.modelFromDf(
-      catalog.read(db, GraftCollection.qcWeights(coll)),
-      meta("model.qc.num_features").toInt)
-    graft.ops.QualityClassifier.score(model, df, idCol, meta("model.qc.text_col"))
+    graft.ops.QualityClassifier.score(qcStoredModel(meta), df, idCol,
+      meta("model.qc.text_col"))
   }
+
+  /** Score an ARBITRARY batch against the stored model — the streaming
+    * front door's learned gate (see
+    * [[graft.streaming.Streams.curatedIngest]] minClassifierProb). */
+  def scoreQualityOf(batch: DataFrame, batchIdCol: String,
+                     batchTextCol: String): DataFrame =
+    graft.ops.QualityClassifier.score(qcStoredModel(describe), batch,
+      batchIdCol, batchTextCol)
 
   /** The apply step: stored docs scoring at or above `minProb`. */
   def qualityFilter(minProb: Double): DataFrame = {
     val meta = describe
-    require(meta.contains("model.qc.num_features"),
-      "no quality model: run trainQualityModel first")
-    val model = graft.ops.QualityClassifier.modelFromDf(
-      catalog.read(db, GraftCollection.qcWeights(coll)),
-      meta("model.qc.num_features").toInt)
-    graft.ops.QualityClassifier.filterByQuality(model, df, idCol,
+    graft.ops.QualityClassifier.filterByQuality(qcStoredModel(meta), df, idCol,
       meta("model.qc.text_col"), minProb)
   }
 

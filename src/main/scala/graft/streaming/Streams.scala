@@ -105,6 +105,15 @@ object Streams {
     * (O(batch) per batch, pushed In(h) pruning), so here too the
     * collection IS the dedup state.
     *
+    * `minClassifierProb` (requires a stored quality model,
+    * [[graft.api.GraftCollection.trainQualityModel]]) adds the LEARNED
+    * quality gate next to the heuristic one: each batch is scored
+    * against the persisted model (a pure projection — O(batch), no
+    * state) and rows below the probability floor drop at the door. The
+    * heuristic floor (`minQuality`) and the learned floor compose; the
+    * canonical pipeline bootstraps the model from the heuristic, then
+    * gates the stream on both.
+    *
     * Curation params mirror [[graft.ops.Curation.curateBatch]]. */
   def curatedIngest(docs: DataFrame, coll: graft.api.GraftCollection,
                     checkpoint: String, idCol: String = "doc_id",
@@ -112,7 +121,8 @@ object Streams {
                     weights: Map[String, Double] = Map.empty,
                     defaultWeight: Double = 1.0,
                     minQuality: Double = 0.0,
-                    nearDupThreshold: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                    nearDupThreshold: Option[Double] = None,
+                    minClassifierProb: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -120,9 +130,18 @@ object Streams {
         // persist BEFORE the emptiness probe: curation carries scoring,
         // sampling, hashing, and a dedup shuffle — unpersisted, the
         // isEmpty check and the upsert would each run the whole plan
-        val curated = graft.ops.Curation.curateBatch(
-            batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val curated0 = graft.ops.Curation.curateBatch(
+          batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
+        // learned gate first: a pure projection+semi-join over the
+        // batch, so it rides inside the same persisted plan
+        val curated = (minClassifierProb match {
+          case Some(p) => curated0.join(
+            coll.scoreQualityOf(curated0, "id", textCol)
+              .where(org.apache.spark.sql.functions.col("quality_prob") >= p)
+              .select("id"),
+            Seq("id"), "left_semi")
+          case None => curated0
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
         // the snapshot rewrite, same as the restart-recovery guard above
         try {

@@ -77,6 +77,38 @@ class QualityClassifierSpec extends SparkSpec {
       after.where(col("id") === 999999L).count() == 1)
   }
 
+  test("streaming: curatedIngest gates micro-batches on the stored model") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-qc-stream").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("g")
+    // seed corpus where the heuristic separates long/stopword docs from
+    // one-token junk, then bootstrap the model from it
+    val long = "the cat sat on the mat and the dog is here to stay in peace"
+    val seed = ((0L until 15L).map(i => (i, long + s" v$i", "web")) ++
+      (15L until 30L).map(i => (i, s"x$i", "web")))
+      .toDF("doc_id", "text", "source")
+    coll.upsert(graft.ops.Curation.curateBatch(seed, "doc_id", "text", "source"))
+    coll.trainQualityModel()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qc-stream-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    // no heuristic floor — the LEARNED gate does the filtering
+    val q = graft.streaming.Streams.curatedIngest(
+      in.toDF().toDF("doc_id", "text", "source"), coll, ckpt,
+      minClassifierProb = Some(0.5))
+    try {
+      val before = coll.count()
+      in.addData((100L, long + " fresh arrival", "web"), (101L, "x999", "web"))
+      q.processAllAvailable()
+      assert(coll.count() == before + 1, "exactly the fluent doc passes the gate")
+      assert(coll.df.where(col("text") === (long + " fresh arrival")).count() == 1)
+      assert(coll.df.where(col("text") === "x999").count() == 0)
+    } finally q.stop()
+  }
+
   test("filterByQuality keeps only rows at or above the probability floor") {
     val model = QualityClassifier.train(labeled, "text", "label")
     val kept = QualityClassifier.filterByQuality(model, docs, "doc_id", "text", 0.5)

@@ -1209,9 +1209,10 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_vocab_drift" ->
-      """WITH t AS (SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS side,
+      """WITH t AS (SELECT CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'a'
+        |                 WHEN TRY_CAST(substr(source, 4) AS INT) >= 10 THEN 'b' END AS side,
         |            unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents),
-        |c AS (SELECT side, tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY side, tok),
+        |c AS (SELECT side, tok, count(*) AS c FROM t WHERE tok <> '' AND side IS NOT NULL GROUP BY side, tok),
         |tot AS (SELECT
         |    CAST(coalesce(sum(CASE WHEN side = 'a' THEN c END), 0) AS BIGINT) AS na,
         |    CAST(coalesce(sum(CASE WHEN side = 'b' THEN c END), 0) AS BIGINT) AS nb FROM c),

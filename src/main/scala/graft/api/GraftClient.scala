@@ -1195,6 +1195,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     graft.ops.QualityClassifier.score(qcStoredModel(describe), batch,
       batchIdCol, batchTextCol)
 
+  /** Batch rows at or above the stored model's probability floor —
+    * ONE scan of the batch (a where() over the scored projection, no
+    * self-join): what [[graft.streaming.Streams.curatedIngest]] runs
+    * per micro-batch. */
+  def qualityGateOf(batch: DataFrame, batchTextCol: String,
+                    minProb: Double): DataFrame =
+    graft.ops.QualityClassifier.filterByQuality(qcStoredModel(describe),
+      batch, idCol, batchTextCol, minProb)
+
   /** The apply step: stored docs scoring at or above `minProb`. */
   def qualityFilter(minProb: Double): DataFrame = {
     val meta = describe

@@ -456,20 +456,29 @@ object Curation {
     * mix?): per token, counts and relative frequencies on both sides
     * plus the frequency delta. One groupBy per side over exploded
     * tokens, one full-outer equi-join on the token key — no doc-level
-    * or pairwise work anywhere, so the report costs two token scans at
-    * any corpus size. Totals are two bounded driver scalars (same
-    * contract as the centroid/codebook collects). Counts are exact
-    * integers and each rate is one long/long double division, so the
-    * report is engine-reproducible (DuckDB-oracled). */
+    * or pairwise work anywhere, so the report costs one groupBy token
+    * scan plus one projection-only count scan per side at any corpus
+    * size (the totals come from a shuffle-free size() sum — NOT from
+    * re-running the groupBy plan, which would double the dominant
+    * cost). Totals are two bounded driver scalars (same contract as
+    * the centroid/codebook collects); sum(size(filter(...))) over docs
+    * equals sum over the grouped counts exactly, so the rates stay
+    * engine-reproducible (DuckDB-oracled): exact integer counts, one
+    * long/long double division per rate. */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(d: DataFrame) = d
       .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
+    def total(d: DataFrame): Long = d
+      .agg(coalesce(sum(size(expr(
+          s"""filter(split(coalesce($textCol, ''), ' '), x -> x != '')"""))
+        .cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
     val ca = counts(a)
     val cb = counts(b)
-    val nA = ca.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
-    val nB = cb.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    val nA = total(a)
+    val nB = total(b)
     val rateA = col("c_a").cast("double") / lit(nA).cast("double")
     val rateB = col("c_b").cast("double") / lit(nB).cast("double")
     ca.select(col("tok"), col("c").as("c_a"))

@@ -79,23 +79,36 @@ object QualityClassifier {
     Model(numFeatures, intercept, coef)
   }
 
-  /** (id, quality_prob) for every doc — P(high quality). Pure column
-    * expressions end-to-end (see object Scaladoc). */
-  def score(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val feats = withFeatures(docs.select(col(idCol), col(textCol)),
-      textCol, model.numFeatures)
+  private val InternalCols = Seq("__toks", "__feat", "__fa", "__cf", "quality_prob")
+
+  /** `docs` with a `quality_prob` column appended — ONE scan, all
+    * caller columns kept, pure column expressions end-to-end (see
+    * object Scaladoc). The single-scan primitive behind [[score]] and
+    * [[filterByQuality]] (a DataFrame-returning score + semi-join
+    * would re-featurize the corpus twice for a row-local predicate). */
+  def withScore(model: Model, docs: DataFrame, textCol: String): DataFrame = {
+    val clash = docs.columns.toSet.intersect(InternalCols.toSet)
+    require(clash.isEmpty,
+      s"input carries reserved scoring column name(s): ${clash.mkString(", ")}")
     val raw = lit(model.intercept) + expr(
       "aggregate(zip_with(__fa, __cf, (x, w) -> x * w), 0.0d, (acc, v) -> acc + v)")
-    feats
+    withFeatures(docs, textCol, model.numFeatures)
       .withColumn("__fa", vector_to_array(col("__feat")))
       .withColumn("__cf", typedLit(model.coef.toSeq))
-      .select(col(idCol), (lit(1.0) / (lit(1.0) + exp(-raw))).as("quality_prob"))
+      .withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-raw)))
+      .drop("__toks", "__feat", "__fa", "__cf")
   }
 
-  /** The apply step: docs scoring at or above `minProb`. */
+  /** (id, quality_prob) for every doc — P(high quality). */
+  def score(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withScore(model, docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("quality_prob"))
+
+  /** The apply step: docs scoring at or above `minProb` — a where()
+    * over the single scored scan, never a self-join. */
   def filterByQuality(model: Model, docs: DataFrame, idCol: String,
                       textCol: String, minProb: Double): DataFrame =
-    docs.join(score(model, docs, idCol, textCol)
-        .where(col("quality_prob") >= minProb).select(idCol),
-      Seq(idCol), "left_semi")
+    withScore(model, docs, textCol)
+      .where(col("quality_prob") >= minProb)
+      .drop("quality_prob")
 }

@@ -132,14 +132,10 @@ object Streams {
         // isEmpty check and the upsert would each run the whole plan
         val curated0 = graft.ops.Curation.curateBatch(
           batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
-        // learned gate first: a pure projection+semi-join over the
-        // batch, so it rides inside the same persisted plan
+        // learned gate: a where() over the scored single scan — the
+        // curateBatch plan runs ONCE, never duplicated across a join
         val curated = (minClassifierProb match {
-          case Some(p) => curated0.join(
-            coll.scoreQualityOf(curated0, "id", textCol)
-              .where(org.apache.spark.sql.functions.col("quality_prob") >= p)
-              .select("id"),
-            Seq("id"), "left_semi")
+          case Some(p) => coll.qualityGateOf(curated0, textCol, p)
           case None => curated0
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip

@@ -211,8 +211,10 @@ object TextAnalysis {
   def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
                     counts: DataFrame, invFreq: Long = 20000L): DataFrame = {
     // one bounded driver scalar (the corpus bigram volume), same
-    // contract as centroid/codebook collects
-    val total = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    // contract as centroid/codebook collects; coalesce: a corpus of
+    // sub-2-token docs has ZERO count rows and sum(empty) is null
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
+      .collect()(0).getLong(0)
     val rare = counts.where(col("c") * lit(invFreq) <= lit(total)).select("bg")
     val base = withBigrams(docs, idCol, textCol)
     val hits = base.select(col(idCol), explode(col("__bg")).as("bg"))

@@ -48,25 +48,30 @@ object SqIndex {
     Model(dim, vmin, vdelta)
   }
 
-  /** Model → (pos, vmin, vmax) rows, the persistable form of the
-    * bounds (`dim` tiny rows; dim itself rides in collection meta). */
+  /** Model → (pos, vmin, vdelta) rows, the persistable form of the
+    * bounds (`dim` tiny rows; dim itself rides in collection meta).
+    * vdelta is persisted VERBATIM — synthesizing vmax and re-deriving
+    * (vmax-vmin)/255 at load drifts 1 ulp on ~0.02% of IEEE (lo,hi)
+    * pairs, which would make a later session decode with a slightly
+    * different quantizer than the one that coded the segments. */
   def boundsDf(model: Model, spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     (0 until model.dim)
-      .map(i => (i, model.vmin(i), model.vmin(i) + model.vdelta(i) * 255.0))
-      .toDF("pos", "vmin", "vmax")
+      .map(i => (i, model.vmin(i), model.vdelta(i)))
+      .toDF("pos", "vmin", "vdelta")
   }
 
   /** Rebuild a [[Model]] from persisted bounds rows — the serving path
-    * of an index trained in an earlier session. */
+    * of an index trained in an earlier session. Bit-exact: see
+    * [[boundsDf]]. */
   def modelFromDf(df: DataFrame, dim: Int): Model = {
     val vmin = new Array[Double](dim)
     val vdelta = new Array[Double](dim)
     val seen = new Array[Boolean](dim)
-    df.select(col("pos"), col("vmin"), col("vmax")).collect().foreach { r =>
+    df.select(col("pos"), col("vmin"), col("vdelta")).collect().foreach { r =>
       val p = r.getInt(0)
       vmin(p) = r.getDouble(1)
-      vdelta(p) = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      vdelta(p) = r.getDouble(2)
       seen(p) = true
     }
     require(seen.forall(identity), s"incomplete SQ bounds for dim=$dim")

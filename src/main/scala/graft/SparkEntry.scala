@@ -636,6 +636,18 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
 
+    "q_temp_sample" -> ((s, dir) => {
+      // temperature-based domain rebalancing (T=2): keep rate per
+      // domain = sqrt(c_min/c_d) — head domains flatten toward the
+      // tail, content-addressed like q_domain_mix. sqrt is correctly
+      // rounded in IEEE, so the derived integer thresholds reproduce
+      // bit-identically in the oracle.
+      graft.ops.Curation.temperatureSample(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1207,6 +1219,16 @@ object SparkEntry {
         |  list_max(list_transform(list_distinct(l),
         |    w -> len(list_filter(l, x -> x = w)))) / CAST(len(l) AS DOUBLE) AS top_share
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_temp_sample" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |m AS (SELECT min(c) AS cmin FROM c),
+        |r AS (SELECT source,
+        |        CAST(floor(sqrt(CAST(m.cmin AS DOUBLE) / CAST(c.c AS DOUBLE)) * 10000) AS INT) AS thr
+        |      FROM c, m)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000 AS INT) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_vocab_drift" ->
       """WITH t AS (SELECT CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'a'

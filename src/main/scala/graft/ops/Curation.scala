@@ -264,6 +264,42 @@ object Curation {
     docs.where(coalesce(saltedBucket(col(idCol), ":mix", buckets), lit(0)) < thresh)
   }
 
+  /** Temperature-based domain rebalancing at T = 2 — the multilingual-
+    * pretraining mixing rule (sample domain d proportionally to
+    * c_d^(1/T) instead of its raw count c_d, so head domains flatten
+    * toward the tail without ever upsampling): per-doc keep rate
+    * rate_d = sqrt(c_min / c_d), i.e. the smallest domain keeps
+    * everything and a domain k× larger keeps sqrt(1/k) of its docs.
+    *
+    * T is FIXED at 2 deliberately: sqrt is correctly rounded in IEEE
+    * 754 on every engine, so the derived per-domain thresholds —
+    * floor(sqrt(c_min/c_d) · buckets), exact integer compares against
+    * the same salted-hash bucket as [[sampleByWeights]] — reproduce
+    * bit-identically cross-engine (DuckDB-oracled). A general pow(x,
+    * 1/T) is NOT correctly rounded and would put boundary docs at the
+    * mercy of each engine's libm; arbitrary fixed rates already exist
+    * via [[sampleByWeights]].
+    *
+    * Domain counts are one tiny agg collected to the driver (bounded
+    * by the number of domains, same contract as the centroid
+    * collects); the sample itself is a pure filter projection — the
+    * corpus never shuffles. */
+  def temperatureSample(docs: DataFrame, idCol: String, domainCol: String,
+                        buckets: Int = 10000): DataFrame = {
+    val counts = docs.groupBy(col(domainCol).cast("string").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1 != null) // null-domain docs keep threshold 0 (dropped)
+    require(counts.nonEmpty, "cannot temperature-sample an empty corpus")
+    val cMin = counts.map(_._2).min
+    val thresh = counts.sortBy(_._1).foldLeft(lit(0)) { case (acc, (d, c)) =>
+      when(col(domainCol).cast("string") === d,
+        lit(math.floor(math.sqrt(cMin.toDouble / c.toDouble) * buckets).toInt))
+        .otherwise(acc)
+    }
+    docs.where(coalesce(saltedBucket(col(idCol), ":temp", buckets), lit(0)) < thresh)
+  }
+
   /** Deterministic sequence packing — the materialization step that
     * turns a curated corpus into fixed-token-budget training rows:
     * documents are concatenated in a canonical order and sliced into

@@ -45,6 +45,24 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("temperatureSample flattens head domains toward the tail, never upsamples") {
+    import spark.implicits._
+    // skewed corpus: domain a 8x domain b -> a keeps ~sqrt(1/8)=35%,
+    // b (the smallest) keeps everything
+    val docs = ((0L until 1600L).map(i => (i, "a")) ++
+      (10000L until 10200L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val kept = Curation.temperatureSample(docs, "doc_id", "source")
+    val byDomain = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("b") == 200L, s"smallest domain must keep all: $byDomain")
+    val aRate = byDomain("a").toDouble / 1600.0
+    assert(math.abs(aRate - math.sqrt(200.0 / 1600.0)) < 0.05,
+      s"head domain keep rate $aRate should be ~sqrt(1/8)")
+    // the filter is a pure projection: no corpus shuffle
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("sampleByWeights applies per-domain rates and does not correlate with hashSplit") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source")
     val mixed = Curation.sampleByWeights(docs, "doc_id", "source",

@@ -1222,7 +1222,7 @@ object SparkEntry {
 
     "q_temp_sample" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
-        |m AS (SELECT min(c) AS cmin FROM c),
+        |m AS (SELECT min(c) AS cmin FROM c WHERE source IS NOT NULL),
         |r AS (SELECT source,
         |        CAST(floor(sqrt(CAST(m.cmin AS DOUBLE) / CAST(c.c AS DOUBLE)) * 10000) AS INT) AS thr
         |      FROM c, m)

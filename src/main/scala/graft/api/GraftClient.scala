@@ -1202,12 +1202,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def qualityGateOf(batch: DataFrame, batchTextCol: String,
                     minProb: Double): DataFrame =
     graft.ops.QualityClassifier.filterByQuality(qcStoredModel(describe),
-      batch, idCol, batchTextCol, minProb)
+      batch, batchTextCol, minProb)
 
   /** The apply step: stored docs scoring at or above `minProb`. */
   def qualityFilter(minProb: Double): DataFrame = {
     val meta = describe
-    graft.ops.QualityClassifier.filterByQuality(qcStoredModel(meta), df, idCol,
+    graft.ops.QualityClassifier.filterByQuality(qcStoredModel(meta), df,
       meta("model.qc.text_col"), minProb)
   }
 

@@ -285,12 +285,19 @@ object Curation {
     * collects); the sample itself is a pure filter projection — the
     * corpus never shuffles. */
   def temperatureSample(docs: DataFrame, idCol: String, domainCol: String,
-                        buckets: Int = 10000): DataFrame = {
+                        buckets: Int = 10000, maxDomains: Int = 1000): DataFrame = {
     val counts = docs.groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .filter(_._1 != null) // null-domain docs keep threshold 0 (dropped)
     require(counts.nonEmpty, "cannot temperature-sample an empty corpus")
+    // the per-domain thresholds become one when-chain expression, so
+    // domain cardinality bounds BOTH the driver collect and the plan
+    // size — a high-cardinality column (URL host, author id) needs a
+    // coarser domain key, not a million-branch CASE
+    require(counts.length <= maxDomains,
+      s"domain column '$domainCol' has ${counts.length} distinct values " +
+        s"(max $maxDomains): temperature-sample over a coarser domain key")
     val cMin = counts.map(_._2).min
     val thresh = counts.sortBy(_._1).foldLeft(lit(0)) { case (acc, (d, c)) =>
       when(col(domainCol).cast("string") === d,
@@ -507,9 +514,9 @@ object Curation {
       .where(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("c"))
     def total(d: DataFrame): Long = d
-      .agg(coalesce(sum(size(expr(
-          s"""filter(split(coalesce($textCol, ''), ' '), x -> x != '')"""))
-        .cast("long")), lit(0L)))
+      .agg(coalesce(sum(size(filter(
+          split(coalesce(col(textCol), lit("")), " "),
+          t => t =!= "")).cast("long")), lit(0L)))
       .collect()(0).getLong(0)
     val ca = counts(a)
     val cb = counts(b)

@@ -79,15 +79,20 @@ object QualityClassifier {
     Model(numFeatures, intercept, coef)
   }
 
-  private val InternalCols = Seq("__toks", "__feat", "__fa", "__cf", "quality_prob")
+  private val InternalCols = Seq("__toks", "__feat", "__fa", "__cf", "__qprob")
 
-  /** `docs` with a `quality_prob` column appended — ONE scan, all
-    * caller columns kept, pure column expressions end-to-end (see
+  /** `docs` with the probability appended under `outCol` — ONE scan,
+    * all caller columns kept, pure column expressions end-to-end (see
     * object Scaladoc). The single-scan primitive behind [[score]] and
     * [[filterByQuality]] (a DataFrame-returning score + semi-join
-    * would re-featurize the corpus twice for a row-local predicate). */
-  def withScore(model: Model, docs: DataFrame, textCol: String): DataFrame = {
-    val clash = docs.columns.toSet.intersect(InternalCols.toSet)
+    * would re-featurize the corpus twice for a row-local predicate).
+    * Only the "__" working names are reserved (the repo-wide internal
+    * prefix) — [[filterByQuality]] stages through `__qprob`, so a
+    * caller frame already carrying a `quality_prob` column (e.g. a
+    * persisted [[score]] output) passes through untouched. */
+  private def withScoreAs(model: Model, docs: DataFrame, textCol: String,
+                          outCol: String): DataFrame = {
+    val clash = docs.columns.toSet.intersect(InternalCols.toSet + outCol)
     require(clash.isEmpty,
       s"input carries reserved scoring column name(s): ${clash.mkString(", ")}")
     val raw = lit(model.intercept) + expr(
@@ -95,9 +100,13 @@ object QualityClassifier {
     withFeatures(docs, textCol, model.numFeatures)
       .withColumn("__fa", vector_to_array(col("__feat")))
       .withColumn("__cf", typedLit(model.coef.toSeq))
-      .withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-raw)))
+      .withColumn(outCol, lit(1.0) / (lit(1.0) + exp(-raw)))
       .drop("__toks", "__feat", "__fa", "__cf")
   }
+
+  /** `docs` + a public `quality_prob` column, one scan. */
+  def withScore(model: Model, docs: DataFrame, textCol: String): DataFrame =
+    withScoreAs(model, docs, textCol, "quality_prob")
 
   /** (id, quality_prob) for every doc — P(high quality). */
   def score(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -105,10 +114,11 @@ object QualityClassifier {
       .select(col(idCol), col("quality_prob"))
 
   /** The apply step: docs scoring at or above `minProb` — a where()
-    * over the single scored scan, never a self-join. */
-  def filterByQuality(model: Model, docs: DataFrame, idCol: String,
+    * over the single scored scan, never a self-join. All caller
+    * columns pass through unchanged (including any `quality_prob`). */
+  def filterByQuality(model: Model, docs: DataFrame,
                       textCol: String, minProb: Double): DataFrame =
-    withScore(model, docs, textCol)
-      .where(col("quality_prob") >= minProb)
-      .drop("quality_prob")
+    withScoreAs(model, docs, textCol, "__qprob")
+      .where(col("__qprob") >= minProb)
+      .drop("__qprob")
 }

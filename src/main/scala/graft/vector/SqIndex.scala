@@ -62,16 +62,22 @@ object SqIndex {
   }
 
   /** Rebuild a [[Model]] from persisted bounds rows — the serving path
-    * of an index trained in an earlier session. Bit-exact: see
-    * [[boundsDf]]. */
+    * of an index trained in an earlier session. Bit-exact for the
+    * (pos, vmin, vdelta) form; bounds persisted by the earlier
+    * (pos, vmin, vmax) format still load via the re-derivation they
+    * were written under. */
   def modelFromDf(df: DataFrame, dim: Int): Model = {
     val vmin = new Array[Double](dim)
     val vdelta = new Array[Double](dim)
     val seen = new Array[Boolean](dim)
-    df.select(col("pos"), col("vmin"), col("vdelta")).collect().foreach { r =>
+    val hasDelta = df.columns.contains("vdelta")
+    val third = if (hasDelta) col("vdelta") else col("vmax")
+    df.select(col("pos"), col("vmin"), third).collect().foreach { r =>
       val p = r.getInt(0)
       vmin(p) = r.getDouble(1)
-      vdelta(p) = r.getDouble(2)
+      vdelta(p) =
+        if (hasDelta) r.getDouble(2)
+        else (r.getDouble(2) - r.getDouble(1)) / 255.0
       seen(p) = true
     }
     require(seen.forall(identity), s"incomplete SQ bounds for dim=$dim")

@@ -111,7 +111,7 @@ class QualityClassifierSpec extends SparkSpec {
 
   test("filterByQuality keeps only rows at or above the probability floor") {
     val model = QualityClassifier.train(labeled, "text", "label")
-    val kept = QualityClassifier.filterByQuality(model, docs, "doc_id", "text", 0.5)
+    val kept = QualityClassifier.filterByQuality(model, docs, "text", 0.5)
     val scores = QualityClassifier.score(model, docs, "doc_id", "text")
     val expected = scores.where(col("quality_prob") >= 0.5).count()
     assert(kept.count() == expected && expected > 0 && expected < docs.count())

@@ -164,28 +164,35 @@ object TextAnalysis {
         concat(col(titleCol), lit(": "), col("chunk")).as("chunk"))
   }
 
-  /** Adjacent-token bigram array of `textCol` — the shared projection
-    * of the corpus-LM fluency ops below. zip_with over the array and
-    * its own tail; slice lengths clamp at 0 so sub-2-token (and empty)
-    * docs yield an empty array, never a descending `sequence` or a
-    * negative slice. The token array is projected ONCE (`__tk`):
-    * lambda bodies get no common-subexpression elimination, so inline
-    * `split()` references would re-tokenize per use. */
-  private def withBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Adjacent-token n-gram array of `textCol` — the shared projection
+    * of the corpus-LM fluency ops below. The `when` guard keeps
+    * sub-n-token (and empty) docs at an empty array — without it
+    * `sequence(0, negative)` DESCENDS instead of returning empty. The
+    * token array is projected ONCE (`__tk`): lambda bodies get no
+    * common-subexpression elimination, so inline `split()` references
+    * would re-tokenize per use. */
+  private def withNgrams(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
     docs.select(col(idCol), split(coalesce(col(textCol), lit("")), " ").as("__tk"))
-      .select(col(idCol), expr(
-        """zip_with(
-          |  slice(__tk, 1, greatest(size(__tk) - 1, 0)),
-          |  slice(__tk, 2, greatest(size(__tk) - 1, 0)),
-          |  (a, b) -> concat(a, ' ', b))""".stripMargin).as("__bg"))
+      .select(col(idCol),
+        when(size(col("__tk")) >= n, expr(
+          s"transform(sequence(0, size(__tk) - $n), i -> array_join(slice(__tk, i + 1, $n), ' '))"))
+          .otherwise(array().cast("array<string>")).as("__bg"))
+  }
 
-  /** Corpus bigram frequency table (bg, c) — the trained "language
-    * model" of [[bigramNovelty]], and an ingest artifact at scale: one
+  /** Corpus n-gram frequency table (bg, c) — the trained "language
+    * model" of [[ngramNovelty]], and an ingest artifact at scale: one
     * explode + one groupBy over the corpus, paid once, served forever. */
-  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    withBigrams(docs, idCol, textCol)
+  def ngramCounts(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 2): DataFrame =
+    withNgrams(docs, idCol, textCol, n)
       .select(explode(col("__bg")).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c"))
+
+  /** The bigram (n = 2) form of [[ngramCounts]]. */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramCounts(docs, idCol, textCol, n = 2)
 
   /** Corpus-conditioned fluency signal — the n-gram-LM quality proxy
     * of pretraining pipelines (a KenLM-style perplexity filter without
@@ -208,15 +215,16 @@ object TextAnalysis {
     * bigram key that AQE broadcasts only when it fits); n_bigrams is a
     * per-row size() projection, so only rare-set membership ever
     * joins. */
-  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
-                    counts: DataFrame, invFreq: Long = 20000L): DataFrame = {
-    // one bounded driver scalar (the corpus bigram volume), same
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   counts: DataFrame, invFreq: Long = 20000L,
+                   n: Int = 2): DataFrame = {
+    // one bounded driver scalar (the corpus n-gram volume), same
     // contract as centroid/codebook collects; coalesce: a corpus of
-    // sub-2-token docs has ZERO count rows and sum(empty) is null
+    // sub-n-token docs has ZERO count rows and sum(empty) is null
     val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
       .collect()(0).getLong(0)
     val rare = counts.where(col("c") * lit(invFreq) <= lit(total)).select("bg")
-    val base = withBigrams(docs, idCol, textCol)
+    val base = withNgrams(docs, idCol, textCol, n)
     val hits = base.select(col(idCol), explode(col("__bg")).as("bg"))
       .join(rare, "bg")
       .groupBy(idCol).agg(count(lit(1)).as("n_rare"))
@@ -228,4 +236,10 @@ object TextAnalysis {
           coalesce(col("n_rare"), lit(0L)).cast("double") /
             col("n_bigrams").cast("double")).as("rare_rate"))
   }
+
+  /** The bigram (n = 2) form of [[ngramNovelty]] — the oracled
+    * q_rare_bigrams path. */
+  def bigramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                    counts: DataFrame, invFreq: Long = 20000L): DataFrame =
+    ngramNovelty(docs, idCol, textCol, counts, invFreq, n = 2)
 }

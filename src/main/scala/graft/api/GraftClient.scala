@@ -899,7 +899,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * per-doc work, so the front door stays O(batch). */
   def nearDupFilter(batch: DataFrame, threshold: Double = 0.8,
                     batchIdCol: Option[String] = None,
-                    batchTextCol: Option[String] = None): DataFrame = {
+                    batchTextCol: Option[String] = None): DataFrame =
+    nearDupFilter(batch, threshold, batchIdCol, batchTextCol, inCap = 100000)
+
+  /** Test/backfill seam: `inCap` bounds the In(...)-literal fast path;
+    * at or below it the probes push as In filters, above it the plain
+    * join runs. Results are identical on both paths (NearDupGateSpec
+    * pins it) — only the scan shape differs. */
+  private[graft] def nearDupFilter(batch: DataFrame, threshold: Double,
+                    batchIdCol: Option[String],
+                    batchTextCol: Option[String], inCap: Int): DataFrame = {
     val meta = describe
     require(meta.contains("index.mh.text_col"),
       "no minhash index: run rebuildMinhashIndex first")
@@ -918,7 +927,6 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // "batch" (or a pathological collision set) would blow the literal
     // list past what the planner handles well — fall back to the plain
     // join there, same results
-    val inCap = 100000
     var nb: DataFrame = null
     var cand: DataFrame = null
     try {

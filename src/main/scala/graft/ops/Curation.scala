@@ -522,6 +522,10 @@ object Curation {
     val cb = counts(b)
     val nA = total(a)
     val nB = total(b)
+    // a side of all-empty/null text divides by zero: Spark (non-ANSI)
+    // yields NULL rates where DuckDB yields Infinity — fail fast
+    // instead of silently diverging cross-engine
+    require(nA > 0 && nB > 0, "cannot compute drift against an empty side")
     val rateA = col("c_a").cast("double") / lit(nA).cast("double")
     val rateB = col("c_b").cast("double") / lit(nB).cast("double")
     ca.select(col("tok"), col("c").as("c_a"))

@@ -38,6 +38,11 @@ object SqIndex {
       .collect()
     require(rows.nonEmpty, "cannot train SQ bounds on an empty corpus")
     val dim = rows.map(_.getInt(0)).max + 1
+    // ragged input (some vectors shorter than dim) leaves holes at the
+    // missing positions — those dims would silently encode as 0 and
+    // decode to 0.0, corrupting ranking; fail fast like modelFromDf
+    require(rows.length == dim,
+      s"ragged corpus: saw ${rows.length} of $dim dimensions in SQ training")
     val vmin = new Array[Double](dim)
     val vdelta = new Array[Double](dim)
     rows.foreach { r =>
@@ -132,6 +137,8 @@ object SqIndex {
     * before the only Exchange, exactly like the FLAT path. */
   def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
              k: Int): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids: results are keyed by query id")
     val spark = encoded.sparkSession
     val bc = spark.sparkContext.broadcast(distTables(model, queries))
     val nq = queries.length

@@ -37,6 +37,35 @@ class NearDupGateSpec extends SparkSpec {
     assert(kept == Seq(1L, 11L, 20L))
   }
 
+  test("fallback join path (inCap exceeded) returns exactly the In-pushdown fast path's rows") {
+    // a backfill-sized batch overflows the In(...)-literal caps and
+    // takes the plain-join fallback; results must be identical — only
+    // the scan shape differs. Drive BOTH paths over a corpus with
+    // cross-corpus dups, a same-id update, and within-batch dup pairs,
+    // with inCap = 0 forcing every fallback branch.
+    val root = Files.createTempDirectory("graft-ndf-fb").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")
+    coll.upsert((0L until 20L).map(i =>
+        (i, s"corpus document number $i carrying some shared boilerplate text " + base))
+      .toDF("id", "text"))
+    coll.rebuildMinhashIndex()
+
+    val batch = ((100L until 110L).map(i => (i, s"corpus document number ${i - 100} " +
+        s"carrying some shared boilerplate text " + base)) ++   // near-dups of corpus
+      Seq((3L, base + " same id update"),                        // never suppressed
+          (200L, "utterly unrelated content about engines and columnar files"),
+          (201L, "another fully distinct row with its own words and phrasing")))
+      .toDF("id", "text")
+    val fast = coll.nearDupFilter(batch, 0.8, None, None, inCap = 100000)
+      .select("id").as[Long].collect().sorted.toSeq
+    val fallback = coll.nearDupFilter(batch, 0.8, None, None, inCap = 0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fast == fallback, s"paths disagree: fast=$fast fallback=$fallback")
+    assert(fast.contains(3L) && fast.contains(200L) && fast.contains(201L))
+    assert(!fast.exists(id => id >= 100L && id < 110L),
+      "near-dup backfill rows must be suppressed on both paths")
+  }
+
   test("nearDupFilter probes segments appended by upsert, and survives compaction") {
     val root = Files.createTempDirectory("graft-ndf-seg").toString
     val coll = new GraftClient(spark, root).createDatabase("db").createCollection("t")

@@ -34,6 +34,45 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc >= 0.85, s"held-out accuracy = $acc")
   }
 
+  test("classifier RANKS docs, not just agrees: held-out AUC and decile separation") {
+    // accuracy-vs-weak-label can be neared by a constant-ish predictor
+    // on a skewed corpus; Mann-Whitney AUC and top/bottom-decile
+    // separation prove the learned gate actually ORDERS documents
+    val split = Curation.hashSplit(labeled, "doc_id", trainPct = 80)
+    val train = split.where(col("split") === "train")
+    val eval = split.where(col("split") === "eval")
+    val model = QualityClassifier.train(train, "text", "label")
+    val scored = QualityClassifier.score(model, eval, "doc_id", "text")
+      .join(eval.select("doc_id", "label"), "doc_id")
+      .select(col("quality_prob"), col("label"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    assert(pos.length > 20 && neg.length > 20,
+      s"degenerate eval split: ${pos.length} pos / ${neg.length} neg")
+    // Mann-Whitney AUC via rank-sum (ties get average rank)
+    val ranked = scored.map(_._1).sorted.zipWithIndex
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2 + 1.0).sum / g.length }
+    val rankSum = pos.map(ranked).sum
+    val auc = (rankSum - pos.length * (pos.length + 1.0) / 2.0) /
+      (pos.length.toDouble * neg.length)
+    assert(auc >= 0.95, s"held-out AUC = $auc")
+    // decile separation on the continuous heuristic score: docs the
+    // classifier puts in its top decile must be heuristically much
+    // better than its bottom decile
+    val evalQuality = TextAnalysis.quality(eval, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val byProb = QualityClassifier.score(model, eval, "doc_id", "text")
+      .join(evalQuality, "doc_id")
+      .orderBy(col("quality_prob"), col("doc_id"))
+      .select(col("quality")).collect().map(_.getDouble(0))
+    val d = byProb.length / 10
+    val bottom = byProb.take(d).sum / d
+    val top = byProb.takeRight(d).sum / d
+    assert(top - bottom >= 0.2,
+      s"decile separation: top=$top bottom=$bottom")
+  }
+
   test("training is deterministic: two fits give identical coefficients") {
     val m1 = QualityClassifier.distill(labeled, "text", col("label") === 1.0)
     val m2 = QualityClassifier.distill(labeled, "text", col("label") === 1.0)

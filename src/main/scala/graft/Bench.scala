@@ -36,6 +36,8 @@ object Bench {
         // first touch builds the persisted gram-set / band-bucket
         // artifacts (ingest-time cost) — timed runs measure serving
         "q_dedup_minhash_verified", "q_lsh_ann", "q_lsh_ann_exhaustive",
+        // builds the per-segment HNSW graph artifact (ingest-time cost)
+        "q_hnsw_search",
         // builds pqbooks + pqcodes / ivfpqcodes / sqbounds + ivfsqcodes
         "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search",
         // builds the bigram-frequency and distilled-classifier artifacts

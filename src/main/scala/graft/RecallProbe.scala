@@ -59,6 +59,21 @@ object RecallProbe {
         Recall.atK(LshIndex.ann(embs, "vec_id", "embedding",
           queries, "qid", "qvec", k, nBits, bands), gtCos))
 
+    // ---- HNSW (cosine): ef sweep at M=8 efC=64, 4 segment graphs ---
+    // (traversal navigates L2 space, the rerank is exact cosine — the
+    // sweep measures what candidate coverage each ef buys; ef >= seg
+    // size is exact by the chain-connectivity certificate)
+    val hnswG = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4).cache()
+    hnswG.count()
+    val qLocalH = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for (ef <- Seq(10, 16, 32, 48, 64))
+      emit("hnsw", s"M=8 efC=64 segs=4 ef=$ef",
+        Recall.atK(HnswIndex.search(hnswG, embs, "vec_id", "embedding",
+          qLocalH, "cosine", k, ef), gtCos))
+    hnswG.unpersist()
+
     // ---- IVF (L2): nprobe sweep at nlist=16 ------------------------
     val ivf = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
     for (nprobe <- Seq(1, 2, 4, 8, 16))

@@ -457,6 +457,38 @@ object SparkEntry {
         candMult = ((n + 9) / 10).toInt)
     }),
 
+    "q_hnsw_search" -> ((s, dir) => {
+      // the reference's DEFAULT index (HNSW, search param `ef` —
+      // collection.py:179): per-segment graph traversal narrows each
+      // of the 4 segment graphs to ef=48 candidates per query, exact
+      // cosine rerank of the sliver. Production path — rows-only by
+      // design (RecallProbe measures what ef buys; recall floor pinned
+      // in HnswSpec); the exhaustive twin below is the oracled row.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.HnswIndex.search(hnswGraphFor(s, dir), embs,
+        "vec_id", "embedding", qLocal, "cosine", k = 10, ef = 48)
+    }),
+
+    "q_hnsw_exhaustive" -> ((s, dir) => {
+      // HNSW's ORACLED row (the verified-twin pattern): the build's
+      // chain edges make every segment graph connected BY CONSTRUCTION,
+      // so ef >= segment size visits every node, candidates degenerate
+      // to the whole corpus, and the exact rerank — the SAME
+      // VectorScore + Ranked.topK pipeline as FLAT — equals exact
+      // cosine KNN byte-for-byte while the full graph machinery
+      // (entry-point descent, beam search, k-merge) executes
+      // end-to-end from the persisted artifact.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.HnswIndex.search(hnswGraphFor(s, dir), embs,
+        "vec_id", "embedding", qLocal, "cosine", k = 10, ef = Int.MaxValue)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => {
       // banded ANN over the PERSISTED bucket table (signatures are the
       // O(corpus) part — computed once at rebuild, not per query) at
@@ -824,6 +856,16 @@ object SparkEntry {
       IvfIndex.centroids(ivfModelFor(s, dir), s)
     }
 
+  /** Persisted per-segment HNSW graph (seg, id, vec, level, nbrs) —
+    * the rebuild_index artifact of the reference's DEFAULT index type;
+    * seg-partitioned so each search task reads whole segment graphs. */
+  private[graft] def hnswGraphFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"hnswgraph_${sfKey(dir)}",
+      partitionBy = Seq("seg")) {
+      graft.vector.HnswIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 8, efConstruction = 64, numSegments = 4)
+    }
+
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family
     * ingest artifact shared by q_dedup_ngram and the cluster pair
     * list. */
@@ -1099,6 +1141,9 @@ object SparkEntry {
     // exhaustive-grade banded LSH covers the true top-k and re-ranks by
     // exact cosine through the same topk pipeline => equals exact KNN
     "q_lsh_ann_exhaustive" -> knnOracle("cosine"),
+    // chain-connected segment graphs + ef >= segment size => every node
+    // visited, exact rerank through the FLAT pipeline => exact KNN
+    "q_hnsw_exhaustive" -> knnOracle("cosine"),
     "q_knn_l2" -> knnOracle("l2"),
     // corpus-spanning candMult: ADC cannot drop a true neighbor and the
     // exact L2 rerank shares the FLAT pipeline => equals exact KNN

@@ -1,0 +1,372 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** HNSW — the reference's DEFAULT vector index
+  * (/root/reference/aiotcvectordb/model/collection.py:179 search `ef`
+  * param; tests/conftest.py builds every collection with
+  * IndexType.HNSW, params {"M", "efConstruction"}), re-expressed for
+  * Spark's execution model.
+  *
+  * A monolithic HNSW graph is a single pointer-chasing structure — the
+  * one shape a shared-nothing cluster cannot host. The Spark-native
+  * form is the one every distributed HNSW serving system uses
+  * (Lucene/Elasticsearch per-segment graphs, Milvus per-segment
+  * indexes): SHARD the corpus into segments, build an independent
+  * in-memory HNSW graph per segment inside `mapPartitions`, persist
+  * the graphs as a parquet artifact, and serve a query by traversing
+  * every segment's graph in parallel (embarrassingly so — one task per
+  * segment, queries broadcast) and exact-reranking the union of the
+  * per-segment candidates. Per-query work is O(segments · ef · log n)
+  * distance evaluations instead of O(corpus); the only shuffle is the
+  * final k-merge of `ef` candidate rows per (segment, query).
+  *
+  * At 100 TB the segment count scales with the corpus while segment
+  * size stays pinned to what an executor comfortably holds (tens of
+  * millions of vectors — the same budget Lucene runs per shard), so
+  * build memory, search latency, and recall per segment are all
+  * corpus-size-independent knobs.
+  *
+  * Correctness certificate (the family's oracled-twin pattern): the
+  * build appends sequential CHAIN edges (node i ↔ node i−1 in
+  * insertion order) to layer 0 after neighbor pruning, making every
+  * segment graph connected BY CONSTRUCTION — not just in expectation.
+  * A search with ef ≥ segment size therefore visits every node (the
+  * best-first frontier never triggers its early-exit while the result
+  * heap is unfilled), the candidate set degenerates to the whole
+  * corpus, and the exact rerank — the SAME VectorScore + Ranked.topK
+  * pipeline FLAT search uses — equals exact KNN byte-for-byte. The
+  * production path runs the same machinery at small ef; RecallProbe
+  * measures what that ef buys.
+  */
+object HnswIndex {
+
+  /** Persisted graph row: segment id, vector id, the vector (float —
+    * the compact stored form; traversal math widens to double), the
+    * node's top layer, and its adjacency (neighbor VECTOR IDS per
+    * layer, layer 0 first). */
+  private type GraphRow = (Int, Long, Array[Float], Int, Seq[Seq[Long]])
+  private val graphCols = Seq("seg", "id", "vec", "level", "nbrs")
+
+  /** Deterministic level assignment: the standard geometric ladder
+    * `floor(-ln(u) · mL)` with `u` drawn from a splitmix64 of the
+    * vector id — identical across rebuilds, executors, and partition
+    * counts. */
+  private def levelOf(id: Long, seed: Long, mL: Double): Int = {
+    var z = id ^ seed
+    z = (z + 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    // 53 high bits → u in [0, 1); 1−u in (0, 1] keeps ln finite
+    val u = (z >>> 11) * (1.0 / (1L << 53))
+    math.floor(-math.log(1.0 - u) * mL).toInt
+  }
+
+  /** Build per-segment HNSW graphs over `data` and return the
+    * persistable graph frame (seg, id, vec, level, nbrs).
+    *
+    * Deterministic end-to-end: segments are hash(id) partitions,
+    * insertion order is id order within each segment, levels are
+    * seeded by id, and every heap tie-breaks on node index. Null
+    * vectors are excluded (unsearchable, not an error — the same
+    * contract as the IVF family's null cell); ragged vectors fail
+    * fast.
+    *
+    * @param m              max neighbors per node per layer (layer 0
+    *                       keeps 2·m — the standard HNSW setting);
+    *                       reference param "M"
+    * @param efConstruction beam width during insertion; reference
+    *                       param "efConstruction"
+    * @param numSegments    graph shards (one in-memory graph each) */
+  def build(data: DataFrame, idCol: String, vecCol: String,
+            m: Int = 16, efConstruction: Int = 80,
+            numSegments: Int = 4, seed: Long = 42L): DataFrame = {
+    require(m >= 2, s"M must be >= 2, got $m")
+    require(efConstruction >= m, s"efConstruction ($efConstruction) must be >= M ($m)")
+    require(numSegments >= 1, s"numSegments must be >= 1, got $numSegments")
+    require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
+      "HNSW paths require numeric ids (string-id collections: use KnnSearch/IvfIndex)")
+    // seg is derived FROM THE DATA (not from task/partition ids, which
+    // are scheduler labels AQE may re-map between runs) so the graph is
+    // byte-identical across rebuilds, partition counts, and planners
+    val base = data
+      .select(pmod(xxhash64(col(idCol).cast("long")), lit(numSegments)).cast("int").as("seg"),
+        col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
+      .where(col("v").isNotNull)
+      .repartition(numSegments, col("seg"))
+      .sortWithinPartitions("seg", "id")
+    base.as(Encoders.product[(Int, Long, Array[Float])])
+      .mapPartitions { it =>
+        // a hash partition may hold several segments; rows arrive
+        // seg-contiguous and id-ascending (deterministic insertion order)
+        val bySeg = it.toArray.groupBy(_._1).toSeq.sortBy(_._1)
+        bySeg.iterator.flatMap { case (seg, segRows) =>
+          val rows = segRows.map(r => (r._2, r._3))
+          val dim = rows(0)._2.length
+          rows.foreach { case (id, v) =>
+            require(v.length == dim,
+              s"ragged vector: id=$id has dim ${v.length}, expected $dim")
+          }
+          buildSegment(rows, m, efConstruction, seed).iterator.map {
+            case (id, vec, level, nbrs) => (seg, id, vec, level, nbrs)
+          }
+        }
+      }(Encoders.product[GraphRow]).toDF(graphCols: _*)
+  }
+
+  /** In-memory HNSW construction over one segment's (id, vec) rows.
+    * Classic insert (greedy descent to the node's level, then
+    * beam-search + neighbor selection per layer), followed by the
+    * chain-edge augmentation that certifies layer-0 connectivity. */
+  private def buildSegment(rows: Array[(Long, Array[Float])], m: Int,
+                           efC: Int, seed: Long)
+      : Array[(Long, Array[Float], Int, Seq[Seq[Long]])] = {
+    val n = rows.length
+    val mL = 1.0 / math.log(m)
+    val maxM0 = 2 * m
+    val levels = Array.tabulate(n)(i => levelOf(rows(i)._1, seed, mL))
+    // adjacency: node -> layer -> neighbor node indexes
+    val nbrs = Array.tabulate(n)(i =>
+      Array.fill(levels(i) + 1)(new scala.collection.mutable.ArrayBuffer[Int](maxM0 + 2)))
+
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def distTo(q: Array[Float], node: Int): Double = dist(q, rows(node)._2)
+
+    /** Best-first beam search at one layer; returns up to `ef` closest
+      * (dist, node) pairs, ascending. Ties break on node index, so the
+      * result is deterministic. */
+    def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, lc: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      // candidates: nearest first; result: farthest first (bounded at ef)
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      eps.foreach { ep =>
+        if (!visited.get(ep)) {
+          visited.set(ep)
+          val d = distTo(q, ep)
+          cand.enqueue((d, ep)); res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val adj = if (lc < nbrs(c).length) nbrs(c)(lc) else
+            scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < adj.length) {
+            val e = adj(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = distTo(q, e)
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, e)); res.enqueue((d, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.toArray.reverse // ascending by (dist, node)
+    }
+
+    /** Cap `node`'s layer-`lc` adjacency at `cap` by keeping the
+      * closest (the simple shrink of the original algorithm). */
+    def shrink(node: Int, lc: Int, cap: Int): Unit = {
+      val adj = nbrs(node)(lc)
+      if (adj.length > cap) {
+        val kept = adj.map(e => (dist(rows(node)._2, rows(e)._2), e))
+          .sorted.take(cap).map(_._2)
+        adj.clear(); adj ++= kept
+      }
+    }
+
+    var entry = -1
+    var maxLevel = -1
+    var i = 0
+    while (i < n) {
+      val q = rows(i)._2
+      val lvl = levels(i)
+      if (entry < 0) { entry = i; maxLevel = lvl }
+      else {
+        var ep = entry
+        var lc = maxLevel
+        while (lc > lvl) { // greedy descent above the node's level
+          val best = searchLayer(q, Seq(ep), 1, lc)
+          if (best.nonEmpty) ep = best(0)._2
+          lc -= 1
+        }
+        lc = math.min(lvl, maxLevel)
+        while (lc >= 0) {
+          val w = searchLayer(q, Seq(ep), efC, lc)
+          val cap = if (lc == 0) maxM0 else m
+          val selected = w.take(m)
+          selected.foreach { case (_, e) =>
+            nbrs(i)(lc) += e
+            nbrs(e)(lc) += i
+            shrink(e, lc, cap)
+          }
+          if (w.nonEmpty) ep = w(0)._2
+          lc -= 1
+        }
+        if (lvl > maxLevel) { maxLevel = lvl; entry = i }
+      }
+      i += 1
+    }
+
+    // Chain augmentation AFTER all pruning: node i ↔ i−1 at layer 0.
+    // These edges are exempt from the maxM0 cap — they are the
+    // connectivity certificate, O(1) extra degree per node.
+    var c = 1
+    while (c < n) {
+      if (!nbrs(c)(0).contains(c - 1)) nbrs(c)(0) += (c - 1)
+      if (!nbrs(c - 1)(0).contains(c)) nbrs(c - 1)(0) += c
+      c += 1
+    }
+
+    Array.tabulate(n) { j =>
+      (rows(j)._1, rows(j)._2, levels(j),
+        nbrs(j).toSeq.map(_.toSeq.map(e => rows(e)._1)))
+    }
+  }
+
+  /** Per-segment graph traversal → candidate (query_id, id) pairs: up
+    * to `ef` per (segment, query). The exhaustive certificate lives
+    * here — ef ≥ segment size returns every node (see object doc). */
+  private[graft] def candidates(graph: DataFrame,
+      queries: Array[(Long, Array[Double])], ef: Int): DataFrame = {
+    require(queries.nonEmpty, "empty query batch")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in batch")
+    val spark = graph.sparkSession
+    val bc = spark.sparkContext.broadcast(queries.map { case (qid, qv) =>
+      (qid, qv.map(_.toFloat)) })
+    graph
+      .select(col("seg").cast("int"), col("id"), col("vec"),
+        col("level").cast("int"), col("nbrs"))
+      .repartition(col("seg"))
+      .sortWithinPartitions("seg", "id")
+      .as(Encoders.product[GraphRow])
+      .mapPartitions { it =>
+        val qs = bc.value
+        // a hash partition may hold several segments; rows arrive
+        // seg-contiguous (sortWithinPartitions), so group by run
+        val bySeg = it.toArray.groupBy(_._1).toSeq.sortBy(_._1)
+        bySeg.iterator.flatMap { case (_, rs) =>
+          searchSegment(rs, qs, ef)
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+  }
+
+  /** Traverse one segment's graph for every query. */
+  private def searchSegment(rs: Array[GraphRow],
+      qs: Array[(Long, Array[Float])], ef: Int): Iterator[(Long, Long)] = {
+    val n = rs.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { idx.put(rs(i)._2, i); i += 1 }
+    // neighbor ids → node indexes, once per segment
+    val adj: Array[Array[Array[Int]]] = rs.map(r =>
+      r._5.map(layer => layer.map(idx.get(_): Int).toArray).toArray)
+    val vecs = rs.map(_._3)
+    // entry point: max level, smallest id on ties (rows are id-sorted)
+    var entry = 0
+    var j = 1
+    while (j < n) { if (rs(j)._4 > rs(entry)._4) entry = j; j += 1 }
+    val maxLevel = rs(entry)._4
+    val efEff = math.max(1, math.min(ef, n))
+
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { val d = a(k).toDouble - b(k).toDouble; s += d * d; k += 1 }
+      s
+    }
+
+    def searchLayer(q: Array[Float], ep: Int, efL: Int, lc: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      visited.set(ep)
+      val d0 = dist(q, vecs(ep))
+      cand.enqueue((d0, ep)); res.enqueue((d0, ep))
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= efL) { cand.clear() }
+        else {
+          val layers = adj(c)
+          if (lc < layers.length) {
+            val a = layers(lc)
+            var k = 0
+            while (k < a.length) {
+              val e = a(k)
+              if (!visited.get(e)) {
+                visited.set(e)
+                val d = dist(q, vecs(e))
+                if (res.size < efL || d < res.head._1) {
+                  cand.enqueue((d, e)); res.enqueue((d, e))
+                  if (res.size > efL) res.dequeue()
+                }
+              }
+              k += 1
+            }
+          }
+        }
+      }
+      res.dequeueAll.toArray.reverse
+    }
+
+    qs.iterator.flatMap { case (qid, qv) =>
+      var ep = entry
+      var lc = maxLevel
+      while (lc > 0) {
+        val best = searchLayer(qv, ep, 1, lc)
+        if (best.nonEmpty) ep = best(0)._2
+        lc -= 1
+      }
+      searchLayer(qv, ep, efEff, 0).iterator.map { case (_, node) =>
+        (qid, rs(node)._2)
+      }
+    }
+  }
+
+  /** HNSW search: graph traversal narrows each segment to `ef`
+    * candidates per query, then the ORIGINAL vectors of only those
+    * candidates are fetched from `data` (broadcast semi-join) and
+    * exactly re-ranked by `metric` through the same VectorScore +
+    * Ranked.topK pipeline as FLAT search. Traversal always navigates
+    * by L2 (the graph is built in L2 space); the rerank metric is the
+    * caller's — candidate coverage for non-L2 metrics is what
+    * RecallProbe measures, and ef ≥ segment size makes any metric
+    * exact (all candidates surface).
+    *
+    * Serving a stale graph stays delete-correct: candidates join
+    * against the CURRENT `data` snapshot, so ids deleted since the
+    * rebuild drop out; ids inserted since the rebuild are unsearchable
+    * until the next rebuild (the reference's own rebuild_index
+    * contract). */
+  def search(graph: DataFrame, data: DataFrame, idCol: String, vecCol: String,
+             queries: Array[(Long, Array[Double])], metric: String,
+             k: Int, ef: Int = 10): DataFrame = {
+    val m = VectorMetric(metric)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cand = candidates(graph, queries, math.max(ef, k))
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = data
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, k, asc = !m.largerIsBetter)
+  }
+}

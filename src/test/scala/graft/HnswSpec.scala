@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.vector.{HnswIndex, KnnSearch, Recall}
+
+/** HNSW (the reference's default index): build determinism, the
+  * layer-0 connectivity certificate, exhaustive-grade equality to
+  * exact KNN (the oracled-twin contract), production-ef recall, and
+  * the input guards every family carries. */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = embs.where(col("vec_id") < 6)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val qLocal = embs.where(col("vec_id") < 6)
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  private lazy val graph =
+    HnswIndex.build(embs, "vec_id", "embedding", m = 8, efConstruction = 64,
+      numSegments = 4).cache()
+
+  test("build is deterministic across rebuilds") {
+    val again = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4)
+    assert(graph.count() == embs.count())
+    assert(graph.exceptAll(again).isEmpty && again.exceptAll(graph).isEmpty)
+  }
+
+  test("chain edges certify layer-0 connectivity in every segment") {
+    // consecutive ids within a segment (insertion order) must be
+    // layer-0 neighbors — the exemption from pruning is the point
+    val rows = graph.select("seg", "id", "nbrs").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[scala.collection.Seq[Long]](2)))
+      .groupBy(_._1)
+    rows.foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, a, nbrsA), (_, b, nbrsB)) =>
+          assert(nbrsA.head.contains(b) && nbrsB.head.contains(a),
+            s"seg $seg: chain edge $a <-> $b missing at layer 0")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ef >= segment size visits every node (exhaustive certificate)") {
+    val n = embs.count()
+    val cand = HnswIndex.candidates(graph, qLocal.take(2), ef = Int.MaxValue)
+    // every (query, corpus row) pair surfaces exactly once
+    assert(cand.count() == 2 * n)
+    assert(cand.distinct().count() == 2 * n)
+  }
+
+  test("exhaustive-grade search equals exact KNN (cosine and l2)") {
+    for (metric <- Seq("cosine", "l2")) {
+      val exact = KnnSearch.topK(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", metric, 10).collect()
+      val hnsw = HnswIndex.search(graph, embs, "vec_id", "embedding",
+        qLocal, metric, k = 10, ef = Int.MaxValue).collect()
+      assert(hnsw.sameElements(exact), s"metric $metric diverges from exact KNN")
+    }
+  }
+
+  test("production ef recall floor: recall@10 >= 0.9 at ef=48") {
+    val gt = KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "cosine", 10)
+    val approx = HnswIndex.search(graph, embs, "vec_id", "embedding",
+      qLocal, "cosine", k = 10, ef = 48)
+    val r = Recall.atK(approx, gt)
+    assert(r >= 0.9, s"recall@10 = $r at ef=48")
+  }
+
+  test("raising ef never loses candidate coverage") {
+    val lo = HnswIndex.candidates(graph, qLocal.take(2), ef = 8)
+    val hi = HnswIndex.candidates(graph, qLocal.take(2), ef = 32)
+    assert(lo.join(hi, Seq("query_id", "id"), "left_anti").isEmpty,
+      "an ef=8 candidate vanished at ef=32")
+  }
+
+  test("input guards: duplicate query ids, ragged vectors, null vectors") {
+    intercept[IllegalArgumentException] {
+      HnswIndex.candidates(graph, Array((1L, Array(0.0)), (1L, Array(1.0))), 4)
+    }
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("id", "v")
+    val err = intercept[org.apache.spark.SparkException] {
+      HnswIndex.build(ragged, "id", "v", m = 2, efConstruction = 4,
+        numSegments = 1).count()
+    }
+    assert(err.getMessage.contains("ragged") ||
+      Option(err.getCause).exists(_.getMessage.contains("ragged")))
+    // null vectors are unsearchable, not an error
+    val withNull = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None),
+      (3L, Some(Seq(2.0f, 1.0f)))).toDF("id", "v")
+    val g = HnswIndex.build(withNull, "id", "v", m = 2, efConstruction = 4,
+      numSegments = 1)
+    assert(g.count() == 2)
+  }
+}

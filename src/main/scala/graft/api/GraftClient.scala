@@ -789,6 +789,49 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "index.pq.dim" -> dim.toString, "index.pq.base_seg" -> baseSeg.toString))
   }
 
+  /** rebuild_index for HNSW — the reference's DEFAULT index type
+    * (tests/conftest.py builds every collection with IndexType.HNSW,
+    * params {"M", "efConstruction"}): build per-segment graphs
+    * ([[graft.vector.HnswIndex]]) and persist them seg-partitioned, so
+    * [[searchHnsw]] serves with the `ef` knob in any later session
+    * without retraining. Rebuild-only family (graph insertion is
+    * sequential, so no incremental segment maintenance exists):
+    * any mutation invalidates the graph + meta — fail-fast beats
+    * silently serving an index that cannot see the new docs (the
+    * repo-wide invariant of [[invalidateDerived]]); the reference's
+    * rebuild_index is the restore path. Numeric-id collections
+    * only. */
+  def rebuildHnswIndex(m: Int = 16, efConstruction: Int = 80,
+                       numSegments: Int = 4, metric: String = "cosine",
+                       seed: Long = 42L): Unit = {
+    val dim = beginVectorRebuild("HNSW")
+    catalog.createCollectionIfNotExists(db, GraftCollection.hnswGraph(coll))
+    catalog.write(db, GraftCollection.hnswGraph(coll),
+      graft.vector.HnswIndex.build(df, idCol, vecCol, m, efConstruction,
+        numSegments, seed),
+      partitionBy = Seq("seg"))
+    catalog.updateMeta(db, coll, Map(
+      "index.hnsw.m" -> m.toString, "index.hnsw.efc" -> efConstruction.toString,
+      "index.hnsw.segments" -> numSegments.toString,
+      "index.hnsw.metric" -> metric, "index.hnsw.dim" -> dim.toString))
+  }
+
+  /** HNSW search served from the persisted segment graphs (reference
+    * collection.py:179 search param `ef` — "the number of vectors to
+    * be accessed", default 10). */
+  def searchHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 limit: Int = 10, ef: Int = 10,
+                 metric: Option[String] = None): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    graft.vector.HnswIndex.search(
+      catalog.read(db, GraftCollection.hnswGraph(coll)),
+      df, idCol, vecCol,
+      collectNumericQueries(queries, qIdCol, qVecCol),
+      metric.getOrElse(meta("index.hnsw.metric")), limit, ef)
+  }
+
   /** rebuild_index for the LSH index: persist the banded bucket table
     * (the O(corpus · nBits) signature work) so ANN queries touch only
     * their own buckets. Config rides in meta — the query side must sign
@@ -1387,7 +1430,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                     keepLsh: Boolean = false,
                                     keepPq: Boolean = false,
                                     keepIvfPq: Boolean = false,
-                                    keepIvfSq: Boolean = false): Unit = {
+                                    keepIvfSq: Boolean = false,
+                                    keepHnsw: Boolean = false): Unit = {
+    if (!keepHnsw)
+      invalidateFamily(Seq(GraftCollection.hnswGraph(coll)),
+        Seq("index.hnsw.m", "index.hnsw.efc", "index.hnsw.segments",
+          "index.hnsw.metric", "index.hnsw.dim"))
     if (!keepIvf)
       invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
         Seq("index.ivf.nlist", "index.ivf.metric"))
@@ -1637,6 +1685,7 @@ object GraftCollection {
   private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"
   private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
+  private[api] def hnswGraph(coll: String): String = coll + "__hnsw_graph"
 
   /** Meta keys recording each segment-maintained family's base segment
     * — the compaction policy measures debt against the OLDEST one. */

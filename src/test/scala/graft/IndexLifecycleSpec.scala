@@ -21,7 +21,7 @@ class IndexLifecycleSpec extends SparkSpec {
     .where(col("vec_id") < 3)
     .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
 
-  test("index family flips: IVF -> IVF(modified) -> IVF_SQ8 -> LSH -> LSH(modified) -> IVF") {
+  test("index family flips: IVF -> IVF(modified) -> IVF_SQ8 -> LSH -> LSH(modified) -> HNSW -> IVF") {
     val root = Files.createTempDirectory("graft-lifecycle").toString
     val db = new GraftClient(spark, root).createDatabase("db")
     val coll = db.createCollection("v")
@@ -74,17 +74,45 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(coll.describe("index.lsh.nbits") == "32")
     assert(db.collection("v__lsh_buckets").df.select("b").distinct().count() == 8)
 
-    // --- flip back to IVF: LSH cleared, IVF serves again ---
+    // --- flip to HNSW (the reference's default index type) ---
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    val mh = coll.describe
+    assert(!mh.contains("index.lsh.nbits"), "LSH meta must clear on family flip")
+    assert(!db.listCollections().contains("v__lsh_buckets"))
+    assert(mh("index.hnsw.m") == "4" && mh("index.hnsw.metric") == "cosine")
+    assert(db.listCollections().contains("v__hnsw_graph"))
+    // ef >= corpus => exhaustive certificate => equals the exact scan
+    val hnswHits = coll.searchHnsw(queries, "qid", "qv", limit = 5,
+        ef = Int.MaxValue, metric = Some("l2"))
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(hnswHits == exact)
+
+    // --- flip back to IVF: HNSW cleared, IVF serves again ---
     coll.rebuildIndex(nlist = 4)
     val m3 = coll.describe
-    assert(!m3.contains("index.lsh.nbits"), "LSH meta must clear on family flip")
-    assert(!db.listCollections().contains("v__lsh_buckets"))
+    assert(!m3.contains("index.hnsw.m"), "HNSW meta must clear on family flip")
+    assert(!db.listCollections().contains("v__hnsw_graph"))
     intercept[IllegalArgumentException] {
-      coll.searchLsh(queries, "qid", "qv", limit = 5)
+      coll.searchHnsw(queries, "qid", "qv", limit = 5)
     }
     val back = coll.search(queries, "qid", "qv", metric = "l2", limit = 5,
         nprobe = Some(4))
       .select("query_id", "id").collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
     assert(back == exact)
+  }
+
+  test("mutations invalidate the HNSW graph (rebuild-only family, fail-fast)") {
+    val root = Files.createTempDirectory("graft-hnsw-mut").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val coll = db.createCollection("w")
+    coll.upsert(embs.limit(50))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 1)
+    assert(coll.searchHnsw(queries, "qid", "qv", limit = 3).count() == 9)
+    coll.upsert(embs.limit(60))
+    assert(!coll.describe.contains("index.hnsw.m"),
+      "HNSW meta must not survive a mutation it cannot see")
+    intercept[IllegalArgumentException] {
+      coll.searchHnsw(queries, "qid", "qv", limit = 3)
+    }
   }
 }

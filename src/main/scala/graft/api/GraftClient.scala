@@ -138,7 +138,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   def upsert(docs: DataFrame): Unit = {
     val meta = describe
     val live = liveIndexes(meta)
-    import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive, ivfSqLive}
+    import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive,
+      ivfSqLive, hnswLive}
     val anyLive = live.anySeg
 
     // ALL batch-shape validation runs BEFORE anything is written: a
@@ -150,7 +151,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       s"upsert on a minhash-indexed collection must carry '${meta("index.mh.text_col")}'")
     if (shLive) require(docs.columns.contains(meta("index.sh.text_col")),
       s"upsert on a simhash-indexed collection must carry '${meta("index.sh.text_col")}'")
-    if (lshLive || pqLive || ivfPqLive || ivfSqLive || ivfLive)
+    if (lshLive || pqLive || ivfPqLive || ivfSqLive || ivfLive || hnswLive)
       require(docs.columns.contains(vecCol),
         s"upsert on a vector-indexed collection must carry '$vecCol'")
 
@@ -267,7 +268,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive,
-      keepIvfSq = ivfSqLive)
+      keepIvfSq = ivfSqLive, keepHnsw = hnswLive)
     if (anyLive) maybeAutoCompact()
     } finally batch.unpersist()
   }
@@ -300,9 +301,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * live (plain IVF is maintained in the data layout instead). */
   private case class LiveIndexes(ftLive: Boolean, lshLive: Boolean, ivfLive: Boolean,
                                  mhLive: Boolean, shLive: Boolean, pqLive: Boolean,
-                                 ivfPqLive: Boolean, ivfSqLive: Boolean) {
+                                 ivfPqLive: Boolean, ivfSqLive: Boolean,
+                                 hnswLive: Boolean) {
     def anySeg: Boolean =
-      ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive || ivfSqLive
+      ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive || ivfSqLive ||
+        hnswLive
   }
 
   private def liveIndexes(meta: Map[String, String]): LiveIndexes = LiveIndexes(
@@ -324,7 +327,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     ivfPqLive = meta.contains("index.ivfpq.nlist") &&
       catalog.collectionExists(db, GraftCollection.ivfPqCodes(coll)),
     ivfSqLive = meta.contains("index.ivfsq.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfSqCodes(coll)))
+      catalog.collectionExists(db, GraftCollection.ivfSqCodes(coll)),
+    // HNSW maintains by construction: segment graphs are independent,
+    // so a batch becomes its own new segment graph(s) — no existing
+    // graph is ever touched
+    hnswLive = meta.contains("index.hnsw.m") &&
+      catalog.collectionExists(db, GraftCollection.hnswGraph(coll)))
 
   /** Append one segment per live family for `batch` (one row per id —
     * caller enforces — with the full document schema) and advance the
@@ -386,7 +394,39 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
     if (live.shLive) appendSegRows(GraftCollection.shSig(coll), seg,
       graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
+    if (live.hnswLive) appendHnswSegment(batch, meta)
     advanceLedger(batch, seg)
+  }
+
+  /** Incremental HNSW maintenance: the batch becomes its own NEW
+    * segment graph(s), built with the stored M/efConstruction/seed and
+    * appended under fresh segment ids — segment graphs are independent,
+    * so no existing graph is read or rewritten (O(batch·log batch)
+    * build, the same shape Lucene uses: new docs land in new segments,
+    * merges fold them later). A re-upserted id keeps a stale node in
+    * its old segment; the search's exact rerank joins candidates
+    * against the CURRENT data snapshot (new vector wins, deleted ids
+    * drop) and dedups candidate ids, so ef ≥ segment size stays
+    * byte-equal to exact KNN across every mutation. Stale nodes are
+    * folded away by [[compactIndexes]]. */
+  private def appendHnswSegment(batch: DataFrame, meta: Map[String, String]): Unit = {
+    val vecs = batch.where(col(vecCol).isNotNull)
+    val n = vecs.count()
+    if (n > 0) {
+      // one graph per ~200k batch rows keeps segment build memory and
+      // per-segment search latency pinned regardless of batch size
+      val shards = (((n - 1) / 200000) + 1).toInt
+      val offset = meta.getOrElse("index.hnsw.nextseg",
+        meta("index.hnsw.segments")).toInt
+      catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
+        graft.vector.HnswIndex.build(vecs, idCol, vecCol,
+          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
+          shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
+          segOffset = offset),
+        "seg")
+      catalog.updateMeta(db, coll,
+        Map("index.hnsw.nextseg" -> (offset + shards).toString))
+    }
   }
 
   /** Monotone mutation counter; each indexed mutation claims the next
@@ -794,13 +834,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * params {"M", "efConstruction"}): build per-segment graphs
     * ([[graft.vector.HnswIndex]]) and persist them seg-partitioned, so
     * [[searchHnsw]] serves with the `ef` knob in any later session
-    * without retraining. Rebuild-only family (graph insertion is
-    * sequential, so no incremental segment maintenance exists):
-    * any mutation invalidates the graph + meta — fail-fast beats
-    * silently serving an index that cannot see the new docs (the
-    * repo-wide invariant of [[invalidateDerived]]); the reference's
-    * rebuild_index is the restore path. Numeric-id collections
-    * only. */
+    * without retraining. Maintained INCREMENTALLY like every family:
+    * an upsert/update batch becomes its own new segment graph(s)
+    * ([[appendHnswSegment]] — graphs are independent, so appending is
+    * O(batch·log batch) and touches no existing segment), deletes cost
+    * nothing (the exact rerank joins candidates against the current
+    * data snapshot), and [[compactIndexes]] folds mutation history by
+    * re-deriving the graph. Numeric-id collections only. */
   def rebuildHnswIndex(m: Int = 16, efConstruction: Int = 80,
                        numSegments: Int = 4, metric: String = "cosine",
                        seed: Long = 42L): Unit = {
@@ -813,7 +853,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll, Map(
       "index.hnsw.m" -> m.toString, "index.hnsw.efc" -> efConstruction.toString,
       "index.hnsw.segments" -> numSegments.toString,
-      "index.hnsw.metric" -> metric, "index.hnsw.dim" -> dim.toString))
+      "index.hnsw.metric" -> metric, "index.hnsw.dim" -> dim.toString,
+      "index.hnsw.seed" -> seed.toString,
+      // incremental appends claim graph-segment ids from here up;
+      // base_seg (mutation-seg units) feeds segmentDebt so sustained
+      // ingest auto-compacts HNSW-only collections too
+      "index.hnsw.nextseg" -> numSegments.toString,
+      "index.hnsw.base_seg" -> mutationSeg.toString))
   }
 
   /** HNSW search served from the persisted segment graphs (reference
@@ -831,6 +877,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       collectNumericQueries(queries, qIdCol, qVecCol),
       metric.getOrElse(meta("index.hnsw.metric")), limit, ef)
   }
+
+  /** Test/ops visibility: the persisted HNSW graph rows / current
+    * graph-segment count (base shards + appended batch segments). */
+  private[graft] def hnswGraphRows: DataFrame =
+    catalog.read(db, GraftCollection.hnswGraph(coll))
+  private[graft] def hnswGraphSegments: Int =
+    hnswGraphRows.select("seg").distinct().count().toInt
 
   /** rebuild_index for the LSH index: persist the banded bucket table
     * (the O(corpus · nBits) signature work) so ANN queries touch only
@@ -1106,6 +1159,25 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       _.repartition(col("cell")), Seq("cell"))
     compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
       _.repartition(col("cell")), Seq("cell"))
+    // HNSW has no row-level fold — a graph's value IS its edge
+    // structure, so this family's compaction RE-DERIVES the graph from
+    // the current corpus (O(corpus·log corpus) vs the other families'
+    // O(live artifact rows); still amortized over `threshold` mutations
+    // by auto-compaction). Stale nodes of replaced/deleted ids and the
+    // accumulated per-batch mini-segments all fold back into the meta
+    // segment count.
+    if (meta.contains("index.hnsw.base_seg") &&
+        catalog.collectionExists(db, GraftCollection.hnswGraph(coll))) {
+      catalog.write(db, GraftCollection.hnswGraph(coll),
+        graft.vector.HnswIndex.build(df, idCol, vecCol,
+          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
+          meta("index.hnsw.segments").toInt,
+          meta.getOrElse("index.hnsw.seed", "42").toLong),
+        partitionBy = Seq("seg"))
+      catalog.updateMeta(db, coll, Map(
+        "index.hnsw.base_seg" -> seg.toString,
+        "index.hnsw.nextseg" -> meta("index.hnsw.segments")))
+    }
     // every family now serves from its single fresh segment — the
     // ledger has nothing left to mask
     if (catalog.collectionExists(db, GraftCollection.mutLedger(coll)))
@@ -1408,7 +1480,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                 keepLsh: Boolean = false, keepMh: Boolean = false,
                                 keepSh: Boolean = false, keepPq: Boolean = false,
                                 keepIvfPq: Boolean = false,
-                                keepIvfSq: Boolean = false): Unit = {
+                                keepIvfSq: Boolean = false,
+                                keepHnsw: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
@@ -1419,7 +1492,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))
-    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq)
+    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq, keepHnsw)
   }
 
   /** Drop the persisted vector-index models (IVF centroids, PQ
@@ -1435,7 +1508,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepHnsw)
       invalidateFamily(Seq(GraftCollection.hnswGraph(coll)),
         Seq("index.hnsw.m", "index.hnsw.efc", "index.hnsw.segments",
-          "index.hnsw.metric", "index.hnsw.dim"))
+          "index.hnsw.metric", "index.hnsw.dim", "index.hnsw.seed",
+          "index.hnsw.nextseg", "index.hnsw.base_seg"))
     if (!keepIvf)
       invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
         Seq("index.ivf.nlist", "index.ivf.metric"))
@@ -1566,9 +1640,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           }
         } finally doomed.unpersist()
       } else failSafe { persistSnapshotKeepingCell(survivors, live.ivfLive) }
+    // HNSW keeps serving across deletes at ZERO maintenance cost: the
+    // search's exact rerank joins candidates against the CURRENT data
+    // snapshot, so doomed ids drop out; stale graph nodes are waypoints
+    // only, folded away by the next compaction
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
-      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive)
+      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
+      keepHnsw = live.hnswLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -1643,7 +1722,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       } else failSafe { persistSnapshotKeepingCell(updatedSnapshot, live.ivfLive) }
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
-      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive)
+      keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
+      keepHnsw = live.hnswLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -1692,7 +1772,7 @@ object GraftCollection {
   private[api] val baseSegKeys: Seq[String] = Seq(
     "index.ft.base_seg", "index.lsh.base_seg", "index.mh.base_seg",
     "index.sh.base_seg", "index.pq.base_seg", "index.ivfpq.base_seg",
-    "index.ivfsq.base_seg")
+    "index.ivfsq.base_seg", "index.hnsw.base_seg")
 
   /** Default auto-compaction threshold (segments past the oldest base
     * before [[GraftCollection.compactIndexes]] fires): high enough that

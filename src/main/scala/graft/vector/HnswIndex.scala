@@ -79,10 +79,16 @@ object HnswIndex {
     *                       reference param "M"
     * @param efConstruction beam width during insertion; reference
     *                       param "efConstruction"
-    * @param numSegments    graph shards (one in-memory graph each) */
+    * @param numSegments    graph shards (one in-memory graph each)
+    * @param segOffset      first segment number (incremental appends
+    *                       build a batch's graphs under fresh segment
+    *                       ids ABOVE the existing ones — segment graphs
+    *                       are independent, so appending is the natural
+    *                       incremental maintenance for a graph index) */
   def build(data: DataFrame, idCol: String, vecCol: String,
             m: Int = 16, efConstruction: Int = 80,
-            numSegments: Int = 4, seed: Long = 42L): DataFrame = {
+            numSegments: Int = 4, seed: Long = 42L,
+            segOffset: Int = 0): DataFrame = {
     require(m >= 2, s"M must be >= 2, got $m")
     require(efConstruction >= m, s"efConstruction ($efConstruction) must be >= M ($m)")
     require(numSegments >= 1, s"numSegments must be >= 1, got $numSegments")
@@ -92,7 +98,8 @@ object HnswIndex {
     // are scheduler labels AQE may re-map between runs) so the graph is
     // byte-identical across rebuilds, partition counts, and planners
     val base = data
-      .select(pmod(xxhash64(col(idCol).cast("long")), lit(numSegments)).cast("int").as("seg"),
+      .select((pmod(xxhash64(col(idCol).cast("long")), lit(numSegments)).cast("int")
+          + lit(segOffset)).as("seg"),
         col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
       .where(col("v").isNotNull)
       .repartition(numSegments, col("seg"))
@@ -359,7 +366,12 @@ object HnswIndex {
     val m = VectorMetric(metric)
     val spark = data.sparkSession
     import spark.implicits._
-    val cand = candidates(graph, queries, math.max(ef, k))
+    // distinct: after incremental appends a re-upserted id has nodes in
+    // BOTH its old segment graph (stale position) and the batch segment
+    // — both surface the same id, and duplicate (query_id, id) pairs
+    // would occupy two top-k ranks. Bounded input (segments·ef rows per
+    // query), so the dedup never touches corpus-sized data.
+    val cand = candidates(graph, queries, math.max(ef, k)).distinct()
     val qdf = queries.toSeq.toDF("query_id", "__qv")
     val exact = data
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+
+/** Incremental HNSW maintenance: every mutation type keeps the graph
+  * serving, and the exhaustive certificate (ef >= segment size =>
+  * byte-equal exact KNN) holds across upserts, vector-replacing
+  * updates, and deletes — the same incremental == from-scratch
+  * equality the segment-maintained families pin, adapted to a graph:
+  * batches append as independent segment graphs, stale nodes are
+  * masked by the rerank join against the current data snapshot, and
+  * compaction folds the mini-segments back to the configured count. */
+class HnswMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vector"))
+  private lazy val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+    .where(col("vec_id") < 4)
+    .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+
+  private def freshColl(tag: String) = {
+    val root = Files.createTempDirectory(s"graft-hnsw-$tag").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val coll = db.createCollection("v")
+    coll.upsert(embs.limit(80))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    coll
+  }
+
+  private def exhaustive(coll: graft.api.GraftCollection) =
+    coll.searchHnsw(queries, "qid", "qv", limit = 5, ef = Int.MaxValue)
+      .select("query_id", "id", "score").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSet
+
+  private def exact(coll: graft.api.GraftCollection) =
+    coll.search(queries, "qid", "qv", metric = "cosine", limit = 5)
+      .select("query_id", "id", "score").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSet
+
+  test("vector-replacing upsert: stale nodes lose to the rerank, no duplicate ranks") {
+    val coll = freshColl("replace")
+    // replace ids 10..19 with DIFFERENT vectors (their old graph nodes
+    // keep routing by the stale position; the new segment carries the
+    // new position — both surface the id, the rerank scores it once,
+    // against the new vector)
+    val replaced = embs.where(col("id").between(10, 19))
+      .select(col("id"), transform(col("vector"), x => -x).as("vector"))
+    coll.upsert(replaced)
+    assert(exhaustive(coll) == exact(coll),
+      "post-replace exhaustive HNSW must equal exact KNN on the new vectors")
+    // production path must not emit an id twice for one query
+    val prod = coll.searchHnsw(queries, "qid", "qv", limit = 5, ef = 16)
+      .groupBy("query_id", "id").count().where(col("count") > 1)
+    assert(prod.isEmpty, "duplicate (query, id) in production HNSW results")
+  }
+
+  test("delete keeps serving at zero graph cost; doomed ids drop at the rerank") {
+    val coll = freshColl("delete")
+    coll.delete("id >= 60")
+    assert(coll.describe.contains("index.hnsw.m"),
+      "HNSW must survive a delete")
+    val res = exhaustive(coll)
+    assert(res == exact(coll), "post-delete exhaustive HNSW must equal exact KNN")
+    assert(!res.exists(_._2.toLong >= 60), "a deleted id surfaced")
+  }
+
+  test("update by filter re-indexes the post-image rows") {
+    val coll = freshColl("update")
+    coll.update("id < 5", Map("vector" -> transform(col("vector"), x => x * lit(2.0))))
+    assert(coll.describe.contains("index.hnsw.m"),
+      "HNSW must survive an update")
+    assert(exhaustive(coll) == exact(coll),
+      "post-update exhaustive HNSW must equal exact KNN on the post-image")
+  }
+
+  test("mutation chain: upsert + delete + update, then compaction folds segments") {
+    val coll = freshColl("chain")
+    coll.upsert(embs.where(col("id").between(80, 99)))          // 20 new
+    coll.delete("id >= 90")                                     // 10 gone
+    coll.update("id < 3", Map("vector" -> transform(col("vector"), x => x + lit(0.5))))
+    assert(exhaustive(coll) == exact(coll),
+      "exhaustive HNSW must track the corpus through a mutation chain")
+    // the chain accumulated per-batch mini-segments above the base 2
+    val segsBefore = coll.hnswGraphSegments
+    assert(segsBefore > 2, s"expected appended segments, got $segsBefore")
+    coll.compactIndexes()
+    assert(coll.hnswGraphSegments == 2,
+      "compaction must fold back to the configured segment count")
+    assert(exhaustive(coll) == exact(coll),
+      "compaction must preserve exhaustive == exact")
+    // compacted graph == a from-scratch rebuild (same params + seed);
+    // column order aligned — partition-column reads append `seg` last
+    val gCols = Seq("seg", "id", "vec", "level", "nbrs").map(col)
+    val compacted = coll.hnswGraphRows.select(gCols: _*)
+    val rebuilt = graft.vector.HnswIndex.build(
+      coll.df.select("id", "vector"), "id", "vector",
+      m = 4, efConstruction = 16, numSegments = 2).select(gCols: _*)
+    assert(compacted.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(compacted).isEmpty,
+      "compacted graph must be byte-identical to a from-scratch rebuild")
+  }
+
+  test("auto-compaction fires on an HNSW-only collection") {
+    val coll = freshColl("auto")
+    coll.setAutoCompact(3)
+    for (b <- 0 until 4)
+      coll.upsert(embs.where(col("id").between(100 + b * 5, 104 + b * 5)))
+    // 4 mutations against threshold 3: at least one fold must have
+    // fired, keeping the segment debt bounded
+    assert(coll.segmentDebt < 4, s"debt ${coll.segmentDebt} never compacted")
+    assert(exhaustive(coll) == exact(coll),
+      "auto-compacted HNSW must stay exhaustive-exact")
+  }
+}

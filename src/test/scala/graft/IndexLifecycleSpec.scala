@@ -101,18 +101,23 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(back == exact)
   }
 
-  test("mutations invalidate the HNSW graph (rebuild-only family, fail-fast)") {
+  test("upsert maintains the HNSW graph incrementally (new segment, keeps serving)") {
     val root = Files.createTempDirectory("graft-hnsw-mut").toString
     val db = new GraftClient(spark, root).createDatabase("db")
     val coll = db.createCollection("w")
     coll.upsert(embs.limit(50))
     coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 1)
     assert(coll.searchHnsw(queries, "qid", "qv", limit = 3).count() == 9)
+    // grows the corpus 50 -> 60: the 10 new ids land in a NEW segment
+    // graph; the index keeps serving and the exhaustive certificate
+    // covers the post-upsert corpus
     coll.upsert(embs.limit(60))
-    assert(!coll.describe.contains("index.hnsw.m"),
-      "HNSW meta must not survive a mutation it cannot see")
-    intercept[IllegalArgumentException] {
-      coll.searchHnsw(queries, "qid", "qv", limit = 3)
-    }
+    assert(coll.describe.contains("index.hnsw.m"),
+      "HNSW must survive an upsert via segment append")
+    val exact = coll.search(queries, "qid", "qv", metric = "cosine", limit = 5)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    val hits = coll.searchHnsw(queries, "qid", "qv", limit = 5, ef = Int.MaxValue)
+      .select("query_id", "id").collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(hits == exact, "post-upsert exhaustive HNSW must equal the exact scan")
   }
 }

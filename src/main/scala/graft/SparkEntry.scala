@@ -335,6 +335,15 @@ object SparkEntry {
         window = 16, stride = 16, minDocs = 2)
     }),
 
+    "q_strip_boilerplate" -> ((s, dir) => {
+      // the APPLY step of q_passage_repeats (row 73): drop each doc's
+      // 16-token blocks whose passage repeats verbatim in >= 2 docs,
+      // reassemble the remainder in order (trailing partial block and
+      // sub-window docs always survive)
+      Dedup.stripBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+        window = 16, minDocs = 2)
+    }),
+
     // ----------------------------------------------------- text analysis
     "q_lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -1615,6 +1624,31 @@ object SparkEntry {
         |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM win GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY passage""".stripMargin,
+
+    "q_strip_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |allwin AS (SELECT doc_id, CAST((i - 1) // 16 AS INT) AS b,
+        |                  array_to_string(t[i:i+15], ' ') AS passage
+        |           FROM toks, UNNEST(range(1, len(t) - 14, 16)) AS r(i)
+        |           WHERE len(t) >= 16),
+        |rep AS (SELECT passage FROM allwin
+        |        GROUP BY passage HAVING count(DISTINCT doc_id) >= 2),
+        |keptb AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY b) AS body
+        |          FROM allwin WHERE passage NOT IN (SELECT passage FROM rep)
+        |          GROUP BY doc_id),
+        |doomed AS (SELECT doc_id, count(*) AS nb
+        |           FROM allwin WHERE passage IN (SELECT passage FROM rep)
+        |           GROUP BY doc_id),
+        |base AS (SELECT doc_id, t, len(t) AS n,
+        |                CAST(len(t) // 16 AS INT) AS nfull FROM toks)
+        |SELECT base.doc_id,
+        |  CASE WHEN base.n < 16 THEN array_to_string(base.t, ' ')
+        |       ELSE concat_ws(' ', NULLIF(keptb.body, ''),
+        |              NULLIF(array_to_string(base.t[base.nfull*16+1:base.n], ' '), ''))
+        |  END AS clean_text,
+        |  COALESCE(doomed.nb, 0) AS n_blocks_removed
+        |FROM base LEFT JOIN keptb USING (doc_id) LEFT JOIN doomed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -649,6 +649,53 @@ object Dedup {
       .orderBy("passage")
   }
 
+  /** Boilerplate REMOVAL — the apply step [[passageRepeats]]'s report
+    * feeds (the CCNet/RefinedWeb cleaning stage: headers, footers,
+    * license blocks, navigation chrome are *in-document* noise that doc-
+    * level dedup can never remove). Each document's tokens are chunked
+    * into non-overlapping `window`-token blocks (stride = window — the
+    * alignment that makes "covered by a repeated passage" exact and
+    * reconstruction lossless); blocks whose passage occurs verbatim in
+    * ≥ `minDocs` distinct docs are dropped, everything else — including
+    * the trailing partial block, which is never a full window — is
+    * reassembled in order. Docs shorter than one window pass through
+    * untouched.
+    *
+    * Scale shape: the repeated-passage set is one groupBy (the report);
+    * marking doomed blocks is an equi-join on the passage key (the
+    * repeated set is corpus-frequency-bounded — NOT broadcast-hinted,
+    * boilerplate vocabularies grow with real corpora; AQE broadcasts
+    * when small); the doomed-block lists group only the AFFECTED docs;
+    * reconstruction is a pure per-row lambda over the token array.
+    * Nothing pairwise, the corpus never shuffles. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 16, minDocs: Int = 2,
+                       approxDocs: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val rep = passageRepeats(docs, idCol, textCol, window, stride = window,
+      minDocs, approxDocs).select(col("passage"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    // (doc_id, block index, passage) for every FULL window; the windows
+    // partition the first floor(n/window)·window tokens
+    val blocks = toks.where(size(col("__toks")) >= window)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - window, lit(window)),
+        i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(window))))))
+      .toDF("doc_id", "b", "passage")
+    val doomed = blocks.join(rep, Seq("passage"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("b")).as("__doomed"))
+    toks.join(doomed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"), (t, i) =>
+          coalesce(!array_contains(col("__doomed"),
+            floor(i / lit(window)).cast("int")), lit(true))), " ")
+          .as("clean_text"),
+        coalesce(size(col("__doomed")), lit(0)).as("n_blocks_removed"))
+      .orderBy("doc_id")
+  }
+
   /** [[simhashPairs]] served from a precomputed (doc_id, simhash)
     * frame — the ingest-artifact path (see
     * [[minhashLshFromSignatures]]). */

@@ -80,6 +80,23 @@ class CrossCorpusSpec extends SparkSpec {
     assert(slid.head.getLong(1) == 3L)
   }
 
+  test("stripBoilerplate drops repeated blocks, keeps tails and sub-window docs") {
+    val boiler = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 tail1 tail2"), // boiler block + unique block + partial tail
+      (2L, s"$boiler v1 v2 v3 v4"),             // boiler block + unique block, no tail
+      (3L, s"$boiler"),                          // ONLY boilerplate -> empty after strip
+      (4L, "tiny")                               // sub-window: untouched
+    ).toDF("doc_id", "text")
+    val m = Dedup.stripBoilerplate(docs, "doc_id", "text", window = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(m.size == 4)
+    assert(m(1L) == ("u1 u2 u3 u4 tail1 tail2", 1))
+    assert(m(2L) == ("v1 v2 v3 v4", 1))
+    assert(m(3L) == ("", 1))
+    assert(m(4L) == ("tiny", 0))
+  }
+
   test("passageRepeats approx doc counting finds the same hot passage") {
     val docs = Seq(
       (1L, "p q r s"), (2L, "p q r s"), (3L, "different text here now")

@@ -723,6 +723,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_vocab_build" -> ((s, dir) => {
+      // frequency vocabulary: top-24 tokens by corpus count, id =
+      // dense rank with (count DESC, token ASC) tie-break — the
+      // tokenizer artifact loaders map ids through. 24 < the corpus'
+      // 31 distinct tokens at every SF, so the OOV path below is
+      // non-vacuous everywhere (SURVEY §4 checklist).
+      graft.text.Tokenizer.buildVocab(Tables.documents(s, dir), "text", 24)
+        .orderBy("id")
+    }),
+
+    "q_tokenize_ids" -> ((s, dir) => {
+      // tokenize-to-training-ids against the persisted vocabulary:
+      // exploded (doc_id, pos, token_id) with OOV -> -1; the vocab
+      // equi-join is the only non-projection step
+      graft.text.Tokenizer.tokenizeIds(
+          Tables.documents(s, dir), "doc_id", "text", vocabFor(s, dir))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      // trained-BPE subword encoding served from the persisted merge
+      // table (rows-only: the greedy merge loop is not SQL-expressible;
+      // TokenizerSpec pins training order, encode determinism, and
+      // round-trip). One row per word position; pieces concatenate
+      // back to the word + the </w> terminal.
+      graft.text.Bpe.encode(
+          Tables.documents(s, dir), "doc_id", "text", bpeMergesFor(s, dir))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", col("pieces")).as("pieces"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. Handles both
@@ -976,6 +1008,18 @@ object SparkEntry {
   private[graft] def bigramCountsFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"bgcounts_${sfKey(dir)}") {
       graft.text.TextAnalysis.bigramCounts(Tables.documents(s, dir), "doc_id", "text")
+    }
+
+  /** Persisted frequency vocabulary (tokenizer artifact). */
+  private[graft] def vocabFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"vocab24_${sfKey(dir)}") {
+      graft.text.Tokenizer.buildVocab(Tables.documents(s, dir), "text", 24)
+    }
+
+  /** Persisted BPE merge table (trained tokenizer artifact). */
+  private[graft] def bpeMergesFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"bpemerges_${sfKey(dir)}") {
+      graft.text.Bpe.train(Tables.documents(s, dir), "text", numMerges = 50)
     }
 
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */
@@ -1649,6 +1693,27 @@ object SparkEntry {
         |  COALESCE(doomed.nb, 0) AS n_blocks_removed
         |FROM base LEFT JOIN keptb USING (doc_id) LEFT JOIN doomed USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+        |rk AS (SELECT token, n,
+        |         row_number() OVER (ORDER BY n DESC, token) - 1 AS id FROM cnt)
+        |SELECT token, id, n FROM rk WHERE id < 24 ORDER BY id""".stripMargin,
+
+    "q_tokenize_ids" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+        |rk AS (SELECT token,
+        |         row_number() OVER (ORDER BY n DESC, token) - 1 AS id FROM cnt),
+        |v AS (SELECT token, id FROM rk WHERE id < 24),
+        |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS token
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |             UNNEST(range(1, len(t) + 1)) AS r(i)
+        |        WHERE t[i] <> '')
+        |SELECT pos.doc_id, pos.pos, COALESCE(v.id, -1) AS token_id
+        |FROM pos LEFT JOIN v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -42,7 +42,9 @@ object Bench {
         "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search",
         // builds the bigram-frequency and distilled-classifier artifacts
         // (ingest-time cost) — timed runs then measure serving
-        "q_rare_bigrams", "q_quality_classifier")
+        "q_rare_bigrams", "q_quality_classifier",
+        // builds the vocabulary / BPE-merge tokenizer artifacts
+        "q_tokenize_ids", "q_bpe_encode")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

@@ -84,10 +84,19 @@ object CurationProbe {
       time(s"bigram_counts_build_$tag") { bgCounts.count() }
       time(s"bigram_novelty_$tag") {
         // rare-tail equi-join against the persisted counts; work = docs
-        // scored (the join must not drop rows). NOTE the synthetic
-        // corpus is near-uniform, so the rare tail is ~ALL bigram
-        // occurrences — the worst case for the join volume.
-        graft.text.TextAnalysis.bigramNovelty(d, "doc_id", "text", bgCounts).count()
+        // scored (the join must not drop rows). The generator's 1000
+        // bigrams all occur >= ~35k times, so at the production
+        // threshold NOTHING is rare and the join would be vacuous —
+        // invFreq = 1 makes every bigram "rare", i.e. the FULL
+        // 280M-row join volume, the worst case the operator can see.
+        // sum(n_rare) FORCES the join and the explode — a count() lets
+        // Catalyst eliminate the left outer join (unique keys preserve
+        // cardinality) and the probe would time a pruned plan; work =
+        // total rare hits, which must 8x at 8x
+        graft.text.TextAnalysis.bigramNovelty(d, "doc_id", "text", bgCounts,
+            invFreq = 1L)
+          .agg(org.apache.spark.sql.functions.sum("n_rare"))
+          .collect().head.getLong(0)
       }
       bgCounts.unpersist()
       time(s"vocab_drift_$tag") {

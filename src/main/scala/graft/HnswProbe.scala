@@ -36,8 +36,15 @@ object HnswProbe {
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // hash-based iid-uniform components — NOT ScaleProbe's sin
+    // manifold, which is a 1D curve where ~100 corpus vectors sit
+    // within 1e-3 cosine of any query's rank-10 score (measured):
+    // recall@10 against such near-tie clusters gauges float noise,
+    // not graph quality. Throughput probes don't care; a recall
+    // metric does.
     def synth(n: Long) = spark.range(n).toDF("id").select(col("id"),
-      expr(s"transform(sequence(0, ${dim - 1}), i -> cast(sin((id + 1) * (i * 2 + 3)) as float))")
+      expr(s"transform(sequence(0, ${dim - 1}), " +
+        "i -> cast(pmod(xxhash64(id * 64 + i), 10000) / 5000.0 - 1.0 as float))")
         .as("vec"))
 
     val nq = 8
@@ -63,12 +70,23 @@ object HnswProbe {
 
       val qdf = synth(nq).select(col("id").as("qid"), col("vec").as("qvec"))
       val gt = KnnSearch.topK(corpus, "id", "vec", qdf, "qid", "qvec", "cosine", 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gt.count()
       val rec = Recall.atK(res, gt)
+      // ef sweep: iid-uniform vectors are the known hard case for
+      // graph ANN (no cluster structure, concentrated distances) —
+      // the sweep shows how much candidate budget buys back
+      val sweep = Seq(ef * 2, ef * 4).map { e =>
+        val r = Recall.atK(HnswIndex.search(graph, corpus, "id", "vec",
+          queries, "cosine", k = 10, ef = e), gt)
+        f""""recall@10_ef$e":$r%.4f"""
+      }.mkString(",")
+      gt.unpersist()
 
       println(f"""{"probe":"hnsw_$tag","n":$n,"segments":$segments,""" +
         f""""build_sec":$tBuild%.1f,"build_vecs_per_sec":${gRows / tBuild}%.0f,""" +
         f""""search_sec":$tSearch%.2f,"per_query_sec":${tSearch / nq}%.3f,""" +
-        f""""ef":$ef,"recall@10":$rec%.4f}""")
+        f""""ef":$ef,"recall@10":$rec%.4f,$sweep}""")
       graph.unpersist(); corpus.unpersist()
     }
     spark.stop()

@@ -96,17 +96,28 @@ object Bpe {
   /** Train `numMerges` BPE merges from the corpus. Returns the ranked
     * merge table (rank, left, right) — the persistable model artifact.
     * `minCount` drops hapax words from training (standard; keeps the
-    * driver dictionary tight). Deterministic: greedy argmax with
-    * (left, right) lexicographic tie-break. */
+    * driver dictionary tight), and `maxWords` caps the driver-side
+    * dictionary at the top-N word types by count (count DESC, word ASC
+    * tie-break — deterministic): at 100 TB the distinct-word dictionary
+    * itself grows past what one driver should hold, and training on
+    * the head types is what real tokenizer trainers do — the dropped
+    * tail is by construction the word mass that influences pair counts
+    * least. The top-N cut is computed distributed (the same
+    * vocab-bounded rank as [[Tokenizer.buildVocab]]); only the
+    * surviving dictionary crosses to the driver. Deterministic: greedy
+    * argmax with (left, right) lexicographic tie-break. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 1L): DataFrame = {
+            minCount: Long = 1L, maxWords: Int = 1000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val wordCounts = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+      .withColumn("__r", row_number().over(Window.orderBy(col("n").desc, col("w"))))
+      .where(col("__r") <= maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = trainLocal(wordCounts, numMerges)
     merges.toSeq.toDF("rank", "left", "right")

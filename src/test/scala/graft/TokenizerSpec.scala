@@ -70,6 +70,15 @@ class TokenizerSpec extends SparkSpec {
     assert(lowPieces == Set(Seq("low" + Bpe.EndMark)))
   }
 
+  test("train maxWords caps the dictionary at the head word types") {
+    val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 5, maxWords = 1)
+    val syms = merges.collect()
+      .flatMap(r => Seq(r.getString(1), r.getString(2))).mkString
+    assert(syms.nonEmpty && !syms.contains("b") && !syms.contains("c"),
+      "only the top word type may reach the trainer")
+  }
+
   test("train stops when no pair repeats; minCount drops hapax words") {
     assert(Bpe.trainLocal(Array(("ab", 1L)), 10).length == 0)
     // with minCount=2 the hapax never reaches the trainer

@@ -14,7 +14,9 @@ object ExplainAudit {
         "q_det_split", "q_quality_filter", "q_contamination",
         "q_domain_mix", "q_pack", "q_repetition", "q_curate_pipeline",
         "q_cluster_reps", "q_ivfsq_search", "q_rare_bigrams",
-        "q_quality_classifier", "q_vocab_drift")
+        "q_quality_classifier", "q_vocab_drift",
+        "q_hnsw_search", "q_strip_boilerplate", "q_vocab_build",
+        "q_tokenize_ids", "q_bpe_encode")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -68,7 +68,19 @@ object Bench {
     }
     val minQ = names.map(n => n -> runs.map(_(n)).min)
     val meanQ = names.map(n => n -> runs.map(_(n)).sum / runs.length)
-    val maint = maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir)
+    // the maintenance arm gets the same noise treatment as the timed
+    // suite (min-of-2 — each pass rebuilds its own collections, so two
+    // passes double the arm's cost where three would triple it): a GC
+    // pause during a single-shot m_* row would read as a multi-x
+    // regression, the exact failure mode min-of-N exists to kill
+    val maintRuns: Seq[Seq[(String, Double)]] = (1 to 2).map { _ =>
+      maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir)
+    }
+    val maintKeys = maintRuns.head.map(_._1)
+    val maint = maintKeys.map { k =>
+      k -> maintRuns.map(_.toMap.apply(k)).filter(_ >= 0.0)
+        .reduceOption((a: Double, b: Double) => math.min(a, b)).getOrElse(-1.0)
+    }
 
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     def js(kvs: Seq[(String, Double)]): String =
@@ -82,7 +94,11 @@ object Bench {
     // reason)
     val detail = runs.zipWithIndex.map { case (run, i) =>
       "\"run" + (i + 1) + "\":" + js(names.map(n => n -> run(n)))
-    }.mkString("{", ",", ",\"maintenance\":" + js(maint) + "}")
+    }.mkString("{", ",",
+      ",\"maintenance\":" + js(maint) +
+        maintRuns.zipWithIndex.map { case (mr, i) =>
+          ",\"maintenance_run" + (i + 1) + "\":" + js(mr)
+        }.mkString + "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

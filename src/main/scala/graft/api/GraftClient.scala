@@ -872,10 +872,34 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
     graft.vector.HnswIndex.search(
-      catalog.read(db, GraftCollection.hnswGraph(coll)),
+      preparedHnswGraph(meta),
       df, idCol, vecCol,
       collectNumericQueries(queries, qIdCol, qVecCol),
-      metric.getOrElse(meta("index.hnsw.metric")), limit, ef)
+      metric.getOrElse(meta("index.hnsw.metric")), limit, ef,
+      prepared = true)
+  }
+
+  /** Serving handle for the HNSW graph: the seg-whole arrangement
+    * ([[graft.vector.HnswIndex.prepare]]) paid ONCE per artifact
+    * version and cached process-wide — per-query searches must not
+    * re-shuffle the corpus-sized graph (the artifact version key
+    * covers rebuilds, appends, and compactions: base_seg/nextseg/
+    * mut.seg all participate). Stale versions are unpersisted on
+    * replacement. */
+  private def preparedHnswGraph(meta: Map[String, String]): DataFrame = {
+    val key = s"$db/${GraftCollection.hnswGraph(coll)}@${catalog.rootPath}"
+    val version = Seq("index.hnsw.base_seg", "index.hnsw.nextseg", "mut.seg")
+      .map(k => meta.getOrElse(k, "")).mkString("/")
+    val cached = GraftCollection.hnswServing.get(key)
+    cached match {
+      case (v, dfc) if v == version => dfc
+      case other =>
+        if (other != null) other._2.unpersist()
+        val prepared = graft.vector.HnswIndex.prepare(
+          catalog.read(db, GraftCollection.hnswGraph(coll)))
+        GraftCollection.hnswServing.put(key, (version, prepared))
+        prepared
+    }
   }
 
   /** Test/ops visibility: the persisted HNSW graph rows / current
@@ -1734,6 +1758,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 }
 
 object GraftCollection {
+  /** Process-wide HNSW serving-handle cache: artifact path →
+    * (version, prepared graph). See `preparedHnswGraph`. */
+  private[api] val hnswServing =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.DataFrame)]()
+
   /** Stored IVF cell layout column. Internal names use the reserved
     * "__" prefix so they can never collide with (and silently hide or
     * drop) a user document field — "cell" is a perfectly plausible user

@@ -20,6 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Catalog(spark: SparkSession, root: String) {
 
+  /** The catalog's filesystem root — cache keys for per-artifact
+    * serving handles need it (two catalogs may hold same-named
+    * collections). */
+  private[graft] def rootPath: String = root
+
   /** Database/collection/alias names become filesystem path segments;
     * restrict them so "../x" can never escape the catalog root (and an
     * alias can never resolve outside it). Leading '_' is reserved for

@@ -49,6 +49,70 @@ object HnswIndex {
   private type GraphRow = (Int, Long, Array[Float], Int, Seq[Seq[Long]])
   private val graphCols = Seq("seg", "id", "vec", "level", "nbrs")
 
+  /** ONE best-first beam search shared by construction and serving —
+    * the termination rule (stop when the nearest frontier candidate is
+    * farther than the worst of a full result heap) and the
+    * (dist, node-index) tie-break are subtle enough that two copies
+    * would silently diverge under maintenance. Subclasses provide
+    * distance and adjacency access: build-time over the growing
+    * ArrayBuffer adjacency, serve-time over the frozen decoded
+    * arrays. */
+  private abstract class Beam(n: Int) {
+    def dist(q: Array[Float], node: Int): Double
+    /** Neighbor count at (node, layer); 0 when the node has no such
+      * layer. */
+    def degree(node: Int, layer: Int): Int
+    def neighbor(node: Int, layer: Int, i: Int): Int
+
+    /** Up to `ef` closest (dist, node) pairs from `eps`, ascending;
+      * deterministic (ties break on node index). */
+    final def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int,
+                          lc: Int): Array[(Double, Int)] = {
+      val visited = new java.util.BitSet(n)
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      // candidates: nearest first; result: farthest first (bounded at ef)
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      eps.foreach { ep =>
+        if (!visited.get(ep)) {
+          visited.set(ep)
+          val d = dist(q, ep)
+          cand.enqueue((d, ep)); res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val deg = degree(c, lc)
+          var i = 0
+          while (i < deg) {
+            val e = neighbor(c, lc, i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, e)
+              if (res.size < ef || d < res.head._1) {
+                cand.enqueue((d, e)); res.enqueue((d, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      res.dequeueAll.toArray.reverse // ascending by (dist, node)
+    }
+  }
+
+  /** Squared L2 over float vectors, widened to double — the one
+    * traversal metric (graphs are built and navigated in L2 space;
+    * the caller's metric applies at the exact rerank). */
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+    s
+  }
+
   /** Deterministic level assignment: the standard geometric ladder
     * `floor(-ln(u) · mL)` with `u` drawn from a splitmix64 of the
     * vector id — identical across rebuilds, executors, and partition
@@ -138,59 +202,22 @@ object HnswIndex {
     val nbrs = Array.tabulate(n)(i =>
       Array.fill(levels(i) + 1)(new scala.collection.mutable.ArrayBuffer[Int](maxM0 + 2)))
 
-    def dist(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-      s
+    // build-time beam: adjacency is the growing ArrayBuffer graph
+    val beam = new Beam(n) {
+      def dist(q: Array[Float], node: Int): Double = l2sq(q, rows(node)._2)
+      def degree(node: Int, layer: Int): Int =
+        if (layer < nbrs(node).length) nbrs(node)(layer).length else 0
+      def neighbor(node: Int, layer: Int, i: Int): Int = nbrs(node)(layer)(i)
     }
-    def distTo(q: Array[Float], node: Int): Double = dist(q, rows(node)._2)
-
-    /** Best-first beam search at one layer; returns up to `ef` closest
-      * (dist, node) pairs, ascending. Ties break on node index, so the
-      * result is deterministic. */
-    def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, lc: Int): Array[(Double, Int)] = {
-      val visited = new java.util.BitSet(n)
-      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
-      // candidates: nearest first; result: farthest first (bounded at ef)
-      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
-      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-      eps.foreach { ep =>
-        if (!visited.get(ep)) {
-          visited.set(ep)
-          val d = distTo(q, ep)
-          cand.enqueue((d, ep)); res.enqueue((d, ep))
-        }
-      }
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
-        else {
-          val adj = if (lc < nbrs(c).length) nbrs(c)(lc) else
-            scala.collection.mutable.ArrayBuffer.empty[Int]
-          var i = 0
-          while (i < adj.length) {
-            val e = adj(i)
-            if (!visited.get(e)) {
-              visited.set(e)
-              val d = distTo(q, e)
-              if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, e)); res.enqueue((d, e))
-                if (res.size > ef) res.dequeue()
-              }
-            }
-            i += 1
-          }
-        }
-      }
-      res.dequeueAll.toArray.reverse // ascending by (dist, node)
-    }
+    def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int, lc: Int): Array[(Double, Int)] =
+      beam.searchLayer(q, eps, ef, lc)
 
     /** Cap `node`'s layer-`lc` adjacency at `cap` by keeping the
       * closest (the simple shrink of the original algorithm). */
     def shrink(node: Int, lc: Int, cap: Int): Unit = {
       val adj = nbrs(node)(lc)
       if (adj.length > cap) {
-        val kept = adj.map(e => (dist(rows(node)._2, rows(e)._2), e))
+        val kept = adj.map(e => (l2sq(rows(node)._2, rows(e)._2), e))
           .sorted.take(cap).map(_._2)
         adj.clear(); adj ++= kept
       }
@@ -245,22 +272,38 @@ object HnswIndex {
     }
   }
 
+  /** Arrange a graph frame into seg-WHOLE, seg-contiguous partitions —
+    * the serving precondition of [[candidates]]. A raw read of the
+    * seg-partitioned parquet artifact cannot guarantee it (a large
+    * segment file splits across input partitions at row-group
+    * boundaries), so traversal needs this one shuffle; `prepare`
+    * exists so callers pay it ONCE per artifact version and serve
+    * every query batch from the persisted result (the client caches
+    * the handle per collection + mutation version) instead of
+    * re-shuffling the corpus-sized graph on every search. */
+  def prepare(graph: DataFrame): DataFrame = graph
+    .select(col("seg").cast("int"), col("id"), col("vec"),
+      col("level").cast("int"), col("nbrs"))
+    .repartition(col("seg"))
+    .sortWithinPartitions("seg", "id")
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Per-segment graph traversal → candidate (query_id, id) pairs: up
     * to `ef` per (segment, query). The exhaustive certificate lives
-    * here — ef ≥ segment size returns every node (see object doc). */
+    * here — ef ≥ segment size returns every node (see object doc).
+    * `prepared = true` promises the frame came from [[prepare]] (seg-
+    * whole partitions) and skips the arranging shuffle. */
   private[graft] def candidates(graph: DataFrame,
-      queries: Array[(Long, Array[Double])], ef: Int): DataFrame = {
+      queries: Array[(Long, Array[Double])], ef: Int,
+      prepared: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "empty query batch")
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids in batch")
     val spark = graph.sparkSession
     val bc = spark.sparkContext.broadcast(queries.map { case (qid, qv) =>
       (qid, qv.map(_.toFloat)) })
-    graph
-      .select(col("seg").cast("int"), col("id"), col("vec"),
-        col("level").cast("int"), col("nbrs"))
-      .repartition(col("seg"))
-      .sortWithinPartitions("seg", "id")
+    val arranged = if (prepared) graph else prepareNoPersist(graph)
+    arranged
       .as(Encoders.product[GraphRow])
       .mapPartitions { it =>
         val qs = bc.value
@@ -272,6 +315,12 @@ object HnswIndex {
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
   }
+
+  private def prepareNoPersist(graph: DataFrame): DataFrame = graph
+    .select(col("seg").cast("int"), col("id"), col("vec"),
+      col("level").cast("int"), col("nbrs"))
+    .repartition(col("seg"))
+    .sortWithinPartitions("seg", "id")
 
   /** Traverse one segment's graph for every query. */
   private def searchSegment(rs: Array[GraphRow],
@@ -291,55 +340,23 @@ object HnswIndex {
     val maxLevel = rs(entry)._4
     val efEff = math.max(1, math.min(ef, n))
 
-    def dist(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var k = 0
-      while (k < a.length) { val d = a(k).toDouble - b(k).toDouble; s += d * d; k += 1 }
-      s
-    }
-
-    def searchLayer(q: Array[Float], ep: Int, efL: Int, lc: Int): Array[(Double, Int)] = {
-      val visited = new java.util.BitSet(n)
-      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
-      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
-      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-      visited.set(ep)
-      val d0 = dist(q, vecs(ep))
-      cand.enqueue((d0, ep)); res.enqueue((d0, ep))
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= efL) { cand.clear() }
-        else {
-          val layers = adj(c)
-          if (lc < layers.length) {
-            val a = layers(lc)
-            var k = 0
-            while (k < a.length) {
-              val e = a(k)
-              if (!visited.get(e)) {
-                visited.set(e)
-                val d = dist(q, vecs(e))
-                if (res.size < efL || d < res.head._1) {
-                  cand.enqueue((d, e)); res.enqueue((d, e))
-                  if (res.size > efL) res.dequeue()
-                }
-              }
-              k += 1
-            }
-          }
-        }
-      }
-      res.dequeueAll.toArray.reverse
+    // serve-time beam: adjacency is the frozen decoded index arrays
+    val beam = new Beam(n) {
+      def dist(q: Array[Float], node: Int): Double = l2sq(q, vecs(node))
+      def degree(node: Int, layer: Int): Int =
+        if (layer < adj(node).length) adj(node)(layer).length else 0
+      def neighbor(node: Int, layer: Int, i: Int): Int = adj(node)(layer)(i)
     }
 
     qs.iterator.flatMap { case (qid, qv) =>
       var ep = entry
       var lc = maxLevel
       while (lc > 0) {
-        val best = searchLayer(qv, ep, 1, lc)
+        val best = beam.searchLayer(qv, Seq(ep), 1, lc)
         if (best.nonEmpty) ep = best(0)._2
         lc -= 1
       }
-      searchLayer(qv, ep, efEff, 0).iterator.map { case (_, node) =>
+      beam.searchLayer(qv, Seq(ep), efEff, 0).iterator.map { case (_, node) =>
         (qid, rs(node)._2)
       }
     }
@@ -362,7 +379,7 @@ object HnswIndex {
     * contract). */
   def search(graph: DataFrame, data: DataFrame, idCol: String, vecCol: String,
              queries: Array[(Long, Array[Double])], metric: String,
-             k: Int, ef: Int = 10): DataFrame = {
+             k: Int, ef: Int = 10, prepared: Boolean = false): DataFrame = {
     val m = VectorMetric(metric)
     val spark = data.sparkSession
     import spark.implicits._
@@ -371,11 +388,17 @@ object HnswIndex {
     // — both surface the same id, and duplicate (query_id, id) pairs
     // would occupy two top-k ranks. Bounded input (segments·ef rows per
     // query), so the dedup never touches corpus-sized data.
-    val cand = candidates(graph, queries, math.max(ef, k)).distinct()
+    val cand = candidates(graph, queries, math.max(ef, k), prepared).distinct()
     val qdf = queries.toSeq.toDF("query_id", "__qv")
+    // cand is NOT broadcast-hinted: at production ef it is tiny
+    // (segments·ef ids per query — AQE broadcasts it), but on the
+    // exhaustive-certificate path (ef ≥ segment size) it is
+    // corpus-sized and a forced broadcast would hit the driver's
+    // 8 GB/512M-row broadcast limits; the query batch IS bounded,
+    // so it keeps the hint
     val exact = data
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cand), "id")
+      .join(cand, "id")
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"),
         VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))

@@ -34,15 +34,21 @@ object SqIndex {
   def train(data: DataFrame, vecCol: String): Model = {
     val rows = data
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"),
+        count(lit(1)).as("n"))
       .collect()
     require(rows.nonEmpty, "cannot train SQ bounds on an empty corpus")
     val dim = rows.map(_.getInt(0)).max + 1
-    // ragged input (some vectors shorter than dim) leaves holes at the
-    // missing positions — those dims would silently encode as 0 and
-    // decode to 0.0, corrupting ranking; fail fast like modelFromDf
-    require(rows.length == dim,
-      s"ragged corpus: saw ${rows.length} of $dim dimensions in SQ training")
+    // ragged input (some vectors shorter than dim): a short vector
+    // contributes to the LOW positions only, so the per-position
+    // contribution counts differ — whereas the position set itself is
+    // always the contiguous 0..dim-1 (a row-count check can never
+    // fire). Those vectors' missing dims would encode as code 0 and
+    // decode to vmin, corrupting ranking with no error; fail fast
+    // like modelFromDf.
+    require(rows.map(_.getLong(3)).distinct.length == 1,
+      s"ragged corpus: per-dimension counts differ across the $dim dimensions " +
+        "in SQ training (vectors of unequal length)")
     val vmin = new Array[Double](dim)
     val vdelta = new Array[Double](dim)
     rows.foreach { r =>

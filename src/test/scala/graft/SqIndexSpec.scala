@@ -19,6 +19,22 @@ class SqIndexSpec extends SparkSpec {
     .select(col("vec_id"), col("embedding").cast("array<double>"))
     .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  test("train fails fast on ragged vectors (per-dim counts differ)") {
+    // a short vector fills the LOW positions only — the position SET
+    // stays contiguous 0..dim-1, so a row-count guard can never fire
+    // (the round-5 guard was exactly that, and vacuous); the count
+    // guard must
+    val ragged = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0)))
+      .toDF("id", "v")
+    val err = intercept[IllegalArgumentException] {
+      SqIndex.train(ragged, "v")
+    }
+    assert(err.getMessage.contains("ragged"))
+    // equal-length corpora with identical values per dim still train
+    val ok = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("id", "v")
+    assert(SqIndex.train(ok, "v").dim == 2)
+  }
+
   test("quantization is sound: codes in [0,255], per-dim error <= step/2") {
     val model = SqIndex.train(embs, "embedding")
     assert(model.dim == 64)

@@ -344,6 +344,16 @@ object SparkEntry {
         window = 16, minDocs = 2)
     }),
 
+    "q_dedup_intradoc" -> ((s, dir) => {
+      // INTRA-document repeated-block dedup (row 77): C4's keep-the-
+      // first-occurrence rule at 2-token block granularity (window 2
+      // because this corpus' intra-doc verbatim repetition lives at
+      // that width — 174/181/1655 affected docs across the SFs; wider
+      // blocks repeat only ACROSS docs here, which is row 73's job)
+      Dedup.dedupRepeatedBlocks(Tables.documents(s, dir), "doc_id", "text",
+        window = 2)
+    }),
+
     // ----------------------------------------------------- text analysis
     "q_lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -1689,6 +1699,30 @@ object SparkEntry {
         |  CASE WHEN base.n < 16 THEN array_to_string(base.t, ' ')
         |       ELSE concat_ws(' ', NULLIF(keptb.body, ''),
         |              NULLIF(array_to_string(base.t[base.nfull*16+1:base.n], ' '), ''))
+        |  END AS clean_text,
+        |  COALESCE(doomed.nb, 0) AS n_blocks_removed
+        |FROM base LEFT JOIN keptb USING (doc_id) LEFT JOIN doomed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_intradoc" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST((i - 1) // 2 AS INT) AS b,
+        |             array_to_string(t[i:i+1], ' ') AS p
+        |      FROM toks, UNNEST(range(1, len(t), 2)) AS r(i)
+        |      WHERE len(t) >= 2),
+        |occ AS (SELECT doc_id, b, p,
+        |          row_number() OVER (PARTITION BY doc_id, p ORDER BY b) AS rn
+        |        FROM w),
+        |keptb AS (SELECT doc_id, string_agg(p, ' ' ORDER BY b) AS body
+        |          FROM occ WHERE rn = 1 GROUP BY doc_id),
+        |doomed AS (SELECT doc_id, count(*) AS nb FROM occ WHERE rn > 1
+        |           GROUP BY doc_id),
+        |base AS (SELECT doc_id, t, len(t) AS n,
+        |                CAST(len(t) // 2 AS INT) AS nfull FROM toks)
+        |SELECT base.doc_id,
+        |  CASE WHEN base.n < 2 THEN array_to_string(base.t, ' ')
+        |       ELSE concat_ws(' ', NULLIF(keptb.body, ''),
+        |              NULLIF(array_to_string(base.t[base.nfull*2+1:base.n], ' '), ''))
         |  END AS clean_text,
         |  COALESCE(doomed.nb, 0) AS n_blocks_removed
         |FROM base LEFT JOIN keptb USING (doc_id) LEFT JOIN doomed USING (doc_id)

@@ -686,6 +686,15 @@ object Dedup {
     val doomed = blocks.join(rep, Seq("passage"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(col("b")).as("__doomed"))
+    reassemble(toks, doomed, window)
+  }
+
+  /** Drop kept-tokens reconstruction shared by the block-removal ops:
+    * left-join the per-doc doomed-block sets (docs with none pass
+    * through whole) and rebuild the text from the surviving tokens in
+    * order — a pure per-row lambda, the corpus never shuffles. */
+  private def reassemble(toks: DataFrame, doomed: DataFrame,
+                         window: Int): DataFrame =
     toks.join(doomed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(filter(col("__toks"), (t, i) =>
@@ -694,6 +703,43 @@ object Dedup {
           .as("clean_text"),
         coalesce(size(col("__doomed")), lit(0)).as("n_blocks_removed"))
       .orderBy("doc_id")
+
+  /** INTRA-document repeated-block dedup — the C4 "keep the first
+    * occurrence" cleaning rule, at token-block granularity (this
+    * corpus has no newlines; on a corpus with lines, lines are the
+    * natural block): within each document, every non-overlapping
+    * `window`-token block that repeats an EARLIER block of the same
+    * document verbatim is dropped; the first occurrence, the trailing
+    * partial block, and sub-window docs always survive. Complements
+    * [[stripBoilerplate]], which removes blocks repeated ACROSS
+    * documents.
+    *
+    * Scale shape: one block explode + one (doc_id, passage) groupBy
+    * (partial-agg; the block stream is ~n_tokens/window rows of ids +
+    * short strings) narrowed to the repeated groups BEFORE the per-doc
+    * gather, then the same per-row reassembly lambda as
+    * stripBoilerplate. Nothing pairwise, no window function, the
+    * corpus text never shuffles. */
+  def dedupRepeatedBlocks(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int = 16): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+    val blocks = toks.where(size(col("__toks")) >= window)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - window, lit(window)),
+        i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(window))))))
+      .toDF("doc_id", "b", "passage")
+    // all-but-first per (doc, passage): sort the tiny per-group block
+    // list and drop its head — no corpus-wide window function
+    val doomed = blocks.groupBy("doc_id", "passage")
+      .agg(sort_array(collect_list(col("b"))).as("__bs"))
+      .where(size(col("__bs")) > 1)
+      .select(col("doc_id"),
+        slice(col("__bs"), lit(2), size(col("__bs")) - 1).as("__dup"))
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("__dup"))).as("__doomed"))
+    reassemble(toks, doomed, window)
   }
 
   /** [[simhashPairs]] served from a precomputed (doc_id, simhash)

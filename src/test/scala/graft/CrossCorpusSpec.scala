@@ -97,6 +97,22 @@ class CrossCorpusSpec extends SparkSpec {
     assert(m(4L) == ("tiny", 0))
   }
 
+  test("dedupRepeatedBlocks keeps first occurrences, tails, sub-window docs") {
+    val docs = Seq(
+      (1L, "a b c d a b e f a b"), // blocks: [a b][c d][a b][e f] + tail "a b"
+      (2L, "x y x y"),             // [x y][x y] -> second dropped
+      (3L, "q")                    // sub-window: untouched
+    ).toDF("doc_id", "text")
+    val m = Dedup.dedupRepeatedBlocks(docs, "doc_id", "text", window = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // doc 1: block 2 ("a b") is a repeat of block 0 -> dropped; the
+    // TAIL "a b" is a partial... no — 10 tokens = 5 full 2-blocks:
+    // [a b][c d][a b][e f][a b] -> blocks 2 and 4 drop
+    assert(m(1L) == ("a b c d e f", 2))
+    assert(m(2L) == ("x y", 1))
+    assert(m(3L) == ("q", 0))
+  }
+
   test("passageRepeats approx doc counting finds the same hot passage") {
     val docs = Seq(
       (1L, "p q r s"), (2L, "p q r s"), (3L, "different text here now")

@@ -294,6 +294,26 @@ object SparkEntry {
       Dedup.embedCosine(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
     }),
 
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup exhaustive twin (row 78): nclusters=1 makes the
+      // cluster pruning vacuous (all-pairs), the centroid the corpus
+      // mean — the whole pipeline (mean, pair graph, components,
+      // lowest-centroid-cosine representative) checks against the
+      // recursive-CTE DuckDB oracle
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.45, nclusters = 1)
+    }),
+
+    "q_semdedup_prod" -> ((s, dir) => {
+      // the production config: k-means cells bound the pairwise work
+      // (corpus^2/k in expectation — k in the tens of thousands at
+      // 100 TB, the paper's own setting). Rows-only: cluster
+      // boundaries legitimately drop cross-cell pairs, so the result
+      // is a deterministic (seeded) approximation of the twin above.
+      Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        eps = 0.45, nclusters = 8)
+    }),
+
     "q_dedup_embed_lsh" -> ((s, dir) => {
       // the scale path: LSH band candidates -> exact cosine verify. At
       // this low threshold the bands are exhaustive-grade (r=2, b=16,
@@ -1554,6 +1574,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, quality, doc_id AS cluster_id FROM q
         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS e
+        |        FROM embeddings),
+        |cent AS (SELECT list(m ORDER BY pos) AS c FROM (
+        |  SELECT pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v)
+        |  GROUP BY pos)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM v a, v b
+        |  WHERE a.doc_id < b.doc_id AND list_cosine_similarity(a.e, b.e) >= 0.45),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |scored AS (SELECT v.doc_id,
+        |    -round(list_cosine_similarity(v.e, cent.c), 4) AS s FROM v, cent),
+        |clustered AS (SELECT s.doc_id,
+        |    row_number() OVER (PARTITION BY comp.cluster_id
+        |                       ORDER BY s.s DESC, s.doc_id) AS rn
+        |  FROM scored s JOIN comp ON s.doc_id = comp.doc_id)
+        |SELECT doc_id FROM clustered WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id FROM v WHERE doc_id NOT IN (SELECT doc_id FROM comp)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->

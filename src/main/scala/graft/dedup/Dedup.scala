@@ -295,6 +295,68 @@ object Dedup {
     reps.unionByName(loners)
   }
 
+  /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup by embedding
+    * clusters: k-means cells bound the pairwise work, within-cell
+    * pairs at cosine ≥ `eps` form duplicate groups, and each group
+    * keeps the member with the LOWEST cosine to its cell centroid
+    * (the paper's diversity-preserving choice — near-dups collapse to
+    * their most atypical representative). Returns the surviving
+    * doc_ids.
+    *
+    * Scale shape: the clustering is the pruning device — pairwise
+    * cosine runs per-CELL (corpus²/nclusters in expectation; at 100 TB
+    * `nclusters` in the tens of thousands is the paper's own setting),
+    * components run over the qualifying pairs only, and the
+    * centroid-proximity scores are one projection against the
+    * broadcast centroid table. `nclusters = 1` is the exhaustive twin:
+    * within-cell = all-pairs, the centroid is the corpus mean, and the
+    * result is DuckDB-oracle-checkable end-to-end (q_semdedup).
+    *
+    * Engine-parity notes: centroids are computed as exact DECIMAL
+    * per-dimension sums cast to double before the one division (double
+    * summation is order-dependent across engines; decimal is not), and
+    * the representative choice ranks round(cosine, 4) with id
+    * tie-break — the same ranking discipline as every oracled score
+    * query here. */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+               eps: Double, nclusters: Int = 16, seed: Long = 42L,
+               maxIter: Int = 10): DataFrame = {
+    require(nclusters >= 1, "nclusters must be positive")
+    val base = embs
+      .select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+    val withCell =
+      if (nclusters == 1) base.withColumn("__cell", lit(0))
+      else {
+        val model = graft.vector.IvfIndex.train(base, "__v", nclusters, seed, maxIter)
+        val centers = model.kmeans.clusterCenters.zipWithIndex
+          .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
+        base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(centers, col("__v")))
+      }
+    // per-cell mean vector, decimal-exact per dimension (order-free)
+    val cents = withCell
+      .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy("__cell", "pos")
+      .agg((sum(col("x").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("__cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p("m")).as("__cent"))
+    val a = withCell.select(col("__cell"), col("doc_id").as("id_a"), col("__v").as("__va"))
+    val b = withCell.select(col("__cell"), col("doc_id").as("id_b"), col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b") &&
+        graft.vector.VectorScore.cosine(col("__va"), col("__vb")) >= eps)
+      .select("id_a", "id_b")
+    // keep the LOWEST centroid similarity => rank by its negation
+    val scored = withCell.join(broadcast(cents), Seq("__cell"))
+      .select(col("doc_id"),
+        (-round(graft.vector.VectorScore.cosine(col("__v"), col("__cent")), 4))
+          .as("__negcos"))
+    clusterRepresentatives(scored, "doc_id", "__negcos", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Deterministic permutation constants for minhash (seeded). */

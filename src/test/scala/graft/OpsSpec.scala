@@ -50,6 +50,27 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("semDedup collapses duplicate groups to the most atypical member") {
+    // a=(1,0) and c=(1,0) are exact dups; b at ~15 degrees pairs with
+    // both at eps=0.9; d=(-1,0.2) pulls the corpus MEAN to ~13 degrees,
+    // so within the ONE component {a,b,c} the centroid-nearest member
+    // is b (cos ~0.999) and the LOWEST-centroid-cosine members are the
+    // a/c twins (~0.974) — the paper's diversity-preserving choice
+    // keeps one of THOSE (tie -> min id 1); d is far away and survives
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.966, 0.259)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(-1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val out = graft.dedup.Dedup.semDedup(vecs, "vec_id", "embedding",
+      eps = 0.9, nclusters = 1).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L))
+    // cluster pruning keeps exact-dup collapse (dups share a cell)
+    val out2 = graft.dedup.Dedup.semDedup(vecs, "vec_id", "embedding",
+      eps = 0.9, nclusters = 2).collect().map(_.getLong(0)).toSet
+    assert(out2.contains(4L) && !(out2.contains(1L) && out2.contains(3L)),
+      s"exact dups must not both survive: $out2")
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq

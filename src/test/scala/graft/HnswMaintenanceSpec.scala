@@ -105,6 +105,36 @@ class HnswMaintenanceSpec extends SparkSpec {
       "compacted graph must be byte-identical to a from-scratch rebuild")
   }
 
+  test("streaming ingest keeps a live HNSW index maintained per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val coll = freshColl("stream")
+    val ckpt = Files.createTempDirectory("graft-hnsw-stream-ck").toString
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.Streams.ingestInto(
+      in.toDF().toDF("id", "vector"), coll, ckpt)
+    try {
+      val batch1 = embs.where(col("id").between(200, 209))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      in.addData(batch1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(embs.where(col("id").between(210, 214))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq)
+      q.processAllAvailable()
+      assert(coll.describe.contains("index.hnsw.m"),
+        "HNSW must stay live across micro-batches")
+      // streamed docs are graph-searchable; exhaustive == exact over
+      // the grown corpus
+      val res = exhaustive(coll)
+      assert(res == exact(coll))
+      assert(coll.searchHnsw(
+          embs.where(col("id") === 212).select(col("id").as("qid"),
+            col("vector").as("qv")), "qid", "qv", limit = 1, ef = Int.MaxValue)
+        .select("id").collect().head.get(0).toString == "212",
+        "a streamed doc must be its own nearest neighbor")
+    } finally q.stop()
+  }
+
   test("auto-compaction fires on an HNSW-only collection") {
     val coll = freshColl("auto")
     coll.setAutoCompact(3)

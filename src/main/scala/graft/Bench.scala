@@ -44,7 +44,9 @@ object Bench {
         // (ingest-time cost) — timed runs then measure serving
         "q_rare_bigrams", "q_quality_classifier",
         // builds the vocabulary / BPE-merge tokenizer artifacts
-        "q_tokenize_ids", "q_bpe_encode")
+        "q_tokenize_ids", "q_bpe_encode",
+        // builds the SemDeDup centroid artifact (ingest-time k-means)
+        "q_semdedup_prod")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).count()
         catch { case _: Throwable => () }

@@ -307,11 +307,19 @@ object SparkEntry {
     "q_semdedup_prod" -> ((s, dir) => {
       // the production config: k-means cells bound the pairwise work
       // (corpus^2/k in expectation — k in the tens of thousands at
-      // 100 TB, the paper's own setting). Rows-only: cluster
-      // boundaries legitimately drop cross-cell pairs, so the result
-      // is a deterministic (seeded) approximation of the twin above.
+      // 100 TB, the paper's own setting), served from the PERSISTED
+      // centroid artifact (the O(corpus) training pass is ingest-time
+      // work, like every model here). Rows-only: cluster boundaries
+      // legitimately drop cross-cell pairs, so the result is a
+      // deterministic (seeded) approximation of the twin above.
+      val centDf = graft.catalog.IndexStore.ensure(s, s"semcent8_${sfKey(dir)}") {
+        graft.vector.IvfIndex.centroids(
+          graft.vector.IvfIndex.train(
+            Tables.embeddings(s, dir), "embedding", nlist = 8, maxIter = 10), s)
+      }
       Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        eps = 0.45, nclusters = 8)
+        eps = 0.45, nclusters = 8,
+        centers = Some(graft.vector.IvfIndex.centersFromDf(centDf)))
     }),
 
     "q_dedup_embed_lsh" -> ((s, dir) => {

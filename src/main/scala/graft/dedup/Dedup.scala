@@ -320,18 +320,24 @@ object Dedup {
     * query here. */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
                eps: Double, nclusters: Int = 16, seed: Long = 42L,
-               maxIter: Int = 10): DataFrame = {
+               maxIter: Int = 10,
+               centers: Option[Seq[(Seq[Double], Int)]] = None): DataFrame = {
     require(nclusters >= 1, "nclusters must be positive")
     val base = embs
       .select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
+    // `centers` is the persisted-artifact path: the O(corpus) k-means
+    // pass is ingest-time work (like every model here — IVF centroids,
+    // PQ codebooks); a dedup RUN then only assigns + dedups
     val withCell =
       if (nclusters == 1) base.withColumn("__cell", lit(0))
       else {
-        val model = graft.vector.IvfIndex.train(base, "__v", nclusters, seed, maxIter)
-        val centers = model.kmeans.clusterCenters.zipWithIndex
-          .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
-        base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(centers, col("__v")))
+        val cs = centers.getOrElse {
+          val model = graft.vector.IvfIndex.train(base, "__v", nclusters, seed, maxIter)
+          model.kmeans.clusterCenters.zipWithIndex
+            .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
+        }
+        base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(cs, col("__v")))
       }
     // per-cell mean vector, decimal-exact per dimension (order-free)
     val cents = withCell

@@ -60,8 +60,14 @@ final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: Strin
   /** describe_collection (stub.py:317). */
   def describeCollection(coll: String): Map[String, String] =
     catalog.describeCollection(name, catalog.resolve(name, coll))
-  def dropCollection(coll: String): Unit = catalog.dropCollection(name, coll)
-  def truncateCollection(coll: String): Unit = catalog.truncateCollection(name, coll)
+  def dropCollection(coll: String): Unit = {
+    catalog.dropCollection(name, coll)
+    GraftCollection.evictHnswServing(catalog.rootPath, name, coll)
+  }
+  def truncateCollection(coll: String): Unit = {
+    catalog.truncateCollection(name, coll)
+    GraftCollection.evictHnswServing(catalog.rootPath, name, coll)
+  }
   def setAlias(alias: String, coll: String): Unit = catalog.setAlias(name, alias, coll)
   def deleteAlias(alias: String): Unit = catalog.deleteAlias(name, alias)
 
@@ -425,7 +431,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           segOffset = offset),
         "seg")
       catalog.updateMeta(db, coll,
-        Map("index.hnsw.nextseg" -> (offset + shards).toString))
+        Map("index.hnsw.nextseg" -> (offset + shards).toString,
+          "index.hnsw.gen" -> GraftCollection.freshGen()))
     }
   }
 
@@ -859,7 +866,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // base_seg (mutation-seg units) feeds segmentDebt so sustained
       // ingest auto-compacts HNSW-only collections too
       "index.hnsw.nextseg" -> numSegments.toString,
-      "index.hnsw.base_seg" -> mutationSeg.toString))
+      "index.hnsw.base_seg" -> mutationSeg.toString,
+      "index.hnsw.gen" -> GraftCollection.freshGen()))
   }
 
   /** HNSW search served from the persisted segment graphs (reference
@@ -881,25 +889,29 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   /** Serving handle for the HNSW graph: the seg-whole arrangement
     * ([[graft.vector.HnswIndex.prepare]]) paid ONCE per artifact
-    * version and cached process-wide — per-query searches must not
-    * re-shuffle the corpus-sized graph (the artifact version key
-    * covers rebuilds, appends, and compactions: base_seg/nextseg/
-    * mut.seg all participate). Stale versions are unpersisted on
-    * replacement. */
+    * generation and cached process-wide — per-query searches must not
+    * re-shuffle the corpus-sized graph. The version is the
+    * `index.hnsw.gen` NONCE, written fresh on EVERY graph-artifact
+    * write (rebuild, append, compaction) — counters like
+    * base_seg/nextseg/mut.seg repeat across drop-recreate cycles and
+    * parameter-only rebuilds, and a colliding key would silently serve
+    * a stale graph. Updates go through `compute` (atomic per key — no
+    * double-prepare leak), replaced handles unpersist non-blocking
+    * (in-flight jobs fall back to recomputing from the artifact), and
+    * a handle from a stopped SparkSession re-prepares. */
   private def preparedHnswGraph(meta: Map[String, String]): DataFrame = {
-    val key = s"$db/${GraftCollection.hnswGraph(coll)}@${catalog.rootPath}"
-    val version = Seq("index.hnsw.base_seg", "index.hnsw.nextseg", "mut.seg")
-      .map(k => meta.getOrElse(k, "")).mkString("/")
-    val cached = GraftCollection.hnswServing.get(key)
-    cached match {
-      case (v, dfc) if v == version => dfc
-      case other =>
-        if (other != null) other._2.unpersist()
-        val prepared = graft.vector.HnswIndex.prepare(
-          catalog.read(db, GraftCollection.hnswGraph(coll)))
-        GraftCollection.hnswServing.put(key, (version, prepared))
-        prepared
-    }
+    val key = GraftCollection.servingKey(catalog.rootPath, db, coll)
+    val version = meta.getOrElse("index.hnsw.gen", "")
+    GraftCollection.hnswServing.compute(key, (_, old) => {
+      if (old != null && old._1 == version && (old._2.sparkSession eq spark)) old
+      else {
+        if (old != null)
+          try old._2.unpersist(blocking = false)
+          catch { case _: Throwable => () } // stopped owning session
+        (version, graft.vector.HnswIndex.prepare(
+          catalog.read(db, GraftCollection.hnswGraph(coll))))
+      }
+    })._2
   }
 
   /** Test/ops visibility: the persisted HNSW graph rows / current
@@ -1200,7 +1212,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         partitionBy = Seq("seg"))
       catalog.updateMeta(db, coll, Map(
         "index.hnsw.base_seg" -> seg.toString,
-        "index.hnsw.nextseg" -> meta("index.hnsw.segments")))
+        "index.hnsw.nextseg" -> meta("index.hnsw.segments"),
+        "index.hnsw.gen" -> GraftCollection.freshGen()))
     }
     // every family now serves from its single fresh segment — the
     // ledger has nothing left to mask
@@ -1529,11 +1542,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                     keepIvfPq: Boolean = false,
                                     keepIvfSq: Boolean = false,
                                     keepHnsw: Boolean = false): Unit = {
-    if (!keepHnsw)
+    if (!keepHnsw) {
       invalidateFamily(Seq(GraftCollection.hnswGraph(coll)),
         Seq("index.hnsw.m", "index.hnsw.efc", "index.hnsw.segments",
           "index.hnsw.metric", "index.hnsw.dim", "index.hnsw.seed",
-          "index.hnsw.nextseg", "index.hnsw.base_seg"))
+          "index.hnsw.nextseg", "index.hnsw.base_seg", "index.hnsw.gen"))
+      GraftCollection.evictHnswServing(catalog.rootPath, db, coll)
+    }
     if (!keepIvf)
       invalidateFamily(Seq(GraftCollection.ivfCentroids(coll)),
         Seq("index.ivf.nlist", "index.ivf.metric"))
@@ -1759,9 +1774,27 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
 object GraftCollection {
   /** Process-wide HNSW serving-handle cache: artifact path →
-    * (version, prepared graph). See `preparedHnswGraph`. */
+    * (generation nonce, prepared graph). See `preparedHnswGraph`. */
   private[api] val hnswServing =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.DataFrame)]()
+
+  private[api] def servingKey(root: String, db: String, coll: String): String =
+    s"$db/${hnswGraph(coll)}@$root"
+
+  /** Non-repeating artifact-generation nonce (a cache token, not data
+    * — determinism of results never depends on it): counters repeat
+    * across drop-recreate cycles, a UUID cannot. */
+  private[api] def freshGen(): String = java.util.UUID.randomUUID().toString
+
+  /** Drop (and unpersist) a collection's cached serving handle — called
+    * whenever the graph artifact is invalidated or its collection
+    * dropped, so the cache can never outlive the artifact. */
+  private[api] def evictHnswServing(root: String, db: String, coll: String): Unit = {
+    val old = hnswServing.remove(servingKey(root, db, coll))
+    if (old != null)
+      try old._2.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+  }
 
   /** Stored IVF cell layout column. Internal names use the reserved
     * "__" prefix so they can never collide with (and silently hide or

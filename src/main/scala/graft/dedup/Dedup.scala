@@ -337,7 +337,13 @@ object Dedup {
           model.kmeans.clusterCenters.zipWithIndex
             .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
         }
+        // eager checkpoint: withCell feeds FOUR consumers (centroid agg,
+        // both sides of the pair self-join, the scored projection) and
+        // the k-way assignExpr is the dominant per-row cost — without
+        // it the assignment would re-evaluate once per consumer (the
+        // same reuse pattern connectedComponents checkpoints for)
         base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(cs, col("__v")))
+          .localCheckpoint(true)
       }
     // per-cell mean vector, decimal-exact per dimension (order-free)
     val cents = withCell

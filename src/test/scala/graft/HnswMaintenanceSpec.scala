@@ -135,6 +135,36 @@ class HnswMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drop + recreate under the same name must not serve the old graph") {
+    // the serving cache is keyed by artifact path; counters
+    // (base_seg/nextseg/mut.seg) REPEAT across drop-recreate cycles,
+    // so only a non-repeating generation nonce prevents the cache from
+    // handing back the dropped corpus's graph (whose ids are absent
+    // from the new data — the rerank join would return EMPTY results
+    // with no error)
+    val root = Files.createTempDirectory("graft-hnsw-gen").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val c1 = db.createCollection("v")
+    c1.upsert(embs.where(col("id") < 50))
+    c1.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    assert(c1.searchHnsw(queries, "qid", "qv", limit = 5,
+      ef = Int.MaxValue).count() > 0) // warms the cache
+    db.dropCollection("v")
+    val c2 = db.createCollection("v")
+    c2.upsert(embs.where(col("id").between(100, 149)))
+    c2.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    val qs2 = embs.where(col("id").between(100, 103))
+      .select(col("id").as("qid"), col("vector").as("qv"))
+    val hits = c2.searchHnsw(qs2, "qid", "qv", limit = 5, ef = Int.MaxValue)
+      .select("query_id", "id", "score").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSet
+    assert(hits.nonEmpty, "stale cached graph served: empty results")
+    val ex = c2.search(qs2, "qid", "qv", metric = "cosine", limit = 5)
+      .select("query_id", "id", "score").collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSet
+    assert(hits == ex, "recreated collection must serve its own graph")
+  }
+
   test("auto-compaction fires on an HNSW-only collection") {
     val coll = freshColl("auto")
     coll.setAutoCompact(3)

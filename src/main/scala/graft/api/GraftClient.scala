@@ -32,7 +32,16 @@ final class GraftClient(val spark: SparkSession, root: String) {
   }
   def database(name: String): GraftDatabase = new GraftDatabase(this, catalog, name)
   def listDatabases(): Seq[String] = catalog.listDatabases()
-  def dropDatabase(name: String): Unit = catalog.dropDatabase(name)
+  def dropDatabase(name: String): Unit = {
+    // evict each collection's cached HNSW serving handle BEFORE the
+    // files go away (mirrors dropCollection/truncateCollection): the
+    // gen nonce already prevents stale serving, but a leaked handle
+    // pins its MEMORY_AND_DISK-persisted graph until a same-keyed
+    // collection happens to replace it
+    catalog.listCollections(name).foreach(c =>
+      GraftCollection.evictHnswServing(catalog.rootPath, name, c))
+    catalog.dropDatabase(name)
+  }
 
   /** create_ai_database / drop_ai_database (stub.py:105, :144): the
     * reference separates AI (collection-view) databases from document
@@ -424,6 +433,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val shards = (((n - 1) / 200000) + 1).toInt
       val offset = meta.getOrElse("index.hnsw.nextseg",
         meta("index.hnsw.segments")).toInt
+      // CLAIM nextseg first, write partitions second, PUBLISH the gen
+      // nonce last. A crash after the claim can only leave the batch
+      // temporarily unindexed (its ids become searchable at the next
+      // compaction) — never orphan graph rows that searches would
+      // traverse, and never a later smaller append overwriting part of
+      // a dead claim (that append allocates ABOVE the claimed range).
+      // The gen moves only once the rows are really there, so a search
+      // interleaving between the steps caches the pre-append graph
+      // under the pre-append gen — invalidated exactly when the append
+      // completes. [[preparedHnswGraph]] additionally masks
+      // seg >= nextseg, covering artifacts written under the old
+      // (write-then-meta) ordering.
+      catalog.updateMeta(db, coll,
+        Map("index.hnsw.nextseg" -> (offset + shards).toString))
       catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
         graft.vector.HnswIndex.build(vecs, idCol, vecCol,
           meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
@@ -431,8 +454,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           segOffset = offset),
         "seg")
       catalog.updateMeta(db, coll,
-        Map("index.hnsw.nextseg" -> (offset + shards).toString,
-          "index.hnsw.gen" -> GraftCollection.freshGen()))
+        Map("index.hnsw.gen" -> GraftCollection.freshGen()))
     }
   }
 
@@ -902,14 +924,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def preparedHnswGraph(meta: Map[String, String]): DataFrame = {
     val key = GraftCollection.servingKey(catalog.rootPath, db, coll)
     val version = meta.getOrElse("index.hnsw.gen", "")
+    // orphan mask: segments at/above the claimed nextseg can only be
+    // leftovers of an append that crashed mid-write under the old
+    // write-then-meta ordering — partition pruning drops them before
+    // the arranging shuffle (appendHnswSegment now claims nextseg
+    // before writing, so new artifacts never produce such rows)
+    val nextSeg = meta.get("index.hnsw.nextseg").map(_.toInt)
     GraftCollection.hnswServing.compute(key, (_, old) => {
       if (old != null && old._1 == version && (old._2.sparkSession eq spark)) old
       else {
         if (old != null)
           try old._2.unpersist(blocking = false)
           catch { case _: Throwable => () } // stopped owning session
+        val raw = catalog.read(db, GraftCollection.hnswGraph(coll))
         (version, graft.vector.HnswIndex.prepare(
-          catalog.read(db, GraftCollection.hnswGraph(coll))))
+          nextSeg.fold(raw)(ns => raw.where(col("seg") < ns))))
       }
     })._2
   }

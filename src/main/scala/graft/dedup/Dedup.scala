@@ -323,6 +323,14 @@ object Dedup {
                maxIter: Int = 10,
                centers: Option[Seq[(Seq[Double], Int)]] = None): DataFrame = {
     require(nclusters >= 1, "nclusters must be positive")
+    // a centroid artifact trained with a different nlist would
+    // deterministically change assignments (and results) with no error;
+    // and at nclusters == 1 there is no assignment step to feed, so
+    // silently ignoring a supplied artifact would mask a caller bug
+    require(nclusters > 1 || centers.isEmpty,
+      "centers artifact is meaningless at nclusters = 1 (exhaustive mode)")
+    centers.foreach(cs => require(cs.length == nclusters,
+      s"centers artifact has ${cs.length} centroids but nclusters = $nclusters"))
     val base = embs
       .select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)

@@ -25,9 +25,16 @@ object Tokenizer {
   /** Top-`vocabSize` tokens by corpus frequency; `id` is the dense
     * rank in (count DESC, token ASC) order — deterministic across
     * engines and re-shards. Ids start at 0; `unkId` (callers use
-    * [[UnkId]] = -1) never collides. The sort ranks the VOCAB, not the
-    * corpus: its input is one row per distinct token post-aggregation,
-    * bounded by vocabulary growth (Heaps' law), not corpus size. */
+    * [[UnkId]] = -1) never collides.
+    *
+    * Scale shape: the top-K cut is `orderBy(…).limit(K)`, which Spark
+    * plans as a distributed `TakeOrderedAndProject` — every partition
+    * contributes only its local top K, so no task ever holds more than
+    * K rows. (A whitespace-token table at 100 TB is 10⁸–10⁹ distinct
+    * rows — URLs, numbers, typos — so ranking it through one
+    * unpartitioned Window would single-task-sort the whole thing; only
+    * the K SURVIVORS are ranked here, and that window is bounded by K
+    * everywhere.) */
   def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be positive")
     import org.apache.spark.sql.expressions.Window
@@ -35,9 +42,10 @@ object Tokenizer {
       .select(explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(vocabSize)
       .withColumn("id",
         row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
-      .where(col("id") < vocabSize)
       .select(col("token"), col("id"), col("n"))
   }
 
@@ -110,14 +118,17 @@ object Bpe {
             minCount: Long = 1L, maxWords: Int = 1000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // orderBy().limit() plans as a distributed TakeOrderedAndProject:
+    // each partition ships only its local top maxWords, so the cut is
+    // bounded by maxWords per task — no single-partition sort of the
+    // full distinct-word table (which is NOT small at 100 TB).
     val wordCounts = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
-      .withColumn("__r", row_number().over(Window.orderBy(col("n").desc, col("w"))))
-      .where(col("__r") <= maxWords)
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val merges = trainLocal(wordCounts, numMerges)
     merges.toSeq.toDF("rank", "left", "right")

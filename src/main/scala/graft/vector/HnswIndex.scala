@@ -374,9 +374,12 @@ object HnswIndex {
     *
     * Serving a stale graph stays delete-correct: candidates join
     * against the CURRENT `data` snapshot, so ids deleted since the
-    * rebuild drop out; ids inserted since the rebuild are unsearchable
-    * until the next rebuild (the reference's own rebuild_index
-    * contract). */
+    * graph was built drop out. Within ONE fixed graph frame, ids
+    * absent from it are unsearchable — but the client maintains the
+    * graph incrementally (GraftCollection.appendHnswSegment: an
+    * upsert batch lands as its own new segment graph), so a
+    * client-served collection searches its full corpus without
+    * waiting for a rebuild. */
   def search(graph: DataFrame, data: DataFrame, idCol: String, vecCol: String,
              queries: Array[(Long, Array[Double])], metric: String,
              k: Int, ef: Int = 10, prepared: Boolean = false): DataFrame = {

@@ -81,12 +81,29 @@ object HnswProbe {
           queries, "cosine", k = 10, ef = e), gt)
         f""""recall@10_ef$e":$r%.4f"""
       }.mkString(",")
+
+      // Algorithm-4 neighbor selection (diverse edges) vs the simple
+      // keep-closest rule, at MATCHED ef — the build-quality knob the
+      // paper recommends for exactly this hard case
+      val tH0 = System.nanoTime()
+      val graphH = HnswIndex.build(corpus, "id", "vec", m = 16,
+        efConstruction = 80, numSegments = segments, heuristic = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graphH.count()
+      val tBuildH = (System.nanoTime() - tH0) / 1e9
+      val sweepH = (Seq(ef) ++ Seq(ef * 2, ef * 4)).map { e =>
+        val r = Recall.atK(HnswIndex.search(graphH, corpus, "id", "vec",
+          queries, "cosine", k = 10, ef = e), gt)
+        f""""heur_recall@10_ef$e":$r%.4f"""
+      }.mkString(",")
+      graphH.unpersist()
       gt.unpersist()
 
       println(f"""{"probe":"hnsw_$tag","n":$n,"segments":$segments,""" +
         f""""build_sec":$tBuild%.1f,"build_vecs_per_sec":${gRows / tBuild}%.0f,""" +
         f""""search_sec":$tSearch%.2f,"per_query_sec":${tSearch / nq}%.3f,""" +
-        f""""ef":$ef,"recall@10":$rec%.4f,$sweep}""")
+        f""""ef":$ef,"recall@10":$rec%.4f,$sweep,""" +
+        f""""heur_build_sec":$tBuildH%.1f,$sweepH}""")
       graph.unpersist(); corpus.unpersist()
     }
     spark.stop()

@@ -233,6 +233,32 @@ object SparkEntry {
         Seq("query_id"), "id", "rank", k = 60, topN = 10)
     }),
 
+    "q_hybrid_ann" -> ((s, dir) => {
+      // hybrid with the dense arm served from the HNSW graph artifact
+      // (the reference's hybrid_search runs against the collection's
+      // CONFIGURED index with the same ef param — collection.py:161;
+      // conftest builds HNSW) instead of a FLAT corpus scan: per-query
+      // dense cost is segments·ef traversal + sliver rerank. Rows-only
+      // by design: the candidate set is ef-dependent; HybridAnnSpec
+      // pins ANN-armed ≡ FLAT-armed at exhaustive ef (the family's
+      // verified-twin pattern), and the FLAT-armed q_hybrid_rrf stays
+      // the oracled row.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val dense = graft.vector.HnswIndex.search(hnswGraphFor(s, dir), embs,
+        "vec_id", "embedding", qLocal, "cosine", k = 20, ef = 48)
+      val sparse = Bm25.fulltextIndexed(sparseIndexFor(s, dir),
+        FulltextTerms, 20, cutoffFrequency = 0.9)
+      val qids = embs.where(col("vec_id") < 4).select(col("vec_id").as("query_id"))
+      val sparseQ = qids.crossJoin(broadcast(
+        sparse.select(col("doc_id").as("id"), col("rank"))))
+        .select("query_id", "id", "rank")
+      Fusion.rrf(Seq(dense.select("query_id", "id", "rank"), sparseQ),
+        Seq("query_id"), "id", "rank", k = 60, topN = 10)
+    }),
+
     "q_sparse_search" -> ((s, dir) => {
       // user-supplied sparse_vector field: documents store a pre-encoded
       // term->weight list (persisted once); the query brings its own
@@ -317,9 +343,15 @@ object SparkEntry {
           graft.vector.IvfIndex.train(
             Tables.embeddings(s, dir), "embedding", nlist = 8, maxIter = 10), s)
       }
+      // maxCellSize: the prod config carries the hot-cell bound (cells
+      // cap pair work only IN EXPECTATION; one hot cluster degrades
+      // toward n² without it). Far above this corpus' cell sizes, so
+      // the toy result is identical — the bound exists for the skewed
+      // corpus SemDedupProbe measures.
       Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.45, nclusters = 8,
-        centers = Some(graft.vector.IvfIndex.centersFromDf(centDf)))
+        centers = Some(graft.vector.IvfIndex.centersFromDf(centDf)),
+        maxCellSize = 4096)
     }),
 
     "q_dedup_embed_lsh" -> ((s, dir) => {
@@ -793,6 +825,22 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_bpe_ids" -> ((s, dir) => {
+      // BPE to LOADER IDS, served from the persisted merge table: the
+      // piece-id space derives from the artifact alone (EndMark = 0,
+      // sorted base alphabet, then merge products in rank order — no
+      // new ranking pass), so ids are byte-stable across sessions.
+      // Rows-only (the merge loop is not SQL-expressible); TokenizerSpec
+      // pins ids ≡ pieces under the vocab map and the round-trip
+      // through ids back to the original words.
+      graft.text.Bpe.encodeIds(
+          Tables.documents(s, dir), "doc_id", "text", bpeMergesFor(s, dir))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", transform(col("piece_ids"), i => i.cast("string")))
+            .as("piece_ids"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. Handles both
@@ -846,9 +894,17 @@ object SparkEntry {
     "q_chunk_search" -> ((s, dir) => {
       // AI-document layer: content search with neighbor expansion over
       // the PERSISTED chunk index (split+embed paid once at ingest,
-      // rows-only; embedding stub not SQL-able)
+      // rows-only; embedding stub not SQL-able). Served through the
+      // persisted HNSW chunk graph (the reference's collection_view
+      // default index) at exhaustive ef — candidates degenerate to the
+      // whole index and the SAME string-key ranking pipeline runs, so
+      // the output is byte-identical to the FLAT scan while the graph
+      // machinery executes end-to-end; production ef is the knob
+      // (CollectionViewSpec pins prod-ef recall and the exhaustive
+      // equality).
       graft.text.CollectionView.search(chunkIndexFor(s, dir),
-        "doc_id", "spark join filter window scan", limit = 10, expandChunk = (1, 1))
+        "doc_id", "spark join filter window scan", limit = 10, expandChunk = (1, 1),
+        graph = Some(chunkGraphFor(s, dir)), ef = Int.MaxValue)
     }),
 
     "q_scalar_index" -> ((s, dir) => {
@@ -1071,6 +1127,15 @@ object SparkEntry {
     graft.catalog.IndexStore.ensure(s, s"chunks_${sfKey(dir)}") {
       graft.text.CollectionView.buildChunkIndex(
         Tables.documents(s, dir).where(col("doc_id") < 1000), "doc_id", "text", "source")
+    }
+
+  /** Persisted HNSW graph over the chunk index (the reference's
+    * collection_view default index at the chunk layer). */
+  private[graft] def chunkGraphFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"chunkgraph_${sfKey(dir)}",
+      partitionBy = Seq("seg")) {
+      graft.text.CollectionView.buildChunkGraph(chunkIndexFor(s, dir), "doc_id",
+        m = 8, efConstruction = 64, numSegments = 4)
     }
 
   /** Shared dense + (query-expanded) sparse ranked lists for hybrid search. */

@@ -27,6 +27,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
 
   private def setsColl = view + SetsSuffix
   private def chunksColl = view + ChunksSuffix
+  private def graphColl = view + GraphSuffix
 
   private[api] def create(): this.type = {
     catalog.createCollectionIfNotExists(db, setsColl)
@@ -69,6 +70,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     val newChunks = CollectionView.buildChunkIndex(doc, "doc_set", "text", "title",
       chunkSize, overlap)
     replaceIn(chunksColl, documentSetName, newChunks)
+    dropChunkGraph() // chunk rows changed: a stale graph would miss them
     // count the chunks as WRITTEN (a parquet scan) rather than re-running
     // the split+embed pipeline a second time
     val nChunks = catalog.read(db, chunksColl)
@@ -125,6 +127,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
         chunks.join(doomed, Seq("doc_set"), "left_anti"))
       catalog.overwriteFromSelf(db, setsColl,
         sets.join(doomed, Seq("doc_set"), "left_anti"))
+      dropChunkGraph()
     }
   }
 
@@ -144,16 +147,44 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     catalog.overwriteFromSelf(db, setsColl, sets.select(projections.toSeq: _*))
   }
 
-  /** search(content, limit, expand_chunk, filter): content search over
-    * the persisted chunk index (filter applies to chunk rows). */
-  def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
-             filter: String = ""): DataFrame =
-    CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter)
+  /** Build + persist the chunk index's HNSW graph (the reference's
+    * collection_view default indexes chunks with the same HNSW as
+    * collections). Chunk MUTATIONS (re-upload, delete) invalidate it
+    * — a stale graph would silently miss newly uploaded documents —
+    * so rebuild after loading, the reference's own rebuild discipline. */
+  def rebuildChunkGraph(m: Int = 8, efConstruction: Int = 64,
+                        numSegments: Int = 4): Unit = {
+    catalog.createCollectionIfNotExists(db, graphColl)
+    catalog.write(db, graphColl,
+      CollectionView.buildChunkGraph(chunks, "doc_set", m, efConstruction,
+        numSegments),
+      partitionBy = Seq("seg"))
+  }
 
-  /** Drop the whole view (both backing collections). */
+  private def dropChunkGraph(): Unit =
+    if (catalog.collectionExists(db, graphColl))
+      catalog.dropCollection(db, graphColl)
+
+  /** search(content, limit, expand_chunk, filter): content search over
+    * the persisted chunk index (filter applies to chunk rows). Served
+    * through the HNSW chunk graph when one is live — `ef` tunes the
+    * candidate sliver (ef ≥ chunk count is byte-equal to the FLAT
+    * scan: the sliver degenerates to the whole index and the SAME
+    * string-key ranking pipeline runs either way); FLAT otherwise. */
+  def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
+             filter: String = "", ef: Int = 10): DataFrame = {
+    val graph =
+      if (catalog.collectionExists(db, graphColl)) Some(catalog.read(db, graphColl))
+      else None
+    CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter,
+      graph = graph, ef = ef)
+  }
+
+  /** Drop the whole view (all backing collections). */
   def drop(): Unit = {
     catalog.dropCollection(db, setsColl)
     catalog.dropCollection(db, chunksColl)
+    dropChunkGraph()
   }
 
   /** Replace `name`'s rows in a backing collection with `rows`. */
@@ -168,6 +199,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
 object GraftCollectionView {
   val SetsSuffix = "__cv_sets"
   val ChunksSuffix = "__cv_chunks"
+  val GraphSuffix = "__cv_graph"
   /** Registry schema — the single definition both the row writer and
     * the empty-read path use. */
   val SetsSchema: org.apache.spark.sql.types.StructType =

@@ -433,28 +433,33 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val shards = (((n - 1) / 200000) + 1).toInt
       val offset = meta.getOrElse("index.hnsw.nextseg",
         meta("index.hnsw.segments")).toInt
-      // CLAIM nextseg first, write partitions second, PUBLISH the gen
-      // nonce last. A crash after the claim can only leave the batch
-      // temporarily unindexed (its ids become searchable at the next
-      // compaction) — never orphan graph rows that searches would
-      // traverse, and never a later smaller append overwriting part of
-      // a dead claim (that append allocates ABOVE the claimed range).
-      // The gen moves only once the rows are really there, so a search
-      // interleaving between the steps caches the pre-append graph
-      // under the pre-append gen — invalidated exactly when the append
+      // CLAIM nextseg first (plus a `pending` crash marker), write
+      // partitions second, PUBLISH the gen nonce and clear the marker
+      // last. A crash after the claim can only leave the batch
+      // temporarily unindexed (the surviving marker tells the next
+      // compaction to sweep data ids missing from the graph) — never
+      // orphan graph rows that searches would traverse, and never a
+      // later smaller append overwriting part of a dead claim (that
+      // append allocates ABOVE the claimed range). The gen moves only
+      // once the rows are really there, so a search interleaving
+      // between the steps caches the pre-append graph under the
+      // pre-append gen — invalidated exactly when the append
       // completes. [[preparedHnswGraph]] additionally masks
       // seg >= nextseg, covering artifacts written under the old
       // (write-then-meta) ordering.
       catalog.updateMeta(db, coll,
-        Map("index.hnsw.nextseg" -> (offset + shards).toString))
+        Map("index.hnsw.nextseg" -> (offset + shards).toString,
+          "index.hnsw.pending" -> offset.toString))
       catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
         graft.vector.HnswIndex.build(vecs, idCol, vecCol,
           meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
           shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
-          segOffset = offset),
+          segOffset = offset,
+          heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
         "seg")
       catalog.updateMeta(db, coll,
-        Map("index.hnsw.gen" -> GraftCollection.freshGen()))
+        Map("index.hnsw.gen" -> GraftCollection.freshGen(),
+          "index.hnsw.pending" -> null))
     }
   }
 
@@ -868,22 +873,27 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * ([[appendHnswSegment]] — graphs are independent, so appending is
     * O(batch·log batch) and touches no existing segment), deletes cost
     * nothing (the exact rerank joins candidates against the current
-    * data snapshot), and [[compactIndexes]] folds mutation history by
-    * re-deriving the graph. Numeric-id collections only. */
+    * data snapshot), and [[compactIndexes]] folds mutation history
+    * TIERED ([[compactHnsw]]): small appended segments merge at
+    * O(merged), base graphs untouched until their tier fills.
+    * Numeric-id collections only. */
   def rebuildHnswIndex(m: Int = 16, efConstruction: Int = 80,
                        numSegments: Int = 4, metric: String = "cosine",
-                       seed: Long = 42L): Unit = {
+                       seed: Long = 42L, heuristic: Boolean = false): Unit = {
     val dim = beginVectorRebuild("HNSW")
     catalog.createCollectionIfNotExists(db, GraftCollection.hnswGraph(coll))
     catalog.write(db, GraftCollection.hnswGraph(coll),
       graft.vector.HnswIndex.build(df, idCol, vecCol, m, efConstruction,
-        numSegments, seed),
+        numSegments, seed, heuristic = heuristic),
       partitionBy = Seq("seg"))
     catalog.updateMeta(db, coll, Map(
       "index.hnsw.m" -> m.toString, "index.hnsw.efc" -> efConstruction.toString,
       "index.hnsw.segments" -> numSegments.toString,
       "index.hnsw.metric" -> metric, "index.hnsw.dim" -> dim.toString,
       "index.hnsw.seed" -> seed.toString,
+      // neighbor-selection rule rides in meta so incremental appends
+      // and compaction rebuilds derive the SAME kind of graph
+      "index.hnsw.heur" -> heuristic.toString,
       // incremental appends claim graph-segment ids from here up;
       // base_seg (mutation-seg units) feeds segmentDebt so sustained
       // ingest auto-compacts HNSW-only collections too
@@ -1225,29 +1235,106 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
       _.repartition(col("cell")), Seq("cell"))
     // HNSW has no row-level fold — a graph's value IS its edge
-    // structure, so this family's compaction RE-DERIVES the graph from
-    // the current corpus (O(corpus·log corpus) vs the other families'
-    // O(live artifact rows); still amortized over `threshold` mutations
-    // by auto-compaction). Stale nodes of replaced/deleted ids and the
-    // accumulated per-batch mini-segments all fold back into the meta
-    // segment count.
+    // structure — so this family compacts with a TIERED MERGE POLICY
+    // (the Lucene answer): fold only the SMALL segments into fresh
+    // merged segment graph(s) at O(merged·log merged), leaving the
+    // big base-tier graphs untouched until their own tier fills.
     if (meta.contains("index.hnsw.base_seg") &&
-        catalog.collectionExists(db, GraftCollection.hnswGraph(coll))) {
-      catalog.write(db, GraftCollection.hnswGraph(coll),
-        graft.vector.HnswIndex.build(df, idCol, vecCol,
-          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
-          meta("index.hnsw.segments").toInt,
-          meta.getOrElse("index.hnsw.seed", "42").toLong),
-        partitionBy = Seq("seg"))
-      catalog.updateMeta(db, coll, Map(
-        "index.hnsw.base_seg" -> seg.toString,
-        "index.hnsw.nextseg" -> meta("index.hnsw.segments"),
-        "index.hnsw.gen" -> GraftCollection.freshGen()))
-    }
+        catalog.collectionExists(db, GraftCollection.hnswGraph(coll)))
+      compactHnsw(meta, seg)
     // every family now serves from its single fresh segment — the
     // ledger has nothing left to mask
     if (catalog.collectionExists(db, GraftCollection.mutLedger(coll)))
       catalog.dropCollection(db, GraftCollection.mutLedger(coll))
+  }
+
+  /** HNSW compaction, tiered (Lucene's merge discipline adapted to the
+    * per-segment graph layout):
+    *
+    *  - a segment is SMALL when it holds < half the base-tier target
+    *    size (total graph rows / configured segment count) — under
+    *    sustained ingest these are the per-batch mini-segments appends
+    *    create, plus previously merged tiers that haven't filled;
+    *  - ≥ 2 small segments (or any data ids missing from the graph —
+    *    the leftovers of an append that crashed between its nextseg
+    *    claim and its partition write) ⇒ MERGE: rebuild one fresh
+    *    segment graph (per ~200k rows) over the CURRENT vectors of the
+    *    small segments' live ids + the unindexed ids, drop the merged
+    *    segment dirs, leave every base graph untouched. Cost tracks
+    *    MERGED rows, not corpus rows (HnswCompactProbe measures it),
+    *    so auto-compaction under sustained ingest stays O(batch·tier).
+    *    Stale nodes of replaced/deleted ids inside the base tier
+    *    remain (masked by the rerank join, exactly as during serving)
+    *    until the full fold below;
+    *  - otherwise ⇒ FULL RE-DERIVE from the corpus (the pre-tiered
+    *    behavior): folds accumulated delete/update staleness out of
+    *    the base tier and restores the configured segment count.
+    *
+    * Either path advances base_seg (the segment-debt baseline) and
+    * publishes a fresh gen nonce after its writes, claim-first like
+    * [[appendHnswSegment]]. Merged graphs are byte-equal to a
+    * from-scratch [[graft.vector.HnswIndex.build]] over the same rows
+    * at the same offset (build is deterministic) — pinned in
+    * HnswMaintenanceSpec. */
+  private def compactHnsw(meta: Map[String, String], seg: Int): Unit = {
+    val graphColl = GraftCollection.hnswGraph(coll)
+    val graph = catalog.read(db, graphColl)
+    val counts = graph.groupBy("seg").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val cfgSegs = meta("index.hnsw.segments").toInt
+    val target = math.max(1L, (total + cfgSegs - 1) / cfgSegs)
+    val small = counts.filter(_._2 < (target + 1) / 2).map(_._1).toSeq
+    val live = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as(vecCol))
+    // the unindexed sweep (an O(corpus ids) anti-join) runs ONLY when
+    // the pending crash marker survived an append — the marked claim
+    // is the one way data ids can be missing from the graph, so normal
+    // folds never pay a corpus-wide scan
+    val unindexed =
+      if (meta.contains("index.hnsw.pending"))
+        live.join(graph.select("id").distinct(), Seq("id"), "left_anti")
+      else live.limit(0)
+    val mergeTiered = small.length >= 2 || !unindexed.isEmpty
+    if (mergeTiered) {
+      // disjoint by construction: small-seg ids ⊆ graph ids, unindexed
+      // ids ∉ graph ids; each side is id-unique (df is), so no distinct
+      val smallIds = graph.where(col("seg").isin(small: _*)).select("id").distinct()
+      val rows = live.join(smallIds, Seq("id"), "left_semi")
+        .unionByName(unindexed)
+      val n = rows.count()
+      val offset = meta.getOrElse("index.hnsw.nextseg",
+        meta("index.hnsw.segments")).toInt
+      if (n > 0) {
+        val shards = (((n - 1) / 200000) + 1).toInt
+        catalog.updateMeta(db, coll,
+          Map("index.hnsw.nextseg" -> (offset + shards).toString))
+        catalog.overwritePartitions(db, graphColl,
+          graft.vector.HnswIndex.build(rows, "id", vecCol,
+            meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
+            shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
+            segOffset = offset,
+            heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
+          "seg")
+      }
+      catalog.dropPartitions(db, graphColl, "seg", small.map(_.toString))
+      catalog.updateMeta(db, coll, Map(
+        "index.hnsw.base_seg" -> seg.toString,
+        "index.hnsw.gen" -> GraftCollection.freshGen(),
+        "index.hnsw.pending" -> null))
+    } else {
+      catalog.write(db, graphColl,
+        graft.vector.HnswIndex.build(df, idCol, vecCol,
+          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
+          cfgSegs, meta.getOrElse("index.hnsw.seed", "42").toLong,
+          heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
+        partitionBy = Seq("seg"))
+      catalog.updateMeta(db, coll, Map(
+        "index.hnsw.base_seg" -> seg.toString,
+        "index.hnsw.nextseg" -> meta("index.hnsw.segments"),
+        "index.hnsw.gen" -> GraftCollection.freshGen(),
+        "index.hnsw.pending" -> null))
+    }
   }
 
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
@@ -1621,11 +1708,39 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     graft.sparse.SparseSearch.dotTopK(df, idCol, fieldName, data, limit,
       if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
 
-  /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF. */
+  /** Dense arm of hybrid search: served from the collection's LIVE
+    * HNSW index when one exists and the query batch is numeric-id
+    * (the reference's hybrid_search runs against the collection's
+    * CONFIGURED index with the same `ef` search param,
+    * collection.py:161–209 — and conftest builds every collection
+    * with HNSW, so the reference's hybrid cost is the ANN cost, not a
+    * corpus scan); exact FLAT scan otherwise. `ef` tunes the ANN arm
+    * (ef ≥ segment size is byte-equal to FLAT — the family's
+    * chain-connectivity certificate, pinned in HybridAnnSpec); an
+    * explicit `ef` without a servable index is an error rather than a
+    * silent exact scan at ANN-arm prices. */
+  private def hybridDense(queries: DataFrame, qIdCol: String, qVecCol: String,
+                          fetch: Int, ef: Option[Int]): DataFrame = {
+    val hnswReady = liveIndexes(describe).hnswLive &&
+      queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
+    require(ef.isEmpty || hnswReady,
+      "hybrid ef search param requires a live HNSW index and numeric query ids")
+    if (hnswReady)
+      // searchHnsw clamps the per-segment beam to >= the rerank k, so
+      // the default ef still fills `fetch` fused ranks
+      searchHnsw(queries, qIdCol, qVecCol, limit = fetch,
+        ef = ef.getOrElse(10), metric = Some("cosine"))
+    else search(queries, qIdCol, qVecCol, "cosine", fetch)
+  }
+
+  /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF.
+    * The dense arm is index-aware ([[hybridDense]]): HNSW with the
+    * `ef` knob when the collection has a live graph, FLAT fallback. */
   def hybridSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
                    keywords: Seq[String], textCol: String = "text",
-                   rrfK: Int = 60, limit: Int = 10): DataFrame = {
-    val dense = search(queries, qIdCol, qVecCol, "cosine", limit * 2)
+                   rrfK: Int = 60, limit: Int = 10,
+                   ef: Option[Int] = None): DataFrame = {
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef)
     val sparse = fulltext(keywords, limit * 2, textCol = textCol)
     // same id normalization as the dense side: string query ids stay
     // strings (a long cast would NULL them and orphan sparse scores)
@@ -1652,8 +1767,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * fused per query — no shared sparse list. */
   def hybridSearchBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
                         keywords: DataFrame, textCol: String = "text",
-                        rrfK: Int = 60, limit: Int = 10): DataFrame = {
-    val dense = search(queries, qIdCol, qVecCol, "cosine", limit * 2)
+                        rrfK: Int = 60, limit: Int = 10,
+                        ef: Option[Int] = None): DataFrame = {
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef)
     val idx = sparseIndex.getOrElse(Bm25.buildIndex(df, idCol, textCol))
     val sparse = Bm25.fulltextBatch(idx, keywords, limit * 2)
     Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),

@@ -145,6 +145,15 @@ final class Catalog(spark: SparkSession, root: String) {
     deleteRecursively(staging)
   }
 
+  /** Delete specific top-level partition directories of a collection
+    * (tiered compaction: segment dirs folded into a merged segment go
+    * away; every other partition's files are untouched and unread). */
+  def dropPartitions(db: String, coll: String, partitionCol: String,
+                     values: Seq[String]): Unit = {
+    val data = collPath(db, coll).resolve("data")
+    values.foreach(v => deleteRecursively(data.resolve(s"$partitionCol=$v")))
+  }
+
   /** Last-written schema, so empty/truncated collections still resolve
     * columns (the reference returns empty results, not errors). */
   private def saveSchema(db: String, coll: String, df: DataFrame): Unit =

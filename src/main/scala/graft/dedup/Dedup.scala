@@ -311,6 +311,11 @@ object Dedup {
     * broadcast centroid table. `nclusters = 1` is the exhaustive twin:
     * within-cell = all-pairs, the centroid is the corpus mean, and the
     * result is DuckDB-oracle-checkable end-to-end (q_semdedup).
+    * `maxCellSize` caps the pair-join group size: corpus²/k holds only
+    * in expectation, and one hot cluster degrades toward n² — capped
+    * cells are recursively bisected by mean-centered random-hyperplane
+    * splits ([[capCells]]) so no join group exceeds the cap (exact
+    * duplicates are unsplittable by construction and always compared).
     *
     * Engine-parity notes: centroids are computed as exact DECIMAL
     * per-dimension sums cast to double before the one division (double
@@ -321,7 +326,9 @@ object Dedup {
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
                eps: Double, nclusters: Int = 16, seed: Long = 42L,
                maxIter: Int = 10,
-               centers: Option[Seq[(Seq[Double], Int)]] = None): DataFrame = {
+               centers: Option[Seq[(Seq[Double], Int)]] = None,
+               maxCellSize: Int = Int.MaxValue): DataFrame = {
+    require(maxCellSize >= 2, "maxCellSize must be >= 2")
     require(nclusters >= 1, "nclusters must be positive")
     // a centroid artifact trained with a different nlist would
     // deterministically change assignments (and results) with no error;
@@ -362,9 +369,24 @@ object Dedup {
       .groupBy("__cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         p => p("m")).as("__cent"))
-    val a = withCell.select(col("__cell"), col("doc_id").as("id_a"), col("__v").as("__va"))
-    val b = withCell.select(col("__cell"), col("doc_id").as("id_b"), col("__v").as("__vb"))
-    val pairs = a.join(b, Seq("__cell"))
+    // per-cell SIZE CAP: corpus²/k bounds the pair work only IN
+    // EXPECTATION — one hot cluster (common in real embedding spaces)
+    // degrades toward n² for that cell. capCells refines oversized
+    // cells by centered random-hyperplane bisection until every
+    // pair-join group is under the cap (the same discipline embedCosine's size
+    // guard enforces globally); scoring below still uses the ORIGINAL
+    // k-means centroid, so only the pair-generation key tightens.
+    // Uncapped (the default, and the oracled exhaustive twin) takes
+    // the untouched path.
+    val (pairSrc, pairKey) =
+      if (maxCellSize == Int.MaxValue) (withCell, Seq("__cell"))
+      else (capCells(withCell, "__v", maxCellSize, seed),
+        Seq("__cell", "__sub"))
+    val b = pairSrc.select(pairKey.map(col) :+ col("doc_id").as("id_b") :+
+      col("__v").as("__vb"): _*)
+    val pairs = pairSrc
+      .select(pairKey.map(col) :+ col("doc_id").as("id_a") :+ col("__v").as("__va"): _*)
+      .join(b, pairKey)
       .where(col("id_a") < col("id_b") &&
         graft.vector.VectorScore.cosine(col("__va"), col("__vb")) >= eps)
       .select("id_a", "id_b")
@@ -375,6 +397,77 @@ object Dedup {
           .as("__negcos"))
     clusterRepresentatives(scored, "doc_id", "__negcos", pairs)
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Refine oversized cells until no (cell, sub) group exceeds `cap`:
+    * each round, every group still over the cap is split by a CENTERED
+    * random hyperplane — project members onto a seeded direction and
+    * threshold at the group's own mean projection
+    * (`bit = ⟦v·plane_round ≥ mean_group⟧`). Centering is what makes
+    * this work on the hot-cluster case this cap exists for: an
+    * origin-through sign split (plain SimHash) separates by ANGLE, so
+    * a tight cone — the typical hot embedding cluster — almost never
+    * splits, while the mean threshold bisects whatever spread the
+    * group has along the probe direction. Exact duplicates project
+    * identically and can never be separated; such unsplittable groups
+    * are exactly the ones whose pairs a dedup MUST compare, so their
+    * residual over-cap mass is inherent, not a bug (the loop detects
+    * the no-progress state and stops early).
+    *
+    * Deterministic: directions are seeded hashes, projections and
+    * means are summed in DECIMAL (order-free — the same engine-parity
+    * discipline as the semDedup centroids), and heap numbering
+    * (root = 1, children 2s / 2s+1) keeps every split-tree node label
+    * unique across depths, so a split child can never collide with a
+    * group that stopped at a shallower depth. Work per round: one
+    * (cell, sub) groupBy + a mean agg + an equi-join, over the
+    * oversized subset only; rounds ≈ log₂(hot cell / cap).
+    *
+    * Returns the input plus a `__sub` refinement column (heap-numbered
+    * split-tree node label; 1 for rows of never-oversized cells). */
+  private[graft] def capCells(assigned: DataFrame, vecCol: String, cap: Int,
+                              seed: Long, maxRounds: Int = 24): DataFrame = {
+    // per-row projection folds in fixed array order (deterministic);
+    // the decimal cast happens at the GROUP mean, where summation
+    // order is the thing that varies across plans
+    def proj(round: Int) = aggregate(
+      zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+        (x, i) => x * (pmod(xxhash64(lit(seed), lit(round), i), lit(2000))
+          .cast("double") / 1000.0 - 1.0)),
+      lit(0.0), (acc, y) => acc + y).cast("decimal(30,15)")
+    var cur = assigned.withColumn("__sub", lit(1L))
+    var round = 0
+    var done = false
+    var prevState = (-1L, -1L) // (oversized groups, rows in them)
+    while (round < maxRounds && !done) {
+      val over = cur.groupBy("__cell", "__sub").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > cap).select("__cell", "__sub", "__n")
+      val st = over.agg(count(lit(1)), coalesce(sum("__n"), lit(0L))).head()
+      val state = (st.getLong(0), st.getLong(1))
+      if (state._1 == 0L || state == prevState) done = true
+      else {
+        prevState = state
+        val withDot = cur
+          .join(over.withColumn("__over", lit(true)).drop("__n"),
+            Seq("__cell", "__sub"), "left")
+          .withColumn("__dot", when(col("__over"), proj(round)))
+        val means = withDot.where(col("__over"))
+          .groupBy("__cell", "__sub")
+          .agg((sum(col("__dot")) / count(lit(1))).as("__mu"))
+        // checkpoint each round: the refinement is iterative and the
+        // lineage would otherwise re-run every prior round's join per
+        // action (the connectedComponents discipline)
+        cur = withDot.join(means, Seq("__cell", "__sub"), "left")
+          .withColumn("__sub",
+            when(col("__over"), col("__sub") * 2 +
+              when(col("__dot") >= col("__mu"), 1L).otherwise(0L))
+              .otherwise(col("__sub")))
+          .drop("__over", "__dot", "__mu")
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    cur
   }
 
   // ------------------------------------------------------------- MinHash

@@ -29,19 +29,67 @@ object CollectionView {
       .select(col(idCol), col("chunk_id"), col("chunk"), col("vec"))
   }
 
+  /** The numeric surrogate key the HNSW arm traverses by: chunk keys
+    * are strings ("docset#chunkid") but graph nodes need longs, so the
+    * graph is built over xxhash64 of the composite key (deterministic;
+    * a 64-bit collision would only merge two chunks' candidacy — it
+    * cannot corrupt results because the final rank runs over the REAL
+    * chunk rows). */
+  private def cid64(idCol: String) =
+    xxhash64(concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
+
+  /** Per-segment HNSW graph over the chunk index — the reference's
+    * collection_view default index is the same HNSW as collections
+    * (collection_view.py indexes chunks with the collection's vector
+    * index). Persistable like every graph artifact; serve via
+    * [[search]]'s `graph` arm. */
+  def buildChunkGraph(chunkIndex: DataFrame, idCol: String, m: Int = 8,
+                      efConstruction: Int = 64, numSegments: Int = 4,
+                      seed: Long = 42L): DataFrame =
+    graft.vector.HnswIndex.build(
+      chunkIndex.withColumn("__cid64", cid64(idCol)),
+      "__cid64", "vec", m, efConstruction, numSegments, seed)
+
   /** search(content, limit, expand_chunk, filter): embed the query
     * text, cosine top-k over chunk vectors, join chunk text back, and
     * optionally splice in `(before, after)` neighboring chunks of each
-    * hit (the reference's expand_chunk) as `expanded`. */
+    * hit (the reference's expand_chunk) as `expanded`.
+    *
+    * `graph` + `ef`: the ANN arm — HNSW traversal narrows the chunk
+    * index to the candidate sliver FIRST, then the IDENTICAL
+    * KnnSearch.topK pipeline ranks the sliver (same string-key
+    * tie-breaks, same rounding). ef ≥ chunk count makes the sliver the
+    * whole index, so results are byte-equal to the FLAT path — the
+    * family's exhaustive-twin certificate, at the chunk layer. */
   def search(chunkIndex: DataFrame, idCol: String, content: String, limit: Int,
              expandChunk: (Int, Int) = (0, 0), filter: String = "",
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64, graph: Option[DataFrame] = None,
+             ef: Int = 10): DataFrame = {
     val spark = chunkIndex.sparkSession
     import spark.implicits._
-    val indexed = chunkIndex
+    val flat = chunkIndex
       .where(FilterParser.parse(filter))
       .withColumn("__key", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
     val qdf = TextEmbed.hashEmbed(Seq((0L, content)).toDF("qid", "qtext"), "qid", "qtext", dim)
+    val indexed = graph match {
+      case Some(g) =>
+        // the 1-row query frame doubles as the traversal vector (a
+        // bounded collect; an all-stopword query has no vector and no
+        // hits on either arm)
+        qdf.select("vec").collect().headOption match {
+          case Some(r) =>
+            val qvec = r.getSeq[Double](0).toArray
+            val cand = graft.vector.HnswIndex.candidates(
+                g, Array((0L, qvec)), math.max(ef, limit))
+              .select(col("id").as("__cid64"))
+            // post-filter ANN semantics: the scalar filter applies to
+            // the candidate sliver (the collections family's contract)
+            flat.withColumn("__cid64", cid64(idCol))
+              .join(cand, Seq("__cid64"), "left_semi").drop("__cid64")
+          case None => flat
+        }
+      case None => flat
+    }
     val hits = KnnSearch.topK(indexed, "__key", "vec", qdf, "qid", "vec", "cosine", limit)
       .select(col("rank"), col("id").as("__key"), col("score"))
     val annotated = hits.join(indexed.select(col("__key"), col(idCol), col("chunk_id")), "__key")

@@ -221,13 +221,9 @@ object Bpe {
              merges: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ranks = merges.select(col("rank"), col("left"), col("right"))
-      .collect().map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+    val ranks = collectRanks(merges)
     val bc = spark.sparkContext.broadcast(ranks)
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .where(col("w") =!= "")
+    val toks = explodeWords(docs, idCol, textCol)
     val pieces = toks.select(col("w")).distinct()
       .as[String]
       .mapPartitions { it =>
@@ -237,4 +233,93 @@ object Bpe {
     toks.join(pieces, Seq("w"), "left")
       .select(col("doc_id"), col("pos"), col("pieces"))
   }
+
+  /** The bounded (numMerges rows) artifact fetch both encode paths
+    * share. */
+  private def collectRanks(merges: DataFrame): Map[(String, String), Int] =
+    merges.select(col("rank"), col("left"), col("right"))
+      .collect().map(r => ((r.getString(1), r.getString(2)), r.getInt(0))).toMap
+
+  private def explodeWords(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = docs
+    .select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    .where(col("w") =!= "")
+
+  /** Decompose a merge symbol into its unit symbols: single characters,
+    * with a trailing [[EndMark]] kept whole. */
+  private[graft] def unitSymbols(s: String): Seq[String] =
+    if (s.endsWith(EndMark) && s.length > EndMark.length)
+      s.dropRight(EndMark.length).map(_.toString) :+ EndMark
+    else if (s == EndMark) Seq(EndMark)
+    else s.map(_.toString)
+
+  /** Piece → id map derived from the MERGE ARTIFACT ALONE — no new
+    * ranking pass, byte-stable across sessions that share the
+    * persisted merge table (the property a training loader needs):
+    * id 0 = [[EndMark]], ids 1..A = the base alphabet (the distinct
+    * single characters of the merge symbols, sorted), then one id per
+    * merge PRODUCT in rank order (the GPT-2 vocab discipline: base
+    * alphabet first, merges append). A piece outside the map — a
+    * character no merge ever touched — encodes as [[Tokenizer.UnkId]],
+    * the same OOV contract as the frequency vocabulary. */
+  private[graft] def pieceIds(merges: DataFrame): Map[String, Int] = {
+    val ms = merges.select(col("rank"), col("left"), col("right"))
+      .collect().map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank)
+    val alphabet = ms.flatMap(m => Seq(m.left, m.right))
+      .flatMap(unitSymbols).filterNot(_ == EndMark).distinct.sorted
+    val base = (EndMark -> 0) +: alphabet.zipWithIndex.map { case (c, i) => (c, i + 1) }
+    val products = ms.map(m => m.left + m.right)
+      .zipWithIndex.map { case (p, i) => (p, alphabet.length + 1 + i) }
+    // first-wins on any collision keeps the map deterministic
+    (base ++ products).foldLeft(Map.empty[String, Int]) {
+      case (acc, (p, i)) => if (acc.contains(p)) acc else acc + (p -> i)
+    }
+  }
+
+  /** The id-valued vocabulary as a frame (piece, piece_id) — the
+    * persistable/inspectable form of [[pieceIds]]. */
+  def pieceVocab(merges: DataFrame): DataFrame = {
+    val spark = merges.sparkSession
+    import spark.implicits._
+    pieceIds(merges).toSeq.sortBy(_._2).toDF("piece", "piece_id")
+  }
+
+  /** Encode documents to LOADER IDS: (doc_id, pos, piece_ids) — one
+    * row per word position, `piece_ids` the word's subword ids under
+    * [[pieceIds]] (OOV pieces → [[Tokenizer.UnkId]]). Same scale shape
+    * as [[encode]]: the merge loop runs once per DISTINCT word with
+    * the ranks and the id map broadcast; documents equi-join the
+    * (word → ids) table on the word key. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bcRanks = spark.sparkContext.broadcast(collectRanks(merges))
+    val bcIds = spark.sparkContext.broadcast(pieceIds(merges))
+    val toks = explodeWords(docs, idCol, textCol)
+    val ids = toks.select(col("w")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val rk = bcRanks.value
+        val pid = bcIds.value
+        it.map(w => (w,
+          encodeWord(w, rk).toSeq.map(pid.getOrElse(_, Tokenizer.UnkId))))
+      }.toDF("w", "piece_ids")
+    toks.join(ids, Seq("w"), "left")
+      .select(col("doc_id"), col("pos"), col("piece_ids"))
+  }
+
+  /** The loader-facing array form: (doc_id, token_ids) with every
+    * word's piece ids flattened in word order — the BPE analog of
+    * [[Tokenizer.tokenizeIdArrays]] (same one-shuffle per-document
+    * gather, bounded by document length). */
+  def encodeIdArrays(docs: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame): DataFrame =
+    encodeIds(docs, idCol, textCol, merges)
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("piece_ids")))),
+        p => p("piece_ids"))).as("token_ids"))
 }

@@ -74,6 +74,26 @@ class CollectionViewApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](view.delete())
   }
 
+  test("chunk graph lifecycle: rebuild serves search, mutations invalidate") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvg").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+    view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
+    view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
+    val flat = view.search("slow table", limit = 3).collect()
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
+    // exhaustive ef through the persisted graph == the FLAT result
+    val ann = view.search("slow table", limit = 3, ef = Int.MaxValue).collect()
+    assert(ann.toSeq == flat.toSeq)
+    // production ef serves from the graph and still fills the hit list
+    assert(view.search("slow table", limit = 3).collect().length == 3)
+    // a re-upload invalidates the graph (it would miss the new chunks);
+    // search falls back to FLAT and sees the new content immediately
+    view.loadAndSplitText("c.md", ("fresh unseen words " * 12).trim)
+    val post = view.search("fresh unseen", limit = 3).collect()
+    assert(post.nonEmpty && post.head.getString(1) == "c.md",
+      "post-upload search must see the new document")
+  }
+
   test("filter delete over many document sets stays distributed (anti-join path)") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cvdel").toString)
     val view = client.createDatabase("db").createCollectionView("bulk")

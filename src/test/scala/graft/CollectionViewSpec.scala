@@ -34,6 +34,24 @@ class CollectionViewSpec extends SparkSpec {
     assert(hits.nonEmpty && hits.forall(_.getString(1) == "setA"))
   }
 
+  test("HNSW-armed chunk search at exhaustive ef is byte-equal to the FLAT scan") {
+    val graph = CollectionView.buildChunkGraph(index, "name",
+      m = 4, efConstruction = 16, numSegments = 2)
+    for ((exp, filt) <- Seq(((0, 0), ""), ((1, 1), ""), ((0, 0), """name = "setB""""))) {
+      val flat = CollectionView.search(index, "name", "omega psi chi", limit = 3,
+        expandChunk = exp, filter = filt).collect()
+      val ann = CollectionView.search(index, "name", "omega psi chi", limit = 3,
+        expandChunk = exp, filter = filt, graph = Some(graph),
+        ef = Int.MaxValue).collect()
+      assert(ann.toSeq == flat.toSeq,
+        s"exhaustive-ef graph arm diverged for expand=$exp filter=$filt")
+    }
+    // production ef: bounded candidates, still full hit lists
+    val prod = CollectionView.search(index, "name", "omega psi chi", limit = 3,
+      graph = Some(graph), ef = 8).collect()
+    assert(prod.length == 3)
+  }
+
   test("expand_chunk splices neighboring chunks") {
     val hits = CollectionView.search(index, "name", "alpha beta gamma", limit = 1,
       expandChunk = (1, 1)).collect()

@@ -88,21 +88,34 @@ class HnswMaintenanceSpec extends SparkSpec {
     // the chain accumulated per-batch mini-segments above the base 2
     val segsBefore = coll.hnswGraphSegments
     assert(segsBefore > 2, s"expected appended segments, got $segsBefore")
+    val baseSegs = coll.hnswGraphRows.where(col("seg") < 2)
+      .select("seg", "id", "vec", "level", "nbrs").collect().toSet
     coll.compactIndexes()
-    assert(coll.hnswGraphSegments == 2,
-      "compaction must fold back to the configured segment count")
+    // TIERED merge: the mini-segments fold into ONE merged segment
+    // (O(merged) work); the two base graphs are byte-untouched
+    assert(coll.hnswGraphSegments == 3,
+      s"tiered compaction must fold minis into one merged segment, " +
+        s"got ${coll.hnswGraphSegments}")
+    assert(coll.hnswGraphRows.where(col("seg") < 2)
+      .select("seg", "id", "vec", "level", "nbrs").collect().toSet == baseSegs,
+      "tiered compaction must not touch base-tier graphs")
     assert(exhaustive(coll) == exact(coll),
       "compaction must preserve exhaustive == exact")
-    // compacted graph == a from-scratch rebuild (same params + seed);
-    // column order aligned — partition-column reads append `seg` last
+    // merged tier == a from-scratch build over the same live rows at
+    // the same segment offset (build is deterministic) — the per-tier
+    // equality pin; column order aligned (partition reads append seg)
     val gCols = Seq("seg", "id", "vec", "level", "nbrs").map(col)
-    val compacted = coll.hnswGraphRows.select(gCols: _*)
+    val mergedSeg = coll.hnswGraphRows.select("seg").distinct()
+      .collect().map(_.getInt(0)).max
+    val merged = coll.hnswGraphRows.where(col("seg") === mergedSeg).select(gCols: _*)
+    val mergedIds = merged.select("id").collect().map(_.getLong(0)).toSeq
     val rebuilt = graft.vector.HnswIndex.build(
-      coll.df.select("id", "vector"), "id", "vector",
-      m = 4, efConstruction = 16, numSegments = 2).select(gCols: _*)
-    assert(compacted.exceptAll(rebuilt).isEmpty &&
-        rebuilt.exceptAll(compacted).isEmpty,
-      "compacted graph must be byte-identical to a from-scratch rebuild")
+      coll.df.where(col("id").isin(mergedIds: _*)).select("id", "vector"),
+      "id", "vector", m = 4, efConstruction = 16, numSegments = 1,
+      segOffset = mergedSeg).select(gCols: _*)
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(merged).isEmpty,
+      "merged tier must be byte-identical to a from-scratch build of its rows")
   }
 
   test("streaming ingest keeps a live HNSW index maintained per micro-batch") {
@@ -163,6 +176,28 @@ class HnswMaintenanceSpec extends SparkSpec {
       .select("query_id", "id", "score").collect()
       .map(r => (r.getLong(0), r.get(1).toString, r.getDouble(2))).toSet
     assert(hits == ex, "recreated collection must serve its own graph")
+  }
+
+  test("a crashed append's unindexed ids are swept back in by compaction") {
+    val root = Files.createTempDirectory("graft-hnsw-crash").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val coll = db.createCollection("v")
+    coll.upsert(embs.limit(80))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    coll.upsert(embs.where(col("id").between(80, 99)))
+    // simulate the crash window appendHnswSegment's claim-first
+    // ordering leaves behind: the claimed segment's partitions never
+    // landed, the `pending` marker survived
+    val cat = new graft.catalog.Catalog(spark, root)
+    cat.dropPartitions("db", "v__hnsw_graph", "seg", Seq("2"))
+    cat.updateMeta("db", "v", Map("index.hnsw.pending" -> "2"))
+    // the batch is temporarily unindexed (exactly the documented
+    // failure mode); the sweep in the next compaction restores it
+    coll.compactIndexes()
+    assert(exhaustive(coll) == exact(coll),
+      "post-sweep exhaustive HNSW must cover the crashed batch again")
+    assert(!coll.describe.contains("index.hnsw.pending"),
+      "compaction must clear the crash marker")
   }
 
   test("auto-compaction fires on an HNSW-only collection") {

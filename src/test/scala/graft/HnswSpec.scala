@@ -80,6 +80,37 @@ class HnswSpec extends SparkSpec {
       "an ef=8 candidate vanished at ef=32")
   }
 
+  test("Algorithm-4 neighbor selection: exhaustive certificate holds, degree caps hold") {
+    // the chain-edge connectivity certificate is independent of the
+    // selection rule, so the diverse-edge graph must ALSO be byte-equal
+    // to exact KNN at exhaustive ef
+    val gh = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4, heuristic = true).cache()
+    val exact = KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "cosine", 10).collect()
+    val hnsw = HnswIndex.search(gh, embs, "vec_id", "embedding",
+      qLocal, "cosine", k = 10, ef = Int.MaxValue).collect()
+    assert(hnsw.sameElements(exact), "heuristic graph diverges from exact KNN")
+    // deterministic build, like the simple rule
+    val again = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4, heuristic = true)
+    assert(gh.exceptAll(again).isEmpty && again.exceptAll(gh).isEmpty)
+    // degree caps: <= 2m at layer 0 (+2 chain-edge exemption), <= m above
+    val over = gh.select("id", "nbrs").collect().exists { r =>
+      val layers = r.getSeq[scala.collection.Seq[Long]](1)
+      layers.head.length > 2 * 8 + 2 ||
+        layers.tail.exists(_.length > 8 + 1)
+    }
+    assert(!over, "degree cap violated in heuristic graph")
+    // production recall floor holds under the diverse rule too
+    val gt = KnnSearch.topK(embs, "vec_id", "embedding",
+      queries, "qid", "qvec", "cosine", 10)
+    val r = Recall.atK(HnswIndex.search(gh, embs, "vec_id", "embedding",
+      qLocal, "cosine", k = 10, ef = 48), gt)
+    assert(r >= 0.9, s"recall@10 = $r at ef=48 with heuristic selection")
+    gh.unpersist()
+  }
+
   test("input guards: duplicate query ids, ragged vectors, null vectors") {
     intercept[IllegalArgumentException] {
       HnswIndex.candidates(graph, Array((1L, Array(0.0)), (1L, Array(1.0))), 4)

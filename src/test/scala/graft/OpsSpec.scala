@@ -71,6 +71,63 @@ class DedupSpec extends SparkSpec {
       s"exact dups must not both survive: $out2")
   }
 
+  test("semDedup maxCellSize caps pair-join groups on a skewed corpus") {
+    // a deliberately skewed corpus: 60 vectors in one tight cone (all
+    // land in one k-means cell) + 10 planted exact-duplicate pairs
+    // inside the cone. Uncapped, the hot cell contributes 80² pair
+    // work; capped at 12, every refined group must come in under the
+    // cap while the planted duplicates still collapse (exact dups are
+    // unsplittable by hyperplane bits by construction).
+    val rnd = new scala.util.Random(7)
+    val cone = (0 until 60).map { i =>
+      (100L + i, Seq(10.0 + rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble()))
+    }
+    val dups = (0 until 10).flatMap { i =>
+      val v = Seq(10.0 + rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble())
+      Seq((500L + 2 * i, v), (500L + 2 * i + 1, v))
+    }
+    val far = Seq((900L, Seq(-5.0, 8.0, 0.0)), (901L, Seq(0.0, -9.0, 3.0)))
+    val vecs = (cone ++ dups ++ far).toDF("vec_id", "embedding")
+
+    // the cap machinery itself: no (cell, sub) group above the cap
+    val assigned = vecs
+      .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("__v"))
+      .withColumn("__cell", lit(0))
+    val capped = graft.dedup.Dedup.capCells(assigned, "__v", cap = 12, seed = 42L)
+    val maxGroup = capped.groupBy("__cell", "__sub").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup <= 12, s"a refined group still holds $maxGroup rows")
+    // exact duplicates always share a refined group
+    val subs = capped.groupBy("doc_id").agg(first("__sub").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).foreach { i =>
+      assert(subs(500L + 2 * i) == subs(500L + 2 * i + 1),
+        "hyperplane bits separated an exact-duplicate pair")
+    }
+
+    // end-to-end: capped semDedup still removes every planted twin
+    val out = graft.dedup.Dedup.semDedup(vecs, "vec_id", "embedding",
+      eps = 0.999999, nclusters = 4, maxCellSize = 12)
+      .collect().map(_.getLong(0)).toSet
+    (0 until 10).foreach { i =>
+      assert(!(out.contains(500L + 2 * i) && out.contains(500L + 2 * i + 1)),
+        s"planted duplicate pair $i fully survived the capped run")
+    }
+    assert(out.contains(900L) && out.contains(901L), "far loners must survive")
+  }
+
+  test("semDedup rejects a centers artifact that contradicts nclusters") {
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.semDedup(vecs, "vec_id", "embedding", eps = 0.9,
+        nclusters = 2, centers = Some(Seq((Seq(1.0, 0.0), 0))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.semDedup(vecs, "vec_id", "embedding", eps = 0.9,
+        nclusters = 1, centers = Some(Seq((Seq(1.0, 0.0), 0))))
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq

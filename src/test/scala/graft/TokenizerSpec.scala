@@ -70,6 +70,61 @@ class TokenizerSpec extends SparkSpec {
     assert(lowPieces == Set(Seq("low" + Bpe.EndMark)))
   }
 
+  test("piece ids derive from the merge artifact alone and round-trip to words") {
+    val docs = Seq((1L, "low low low low low lower lower"),
+      (2L, "lowest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    val vocab = Bpe.pieceVocab(merges).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    // EndMark = 0, base alphabet sorted from 1, products in rank order
+    assert(vocab(Bpe.EndMark) == 0)
+    val alphaIds = vocab.filter { case (p, _) =>
+      p.length == 1 && p != Bpe.EndMark }.toSeq.sortBy(_._2)
+    assert(alphaIds.map(_._1) == alphaIds.map(_._1).sorted,
+      "base alphabet ids must follow sorted char order")
+    val nAlpha = alphaIds.length
+    val products = merges.orderBy("rank").collect()
+      .map(r => r.getString(1) + r.getString(2))
+    products.zipWithIndex.foreach { case (p, i) =>
+      assert(vocab(p) == nAlpha + 1 + i, s"product $p id out of rank order")
+    }
+    // ids ≡ pieces under the vocab map, at every word position
+    val pieces = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos").collect().map(_.getSeq[String](2))
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos").collect().map(_.getSeq[Int](2))
+    assert(pieces.length == ids.length)
+    pieces.zip(ids).foreach { case (ps, is) =>
+      assert(ps.map(p => vocab.getOrElse(p, Tokenizer.UnkId)) == is)
+    }
+    // round-trip: every fully-in-vocab id sequence inverts back to its
+    // word (words with never-merged characters carry UnkId by contract
+    // — the dedicated OOV test below)
+    val inv = vocab.map(_.swap)
+    val allWords =
+      Seq("low", "low", "low", "low", "low", "lower", "lower", "lowest")
+    val roundTripped = ids.zip(allWords).collect {
+      case (is, w) if is.forall(_ >= 0) =>
+        (is.map(inv).mkString.stripSuffix(Bpe.EndMark), w)
+    }
+    assert(roundTripped.nonEmpty && roundTripped.forall { case (got, w) => got == w },
+      s"id round-trip failed: $roundTripped")
+    // array form flattens in word order
+    val arr = Bpe.encodeIdArrays(docs, "doc_id", "text", merges)
+      .where(col("doc_id") === 1L).collect().head.getSeq[Int](1)
+    assert(arr == ids.take(7).flatten.toSeq)
+  }
+
+  test("characters no merge touched encode as UnkId") {
+    val docs = Seq((1L, "low low qqq")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 2, minCount = 2L)
+    // 'q' appears in no merge symbol -> its pieces have no id
+    val ids = Bpe.encodeIds(docs, "doc_id", "text", merges)
+      .where(col("pos") === 2).collect().head.getSeq[Int](2)
+    assert(ids.init.forall(_ == Tokenizer.UnkId),
+      "untouched characters must map to UnkId")
+  }
+
   test("train maxWords caps the dictionary at the head word types") {
     val docs = Seq((1L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, "text", numMerges = 5, maxWords = 1)

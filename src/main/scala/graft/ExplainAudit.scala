@@ -16,7 +16,8 @@ object ExplainAudit {
         "q_cluster_reps", "q_ivfsq_search", "q_rare_bigrams",
         "q_quality_classifier", "q_vocab_drift",
         "q_hnsw_search", "q_strip_boilerplate", "q_vocab_build",
-        "q_tokenize_ids", "q_bpe_encode")
+        "q_tokenize_ids", "q_bpe_encode", "q_bpe_ids", "q_hybrid_ann",
+        "q_chunk_search", "q_semdedup_prod")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -1733,24 +1733,95 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     else search(queries, qIdCol, qVecCol, "cosine", fetch)
   }
 
-  /** hybrid_search: dense ANN + BM25 keyword lists fused with RRF.
+  /** hybrid_search: dense ANN + BM25 keyword lists, fused per the
+    * reference's full surface (collection.py:316–327):
+    *
+    *  - `rerank` = "rrf" (RRFRerank(rrfK), the default) or "weighted"
+    *    (WeightedRerank — `weights` = (dense, sparse), decimal-exact
+    *    fusion over the 4-decimal arm scores);
+    *  - `filter`: scalar predicate over the matched documents. The
+    *    FLAT dense arm pre-filters with scan pushdown; the HNSW arm
+    *    filters at the rerank (candidates join the FILTERED snapshot
+    *    before top-k — byte-equal to FLAT at exhaustive ef, the
+    *    pinned twin; ef is the recall knob under selective filters);
+    *  - `outputFields` / `retrieveVector`: document fields joined back
+    *    by id onto the fused hits (same join-back as search()).
+    *
     * The dense arm is index-aware ([[hybridDense]]): HNSW with the
     * `ef` knob when the collection has a live graph, FLAT fallback. */
   def hybridSearch(queries: DataFrame, qIdCol: String, qVecCol: String,
                    keywords: Seq[String], textCol: String = "text",
                    rrfK: Int = 60, limit: Int = 10,
-                   ef: Option[Int] = None): DataFrame = {
-    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef)
-    val sparse = fulltext(keywords, limit * 2, textCol = textCol)
+                   ef: Option[Int] = None,
+                   rerank: String = "rrf",
+                   weights: (Double, Double) = (0.5, 0.5),
+                   filter: String = "",
+                   outputFields: Seq[String] = Nil,
+                   retrieveVector: Boolean = false): DataFrame = {
+    val dense = hybridDenseFiltered(queries, qIdCol, qVecCol, limit * 2, ef, filter)
+    val sparse = filteredSparse(fulltext(keywords, limit * 2, textCol = textCol), filter)
     // same id normalization as the dense side: string query ids stay
     // strings (a long cast would NULL them and orphan sparse scores)
     val qids = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id")).distinct()
     val sparseQ = qids.crossJoin(broadcast(
-      sparse.select(col("doc_id").as("id"), col("rank"))))
-    Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),
-      sparseQ.select("query_id", "id", "rank")),
-      Seq("query_id"), "id", "rank", rrfK, limit)
+      sparse.select(col("doc_id").as("id"), col("rank"), col("score"))))
+    val fused = fuse(dense, sparseQ, rerank, rrfK, weights, limit)
+    withOutputFields(fused, outputFields, retrieveVector)
   }
+
+  /** Fuse a dense and a (query-paired) sparse ranked list under the
+    * reference's Rerank types. */
+  private def fuse(dense: DataFrame, sparseQ: DataFrame, rerank: String,
+                   rrfK: Int, weights: (Double, Double), limit: Int): DataFrame =
+    rerank match {
+      case "rrf" =>
+        Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),
+          sparseQ.select("query_id", "id", "rank")),
+          Seq("query_id"), "id", "rank", rrfK, limit)
+      case "weighted" =>
+        Fusion.weighted(Seq(
+          (dense.select("query_id", "id", "score"), weights._1),
+          (sparseQ.select("query_id", "id", "score"), weights._2)),
+          Seq("query_id"), "id", "score", limit)
+      case other => throw new IllegalArgumentException(
+        s"rerank must be rrf or weighted, got $other")
+    }
+
+  /** Dense arm with the hybrid filter: FLAT pre-filters at the scan
+    * (search()'s pushdown); the HNSW arm applies the filter AT THE
+    * RERANK — candidates join against the FILTERED data snapshot, so
+    * non-matching candidates drop BEFORE top-k (the same pre-filter
+    * semantics as FLAT: at exhaustive ef the two are byte-equal; at
+    * production ef selective filters thin the candidate set — the
+    * standard filtered-ANN contract, ef is the recall knob). */
+  private def hybridDenseFiltered(queries: DataFrame, qIdCol: String,
+                                  qVecCol: String, fetch: Int,
+                                  ef: Option[Int], filter: String): DataFrame = {
+    if (filter.isEmpty) hybridDense(queries, qIdCol, qVecCol, fetch, ef)
+    else {
+      val meta = describe
+      val hnswReady = liveIndexes(meta).hnswLive &&
+        queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
+      require(ef.isEmpty || hnswReady,
+        "hybrid ef search param requires a live HNSW index and numeric query ids")
+      if (hnswReady)
+        graft.vector.HnswIndex.search(
+          preparedHnswGraph(meta),
+          df.where(FilterParser.parse(filter)), idCol, vecCol,
+          collectNumericQueries(queries, qIdCol, qVecCol),
+          "cosine", fetch, ef.getOrElse(10), prepared = true)
+      else
+        search(queries, qIdCol, qVecCol, "cosine", fetch, filter = filter)
+    }
+  }
+
+  /** Sparse arm under the hybrid filter: BM25 hits restricted to the
+    * filtered document set (semi-join; the hit list is tiny). */
+  private def filteredSparse(sparse: DataFrame, filter: String): DataFrame =
+    if (filter.isEmpty) sparse
+    else sparse.join(
+      df.where(FilterParser.parse(filter)).select(col(idCol).as("doc_id")),
+      Seq("doc_id"), "left_semi")
 
   /** Updates that touch the embedded text field must re-derive the
     * stored embedding column for the new snapshot. */
@@ -1764,17 +1835,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** hybrid_search with PER-QUERY keyword lists: `keywords` is a
     * (query_id, term) frame pairing each dense query with its own
     * KeywordSearch terms (model/document.py AnnSearch + KeywordSearch),
-    * fused per query — no shared sparse list. */
+    * fused per query — no shared sparse list. Carries the same rerank
+    * ("rrf" | "weighted") / filter / output-fields surface as
+    * [[hybridSearch]]. */
   def hybridSearchBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
                         keywords: DataFrame, textCol: String = "text",
                         rrfK: Int = 60, limit: Int = 10,
-                        ef: Option[Int] = None): DataFrame = {
-    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef)
+                        ef: Option[Int] = None,
+                        rerank: String = "rrf",
+                        weights: (Double, Double) = (0.5, 0.5),
+                        filter: String = "",
+                        outputFields: Seq[String] = Nil,
+                        retrieveVector: Boolean = false): DataFrame = {
+    val dense = hybridDenseFiltered(queries, qIdCol, qVecCol, limit * 2, ef, filter)
     val idx = sparseIndex.getOrElse(Bm25.buildIndex(df, idCol, textCol))
-    val sparse = Bm25.fulltextBatch(idx, keywords, limit * 2)
-    Fusion.rrf(Seq(dense.select("query_id", "id", "rank"),
-      sparse.select(col("query_id"), col("doc_id").as("id"), col("rank"))),
-      Seq("query_id"), "id", "rank", rrfK, limit)
+    val sparse = filteredSparse(Bm25.fulltextBatch(idx, keywords, limit * 2), filter)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"), col("score"))
+    val fused = fuse(dense, sparse, rerank, rrfK, weights, limit)
+    withOutputFields(fused, outputFields, retrieveVector)
   }
 
   def delete(filter: String, limit: Option[Int] = None): Unit = {

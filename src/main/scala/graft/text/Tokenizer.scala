@@ -33,20 +33,18 @@ object Tokenizer {
     * K rows. (A whitespace-token table at 100 TB is 10⁸–10⁹ distinct
     * rows — URLs, numbers, typos — so ranking it through one
     * unpartitioned Window would single-task-sort the whole thing; only
-    * the K SURVIVORS are ranked here, and that window is bounded by K
-    * everywhere.) */
+    * the K SURVIVORS are ranked here, by a monotonic-id projection
+    * over the K-row result partition — no WindowExec at all.) */
   def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be positive")
-    import org.apache.spark.sql.expressions.Window
-    docs
+    val counts = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(vocabSize)
-      .withColumn("id",
-        row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
-      .select(col("token"), col("id"), col("n"))
+    // rankTop = orderBy().limit(K) (TakeOrderedAndProject) + a
+    // monotonic-id rank over the K survivors — no WindowExec anywhere
+    graft.vector.Ranked.rankTop(counts, vocabSize, col("n").desc, col("token"))
+      .select(col("token"), (col("rank") - 1).as("id"), col("n"))
   }
 
   /** Out-of-vocabulary id. */

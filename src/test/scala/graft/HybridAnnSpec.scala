@@ -70,6 +70,36 @@ class HybridAnnSpec extends SparkSpec {
     assert(ann.toSeq == flat.toSeq)
   }
 
+  test("weighted rerank, filter, and output_fields cover the reference surface") {
+    val coll = freshColl("surface")
+    // WeightedRerank: decimal-exact fused score, descending per query
+    val w = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      rerank = "weighted", weights = (0.7, 0.3)).collect()
+    assert(w.nonEmpty)
+    w.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-_)), "weighted scores not descending")
+    }
+    intercept[IllegalArgumentException] {
+      coll.hybridSearch(queries, "qid", "qv", kw, rerank = "nope")
+    }
+    // filter restricts matched documents on BOTH arms
+    val f = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      filter = "id < 50").collect()
+    assert(f.nonEmpty && f.forall(_.get(2).toString.toLong < 50))
+    // output_fields joins document fields back onto fused hits
+    val of = coll.hybridSearch(queries, "qid", "qv", kw, limit = 3,
+      outputFields = Seq("text"))
+    assert(of.columns.contains("text"))
+    assert(of.collect().forall(r => r.getAs[String]("text") != null))
+    // HNSW arm + filter: post-filter candidates, still only matching ids
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    val fAnn = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      ef = Some(Int.MaxValue), filter = "id < 50").collect()
+    assert(fAnn.toSeq == f.toSeq,
+      "exhaustive-ef filtered hybrid must equal the FLAT filtered hybrid")
+  }
+
   test("explicit ef without a servable index is an error, not a silent scan") {
     val coll = freshColl("err")
     val e = intercept[IllegalArgumentException] {

@@ -159,25 +159,52 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       CollectionView.buildChunkGraph(chunks, "doc_set", m, efConstruction,
         numSegments),
       partitionBy = Seq("seg"))
+    // gen nonce keys the serving cache, exactly like collections
+    catalog.updateMeta(db, graphColl, Map("gen" -> GraftCollection.freshGen()))
   }
 
   private def dropChunkGraph(): Unit =
-    if (catalog.collectionExists(db, graphColl))
+    if (catalog.collectionExists(db, graphColl)) {
       catalog.dropCollection(db, graphColl)
+      GraftCollection.evictHnswServing(catalog.rootPath, db, graphColl)
+    }
+
+  /** Serving handle for the chunk graph: the seg-whole arrangement
+    * (HnswIndex.prepare) paid once per artifact generation and cached
+    * process-wide in the same nonce-keyed map as collections — a
+    * per-query re-read would re-shuffle the whole graph every search,
+    * erasing the ANN arm's point. */
+  private def preparedChunkGraph(): Option[org.apache.spark.sql.DataFrame] =
+    if (!catalog.collectionExists(db, graphColl)) None
+    else {
+      val version = catalog.describeCollection(db, graphColl).getOrElse("gen", "")
+      val key = GraftCollection.servingKey(catalog.rootPath, db, graphColl)
+      Some(GraftCollection.hnswServing.compute(key, (_, old) => {
+        if (old != null && old._1 == version && (old._2.sparkSession eq spark)) old
+        else {
+          if (old != null)
+            try old._2.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+          (version, graft.vector.HnswIndex.prepare(catalog.read(db, graphColl)))
+        }
+      })._2)
+    }
 
   /** search(content, limit, expand_chunk, filter): content search over
     * the persisted chunk index (filter applies to chunk rows). Served
     * through the HNSW chunk graph when one is live — `ef` tunes the
     * candidate sliver (ef ≥ chunk count is byte-equal to the FLAT
     * scan: the sliver degenerates to the whole index and the SAME
-    * string-key ranking pipeline runs either way); FLAT otherwise. */
+    * string-key ranking pipeline runs either way); FLAT otherwise.
+    * An explicit `ef` without a live graph is an error, not a silent
+    * exact scan — the same contract as hybridSearch's ef. */
   def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
-             filter: String = "", ef: Int = 10): DataFrame = {
-    val graph =
-      if (catalog.collectionExists(db, graphColl)) Some(catalog.read(db, graphColl))
-      else None
+             filter: String = "", ef: Option[Int] = None): DataFrame = {
+    val graph = preparedChunkGraph()
+    require(ef.isEmpty || graph.nonEmpty,
+      "chunk search ef param requires a live chunk graph: run rebuildChunkGraph first")
     CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter,
-      graph = graph, ef = ef)
+      graph = graph, ef = ef.getOrElse(10), graphPrepared = true)
   }
 
   /** Drop the whole view (all backing collections). */

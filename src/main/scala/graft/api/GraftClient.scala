@@ -447,9 +447,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // completes. [[preparedHnswGraph]] additionally masks
       // seg >= nextseg, covering artifacts written under the old
       // (write-then-meta) ordering.
+      // a SURVIVING marker from an earlier crashed append must not be
+      // overwritten (and must outlive this append's success) — it is
+      // the only evidence that sweep-eligible ids exist; clearing it
+      // here would permanently disarm the compaction sweep for the
+      // earlier batch. The marker is single-slot by design: any
+      // surviving marker means "sweep at next compaction", which
+      // covers every crashed batch at once (the sweep anti-joins the
+      // whole data snapshot against the whole graph).
+      val foreignPending = meta.get("index.hnsw.pending")
       catalog.updateMeta(db, coll,
         Map("index.hnsw.nextseg" -> (offset + shards).toString,
-          "index.hnsw.pending" -> offset.toString))
+          "index.hnsw.pending" -> foreignPending.getOrElse(offset.toString)))
       catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
         graft.vector.HnswIndex.build(vecs, idCol, vecCol,
           meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
@@ -458,8 +467,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
         "seg")
       catalog.updateMeta(db, coll,
-        Map("index.hnsw.gen" -> GraftCollection.freshGen(),
-          "index.hnsw.pending" -> null))
+        Map("index.hnsw.gen" -> GraftCollection.freshGen()) ++
+          (if (foreignPending.isEmpty) Map("index.hnsw.pending" -> null)
+           else Map.empty[String, String]))
     }
   }
 
@@ -1693,9 +1703,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * the persisted index when present, else encodes inline. */
   def fulltext(queryTerms: Seq[String], k: Int = 10,
                cutoffFrequency: Double = 1.0, terminateAfter: Option[Int] = None,
-               textCol: String = "text"): DataFrame = sparseIndex match {
-    case Some(idx) => Bm25.fulltextIndexed(idx, queryTerms, k, cutoffFrequency, terminateAfter)
-    case None => Bm25.fulltext(df, idCol, textCol, queryTerms, k, cutoffFrequency, terminateAfter)
+               textCol: String = "text",
+               docFilter: Option[DataFrame] = None): DataFrame = sparseIndex match {
+    case Some(idx) => Bm25.fulltextIndexed(idx, queryTerms, k, cutoffFrequency,
+      terminateAfter, docFilter = docFilter)
+    case None => Bm25.fulltext(df, idCol, textCol, queryTerms, k, cutoffFrequency,
+      terminateAfter, docFilter = docFilter)
   }
 
   /** fulltext_search(data=SparseVector, field_name): dot-product top-k
@@ -1718,19 +1731,33 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * (ef ≥ segment size is byte-equal to FLAT — the family's
     * chain-connectivity certificate, pinned in HybridAnnSpec); an
     * explicit `ef` without a servable index is an error rather than a
-    * silent exact scan at ANN-arm prices. */
+    * silent exact scan at ANN-arm prices.
+    *
+    * `filter`: the FLAT path pre-filters at the scan (search()'s
+    * pushdown); the HNSW path applies it AT THE RERANK — candidates
+    * join the FILTERED data snapshot, so non-matching candidates drop
+    * BEFORE top-k (pre-filter semantics on both paths: byte-equal at
+    * exhaustive ef; at production ef selective filters thin the
+    * candidate set — the standard filtered-ANN contract, ef is the
+    * recall knob). */
   private def hybridDense(queries: DataFrame, qIdCol: String, qVecCol: String,
-                          fetch: Int, ef: Option[Int]): DataFrame = {
-    val hnswReady = liveIndexes(describe).hnswLive &&
+                          fetch: Int, ef: Option[Int],
+                          filter: String = ""): DataFrame = {
+    val meta = describe
+    val hnswReady = liveIndexes(meta).hnswLive &&
       queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
     require(ef.isEmpty || hnswReady,
       "hybrid ef search param requires a live HNSW index and numeric query ids")
     if (hnswReady)
-      // searchHnsw clamps the per-segment beam to >= the rerank k, so
-      // the default ef still fills `fetch` fused ranks
-      searchHnsw(queries, qIdCol, qVecCol, limit = fetch,
-        ef = ef.getOrElse(10), metric = Some("cosine"))
-    else search(queries, qIdCol, qVecCol, "cosine", fetch)
+      // HnswIndex.search clamps the per-segment beam to >= the rerank
+      // k, so the default ef still fills `fetch` fused ranks
+      graft.vector.HnswIndex.search(
+        preparedHnswGraph(meta),
+        if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
+        idCol, vecCol,
+        collectNumericQueries(queries, qIdCol, qVecCol),
+        "cosine", fetch, ef.getOrElse(10), prepared = true)
+    else search(queries, qIdCol, qVecCol, "cosine", fetch, filter = filter)
   }
 
   /** hybrid_search: dense ANN + BM25 keyword lists, fused per the
@@ -1758,8 +1785,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                    filter: String = "",
                    outputFields: Seq[String] = Nil,
                    retrieveVector: Boolean = false): DataFrame = {
-    val dense = hybridDenseFiltered(queries, qIdCol, qVecCol, limit * 2, ef, filter)
-    val sparse = filteredSparse(fulltext(keywords, limit * 2, textCol = textCol), filter)
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter)
+    // the sparse arm filters BEFORE ranking (docFilter semi-joins the
+    // term-pruned postings sliver): a post-filter on the truncated
+    // top-k would silently empty the list under selective filters and
+    // keep pre-filter rank gaps that under-weight the arm in RRF
+    val sparse = fulltext(keywords, limit * 2, textCol = textCol,
+      docFilter = hybridDocFilter(filter))
     // same id normalization as the dense side: string query ids stay
     // strings (a long cast would NULL them and orphan sparse scores)
     val qids = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id")).distinct()
@@ -1768,6 +1800,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val fused = fuse(dense, sparseQ, rerank, rrfK, weights, limit)
     withOutputFields(fused, outputFields, retrieveVector)
   }
+
+  /** The hybrid filter as a one-column doc_id frame for the sparse
+    * arm's pre-ranking semi-join. */
+  private def hybridDocFilter(filter: String): Option[DataFrame] =
+    if (filter.isEmpty) None
+    else Some(df.where(FilterParser.parse(filter)).select(col(idCol).as("doc_id")))
 
   /** Fuse a dense and a (query-paired) sparse ranked list under the
     * reference's Rerank types. */
@@ -1786,42 +1824,6 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       case other => throw new IllegalArgumentException(
         s"rerank must be rrf or weighted, got $other")
     }
-
-  /** Dense arm with the hybrid filter: FLAT pre-filters at the scan
-    * (search()'s pushdown); the HNSW arm applies the filter AT THE
-    * RERANK — candidates join against the FILTERED data snapshot, so
-    * non-matching candidates drop BEFORE top-k (the same pre-filter
-    * semantics as FLAT: at exhaustive ef the two are byte-equal; at
-    * production ef selective filters thin the candidate set — the
-    * standard filtered-ANN contract, ef is the recall knob). */
-  private def hybridDenseFiltered(queries: DataFrame, qIdCol: String,
-                                  qVecCol: String, fetch: Int,
-                                  ef: Option[Int], filter: String): DataFrame = {
-    if (filter.isEmpty) hybridDense(queries, qIdCol, qVecCol, fetch, ef)
-    else {
-      val meta = describe
-      val hnswReady = liveIndexes(meta).hnswLive &&
-        queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
-      require(ef.isEmpty || hnswReady,
-        "hybrid ef search param requires a live HNSW index and numeric query ids")
-      if (hnswReady)
-        graft.vector.HnswIndex.search(
-          preparedHnswGraph(meta),
-          df.where(FilterParser.parse(filter)), idCol, vecCol,
-          collectNumericQueries(queries, qIdCol, qVecCol),
-          "cosine", fetch, ef.getOrElse(10), prepared = true)
-      else
-        search(queries, qIdCol, qVecCol, "cosine", fetch, filter = filter)
-    }
-  }
-
-  /** Sparse arm under the hybrid filter: BM25 hits restricted to the
-    * filtered document set (semi-join; the hit list is tiny). */
-  private def filteredSparse(sparse: DataFrame, filter: String): DataFrame =
-    if (filter.isEmpty) sparse
-    else sparse.join(
-      df.where(FilterParser.parse(filter)).select(col(idCol).as("doc_id")),
-      Seq("doc_id"), "left_semi")
 
   /** Updates that touch the embedded text field must re-derive the
     * stored embedding column for the new snapshot. */
@@ -1847,9 +1849,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                         filter: String = "",
                         outputFields: Seq[String] = Nil,
                         retrieveVector: Boolean = false): DataFrame = {
-    val dense = hybridDenseFiltered(queries, qIdCol, qVecCol, limit * 2, ef, filter)
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter)
     val idx = sparseIndex.getOrElse(Bm25.buildIndex(df, idCol, textCol))
-    val sparse = filteredSparse(Bm25.fulltextBatch(idx, keywords, limit * 2), filter)
+    val sparse = Bm25.fulltextBatch(idx, keywords, limit * 2,
+        docFilter = hybridDocFilter(filter))
       .select(col("query_id"), col("doc_id").as("id"), col("rank"), col("score"))
     val fused = fuse(dense, sparse, rerank, rrfK, weights, limit)
     withOutputFields(fused, outputFields, retrieveVector)

@@ -438,13 +438,20 @@ object Dedup {
     var cur = assigned.withColumn("__sub", lit(1L))
     var round = 0
     var done = false
+    var stalls = 0
     var prevState = (-1L, -1L) // (oversized groups, rows in them)
     while (round < maxRounds && !done) {
       val over = cur.groupBy("__cell", "__sub").agg(count(lit(1)).as("__n"))
         .where(col("__n") > cap).select("__cell", "__sub", "__n")
       val st = over.agg(count(lit(1)), coalesce(sum("__n"), lit(0L))).head()
       val state = (st.getLong(0), st.getLong(1))
-      if (state._1 == 0L || state == prevState) done = true
+      // two CONSECUTIVE stalled rounds before giving up: each round
+      // probes an independent direction, so one zero-progress round
+      // (a plane degenerate for the stalled groups) doesn't prove the
+      // groups unsplittable — two different planes failing does, to
+      // within anything but exact duplicates
+      stalls = if (state == prevState) stalls + 1 else 0
+      if (state._1 == 0L || stalls >= 2) done = true
       else {
         prevState = state
         val withDot = cur

@@ -157,14 +157,22 @@ object Bm25 {
   def fulltextIndexed(index: SparseIndex, queryTerms: Seq[String], k: Int,
                       cutoffFrequency: Double = 1.0,
                       terminateAfter: Option[Int] = None,
-                      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+                      k1: Double = DefaultK1, b: Double = DefaultB,
+                      docFilter: Option[DataFrame] = None): DataFrame = {
     // the term filter sits directly on the postings scan: against a
     // persisted index this is a parquet In-pushdown that reads only the
     // query terms' posting lists (term-clustered rowgroups skip), which
     // is the whole point of materializing the index. The segment mask
     // applies AFTER the term filter, so it only ever touches the query
     // terms' postings.
-    val enc0 = liveRows(index, index.postings.where(col("term").isin(queryTerms: _*)))
+    // `docFilter` (a one-column doc_id frame): restrict scoring to the
+    // filtered document set BEFORE ranking — a post-filter on the
+    // already-truncated top-k would silently empty the list under
+    // selective filters and keep pre-filter rank gaps. The semi-join
+    // sits on the term-pruned postings sliver, not the corpus.
+    val encAll = liveRows(index, index.postings.where(col("term").isin(queryTerms: _*)))
+    val enc0 = docFilter.fold(encAll)(f =>
+      encAll.join(f.select(col(f.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
     val enc = terminateAfter match {
       case None => enc0
       case Some(n) =>
@@ -210,7 +218,8 @@ object Bm25 {
     * heap ranks each query without a global sort. */
   def fulltextBatch(index: SparseIndex, queryTerms: DataFrame, k: Int,
                     cutoffFrequency: Double = 1.0,
-                    k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+                    k1: Double = DefaultK1, b: Double = DefaultB,
+                    docFilter: Option[DataFrame] = None): DataFrame = {
     val allTerms = queryTerms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
     val elig = index.terms
@@ -219,7 +228,9 @@ object Bm25 {
     // the broadcast rider carries each term's stats alongside its query
     // ids, so the weight is computable per posting row with no extra join
     val q = broadcast(queryTerms.select(col("query_id"), col("term")).join(elig, "term"))
-    val scored = liveRows(index, index.postings.where(col("term").isin(allTerms: _*)))
+    val base = liveRows(index, index.postings.where(col("term").isin(allTerms: _*)))
+    val scored = docFilter.fold(base)(f =>
+        base.join(f.select(col(f.columns.head).as("doc_id")), Seq("doc_id"), "left_semi"))
       .join(q, "term")
       .groupBy("query_id", "doc_id")
       .agg(sum(round(weightCol(k1, b), 4).cast("decimal(18,4)")).cast("double").as("score"))
@@ -236,7 +247,8 @@ object Bm25 {
                queryTerms: Seq[String], k: Int,
                cutoffFrequency: Double = 1.0,
                terminateAfter: Option[Int] = None,
-               k1: Double = DefaultK1, b: Double = DefaultB): DataFrame =
+               k1: Double = DefaultK1, b: Double = DefaultB,
+               docFilter: Option[DataFrame] = None): DataFrame =
     fulltextIndexed(buildIndex(docs, idCol, textCol), queryTerms, k,
-      cutoffFrequency, terminateAfter, k1, b)
+      cutoffFrequency, terminateAfter, k1, b, docFilter)
 }

@@ -64,31 +64,36 @@ object CollectionView {
   def search(chunkIndex: DataFrame, idCol: String, content: String, limit: Int,
              expandChunk: (Int, Int) = (0, 0), filter: String = "",
              dim: Int = 64, graph: Option[DataFrame] = None,
-             ef: Int = 10): DataFrame = {
+             ef: Int = 10, graphPrepared: Boolean = false): DataFrame = {
     val spark = chunkIndex.sparkSession
     import spark.implicits._
     val flat = chunkIndex
       .where(FilterParser.parse(filter))
       .withColumn("__key", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
-    val qdf = TextEmbed.hashEmbed(Seq((0L, content)).toDF("qid", "qtext"), "qid", "qtext", dim)
-    val indexed = graph match {
+    // embed the query text ONCE: the graph arm collects the 1-row
+    // result for the traversal and the ranking below reuses the
+    // collected literal instead of re-running the embed job in its
+    // lineage; the FLAT arm keeps the lazy single-evaluation frame
+    val qEmbed = TextEmbed.hashEmbed(
+      Seq((0L, content)).toDF("qid", "qtext"), "qid", "qtext", dim)
+    val (indexed, qdf) = graph match {
       case Some(g) =>
-        // the 1-row query frame doubles as the traversal vector (a
-        // bounded collect; an all-stopword query has no vector and no
-        // hits on either arm)
-        qdf.select("vec").collect().headOption match {
+        // an all-stopword query has no vector and no hits on either arm
+        qEmbed.select("vec").collect().headOption match {
           case Some(r) =>
-            val qvec = r.getSeq[Double](0).toArray
+            val qvec = r.getSeq[Double](0)
             val cand = graft.vector.HnswIndex.candidates(
-                g, Array((0L, qvec)), math.max(ef, limit))
+                g, Array((0L, qvec.toArray)), math.max(ef, limit),
+                prepared = graphPrepared)
               .select(col("id").as("__cid64"))
             // post-filter ANN semantics: the scalar filter applies to
             // the candidate sliver (the collections family's contract)
-            flat.withColumn("__cid64", cid64(idCol))
-              .join(cand, Seq("__cid64"), "left_semi").drop("__cid64")
-          case None => flat
+            (flat.withColumn("__cid64", cid64(idCol))
+              .join(cand, Seq("__cid64"), "left_semi").drop("__cid64"),
+              Seq((0L, qvec)).toDF("qid", "vec"))
+          case None => (flat, qEmbed)
         }
-      case None => flat
+      case None => (flat, qEmbed)
     }
     val hits = KnnSearch.topK(indexed, "__key", "vec", qdf, "qid", "vec", "cosine", limit)
       .select(col("rank"), col("id").as("__key"), col("score"))

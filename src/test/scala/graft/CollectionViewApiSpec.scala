@@ -82,7 +82,7 @@ class CollectionViewApiSpec extends SparkSpec {
     val flat = view.search("slow table", limit = 3).collect()
     view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
     // exhaustive ef through the persisted graph == the FLAT result
-    val ann = view.search("slow table", limit = 3, ef = Int.MaxValue).collect()
+    val ann = view.search("slow table", limit = 3, ef = Some(Int.MaxValue)).collect()
     assert(ann.toSeq == flat.toSeq)
     // production ef serves from the graph and still fills the hit list
     assert(view.search("slow table", limit = 3).collect().length == 3)
@@ -92,6 +92,11 @@ class CollectionViewApiSpec extends SparkSpec {
     val post = view.search("fresh unseen", limit = 3).collect()
     assert(post.nonEmpty && post.head.getString(1) == "c.md",
       "post-upload search must see the new document")
+    // explicit ef against the invalidated graph is an error, not a
+    // silent exact scan (the hybridSearch ef contract)
+    intercept[IllegalArgumentException] {
+      view.search("fresh unseen", limit = 3, ef = Some(4))
+    }
   }
 
   test("filter delete over many document sets stays distributed (anti-join path)") {

@@ -191,6 +191,12 @@ class HnswMaintenanceSpec extends SparkSpec {
     val cat = new graft.catalog.Catalog(spark, root)
     cat.dropPartitions("db", "v__hnsw_graph", "seg", Seq("2"))
     cat.updateMeta("db", "v", Map("index.hnsw.pending" -> "2"))
+    // a LATER successful append must not disarm the sweep: the
+    // surviving marker is the only evidence batch A's ids are missing
+    // from the graph, so append B keeps it set instead of clearing it
+    coll.upsert(embs.where(col("id").between(100, 109)))
+    assert(coll.describe.contains("index.hnsw.pending"),
+      "a later append must not clear a foreign crash marker")
     // the batch is temporarily unindexed (exactly the documented
     // failure mode); the sweep in the next compaction restores it
     coll.compactIndexes()

@@ -58,6 +58,25 @@ class Bm25Spec extends SparkSpec {
       cutoffFrequency = 0.5) // cherry df=2/3 > 0.5 -> dropped
     assert(res.count() == 0)
   }
+
+  test("docFilter restricts BEFORE ranking: contiguous ranks, no truncation loss") {
+    // 30 docs all matching "zzz"; k = 5 would truncate to ids 1..5
+    // before a post-filter — the docFilter path must instead rank the
+    // FILTERED set, returning ids 25..29 at contiguous ranks 1..5
+    val many = (1L to 30L).map(i => (i, s"zzz w$i")).toDF("doc_id", "text")
+    val keep = Seq.range(25L, 31L).toDF("doc_id")
+    val res = Bm25.fulltext(many, "doc_id", "text", Seq("zzz"), 5,
+        docFilter = Some(keep)).collect()
+    assert(res.map(_.getLong(1)).toSet == Set(25L, 26L, 27L, 28L, 29L),
+      s"got ${res.map(_.getLong(1)).toSeq}")
+    assert(res.map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5),
+      "filtered ranks must be contiguous from 1")
+    // batch form: same pre-ranking filter per query
+    val idx = Bm25.buildIndex(many, "doc_id", "text")
+    val kw = Seq((7L, "zzz")).toDF("query_id", "term")
+    val b = Bm25.fulltextBatch(idx, kw, 5, docFilter = Some(keep)).collect()
+    assert(b.map(_.getLong(2)).toSet == Set(25L, 26L, 27L, 28L, 29L))
+  }
 }
 
 class FusionSpec extends SparkSpec {

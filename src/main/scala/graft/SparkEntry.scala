@@ -759,6 +759,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_shuffle_shards" -> ((s, dir) => {
+      // deterministic sharded corpus SHUFFLE: no global permutation
+      // index (a corpus-wide row_number is a single-partition sort) —
+      // (shard, pos) addressing from two salted md5 hashes of the id,
+      // content-addressed like q_det_split (reshuffle = change the
+      // salt). One hash partitioning + per-shard bounded sorts.
+      graft.ops.Curation.shuffleShards(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
+    "q_length_batches" -> ((s, dir) => {
+      // padding-minimizing loader batching: 16-token length bands,
+      // batch_id = salted-hash rank within the band div 32 — similar
+      // lengths share a batch (padding waste bounded by the band
+      // width), domains mix deterministically. Only (id, count)
+      // shuffle; the text never does.
+      graft.ops.Curation.lengthBatches(
+          Tables.documents(s, dir), "doc_id", "text",
+          batchSize = 32, bandTokens = 16)
+        .select("doc_id", "ws_tokens", "bucket", "batch_id")
+        .orderBy("doc_id")
+    }),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      // PII redaction (emails / IPv4s / phone-shaped runs -> typed
+      // placeholders) with per-doc match counts — a pure projection at
+      // scan speed. The synthetic corpus carries no PII, so the input
+      // deterministically plants some (doc_id-keyed, mirrored in the
+      // oracle) — the redaction path is non-vacuous at every SF.
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+              lit(".77"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" call 555-123-4567")).otherwise(lit(""))).as("text"))
+      graft.text.TextAnalysis.scrubPii(withPii, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1430,6 +1476,40 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000 AS INT) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (
+        |      PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT % 8
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuffle:pos'), doc_id) - 1 AS INT) AS pos
+        |FROM documents ORDER BY shard, pos""".stripMargin,
+
+    "q_length_batches" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(len(string_split(text, ' ')) // 16 AS INT) AS bucket,
+        |  CAST((row_number() OVER (
+        |      PARTITION BY len(string_split(text, ' ')) // 16
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'batch'), doc_id) - 1) // 32 AS INT) AS batch_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.77' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b', '<PHONE>', 'g') AS text_clean,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\b')) AS n_phones
+        |FROM pii ORDER BY doc_id""".stripMargin,
 
     "q_vocab_drift" ->
       """WITH t AS (SELECT CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'a'

@@ -554,6 +554,54 @@ object Curation {
     * [[graft.streaming.Streams.curatedIngest]]. Every step is a
     * projection or filter except the per-batch fingerprint dedup, whose
     * shuffle is bounded by the micro-batch, never the corpus. */
+  /** Deterministic sharded corpus SHUFFLE — the loader-side "shuffle
+    * the dataset" step, done the only way a 100 TB corpus can be
+    * shuffled: no global permutation index (a corpus-wide
+    * `row_number()` would be a single-partition sort), but a
+    * (shard, pos) addressing scheme — shard = salted md5 of the id
+    * (the [[saltedBucket]] device, engine-portable bit-for-bit), pos =
+    * the rank of a SECOND salted hash within the shard. Readers stream
+    * shards in any order and rows within a shard in pos order; the
+    * composite order is uniformly pseudo-random in the ids, stable
+    * across runs/engines/re-shards (content-addressed, like
+    * [[hashSplit]] — reshuffling = changing the salt), and the only
+    * shuffle is one hash partitioning + per-shard sorts bounded by
+    * corpus/nShards. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = md5(concat(col(idCol).cast("string"), lit(salt + ":pos")))
+    docs
+      .withColumn("shard", saltedBucket(col(idCol), salt, nShards))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(orderKey, col(idCol))) - 1)
+  }
+
+  /** Length-bucketed batch assignment — the padding-minimizing loader
+    * batching step (documents of similar token length share a batch,
+    * so per-batch padding-to-max waste is bounded by the band width):
+    * bucket = whitespace-token count div `bandTokens`, batch_id = the
+    * document's salted-hash rank within its bucket div `batchSize`.
+    * Banding by integer division (not floor(log2)) keeps the bucket
+    * boundary integer-exact on every engine; the within-bucket hash
+    * order mixes domains into each batch deterministically. Scale
+    * shape: one hash partitioning on the bucket key, per-bucket sorts
+    * — the corpus text itself never shuffles (only id + count). */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    batchSize: Int, bandTokens: Int = 16,
+                    salt: String = "batch"): DataFrame = {
+    require(batchSize >= 1 && bandTokens >= 1, "batchSize and bandTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = md5(concat(col(idCol).cast("string"), lit(salt)))
+    docs
+      .withColumn("ws_tokens", size(split(col(textCol), " ")))
+      .withColumn("bucket", expr(s"ws_tokens div $bandTokens").cast("int"))
+      .withColumn("batch_id", ((row_number().over(
+        Window.partitionBy("bucket").orderBy(orderKey, col(idCol))) - 1)
+        / batchSize).cast("int"))
+  }
+
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,

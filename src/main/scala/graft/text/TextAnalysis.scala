@@ -81,6 +81,38 @@ object TextAnalysis {
       length(t).as("n_chars"))
   }
 
+  /** PII pattern constants — shared by the scrub and its counters so
+    * the redacted spans and the counts can never disagree. RE2-safe
+    * subset only (character classes + bounded quantifiers + \b): the
+    * same pattern text must run identically on Spark (Java regex) and
+    * a DuckDB oracle (RE2). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b"
+
+  /** PII scrubbing — the redaction pass every public-web training
+    * pipeline runs before materialization: emails, IPv4 addresses, and
+    * phone-shaped digit runs are replaced with typed placeholder
+    * tokens (`<EMAIL>`/`<IP>`/`<PHONE>`), with per-document match
+    * counts (from the ORIGINAL text) for pipeline monitoring.
+    *
+    * Order matters and is fixed: emails first (an address can embed
+    * digit runs), then IPs (dot-joined digits), then phones. Pure
+    * per-row projection — a regexp_replace chain at parquet-scan
+    * speed; nothing shuffles at any corpus size. */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+        .as("text_clean"),
+      regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("int").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"))
+  }
+
   /** Per-document repetition statistics — the Gopher-style repetition
     * quality signal (machine-generated and boilerplate text repeats
     * itself; heavy repetition is the canonical pretraining drop rule):

@@ -431,6 +431,72 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("shuffleShards: dense positions per shard, deterministic, salt reshuffles") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    val out = graft.ops.Curation.shuffleShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").cache()
+    assert(out.count() == 200)
+    // positions are dense 0..n_shard-1 within every shard
+    val byShard = out.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("pos").as("mx"),
+        org.apache.spark.sql.functions.min("pos").as("mn"))
+      .collect()
+    assert(byShard.length == 4)
+    byShard.foreach { r =>
+      assert(r.getInt(2) == r.getLong(1).toInt - 1 && r.getInt(3) == 0,
+        s"shard ${r.getInt(0)} positions not dense") }
+    // deterministic across runs; a different salt permutes
+    val again = graft.ops.Curation.shuffleShards(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").collect().toSet
+    assert(again == out.collect().toSet)
+    val other = graft.ops.Curation.shuffleShards(docs, "doc_id", nShards = 4,
+      salt = "v2").select("doc_id", "shard", "pos").collect().toSet
+    assert(other != again, "changing the salt must reshuffle")
+    out.unpersist()
+  }
+
+  test("lengthBatches: batches respect size and share a length band") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, ("w " * (i % 60 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curation.lengthBatches(docs, "doc_id", "text",
+      batchSize = 8, bandTokens = 16).cache()
+    // no batch exceeds batchSize, and every batch is homogeneous in bucket
+    val sizes = out.groupBy("bucket", "batch_id").count().collect()
+    assert(sizes.forall(_.getLong(2) <= 8), "a batch exceeded batchSize")
+    // bucket = ws_tokens div 16 everywhere
+    assert(out.where(col("bucket") =!= (col("ws_tokens") / 16).cast("int")).isEmpty)
+    // within a bucket, batch ids are dense from 0
+    val dense = out.groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.countDistinct("batch_id").as("nb"),
+        org.apache.spark.sql.functions.max("batch_id").as("mx"))
+      .collect()
+    dense.foreach(r => assert(r.getLong(1) == r.getInt(2) + 1L))
+    out.unpersist()
+  }
+
+  test("scrubPii redacts emails, IPs, phone runs with matching counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to alice.smith+x@corp.example.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 or 555 1234 5678 now"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.scrubPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "write to <EMAIL> today")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 0)
+    assert(out(1).getString(1) == "server at <IP> and <IP> up")
+    assert(out(1).getInt(3) == 2)
+    assert(out(2).getString(1) == "call <PHONE> or <PHONE> now")
+    assert(out(2).getInt(4) == 2)
+    assert(out(3).getString(1) == "nothing sensitive here at all")
+    assert(out(3).getInt(2) == 0 && out(3).getInt(3) == 0 && out(3).getInt(4) == 0)
+  }
+
   test("minhashVerified candidates are bounded by banded collisions") {
     // selective banding (r=8) prunes: candidate count well below the
     // full pair-join population, and the verified output is a subset of

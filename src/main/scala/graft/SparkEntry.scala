@@ -779,8 +779,8 @@ object SparkEntry {
       // shuffle; the text never does.
       graft.ops.Curation.lengthBatches(
           Tables.documents(s, dir), "doc_id", "text",
-          batchSize = 32, bandTokens = 16)
-        .select("doc_id", "ws_tokens", "bucket", "batch_id")
+          batchSize = 32, bandTokens = 16, nShards = 4)
+        .select("doc_id", "ws_tokens", "bucket", "shard", "batch_id")
         .orderBy("doc_id")
     }),
 
@@ -1489,8 +1489,10 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  CAST(len(string_split(text, ' ')) // 16 AS INT) AS bucket,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'batch:shard'), 1, 8))::BIGINT % 4 AS INT) AS shard,
         |  CAST((row_number() OVER (
-        |      PARTITION BY len(string_split(text, ' ')) // 16
+        |      PARTITION BY len(string_split(text, ' ')) // 16,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'batch:shard'), 1, 8))::BIGINT % 4
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'batch'), doc_id) - 1) // 32 AS INT) AS batch_id
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -581,24 +581,34 @@ object Curation {
   /** Length-bucketed batch assignment — the padding-minimizing loader
     * batching step (documents of similar token length share a batch,
     * so per-batch padding-to-max waste is bounded by the band width):
-    * bucket = whitespace-token count div `bandTokens`, batch_id = the
-    * document's salted-hash rank within its bucket div `batchSize`.
-    * Banding by integer division (not floor(log2)) keeps the bucket
-    * boundary integer-exact on every engine; the within-bucket hash
-    * order mixes domains into each batch deterministically. Scale
-    * shape: one hash partitioning on the bucket key, per-bucket sorts
-    * — the corpus text itself never shuffles (only id + count). */
+    * bucket = whitespace-token count div `bandTokens`, and within a
+    * (bucket, shard) group batch_id = salted-hash rank div
+    * `batchSize`. Banding by integer division (not floor(log2)) keeps
+    * the bucket boundary integer-exact on every engine; the hash
+    * order mixes domains into each batch deterministically.
+    *
+    * Scale shape: bucket CARDINALITY is bounded by max-length/band, so
+    * a window keyed on bucket alone would funnel a popular band's 10⁹
+    * docs through one sort task — the same single-partition-window
+    * anti-pattern as an unpartitioned rank. `nShards` sub-shards each
+    * band by a salted id hash (the [[packSequences]] discipline): the
+    * rank window runs per (bucket, shard), every partition bounded by
+    * band/nShards, and a batch is addressed (bucket, shard, batch_id).
+    * Batches stay length-homogeneous (the padding property lives on
+    * the bucket key alone); only (id, count) ever shuffles. */
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
                     batchSize: Int, bandTokens: Int = 16,
-                    salt: String = "batch"): DataFrame = {
-    require(batchSize >= 1 && bandTokens >= 1, "batchSize and bandTokens must be positive")
+                    nShards: Int = 64, salt: String = "batch"): DataFrame = {
+    require(batchSize >= 1 && bandTokens >= 1 && nShards >= 1,
+      "batchSize, bandTokens, nShards must be positive")
     import org.apache.spark.sql.expressions.Window
     val orderKey = md5(concat(col(idCol).cast("string"), lit(salt)))
     docs
       .withColumn("ws_tokens", size(split(col(textCol), " ")))
       .withColumn("bucket", expr(s"ws_tokens div $bandTokens").cast("int"))
+      .withColumn("shard", saltedBucket(col(idCol), salt + ":shard", nShards))
       .withColumn("batch_id", ((row_number().over(
-        Window.partitionBy("bucket").orderBy(orderKey, col(idCol))) - 1)
+        Window.partitionBy("bucket", "shard").orderBy(orderKey, col(idCol))) - 1)
         / batchSize).cast("int"))
   }
 

@@ -462,18 +462,18 @@ class CurationSpec extends SparkSpec {
     val docs = (1L to 300L).map(i => (i, ("w " * (i % 60 + 1).toInt).trim))
       .toDF("doc_id", "text")
     val out = graft.ops.Curation.lengthBatches(docs, "doc_id", "text",
-      batchSize = 8, bandTokens = 16).cache()
+      batchSize = 8, bandTokens = 16, nShards = 2).cache()
     // no batch exceeds batchSize, and every batch is homogeneous in bucket
-    val sizes = out.groupBy("bucket", "batch_id").count().collect()
-    assert(sizes.forall(_.getLong(2) <= 8), "a batch exceeded batchSize")
+    val sizes = out.groupBy("bucket", "shard", "batch_id").count().collect()
+    assert(sizes.forall(_.getLong(3) <= 8), "a batch exceeded batchSize")
     // bucket = ws_tokens div 16 everywhere
     assert(out.where(col("bucket") =!= (col("ws_tokens") / 16).cast("int")).isEmpty)
-    // within a bucket, batch ids are dense from 0
-    val dense = out.groupBy("bucket")
+    // within a (bucket, shard) group, batch ids are dense from 0
+    val dense = out.groupBy("bucket", "shard")
       .agg(org.apache.spark.sql.functions.countDistinct("batch_id").as("nb"),
         org.apache.spark.sql.functions.max("batch_id").as("mx"))
       .collect()
-    dense.foreach(r => assert(r.getLong(1) == r.getInt(2) + 1L))
+    dense.foreach(r => assert(r.getLong(2) == r.getInt(3) + 1L))
     out.unpersist()
   }
 

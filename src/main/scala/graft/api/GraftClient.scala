@@ -1742,13 +1742,25 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * recall knob). */
   private def hybridDense(queries: DataFrame, qIdCol: String, qVecCol: String,
                           fetch: Int, ef: Option[Int],
-                          filter: String = ""): DataFrame = {
+                          filter: String = "",
+                          nprobe: Option[Int] = None): DataFrame = {
     val meta = describe
-    val hnswReady = liveIndexes(meta).hnswLive &&
+    val live = liveIndexes(meta)
+    val hnswReady = live.hnswLive &&
       queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
+    require(ef.isEmpty || nprobe.isEmpty,
+      "ef tunes HNSW and nprobe tunes IVF — pass the param of the live index")
     require(ef.isEmpty || hnswReady,
       "hybrid ef search param requires a live HNSW index and numeric query ids")
-    if (hnswReady)
+    require(nprobe.isEmpty || live.ivfLive,
+      "hybrid nprobe search param requires a live IVF index")
+    // the reference serves hybrid from the collection's CONFIGURED
+    // index with that index's search params; an explicit nprobe selects
+    // the IVF arm even when HNSW is also live
+    if (nprobe.isDefined)
+      search(queries, qIdCol, qVecCol, "cosine", fetch,
+        filter = filter, nprobe = nprobe)
+    else if (hnswReady)
       // HnswIndex.search clamps the per-segment beam to >= the rerank
       // k, so the default ef still fills `fetch` fused ranks
       graft.vector.HnswIndex.search(
@@ -1766,6 +1778,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     *  - `rerank` = "rrf" (RRFRerank(rrfK), the default) or "weighted"
     *    (WeightedRerank — `weights` = (dense, sparse), decimal-exact
     *    fusion over the 4-decimal arm scores);
+    *  - `ef` / `nprobe`: the live index's own search param — `ef`
+    *    selects the HNSW arm, `nprobe` the IVF arm (mutually
+    *    exclusive; each errors if its index is not live);
     *  - `filter`: scalar predicate over the matched documents. The
     *    FLAT dense arm pre-filters with scan pushdown; the HNSW arm
     *    filters at the rerank (candidates join the FILTERED snapshot
@@ -1784,8 +1799,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                    weights: (Double, Double) = (0.5, 0.5),
                    filter: String = "",
                    outputFields: Seq[String] = Nil,
-                   retrieveVector: Boolean = false): DataFrame = {
-    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter)
+                   retrieveVector: Boolean = false,
+                   nprobe: Option[Int] = None): DataFrame = {
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter, nprobe)
     // the sparse arm filters BEFORE ranking (docFilter semi-joins the
     // term-pruned postings sliver): a post-filter on the truncated
     // top-k would silently empty the list under selective filters and
@@ -1848,8 +1864,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                         weights: (Double, Double) = (0.5, 0.5),
                         filter: String = "",
                         outputFields: Seq[String] = Nil,
-                        retrieveVector: Boolean = false): DataFrame = {
-    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter)
+                        retrieveVector: Boolean = false,
+                        nprobe: Option[Int] = None): DataFrame = {
+    val dense = hybridDense(queries, qIdCol, qVecCol, limit * 2, ef, filter, nprobe)
     val idx = sparseIndex.getOrElse(Bm25.buildIndex(df, idCol, textCol))
     val sparse = Bm25.fulltextBatch(idx, keywords, limit * 2,
         docFilter = hybridDocFilter(filter))

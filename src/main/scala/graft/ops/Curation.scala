@@ -615,9 +615,19 @@ object Curation {
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,
-                  minQuality: Double = 0.0): DataFrame = {
+                  minQuality: Double = 0.0,
+                  scrubPii: Boolean = false): DataFrame = {
+    // scrub BEFORE scoring/keying: redaction changes the text, so the
+    // quality signal and the content key (md5 of text) must see the
+    // CLEAN form — otherwise a re-arrival of the same document with a
+    // rotated email would defeat exact content dedup. A pure in-place
+    // projection (no join, no shuffle).
+    val input =
+      if (!scrubPii) batch
+      else batch.withColumn(textCol,
+        graft.text.TextAnalysis.scrubExpr(col(textCol)))
     val scored = graft.text.TextAnalysis.quality(
-        batch, idCol, textCol, keep = Seq(textCol, domainCol))
+        input, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     dedupByContent(
         sampleByWeights(scored, idCol, domainCol, weights, defaultWeight),

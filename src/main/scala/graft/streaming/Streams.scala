@@ -122,7 +122,8 @@ object Streams {
                     defaultWeight: Double = 1.0,
                     minQuality: Double = 0.0,
                     nearDupThreshold: Option[Double] = None,
-                    minClassifierProb: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                    minClassifierProb: Option[Double] = None,
+                    scrubPii: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -131,7 +132,8 @@ object Streams {
         // sampling, hashing, and a dedup shuffle — unpersisted, the
         // isEmpty check and the upsert would each run the whole plan
         val curated0 = graft.ops.Curation.curateBatch(
-          batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality)
+          batch, idCol, textCol, domainCol, weights, defaultWeight, minQuality,
+          scrubPii = scrubPii)
         // learned gate: a where() over the scored single scan — the
         // curateBatch plan runs ONCE, never duplicated across a join
         val curated = (minClassifierProb match {

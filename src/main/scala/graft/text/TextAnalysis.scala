@@ -105,13 +105,18 @@ object TextAnalysis {
     val t = col(textCol)
     docs.select(
       col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
-        .as("text_clean"),
+      scrubExpr(t).as("text_clean"),
       regexp_count(t, lit(EmailRe)).cast("int").as("n_emails"),
       regexp_count(t, lit(Ipv4Re)).cast("int").as("n_ips"),
       regexp_count(t, lit(PhoneRe)).cast("int").as("n_phones"))
   }
+
+  /** The redaction chain as a standalone expression — composable into
+    * any projection (the streaming curation gate scrubs in place with
+    * it, no join). Same fixed order as [[scrubPii]]. */
+  def scrubExpr(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(t,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
   /** Per-document repetition statistics — the Gopher-style repetition
     * quality signal (machine-generated and boilerplate text repeats

@@ -497,6 +497,24 @@ class CurationSpec extends SparkSpec {
     assert(out(3).getInt(2) == 0 && out(3).getInt(3) == 0 && out(3).getInt(4) == 0)
   }
 
+  test("curateBatch scrubPii keys content by the CLEAN text") {
+    import spark.implicits._
+    // two arrivals identical up to a rotated email: scrubbing BEFORE
+    // content keying makes them byte-identical, so exact content dedup
+    // collapses them (the reason the scrub must precede the md5 key)
+    val docs = Seq(
+      (1L, "the same body text here contact a@x.example.org and more words", "src0"),
+      (2L, "the same body text here contact b@y.example.net and more words", "src0")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curateBatch(docs, "doc_id", "text", "source",
+      scrubPii = true).collect()
+    assert(out.length == 1, s"rotated emails must collapse: ${out.toSeq}")
+    assert(out.head.getAs[String]("text").contains("<EMAIL>"))
+    assert(out.head.getAs[Long]("src_id") == 1L) // lowest source id wins
+    // without the scrub they stay distinct documents
+    assert(Curation.curateBatch(docs, "doc_id", "text", "source").count() == 2)
+  }
+
   test("minhashVerified candidates are bounded by banded collisions") {
     // selective banding (r=8) prunes: candidate count well below the
     // full pair-join population, and the verified output is a subset of

@@ -100,6 +100,24 @@ class HybridAnnSpec extends SparkSpec {
       "exhaustive-ef filtered hybrid must equal the FLAT filtered hybrid")
   }
 
+  test("nprobe selects the IVF arm; full-probe nprobe equals FLAT") {
+    val coll = freshColl("ivf")
+    val pick = Seq("query_id", "id", "rank", "rrf").map(col)
+    val flat = collect(coll.hybridSearch(queries, "qid", "qv", kw).select(pick: _*))
+    // nprobe without a live IVF index is an error, not a silent scan
+    intercept[IllegalArgumentException] {
+      coll.hybridSearch(queries, "qid", "qv", kw, nprobe = Some(4))
+    }
+    coll.rebuildIndex(nlist = 4, metric = "cosine")
+    val ivf = collect(coll.hybridSearch(queries, "qid", "qv", kw,
+      nprobe = Some(4)).select(pick: _*))
+    assert(ivf.toSeq == flat.toSeq, "nprobe = nlist must equal the FLAT hybrid")
+    // ef and nprobe are mutually exclusive index params
+    intercept[IllegalArgumentException] {
+      coll.hybridSearch(queries, "qid", "qv", kw, ef = Some(4), nprobe = Some(4))
+    }
+  }
+
   test("explicit ef without a servable index is an error, not a silent scan") {
     val coll = freshColl("err")
     val e = intercept[IllegalArgumentException] {

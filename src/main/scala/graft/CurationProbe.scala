@@ -99,6 +99,32 @@ object CurationProbe {
           .collect().head.getLong(0)
       }
       bgCounts.unpersist()
+      time(s"shuffle_shards_$tag") {
+        // the rank window runs per shard (nShards bounds every sort
+        // partition at k/nShards); max(pos)+count forces the window —
+        // work = rows addressed, must 8x at 8x
+        graft.ops.Curation.shuffleShards(d.select("doc_id"), "doc_id",
+            nShards = 256)
+          .agg(max("pos"), count(lit(1)).as("n")).collect().head.getLong(1)
+      }
+      time(s"length_batches_$tag") {
+        // per-(bucket, shard) rank windows — the sub-shard key exists
+        // so a hot length band cannot single-task-sort; work = docs
+        // batched (sum over batches must equal the corpus)
+        graft.ops.Curation.lengthBatches(d, "doc_id", "text",
+            batchSize = 1024, bandTokens = 8, nShards = 256)
+          .agg(max("batch_id"), count(lit(1)).as("n")).collect().head.getLong(1)
+      }
+      time(s"pii_scrub_$tag") {
+        // pure regexp projection; work = docs with any redaction (the
+        // generator has no PII, so plant it like the oracle entry does)
+        val planted = d.select(col("doc_id"),
+          concat(col("text"), when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" u"), col("doc_id").cast("string"), lit("@x.org")))
+            .otherwise(lit(""))).as("text"))
+        graft.text.TextAnalysis.scrubPii(planted, "doc_id", "text")
+          .where(col("n_emails") > 0).count()
+      }
       time(s"vocab_drift_$tag") {
         // two token groupBys + a token-key full-outer join (never
         // doc-pairwise); the halves are id-disjoint so both sides scan

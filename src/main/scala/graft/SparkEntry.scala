@@ -1487,11 +1487,11 @@ object SparkEntry {
 
     "q_length_batches" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS ws_tokens,
-        |  CAST(len(string_split(text, ' ')) // 16 AS INT) AS bucket,
+        |  len(string_split(coalesce(text, ''), ' ')) AS ws_tokens,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) // 16 AS INT) AS bucket,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'batch:shard'), 1, 8))::BIGINT % 4 AS INT) AS shard,
         |  CAST((row_number() OVER (
-        |      PARTITION BY len(string_split(text, ' ')) // 16,
+        |      PARTITION BY len(string_split(coalesce(text, ''), ' ')) // 16,
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'batch:shard'), 1, 8))::BIGINT % 4
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'batch'), doc_id) - 1) // 32 AS INT) AS batch_id
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1755,10 +1755,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(nprobe.isEmpty || live.ivfLive,
       "hybrid nprobe search param requires a live IVF index")
     // the reference serves hybrid from the collection's CONFIGURED
-    // index with that index's search params; an explicit nprobe selects
-    // the IVF arm even when HNSW is also live
+    // index with that index's search params AND metric — each arm
+    // ranks by ITS index's stored metric (an l2-built index must not
+    // silently serve cosine neighbors); the index-less FLAT fallback
+    // is cosine, the reference default. An explicit nprobe selects
+    // the IVF arm even when HNSW is also live.
     if (nprobe.isDefined)
-      search(queries, qIdCol, qVecCol, "cosine", fetch,
+      search(queries, qIdCol, qVecCol,
+        meta.getOrElse("index.ivf.metric", "l2"), fetch,
         filter = filter, nprobe = nprobe)
     else if (hnswReady)
       // HnswIndex.search clamps the per-segment beam to >= the rerank
@@ -1768,7 +1772,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
         idCol, vecCol,
         collectNumericQueries(queries, qIdCol, qVecCol),
-        "cosine", fetch, ef.getOrElse(10), prepared = true)
+        meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
+        ef.getOrElse(10), prepared = true)
     else search(queries, qIdCol, qVecCol, "cosine", fetch, filter = filter)
   }
 

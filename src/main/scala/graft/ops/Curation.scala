@@ -538,22 +538,6 @@ object Curation {
         (rateA - rateB).as("rate_diff"))
   }
 
-  /** One micro-batch (or one partition of a backfill) through the full
-    * curation front door: quality-score and threshold, apply the
-    * deterministic domain mix, then re-key each surviving doc by its
-    * content identity, md5(text) — 128 bits, collision-negligible at
-    * any corpus size (never the ~30-bit rolling-hash fingerprint
-    * metric, which would silently merge distinct docs). Returns one
-    * row per content key — (id = md5, src_id, text, domain, quality),
-    * lowest source id winning ties deterministically.
-    *
-    * Content keying is what makes exact dedup FREE across an unbounded
-    * stream: upserting these rows into a collection collapses every
-    * re-arrival of the same text into one stored row (last-wins by id)
-    * with no dedup state beyond the collection itself — see
-    * [[graft.streaming.Streams.curatedIngest]]. Every step is a
-    * projection or filter except the per-batch fingerprint dedup, whose
-    * shuffle is bounded by the micro-batch, never the corpus. */
   /** Deterministic sharded corpus SHUFFLE — the loader-side "shuffle
     * the dataset" step, done the only way a 100 TB corpus can be
     * shuffled: no global permutation index (a corpus-wide
@@ -595,7 +579,11 @@ object Curation {
     * rank window runs per (bucket, shard), every partition bounded by
     * band/nShards, and a batch is addressed (bucket, shard, batch_id).
     * Batches stay length-homogeneous (the padding property lives on
-    * the bucket key alone); only (id, count) ever shuffles. */
+    * the bucket key alone). The window input prunes to
+    * (id, count, keys) when the caller does not retain the text
+    * column (Catalyst column pruning — the entry and probe shapes);
+    * a caller carrying text through the assignment pays its shuffle
+    * or joins batch ids back by id. */
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
                     batchSize: Int, bandTokens: Int = 16,
                     nShards: Int = 64, salt: String = "batch"): DataFrame = {
@@ -604,7 +592,10 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val orderKey = md5(concat(col(idCol).cast("string"), lit(salt)))
     docs
-      .withColumn("ws_tokens", size(split(col(textCol), " ")))
+      // coalesce: legacy size(split(NULL)) is -1 on Spark but NULL on
+      // other engines — a null-text doc must land in the 1-token band
+      // on BOTH sides of an oracle (the packSequences guard)
+      .withColumn("ws_tokens", size(split(coalesce(col(textCol), lit("")), " ")))
       .withColumn("bucket", expr(s"ws_tokens div $bandTokens").cast("int"))
       .withColumn("shard", saltedBucket(col(idCol), salt + ":shard", nShards))
       .withColumn("batch_id", ((row_number().over(
@@ -612,6 +603,22 @@ object Curation {
         / batchSize).cast("int"))
   }
 
+  /** One micro-batch (or one partition of a backfill) through the full
+    * curation front door: quality-score and threshold, apply the
+    * deterministic domain mix, then re-key each surviving doc by its
+    * content identity, md5(text) — 128 bits, collision-negligible at
+    * any corpus size (never the ~30-bit rolling-hash fingerprint
+    * metric, which would silently merge distinct docs). Returns one
+    * row per content key — (id = md5, src_id, text, domain, quality),
+    * lowest source id winning ties deterministically.
+    *
+    * Content keying is what makes exact dedup FREE across an unbounded
+    * stream: upserting these rows into a collection collapses every
+    * re-arrival of the same text into one stored row (last-wins by id)
+    * with no dedup state beyond the collection itself — see
+    * [[graft.streaming.Streams.curatedIngest]]. Every step is a
+    * projection or filter except the per-batch fingerprint dedup, whose
+    * shuffle is bounded by the micro-batch, never the corpus. */
   def curateBatch(batch: DataFrame, idCol: String, textCol: String,
                   domainCol: String, weights: Map[String, Double] = Map.empty,
                   defaultWeight: Double = 1.0,

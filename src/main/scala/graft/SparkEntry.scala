@@ -805,6 +805,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_encoding_noise" -> ((s, dir) => {
+      // mojibake/corruption scoring: control-char + U+FFFD counts and
+      // their ratio — the RefinedWeb-style drop signal for documents
+      // that survived a wrong decode. The synthetic corpus is clean,
+      // so the entry deterministically plants noise (doc_id-keyed,
+      // mirrored in the oracle) — non-vacuous at every SF.
+      val docs = Tables.documents(s, dir)
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("\u0007\u0001"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(6)) === 0, lit("\ufffd"))
+            .otherwise(lit("")))
+          .as("text"))
+      graft.text.TextAnalysis.encodingNoise(planted, "doc_id", "text")
+        .select(col("doc_id"), col("n_ctrl"), col("n_repl"), col("n_chars"),
+          round(col("noise_ratio"), 6).as("noise_ratio"))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1476,6 +1496,21 @@ object SparkEntry {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000 AS INT) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_encoding_noise" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(7) || chr(1) ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(65533) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS n_ctrl,
+        |  len(regexp_extract_all(text, chr(65533))) AS n_repl,
+        |  length(text) AS n_chars,
+        |  round((len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
+        |         + len(regexp_extract_all(text, chr(65533))))
+        |        / CAST(length(text) AS DOUBLE), 6) AS noise_ratio
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->
       """SELECT doc_id,

@@ -118,6 +118,30 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(t,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
+  /** Control characters (minus tab/newline/CR, which are legitimate
+    * text) — written as regex hex ESCAPES so the identical ASCII
+    * pattern text parses on Java regex and RE2. */
+  private[graft] val CtrlRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+  /** Encoding-noise scoring — the mojibake/corruption cleaning signal
+    * (RefinedWeb/CCNet drop documents whose bytes survived a wrong
+    * decode): counts of control characters (excluding tab/newline/CR)
+    * and U+FFFD replacement characters — the residue a lossy decode
+    * leaves — plus their ratio to document length. Pure per-row
+    * projection at scan speed; threshold the ratio to drop corrupted
+    * documents. */
+  def encodingNoise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nCtrl = regexp_count(t, lit(CtrlRe)).cast("int")
+    val nRepl = regexp_count(t, lit("�")).cast("int")
+    docs.select(
+      col(idCol),
+      nCtrl.as("n_ctrl"),
+      nRepl.as("n_repl"),
+      length(t).as("n_chars"),
+      ((nCtrl + nRepl) / length(t).cast("double")).as("noise_ratio"))
+  }
+
   /** Per-document repetition statistics — the Gopher-style repetition
     * quality signal (machine-generated and boilerplate text repeats
     * itself; heavy repetition is the canonical pretraining drop rule):

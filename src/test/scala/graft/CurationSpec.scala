@@ -515,6 +515,24 @@ class CurationSpec extends SparkSpec {
     assert(Curation.curateBatch(docs, "doc_id", "text", "source").count() == 2)
   }
 
+  test("encodingNoise counts control and replacement characters, spares tab/newline") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "bad\u0007mid\u0001end"),
+      (3L, "repl \ufffd\ufffd here"),
+      (4L, "tabs\tand\nnewlines are fine")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.encodingNoise(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 0 && out(0).getInt(2) == 0 &&
+      out(0).getDouble(4) == 0.0)
+    assert(out(1).getInt(1) == 2 && out(1).getInt(2) == 0)
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 2)
+    assert(out(3).getInt(1) == 0, "tab/newline must not count as noise")
+    assert(out(1).getDouble(4) > 0 && out(1).getDouble(4) < 1)
+  }
+
   test("minhashVerified candidates are bounded by banded collisions") {
     // selective banding (r=8) prunes: candidate count well below the
     // full pair-join population, and the verified output is a subset of

@@ -568,6 +568,32 @@ object SparkEntry {
         "vec_id", "embedding", qLocal, "cosine", k = 10, ef = Int.MaxValue)
     }),
 
+    "q_hnsw_string_exhaustive" -> ((s, dir) => {
+      // String-PK twin of q_hnsw_exhaustive — the reference's document
+      // id is ALWAYS a string (collection.py:135 document_ids:
+      // List[str]) and its default index is HNSW, so this is the
+      // reference's single most common configuration. Graph nodes are
+      // xxhash64(id) surrogates (the chunk layer's device); the exact
+      // rerank restores the REAL string id (Ranked.candidateRows), so
+      // the oracled output is string-keyed end-to-end and ties break
+      // on the STRING id exactly as DuckDB orders them.
+      val embs = Tables.embeddings(s, dir)
+        .select(concat(lit("e"), col("vec_id").cast("string")).as("sid"),
+          col("embedding"))
+      val graph = graft.catalog.IndexStore.ensure(s,
+          s"hnswgraph_str_${sfKey(dir)}", partitionBy = Seq("seg")) {
+        graft.vector.HnswIndex.build(
+          embs.withColumn("__sid64", xxhash64(col("sid"))),
+          "__sid64", "embedding", m = 8, efConstruction = 64, numSegments = 4)
+      }
+      val qLocal = Tables.embeddings(s, dir).where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.HnswIndex.search(graph, embs, "sid", "embedding", qLocal,
+        "cosine", k = 10, ef = Int.MaxValue,
+        nodeKey = Some(xxhash64(col("sid"))))
+    }),
+
     "q_lsh_ann" -> ((s, dir) => {
       // banded ANN over the PERSISTED bucket table (signatures are the
       // O(corpus) part — computed once at rebuild, not per query) at
@@ -1366,6 +1392,19 @@ object SparkEntry {
     // chain-connected segment graphs + ef >= segment size => every node
     // visited, exact rerank through the FLAT pipeline => exact KNN
     "q_hnsw_exhaustive" -> knnOracle("cosine"),
+
+    // string-keyed exact cosine KNN — the surrogate-built graph's
+    // exhaustive twin must reproduce it byte-for-byte, string ties
+    // included
+    "q_hnsw_string_exhaustive" ->
+      """WITH e AS (SELECT 'e' || CAST(vec_id AS VARCHAR) AS sid, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.sid AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc FROM e, q),
+        |r AS (SELECT query_id, id, sc,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_knn_l2" -> knnOracle("l2"),
     // corpus-spanning candMult: ADC cannot drop a true neighbor and the
     // exact L2 rerank shares the FLAT pipeline => equals exact KNN
@@ -1509,7 +1548,7 @@ object SparkEntry {
         |  length(text) AS n_chars,
         |  round((len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
         |         + len(regexp_extract_all(text, chr(65533))))
-        |        / CAST(length(text) AS DOUBLE), 6) AS noise_ratio
+        |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS noise_ratio
         |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->

@@ -360,19 +360,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (live.lshLive) appendLshSegment(batch, seg, meta)
     if (live.pqLive) {
       val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
+      val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
       appendSegRows(GraftCollection.pqCodes(coll), seg,
-        graft.vector.PqIndex.encode(model,
-          batch.where(col(vecCol).isNotNull), idCol, vecCol))
+        graft.vector.PqIndex.encode(model, keyed, kid, vecCol))
     }
     if (live.ivfPqLive) {
       val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
       val centers = graft.vector.IvfIndex.centersFromDf(
         catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
-      val vecs = batch.where(col(vecCol).isNotNull)
-      val cells = vecs.select(col(idCol).cast("long").as("id"),
+      val (vecs, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+      val cells = vecs.select(col(kid).cast("long").as("id"),
         graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
       appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
-        graft.vector.PqIndex.encode(pq, vecs, idCol, vecCol).join(cells, "id"),
+        graft.vector.PqIndex.encode(pq, vecs, kid, vecCol).join(cells, "id"),
         subPartition = Seq("cell"))
     }
     if (live.ivfSqLive) {
@@ -383,9 +383,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val centers = graft.vector.IvfIndex.centersFromDf(
           catalog.read(db, GraftCollection.ivfSqCentroids(coll)))
         .map { case (c, i) => (c.toArray, i) }
+      val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
       appendSegRows(GraftCollection.ivfSqCodes(coll), seg,
-        graft.vector.IvfSq.encodeAssigned(centers, sq,
-          batch.where(col(vecCol).isNotNull), idCol, vecCol),
+        graft.vector.IvfSq.encodeAssigned(centers, sq, keyed, kid, vecCol),
         subPartition = Seq("cell"))
     }
     // dedup signatures are per-doc pure functions of the text — the
@@ -459,8 +459,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.updateMeta(db, coll,
         Map("index.hnsw.nextseg" -> (offset + shards).toString,
           "index.hnsw.pending" -> foreignPending.getOrElse(offset.toString)))
+      val (keyed, kid) = indexKeyed(vecs)
       catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
-        graft.vector.HnswIndex.build(vecs, idCol, vecCol,
+        graft.vector.HnswIndex.build(keyed, kid, vecCol,
           meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
           shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
           segOffset = offset,
@@ -511,12 +512,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   }
 
   /** Last-wins segment mask over a seg-partitioned index artifact —
-    * delegates to the shared [[graft.catalog.SegMask]]. */
-  private def liveSegRows(rows: DataFrame, rowIdCol: String, baseSeg: Int): DataFrame = {
+    * delegates to the shared [[graft.catalog.SegMask]]. `surrogate` =
+    * the artifact keys rows by the xxhash64 surrogate of a string PK
+    * (the PQ-coded families), so the ledger's REAL doc ids must be
+    * hashed with the same function before the mask join; artifacts
+    * that store the PK natively (postings, signatures, LSH buckets)
+    * leave it false. No-op on numeric-PK collections either way. */
+  private def liveSegRows(rows: DataFrame, rowIdCol: String, baseSeg: Int,
+                          surrogate: Boolean = false): DataFrame = {
     val led = GraftCollection.mutLedger(coll)
-    graft.catalog.SegMask.live(rows, rowIdCol,
-      if (catalog.collectionExists(db, led)) Some(catalog.read(db, led)) else None,
-      baseSeg)
+    val ledger =
+      if (!catalog.collectionExists(db, led)) None
+      else {
+        val raw = catalog.read(db, led)
+        if (surrogate && isStringId)
+          Some(raw.select(xxhash64(col("doc_id")).as("doc_id"), col("seg")))
+        else Some(raw)
+      }
+    graft.catalog.SegMask.live(rows, rowIdCol, ledger, baseSeg)
   }
 
   /** Merge an upsert batch into the LIVE fulltext index: the batch's raw
@@ -794,16 +807,105 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   }
 
   /** Query batch → driver-side (id, vector) pairs for the PQ paths
-    * (numeric ids only — the PQ block pipeline's contract). */
+    * (numeric query ids — string batches route through
+    * [[collectQueries]]' index remap instead). */
   private def collectNumericQueries(queries: DataFrame, qIdCol: String,
                                     qVecCol: String): Array[(Long, Array[Double])] = {
     require(queries.schema(qIdCol).dataType !=
         org.apache.spark.sql.types.StringType,
-      "PQ paths require numeric query ids (string-id collections: use search)")
+      "internal: string query ids must route through collectQueries")
     queries
       .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
   }
+
+  // ------------------------------------------- string-PK index surrogate
+  //
+  // The reference's document id is ALWAYS a string (collection.py:135
+  // `document_ids (List[str])`; every reference test keys documents
+  // "0001"-style) while the graph/coded index families (HNSW, PQ,
+  // IVF_PQ, IVF_SQ8) key their artifacts by numeric id. String-PK
+  // collections bridge with the chunk layer's proven device
+  // (CollectionView.cid64): artifacts are BUILT over xxhash64(id) and
+  // every serving path RERANKS through the real string id
+  // (Ranked.candidateRows), so a 64-bit collision can only merge two
+  // documents' candidacy — ranked output is always over real ids.
+
+  /** True when the collection PK is a string. */
+  private def isStringId: Boolean =
+    df.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+
+  /** Node key of the graph/coded families: the id itself for numeric
+    * PKs (byte-compatible with every existing artifact), the xxhash64
+    * surrogate for string PKs. */
+  private def nodeKey: Column =
+    if (isStringId) xxhash64(col(idCol)) else col(idCol).cast("long")
+
+  /** The same, as the optional rerank-join key the family search
+    * functions take ([[graft.vector.Ranked.candidateRows]]). */
+  private def nodeKeyOpt: Option[Column] =
+    if (isStringId) Some(xxhash64(col(idCol))) else None
+
+  /** `data` keyed for an index build/encode: string-PK collections get
+    * the surrogate as an internal extra column (the families' build /
+    * encode contracts are numeric-id); numeric collections pass
+    * through untouched. */
+  private def indexKeyed(data: DataFrame): (DataFrame, String) =
+    if (isStringId)
+      (data.withColumn(GraftCollection.SidCol, xxhash64(col(idCol))),
+        GraftCollection.SidCol)
+    else (data, idCol)
+
+  /** Query batch → the traversal array + an optional query-id remap.
+    * Numeric query ids pass through as themselves (no remap — the
+    * historical numeric-PK plan, byte-identical); STRING query ids
+    * traverse by their batch INDEX (collision-free by construction,
+    * unlike hashing the qid) and the remap frame restores them on
+    * output. */
+  private def collectQueries(queries: DataFrame, qIdCol: String, qVecCol: String)
+      : (Array[(Long, Array[Double])], Option[DataFrame]) =
+    if (queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType)
+      (collectNumericQueries(queries, qIdCol, qVecCol), None)
+    else {
+      import spark.implicits._
+      val rows = queries
+        .select(col(qIdCol), col(qVecCol).cast("array<double>")).collect()
+      require(rows.map(_.getString(0)).distinct.length == rows.length,
+        "duplicate query ids in batch")
+      val arr = rows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](1).toArray) }
+      val remap = rows.toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getString(0)) }
+        .toDF("__qidx", "__qid")
+      (arr, Some(remap))
+    }
+
+  /** Restore string query ids after an index search ran on batch
+    * indexes (broadcast join over the bounded query batch). */
+  private def remapQueryIds(res: DataFrame, remap: Option[DataFrame]): DataFrame =
+    remap.fold(res) { m =>
+      res.withColumnRenamed("query_id", "__qidx")
+        .join(broadcast(m), "__qidx")
+        .select(col("__qid").as("query_id") +:
+          res.columns.filter(_ != "query_id").map(col).toSeq: _*)
+        .orderBy("query_id", "rank")
+    }
+
+  /** Map a surrogate-keyed CODE-ONLY result's ids back to the real
+    * string PK (the rerank paths restore the real id inside the rerank
+    * join instead). The result side is k·|batch| rows — AQE broadcasts
+    * it against the id map. A 64-bit surrogate collision here would
+    * emit both colliding documents for the shared rank row — the same
+    * merged-candidacy contract as the chunk layer, on the one path
+    * with no exact rerank to split them. */
+  private def restoreStringIds(res: DataFrame): DataFrame =
+    if (!isStringId) res
+    else {
+      val m = df.select(xxhash64(col(idCol)).as("id"), col(idCol).as("__rid"))
+      res.join(m, "id")
+        .select(col("query_id"), col("rank"), col("__rid").as("id"), col("score"))
+        .orderBy("query_id", "rank")
+    }
 
   /** Reconstruct a PQ model from the persisted codebooks using the
     * given meta prefix ("index.pq" or "index.ivfpq"). */
@@ -853,14 +955,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** rebuild_index for the PQ family (reference index.py PQ / IVF_PQ
     * params M, nbits): train subspace codebooks, encode the corpus, and
     * persist BOTH as sibling collections — [[searchPq]] then serves in
-    * any later session without retraining. Numeric-id collections only
-    * (the PQ block pipeline's contract). */
+    * any later session without retraining. String-PK collections
+    * encode over the xxhash64 surrogate and serve through the real-id
+    * rerank (see the string-PK surrogate section). */
   def rebuildPqIndex(m: Int = 8, k: Int = 16): Unit = {
     val dim = beginVectorRebuild("PQ")
     val baseSeg = mutationSeg
     val base = df
     val model = graft.vector.PqIndex.train(base, vecCol, dim, m, k)
-    val codes = graft.vector.PqIndex.encode(model, base, idCol, vecCol)
+    val (keyed, kid) = indexKeyed(base)
+    val codes = graft.vector.PqIndex.encode(model, keyed, kid, vecCol)
     catalog.createCollectionIfNotExists(db, GraftCollection.pqCodes(coll))
     catalog.createCollectionIfNotExists(db, GraftCollection.pqCodebooks(coll))
     catalog.write(db, GraftCollection.pqCodes(coll),
@@ -886,14 +990,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * data snapshot), and [[compactIndexes]] folds mutation history
     * TIERED ([[compactHnsw]]): small appended segments merge at
     * O(merged), base graphs untouched until their tier fills.
-    * Numeric-id collections only. */
+    * String-PK collections (the reference's only id type) build the
+    * graph over the xxhash64 surrogate and serve through the real-id
+    * rerank — see the string-PK surrogate section above. */
   def rebuildHnswIndex(m: Int = 16, efConstruction: Int = 80,
                        numSegments: Int = 4, metric: String = "cosine",
                        seed: Long = 42L, heuristic: Boolean = false): Unit = {
     val dim = beginVectorRebuild("HNSW")
+    val (keyed, kid) = indexKeyed(df)
     catalog.createCollectionIfNotExists(db, GraftCollection.hnswGraph(coll))
     catalog.write(db, GraftCollection.hnswGraph(coll),
-      graft.vector.HnswIndex.build(df, idCol, vecCol, m, efConstruction,
+      graft.vector.HnswIndex.build(keyed, kid, vecCol, m, efConstruction,
         numSegments, seed, heuristic = heuristic),
       partitionBy = Seq("seg"))
     catalog.updateMeta(db, coll, Map(
@@ -921,12 +1028,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val meta = describe
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
-    graft.vector.HnswIndex.search(
-      preparedHnswGraph(meta),
-      df, idCol, vecCol,
-      collectNumericQueries(queries, qIdCol, qVecCol),
-      metric.getOrElse(meta("index.hnsw.metric")), limit, ef,
-      prepared = true)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.HnswIndex.search(
+        preparedHnswGraph(meta),
+        df, idCol, vecCol, qarr,
+        metric.getOrElse(meta("index.hnsw.metric")), limit, ef,
+        prepared = true, nodeKey = nodeKeyOpt),
+      remap)
   }
 
   /** Serving handle for the HNSW graph: the seg-whole arrangement
@@ -1224,9 +1333,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val seg = mutationSeg
     def compact(artifact: String, rowId: String, baseKey: String,
                 layout: DataFrame => DataFrame = identity,
-                subPartition: Seq[String] = Nil): Unit =
+                subPartition: Seq[String] = Nil,
+                surrogate: Boolean = false): Unit =
       if (meta.contains(baseKey) && catalog.collectionExists(db, artifact)) {
-        val live = liveSegRows(catalog.read(db, artifact), rowId, meta(baseKey).toInt)
+        val live = liveSegRows(catalog.read(db, artifact), rowId,
+          meta(baseKey).toInt, surrogate)
         catalog.overwriteFromSelf(db, artifact,
           layout(live).withColumn(GraftCollection.SegCol, lit(seg)),
           partitionBy = GraftCollection.SegCol +: subPartition)
@@ -1239,11 +1350,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     compact(GraftCollection.mhBkt(coll), "doc_id", "index.mh.base_seg",
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
     compact(GraftCollection.shSig(coll), "doc_id", "index.sh.base_seg")
-    compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg")
+    compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg",
+      surrogate = true)
     compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
-      _.repartition(col("cell")), Seq("cell"))
+      _.repartition(col("cell")), Seq("cell"), surrogate = true)
     compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
-      _.repartition(col("cell")), Seq("cell"))
+      _.repartition(col("cell")), Seq("cell"), surrogate = true)
     // HNSW has no row-level fold — a graph's value IS its edge
     // structure — so this family compacts with a TIERED MERGE POLICY
     // (the Lucene answer): fold only the SMALL segments into fresh
@@ -1286,8 +1398,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * from-scratch [[graft.vector.HnswIndex.build]] over the same rows
     * at the same offset (build is deterministic) — pinned in
     * HnswMaintenanceSpec. */
-  private def compactHnsw(meta: Map[String, String], seg: Int): Unit = {
+  private def compactHnsw(meta0: Map[String, String], seg: Int): Unit = {
     val graphColl = GraftCollection.hnswGraph(coll)
+    // a surviving merge marker means a tiered merge crashed between its
+    // writes — recover FIRST (drop the dead attempt's overlapping
+    // output), then run a normal pass over the repaired artifact
+    val meta = meta0.get("index.hnsw.merge_pending") match {
+      case Some(marker) => recoverHnswMerge(graphColl, marker); describe
+      case None => meta0
+    }
     val graph = catalog.read(db, graphColl)
     val counts = graph.groupBy("seg").count().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -1296,11 +1415,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val target = math.max(1L, (total + cfgSegs - 1) / cfgSegs)
     val small = counts.filter(_._2 < (target + 1) / 2).map(_._1).toSeq
     val live = df.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as(vecCol))
+      .select(nodeKey.as("id"), col(vecCol).as(vecCol))
     // the unindexed sweep (an O(corpus ids) anti-join) runs ONLY when
-    // the pending crash marker survived an append — the marked claim
-    // is the one way data ids can be missing from the graph, so normal
-    // folds never pay a corpus-wide scan
+    // the pending crash marker survived an append (or a merge recovery
+    // armed it) — the marked claim is the one way data ids can be
+    // missing from the graph, so normal folds never pay a corpus-wide
+    // scan
     val unindexed =
       if (meta.contains("index.hnsw.pending"))
         live.join(graph.select("id").distinct(), Seq("id"), "left_anti")
@@ -1317,8 +1437,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         meta("index.hnsw.segments")).toInt
       if (n > 0) {
         val shards = (((n - 1) / 200000) + 1).toInt
+        // claim-first, marker-guarded (the append discipline, extended
+        // to the merge's two-write window): the marker records the
+        // attempt's output range AND the doomed small segments, so a
+        // crash anywhere between here and the final meta publish is
+        // detected and repaired by the NEXT compaction
+        // ([[recoverHnswMerge]]) instead of leaving the merged ids
+        // duplicated across old mini-segments and the new merged
+        // segment
         catalog.updateMeta(db, coll,
-          Map("index.hnsw.nextseg" -> (offset + shards).toString))
+          Map("index.hnsw.nextseg" -> (offset + shards).toString,
+            "index.hnsw.merge_pending" ->
+              s"$offset:$shards:${small.mkString(",")}"))
         catalog.overwritePartitions(db, graphColl,
           graft.vector.HnswIndex.build(rows, "id", vecCol,
             meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
@@ -1331,7 +1461,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.updateMeta(db, coll, Map(
         "index.hnsw.base_seg" -> seg.toString,
         "index.hnsw.gen" -> GraftCollection.freshGen(),
-        "index.hnsw.pending" -> null))
+        "index.hnsw.pending" -> null,
+        "index.hnsw.merge_pending" -> null))
     } else {
       catalog.write(db, graphColl,
         graft.vector.HnswIndex.build(df, idCol, vecCol,
@@ -1343,8 +1474,46 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         "index.hnsw.base_seg" -> seg.toString,
         "index.hnsw.nextseg" -> meta("index.hnsw.segments"),
         "index.hnsw.gen" -> GraftCollection.freshGen(),
-        "index.hnsw.pending" -> null))
+        "index.hnsw.pending" -> null,
+        "index.hnsw.merge_pending" -> null))
     }
+  }
+
+  /** Repair a tiered merge that crashed mid-flight. The marker
+    * (`offset:shards:smallSegs`) names the dead attempt's output range
+    * and the small segments it meant to fold:
+    *
+    *  - ANY listed small segment still present ⇒ the attempt may have
+    *    stopped anywhere (partial merged write, or complete write with
+    *    partial drops) and its output overlaps the survivors — drop
+    *    the whole output range `[offset, offset+shards)` and arm the
+    *    unindexed sweep (a small segment that WAS dropped before the
+    *    crash leaves its ids indexed nowhere until the sweep folds
+    *    them back from the data snapshot). The pass that follows then
+    *    redoes the fold over intact inputs.
+    *  - NO listed small segment present ⇒ the merged write and every
+    *    drop landed; only the final meta publish was lost. Nothing to
+    *    repair — clear the marker and let the following pass publish a
+    *    fresh gen.
+    *
+    * Either way the duplicated-node window the old ordering left
+    * (merged output live alongside its un-dropped inputs, forever if
+    * the merged segment classified as base tier) closes at the next
+    * compaction. */
+  private def recoverHnswMerge(graphColl: String, marker: String): Unit = {
+    val Array(offS, shardsS, smallsS) = marker.split(":", 3)
+    val dead = (offS.toInt until offS.toInt + shardsS.toInt).map(_.toString)
+    val smalls = smallsS.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+    val present = catalog.read(db, graphColl).select("seg").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (smalls.exists(present)) {
+      catalog.dropPartitions(db, graphColl, "seg", dead)
+      catalog.updateMeta(db, coll, Map(
+        "index.hnsw.pending" -> offS,
+        "index.hnsw.merge_pending" -> null,
+        "index.hnsw.gen" -> GraftCollection.freshGen()))
+    } else
+      catalog.updateMeta(db, coll, Map("index.hnsw.merge_pending" -> null))
   }
 
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
@@ -1356,7 +1525,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val dim = beginVectorRebuild("IVF_PQ")
     val base = df
     val model = graft.vector.IvfPq.train(base, vecCol, dim, nlist, m, k)
-    val enc = graft.vector.IvfPq.encode(model, base, idCol, vecCol)
+    val (keyed, kid) = indexKeyed(base)
+    val enc = graft.vector.IvfPq.encode(model, keyed, kid, vecCol)
     // per-family artifact names: IVF_PQ never shares tables with the
     // plain IVF / PQ indexes, so a rebuild of one can never leave
     // another family probing against foreign assignments
@@ -1384,13 +1554,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * params: Tencent VectorDB's IVF_SQ8 = coarse cells + one uint8
     * code per dimension). Persists centroids, per-dim bounds, and the
     * (id, cell, codes) table; [[searchIvfSq]] serves from them in any
-    * later session. Numeric-id collections only (the coded block
-    * pipeline's contract, like PQ). */
+    * later session. String-PK collections encode over the xxhash64
+    * surrogate, like every coded family. */
   def rebuildIvfSqIndex(nlist: Int = 16): Unit = {
     val dim = beginVectorRebuild("IVF_SQ8")
     val base = df
     val model = graft.vector.IvfSq.train(base, vecCol, nlist)
-    val enc = graft.vector.IvfSq.encode(model, base, idCol, vecCol)
+    val (keyed, kid) = indexKeyed(base)
+    val enc = graft.vector.IvfSq.encode(model, keyed, kid, vecCol)
     Seq(GraftCollection.ivfSqCentroids(coll), GraftCollection.ivfSqBounds(coll),
         GraftCollection.ivfSqCodes(coll))
       .foreach(catalog.createCollectionIfNotExists(db, _))
@@ -1424,14 +1595,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       .select(col("centroid"), col("cell")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
     val codes = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
-      "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0))
-    candMult match {
-      case None => graft.vector.IvfSq.searchStored(centers, sq, codes,
-        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe)
+      "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(candMult match {
+      case None => restoreStringIds(
+        graft.vector.IvfSq.searchStored(centers, sq, codes, qarr, limit, nprobe))
       case Some(c) => graft.vector.IvfSq.searchStoredRerank(centers, sq, codes,
-        df, idCol, vecCol,
-        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe, c)
-    }
+        df, idCol, vecCol, qarr, limit, nprobe, c, nodeKey = nodeKeyOpt)
+    }, remap)
   }
 
   /** Train + persist the distilled document-quality model (the
@@ -1516,14 +1688,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       .select(col("centroid"), col("cell")).collect()
       .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
     val codes = liveSegRows(catalog.read(db, GraftCollection.ivfPqCodes(coll)),
-      "id", meta.get("index.ivfpq.base_seg").map(_.toInt).getOrElse(0))
-    candMult match {
-      case None => graft.vector.IvfPq.searchStored(centers, pq, codes,
-        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe)
+      "id", meta.get("index.ivfpq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(candMult match {
+      case None => restoreStringIds(
+        graft.vector.IvfPq.searchStored(centers, pq, codes, qarr, limit, nprobe))
       case Some(c) => graft.vector.IvfPq.searchStoredRerank(centers, pq, codes,
-        df, idCol, vecCol,
-        collectNumericQueries(queries, qIdCol, qVecCol), limit, nprobe, c)
-    }
+        df, idCol, vecCol, qarr, limit, nprobe, c, nodeKey = nodeKeyOpt)
+    }, remap)
   }
 
   /** PQ search served from the persisted index: ADC over the stored
@@ -1535,10 +1708,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
     val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
     val codes = liveSegRows(catalog.read(db, GraftCollection.pqCodes(coll)),
-      "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0))
-    graft.vector.PqIndex.searchRerank(model, codes,
-      df, idCol, vecCol, collectNumericQueries(queries, qIdCol, qVecCol),
-      limit, candMult)
+      "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.PqIndex.searchRerank(model, codes,
+        df, idCol, vecCol, qarr, limit, candMult, nodeKey = nodeKeyOpt),
+      remap)
   }
 
   /** add_index (scalar filter index, reference stub.py add_index /
@@ -1722,12 +1898,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
 
   /** Dense arm of hybrid search: served from the collection's LIVE
-    * HNSW index when one exists and the query batch is numeric-id
+    * HNSW index when one exists — string or numeric PK alike
     * (the reference's hybrid_search runs against the collection's
     * CONFIGURED index with the same `ef` search param,
     * collection.py:161–209 — and conftest builds every collection
-    * with HNSW, so the reference's hybrid cost is the ANN cost, not a
-    * corpus scan); exact FLAT scan otherwise. `ef` tunes the ANN arm
+    * with HNSW over STRING document ids, so the reference's hybrid
+    * cost is the ANN cost, not a corpus scan); exact FLAT scan only
+    * for index-less collections. `ef` tunes the ANN arm
     * (ef ≥ segment size is byte-equal to FLAT — the family's
     * chain-connectivity certificate, pinned in HybridAnnSpec); an
     * explicit `ef` without a servable index is an error rather than a
@@ -1746,12 +1923,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                           nprobe: Option[Int] = None): DataFrame = {
     val meta = describe
     val live = liveIndexes(meta)
-    val hnswReady = live.hnswLive &&
-      queries.schema(qIdCol).dataType != org.apache.spark.sql.types.StringType
     require(ef.isEmpty || nprobe.isEmpty,
       "ef tunes HNSW and nprobe tunes IVF — pass the param of the live index")
-    require(ef.isEmpty || hnswReady,
-      "hybrid ef search param requires a live HNSW index and numeric query ids")
+    require(ef.isEmpty || live.hnswLive,
+      "hybrid ef search param requires a live HNSW index")
     require(nprobe.isEmpty || live.ivfLive,
       "hybrid nprobe search param requires a live IVF index")
     // the reference serves hybrid from the collection's CONFIGURED
@@ -1759,22 +1934,35 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // ranks by ITS index's stored metric (an l2-built index must not
     // silently serve cosine neighbors); the index-less FLAT fallback
     // is cosine, the reference default. An explicit nprobe selects
-    // the IVF arm even when HNSW is also live.
+    // the IVF arm even when HNSW is also live. String-PK collections
+    // serve the HNSW arm through the xxhash64 surrogate + real-id
+    // rerank like every graph path — no silent FLAT downgrade.
     if (nprobe.isDefined)
       search(queries, qIdCol, qVecCol,
         meta.getOrElse("index.ivf.metric", "l2"), fetch,
         filter = filter, nprobe = nprobe)
-    else if (hnswReady)
+    else if (live.hnswLive) {
       // HnswIndex.search clamps the per-segment beam to >= the rerank
       // k, so the default ef still fills `fetch` fused ranks
-      graft.vector.HnswIndex.search(
-        preparedHnswGraph(meta),
-        if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
-        idCol, vecCol,
-        collectNumericQueries(queries, qIdCol, qVecCol),
-        meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
-        ef.getOrElse(10), prepared = true)
-    else search(queries, qIdCol, qVecCol, "cosine", fetch, filter = filter)
+      val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+      remapQueryIds(
+        graft.vector.HnswIndex.search(
+          preparedHnswGraph(meta),
+          if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
+          idCol, vecCol, qarr,
+          meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
+          ef.getOrElse(10), prepared = true, nodeKey = nodeKeyOpt),
+        remap)
+    }
+    // FLAT fallback: rank by the live index's STORED metric when one
+    // exists (a collection whose index was built for l2 must not
+    // silently serve cosine neighbors just because the serving path
+    // degraded to a scan); cosine — the reference default — only for
+    // truly index-less collections
+    else search(queries, qIdCol, qVecCol,
+      meta.getOrElse("index.hnsw.metric",
+        meta.getOrElse("index.ivf.metric", "cosine")),
+      fetch, filter = filter)
   }
 
   /** hybrid_search: dense ANN + BM25 keyword lists, fused per the
@@ -2055,6 +2243,10 @@ object GraftCollection {
   val EmbedCol = "__embed"
   /** Derived hash-bucket partition column of bucketed collections. */
   val BucketCol = "__bucket"
+  /** Internal numeric-surrogate column string-PK collections key their
+    * graph/coded index artifacts by (xxhash64 of the string id) — a
+    * build/encode-time projection, never stored in document data. */
+  val SidCol = "__sid64"
   /** Segment partition column of incrementally maintained index
     * artifacts (same name as [[graft.sparse.Bm25.SegCol]]). */
   val SegCol: String = graft.sparse.Bm25.SegCol

@@ -81,8 +81,9 @@ object TextAnalysis {
       length(t).as("n_chars"))
   }
 
-  /** PII pattern constants — shared by the scrub and its counters so
-    * the redacted spans and the counts can never disagree. RE2-safe
+  /** PII pattern constants — ONE definition shared by the scrub and
+    * its counters (see [[scrubPii]] for the count-vs-span overlap
+    * contract on nested matches). RE2-safe
     * subset only (character classes + bounded quantifiers + \b): the
     * same pattern text must run identically on Spark (Java regex) and
     * a DuckDB oracle (RE2). */
@@ -95,7 +96,12 @@ object TextAnalysis {
     * pipeline runs before materialization: emails, IPv4 addresses, and
     * phone-shaped digit runs are replaced with typed placeholder
     * tokens (`<EMAIL>`/`<IP>`/`<PHONE>`), with per-document match
-    * counts (from the ORIGINAL text) for pipeline monitoring.
+    * counts for pipeline monitoring. Counts run over the ORIGINAL
+    * text while the replacements chain, so a phone- or IP-shaped run
+    * INSIDE an email address is counted under its own pattern yet
+    * redacted as part of `<EMAIL>` — counts may overlap email spans
+    * and can exceed the placeholders actually emitted (the oracle
+    * counts the same way, so parity holds).
     *
     * Order matters and is fixed: emails first (an address can embed
     * digit runs), then IPs (dot-joined digits), then phones. Pure
@@ -129,7 +135,11 @@ object TextAnalysis {
     * and U+FFFD replacement characters — the residue a lossy decode
     * leaves — plus their ratio to document length. Pure per-row
     * projection at scan speed; threshold the ratio to drop corrupted
-    * documents. */
+    * documents. The denominator is floored at 1 so an empty document
+    * scores 0.0 (clean), not NULL — a NULL ratio would pass a
+    * `> t` drop-filter yet fail a `<= t` keep-filter, silently
+    * diverging at the one degenerate input (the oracle mirrors the
+    * floor). */
   def encodingNoise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nCtrl = regexp_count(t, lit(CtrlRe)).cast("int")
@@ -139,7 +149,8 @@ object TextAnalysis {
       nCtrl.as("n_ctrl"),
       nRepl.as("n_repl"),
       length(t).as("n_chars"),
-      ((nCtrl + nRepl) / length(t).cast("double")).as("noise_ratio"))
+      ((nCtrl + nRepl) / greatest(length(t), lit(1)).cast("double"))
+        .as("noise_ratio"))
   }
 
   /** Per-document repetition statistics — the Gopher-style repetition

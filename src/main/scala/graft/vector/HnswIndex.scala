@@ -168,7 +168,8 @@ object HnswIndex {
     require(efConstruction >= m, s"efConstruction ($efConstruction) must be >= M ($m)")
     require(numSegments >= 1, s"numSegments must be >= 1, got $numSegments")
     require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
-      "HNSW paths require numeric ids (string-id collections: use KnnSearch/IvfIndex)")
+      "HNSW graph nodes are numeric: string-PK collections build over a " +
+        "numeric surrogate column (the client derives xxhash64(id))")
     // seg is derived FROM THE DATA (not from task/partition ids, which
     // are scheduler labels AQE may re-map between runs) so the graph is
     // byte-identical across rebuilds, partition counts, and planners
@@ -417,10 +418,17 @@ object HnswIndex {
     * graph incrementally (GraftCollection.appendHnswSegment: an
     * upsert batch lands as its own new segment graph), so a
     * client-served collection searches its full corpus without
-    * waiting for a rebuild. */
+    * waiting for a rebuild.
+    *
+    * `nodeKey`: how `data` rows map onto graph node ids — `None` for
+    * numeric-PK collections (node id IS the document id), a surrogate
+    * expression (xxhash64 of the string PK) for string-PK collections;
+    * the rerank then restores the REAL id ([[Ranked.candidateRows]]),
+    * so the output id column keeps the collection's own id type. */
   def search(graph: DataFrame, data: DataFrame, idCol: String, vecCol: String,
              queries: Array[(Long, Array[Double])], metric: String,
-             k: Int, ef: Int = 10, prepared: Boolean = false): DataFrame = {
+             k: Int, ef: Int = 10, prepared: Boolean = false,
+             nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = VectorMetric(metric)
     val spark = data.sparkSession
     import spark.implicits._
@@ -437,9 +445,8 @@ object HnswIndex {
     // corpus-sized and a forced broadcast would hit the driver's
     // 8 GB/512M-row broadcast limits; the query batch IS bounded,
     // so it keeps the hint
-    val exact = data
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .join(cand, "id")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"),
         VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))

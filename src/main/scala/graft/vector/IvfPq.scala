@@ -110,15 +110,15 @@ object IvfPq {
                          encoded: DataFrame,
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], kTop: Int,
-                         nprobe: Int, candMult: Int = 10): DataFrame = {
+                         nprobe: Int, candMult: Int = 10,
+                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val cand = searchStored(centers, pq, encoded, queries, kTop * candMult, nprobe)
       .select(col("query_id"), col("id"))
     val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = data
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cand), "id")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = true)
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
     Ranked.topK(exact, kTop, asc = true)

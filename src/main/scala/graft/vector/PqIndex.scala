@@ -112,12 +112,14 @@ object PqIndex {
   }
 
   /** (id, codes: array<int>) — m codes per vector. Partition-wise
-    * imperative encode against the broadcast codebooks. PQ paths are
-    * numeric-id only (the typed block pipeline); string-id collections
-    * use KnnSearch / IvfIndex. */
+    * imperative encode against the broadcast codebooks. The typed
+    * block pipeline keys by numeric id; string-PK collections encode
+    * over a numeric surrogate column (the client derives
+    * xxhash64(id)). */
   def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
     require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
-      "PQ paths require numeric ids (string-id collections: use KnnSearch/IvfIndex)")
+      "PQ codes key by numeric id: string-PK collections encode over a " +
+        "numeric surrogate column (the client derives xxhash64(id))")
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     data.select(col(idCol).cast("long").as("id"),
@@ -210,15 +212,15 @@ object PqIndex {
   def searchRerank(model: Model, encoded: DataFrame,
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], k: Int,
-                   candMult: Int = 10): DataFrame = {
+                   candMult: Int = 10,
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val cand = search(model, encoded, queries, k * candMult)
       .select(col("query_id"), col("id"))
     val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = data
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cand), "id")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = true)
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
     Ranked.topK(exact, k, asc = true)

@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   * Input contract: columns (query_id, __s: double, id).
   */
 private[graft] object Ranked {
+
+  /** Exact-rerank input: the ORIGINAL (id, vector) rows of `data`
+    * restricted to the candidate (query_id, id) pairs. `nodeKey` maps
+    * data rows onto the candidates' id space — `None` = the id column
+    * cast to long (numeric-PK collections: the historical plan,
+    * byte-identical); `Some(k)` = a surrogate key (string-PK
+    * collections key their graph/coded artifacts by xxhash64(id), the
+    * chunk layer's device). With a surrogate the OUTPUT id is the real
+    * id column, so a 64-bit collision can only merge two documents'
+    * candidacy — the ranked output is always over real ids. `bcast`
+    * broadcast-hints the candidate side (the PQ-family rerank's
+    * bounded k·candMult rows); traversal paths whose exhaustive
+    * certificate makes candidates corpus-sized leave the choice to
+    * AQE. */
+  def candidateRows(data: DataFrame, idCol: String, vecCol: String,
+                    cand: DataFrame, nodeKey: Option[Column],
+                    bcast: Boolean): DataFrame = {
+    val c0 = cand.select(col("query_id"), col("id"))
+    val c = if (bcast) broadcast(c0) else c0
+    nodeKey match {
+      case None =>
+        data.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+          .join(c, "id")
+      case Some(nk) =>
+        data.select(nk.as("__nk"), col(idCol).as("id"), col(vecCol).as("__v"))
+          .join(c.withColumnRenamed("id", "__nk"), "__nk")
+          .drop("__nk")
+    }
+  }
+
   def topK(scored: DataFrame, k: Int, asc: Boolean): DataFrame =
     scored
       .groupBy("query_id")

@@ -110,12 +110,14 @@ object SqIndex {
   }
 
   /** (id, codes: binary) — one byte per dimension. Partition-wise
-    * imperative encode against the broadcast bounds. SQ paths are
-    * numeric-id only (the typed block pipeline, same contract as
-    * [[PqIndex.encode]]). */
+    * imperative encode against the broadcast bounds. Numeric-id
+    * contract, same as [[PqIndex.encode]]: string-PK collections
+    * encode over a numeric surrogate column (the client derives
+    * xxhash64(id)). */
   def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
     require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
-      "SQ paths require numeric ids (string-id collections: use KnnSearch/IvfIndex)")
+      "SQ codes key by numeric id: string-PK collections encode over a " +
+        "numeric surrogate column (the client derives xxhash64(id))")
     val spark = data.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     data.select(col(idCol).cast("long").as("id"),
@@ -300,15 +302,15 @@ object IvfSq {
                          encoded: DataFrame,
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], kTop: Int,
-                         nprobe: Int, candMult: Int = 10): DataFrame = {
+                         nprobe: Int, candMult: Int = 10,
+                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val cand = searchStored(centers, sq, encoded, queries, kTop * candMult, nprobe)
       .select(col("query_id"), col("id"))
     val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = data
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-      .join(broadcast(cand), "id")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = true)
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
     Ranked.topK(exact, kTop, asc = true)

@@ -125,4 +125,70 @@ class HybridAnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ef"))
   }
+
+  test("string-PK hybrid serves the live HNSW arm (no silent FLAT downgrade)") {
+    // the reference's most common configuration: string document ids
+    // (conftest keys everything "0001"-style) + the default HNSW index
+    val root = Files.createTempDirectory("graft-hybann-sid").toString
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(corpus.select(
+      concat(lit("doc-"), col("id").cast("string")).as("id"),
+      col("text"), col("vector")))
+    val sq = queries.select(concat(lit("q-"), col("qid").cast("string")).as("qid"),
+      col("qv"))
+    val pick = Seq("query_id", "id", "rank", "rrf").map(col)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getDouble(3))).toSeq.sortBy(t => (t._1, t._3))
+    val strFilter =
+      "id in (" + (0 until 50).map(i => s""""doc-$i"""").mkString(",") + ")"
+    // FLAT baselines BEFORE the index exists (once the graph is live,
+    // a no-param hybrid correctly serves the ANN arm at default ef)
+    val flat = rows(coll.hybridSearch(sq, "qid", "qv", kw).select(pick: _*))
+    val fFlat = rows(coll.hybridSearch(sq, "qid", "qv", kw, limit = 5,
+      filter = strFilter).select(pick: _*))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    // explicit ef on a string-PK collection must SERVE, not error and
+    // not silently scan — exhaustive ef pins equality with FLAT
+    val ann = rows(coll.hybridSearch(sq, "qid", "qv", kw,
+      ef = Some(Int.MaxValue)).select(pick: _*))
+    assert(ann == flat,
+      "string-PK exhaustive-ef hybrid must be byte-equal to the FLAT hybrid")
+    // filtered ANN arm over string keys
+    val fAnn = rows(coll.hybridSearch(sq, "qid", "qv", kw, limit = 5,
+      ef = Some(Int.MaxValue), filter = strFilter).select(pick: _*))
+    assert(fAnn == fFlat,
+      "string-PK exhaustive-ef filtered hybrid must equal the FLAT filtered hybrid")
+  }
+
+  test("IVF arm carries the filter contract at full probe, single and batch") {
+    import spark.implicits._
+    val coll = freshColl("ivffilter")
+    val pick = Seq("query_id", "id", "rank", "rrf").map(col)
+    // the (index, filter, rerank) matrix row the HNSW arm already pins,
+    // for nprobe: full-probe IVF + filter must equal FLAT + filter on
+    // both rerank types and on the per-query-keyword batch form
+    val fFlat = collect(coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      filter = "id < 50").select(pick: _*))
+    val wFlat = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      rerank = "weighted", weights = (0.7, 0.3), filter = "id < 50")
+      .collect().map(_.toString).sorted.toSeq
+    val kwDf = Seq((0L, "spark"), (1L, "query"), (2L, "spark"), (3L, "data"))
+      .toDF("query_id", "term")
+    val bFlat = collect(coll.hybridSearchBatch(queries, "qid", "qv", kwDf,
+      limit = 5, filter = "id < 50").select(pick: _*))
+    coll.rebuildIndex(nlist = 4, metric = "cosine")
+    val fIvf = collect(coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      nprobe = Some(4), filter = "id < 50").select(pick: _*))
+    assert(fIvf.toSeq == fFlat.toSeq,
+      "full-probe IVF filtered hybrid must equal the FLAT filtered hybrid")
+    val wIvf = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5,
+      rerank = "weighted", weights = (0.7, 0.3), nprobe = Some(4),
+      filter = "id < 50").collect().map(_.toString).sorted.toSeq
+    assert(wIvf == wFlat, "weighted rerank must carry the IVF filter contract")
+    val bIvf = collect(coll.hybridSearchBatch(queries, "qid", "qv", kwDf,
+      limit = 5, nprobe = Some(4), filter = "id < 50").select(pick: _*))
+    assert(bIvf.toSeq == bFlat.toSeq,
+      "batch hybrid must carry the IVF filter contract")
+  }
 }

@@ -105,6 +105,30 @@ object Bench {
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"runs":3,"sf":"$sfDir"}""")
+
+    // The driver captures a bounded 2000-char TAIL of stdout (which
+    // also swallows sbt's trailing "[success]" line) and parses the
+    // LAST JSON line it finds — the full per-query line above overflows
+    // that window and was head-truncated in BENCH_r07 ("parsed": null).
+    // So the FINAL line is a compact summary guaranteed to fit: totals,
+    // every m_* maintenance key (the incremental-index claims), and the
+    // slowest query mins greedily filled to the budget; everything
+    // omitted here is in the full line above and BENCH_DETAIL.json.
+    val budget = 1600
+    val maintJs = js(maint)
+    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"runs":3,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
+    val tail2 = s"},\"queries_total\":${names.length}}"
+    val slowest = minQ.sortBy(-_._2)
+    val sb = new StringBuilder(head)
+    var first = true
+    slowest.foreach { case (n, v) =>
+      val piece = (if (first) "" else ",") + "\"" + n + "\":" + r3(v)
+      if (sb.length + piece.length + tail2.length <= budget) {
+        sb.append(piece); first = false
+      }
+    }
+    sb.append(tail2)
+    println(sb.toString)
     spark.stop()
   }
 

@@ -404,6 +404,28 @@ object SparkEntry {
         window = 16, minDocs = 2)
     }),
 
+    "q_passage_repeats_shifted" -> ((s, dir) => {
+      // arbitrary-alignment exact-substring report: stride-1 windows
+      // hash-pruned (the explode shuffles 64-bit hashes, not window
+      // text; only the corpus-frequency-bounded hot sliver regroups by
+      // true passage). The corpus' own cross-doc repeats sit on block
+      // boundaries, so the input deterministically plants a 16-token
+      // passage at doc_id-varying offsets (mirrored in the oracle):
+      // stride-16 q_passage_repeats can NOT see it (only one planted
+      // doc is 16-aligned), stride-1 must.
+      Dedup.passageRepeatsShifted(plantShifted(Tables.documents(s, dir)),
+        "doc_id", "text", window = 16, minDocs = 2)
+    }),
+
+    "q_strip_boilerplate_shifted" -> ((s, dir) => {
+      // the APPLY step of q_passage_repeats_shifted: every token
+      // covered by a cross-doc repeated stride-1 window is dropped, so
+      // the planted shifted passage disappears from every carrier doc
+      // regardless of its offset (same planting as the report entry)
+      Dedup.stripShiftedBoilerplate(plantShifted(Tables.documents(s, dir)),
+        "doc_id", "text", window = 16, minDocs = 2)
+    }),
+
     "q_dedup_intradoc" -> ((s, dir) => {
       // INTRA-document repeated-block dedup (row 77): C4's keep-the-
       // first-occurrence rule at 2-token block granularity (window 2
@@ -1040,6 +1062,24 @@ object SparkEntry {
     3L -> "spark", 3L -> "scan")
 
   private[graft] def sfKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Deterministic shifted-duplicate planting for the arbitrary-
+    * alignment substring-dedup entries (mirrored verbatim in their
+    * oracle SQL): every doc_id % 101 == 0 document gets the same
+    * 16-token passage prepended behind doc_id % 7 pad tokens, so the
+    * passage recurs across carriers at token offsets 0–6 — off the
+    * 16-block grid for every carrier but the 0-pad one, which keeps
+    * the stride-16 report blind to it (one aligned carrier < minDocs)
+    * while the stride-1 report must surface it. 5 carriers at the
+    * 500-doc SFs, 50 at sf0.1. */
+  private def plantShifted(docs: DataFrame): DataFrame = {
+    val boiler = (0 until 16).map(i => s"bq$i").mkString(" ")
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(101)) === 0,
+        concat(expr("repeat('pad ', cast(doc_id % 7 as int))"),
+          lit(boiler), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+  }
 
   /** Persisted BM25 index for a testdata dir: built once per JVM (the
     * reference server's rebuild-at-ingest), then every fulltext/hybrid
@@ -1977,6 +2017,50 @@ object SparkEntry {
         |  COALESCE(doomed.nb, 0) AS n_blocks_removed
         |FROM base LEFT JOIN keptb USING (doc_id) LEFT JOIN doomed USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // stride-1 windows at every alignment: the planted CASE mirrors
+    // plantShifted exactly (same passage, same doc_id-keyed offsets)
+    "q_passage_repeats_shifted" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 101 = 0
+        |       THEN repeat('pad ', CAST(doc_id % 7 AS INT))
+        |            || 'bq0 bq1 bq2 bq3 bq4 bq5 bq6 bq7 bq8 bq9 bq10 bq11 bq12 bq13 bq14 bq15'
+        |            || ' ' || text
+        |       ELSE text END AS text FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+        |win AS (SELECT doc_id, array_to_string(t[i:i+15], ' ') AS passage
+        |        FROM toks, UNNEST(range(1, len(t) - 14, 1)) AS r(i)
+        |        WHERE len(t) >= 16)
+        |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM win GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage""".stripMargin,
+
+    "q_strip_boilerplate_shifted" ->
+      """WITH planted AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 101 = 0
+        |       THEN repeat('pad ', CAST(doc_id % 7 AS INT))
+        |            || 'bq0 bq1 bq2 bq3 bq4 bq5 bq6 bq7 bq8 bq9 bq10 bq11 bq12 bq13 bq14 bq15'
+        |            || ' ' || text
+        |       ELSE text END AS text FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+        |win AS (SELECT doc_id, i, array_to_string(t[i:i+15], ' ') AS passage
+        |        FROM toks, UNNEST(range(1, len(t) - 14, 1)) AS r(i)
+        |        WHERE len(t) >= 16),
+        |rep AS (SELECT passage FROM win
+        |        GROUP BY passage HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT w.doc_id, j
+        |        FROM win w, UNNEST(range(w.i, w.i + 16)) AS rr(j)
+        |        WHERE w.passage IN (SELECT passage FROM rep)),
+        |tok AS (SELECT doc_id, i AS idx, t[i] AS tok
+        |        FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.idx) AS body
+        |         FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.j = k.idx
+        |         WHERE c.j IS NULL GROUP BY k.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(kept.body, '') AS clean_text,
+        |       COALESCE(nrem.n, 0) AS n_tokens_removed
+        |FROM toks b LEFT JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_dedup_intradoc" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -831,6 +831,104 @@ object Dedup {
       .orderBy("passage")
   }
 
+  /** Every `window`-token sliding window at STRIDE 1:
+    * (doc_id, __s: 0-based start, passage). The arbitrary-alignment
+    * primitive [[passageRepeatsShifted]] / [[stripShiftedBoilerplate]]
+    * share — a pure projection (~n_tokens rows per doc), never
+    * aggregated or joined here. */
+  private def slidingWindows(docs: DataFrame, idCol: String, textCol: String,
+                             window: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= window)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - window, lit(1)),
+        i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(window))))))
+      .toDF("doc_id", "__s", "passage")
+
+  /** Arbitrary-alignment repeated-passage report — the stride-1 form of
+    * [[passageRepeats]]: a passage duplicated across documents at ANY
+    * token offset is found (stride-16 blocks only see duplicates that
+    * land on the same 16-token boundary — a quote embedded at offset 3
+    * in one page and offset 11 in another is invisible to them; real
+    * web text shifts constantly).
+    *
+    * Scale shape — the stride-1 explode is `window`× the corpus text,
+    * so shuffling window STRINGS is off the table. Two-phase
+    * hash-prune instead:
+    *  1. frequency over xxhash64(window): the explode shuffles 16
+    *     bytes/row (O(n_tokens) longs, not O(window · n_tokens) text),
+    *     and only hashes clearing `minDocs` survive — the
+    *     corpus-frequency-bounded hot set;
+    *  2. windows semi-joined to the hot hashes (AQE broadcasts the
+    *     sliver) regroup by the TRUE passage text and re-check
+    *     `minDocs`, so a 64-bit collision can create phase-1
+    *     candidates but never a false report row. A passage clearing
+    *     `minDocs` always clears it for its hash too — no false
+    *     negatives. Exact at any corpus size; text shuffles only for
+    *     the hot sliver.
+    * `approxDocs` swaps both phases' distinct-doc count for HLL++
+    * (same ±2%-on-a-threshold contract as [[passageRepeats]]). */
+  def passageRepeatsShifted(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int = 16, minDocs: Int = 2,
+                            approxDocs: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be positive")
+    def nd = (if (approxDocs) approx_count_distinct(col("doc_id"))
+              else countDistinct(col("doc_id")))
+    val wins = slidingWindows(docs, idCol, textCol, window)
+    val hot = wins
+      .select(col("doc_id"), xxhash64(col("passage")).as("__h"))
+      .groupBy("__h").agg(nd.as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    wins
+      .withColumn("__h", xxhash64(col("passage")))
+      .join(hot, Seq("__h"), "left_semi")
+      .groupBy("passage")
+      .agg(nd.as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy("passage")
+  }
+
+  /** Token-level boilerplate removal at ARBITRARY alignment — the
+    * apply step of [[passageRepeatsShifted]]: every token covered by
+    * at least one cross-doc repeated window is dropped and the
+    * survivors reassemble in order (a duplicated passage of length
+    * L ≥ window is covered exactly by the union of its L−window+1
+    * stride-1 windows, so whole shifted passages disappear without the
+    * block-boundary misses of [[stripBoilerplate]]). Sub-window docs
+    * pass through untouched.
+    *
+    * Scale shape: the report side is [[passageRepeatsShifted]]'s
+    * hash-pruned two-phase; doomed START positions come from one
+    * semi-join of the window stream against the (corpus-frequency-
+    * bounded) repeated set; covered token indexes explode only for
+    * doomed windows (O(window · doomed) rows of ids + ints); the
+    * reassembly is the same pure per-row lambda family as
+    * [[stripBoilerplate]] — corpus text never shuffles. */
+  def stripShiftedBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                              window: Int = 16, minDocs: Int = 2,
+                              approxDocs: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val rep = passageRepeatsShifted(docs, idCol, textCol, window, minDocs,
+      approxDocs).select(col("passage"))
+    val doomed = slidingWindows(docs, idCol, textCol, window)
+      .join(rep, Seq("passage"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("__s"), col("__s") + lit(window - 1))).as("__i"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("__i")).as("__doomedTok"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .join(doomed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"), (t, i) =>
+          coalesce(!array_contains(col("__doomedTok"), i), lit(true))), " ")
+          .as("clean_text"),
+        coalesce(size(col("__doomedTok")), lit(0)).as("n_tokens_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate REMOVAL — the apply step [[passageRepeats]]'s report
     * feeds (the CCNet/RefinedWeb cleaning stage: headers, footers,
     * license blocks, navigation chrome are *in-document* noise that doc-

@@ -113,6 +113,77 @@ class CrossCorpusSpec extends SparkSpec {
     assert(m(3L) == ("q", 0))
   }
 
+  test("passageRepeatsShifted finds passages duplicated at ANY alignment") {
+    val p = "p1 p2 p3 p4"
+    val docs = Seq(
+      (1L, s"$p a b c d"),      // passage at offset 0
+      (2L, s"x y $p e f"),      // same passage at offset 2
+      (3L, s"u v w $p"),        // offset 3, at the very end
+      (4L, "unrelated words entirely different here"),
+      (5L, "tiny")              // sub-window
+    ).toDF("doc_id", "text")
+    // the block report is blind: no two copies share a 4-aligned block
+    val blocks = Dedup.passageRepeats(docs, "doc_id", "text",
+      window = 4, stride = 4, minDocs = 2).collect()
+    assert(!blocks.map(_.getString(0)).contains(p))
+    // the stride-1 report must surface it with all three carriers
+    val out = Dedup.passageRepeatsShifted(docs, "doc_id", "text",
+      window = 4, minDocs = 2).collect()
+    val row = out.find(_.getString(0) == p)
+    assert(row.isDefined, s"shifted report must contain '$p', got ${out.toSeq}")
+    assert(row.get.getLong(1) == 3L && row.get.getLong(2) == 3L)
+  }
+
+  test("passageRepeatsShifted equals the unpruned stride-1 report") {
+    // the hash-prune phase must be invisible: same rows as
+    // passageRepeats(stride = 1) on the same input
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "z a b c d e q r"),
+      (3L, "m n o p q r s t"), (4L, "c d e f x y z w")
+    ).toDF("doc_id", "text")
+    val pruned = Dedup.passageRepeatsShifted(docs, "doc_id", "text",
+      window = 3, minDocs = 2).collect().toSeq
+    val plain = Dedup.passageRepeats(docs, "doc_id", "text",
+      window = 3, stride = 1, minDocs = 2).collect().toSeq
+    assert(pruned == plain)
+  }
+
+  test("stripShiftedBoilerplate removes covered tokens at every offset") {
+    val p = "p1 p2 p3 p4"
+    val docs = Seq(
+      (1L, s"$p a b c d"),   // offset 0: first 4 tokens drop
+      (2L, s"x y $p e f"),   // offset 2: middle 4 drop
+      (3L, s"$p"),           // fully covered -> empty
+      (4L, "unrelated words entirely different here"),
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val m = Dedup.stripShiftedBoilerplate(docs, "doc_id", "text",
+      window = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(m(1L) == (("a b c d", 4)))
+    assert(m(2L) == (("x y e f", 4)))
+    assert(m(3L) == (("", 4)))
+    assert(m(4L) == (("unrelated words entirely different here", 0)))
+    assert(m(5L) == (("tiny", 0)))
+  }
+
+  test("stripShiftedBoilerplate covers a LONG duplicated passage as the union of its windows") {
+    // a 6-token passage shared at different offsets: its 3 stride-1
+    // 4-windows each clear minDocs, and their union covers all 6
+    // tokens in both carriers — no block-boundary residue
+    val long6 = "l1 l2 l3 l4 l5 l6"
+    val docs = Seq(
+      (1L, s"$long6 a b"),
+      (2L, s"x $long6 y"),
+      (3L, "filler text with nothing shared")
+    ).toDF("doc_id", "text")
+    val m = Dedup.stripShiftedBoilerplate(docs, "doc_id", "text",
+      window = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(m(1L) == (("a b", 6)))
+    assert(m(2L) == (("x y", 6)))
+  }
+
   test("passageRepeats approx doc counting finds the same hot passage") {
     val docs = Seq(
       (1L, "p q r s"), (2L, "p q r s"), (3L, "different text here now")

@@ -70,7 +70,13 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     val newChunks = CollectionView.buildChunkIndex(doc, "doc_set", "text", "title",
       chunkSize, overlap)
     replaceIn(chunksColl, documentSetName, newChunks)
-    dropChunkGraph() // chunk rows changed: a stale graph would miss them
+    // a live graph absorbs the upload as an appended segment (the
+    // collections discipline — claim → write → publish) instead of
+    // paying a full chunk-graph rebuild per upload; superseded chunk
+    // nodes of a re-uploaded set stay in older segments but the
+    // serving semi-join only admits candidates present in the CURRENT
+    // chunk index, so they are masked until compaction folds them out
+    appendChunkSegment(newChunks)
     // count the chunks as WRITTEN (a parquet scan) rather than re-running
     // the split+embed pipeline a second time
     val nChunks = catalog.read(db, chunksColl)
@@ -127,7 +133,10 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
         chunks.join(doomed, Seq("doc_set"), "left_anti"))
       catalog.overwriteFromSelf(db, setsColl,
         sets.join(doomed, Seq("doc_set"), "left_anti"))
-      dropChunkGraph()
+      // the graph is NOT dropped: deleted chunks' nodes go stale but
+      // the serving semi-join only admits candidates present in the
+      // current chunk index, so results stay exact; compaction folds
+      // the staleness out ([[compactChunkGraph]])
     }
   }
 
@@ -149,19 +158,71 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
 
   /** Build + persist the chunk index's HNSW graph (the reference's
     * collection_view default indexes chunks with the same HNSW as
-    * collections). Chunk MUTATIONS (re-upload, delete) invalidate it
-    * — a stale graph would silently miss newly uploaded documents —
-    * so rebuild after loading, the reference's own rebuild discipline. */
+    * collections). Once built, the graph is maintained INCREMENTALLY:
+    * uploads append per-batch segments and deletes leave masked stale
+    * nodes ([[HnswMaintain]], the collections discipline), so a
+    * re-uploaded document costs O(its chunks), not a full rebuild;
+    * [[compactChunkGraph]] folds accumulated mini-segments and
+    * staleness.
+    *
+    * `defaultEf` is the beam [[search]] uses when the caller passes no
+    * `ef` — persisted in the graph meta so the serving default is a
+    * property of the index, not a hard-coded constant. */
   def rebuildChunkGraph(m: Int = 8, efConstruction: Int = 64,
-                        numSegments: Int = 4): Unit = {
+                        numSegments: Int = 4, defaultEf: Int = 10): Unit = {
     catalog.createCollectionIfNotExists(db, graphColl)
     catalog.write(db, graphColl,
       CollectionView.buildChunkGraph(chunks, "doc_set", m, efConstruction,
         numSegments),
       partitionBy = Seq("seg"))
-    // gen nonce keys the serving cache, exactly like collections
-    catalog.updateMeta(db, graphColl, Map("gen" -> GraftCollection.freshGen()))
+    // gen nonce keys the serving cache, exactly like collections; the
+    // build params ride along so appends/compaction reproduce them
+    graphStore.update(Map(
+      "index.hnsw.m" -> m.toString,
+      "index.hnsw.efc" -> efConstruction.toString,
+      "index.hnsw.segments" -> numSegments.toString,
+      "index.hnsw.nextseg" -> numSegments.toString,
+      "index.hnsw.default_ef" -> defaultEf.toString,
+      "index.hnsw.pending" -> null,
+      "index.hnsw.merge_pending" -> null,
+      "index.hnsw.gen" -> GraftCollection.freshGen()))
   }
+
+  private def graphStore: HnswStore =
+    HnswStore(catalog, db, metaColl = graphColl, graphColl = graphColl)
+
+  /** Test/ops visibility: current chunk-graph segment count. */
+  private[graft] def chunkGraphSegments: Int =
+    catalog.read(db, graphColl).select("seg").distinct().count().toInt
+
+  /** The current chunk index keyed for the graph: node id = xxhash64
+    * of the composite chunk key (the string-PK surrogate device). */
+  private def chunkNodes(rows: DataFrame): DataFrame =
+    rows.select(graft.text.CollectionView.cid64("doc_set").as("id"), col("vec"))
+
+  /** Append an upload's chunks to the live graph as fresh segments —
+    * no-op when no graph exists (or one predates the incremental meta,
+    * in which case it is dropped: rebuild to re-arm). */
+  private def appendChunkSegment(newChunks: DataFrame): Unit =
+    if (catalog.collectionExists(db, graphColl)) {
+      val meta = graphStore.meta
+      if (meta.contains("index.hnsw.m"))
+        HnswMaintain.append(graphStore, chunkNodes(newChunks), "id", "vec", meta)
+      else dropChunkGraph()
+    }
+
+  /** Tiered chunk-graph compaction — folds the per-upload
+    * mini-segments and garbage-collects nodes of deleted / re-uploaded
+    * chunks, rebuilding only fold-worthy segments from the CURRENT
+    * chunk index (O(merged), base tiers untouched; see
+    * [[HnswMaintain.compact]]). No-op without a live incremental
+    * graph. */
+  def compactChunkGraph(): Unit =
+    if (catalog.collectionExists(db, graphColl)) {
+      val meta = graphStore.meta
+      if (meta.contains("index.hnsw.m"))
+        HnswMaintain.compact(graphStore, chunkNodes(chunks), "vec", meta)
+    }
 
   private def dropChunkGraph(): Unit =
     if (catalog.collectionExists(db, graphColl)) {
@@ -177,7 +238,11 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   private def preparedChunkGraph(): Option[org.apache.spark.sql.DataFrame] =
     if (!catalog.collectionExists(db, graphColl)) None
     else {
-      val version = catalog.describeCollection(db, graphColl).getOrElse("gen", "")
+      val meta = graphStore.meta
+      val version = meta.getOrElse("index.hnsw.gen", "")
+      // orphan mask, as on collections: segments at/above the claimed
+      // nextseg can only be leftovers of a crashed append
+      val nextSeg = meta.get("index.hnsw.nextseg").map(_.toInt)
       val key = GraftCollection.servingKey(catalog.rootPath, db, graphColl)
       Some(GraftCollection.hnswServing.compute(key, (_, old) => {
         if (old != null && old._1 == version && (old._2.sparkSession eq spark)) old
@@ -185,7 +250,9 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
           if (old != null)
             try old._2.unpersist(blocking = false)
             catch { case _: Throwable => () }
-          (version, graft.vector.HnswIndex.prepare(catalog.read(db, graphColl)))
+          val raw = catalog.read(db, graphColl)
+          (version, graft.vector.HnswIndex.prepare(
+            nextSeg.fold(raw)(ns => raw.where(col("seg") < ns))))
         }
       })._2)
     }
@@ -197,14 +264,24 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     * scan: the sliver degenerates to the whole index and the SAME
     * string-key ranking pipeline runs either way); FLAT otherwise.
     * An explicit `ef` without a live graph is an error, not a silent
-    * exact scan — the same contract as hybridSearch's ef. */
+    * exact scan — the same contract as hybridSearch's ef.
+    *
+    * NOTE the behavior switch: once [[rebuildChunkGraph]] has run, a
+    * no-`ef` call serves ANN at the graph's configured `defaultEf`
+    * (recall < 1 is possible) instead of the exact FLAT scan — the
+    * reference's HNSW-default collection_view semantics. Callers that
+    * need exact results after a rebuild must pass
+    * `ef = Some(Int.MaxValue)` (or never build the graph). */
   def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
              filter: String = "", ef: Option[Int] = None): DataFrame = {
     val graph = preparedChunkGraph()
     require(ef.isEmpty || graph.nonEmpty,
       "chunk search ef param requires a live chunk graph: run rebuildChunkGraph first")
+    val servingEf = ef.getOrElse(
+      if (graph.isEmpty) 10
+      else graphStore.meta.getOrElse("index.hnsw.default_ef", "10").toInt)
     CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter,
-      graph = graph, ef = ef.getOrElse(10), graphPrepared = true)
+      graph = graph, ef = servingEf, graphPrepared = true)
   }
 
   /** Drop the whole view (all backing collections). */

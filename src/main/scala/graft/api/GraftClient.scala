@@ -424,55 +424,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * drop) and dedups candidate ids, so ef ≥ segment size stays
     * byte-equal to exact KNN across every mutation. Stale nodes are
     * folded away by [[compactIndexes]]. */
+  /** Crash-ordered HNSW segment append — the claim → write → publish
+    * ordering lives in [[HnswMaintain.append]] (shared with the chunk
+    * graph). [[preparedHnswGraph]] additionally masks seg >= nextseg,
+    * covering artifacts written under the old (write-then-meta)
+    * ordering. */
   private def appendHnswSegment(batch: DataFrame, meta: Map[String, String]): Unit = {
-    val vecs = batch.where(col(vecCol).isNotNull)
-    val n = vecs.count()
-    if (n > 0) {
-      // one graph per ~200k batch rows keeps segment build memory and
-      // per-segment search latency pinned regardless of batch size
-      val shards = (((n - 1) / 200000) + 1).toInt
-      val offset = meta.getOrElse("index.hnsw.nextseg",
-        meta("index.hnsw.segments")).toInt
-      // CLAIM nextseg first (plus a `pending` crash marker), write
-      // partitions second, PUBLISH the gen nonce and clear the marker
-      // last. A crash after the claim can only leave the batch
-      // temporarily unindexed (the surviving marker tells the next
-      // compaction to sweep data ids missing from the graph) — never
-      // orphan graph rows that searches would traverse, and never a
-      // later smaller append overwriting part of a dead claim (that
-      // append allocates ABOVE the claimed range). The gen moves only
-      // once the rows are really there, so a search interleaving
-      // between the steps caches the pre-append graph under the
-      // pre-append gen — invalidated exactly when the append
-      // completes. [[preparedHnswGraph]] additionally masks
-      // seg >= nextseg, covering artifacts written under the old
-      // (write-then-meta) ordering.
-      // a SURVIVING marker from an earlier crashed append must not be
-      // overwritten (and must outlive this append's success) — it is
-      // the only evidence that sweep-eligible ids exist; clearing it
-      // here would permanently disarm the compaction sweep for the
-      // earlier batch. The marker is single-slot by design: any
-      // surviving marker means "sweep at next compaction", which
-      // covers every crashed batch at once (the sweep anti-joins the
-      // whole data snapshot against the whole graph).
-      val foreignPending = meta.get("index.hnsw.pending")
-      catalog.updateMeta(db, coll,
-        Map("index.hnsw.nextseg" -> (offset + shards).toString,
-          "index.hnsw.pending" -> foreignPending.getOrElse(offset.toString)))
-      val (keyed, kid) = indexKeyed(vecs)
-      catalog.overwritePartitions(db, GraftCollection.hnswGraph(coll),
-        graft.vector.HnswIndex.build(keyed, kid, vecCol,
-          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
-          shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
-          segOffset = offset,
-          heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
-        "seg")
-      catalog.updateMeta(db, coll,
-        Map("index.hnsw.gen" -> GraftCollection.freshGen()) ++
-          (if (foreignPending.isEmpty) Map("index.hnsw.pending" -> null)
-           else Map.empty[String, String]))
-    }
+    val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+    HnswMaintain.append(hnswStore, keyed, kid, vecCol, meta)
   }
+
+  private def hnswStore: HnswStore =
+    HnswStore(catalog, db, metaColl = coll,
+      graphColl = GraftCollection.hnswGraph(coll))
 
   /** Monotone mutation counter; each indexed mutation claims the next
     * segment number. */
@@ -1398,123 +1362,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * from-scratch [[graft.vector.HnswIndex.build]] over the same rows
     * at the same offset (build is deterministic) — pinned in
     * HnswMaintenanceSpec. */
-  private def compactHnsw(meta0: Map[String, String], seg: Int): Unit = {
-    val graphColl = GraftCollection.hnswGraph(coll)
-    // a surviving merge marker means a tiered merge crashed between its
-    // writes — recover FIRST (drop the dead attempt's overlapping
-    // output), then run a normal pass over the repaired artifact
-    val meta = meta0.get("index.hnsw.merge_pending") match {
-      case Some(marker) => recoverHnswMerge(graphColl, marker); describe
-      case None => meta0
-    }
-    val graph = catalog.read(db, graphColl)
-    val counts = graph.groupBy("seg").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-    val total = counts.map(_._2).sum
-    val cfgSegs = meta("index.hnsw.segments").toInt
-    val target = math.max(1L, (total + cfgSegs - 1) / cfgSegs)
-    val small = counts.filter(_._2 < (target + 1) / 2).map(_._1).toSeq
-    val live = df.where(col(vecCol).isNotNull)
-      .select(nodeKey.as("id"), col(vecCol).as(vecCol))
-    // the unindexed sweep (an O(corpus ids) anti-join) runs ONLY when
-    // the pending crash marker survived an append (or a merge recovery
-    // armed it) — the marked claim is the one way data ids can be
-    // missing from the graph, so normal folds never pay a corpus-wide
-    // scan
-    val unindexed =
-      if (meta.contains("index.hnsw.pending"))
-        live.join(graph.select("id").distinct(), Seq("id"), "left_anti")
-      else live.limit(0)
-    val mergeTiered = small.length >= 2 || !unindexed.isEmpty
-    if (mergeTiered) {
-      // disjoint by construction: small-seg ids ⊆ graph ids, unindexed
-      // ids ∉ graph ids; each side is id-unique (df is), so no distinct
-      val smallIds = graph.where(col("seg").isin(small: _*)).select("id").distinct()
-      val rows = live.join(smallIds, Seq("id"), "left_semi")
-        .unionByName(unindexed)
-      val n = rows.count()
-      val offset = meta.getOrElse("index.hnsw.nextseg",
-        meta("index.hnsw.segments")).toInt
-      if (n > 0) {
-        val shards = (((n - 1) / 200000) + 1).toInt
-        // claim-first, marker-guarded (the append discipline, extended
-        // to the merge's two-write window): the marker records the
-        // attempt's output range AND the doomed small segments, so a
-        // crash anywhere between here and the final meta publish is
-        // detected and repaired by the NEXT compaction
-        // ([[recoverHnswMerge]]) instead of leaving the merged ids
-        // duplicated across old mini-segments and the new merged
-        // segment
-        catalog.updateMeta(db, coll,
-          Map("index.hnsw.nextseg" -> (offset + shards).toString,
-            "index.hnsw.merge_pending" ->
-              s"$offset:$shards:${small.mkString(",")}"))
-        catalog.overwritePartitions(db, graphColl,
-          graft.vector.HnswIndex.build(rows, "id", vecCol,
-            meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
-            shards, meta.getOrElse("index.hnsw.seed", "42").toLong,
-            segOffset = offset,
-            heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
-          "seg")
-      }
-      catalog.dropPartitions(db, graphColl, "seg", small.map(_.toString))
-      catalog.updateMeta(db, coll, Map(
-        "index.hnsw.base_seg" -> seg.toString,
-        "index.hnsw.gen" -> GraftCollection.freshGen(),
-        "index.hnsw.pending" -> null,
-        "index.hnsw.merge_pending" -> null))
-    } else {
-      catalog.write(db, graphColl,
-        graft.vector.HnswIndex.build(df, idCol, vecCol,
-          meta("index.hnsw.m").toInt, meta("index.hnsw.efc").toInt,
-          cfgSegs, meta.getOrElse("index.hnsw.seed", "42").toLong,
-          heuristic = meta.getOrElse("index.hnsw.heur", "false").toBoolean),
-        partitionBy = Seq("seg"))
-      catalog.updateMeta(db, coll, Map(
-        "index.hnsw.base_seg" -> seg.toString,
-        "index.hnsw.nextseg" -> meta("index.hnsw.segments"),
-        "index.hnsw.gen" -> GraftCollection.freshGen(),
-        "index.hnsw.pending" -> null,
-        "index.hnsw.merge_pending" -> null))
-    }
-  }
-
-  /** Repair a tiered merge that crashed mid-flight. The marker
-    * (`offset:shards:smallSegs`) names the dead attempt's output range
-    * and the small segments it meant to fold:
-    *
-    *  - ANY listed small segment still present ⇒ the attempt may have
-    *    stopped anywhere (partial merged write, or complete write with
-    *    partial drops) and its output overlaps the survivors — drop
-    *    the whole output range `[offset, offset+shards)` and arm the
-    *    unindexed sweep (a small segment that WAS dropped before the
-    *    crash leaves its ids indexed nowhere until the sweep folds
-    *    them back from the data snapshot). The pass that follows then
-    *    redoes the fold over intact inputs.
-    *  - NO listed small segment present ⇒ the merged write and every
-    *    drop landed; only the final meta publish was lost. Nothing to
-    *    repair — clear the marker and let the following pass publish a
-    *    fresh gen.
-    *
-    * Either way the duplicated-node window the old ordering left
-    * (merged output live alongside its un-dropped inputs, forever if
-    * the merged segment classified as base tier) closes at the next
-    * compaction. */
-  private def recoverHnswMerge(graphColl: String, marker: String): Unit = {
-    val Array(offS, shardsS, smallsS) = marker.split(":", 3)
-    val dead = (offS.toInt until offS.toInt + shardsS.toInt).map(_.toString)
-    val smalls = smallsS.split(",").filter(_.nonEmpty).map(_.toInt).toSet
-    val present = catalog.read(db, graphColl).select("seg").distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (smalls.exists(present)) {
-      catalog.dropPartitions(db, graphColl, "seg", dead)
-      catalog.updateMeta(db, coll, Map(
-        "index.hnsw.pending" -> offS,
-        "index.hnsw.merge_pending" -> null,
-        "index.hnsw.gen" -> GraftCollection.freshGen()))
-    } else
-      catalog.updateMeta(db, coll, Map("index.hnsw.merge_pending" -> null))
-  }
+  private def compactHnsw(meta0: Map[String, String], seg: Int): Unit =
+    HnswMaintain.compact(hnswStore,
+      df.where(col(vecCol).isNotNull)
+        .select(nodeKey.as("id"), col(vecCol).as(vecCol)),
+      vecCol, meta0,
+      publishExtra = Map("index.hnsw.base_seg" -> seg.toString))
 
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
     * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving

@@ -35,7 +35,7 @@ object CollectionView {
     * a 64-bit collision would only merge two chunks' candidacy — it
     * cannot corrupt results because the final rank runs over the REAL
     * chunk rows). */
-  private def cid64(idCol: String) =
+  private[graft] def cid64(idCol: String) =
     xxhash64(concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
 
   /** Per-segment HNSW graph over the chunk index — the reference's

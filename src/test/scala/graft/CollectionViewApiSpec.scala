@@ -74,29 +74,85 @@ class CollectionViewApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](view.delete())
   }
 
-  test("chunk graph lifecycle: rebuild serves search, mutations invalidate") {
+  test("chunk graph lifecycle: incremental appends, masked deletes, compaction — no full rebuilds") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cvg").toString)
+    val db = client.createDatabase("db")
+    val view = db.createCollectionView("docs")
+    // a graph-less mirror receives every mutation and serves the exact
+    // FLAT scan — the independent oracle each stage's exhaustive-ef ANN
+    // result must match byte-for-byte
+    val mirror = db.createCollectionView("docs_flat")
+    def loadBoth(name: String, text: String): Unit = {
+      view.loadAndSplitText(name, text); mirror.loadAndSplitText(name, text)
+    }
+    def checkStage(q: String, tag: String): Unit = {
+      val ann = view.search(q, limit = 3, ef = Some(Int.MaxValue)).collect().toSeq
+      val flat = mirror.search(q, limit = 3).collect().toSeq
+      assert(ann == flat, s"$tag: exhaustive-ef ANN must equal the FLAT scan")
+    }
+
+    loadBoth("a.md", ("spark join fast " * 12).trim)
+    loadBoth("b.md", ("slow table scan " * 12).trim)
+    // ef before any graph exists is an error, not a silent exact scan
+    intercept[IllegalArgumentException] {
+      view.search("spark join", limit = 3, ef = Some(4))
+    }
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
+    assert(view.chunkGraphSegments == 2)
+    checkStage("slow table", "post-rebuild")
+    // production ef serves from the graph and still fills the hit list
+    assert(view.search("slow table", limit = 3).collect().length == 3)
+
+    // an upload APPENDS a segment — the graph is not dropped, explicit
+    // ef keeps serving, and the new content is immediately searchable
+    loadBoth("c.md", ("fresh unseen words " * 12).trim)
+    assert(view.chunkGraphSegments == 3,
+      "upload must append a graph segment, not drop the graph")
+    val post = view.search("fresh unseen", limit = 3, ef = Some(Int.MaxValue)).collect()
+    assert(post.nonEmpty && post.head.getString(1) == "c.md",
+      "post-upload ANN search must see the new document")
+    checkStage("fresh unseen", "post-append")
+    assert(!view.search("fresh unseen", limit = 3, ef = Some(4)).isEmpty)
+
+    // delete leaves the graph in place; stale nodes are masked by the
+    // serving semi-join, so deleted chunks never surface
+    view.delete(names = Seq("b.md")); mirror.delete(names = Seq("b.md"))
+    assert(view.chunkGraphSegments == 3, "delete must not drop the graph")
+    val afterDel = view.search("slow table", limit = 3, ef = Some(Int.MaxValue)).collect()
+    assert(!afterDel.exists(_.getString(1) == "b.md"), "deleted set must not surface")
+    checkStage("slow table", "post-delete")
+
+    // re-upload replaces content: old nodes stale (masked), new chunks
+    // served from the appended segment
+    loadBoth("a.md", ("rewritten body entirely " * 12).trim)
+    checkStage("rewritten body", "post-reupload")
+    checkStage("spark join", "post-reupload-old-content")
+
+    // compaction folds the mini-segments and the staleness out; every
+    // result is unchanged, and the folded graph serves at prod ef
+    view.compactChunkGraph()
+    checkStage("rewritten body", "post-compaction")
+    checkStage("fresh unseen", "post-compaction-2")
+    assert(!view.search("fresh unseen", limit = 3).isEmpty)
+
+    // append ≡ rebuild: a from-scratch rebuild over the same chunk
+    // rows serves the same exhaustive results the incremental graph did
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
+    checkStage("rewritten body", "incremental-vs-rebuilt")
+  }
+
+  test("rebuildChunkGraph default_ef governs the no-param search beam") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvef").toString)
     val view = client.createDatabase("db").createCollectionView("docs")
     view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
     view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
-    val flat = view.search("slow table", limit = 3).collect()
-    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
-    // exhaustive ef through the persisted graph == the FLAT result
-    val ann = view.search("slow table", limit = 3, ef = Some(Int.MaxValue)).collect()
-    assert(ann.toSeq == flat.toSeq)
-    // production ef serves from the graph and still fills the hit list
-    assert(view.search("slow table", limit = 3).collect().length == 3)
-    // a re-upload invalidates the graph (it would miss the new chunks);
-    // search falls back to FLAT and sees the new content immediately
-    view.loadAndSplitText("c.md", ("fresh unseen words " * 12).trim)
-    val post = view.search("fresh unseen", limit = 3).collect()
-    assert(post.nonEmpty && post.head.getString(1) == "c.md",
-      "post-upload search must see the new document")
-    // explicit ef against the invalidated graph is an error, not a
-    // silent exact scan (the hybridSearch ef contract)
-    intercept[IllegalArgumentException] {
-      view.search("fresh unseen", limit = 3, ef = Some(4))
-    }
+    val flat = view.search("slow table", limit = 3).collect().toSeq
+    // an exhaustive default: the no-ef call (the FLAT→ANN behavior
+    // switch documented on search) then still serves exact results
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2,
+      defaultEf = Int.MaxValue)
+    assert(view.search("slow table", limit = 3).collect().toSeq == flat,
+      "defaultEf = MaxValue must make the no-param call exact")
   }
 
   test("filter delete over many document sets stays distributed (anti-join path)") {

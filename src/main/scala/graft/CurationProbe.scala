@@ -149,6 +149,45 @@ object CurationProbe {
       }
       d.unpersist()
     }
+
+    // ---- SKEWED length distribution: 80% of docs in ONE band --------
+    // The uniform generator above spreads lengths across ~7 bands; real
+    // corpora concentrate in a few. 80% of these docs are exactly 24
+    // tokens (one band), the rest spread as before — the case the
+    // (bucket, shard) sub-shard key exists for. nShards = 1 IS the
+    // anti-pattern (the hot band funnels through one sort task); the
+    // sweep shows where the bound stops paying, justifying the default.
+    def skewDocs(k: Long) = spark.range(k).toDF("doc_id").select(
+      col("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, " +
+        "case when pmod(doc_id, 10) < 8 then 23 " +
+        "else cast(pmod(doc_id, 51) as int) + 9 end), " +
+        "i -> conv(pmod(doc_id * 31 + i * 7, 1000), 10, 36)))").as("text"))
+    Seq(("1x", n), (s"${mult}x", n * mult)).foreach { case (tag, k) =>
+      val d = skewDocs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      for (ns <- Seq(1, 16, 64, 256))
+        time(s"length_batches_skew_${tag}_ns$ns") {
+          graft.ops.Curation.lengthBatches(d, "doc_id", "text",
+              batchSize = 1024, bandTokens = 8, nShards = ns)
+            .agg(max("batch_id"), count(lit(1)).as("n")).collect().head.getLong(1)
+        }
+      d.unpersist()
+    }
+
+    // ---- shuffleShards nShards sweep (8x size) ----------------------
+    // shard is a salted id hash, so skew cannot concentrate it; the
+    // sweep justifies the default shard count by measurement — the
+    // knee is where per-shard sorts stop dominating
+    val d8 = docs(n * mult).select("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d8.count()
+    for (ns <- Seq(16, 64, 256, 1024))
+      time(s"shuffle_shards_8x_ns$ns") {
+        graft.ops.Curation.shuffleShards(d8, "doc_id", nShards = ns)
+          .agg(max("pos"), count(lit(1)).as("n")).collect().head.getLong(1)
+      }
+    d8.unpersist()
     spark.stop()
   }
 }

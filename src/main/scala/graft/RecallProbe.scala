@@ -136,6 +136,52 @@ object RecallProbe {
     }
     encS.unpersist()
 
+    // ---- FILTERED HNSW (cosine): selectivity × ef grid --------------
+    // The hybrid/filtered serving path reranks graph candidates against
+    // the FILTERED snapshot (GraftClient.hybridDense): the traversal is
+    // filter-blind, so at a 1%-selective filter a fixed ef leaves few
+    // surviving candidates — this grid measures how much ef a given
+    // selectivity needs (the ef-vs-selectivity guidance in SURVEY §5b).
+    val hnswF = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4).cache()
+    hnswF.count()
+    val qLocalF = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for ((sel, mod) <- Seq(("0.5", 2), ("0.1", 10), ("0.01", 100))) {
+      val filtered = embs.where(col("vec_id") % mod === 0)
+      val gtF = KnnSearch.topK(filtered, "vec_id", "embedding",
+        queries, "qid", "qvec", "cosine", k).cache()
+      gtF.count()
+      for (ef <- Seq(10, 32, 64, 128, 256, 512))
+        emit("hnsw_filtered", s"M=8 efC=64 segs=4 sel=$sel ef=$ef",
+          Recall.atK(HnswIndex.search(hnswF, filtered, "vec_id", "embedding",
+            qLocalF, "cosine", k, ef), gtF))
+      gtF.unpersist()
+    }
+    hnswF.unpersist()
+
+    // ---- SemDeDup: qualifying-pair recall, prod cells vs exhaustive -
+    // (cells legitimately drop cross-cell pairs; this is the dedup
+    // analog of the LSH pair-recall rows — how many eps-qualifying
+    // pairs the prod nclusters=8 / cap-4096 config finds vs the
+    // nclusters=1 all-pairs twin)
+    for (eps <- Seq(0.45, 0.5)) {
+      val truthP = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+          eps, nclusters = 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTruth = truthP.count()
+      for (ncl <- Seq(4, 8, 16))
+        emit("semdedup_pairs", s"nclusters=$ncl cap=4096 eps=$eps truth=$nTruth",
+          Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
+            "embedding", eps, nclusters = ncl, maxCellSize = 4096), truthP))
+      // a tight cap on this corpus: measures what the hot-cell guard
+      // costs when it actually bisects
+      emit("semdedup_pairs", s"nclusters=8 cap=64 eps=$eps truth=$nTruth",
+        Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
+          "embedding", eps, nclusters = 8, maxCellSize = 64), truthP))
+      truthP.unpersist()
+    }
+
     // ---- embedLsh dedup: pair recall vs the all-pairs scan ----------
     // (precision is exact by construction — the verify rescores — so
     // recall is the only axis; configs straddle the exhaustive-grade

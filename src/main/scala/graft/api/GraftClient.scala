@@ -1769,7 +1769,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * BEFORE top-k (pre-filter semantics on both paths: byte-equal at
     * exhaustive ef; at production ef selective filters thin the
     * candidate set — the standard filtered-ANN contract, ef is the
-    * recall knob). */
+    * recall knob).
+    *
+    * Measured ef-for-selectivity guidance (RecallProbe grid, SURVEY
+    * §5b-r8; floors pinned in RecallSpec): for a filter keeping
+    * fraction `s` of the corpus, set `ef ≳ 2·k/(segments·s)` for
+    * recall ≥ 0.95 — s=0.1 needs ef≈64, s=0.01 needs ef≈256–512 at 4
+    * segments, and the DEFAULT beam at s=0.01 collapses to ~0.1
+    * recall. Below s ≈ k·segments/corpus the filtered subset is
+    * smaller than the beam itself — use the filtered FLAT scan
+    * (`search(filter = ...)`) there instead of the graph arm. */
   private def hybridDense(queries: DataFrame, qIdCol: String, qVecCol: String,
                           fetch: Int, ef: Option[Int],
                           filter: String = "",

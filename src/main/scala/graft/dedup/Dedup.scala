@@ -328,6 +328,36 @@ object Dedup {
                maxIter: Int = 10,
                centers: Option[Seq[(Seq[Double], Int)]] = None,
                maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val (withCell, cents, pairs) = semDedupFrames(embs, idCol, vecCol, eps,
+      nclusters, seed, maxIter, centers, maxCellSize)
+    // keep the LOWEST centroid similarity => rank by its negation
+    val scored = withCell.join(broadcast(cents), Seq("__cell"))
+      .select(col("doc_id"),
+        (-round(graft.vector.VectorScore.cosine(col("__v"), col("__cent")), 4))
+          .as("__negcos"))
+    clusterRepresentatives(scored, "doc_id", "__negcos", pairs)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** The qualifying (id_a, id_b) pair stream a semDedup config finds —
+    * exposed so RecallProbe can grade a production config's PAIR RECALL
+    * against the `nclusters = 1` exhaustive twin (cells legitimately
+    * drop cross-cell pairs; this measures how many). */
+  private[graft] def semDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                                   eps: Double, nclusters: Int = 16,
+                                   seed: Long = 42L, maxIter: Int = 10,
+                                   centers: Option[Seq[(Seq[Double], Int)]] = None,
+                                   maxCellSize: Int = Int.MaxValue): DataFrame =
+    semDedupFrames(embs, idCol, vecCol, eps, nclusters, seed, maxIter,
+      centers, maxCellSize)._3
+
+  /** (cell-assigned rows, per-cell centroids, qualifying pairs) —
+    * [[semDedup]]'s internals, shared with [[semDedupPairs]]. */
+  private def semDedupFrames(embs: DataFrame, idCol: String, vecCol: String,
+               eps: Double, nclusters: Int, seed: Long,
+               maxIter: Int,
+               centers: Option[Seq[(Seq[Double], Int)]],
+               maxCellSize: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxCellSize >= 2, "maxCellSize must be >= 2")
     require(nclusters >= 1, "nclusters must be positive")
     // a centroid artifact trained with a different nlist would
@@ -390,13 +420,7 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         graft.vector.VectorScore.cosine(col("__va"), col("__vb")) >= eps)
       .select("id_a", "id_b")
-    // keep the LOWEST centroid similarity => rank by its negation
-    val scored = withCell.join(broadcast(cents), Seq("__cell"))
-      .select(col("doc_id"),
-        (-round(graft.vector.VectorScore.cosine(col("__v"), col("__cent")), 4))
-          .as("__negcos"))
-    clusterRepresentatives(scored, "doc_id", "__negcos", pairs)
-      .select("doc_id").orderBy("doc_id")
+    (withCell, cents, pairs)
   }
 
   /** Refine oversized cells until no (cell, sub) group exceeds `cap`:

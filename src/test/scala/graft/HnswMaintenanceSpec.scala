@@ -206,6 +206,39 @@ class HnswMaintenanceSpec extends SparkSpec {
       "compaction must clear the crash marker")
   }
 
+  test("a crashed tiered merge drops the dead output range and re-arms the sweep") {
+    val root = Files.createTempDirectory("graft-hnsw-mergecrash").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val coll = db.createCollection("v")
+    coll.upsert(embs.limit(80))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    coll.upsert(embs.where(col("id").between(80, 84)))  // seg 2
+    coll.upsert(embs.where(col("id").between(85, 89)))  // seg 3
+    coll.upsert(embs.where(col("id").between(90, 94)))  // seg 4
+    // simulate the merge crash window: a fold of segs 2,3 into output
+    // range [4,5) died after (partially) writing seg 4 but before the
+    // drops — the marker records exactly that attempt; seg 4's rows
+    // (ids 90-94 here) are by definition suspect and must be dropped
+    // as dead output, then swept back from the data snapshot
+    val cat = new graft.catalog.Catalog(spark, root)
+    cat.updateMeta("db", "v", Map("index.hnsw.merge_pending" -> "4:1:2,3"))
+    coll.compactIndexes()
+    assert(!coll.describe.contains("index.hnsw.merge_pending"),
+      "compaction must clear the merge marker after repairing")
+    assert(!coll.describe.contains("index.hnsw.pending"),
+      "the re-armed sweep must complete within the same compaction")
+    assert(exhaustive(coll) == exact(coll),
+      "post-recovery exhaustive HNSW must cover the dropped range's ids again")
+
+    // publish-lost flavor: every listed small segment is already gone,
+    // so the attempt actually completed — recovery only clears the
+    // marker, no partitions move
+    cat.updateMeta("db", "v", Map("index.hnsw.merge_pending" -> "9:1:7"))
+    coll.compactIndexes()
+    assert(!coll.describe.contains("index.hnsw.merge_pending"))
+    assert(exhaustive(coll) == exact(coll))
+  }
+
   test("auto-compaction fires on an HNSW-only collection") {
     val coll = freshColl("auto")
     coll.setAutoCompact(3)

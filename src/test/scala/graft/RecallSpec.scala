@@ -78,6 +78,54 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.8, s"ivf_sq8 code-only recall@10 = $r")
   }
 
+  test("filtered HNSW holds the measured ef-for-selectivity guidance (and the collapse is real)") {
+    // the hybrid/filtered serving path reranks filter-blind graph
+    // candidates against the FILTERED snapshot — recall is governed by
+    // segments × ef relative to k / selectivity (RecallProbe grid,
+    // §5b): sel=0.1 needs ef≈64, sel=0.01 needs ef≈256 at 4 segments
+    val g = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+      efConstruction = 64, numSegments = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count()
+    def recAt(mod: Int, ef: Int): Double = {
+      val filtered = embs.where(col("vec_id") % mod === 0)
+      val gt = KnnSearch.topK(filtered, "vec_id", "embedding",
+        queries, "qid", "qvec", "cosine", 10)
+      Recall.atK(HnswIndex.search(g, filtered, "vec_id", "embedding",
+        qLocal, "cosine", 10, ef), gt)
+    }
+    assert(recAt(10, 64) >= 0.95, "sel=0.1 at ef=64 must hold >= 0.95")
+    assert(recAt(100, 256) >= 0.95, "sel=0.01 at ef=256 must hold >= 0.95")
+    // and the collapse the guidance exists for: the DEFAULT beam at a
+    // 1%-selective filter leaves almost no surviving candidates
+    assert(recAt(100, 10) <= 0.5,
+      "fixed default ef at sel=0.01 collapsing is the documented behavior")
+    g.unpersist()
+  }
+
+  test("SemDeDup prod cells never lose an exact-duplicate pair; eps-pair recall floor holds") {
+    // identical vectors assign to identical cells at ANY nclusters and
+    // are unsplittable by the cap's mean-centered bisection — the pairs
+    // a dedup MUST find are structurally inside one join group
+    val base = embs.select(col("vec_id"), col("embedding"))
+    val dup = base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val pairs = graft.dedup.Dedup.semDedupPairs(base.unionByName(dup),
+        "vec_id", "embedding", eps = 0.999, nclusters = 16, maxCellSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i =>
+      assert(pairs.contains((i, i + 10000)), s"exact-duplicate pair $i lost"))
+    // borderline eps-pairs DO cross cell boundaries: measured prod
+    // recall (nclusters=8, cap=4096, eps=0.45) is 0.71 here — the
+    // clusterless synthetic corpus is SemDeDup's worst case (real
+    // near-dups cluster); floor pinned under the measured value
+    val truth = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+      0.45, nclusters = 1)
+    val r = Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
+      "embedding", 0.45, nclusters = 8, maxCellSize = 4096), truth)
+    assert(r >= 0.6, s"semdedup prod pair recall = $r")
+  }
+
   test("embedLsh near-dup at the production band config (64/16, t=0.45) misses no true pair") {
     // t=0.45 is where THIS corpus has pairs (max pair cosine 0.48 at
     // sf0.001) — a higher "production" threshold would grade against an

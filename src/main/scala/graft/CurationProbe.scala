@@ -150,6 +150,29 @@ object CurationProbe {
       d.unpersist()
     }
 
+    // ---- bigram-LM train + held-out score (row 86) ------------------
+    // train = two map-side-combinable aggs over exploded (v, w) pairs;
+    // score = token-key joins against the count slivers + one
+    // groupBy(id). Both must track corpus tokens linearly; the forced
+    // agg sums scored tokens (must ~8x at 8x).
+    Seq(("1x", n), (s"${mult}x", n * mult)).foreach { case (tag, k) =>
+      val d = docs(k).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      val model = graft.text.NgramLm.train(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      time(s"lm_train_$tag") {
+        // materializing the bigram table is the train cost (contexts/
+        // unigrams/totals derive from the same pass shape)
+        model.bigrams.agg(sum("c_vw")).collect().head.getLong(0)
+      }
+      time(s"lm_score_$tag") {
+        graft.text.NgramLm.score(
+            d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+          .agg(min("nll"), sum("n_tokens").as("t")).collect().head.getLong(1)
+      }
+      d.unpersist()
+    }
+
     // ---- SKEWED length distribution: 80% of docs in ONE band --------
     // The uniform generator above spreads lengths across ~7 bands; real
     // corpora concentrate in a few. 80% of these docs are exactly 24

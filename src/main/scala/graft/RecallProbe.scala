@@ -160,6 +160,27 @@ object RecallProbe {
     }
     hnswF.unpersist()
 
+    // ---- FILTERED IVF (L2): selectivity × nprobe grid ---------------
+    // The serving path PRE-filters before cell lookup (collection
+    // search: base = filtered rows, candidates = filtered rows in
+    // probed cells), so unlike the filter-blind HNSW beam the
+    // candidate pool never collapses — recall is governed by CELL
+    // COVERAGE of the filtered true neighbors, which sit farther out
+    // and spread over more cells as selectivity drops. This grid
+    // measures how much nprobe that spread costs.
+    val ivfF = IvfIndex.train(embs, "embedding", nlist = 16, maxIter = 10)
+    for ((sel, mod) <- Seq(("0.5", 2), ("0.1", 10), ("0.01", 100))) {
+      val filtered = embs.where(col("vec_id") % mod === 0)
+      val gtF2 = KnnSearch.topK(filtered, "vec_id", "embedding",
+        queries, "qid", "qvec", "l2", k).cache()
+      gtF2.count()
+      for (nprobe <- Seq(1, 2, 4, 8, 16))
+        emit("ivf_filtered", s"nlist=16 sel=$sel nprobe=$nprobe",
+          Recall.atK(IvfIndex.search(ivfF, filtered, "vec_id", "embedding",
+            queries, "qid", "qvec", "l2", k, nprobe), gtF2))
+      gtF2.unpersist()
+    }
+
     // ---- SemDeDup: qualifying-pair recall, prod cells vs exhaustive -
     // (cells legitimately drop cross-cell pairs; this is the dedup
     // analog of the LSH pair-recall rows — how many eps-qualifying

@@ -873,6 +873,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: an interpolated absolute-
+      // discount bigram LM trained on the even-doc_id half of the
+      // corpus scores the HELD-OUT odd half — the split makes every
+      // backoff path real (unseen bigrams, contexts AND words), which
+      // is the deployment shape: counts are a persisted artifact,
+      // candidates stream through it. nll = −mean per-token ln p at
+      // the pinned rounding discipline (NgramLm scaladoc).
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      graft.text.NgramLm.score(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1590,6 +1606,36 @@ object SparkEntry {
         |         + len(regexp_extract_all(text, chr(65533))))
         |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS noise_ratio
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |trp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM tr, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |bgc AS (SELECT v, w, count(*) AS c_vw FROM trp GROUP BY v, w),
+        |ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p FROM bgc GROUP BY v),
+        |uni AS (SELECT w, count(*) AS c_w FROM trp GROUP BY w),
+        |tot AS (SELECT sum(c_w) AS t_tokens, count(*) AS vocab FROM uni),
+        |sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |scp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM sc, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |lp AS (SELECT s.doc_id,
+        |  round(ln(CASE WHEN ctx.c_v IS NULL
+        |    THEN (CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0)
+        |    ELSE greatest(CAST(coalesce(bgc.c_vw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.c_v AS DOUBLE)
+        |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c_v AS DOUBLE)) *
+        |         ((CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0))
+        |    END), 6) AS lp
+        |  FROM scp s LEFT JOIN bgc ON s.v = bgc.v AND s.w = bgc.w
+        |             LEFT JOIN ctx ON s.v = ctx.v
+        |             LEFT JOIN uni ON s.w = uni.w
+        |             CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4) AS nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->
       """SELECT doc_id,

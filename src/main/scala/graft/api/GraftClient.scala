@@ -1522,6 +1522,56 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       meta("model.qc.text_col"), minProb)
   }
 
+  /** Train the CCNet-style bigram LM on this collection's text and
+    * persist it: only the (v, w, c_vw) bigram table is stored — it is
+    * the model's SUFFICIENT STATISTIC ([[graft.text.NgramLm.fromBigrams]]
+    * derives the unigram marginal, context totals and grand totals by
+    * aggregation), so the artifact is one sibling collection, same as
+    * the classifier weights. In the CCNet deployment the training
+    * collection is a TRUSTED corpus and candidate batches stream
+    * through [[lmGateOf]] at the door. */
+  def trainLmModel(textCol: String = "text"): Unit = {
+    require(df.columns.contains(textCol), s"no such field: $textCol")
+    val m = graft.text.NgramLm.train(df, idCol, textCol)
+    catalog.createCollectionIfNotExists(db, GraftCollection.lmBigrams(coll))
+    catalog.write(db, GraftCollection.lmBigrams(coll), m.bigrams)
+    catalog.updateMeta(db, coll, Map("model.lm.text_col" -> textCol))
+  }
+
+  private def lmStoredModel(meta: Map[String, String]): graft.text.NgramLm.Model = {
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
+    graft.text.NgramLm.fromBigrams(
+      catalog.read(db, GraftCollection.lmBigrams(coll)))
+  }
+
+  /** (id, n_tokens, nll) for an ARBITRARY batch against the stored LM
+    * — token-key joins against the persisted count sliver, O(batch). */
+  def scoreLmOf(batch: DataFrame, batchIdCol: String,
+                batchTextCol: String): DataFrame =
+    graft.text.NgramLm.score(batch, batchIdCol, batchTextCol,
+      lmStoredModel(describe))
+
+  /** Batch rows whose held-out NLL under the stored LM is at or below
+    * `maxNll` — the streaming front door's perplexity gate (see
+    * [[graft.streaming.Streams.curatedIngest]] maxLmNll). One
+    * batch-bounded semi-join back onto the scored ids; token-less
+    * documents have no score and DROP when the gate is on (an LM
+    * cannot vouch for text it cannot tokenize). */
+  def lmGateOf(batch: DataFrame, batchIdCol: String, batchTextCol: String,
+               maxNll: Double): DataFrame =
+    batch.join(
+      scoreLmOf(batch, batchIdCol, batchTextCol)
+        .where(col("nll") <= maxNll).select(batchIdCol),
+      Seq(batchIdCol), "left_semi")
+
+  /** The apply step over the stored docs themselves: rows at or below
+    * the NLL ceiling under the collection's own persisted LM. */
+  def lmFilter(maxNll: Double): DataFrame = {
+    val meta = describe
+    lmGateOf(df, idCol, meta("model.lm.text_col"), maxNll)
+  }
+
   /** IVF_PQ search served from the persisted artifacts: probe ranking
     * from stored centroids, ADC from stored codebooks, candidates from
     * the cell-partitioned code table. `candMult = None` is the pure
@@ -2125,6 +2175,7 @@ object GraftCollection {
   private[api] def ivfPqCentroids(coll: String): String = coll + "__ivfpq_centroids"
   private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
   private[api] def qcWeights(coll: String): String = coll + "__qc_weights"
+  private[api] def lmBigrams(coll: String): String = coll + "__lm_bigrams"
   private[api] def ivfSqCodes(coll: String): String = coll + "__ivfsq_codes"
   private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"

@@ -432,11 +432,22 @@ object Curation {
                        defaultWeight: Double = 1.0, minQuality: Double = 0.0,
                        trainPct: Int = 90, budget: Int = 2048,
                        nShards: Int = 64,
-                       nearDupPairs: Option[DataFrame] = None): DataFrame = {
+                       nearDupPairs: Option[DataFrame] = None,
+                       lmGate: Option[(graft.text.NgramLm.Model, Double)] = None): DataFrame = {
     val scored = graft.text.TextAnalysis.quality(
         docs, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
-    val mixed = sampleByWeights(scored, idCol, domainCol, weights, defaultWeight)
+    // optional CCNet-style perplexity gate: NLL under a TRUSTED-corpus
+    // bigram LM (trained elsewhere — the artifact is the model), one
+    // semi-join on the id; token-less docs drop when the gate is on
+    val fluent = lmGate match {
+      case Some((m, maxNll)) => scored.join(
+        graft.text.NgramLm.score(scored, idCol, textCol, m)
+          .where(col("nll") <= maxNll).select(idCol),
+        Seq(idCol), "left_semi")
+      case None => scored
+    }
+    val mixed = sampleByWeights(fluent, idCol, domainCol, weights, defaultWeight)
     val deduped = dedupByContent(mixed, idCol, textCol)
     val collapsed = nearDupPairs match {
       case Some(pairs) => graft.dedup.Dedup

@@ -114,6 +114,14 @@ object Streams {
     * canonical pipeline bootstraps the model from the heuristic, then
     * gates the stream on both.
     *
+    * `maxLmNll` (requires a stored bigram LM,
+    * [[graft.api.GraftCollection.trainLmModel]]) adds the CCNet-style
+    * perplexity gate: each batch's held-out NLL is scored against the
+    * persisted count artifact (token-key joins, O(batch)) and rows
+    * above the ceiling drop at the door — the third composable gate
+    * next to the heuristic and learned ones. Token-less docs drop when
+    * this gate is on (an LM cannot vouch for unscoreable text).
+    *
     * Curation params mirror [[graft.ops.Curation.curateBatch]]. */
   def curatedIngest(docs: DataFrame, coll: graft.api.GraftCollection,
                     checkpoint: String, idCol: String = "doc_id",
@@ -123,7 +131,8 @@ object Streams {
                     minQuality: Double = 0.0,
                     nearDupThreshold: Option[Double] = None,
                     minClassifierProb: Option[Double] = None,
-                    scrubPii: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+                    scrubPii: Boolean = false,
+                    maxLmNll: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -136,9 +145,16 @@ object Streams {
           scrubPii = scrubPii)
         // learned gate: a where() over the scored single scan — the
         // curateBatch plan runs ONCE, never duplicated across a join
-        val curated = (minClassifierProb match {
+        val curated1 = minClassifierProb match {
           case Some(p) => coll.qualityGateOf(curated0, textCol, p)
           case None => curated0
+        }
+        // perplexity gate: one batch-bounded semi-join against the
+        // persisted LM counts (curateBatch keyed rows by content, so
+        // the gate joins back on the "id" content key)
+        val curated = (maxLmNll match {
+          case Some(ceil) => coll.lmGateOf(curated1, "id", textCol, ceil)
+          case None => curated1
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
         // the snapshot rewrite, same as the restart-recovery guard above

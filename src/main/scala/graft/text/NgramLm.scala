@@ -67,6 +67,21 @@ object NgramLm {
         .as("__p"))
       .select(col(idCol), col("__p.v").as("v"), col("__p.w").as("w"))
 
+  /** Rebuild a full [[Model]] from a persisted bigram table alone —
+    * the bigram counts are the SUFFICIENT STATISTIC: every token
+    * instance appears exactly once as a `w` (the `<s>` context covers
+    * position 0), so the unigram marginal Σ_v c(v,w), the context
+    * totals and the grand totals all derive by aggregation. Persist
+    * one (v, w, c_vw) table, get the whole artifact back. */
+  def fromBigrams(bigrams: DataFrame): Model = {
+    val contexts = bigrams.groupBy("v")
+      .agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p"))
+    val unigrams = bigrams.groupBy("w").agg(sum("c_vw").as("c_w"))
+    val totals = unigrams.agg(sum("c_w").as("t_tokens"),
+      count(lit(1)).as("vocab"))
+    Model(bigrams, contexts, unigrams, totals)
+  }
+
   /** Count tables from the training corpus (two aggregations, fully
     * map-side-combinable; the text column never shuffles). */
   def train(docs: DataFrame, idCol: String, textCol: String): Model = {

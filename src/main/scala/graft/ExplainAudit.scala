@@ -17,7 +17,9 @@ object ExplainAudit {
         "q_quality_classifier", "q_vocab_drift",
         "q_hnsw_search", "q_strip_boilerplate", "q_vocab_build",
         "q_tokenize_ids", "q_bpe_encode", "q_bpe_ids", "q_hybrid_ann",
-        "q_chunk_search", "q_semdedup_prod")
+        "q_chunk_search", "q_semdedup_prod",
+        "q_hnsw_string_exhaustive", "q_passage_repeats_shifted",
+        "q_strip_boilerplate_shifted", "q_lm_perplexity")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

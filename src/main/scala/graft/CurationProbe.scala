@@ -170,6 +170,17 @@ object CurationProbe {
             d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
           .agg(min("nll"), sum("n_tokens").as("t")).collect().head.getLong(1)
       }
+      // the order-3 chain: one wider count table, two more joins
+      val model3 = graft.text.NgramLm.train3(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      time(s"lm3_train_$tag") {
+        model3.trigrams.agg(sum("c_uvw")).collect().head.getLong(0)
+      }
+      time(s"lm3_score_$tag") {
+        graft.text.NgramLm.score3(
+            d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model3)
+          .agg(min("nll"), sum("n_tokens").as("t")).collect().head.getLong(1)
+      }
       d.unpersist()
     }
 

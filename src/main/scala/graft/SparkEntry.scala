@@ -889,6 +889,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_lm_perplexity3" -> ((s, dir) => {
+      // the order-3 chain of q_lm_perplexity: p3 backs off through p2
+      // through the add-one unigram, double-<s> padding; same held-out
+      // split, same rounding discipline. The trigram table is again
+      // the lone sufficient statistic (its (v,w) marginal IS the
+      // bigram table), which the oracle mirrors by deriving every
+      // lower-order count from the tg CTE.
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train3(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      graft.text.NgramLm.score3(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1621,20 +1636,63 @@ object SparkEntry {
         |scp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
         |        FROM sc, UNNEST(range(1, len(a) + 1)) AS r(i)),
         |lp AS (SELECT s.doc_id,
-        |  round(ln(CASE WHEN ctx.c_v IS NULL
+        |  CAST(round(ln(CASE WHEN ctx.c_v IS NULL
         |    THEN (CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
         |         / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0)
         |    ELSE greatest(CAST(coalesce(bgc.c_vw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.c_v AS DOUBLE)
         |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c_v AS DOUBLE)) *
         |         ((CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
         |          / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0))
-        |    END), 6) AS lp
+        |    END) * 1000000, 0) AS BIGINT) AS lp6
         |  FROM scp s LEFT JOIN bgc ON s.v = bgc.v AND s.w = bgc.w
         |             LEFT JOIN ctx ON s.v = ctx.v
         |             LEFT JOIN uni ON s.w = uni.w
         |             CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(-CAST(sum(CAST(lp AS DECIMAL(20,6))) AS DOUBLE) / count(*), 4) AS nll
+        |  CAST(((-sum(lp6)) * 10000) // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lm_perplexity3" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |trp3 AS (SELECT doc_id,
+        |           CASE WHEN i <= 2 THEN '<s>' ELSE a[i-2] END AS u,
+        |           CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |         FROM tr, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |tg AS (SELECT u, v, w, count(*) AS c_uvw FROM trp3 GROUP BY u, v, w),
+        |bctx AS (SELECT u, v, sum(c_uvw) AS c_uv, count(*) AS n1p3 FROM tg GROUP BY u, v),
+        |bgc AS (SELECT v, w, sum(c_uvw) AS c_vw FROM tg GROUP BY v, w),
+        |ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p FROM bgc GROUP BY v),
+        |uni AS (SELECT w, sum(c_vw) AS c_w FROM bgc GROUP BY w),
+        |tot AS (SELECT sum(c_w) AS t_tokens, count(*) AS vocab FROM uni),
+        |sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |scp3 AS (SELECT doc_id,
+        |           CASE WHEN i <= 2 THEN '<s>' ELSE a[i-2] END AS u,
+        |           CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |         FROM sc, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |lp0 AS (SELECT s.doc_id, tg.c_uvw, bctx.c_uv, bctx.n1p3,
+        |  CASE WHEN ctx.c_v IS NULL
+        |    THEN (CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0)
+        |    ELSE greatest(CAST(coalesce(bgc.c_vw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.c_v AS DOUBLE)
+        |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c_v AS DOUBLE)) *
+        |         ((CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0))
+        |    END AS p2
+        |  FROM scp3 s LEFT JOIN tg ON s.u = tg.u AND s.v = tg.v AND s.w = tg.w
+        |              LEFT JOIN bctx ON s.u = bctx.u AND s.v = bctx.v
+        |              LEFT JOIN bgc ON s.v = bgc.v AND s.w = bgc.w
+        |              LEFT JOIN ctx ON s.v = ctx.v
+        |              LEFT JOIN uni ON s.w = uni.w
+        |              CROSS JOIN tot),
+        |lp AS (SELECT doc_id,
+        |  CAST(round(ln(CASE WHEN c_uv IS NULL THEN p2
+        |    ELSE greatest(CAST(coalesce(c_uvw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(c_uv AS DOUBLE)
+        |       + (0.75 * CAST(n1p3 AS DOUBLE) / CAST(c_uv AS DOUBLE)) * p2
+        |    END) * 1000000, 0) AS BIGINT) AS lp6 FROM lp0)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(((-sum(lp6)) * 10000) // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS nll
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->

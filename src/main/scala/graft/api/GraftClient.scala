@@ -1530,27 +1530,36 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * the classifier weights. In the CCNet deployment the training
     * collection is a TRUSTED corpus and candidate batches stream
     * through [[lmGateOf]] at the door. */
-  def trainLmModel(textCol: String = "text"): Unit = {
+  def trainLmModel(textCol: String = "text", order: Int = 2): Unit = {
     require(df.columns.contains(textCol), s"no such field: $textCol")
-    val m = graft.text.NgramLm.train(df, idCol, textCol)
+    require(order == 2 || order == 3, "LM order must be 2 or 3")
+    // either order persists ONE count table (its own sufficient
+    // statistic): (v, w, c_vw) at order 2, (u, v, w, c_uvw) at order 3
+    val counts =
+      if (order == 2) graft.text.NgramLm.train(df, idCol, textCol).bigrams
+      else graft.text.NgramLm.train3(df, idCol, textCol).trigrams
     catalog.createCollectionIfNotExists(db, GraftCollection.lmBigrams(coll))
-    catalog.write(db, GraftCollection.lmBigrams(coll), m.bigrams)
-    catalog.updateMeta(db, coll, Map("model.lm.text_col" -> textCol))
-  }
-
-  private def lmStoredModel(meta: Map[String, String]): graft.text.NgramLm.Model = {
-    require(meta.contains("model.lm.text_col"),
-      "no LM model: run trainLmModel first")
-    graft.text.NgramLm.fromBigrams(
-      catalog.read(db, GraftCollection.lmBigrams(coll)))
+    catalog.write(db, GraftCollection.lmBigrams(coll), counts)
+    catalog.updateMeta(db, coll, Map("model.lm.text_col" -> textCol,
+      "model.lm.order" -> order.toString))
   }
 
   /** (id, n_tokens, nll) for an ARBITRARY batch against the stored LM
-    * — token-key joins against the persisted count sliver, O(batch). */
+    * — token-key joins against the persisted count sliver, O(batch);
+    * the stored order (meta model.lm.order) picks the chain. */
   def scoreLmOf(batch: DataFrame, batchIdCol: String,
-                batchTextCol: String): DataFrame =
-    graft.text.NgramLm.score(batch, batchIdCol, batchTextCol,
-      lmStoredModel(describe))
+                batchTextCol: String): DataFrame = {
+    val meta = describe
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
+    val counts = catalog.read(db, GraftCollection.lmBigrams(coll))
+    if (meta.getOrElse("model.lm.order", "2") == "3")
+      graft.text.NgramLm.score3(batch, batchIdCol, batchTextCol,
+        graft.text.NgramLm.fromTrigrams(counts))
+    else
+      graft.text.NgramLm.score(batch, batchIdCol, batchTextCol,
+        graft.text.NgramLm.fromBigrams(counts))
+  }
 
   /** Batch rows whose held-out NLL under the stored LM is at or below
     * `maxNll` — the streaming front door's perplexity gate (see

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * Engine-reproducible by construction: all probabilities are ratios
   * of exact integer counts evaluated in one pinned double-precision
-  * expression; the only libm call (ln) is rounded to 6 decimals per
-  * token BEFORE the per-document sum, so the cross-engine oracle
-  * (DuckDB) reproduces the score bit-for-bit at the emitted 4-decimal
-  * rounding.
+  * expression; the only libm call (ln) rounds to an integer MICRO-NAT
+  * (ln p × 10⁶ → BIGINT) per token, the per-document sum and 4-decimal
+  * mean are pure integer arithmetic (floor division), and the single
+  * final ÷10⁴ is exact — no double summation, no round() at a half
+  * boundary, nothing an engine pair can disagree on.
   *
   * 100 TB shape: [[train]] is two hash aggregations over exploded
   * (v, w) pairs with map-side combine — the counts tables are the
@@ -97,6 +98,106 @@ object NgramLm {
     Model(bigrams, contexts, unigrams, totals)
   }
 
+  /** Trained order-3 artifact: the trigram counts plus the derived
+    * (u,v) context totals and the full order-2 chain it backs off
+    * into. Like [[Model]], one table is the sufficient statistic —
+    * see [[fromTrigrams]]. */
+  final case class Model3(trigrams: DataFrame, bicontexts: DataFrame,
+                          bigram: Model)
+
+  /** (id, u, v, w) trigram rows with DOUBLE `<s>` padding: position 0
+    * scores under (`<s>`, `<s>`) and position 1 under (`<s>`, w₀), so
+    * every token instance appears exactly once as a `w` here too. */
+  private def tripleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), expr(
+        s"filter(split($textCol, ' '), x -> x <> '')").as("__a"))
+      .where(size(col("__a")) > 0)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__a) - 1), " +
+          "i -> struct(if(i <= 1, '<s>', __a[i - 2]) AS u, " +
+          "if(i = 0, '<s>', __a[i - 1]) AS v, __a[i] AS w))"))
+        .as("__p"))
+      .select(col(idCol), col("__p.u").as("u"), col("__p.v").as("v"),
+        col("__p.w").as("w"))
+
+  /** Rebuild the full order-3 chain from the persisted trigram table
+    * alone: the (v, w) marginal Σ_u c(u,v,w) IS the bigram table (the
+    * double-`<s>` padding makes position 0's marginal land on the
+    * bigram layer's own `<s>` start convention), and [[fromBigrams]]
+    * derives the rest — so order-3 persistence is STILL one table. */
+  def fromTrigrams(trigrams: DataFrame): Model3 = {
+    val bicontexts = trigrams.groupBy("u", "v")
+      .agg(sum("c_uvw").as("c_uv"), count(lit(1)).as("n1p3"))
+    val bigrams = trigrams.groupBy("v", "w").agg(sum("c_uvw").as("c_vw"))
+    Model3(trigrams, bicontexts, fromBigrams(bigrams))
+  }
+
+  /** Order-3 count tables: one aggregation over exploded (u, v, w)
+    * triples; everything else derives ([[fromTrigrams]]). */
+  def train3(docs: DataFrame, idCol: String, textCol: String): Model3 =
+    fromTrigrams(tripleRows(docs, idCol, textCol)
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("c_uvw")))
+
+  /** The shared scoring tail over the per-token MICRO-NAT column
+    * `__lp6` (ln p × 10⁶ rounded to a BIGINT — ln of a ratio of
+    * integer counts never sits on an integer boundary, so the one
+    * rounding is safe): sum exact integers, then take the 4-decimal
+    * mean by INTEGER floor-division, dividing by 10⁴ only for
+    * display. A double mean + round() is NOT cross-engine safe — the
+    * mean of micro-nat integers lands exactly on x.xxxx5 whenever n
+    * divides the sum that way, and at a half boundary Spark
+    * (shortest-repr HALF_UP) and DuckDB (binary-double rounding) can
+    * disagree by one ulp of the output (observed once in 2 500 docs
+    * at sf0.1). Truncation via integer arithmetic has no boundary to
+    * disagree on. */
+  private def aggregateNll(scored: DataFrame, idCol: String): DataFrame =
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__lp6").as("__s6"))
+      .select(col(idCol), col("n_tokens"),
+        (expr("CAST(((-__s6) * 10000L) DIV (n_tokens * 1000000L) AS DOUBLE)")
+          / lit(10000.0)).as("nll"))
+
+  /** The order-2 per-token probability expression over a row that has
+    * joined (c_w, c_v, n1p, __cvw, t_tokens, vocab). */
+  private def p2Expr = {
+    val d = lit(Discount)
+    val pUni = (coalesce(col("c_w"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("t_tokens").cast("double") + col("vocab").cast("double") + lit(1.0))
+    when(col("c_v").isNull, pUni).otherwise(
+      greatest(coalesce(col("__cvw"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c_v").cast("double") +
+        (d * col("n1p").cast("double") / col("c_v").cast("double")) * pUni)
+  }
+
+  /** Score against an order-3 chain:
+    *
+    *   p₃(w|u,v) = max(c(u,v,w) − d, 0) / c(u,v)
+    *             + d · n₁₊(u,v) / c(u,v) · p₂(w|v)
+    *
+    * with p₃ = p₂ for an (u,v) context never seen in training; same
+    * rounding discipline and output schema as [[score]]. */
+  def score3(docs: DataFrame, idCol: String, textCol: String,
+             model: Model3): DataFrame = {
+    val d = lit(Discount)
+    val m2 = model.bigram
+    val scored = tripleRows(docs, idCol, textCol)
+      .join(model.trigrams.withColumnRenamed("c_uvw", "__cuvw"),
+        Seq("u", "v", "w"), "left")
+      .join(model.bicontexts, Seq("u", "v"), "left")
+      .join(m2.bigrams.withColumnRenamed("c_vw", "__cvw"), Seq("v", "w"), "left")
+      .join(m2.contexts, Seq("v"), "left")
+      .join(m2.unigrams, Seq("w"), "left")
+      .crossJoin(broadcast(m2.totals))
+      .select(col(idCol), round(log({
+        val p2 = p2Expr
+        when(col("c_uv").isNull, p2).otherwise(
+          greatest(coalesce(col("__cuvw"), lit(0L)).cast("double") - d, lit(0.0)) /
+            col("c_uv").cast("double") +
+            (d * col("n1p3").cast("double") / col("c_uv").cast("double")) * p2)
+      }) * lit(1000000.0), 0).cast("long").as("__lp6"))
+    aggregateNll(scored, idCol)
+  }
+
   /** Score candidate documents against a trained [[Model]]: returns
     * (id, n_tokens, nll) with nll = −mean per-token ln p, rounded to
     * 4 decimals (lower = more fluent under the training corpus; CCNet
@@ -104,28 +205,15 @@ object NgramLm {
     * oracle-reproducible — see the class doc for the rounding
     * discipline. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            model: Model): DataFrame = {
-    val d = lit(Discount)
-    val scored = pairRows(docs, idCol, textCol)
-      .join(model.bigrams.withColumnRenamed("c_vw", "__cvw"), Seq("v", "w"), "left")
-      .join(model.contexts, Seq("v"), "left")
-      .join(model.unigrams, Seq("w"), "left")
-      .crossJoin(broadcast(model.totals))
-      .select(col(idCol), round(log(
-        {
-          val pUni = (coalesce(col("c_w"), lit(0L)).cast("double") + lit(1.0)) /
-            (col("t_tokens").cast("double") + col("vocab").cast("double") + lit(1.0))
-          when(col("c_v").isNull, pUni).otherwise(
-            greatest(coalesce(col("__cvw"), lit(0L)).cast("double") - d, lit(0.0)) /
-              col("c_v").cast("double") +
-              (d * col("n1p").cast("double") / col("c_v").cast("double")) * pUni)
-        }), 6).as("__lp"))
-    // the 6-decimal per-token logs sum as DECIMAL — exact regardless
-    // of partition/combine order — so the only double steps are one
-    // division and the final 4-decimal rounding
-    scored.groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        round(-sum(col("__lp").cast("decimal(20,6)")).cast("double") /
-          count(lit(1)), 4).as("nll"))
-  }
+            model: Model): DataFrame =
+    aggregateNll(
+      pairRows(docs, idCol, textCol)
+        .join(model.bigrams.withColumnRenamed("c_vw", "__cvw"),
+          Seq("v", "w"), "left")
+        .join(model.contexts, Seq("v"), "left")
+        .join(model.unigrams, Seq("w"), "left")
+        .crossJoin(broadcast(model.totals))
+        .select(col(idCol), round(log(p2Expr) * lit(1000000.0), 0)
+          .cast("long").as("__lp6")),
+      idCol)
 }

@@ -78,6 +78,93 @@ class NgramLmSpec extends SparkSpec {
     assert(orig < rev, s"original nll $orig must beat reversed $rev")
   }
 
+  test("order-3: p(.|u,v) is a proper distribution for seen, unseen and start contexts") {
+    val m = NgramLm.train3(
+      docs(0L -> "a b a c", 1L -> "b a b b", 2L -> "c a"), "doc_id", "text")
+    val Seq(t, v) = m.bigram.totals.collect().head.toSeq.map(_.toString.toLong)
+    val uni = m.bigram.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = uni.keySet
+    def pUni(w: String) = (uni.getOrElse(w, 0L) + 1.0) / (t + v + 1.0)
+    val bg = m.bigram.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctx = m.bigram.contexts.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def p2(c: String): String => Double = ctx.get(c) match {
+      case Some((cv, n1p)) => w =>
+        math.max(bg.getOrElse((c, w), 0L) - NgramLm.Discount, 0.0) / cv +
+          (NgramLm.Discount * n1p / cv) * pUni(w)
+      case None => pUni
+    }
+    val tg = m.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val bc = m.bicontexts.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // every kind of (u, v): double-start, start+word, seen word pair,
+    // unseen word pair (falls through to p2)
+    for (uv <- Seq(("<s>", "<s>"), ("<s>", "a"), ("b", "a"), ("zz", "qq"))) {
+      val p3: String => Double = bc.get(uv) match {
+        case Some((cuv, n1p3)) => w =>
+          math.max(tg.getOrElse((uv._1, uv._2, w), 0L) - NgramLm.Discount, 0.0) / cuv +
+            (NgramLm.Discount * n1p3 / cuv) * p2(uv._2)(w)
+        case None => p2(uv._2)
+      }
+      val total = vocab.toSeq.map(p3).sum + p3("__OOV__")
+      assert(math.abs(total - 1.0) < 1e-9, s"context $uv sums to $total")
+    }
+  }
+
+  test("the trigram table's (v,w) marginal IS the bigram model (sufficient statistic)") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val train = corpus.where(pmod(col("doc_id"), lit(2)) === 0)
+    val held = corpus.where(pmod(col("doc_id"), lit(2)) === 1)
+      .where(col("doc_id") < 100)
+    val viaTri = NgramLm.score(held, "doc_id", "text",
+        NgramLm.train3(train, "doc_id", "text").bigram)
+      .orderBy("doc_id").collect().toSeq
+    val direct = NgramLm.score(held, "doc_id", "text",
+        NgramLm.train(train, "doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaTri == direct,
+      "double-<s> padding must make the marginal land exactly on the order-2 convention")
+  }
+
+  test("order-3 separates what order-2 provably cannot") {
+    // bigram-symmetric corpus: after 'b', c and d are equally likely
+    // and every other count is mirrored — the order-2 scores of
+    // 'a b c' and 'a b d' are IDENTICAL. The trigram (a,b,c) is seen
+    // while (a,b,d) is not, so only the order-3 chain separates them.
+    val train = docs(0L -> "a b c", 1L -> "x b d")
+    val m2 = NgramLm.train(train, "doc_id", "text")
+    val m3 = NgramLm.train3(train, "doc_id", "text")
+    val cand = docs(10L -> "a b c", 11L -> "a b d")
+    val s2 = NgramLm.score(cand, "doc_id", "text", m2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s3 = NgramLm.score3(cand, "doc_id", "text", m3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(10L) == s2(11L), s"order-2 must tie the symmetric pair: $s2")
+    assert(s3(10L) < s3(11L), s"order-3 must prefer the seen trigram: $s3")
+  }
+
+  test("collection round-trip at order 3: the stored order picks the chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lm3").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("trusted")
+    coll.upsert(Seq((0L, "a b c"), (1L, "x b d")).toDF("id", "text"))
+    coll.trainLmModel(order = 3)
+    val again = new graft.api.GraftClient(spark, root)
+      .database("db").collection("trusted")
+    val served = again.scoreLmOf(
+        Seq((10L, "a b c"), (11L, "a b d")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val direct = NgramLm.score3(
+        Seq((10L, "a b c"), (11L, "a b d")).toDF("id", "text"), "id", "text",
+        NgramLm.train3(Seq((0L, "a b c"), (1L, "x b d")).toDF("id", "text"),
+          "id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(served == direct, "stored order-3 counts must serve the order-3 chain")
+    assert(served(10L) < served(11L))
+  }
+
   test("fromBigrams rebuilds the identical model from the bigram sufficient statistic") {
     val corpus = graft.sources.Tables.documents(spark, sf)
     val m = NgramLm.train(corpus.where(pmod(col("doc_id"), lit(2)) === 0),

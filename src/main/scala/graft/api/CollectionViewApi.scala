@@ -76,7 +76,11 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     // nodes of a re-uploaded set stay in older segments but the
     // serving semi-join only admits candidates present in the CURRENT
     // chunk index, so they are masked until compaction folds them out
-    appendChunkSegment(newChunks)
+    // feed the graph from the chunks as WRITTEN (a parquet scan) —
+    // the lazy split+embed plan would re-execute inside append (its
+    // row count and graph build each run their input)
+    appendChunkSegment(catalog.read(db, chunksColl)
+      .where(col("doc_set") === documentSetName))
     // count the chunks as WRITTEN (a parquet scan) rather than re-running
     // the split+embed pipeline a second time
     val nChunks = catalog.read(db, chunksColl)
@@ -235,7 +239,10 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     * process-wide in the same nonce-keyed map as collections — a
     * per-query re-read would re-shuffle the whole graph every search,
     * erasing the ANN arm's point. */
-  private def preparedChunkGraph(): Option[org.apache.spark.sql.DataFrame] =
+  /** Returns the prepared graph together with the meta snapshot it was
+    * resolved from, so callers read meta.json once per search — not a
+    * second time for serving params like default_ef. */
+  private def preparedChunkGraph(): Option[(org.apache.spark.sql.DataFrame, Map[String, String])] =
     if (!catalog.collectionExists(db, graphColl)) None
     else {
       val meta = graphStore.meta
@@ -244,7 +251,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       // nextseg can only be leftovers of a crashed append
       val nextSeg = meta.get("index.hnsw.nextseg").map(_.toInt)
       val key = GraftCollection.servingKey(catalog.rootPath, db, graphColl)
-      Some(GraftCollection.hnswServing.compute(key, (_, old) => {
+      Some((GraftCollection.hnswServing.compute(key, (_, old) => {
         if (old != null && old._1 == version && (old._2.sparkSession eq spark)) old
         else {
           if (old != null)
@@ -254,7 +261,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
           (version, graft.vector.HnswIndex.prepare(
             nextSeg.fold(raw)(ns => raw.where(col("seg") < ns))))
         }
-      })._2)
+      })._2, meta))
     }
 
   /** search(content, limit, expand_chunk, filter): content search over
@@ -274,12 +281,12 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     * `ef = Some(Int.MaxValue)` (or never build the graph). */
   def search(content: String, limit: Int = 10, expandChunk: (Int, Int) = (0, 0),
              filter: String = "", ef: Option[Int] = None): DataFrame = {
-    val graph = preparedChunkGraph()
+    val prepared = preparedChunkGraph()
+    val graph = prepared.map(_._1)
     require(ef.isEmpty || graph.nonEmpty,
       "chunk search ef param requires a live chunk graph: run rebuildChunkGraph first")
-    val servingEf = ef.getOrElse(
-      if (graph.isEmpty) 10
-      else graphStore.meta.getOrElse("index.hnsw.default_ef", "10").toInt)
+    val servingEf = ef.getOrElse(prepared.fold(10)(
+      _._2.getOrElse("index.hnsw.default_ef", "10").toInt))
     CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter,
       graph = graph, ef = servingEf, graphPrepared = true)
   }

@@ -1578,6 +1578,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * the NLL ceiling under the collection's own persisted LM. */
   def lmFilter(maxNll: Double): DataFrame = {
     val meta = describe
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
     lmGateOf(df, idCol, meta("model.lm.text_col"), maxNll)
   }
 

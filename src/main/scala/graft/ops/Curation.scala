@@ -440,9 +440,14 @@ object Curation {
     // optional CCNet-style perplexity gate: NLL under a TRUSTED-corpus
     // bigram LM (trained elsewhere — the artifact is the model), one
     // semi-join on the id; token-less docs drop when the gate is on
+    // the score side reads the RAW docs projected to (id, text) — a
+    // column-pruned scan — NOT the `scored` plan: putting `scored` on
+    // both sides of the semi-join would run the quality pass (the
+    // expensive stage) twice per build
     val fluent = lmGate match {
       case Some((m, maxNll)) => scored.join(
-        graft.text.NgramLm.score(scored, idCol, textCol, m)
+        graft.text.NgramLm.score(docs.select(col(idCol), col(textCol)),
+            idCol, textCol, m)
           .where(col("nll") <= maxNll).select(idCol),
         Seq(idCol), "left_semi")
       case None => scored

@@ -151,9 +151,14 @@ object Streams {
         }
         // perplexity gate: one batch-bounded semi-join against the
         // persisted LM counts (curateBatch keyed rows by content, so
-        // the gate joins back on the "id" content key)
+        // the gate joins back on the "id" content key). Persist the
+        // gate's INPUT too: lmGateOf puts the batch plan on both sides
+        // of the semi-join — unpersisted, scoring, sampling, and the
+        // dedup shuffle would execute twice per micro-batch
+        val lmInput = maxLmNll.map(_ => curated1.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val curated = (maxLmNll match {
-          case Some(ceil) => coll.lmGateOf(curated1, "id", textCol, ceil)
+          case Some(ceil) => coll.lmGateOf(lmInput.get, "id", textCol, ceil)
           case None => curated1
         }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
@@ -170,7 +175,7 @@ object Streams {
             }
             if (nearDupThreshold.isEmpty || !gated.isEmpty) coll.upsert(gated)
           }
-        } finally curated.unpersist()
+        } finally { curated.unpersist(); lmInput.foreach(_.unpersist()) }
       }
       .start()
 

@@ -181,6 +181,27 @@ object CurationProbe {
             d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model3)
           .agg(min("nll"), sum("n_tokens").as("t")).collect().head.getLong(1)
       }
+      // ---- DSIR fit + weights + Gumbel top-k (row 89) --------------
+      // fit = two gram explodes collapsing onto <= 4096 bucket keys
+      // (kilobyte shuffle at any corpus size); weights = one broadcast
+      // join over the candidate gram stream + groupBy(id); select adds
+      // only a TakeOrderedAndProject. All linear in candidate tokens —
+      // the forced agg sums features scored (must ~8x at 8x).
+      val ratios = graft.ops.Dsir.logRatios(
+          d.where(col("source") === "src0"), d, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"dsir_fit_$tag") { ratios.agg(sum("lr6")).collect(); ratios.count() }
+      time(s"dsir_weights_$tag") {
+        graft.ops.Dsir.weights(
+            d.where(col("source") =!= "src0"), "doc_id", "text", ratios)
+          .agg(min("logw"), sum("n_feats").as("f")).collect().head.getLong(1)
+      }
+      time(s"dsir_select_$tag") {
+        graft.ops.Dsir.select(
+          d.where(col("source") =!= "src0"), "doc_id", "text", ratios,
+          k = 10000).count()
+      }
+      ratios.unpersist()
       d.unpersist()
     }
 

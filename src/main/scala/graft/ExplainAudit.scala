@@ -19,7 +19,8 @@ object ExplainAudit {
         "q_tokenize_ids", "q_bpe_encode", "q_bpe_ids", "q_hybrid_ann",
         "q_chunk_search", "q_semdedup_prod",
         "q_hnsw_string_exhaustive", "q_passage_repeats_shifted",
-        "q_strip_boilerplate_shifted", "q_lm_perplexity", "q_lm_perplexity3")
+        "q_strip_boilerplate_shifted", "q_lm_perplexity", "q_lm_perplexity3",
+        "q_ppl_buckets", "q_dsir_select")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

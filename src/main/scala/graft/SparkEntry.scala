@@ -904,6 +904,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_ppl_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail step over the whole corpus: the
+      // even-half LM scores EVERY document (trusted-subset model, the
+      // CCNet deployment), then per source domain the best third by
+      // nll is head — integer thresholds, tie groups bucket where
+      // they start (NgramLm.buckets scaladoc).
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      val scored = graft.text.NgramLm.score(docs, "doc_id", "text", model)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.text.NgramLm.buckets(scored, "doc_id", "source")
+        .select("doc_id", "source", "n_tokens", "nll", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): hashed unigram +
+      // bigram features; target = the English slice, raw = the whole
+      // corpus; logw = exact micro-nat integer sum over the doc's
+      // gram instances ÷ 10⁶ (Dsir scaladoc). Candidates are the
+      // non-target docs — the selection population.
+      val docs = Tables.documents(s, dir)
+      val ratios = graft.ops.Dsir.logRatios(
+        docs.where(col("lang") === "en"), docs, "doc_id", "text")
+      graft.ops.Dsir.weights(
+          docs.where(col("lang") =!= "en"), "doc_id", "text", ratios)
+        .orderBy("doc_id")
+    }),
+
+    "q_dsir_select" -> ((s, dir) => {
+      // the resampling step: Gumbel top-k over the same weights —
+      // sampling without replacement proportional to the importance
+      // weight, content-addressed so the draw reproduces across
+      // engines (the oracle computes the identical BIGINT keys).
+      val docs = Tables.documents(s, dir)
+      val ratios = graft.ops.Dsir.logRatios(
+        docs.where(col("lang") === "en"), docs, "doc_id", "text")
+      graft.ops.Dsir.select(
+        docs.where(col("lang") =!= "en"), "doc_id", "text", ratios, 50)
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1694,6 +1736,129 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(((-sum(lp6)) * 10000) // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS nll
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |trp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM tr, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |bgc AS (SELECT v, w, count(*) AS c_vw FROM trp GROUP BY v, w),
+        |ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p FROM bgc GROUP BY v),
+        |uni AS (SELECT w, count(*) AS c_w FROM trp GROUP BY w),
+        |tot AS (SELECT sum(c_w) AS t_tokens, count(*) AS vocab FROM uni),
+        |sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |       FROM documents),
+        |scp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM sc, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |lp AS (SELECT s.doc_id,
+        |  CAST(round(ln(CASE WHEN ctx.c_v IS NULL
+        |    THEN (CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0)
+        |    ELSE greatest(CAST(coalesce(bgc.c_vw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.c_v AS DOUBLE)
+        |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c_v AS DOUBLE)) *
+        |         ((CAST(coalesce(uni.c_w, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE) + 1.0))
+        |    END) * 1000000, 0) AS BIGINT) AS lp6
+        |  FROM scp s LEFT JOIN bgc ON s.v = bgc.v AND s.w = bgc.w
+        |             LEFT JOIN ctx ON s.v = ctx.v
+        |             LEFT JOIN uni ON s.w = uni.w
+        |             CROSS JOIN tot),
+        |sco AS (SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(((-sum(lp6)) * 10000) // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS nll
+        |FROM lp GROUP BY doc_id),
+        |scod AS (SELECT s.doc_id, d.source, s.n_tokens, s.nll
+        |         FROM sco s JOIN documents d USING (doc_id)),
+        |grp AS (SELECT source, nll, count(*) AS c FROM scod GROUP BY source, nll),
+        |asg AS (SELECT source, nll,
+        |  coalesce(sum(c) OVER (PARTITION BY source ORDER BY nll
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS strt,
+        |  sum(c) OVER (PARTITION BY source) AS n FROM grp),
+        |bkt AS (SELECT source, nll,
+        |  CASE WHEN strt <= n // 3 THEN 'head'
+        |       WHEN strt <= (2 * n) // 3 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket FROM asg)
+        |SELECT d.doc_id, d.source, d.n_tokens, d.nll, b.ppl_bucket
+        |FROM scod d JOIN bkt b USING (source, nll) ORDER BY d.doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH tokt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |              FROM documents WHERE lang = 'en'),
+        |gt AS (SELECT a[i] AS g FROM tokt, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT a[i-1] || ' ' || a[i] AS g FROM tokt, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |ct AS (SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b,
+        |              count(*) AS ctn
+        |       FROM gt GROUP BY 1),
+        |tokr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |         FROM documents),
+        |gr AS (SELECT a[i] AS g FROM tokr, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT a[i-1] || ' ' || a[i] AS g FROM tokr, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |cr AS (SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b,
+        |              count(*) AS crn
+        |       FROM gr GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(ctn), 0) AS t FROM ct),
+        |rt AS (SELECT coalesce(sum(crn), 0) AS r FROM cr),
+        |dense AS (SELECT CAST(UNNEST(range(0, 4096)) AS BIGINT) AS b),
+        |ratio AS (SELECT dense.b, CAST(round(ln(
+        |    ((CAST(coalesce(ct.ctn, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + 4096.0))
+        |  / ((CAST(coalesce(cr.crn, 0) AS DOUBLE) + 1.0) / (CAST(rt.r AS DOUBLE) + 4096.0))
+        |  ) * 1000000, 0) AS BIGINT) AS lr6
+        |  FROM dense LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+        |             CROSS JOIN tt CROSS JOIN rt),
+        |tokc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |         FROM documents WHERE lang <> 'en'),
+        |gc AS (SELECT doc_id, a[i] AS g FROM tokc, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT doc_id, a[i-1] || ' ' || a[i] AS g FROM tokc, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |bc AS (SELECT doc_id, CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b
+        |       FROM gc)
+        |SELECT doc_id, count(*) AS n_feats,
+        |       CAST(sum(lr6) AS DOUBLE) / 1000000.0 AS logw
+        |FROM bc JOIN ratio USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH tokt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |              FROM documents WHERE lang = 'en'),
+        |gt AS (SELECT a[i] AS g FROM tokt, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT a[i-1] || ' ' || a[i] AS g FROM tokt, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |ct AS (SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b,
+        |              count(*) AS ctn
+        |       FROM gt GROUP BY 1),
+        |tokr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |         FROM documents),
+        |gr AS (SELECT a[i] AS g FROM tokr, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT a[i-1] || ' ' || a[i] AS g FROM tokr, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |cr AS (SELECT CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b,
+        |              count(*) AS crn
+        |       FROM gr GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(ctn), 0) AS t FROM ct),
+        |rt AS (SELECT coalesce(sum(crn), 0) AS r FROM cr),
+        |dense AS (SELECT CAST(UNNEST(range(0, 4096)) AS BIGINT) AS b),
+        |ratio AS (SELECT dense.b, CAST(round(ln(
+        |    ((CAST(coalesce(ct.ctn, 0) AS DOUBLE) + 1.0) / (CAST(tt.t AS DOUBLE) + 4096.0))
+        |  / ((CAST(coalesce(cr.crn, 0) AS DOUBLE) + 1.0) / (CAST(rt.r AS DOUBLE) + 4096.0))
+        |  ) * 1000000, 0) AS BIGINT) AS lr6
+        |  FROM dense LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+        |             CROSS JOIN tt CROSS JOIN rt),
+        |tokc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |         FROM documents WHERE lang <> 'en'),
+        |gc AS (SELECT doc_id, a[i] AS g FROM tokc, UNNEST(range(1, len(a) + 1)) AS r(i)
+        |       UNION ALL
+        |       SELECT doc_id, a[i-1] || ' ' || a[i] AS g FROM tokc, UNNEST(range(2, len(a) + 1)) AS r(i)),
+        |bc AS (SELECT doc_id, CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))::BIGINT % 4096 AS BIGINT) AS b
+        |       FROM gc),
+        |w AS (SELECT doc_id, sum(lr6) AS w6
+        |      FROM bc JOIN ratio USING (b) GROUP BY doc_id),
+        |sel AS (SELECT doc_id, w6, w6 + CAST(round(-ln(-ln(
+        |    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 8))::BIGINT + 0.5)
+        |     / 4294967296.0))) * 1000000, 0) AS BIGINT) AS k6
+        |  FROM w ORDER BY k6 DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(w6 AS DOUBLE) / 1000000.0 AS logw,
+        |       CAST(k6 AS DOUBLE) / 1000000.0 AS gkey
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->
       """SELECT doc_id,

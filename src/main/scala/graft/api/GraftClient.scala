@@ -1583,6 +1583,22 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     lmGateOf(df, idCol, meta("model.lm.text_col"), maxNll)
   }
 
+  /** CCNet's head/middle/tail bucketing over the stored docs under the
+    * collection's own persisted LM: per `domainCol` (CCNet buckets per
+    * language), the best-scoring third is `head` — see
+    * [[graft.text.NgramLm.buckets]] for the exact integer thresholds.
+    * Returns (id, domain, n_tokens, nll, ppl_bucket). */
+  def lmBuckets(domainCol: String): DataFrame = {
+    val meta = describe
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
+    require(df.columns.contains(domainCol), s"no such field: $domainCol")
+    graft.text.NgramLm.buckets(
+      scoreLmOf(df, idCol, meta("model.lm.text_col"))
+        .join(df.select(col(idCol), col(domainCol)), Seq(idCol)),
+      idCol, domainCol)
+  }
+
   /** IVF_PQ search served from the persisted artifacts: probe ranking
     * from stored centroids, ADC from stored codebooks, candidates from
     * the cell-partitioned code table. `candMult = None` is the pure

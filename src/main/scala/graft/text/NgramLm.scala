@@ -216,4 +216,44 @@ object NgramLm {
         .select(col(idCol), round(log(p2Expr) * lit(1000000.0), 0)
           .cast("long").as("__lp6")),
       idCol)
+
+  /** CCNet's head/middle/tail perplexity bucketing: within each domain
+    * (CCNet buckets per language), the best-scoring third of documents
+    * is `head`, the next third `middle`, the rest `tail` — the
+    * published curation step downstream consumers mix by (train on
+    * head+middle, hold tail for contrast). Input is a scored frame
+    * carrying `idCol`, `domainCol` and an `nll` column (join
+    * [[score]]'s output back to the corpus for the domain).
+    *
+    * Bucket boundaries are exact and engine-portable: thirds are
+    * INTEGER thresholds (N DIV 3, (2·N) DIV 3 per domain) over ranks,
+    * and a tie group of equal-nll documents buckets together where it
+    * STARTS (its first rank) — documents never split across a
+    * boundary by hash luck, and both engines evaluate the identical
+    * integer rule. Domains with fewer than 3 documents degenerate
+    * (head empty below N=3) by the same arithmetic on both sides.
+    *
+    * 100 TB shape: the rank window runs over the (domain, nll) GROUPED
+    * table, not the corpus — nll is a 4-decimal value, so each
+    * domain's partition is bounded by the VALUE SPACE of the score
+    * (≈10⁴ rows per nll unit of range), independent of corpus size;
+    * the assignment then joins back by (domain, nll). Two corpus
+    * passes total: one groupBy, one equi-join — text never shuffles. */
+  def buckets(scored: DataFrame, idCol: String, domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = scored.groupBy(col(domainCol), col("nll"))
+      .agg(count(lit(1)).as("__c"))
+    val byNll = Window.partitionBy(col(domainCol)).orderBy(col("nll"))
+    val assign = grp
+      .select(col(domainCol), col("nll"),
+        (coalesce(sum("__c").over(
+          byNll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+          .as("__start"),
+        sum("__c").over(Window.partitionBy(col(domainCol))).as("__n"))
+      .select(col(domainCol), col("nll"),
+        when(expr("__start <= __n DIV 3"), lit("head"))
+          .when(expr("__start <= (2 * __n) DIV 3"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    scored.join(assign, Seq(domainCol, "nll"))
+  }
 }

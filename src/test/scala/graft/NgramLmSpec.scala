@@ -270,4 +270,65 @@ class NgramLmSpec extends SparkSpec {
       .collect().head.getDouble(2)
     assert(out.head.getDouble(2) == again)
   }
+
+  // --- CCNet head/middle/tail bucketing (q_ppl_buckets) ---
+
+  private def scoredOf(rows: (Long, String, Double)*) =
+    rows.toDF("doc_id", "source", "nll")
+
+  private def bucketMap(scored: org.apache.spark.sql.DataFrame) =
+    NgramLm.buckets(scored, "doc_id", "source")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket"))
+      .toMap
+
+  test("buckets: exact thirds per domain with distinct scores") {
+    val b = bucketMap(scoredOf((1L to 9L).map(i => (i, "a", i.toDouble)): _*))
+    assert((1L to 3L).forall(b(_) == "head"), b.toString)
+    assert((4L to 6L).forall(b(_) == "middle"), b.toString)
+    assert((7L to 9L).forall(b(_) == "tail"), b.toString)
+  }
+
+  test("buckets: a tie group buckets together where it STARTS") {
+    // N=6 -> head <= rank 2, middle <= rank 4; the nll=1.0 group of 4
+    // STARTS at rank 1, so all four are head — and the next group
+    // starts at rank 5, past the middle threshold
+    val b = bucketMap(scoredOf(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (5L, "a", 2.0), (6L, "a", 3.0)))
+    assert((1L to 4L).forall(b(_) == "head"), b.toString)
+    assert(b(5L) == "tail" && b(6L) == "tail", b.toString)
+    assert(!b.values.exists(_ == "middle"), b.toString)
+  }
+
+  test("buckets: domains are independent; N<3 degenerates without a head") {
+    val b = bucketMap(scoredOf(
+      (1L, "a", 5.0), (2L, "a", 6.0), (3L, "a", 7.0),
+      (10L, "z", 1.0), (11L, "z", 2.0)))
+    assert(b(1L) == "head" && b(2L) == "middle" && b(3L) == "tail")
+    // N=2: head threshold 0, middle threshold 1
+    assert(b(10L) == "middle" && b(11L) == "tail")
+  }
+
+  test("collection lmBuckets serves thirds from the stored LM") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lmb").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("c")
+    // 9 docs per domain with increasing amounts of junk appended, so
+    // nll strictly climbs within each domain
+    val rows = for (d <- Seq("x", "y"); i <- 0 until 9) yield
+      (d.hashCode.toLong * 100 + i,
+        ("the cat sat on the mat " * 3) + Seq.fill(i)("zq" + i).mkString(" "),
+        d)
+    coll.upsert(rows.toDF("id", "text", "src"))
+    coll.trainLmModel()
+    val out = new graft.api.GraftClient(spark, root)
+      .database("db").collection("c").lmBuckets("src")
+    assert(out.columns.toSet ==
+      Set("id", "src", "n_tokens", "nll", "ppl_bucket"))
+    val perDomain = out.groupBy("src", "ppl_bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (d <- Seq("x", "y"); bkt <- Seq("head", "middle", "tail"))
+      assert(perDomain.getOrElse((d, bkt), 0L) == 3L,
+        s"expected exact thirds, got $perDomain")
+  }
 }

@@ -946,6 +946,53 @@ object SparkEntry {
         docs.where(col("lang") =!= "en"), "doc_id", "text", ratios, 50)
     }),
 
+    "q_c4_filter" -> ((s, dir) => {
+      // C4's line rules need line structure the single-line synthetic
+      // corpus lacks, so the entry deterministically plants it
+      // (doc_id-keyed, mirrored in the oracle): a 5-word terminal-
+      // punctuated line (kept), a 2-word punctuated line (dropped —
+      // too short), a 3-sentence line (pushes the page over the
+      // sentence floor), and a "lorem ipsum" tail (kills the page).
+      // The base line never ends in terminal punctuation, so the
+      // rules do real work on every document.
+      val docs = Tables.documents(s, dir)
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nalpha beta gamma delta epsilon.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nshort line.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\none two three four five. six seven eight nine ten. " +
+            "eleven twelve thirteen fourteen fifteen.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" lorem ipsum")).otherwise(lit(""))).as("text"))
+      graft.text.TextAnalysis.c4Clean(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher's stopword probe and line rules are vacuous on the
+      // synthetic corpus (one line, one probe word in the vocabulary),
+      // so the entry plants variety: stopword tails (flips the ≥2-hit
+      // rule), hash runs (symbol ratio + alpha ratio), bullet lines,
+      // and an ellipsis line — every output column varies and `keep`
+      // flips on multiple distinct rules.
+      val docs = Tables.documents(s, dir)
+      val planted = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(" and that of with to")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          lit(" # # # # # # # # # # # #")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\n- alpha bullet\n- beta bullet")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\ntrailing thought...")).otherwise(lit(""))).as("text"))
+      graft.text.TextAnalysis.gopherRules(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1859,6 +1906,65 @@ object SparkEntry {
         |SELECT doc_id, CAST(w6 AS DOUBLE) / 1000000.0 AS logw,
         |       CAST(k6 AS DOUBLE) / 1000000.0 AS gkey
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'alpha beta gamma delta epsilon.' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line.' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'one two three four five. six seven eight nine ten. eleven twelve thirteen fourteen fifteen.' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+        |  list_filter(string_split(text, chr(10)), x ->
+        |    right(x, 1) IN ('.', '!', '?', '"')
+        |    AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5) AS kl
+        |  FROM planted)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kl, chr(10)), '') AS text_clean,
+        |  len(ls) AS n_lines, len(kl) AS n_lines_kept,
+        |  len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]')) AS n_sentences,
+        |  (len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]')) >= 3
+        |   AND NOT instr(lower(text), 'lorem ipsum') > 0
+        |   AND NOT instr(text, '{') > 0) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' and that of with to' ELSE '' END
+        |  || CASE WHEN doc_id % 9 = 0 THEN ' # # # # # # # # # # # #' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '- alpha bullet' || chr(10) || '- beta bullet' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, text,
+        |  list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS ws,
+        |  string_split(text, chr(10)) AS ls FROM planted),
+        |s AS (SELECT doc_id, text, ws, ls,
+        |  len(ws) AS n_words,
+        |  CAST(greatest(len(ws), 1) AS DOUBLE) AS wden,
+        |  CAST(len(ls) AS DOUBLE) AS lden FROM w),
+        |r AS (SELECT doc_id, n_words,
+        |  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / wden AS mean_word_len,
+        |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / wden AS alpha_ratio,
+        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / wden AS symbol_ratio,
+        |  CAST(len(list_filter(ls, x -> left(x, 1) IN ('-', '*', '•'))) AS DOUBLE) / lden AS bullet_ratio,
+        |  CAST(len(list_filter(ls, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE) / lden AS ellipsis_ratio,
+        |  (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+        |  bullet_ratio, ellipsis_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |   AND stop_hits >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_shuffle_shards" ->
       """SELECT doc_id,

@@ -124,6 +124,113 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(t,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
+  /** C4's line-level cleaning rules (Raffel et al. 2020, §2.2 — the
+    * filters behind the C4 corpus, run verbatim by most public
+    * pretraining pipelines since): keep only lines that END in a
+    * terminal punctuation mark (`.` `!` `?` `"`) AND carry at least
+    * `minLineWords` words; drop any page mentioning "lorem ipsum" or
+    * containing a curly brace (code/template residue); a page must
+    * retain at least `minSentences` sentences (terminal-mark count
+    * over the KEPT text) to survive.
+    *
+    * Returns (id, text_clean, n_lines, n_lines_kept, n_sentences,
+    * keep) — the cleaned page is always materialized so callers can
+    * audit what the rules removed; `keep` is the page-level verdict.
+    * Every predicate is an engine-portable string operation
+    * (left/right/instr — no regex beyond a character class), so a
+    * DuckDB oracle evaluates the identical rules. Pure per-row
+    * projection; nothing shuffles at any corpus size. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val keptArr = expr(
+      s"""filter(split($textCol, '\n'), x ->
+         |  right(x, 1) IN ('.', '!', '?', '"')
+         |  AND size(filter(split(x, ' '), w -> w <> '')) >= $minLineWords)"""
+        .stripMargin)
+    val clean = array_join(keptArr, "\n")
+    val nSentences = regexp_count(clean, lit("[.!?]")).cast("int")
+    docs.select(
+        col(idCol),
+        clean.as("text_clean"),
+        size(expr(s"split($textCol, '\n')")).as("n_lines"),
+        size(keptArr).as("n_lines_kept"),
+        nSentences.as("n_sentences"),
+        (nSentences >= minSentences &&
+          !instr(lower(t), "lorem ipsum").gt(0) &&
+          !instr(t, "{").gt(0)).as("keep"))
+  }
+
+  /** Gopher's document-quality rules (Rae et al. 2021, Appendix A1.1
+    * — the hard filter set MassiveWeb ran, reused by most subsequent
+    * corpora): word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# or "...") ≤ 0.1, ≤ 90% of lines starting
+    * with a bullet, ≤ 30% ending with an ellipsis, ≥ 80% of words
+    * with an alphabetic character, and ≥ 2 hits in the 8-stopword
+    * probe list (the,be,to,of,and,that,have,with).
+    *
+    * Emits every per-rule statistic plus the conjunction `keep`, so a
+    * pipeline can both filter and report WHICH rule failed. Ratios
+    * stay unrounded int/int divisions (the [[quality]] discipline);
+    * line predicates use left/right string ops, words come from the
+    * whitespace convention with newlines folded to spaces — all
+    * engine-portable, DuckDB-oracled. Pure projection at scan
+    * speed. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = expr(
+      s"filter(split(replace($textCol, '\n', ' '), ' '), x -> x <> '')")
+    val lines = expr(s"split($textCol, '\n')")
+    val nWords = size(words)
+    // word denominators floored at 1: a token-less doc reports 0.0
+    // ratios (and fails the word-count rule) instead of NULLs that
+    // would make `keep` NULL — the encodingNoise degenerate-input
+    // contract, mirrored in the oracle. Lines never need the floor:
+    // split('') is [''], so nLines >= 1 always.
+    val wDen = greatest(nWords, lit(1)).cast("double")
+    val nLines = size(lines)
+    val meanLen = expr(
+      s"""aggregate(filter(split(replace($textCol, '\n', ' '), ' '),
+         |  x -> x <> ''), 0, (a, x) -> a + length(x))""".stripMargin)
+      .cast("double") / wDen
+    val alphaRatio = expr(
+      s"""size(filter(filter(split(replace($textCol, '\n', ' '), ' '),
+         |  x -> x <> ''), x -> x RLIKE '[A-Za-z]'))""".stripMargin)
+      .cast("double") / wDen
+    val symbolRatio =
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .cast("double") / wDen
+    val bulletRatio = expr(
+      s"size(filter(split($textCol, '\n'), x -> left(x, 1) IN ('-', '*', '•')))")
+      .cast("double") / nLines.cast("double")
+    val ellipsisRatio = expr(
+      s"size(filter(split($textCol, '\n'), x -> right(x, 3) = '...' OR right(x, 1) = '…'))")
+      .cast("double") / nLines.cast("double")
+    val stopHits = GopherStopwords.map(w =>
+      when(array_contains(words, w), 1).otherwise(0)).reduce(_ + _)
+    docs.select(
+        col(idCol),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaRatio.as("alpha_ratio"),
+        symbolRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("stop_hits") >= 2)
+  }
+
+  /** Gopher's "contains at least two of" stopword probe list. */
+  private[graft] val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Control characters (minus tab/newline/CR, which are legitimate
     * text) — written as regex hex ESCAPES so the identical ASCII
     * pattern text parses on Java regex and RE2. */

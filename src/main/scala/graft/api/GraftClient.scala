@@ -1544,6 +1544,38 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "model.lm.order" -> order.toString))
   }
 
+  /** Fold a new document batch into the persisted LM counts — the
+    * incremental-maintenance path the ADDITIVE sufficient statistic
+    * makes exact: n-gram counts are integers, so merging the batch's
+    * count table into the stored one equals retraining on the union
+    * corpus VALUE-FOR-VALUE (NgramLmSpec pins the equality at both
+    * orders, counts and scores). Cost is one batch count pass plus a
+    * merge shuffle bounded by |stored types| + |batch types| — never a
+    * corpus retrain (contrast the fulltext index, whose positional
+    * artifact rebuilds O(corpus); this is the HnswMaintain discipline
+    * applied to a model artifact, where the fold happens to be exact
+    * rather than tier-approximate). The stored order picks the chain;
+    * derived tables need no maintenance — they re-derive from the one
+    * merged table at serve time ([[graft.text.NgramLm.fromBigrams]]). */
+  def updateLmModel(newDocs: DataFrame, batchIdCol: String,
+                    batchTextCol: String): Unit = {
+    val meta = describe
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
+    val store = GraftCollection.lmBigrams(coll)
+    val stored = catalog.read(db, store)
+    val merged =
+      if (meta.getOrElse("model.lm.order", "2") == "3")
+        stored.unionByName(
+            graft.text.NgramLm.train3(newDocs, batchIdCol, batchTextCol).trigrams)
+          .groupBy("u", "v", "w").agg(sum("c_uvw").as("c_uvw"))
+      else
+        stored.unionByName(
+            graft.text.NgramLm.train(newDocs, batchIdCol, batchTextCol).bigrams)
+          .groupBy("v", "w").agg(sum("c_vw").as("c_vw"))
+    catalog.overwriteFromSelf(db, store, merged)
+  }
+
   /** (id, n_tokens, nll) for an ARBITRARY batch against the stored LM
     * — token-key joins against the persisted count sliver, O(batch);
     * the stored order (meta model.lm.order) picks the chain. */

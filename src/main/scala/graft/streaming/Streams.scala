@@ -132,7 +132,8 @@ object Streams {
                     nearDupThreshold: Option[Double] = None,
                     minClassifierProb: Option[Double] = None,
                     scrubPii: Boolean = false,
-                    maxLmNll: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                    maxLmNll: Option[Double] = None,
+                    maintainLm: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -173,7 +174,18 @@ object Streams {
                 batchIdCol = Some("id"), batchTextCol = Some(textCol))
               case None => curated
             }
-            if (nearDupThreshold.isEmpty || !gated.isEmpty) coll.upsert(gated)
+            if (nearDupThreshold.isEmpty || !gated.isEmpty) {
+              coll.upsert(gated)
+              // optional LM maintenance: fold the KEPT batch's counts
+              // into the stored artifact — exact (additive sufficient
+              // statistic), O(batch types + stored types), the same
+              // per-micro-batch discipline as the fulltext index but
+              // without its O(corpus) rebuild. With maxLmNll also on,
+              // the model self-reinforces on admitted docs — the
+              // CCNet trusted-corpus mode instead trains once
+              // elsewhere and never sets this flag.
+              if (maintainLm) coll.updateLmModel(gated, "id", textCol)
+            }
           }
         } finally { curated.unpersist(); lmInput.foreach(_.unpersist()) }
       }

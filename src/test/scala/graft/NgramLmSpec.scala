@@ -271,6 +271,69 @@ class NgramLmSpec extends SparkSpec {
     assert(out.head.getDouble(2) == again)
   }
 
+  test("updateLmModel: folding a batch equals retraining on the union, both orders") {
+    val a = Seq((0L, "a b c a"), (1L, "b c d")).toDF("id", "text")
+    val b = Seq((10L, "a b x"), (11L, "c d c d")).toDF("id", "text")
+    val union = a.unionByName(b)
+    val probe = Seq((100L, "a b c x q"), (101L, "d c b a")).toDF("id", "text")
+    for (order <- Seq(2, 3)) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-lmu$order").toString
+      val coll = new graft.api.GraftClient(spark, root)
+        .createDatabase("db").createCollection("c")
+      coll.upsert(a)
+      coll.trainLmModel(order = order)
+      coll.updateLmModel(b, "id", "text")
+      val folded = coll.scoreLmOf(probe, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val retrainRoot = java.nio.file.Files.createTempDirectory(s"graft-lmr$order").toString
+      val retrain = new graft.api.GraftClient(spark, retrainRoot)
+        .createDatabase("db").createCollection("c")
+      retrain.upsert(union)
+      retrain.trainLmModel(order = order)
+      val full = retrain.scoreLmOf(probe, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(folded === full,
+        s"order-$order fold must equal the union retrain exactly")
+      // the stored count table itself is value-equal, not just scores
+      val keys = if (order == 3) Seq("u", "v", "w") else Seq("v", "w")
+      val cCol = if (order == 3) "c_uvw" else "c_vw"
+      def counts(r: String) = spark.read
+        .parquet(s"$r/db/c__lm_bigrams/data")
+        .collect().map(x => keys.map(x.getAs[String]) -> x.getAs[Long](cCol)).toMap
+      assert(counts(root) === counts(retrainRoot))
+    }
+  }
+
+  test("streaming: curatedIngest maintainLm folds each admitted batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-lm-maint").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("c")
+    val seed = "the cat sat on the mat"
+    coll.upsert(graft.ops.Curation.curateBatch(
+      Seq((0L, seed, "web")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source"))
+    coll.trainLmModel()
+    val before = coll.scoreLmOf(
+        Seq((50L, "fresh words here")).toDF("id", "text"), "id", "text")
+      .collect().head.getDouble(2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lm-maint-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams.curatedIngest(
+      in.toDF().toDF("doc_id", "text", "source"), coll, ckpt,
+      maintainLm = true)
+    try {
+      in.addData((1L, "fresh words here to stay", "web"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = coll.scoreLmOf(
+        Seq((50L, "fresh words here")).toDF("id", "text"), "id", "text")
+      .collect().head.getDouble(2)
+    assert(after < before,
+      s"folded counts must make the ingested vocabulary fluent: $before -> $after")
+  }
+
   // --- CCNet head/middle/tail bucketing (q_ppl_buckets) ---
 
   private def scoredOf(rows: (Long, String, Double)*) =

@@ -993,6 +993,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_concat_chunks" -> ((s, dir) => {
+      // GPT-style concat-and-chunk: the corpus in shuffle order with
+      // one EOD per doc, cut every 128 tokens — slice rows tile each
+      // doc exactly and every non-final block is exactly full
+      // (Curation.concatChunks scaladoc; CurationSpec pins both).
+      val docs = Tables.documents(s, dir)
+      graft.ops.Curation.concatChunks(docs, "doc_id", "text",
+          ctxTokens = 128, nShards = 8)
+        .orderBy("doc_id", "block_id")
+    }),
+
     "q_vocab_drift" -> ((s, dir) => {
       // ingest-drift monitoring: token-frequency comparison between two
       // corpus slices (here: domains src0-9 vs src10-19 standing in for
@@ -1965,6 +1976,27 @@ object SparkEntry {
         |   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
         |   AND stop_hits >= 2) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_concat_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) + 1 AS c,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |  md5(CAST(doc_id AS VARCHAR) || 'shuffle:pos') AS ok
+        |  FROM documents),
+        |p AS (SELECT doc_id, c, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1 AS INT) AS pos
+        |  FROM t),
+        |o AS (SELECT doc_id, c, shard, pos,
+        |  CAST(coalesce(sum(c) OVER (PARTITION BY shard ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ofs
+        |  FROM p),
+        |s AS (SELECT doc_id, shard, pos, ofs, c,
+        |  UNNEST(range(ofs // 128, (ofs + c - 1) // 128 + 1)) AS block_id
+        |  FROM o)
+        |SELECT doc_id, shard, pos, block_id,
+        |  greatest(block_id * 128 - ofs, 0) AS slice_start,
+        |  least((block_id + 1) * 128, ofs + c) - greatest(block_id * 128, ofs) AS slice_len
+        |FROM s ORDER BY doc_id, block_id""".stripMargin,
 
     "q_shuffle_shards" ->
       """SELECT doc_id,

@@ -619,6 +619,59 @@ object Curation {
         / batchSize).cast("int"))
   }
 
+  /** GPT-style concat-and-chunk materialization — the OTHER loader
+    * layout next to [[packSequences]]: instead of packing whole
+    * documents under a budget, the corpus is (conceptually)
+    * concatenated in shuffle order with one end-of-document separator
+    * per doc and cut every `ctxTokens` tokens, so every training block
+    * is exactly full and documents SPLIT across block boundaries
+    * (Brown et al. 2020's data layout; what most decoder pretraining
+    * actually consumes). Returns one SLICE row per (doc, overlapped
+    * block): (id, shard, pos, block_id, slice_start, slice_len) with
+    * slice offsets in DOC token coordinates — position `n_tokens` is
+    * the EOD separator. Slices tile each document exactly
+    * (Σ slice_len = n_tokens + 1) and every block except each shard's
+    * last sums to exactly `ctxTokens` (CurationSpec pins both).
+    *
+    * Deterministic and engine-portable end-to-end: the concatenation
+    * order is [[shuffleShards]]' salted-md5 (shard, pos) addressing,
+    * offsets are integer cumulative sums, block spans are integer
+    * divisions — nothing a DuckDB oracle can disagree on.
+    *
+    * Scale shape: only (id, token count, keys) ever shuffles — the
+    * text column prunes out of the window input; the pos and
+    * cumulative-offset windows share ONE hashpartitioning(shard)
+    * (each partition bounded by corpus/nShards — `nShards` must scale
+    * with the corpus, the [[shuffleShards]] contract), and the slice
+    * explode emits at most n_tokens/ctx + 1 rows per doc (linear).
+    * A reader materializes block b of shard s by fetching its slice
+    * rows and the referenced docs — a semi-join, never a global
+    * sort. */
+  def concatChunks(docs: DataFrame, idCol: String, textCol: String,
+                   ctxTokens: Int, nShards: Int = 64,
+                   salt: String = "shuffle"): DataFrame = {
+    require(ctxTokens >= 2, "ctxTokens must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val ctx = lit(ctxTokens.toLong)
+    val addressed = shuffleShards(
+      docs.select(col(idCol),
+        (size(expr(s"filter(split($textCol, ' '), x -> x <> '')")) + lit(1))
+          .cast("long").as("__c")),
+      idCol, nShards, salt)
+    val ofs = coalesce(sum("__c").over(
+      Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    addressed
+      .withColumn("__ofs", ofs)
+      .withColumn("block_id", explode(expr(
+        s"sequence(__ofs DIV $ctxTokens, (__ofs + __c - 1) DIV $ctxTokens)")))
+      .select(col(idCol), col("shard"), col("pos"), col("block_id"),
+        greatest(col("block_id") * ctx - col("__ofs"), lit(0L))
+          .as("slice_start"),
+        (least((col("block_id") + lit(1L)) * ctx, col("__ofs") + col("__c")) -
+          greatest(col("block_id") * ctx, col("__ofs"))).as("slice_len"))
+  }
+
   /** One micro-batch (or one partition of a backfill) through the full
     * curation front door: quality-score and threshold, apply the
     * deterministic domain mix, then re-key each surviving doc by its

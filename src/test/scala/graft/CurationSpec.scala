@@ -546,4 +546,43 @@ class CurationSpec extends SparkSpec {
       .select("id_a", "id_b").collect().toSet
     assert(selective.subsetOf(exact))
   }
+
+  test("concatChunks: slices tile every doc, every non-final block is exactly full") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(3 + (i % 17).toInt)("w" + i).mkString(" "))).toDF("doc_id", "text")
+    val ctx = 16
+    val out = graft.ops.Curation.concatChunks(docs, "doc_id", "text",
+      ctxTokens = ctx, nShards = 4).cache()
+    // tiling: per doc, slices sum to n_tokens + 1 (the EOD separator)
+    val perDoc = out.groupBy("doc_id").agg(sum("slice_len").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 60L)
+      assert(perDoc(i) === 3 + (i % 17) + 1, s"doc $i must tile exactly")
+    // fullness: within each shard every block except the last holds ctx
+    val blocks = out.groupBy("shard", "block_id")
+      .agg(sum("slice_len").as("s")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lastBlock = blocks.keys.groupBy(_._1)
+      .map { case (sh, ks) => sh -> ks.map(_._2).max }
+    for (((sh, b), s) <- blocks)
+      if (b != lastBlock(sh)) assert(s === ctx.toLong,
+        s"shard $sh block $b must be exactly full, got $s")
+      else assert(s <= ctx.toLong)
+    // a doc longer than ctx spans multiple blocks with contiguous slices
+    val spans = out.where(col("doc_id") === 16L) // 3 + 16 tokens + EOD = 20 > 16
+      .orderBy("block_id")
+      .select("slice_start", "slice_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spans.length >= 2)
+    assert(spans.head._1 === 0L)
+    for (Seq((s0, l0), (s1, _)) <- spans.toSeq.sliding(2))
+      assert(s1 === s0 + l0, "slices must be contiguous in doc coordinates")
+    // content-addressed determinism
+    val again = graft.ops.Curation.concatChunks(docs.orderBy(rand(7)),
+        "doc_id", "text", ctxTokens = ctx, nShards = 4)
+      .collect().toSet
+    assert(again === out.collect().toSet)
+    out.unpersist()
+  }
 }

@@ -187,18 +187,20 @@ object CurationProbe {
       // join over the candidate gram stream + groupBy(id); select adds
       // only a TakeOrderedAndProject. All linear in candidate tokens —
       // the forced agg sums features scored (must ~8x at 8x).
-      val ratios = graft.ops.Dsir.logRatios(
-          d.where(col("source") === "src0"), d, "doc_id", "text")
+      val dsirModel = graft.ops.Dsir.fit(
+        d.where(col("source") === "src0"), d, "doc_id", "text")
+      val ratios = dsirModel.ratios
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cached = dsirModel.copy(ratios = ratios)
       time(s"dsir_fit_$tag") { ratios.agg(sum("lr6")).collect(); ratios.count() }
       time(s"dsir_weights_$tag") {
         graft.ops.Dsir.weights(
-            d.where(col("source") =!= "src0"), "doc_id", "text", ratios)
+            d.where(col("source") =!= "src0"), "doc_id", "text", cached)
           .agg(min("logw"), sum("n_feats").as("f")).collect().head.getLong(1)
       }
       time(s"dsir_select_$tag") {
         graft.ops.Dsir.select(
-          d.where(col("source") =!= "src0"), "doc_id", "text", ratios,
+          d.where(col("source") =!= "src0"), "doc_id", "text", cached,
           k = 10000).count()
       }
       ratios.unpersist()

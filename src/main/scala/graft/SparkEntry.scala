@@ -927,10 +927,10 @@ object SparkEntry {
       // gram instances ÷ 10⁶ (Dsir scaladoc). Candidates are the
       // non-target docs — the selection population.
       val docs = Tables.documents(s, dir)
-      val ratios = graft.ops.Dsir.logRatios(
+      val model = graft.ops.Dsir.fit(
         docs.where(col("lang") === "en"), docs, "doc_id", "text")
       graft.ops.Dsir.weights(
-          docs.where(col("lang") =!= "en"), "doc_id", "text", ratios)
+          docs.where(col("lang") =!= "en"), "doc_id", "text", model)
         .orderBy("doc_id")
     }),
 
@@ -940,10 +940,10 @@ object SparkEntry {
       // weight, content-addressed so the draw reproduces across
       // engines (the oracle computes the identical BIGINT keys).
       val docs = Tables.documents(s, dir)
-      val ratios = graft.ops.Dsir.logRatios(
+      val model = graft.ops.Dsir.fit(
         docs.where(col("lang") === "en"), docs, "doc_id", "text")
       graft.ops.Dsir.select(
-        docs.where(col("lang") =!= "en"), "doc_id", "text", ratios, 50)
+        docs.where(col("lang") =!= "en"), "doc_id", "text", model, 50)
     }),
 
     "q_c4_filter" -> ((s, dir) => {
@@ -1936,7 +1936,7 @@ object SparkEntry {
         |  len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]')) AS n_sentences,
         |  (len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]')) >= 3
         |   AND NOT instr(lower(text), 'lorem ipsum') > 0
-        |   AND NOT instr(text, '{') > 0) AS keep
+        |   AND NOT instr(text, '{') > 0 AND NOT instr(text, '}') > 0) AS keep
         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_gopher_rules" ->
@@ -1956,7 +1956,8 @@ object SparkEntry {
         |r AS (SELECT doc_id, n_words,
         |  CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE) / wden AS mean_word_len,
         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / wden AS alpha_ratio,
-        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / wden AS symbol_ratio,
+        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.'))
+        |       + len(regexp_extract_all(text, '…')) AS DOUBLE) / wden AS symbol_ratio,
         |  CAST(len(list_filter(ls, x -> left(x, 1) IN ('-', '*', '•'))) AS DOUBLE) / lden AS bullet_ratio,
         |  CAST(len(list_filter(ls, x -> right(x, 3) = '...' OR right(x, 1) = '…')) AS DOUBLE) / lden AS ellipsis_ratio,
         |  (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END

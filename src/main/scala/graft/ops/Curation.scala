@@ -223,6 +223,17 @@ object Curation {
       .drop("__grp", "__thr")
   }
 
+  /** The raw 32-bit salted hash every bucket/draw decision derives
+    * from: first 8 md5 hex digits of (value || salt) as a long in
+    * [0, 2³²) — THE one definition of the engine-portable hash width
+    * (shared with [[graft.ops.Dsir]]'s feature buckets and Gumbel
+    * uniforms; a DuckDB oracle writes it as
+    * `('0x' || substr(md5(x || salt), 1, 8))::BIGINT`). */
+  private[ops] def saltedHash32(value: org.apache.spark.sql.Column,
+                                salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(value.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
   /** [[bucketOf]] with a salt folded into the hash input: independent
     * hash-derived decisions made from the SAME primary key (train/eval
     * split, sampling, pack sharding) must not correlate — md5(id) mod k
@@ -231,8 +242,7 @@ object Curation {
     * [[bucketOf]] delegates here — ONE definition of the hash width. */
   private def saltedBucket(id: org.apache.spark.sql.Column, salt: String,
                            buckets: Int) =
-    pmod(conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long"), lit(buckets.toLong)).cast("int")
+    pmod(saltedHash32(id, salt), lit(buckets.toLong)).cast("int")
 
   /** Deterministic weighted domain sampling — the data-mixing step of a
     * training pipeline: keep each document of domain d with rate

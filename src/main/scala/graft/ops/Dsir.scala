@@ -46,12 +46,21 @@ object Dsir {
     * any realistic vocabulary). */
   val DefaultBuckets = 4096
 
-  /** Engine-portable gram bucket: first 8 md5 hex digits of the salted
-    * gram as an integer, mod `nBuckets` — the same device as
-    * [[Curation]]'s salted buckets, here salted per-feature-space. */
+  /** The fitted importance model: the dense per-bucket log-ratio table
+    * TOGETHER with the bucket space it was hashed into. Weights and
+    * selection take the model, never a bare table — the table is dense,
+    * so scoring against it with a different `nBuckets` would join
+    * every (wrong) bucket successfully and return silently wrong
+    * weights; carrying the count in the artifact makes the mismatch
+    * unrepresentable. Persist `ratios` + record `nBuckets` alongside
+    * (one meta entry) to reuse across sessions. */
+  final case class Model(ratios: DataFrame, nBuckets: Int)
+
+  /** Engine-portable gram bucket: [[Curation.saltedHash32]] of the
+    * gram (the repo's ONE hash-width definition) mod `nBuckets`,
+    * salted per-feature-space. */
   private def bucketOf(g: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(concat(g, lit(":dsir"))), 1, 8), 16, 10)
-      .cast("long"), lit(nBuckets.toLong))
+    pmod(Curation.saltedHash32(g, ":dsir"), lit(nBuckets.toLong))
 
   /** (id, b) — one row per gram INSTANCE (hashed unigrams + bigrams)
     * of every non-empty document. Only (id, bucket) leaves the
@@ -75,11 +84,15 @@ object Dsir {
   /** Fit the importance model: the DENSE (b, lr6) ratio table over all
     * `nBuckets` buckets, lr6 = round(ln(p(b)/q(b)) · 10⁶) as BIGINT —
     * the persistable artifact (one tiny table, like the LM's bigram
-    * counts). Dense so the weight join needs no missing-bucket
-    * fallback: a gram unseen in BOTH corpora still has a row (the
-    * smoothing mass ratio). */
-  def logRatios(target: DataFrame, raw: DataFrame, idCol: String,
-                textCol: String, nBuckets: Int = DefaultBuckets): DataFrame = {
+    * counts), wrapped with its bucket space as a [[Model]]. Dense so
+    * the weight join needs no missing-bucket fallback: a gram unseen
+    * in BOTH corpora still has a row (the smoothing mass ratio). */
+  def fit(target: DataFrame, raw: DataFrame, idCol: String,
+          textCol: String, nBuckets: Int = DefaultBuckets): Model =
+    Model(logRatios(target, raw, idCol, textCol, nBuckets), nBuckets)
+
+  private def logRatios(target: DataFrame, raw: DataFrame, idCol: String,
+                        textCol: String, nBuckets: Int): DataFrame = {
     val bDouble = lit(nBuckets.toDouble)
     val ct = gramBuckets(target, idCol, textCol, nBuckets)
       .groupBy("b").agg(count(lit(1)).as("__ct"))
@@ -101,21 +114,20 @@ object Dsir {
   /** (id, n_feats, logw6) with the weight kept as its exact micro-nat
     * integer — the internal form [[select]] ranks on. */
   private def weights6(candidates: DataFrame, idCol: String, textCol: String,
-                       ratios: DataFrame, nBuckets: Int): DataFrame =
-    gramBuckets(candidates, idCol, textCol, nBuckets)
-      .join(broadcast(ratios), Seq("b"))
+                       model: Model): DataFrame =
+    gramBuckets(candidates, idCol, textCol, model.nBuckets)
+      .join(broadcast(model.ratios), Seq("b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"), sum("lr6").as("__w6"))
 
-  /** Per-candidate importance weights against a fitted ratio table:
+  /** Per-candidate importance weights against a fitted [[Model]]:
     * (id, n_feats, logw) with logw = the exact integer micro-nat sum
     * ÷ 10⁶ (one IEEE division of identical integers on any engine).
     * Token-less documents have no features and no row — the same
     * contract as the LM scorer. */
   def weights(candidates: DataFrame, idCol: String, textCol: String,
-              ratios: DataFrame,
-              nBuckets: Int = DefaultBuckets): DataFrame =
-    weights6(candidates, idCol, textCol, ratios, nBuckets)
+              model: Model): DataFrame =
+    weights6(candidates, idCol, textCol, model)
       .select(col(idCol), col("n_feats"),
         (col("__w6").cast("double") / lit(1000000.0)).as("logw"))
 
@@ -128,14 +140,12 @@ object Dsir {
     * consumers' expectations: the draw is content-addressed and
     * reproduces bit-identically across engines. */
   def select(candidates: DataFrame, idCol: String, textCol: String,
-             ratios: DataFrame, k: Int,
-             nBuckets: Int = DefaultBuckets): DataFrame = {
+             model: Model, k: Int): DataFrame = {
     // u in (0, 1): 32-bit salted hash + 0.5, over 2^32
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(":gumbel"))), 1, 8), 16, 10).cast("double") + lit(0.5)) /
-      lit(4294967296.0)
+    val u = (Curation.saltedHash32(col(idCol), ":gumbel").cast("double") +
+      lit(0.5)) / lit(4294967296.0)
     val g6 = round(-log(-log(u)) * lit(1000000.0), 0).cast("long")
-    weights6(candidates, idCol, textCol, ratios, nBuckets)
+    weights6(candidates, idCol, textCol, model)
       .select(col(idCol), col("__w6"), (col("__w6") + g6).as("__k6"))
       .orderBy(col("__k6").desc, col(idCol)).limit(k)
       .select(col(idCol),

@@ -175,16 +175,35 @@ object Streams {
               case None => curated
             }
             if (nearDupThreshold.isEmpty || !gated.isEmpty) {
-              coll.upsert(gated)
-              // optional LM maintenance: fold the KEPT batch's counts
-              // into the stored artifact — exact (additive sufficient
-              // statistic), O(batch types + stored types), the same
-              // per-micro-batch discipline as the fulltext index but
-              // without its O(corpus) rebuild. With maxLmNll also on,
-              // the model self-reinforces on admitted docs — the
-              // CCNet trusted-corpus mode instead trains once
-              // elsewhere and never sets this flag.
-              if (maintainLm) coll.updateLmModel(gated, "id", textCol)
+              // optional LM maintenance: fold the admitted batch's
+              // counts into the stored artifact — exact (additive
+              // sufficient statistic), O(batch types + stored types),
+              // the fulltext index's per-batch discipline without its
+              // O(corpus) rebuild. Fold ONLY content ids not already
+              // stored, MATERIALIZED before the upsert mutates the
+              // snapshot: rows are content-keyed (id = md5(text)), so
+              // a byte-identical re-arrival — an upsert no-op — must
+              // not add its counts twice, and a foreachBatch REPLAY
+              // (at-least-once) sees its docs already stored and folds
+              // nothing. The fold runs after the upsert commits; a
+              // crash in between under-counts that one batch (visible,
+              // recoverable by re-running trainLmModel) rather than
+              // silently double-counting forever. With maxLmNll also on, the
+              // model self-reinforces on admitted docs — the CCNet
+              // trusted-corpus mode trains once elsewhere and never
+              // sets this flag.
+              val fresh = if (!maintainLm) None else {
+                val f = gated.join(coll.df.select(col("id")), Seq("id"),
+                    "left_anti")
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                f.count() // pin the pre-upsert snapshot NOW
+                Some(f)
+              }
+              try {
+                coll.upsert(gated)
+                fresh.filter(!_.isEmpty)
+                  .foreach(coll.updateLmModel(_, "id", textCol))
+              } finally fresh.foreach(_.unpersist())
             }
           }
         } finally { curated.unpersist(); lmInput.foreach(_.unpersist()) }

@@ -158,7 +158,7 @@ object TextAnalysis {
         nSentences.as("n_sentences"),
         (nSentences >= minSentences &&
           !instr(lower(t), "lorem ipsum").gt(0) &&
-          !instr(t, "{").gt(0)).as("keep"))
+          !instr(t, "{").gt(0) && !instr(t, "}").gt(0)).as("keep"))
   }
 
   /** Gopher's document-quality rules (Rae et al. 2021, Appendix A1.1
@@ -197,8 +197,11 @@ object TextAnalysis {
       s"""size(filter(filter(split(replace($textCol, '\n', ' '), ' '),
          |  x -> x <> ''), x -> x RLIKE '[A-Za-z]'))""".stripMargin)
       .cast("double") / wDen
+    // both ellipsis spellings count as symbols — the ASCII triple dot
+    // and U+2026, the same pair the ellipsis LINE rule below accepts
     val symbolRatio =
-      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")) +
+        regexp_count(t, lit("…")))
         .cast("double") / wDen
     val bulletRatio = expr(
       s"size(filter(split($textCol, '\n'), x -> left(x, 1) IN ('-', '*', '•')))")

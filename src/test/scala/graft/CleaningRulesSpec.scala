@@ -37,6 +37,8 @@ class CleaningRulesSpec extends SparkSpec {
     assert(c4(good).getAs[Boolean]("keep"))
     assert(!c4(good + "\nsee lorem ipsum here.").getAs[Boolean]("keep"))
     assert(!c4(good + "\ntemplate { residue } here.").getAs[Boolean]("keep"))
+    // either bracket alone is code residue (Raffel et al.: any curly)
+    assert(!c4(good + "\nend of function } here.").getAs[Boolean]("keep"))
   }
 
   test("c4: the sentence floor counts the KEPT text only") {
@@ -77,6 +79,10 @@ class CleaningRulesSpec extends SparkSpec {
     val dots = passing + "\nso it trails...\nand again...\nonce more..."
     assert(gopher(dots).getAs[Double]("ellipsis_ratio") > 0.3)
     assert(!gopher(dots).getAs[Boolean]("keep"))
+    // the unicode ellipsis counts as a symbol, same as the ASCII one
+    val uniDots = passing + (" …" * 20)
+    assert(gopher(uniDots).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!gopher(uniDots).getAs[Boolean]("keep"))
   }
 
   test("gopher: token-less document reports zero ratios, keep false (not null)") {

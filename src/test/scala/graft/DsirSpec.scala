@@ -26,7 +26,9 @@ class DsirSpec extends SparkSpec {
     14L -> "cat sat mat")
 
   test("ratio table is dense over the whole bucket space") {
-    val r = Dsir.logRatios(target, raw, "doc_id", "text", nBuckets = 64)
+    val m = Dsir.fit(target, raw, "doc_id", "text", nBuckets = 64)
+    val r = m.ratios
+    assert(m.nBuckets === 64)
     assert(r.count() === 64)
     assert(r.columns.toSeq === Seq("b", "lr6"))
     // unseen-everywhere buckets carry the smoothing-mass constant, not null
@@ -34,11 +36,11 @@ class DsirSpec extends SparkSpec {
   }
 
   test("target-flavored candidates outweigh raw-flavored ones") {
-    val r = Dsir.logRatios(target, raw, "doc_id", "text")
+    val m = Dsir.fit(target, raw, "doc_id", "text")
     val w = Dsir.weights(docs(
         100L -> "cat sat mat",          // pure target vocabulary
         101L -> "select rows join"),    // pure raw vocabulary
-      "doc_id", "text", r)
+      "doc_id", "text", m)
       .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
     assert(w(100L) > w(101L),
       s"target-like doc must outscore raw-like: $w")
@@ -46,10 +48,10 @@ class DsirSpec extends SparkSpec {
 
   test("a weight is exactly the integer sum of its grams' table entries") {
     val n = 64
-    val r = Dsir.logRatios(target, raw, "doc_id", "text", nBuckets = n)
-    val table = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val m = Dsir.fit(target, raw, "doc_id", "text", nBuckets = n)
+    val table = m.ratios.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     val probe = docs(100L -> "cat sat mat")
-    val got = Dsir.weights(probe, "doc_id", "text", r, nBuckets = n)
+    val got = Dsir.weights(probe, "doc_id", "text", m)
       .collect().head
     // replicate the hashed unigram+bigram feature stream through the
     // engine's own hash expression, then sum table entries by hand
@@ -63,11 +65,11 @@ class DsirSpec extends SparkSpec {
   }
 
   test("gumbel top-k: deterministic size-k candidate subset, id-ordered") {
-    val r = Dsir.logRatios(target, raw, "doc_id", "text")
+    val m = Dsir.fit(target, raw, "doc_id", "text")
     val cands = docs((0 until 20).map(i =>
       (100L + i, if (i % 2 == 0) "cat sat mat" else "select rows join")): _*)
-    val s1 = Dsir.select(cands, "doc_id", "text", r, k = 5).collect()
-    val s2 = Dsir.select(cands, "doc_id", "text", r, k = 5).collect()
+    val s1 = Dsir.select(cands, "doc_id", "text", m, k = 5).collect()
+    val s2 = Dsir.select(cands, "doc_id", "text", m, k = 5).collect()
     assert(s1.toSeq === s2.toSeq, "selection must be content-addressed")
     assert(s1.length === 5)
     val ids = s1.map(_.getLong(0))
@@ -80,9 +82,9 @@ class DsirSpec extends SparkSpec {
   }
 
   test("token-less candidates carry no weight row (the LM-gate contract)") {
-    val r = Dsir.logRatios(target, raw, "doc_id", "text")
+    val m = Dsir.fit(target, raw, "doc_id", "text")
     val w = Dsir.weights(docs(100L -> "cat sat", 101L -> ""),
-      "doc_id", "text", r)
+      "doc_id", "text", m)
     assert(w.collect().map(_.getLong(0)).toSeq === Seq(100L))
   }
 }

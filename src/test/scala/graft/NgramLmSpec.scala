@@ -326,12 +326,21 @@ class NgramLmSpec extends SparkSpec {
     try {
       in.addData((1L, "fresh words here to stay", "web"))
       q.processAllAvailable()
+      val after = coll.scoreLmOf(
+          Seq((50L, "fresh words here")).toDF("id", "text"), "id", "text")
+        .collect().head.getDouble(2)
+      assert(after < before,
+        s"folded counts must make the ingested vocabulary fluent: $before -> $after")
+      // byte-identical re-arrival: an upsert no-op must NOT fold its
+      // counts a second time (rows are content-keyed)
+      in.addData((2L, "fresh words here to stay", "web"))
+      q.processAllAvailable()
+      val again = coll.scoreLmOf(
+          Seq((50L, "fresh words here")).toDF("id", "text"), "id", "text")
+        .collect().head.getDouble(2)
+      assert(again === after,
+        s"re-arrival must leave the counts untouched: $after -> $again")
     } finally q.stop()
-    val after = coll.scoreLmOf(
-        Seq((50L, "fresh words here")).toDF("id", "text"), "id", "text")
-      .collect().head.getDouble(2)
-    assert(after < before,
-      s"folded counts must make the ingested vocabulary fluent: $before -> $after")
   }
 
   // --- CCNet head/middle/tail bucketing (q_ppl_buckets) ---

@@ -1576,6 +1576,64 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.overwriteFromSelf(db, store, merged)
   }
 
+  /** Fit and persist a DSIR importance model (Xie et al. 2023; §2 row
+    * 89): `target` is the trusted corpus to select TOWARD, the RAW
+    * side is this collection's own documents — the deployment where a
+    * collection of candidates is scored for how target-like each doc
+    * is. The dense per-bucket log-ratio table persists as one sibling
+    * collection (the same one-table-artifact discipline as the LM's
+    * bigram counts); the bucket space rides the meta so serving can
+    * never hash into a mismatched space. */
+  def trainDsirModel(target: DataFrame, targetIdCol: String,
+                     targetTextCol: String, textCol: String = "text",
+                     nBuckets: Int = graft.ops.Dsir.DefaultBuckets): Unit = {
+    require(df.columns.contains(textCol), s"no such field: $textCol")
+    val model = graft.ops.Dsir.fit(
+      target.select(col(targetIdCol).as(idCol), col(targetTextCol).as(textCol)),
+      df.select(col(idCol), col(textCol)), idCol, textCol, nBuckets)
+    catalog.createCollectionIfNotExists(db, GraftCollection.dsirRatios(coll))
+    catalog.write(db, GraftCollection.dsirRatios(coll), model.ratios)
+    catalog.updateMeta(db, coll, Map("model.dsir.text_col" -> textCol,
+      "model.dsir.nbuckets" -> nBuckets.toString))
+  }
+
+  private def dsirStoredModel(meta: Map[String, String]): graft.ops.Dsir.Model = {
+    require(meta.contains("model.dsir.text_col"),
+      "no DSIR model: run trainDsirModel first")
+    graft.ops.Dsir.Model(
+      catalog.read(db, GraftCollection.dsirRatios(coll)),
+      meta("model.dsir.nbuckets").toInt)
+  }
+
+  /** (id, n_feats, logw) for an ARBITRARY batch against the stored
+    * DSIR model — one broadcast join of the batch's gram stream
+    * against the persisted ratio table, O(batch). */
+  def dsirWeightsOf(batch: DataFrame, batchIdCol: String,
+                    batchTextCol: String): DataFrame =
+    graft.ops.Dsir.weights(batch, batchIdCol, batchTextCol,
+      dsirStoredModel(describe))
+
+  /** Gumbel top-k selection from a batch against the stored model —
+    * the paper's resampling step served from the artifact. */
+  def dsirSelectOf(batch: DataFrame, batchIdCol: String,
+                   batchTextCol: String, k: Int): DataFrame =
+    graft.ops.Dsir.select(batch, batchIdCol, batchTextCol,
+      dsirStoredModel(describe), k)
+
+  /** Batch rows whose importance log-weight is at or above `minLogw`
+    * — the STREAMING form of DSIR selection (an unbounded stream has
+    * no top-k; the threshold is the importance floor a fixed-budget
+    * draw would set). Feature-less docs have no weight and drop when
+    * the gate is on — the [[lmGateOf]] contract. Composable as the
+    * fourth curation gate ([[graft.streaming.Streams.curatedIngest]]
+    * minDsirLogw). */
+  def dsirGateOf(batch: DataFrame, batchIdCol: String,
+                 batchTextCol: String, minLogw: Double): DataFrame =
+    batch.join(
+      dsirWeightsOf(batch, batchIdCol, batchTextCol)
+        .where(col("logw") >= minLogw).select(batchIdCol),
+      Seq(batchIdCol), "left_semi")
+
   /** (id, n_tokens, nll) for an ARBITRARY batch against the stored LM
     * — token-key joins against the persisted count sliver, O(batch);
     * the stored order (meta model.lm.order) picks the chain. */
@@ -2235,6 +2293,7 @@ object GraftCollection {
   private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
   private[api] def qcWeights(coll: String): String = coll + "__qc_weights"
   private[api] def lmBigrams(coll: String): String = coll + "__lm_bigrams"
+  private[api] def dsirRatios(coll: String): String = coll + "__dsir_ratios"
   private[api] def ivfSqCodes(coll: String): String = coll + "__ivfsq_codes"
   private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"

@@ -122,6 +122,15 @@ object Streams {
     * next to the heuristic and learned ones. Token-less docs drop when
     * this gate is on (an LM cannot vouch for unscoreable text).
     *
+    * `minDsirLogw` (requires a stored DSIR model,
+    * [[graft.api.GraftCollection.trainDsirModel]]) adds the FOURTH
+    * gate: DSIR importance weights against the persisted ratio table
+    * (one broadcast join, O(batch)); rows below the log-weight floor —
+    * insufficiently target-like — drop at the door. The threshold is
+    * the streaming form of the paper's fixed-budget resampling (an
+    * unbounded stream has no top-k); feature-less docs drop when the
+    * gate is on, same as the LM gate's token-less contract.
+    *
     * Curation params mirror [[graft.ops.Curation.curateBatch]]. */
   def curatedIngest(docs: DataFrame, coll: graft.api.GraftCollection,
                     checkpoint: String, idCol: String = "doc_id",
@@ -133,7 +142,8 @@ object Streams {
                     minClassifierProb: Option[Double] = None,
                     scrubPii: Boolean = false,
                     maxLmNll: Option[Double] = None,
-                    maintainLm: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+                    maintainLm: Boolean = false,
+                    minDsirLogw: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -150,18 +160,27 @@ object Streams {
           case Some(p) => coll.qualityGateOf(curated0, textCol, p)
           case None => curated0
         }
-        // perplexity gate: one batch-bounded semi-join against the
-        // persisted LM counts (curateBatch keyed rows by content, so
-        // the gate joins back on the "id" content key). Persist the
-        // gate's INPUT too: lmGateOf puts the batch plan on both sides
-        // of the semi-join — unpersisted, scoring, sampling, and the
-        // dedup shuffle would execute twice per micro-batch
-        val lmInput = maxLmNll.map(_ => curated1.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val curated = (maxLmNll match {
-          case Some(ceil) => coll.lmGateOf(lmInput.get, "id", textCol, ceil)
-          case None => curated1
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // importance + perplexity gates: each is one batch-bounded
+        // semi-join against a persisted artifact (curateBatch keyed
+        // rows by content, so the gates join back on the "id" content
+        // key). Persist every gate's INPUT: dsirGateOf/lmGateOf put
+        // the batch plan on BOTH sides of their semi-join —
+        // unpersisted, scoring, sampling, and the dedup shuffle would
+        // execute twice per micro-batch per gate
+        var gateInputs = List.empty[DataFrame]
+        def gated1(in: DataFrame,
+                   apply: DataFrame => DataFrame): DataFrame = {
+          in.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          gateInputs ::= in
+          apply(in)
+        }
+        var cur = curated1
+        minDsirLogw.foreach(m =>
+          cur = gated1(cur, coll.dsirGateOf(_, "id", textCol, m)))
+        maxLmNll.foreach(ceil =>
+          cur = gated1(cur, coll.lmGateOf(_, "id", textCol, ceil)))
+        val curated = cur
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // curation can empty a batch (all filtered/sampled out) — skip
         // the snapshot rewrite, same as the restart-recovery guard above
         try {
@@ -206,7 +225,7 @@ object Streams {
               } finally fresh.foreach(_.unpersist())
             }
           }
-        } finally { curated.unpersist(); lmInput.foreach(_.unpersist()) }
+        } finally { curated.unpersist(); gateInputs.foreach(_.unpersist()) }
       }
       .start()
 

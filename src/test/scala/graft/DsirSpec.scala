@@ -87,4 +87,70 @@ class DsirSpec extends SparkSpec {
       "doc_id", "text", m)
     assert(w.collect().map(_.getLong(0)).toSeq === Seq(100L))
   }
+
+  test("collection round-trip: trainDsirModel persists, a later session serves and gates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("cands")
+    coll.upsert(raw.withColumnRenamed("doc_id", "id"))
+    coll.trainDsirModel(target, "doc_id", "text")
+
+    val again = new graft.api.GraftClient(spark, root)
+      .database("db").collection("cands")
+    val probe = Seq((100L, "cat sat mat"), (101L, "select rows join"),
+      (102L, "")).toDF("id", "text")
+    val served = again.dsirWeightsOf(probe, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // byte-equal to the direct in-memory fit (raw = the stored docs)
+    val direct = Dsir.weights(probe, "id", "text",
+        Dsir.fit(target.withColumnRenamed("doc_id", "id"),
+          raw.withColumnRenamed("doc_id", "id"), "id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(served === direct, "stored ratios must serve the identical weights")
+    assert(!served.contains(102L), "feature-less doc has no weight")
+    assert(served(100L) > served(101L))
+
+    // the gate: floor between the two probe weights keeps exactly one
+    val floor = (served(100L) + served(101L)) / 2
+    val kept = again.dsirGateOf(probe, "id", "text", floor)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(100L),
+      "gate keeps target-like rows, drops raw-like AND feature-less rows")
+    // top-k serving from the artifact
+    val sel = again.dsirSelectOf(probe.where(col("id") < 102), "id", "text", 1)
+      .collect()
+    assert(sel.length === 1)
+  }
+
+  test("streaming: curatedIngest minDsirLogw gates at the door") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-dsir-stream").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("c")
+    coll.upsert(graft.ops.Curation.curateBatch(
+      raw.withColumn("source", lit("web")), "doc_id", "text", "source"))
+    coll.trainDsirModel(target, "doc_id", "text")
+    val floorProbe = coll.dsirWeightsOf(
+        Seq((1L, "cat sat mat"), (2L, "select rows join")).toDF("id", "text"),
+        "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val floor = (floorProbe(1L) + floorProbe(2L)) / 2
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsir-ck").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.Streams.curatedIngest(
+      in.toDF().toDF("doc_id", "text", "source"), coll, ckpt,
+      minDsirLogw = Some(floor))
+    try {
+      val before = coll.count()
+      in.addData((100L, "cat sat mat purred", "web"),
+        (101L, "select rows join scan", "web"))
+      q.processAllAvailable()
+      assert(coll.count() === before + 1,
+        "exactly the target-like doc passes the importance gate")
+      assert(coll.df.where(col("text") === "cat sat mat purred").count() === 1)
+      assert(coll.df.where(col("text") === "select rows join scan").count() === 0)
+    } finally q.stop()
+  }
 }

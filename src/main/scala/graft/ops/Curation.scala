@@ -443,26 +443,37 @@ object Curation {
                        trainPct: Int = 90, budget: Int = 2048,
                        nShards: Int = 64,
                        nearDupPairs: Option[DataFrame] = None,
-                       lmGate: Option[(graft.text.NgramLm.Model, Double)] = None): DataFrame = {
+                       lmGate: Option[(graft.text.NgramLm.Model, Double)] = None,
+                       dsirGate: Option[(Dsir.Model, Double)] = None): DataFrame = {
     val scored = graft.text.TextAnalysis.quality(
         docs, idCol, textCol, keep = Seq(textCol, domainCol))
       .where(col("quality") >= minQuality)
     // optional CCNet-style perplexity gate: NLL under a TRUSTED-corpus
     // bigram LM (trained elsewhere — the artifact is the model), one
-    // semi-join on the id; token-less docs drop when the gate is on
-    // the score side reads the RAW docs projected to (id, text) — a
-    // column-pruned scan — NOT the `scored` plan: putting `scored` on
-    // both sides of the semi-join would run the quality pass (the
-    // expensive stage) twice per build
+    // semi-join on the id; token-less docs drop when the gate is on.
+    // BOTH gates' score sides read the RAW docs projected to
+    // (id, text) — a column-pruned scan — NOT the `scored` plan:
+    // putting `scored` on both sides of a semi-join would run the
+    // quality pass (the expensive stage) twice per build
+    val rawSlice = docs.select(col(idCol), col(textCol))
     val fluent = lmGate match {
       case Some((m, maxNll)) => scored.join(
-        graft.text.NgramLm.score(docs.select(col(idCol), col(textCol)),
-            idCol, textCol, m)
+        graft.text.NgramLm.score(rawSlice, idCol, textCol, m)
           .where(col("nll") <= maxNll).select(idCol),
         Seq(idCol), "left_semi")
       case None => scored
     }
-    val mixed = sampleByWeights(fluent, idCol, domainCol, weights, defaultWeight)
+    // optional DSIR importance floor (row 89's batch-side compose —
+    // the threshold form of the paper's fixed-budget resampling):
+    // feature-less docs drop when the gate is on
+    val targeted = dsirGate match {
+      case Some((m, minLogw)) => fluent.join(
+        Dsir.weights(rawSlice, idCol, textCol, m)
+          .where(col("logw") >= minLogw).select(idCol),
+        Seq(idCol), "left_semi")
+      case None => fluent
+    }
+    val mixed = sampleByWeights(targeted, idCol, domainCol, weights, defaultWeight)
     val deduped = dedupByContent(mixed, idCol, textCol)
     val collapsed = nearDupPairs match {
       case Some(pairs) => graft.dedup.Dedup

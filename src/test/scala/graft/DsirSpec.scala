@@ -122,6 +122,23 @@ class DsirSpec extends SparkSpec {
     assert(sel.length === 1)
   }
 
+  test("buildTrainingSet dsirGate equals manually pre-filtering by the weight") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val m = Dsir.fit(corpus.where(col("lang") === "en"), corpus,
+      "doc_id", "text")
+    val floor = Dsir.weights(corpus, "doc_id", "text", m)
+      .agg(org.apache.spark.sql.functions.expr("percentile(logw, 0.5)"))
+      .collect().head.getDouble(0)
+    val gatedBuild = graft.ops.Curation.buildTrainingSet(
+      corpus, "doc_id", "text", "source", dsirGate = Some((m, floor)))
+    val preFiltered = graft.ops.Curation.buildTrainingSet(
+      corpus.join(Dsir.weights(corpus, "doc_id", "text", m)
+          .where(col("logw") >= floor).select("doc_id"),
+        Seq("doc_id"), "left_semi"),
+      "doc_id", "text", "source")
+    assert(gatedBuild.collect().toSet === preFiltered.collect().toSet)
+  }
+
   test("streaming: curatedIngest minDsirLogw gates at the door") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

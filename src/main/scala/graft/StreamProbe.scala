@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * bucket pruning, O(batch) candidates), i.e. suppression does not
   * break the front door's O(batch) claim.
   *
-  * Usage: runMain graft.StreamProbe [nBase] [mult] [nBatches] [batchSize] [gate]
+  * Usage: runMain graft.StreamProbe [nBase] [mult] [nBatches] [batchSize] [gate|all]
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
@@ -36,6 +36,14 @@ object StreamProbe {
     val nBatches = if (args.length > 2) args(2).toInt else 6
     val batchSize = if (args.length > 3) args(3).toInt else 1000
     val gated = args.length > 4 && args(4) == "gate"
+    // "all": the FULLY composed front door — heuristic floor, learned
+    // classifier, LM perplexity ceiling, DSIR importance floor, the
+    // near-dup gate, and per-batch LM count folding. Thresholds are
+    // permissive (the probe measures the gates' scoring/join WORK per
+    // batch, not their suppression): each batch still pays classifier
+    // scoring, LM token-key joins, the DSIR broadcast join, the banded
+    // near-dup probe, and the count fold against the standing corpus.
+    val allGates = args.length > 4 && args(4) == "all"
 
     val spark = GraftSession.builder(
       master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
@@ -77,13 +85,23 @@ object StreamProbe {
       coll.upsert(graft.ops.Curation.curateBatch(corpus(k), "doc_id", "text", "source"))
       coll.rebuildFulltextIndex()
       coll.rebuildMinhashIndex()
+      if (allGates) {
+        coll.trainQualityModel()
+        coll.trainLmModel()
+        coll.trainDsirModel(corpus(k).where(col("source") === "src0"),
+          "doc_id", "text")
+      }
       val stored = coll.count()
 
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft-streamprobe-ck-$tag").toString
       val in = MemoryStream[(Long, String, String)]
       val q = graft.streaming.Streams.curatedIngest(
         in.toDF().toDF("doc_id", "text", "source"), coll, ckpt,
-        nearDupThreshold = if (gated) Some(0.8) else None)
+        nearDupThreshold = if (gated || allGates) Some(0.8) else None,
+        minClassifierProb = if (allGates) Some(0.01) else None,
+        maxLmNll = if (allGates) Some(1e6) else None,
+        minDsirLogw = if (allGates) Some(-1e12) else None,
+        maintainLm = allGates)
       try {
         def feed(b: Int): Unit = {
           // fresh ids & fresh content per batch, disjoint from the corpus
@@ -98,7 +116,9 @@ object StreamProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         val ingested = coll.count() - stored
         val rate = (nBatches - 1).toLong * batchSize / sec
-        val label = if (gated) s"curated_ingest_gated_$tag" else s"curated_ingest_$tag"
+        val label = if (allGates) s"curated_ingest_allgates_$tag"
+          else if (gated) s"curated_ingest_gated_$tag"
+          else s"curated_ingest_$tag"
         println(f"""{"probe":"$label","corpus":$stored,"batches":${nBatches - 1},""" +
           f""""batch_size":$batchSize,"sec":$sec%.2f,"docs_per_sec":$rate%.0f,""" +
           f""""ingested":$ingested,"segment_debt":${coll.segmentDebt}}""")

@@ -76,7 +76,8 @@ object Bench {
     // pause during a single-shot m_* row would read as a multi-x
     // regression, the exact failure mode min-of-N exists to kill
     val maintRuns: Seq[Seq[(String, Double)]] = (1 to 2).map { _ =>
-      maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir)
+      maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir) ++
+        modelMaintenanceOps(spark, sfDir)
     }
     val maintKeys = maintRuns.head.map(_._1)
     val maint = maintKeys.map { k =>
@@ -220,6 +221,64 @@ object Bench {
     } catch { case _: Throwable =>
       Seq("m_upsert_live_index_1x" -> -1.0, "m_fulltext_rebuild_1x" -> -1.0,
           "m_upsert_live_index_8x" -> -1.0, "m_fulltext_rebuild_8x" -> -1.0)
+    }
+  }
+
+  /** Model-artifact maintenance costs, same scaling-pair discipline as
+    * the index arm: folding a 200-doc batch into the stored LM counts
+    * (`updateLmModel` — O(batch types + stored types), the additive-
+    * sufficient-statistic fold) versus retraining on the corpus
+    * (O(corpus)); and DSIR weight serving for the same batch against
+    * the persisted ratio table (O(batch) through a fixed-size
+    * broadcast — flat by construction). */
+  private def modelMaintenanceOps(spark: SparkSession,
+                                  sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-model").toString
+      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("id"), col("text"))
+      val batch = base.limit(200)
+        .select((col("id") + lit(50000000L)).as("id"), col("text"))
+        .cache()
+      batch.count()
+      // warm the fold/score/retrain paths once (the index arm's lesson:
+      // the 1x point otherwise absorbs all first-touch codegen cost)
+      locally {
+        val warm = client.createCollection("mwarm")
+        warm.upsert(base.limit(2000))
+        warm.trainLmModel()
+        warm.updateLmModel(batch, "id", "text")
+        warm.trainDsirModel(base.limit(1000), "id", "text")
+        warm.dsirWeightsOf(batch, "id", "text").count()
+      }
+      def measure(name: String, mult: Int): Seq[(String, Double)] = {
+        val coll = client.createCollection("m" + name)
+        coll.upsert((0 until mult).map(i =>
+            base.select((col("id") + lit(i * 1000000L)).as("id"), col("text")))
+          .reduce(_ unionAll _))
+        coll.trainLmModel()                    // untimed ingest-time build
+        coll.trainDsirModel(base.limit(1000), "id", "text") // untimed
+        val t0 = System.nanoTime()
+        coll.updateLmModel(batch, "id", "text")   // the fold: batch + types
+        val tFold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        coll.trainLmModel()                        // the old cost: O(corpus)
+        val tRetrain = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        coll.dsirWeightsOf(batch, "id", "text").count()
+        val tServe = (System.nanoTime() - t2) / 1e9
+        Seq(s"m_lm_fold_$name" -> tFold, s"m_lm_retrain_$name" -> tRetrain,
+            s"m_dsir_serve_$name" -> tServe)
+      }
+      val out = measure("1x", 8) ++ measure("8x", 64)
+      batch.unpersist()
+      out
+    } catch { case _: Throwable =>
+      Seq("m_lm_fold_1x" -> -1.0, "m_lm_retrain_1x" -> -1.0,
+          "m_dsir_serve_1x" -> -1.0, "m_lm_fold_8x" -> -1.0,
+          "m_lm_retrain_8x" -> -1.0, "m_dsir_serve_8x" -> -1.0)
     }
   }
 }

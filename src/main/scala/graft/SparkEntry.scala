@@ -316,6 +316,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_soft_dedup" -> ((s, dir) => {
+      // SOFT near-dup handling: every doc survives with an integer
+      // micro-weight 1e6/|cluster| so each near-dup cluster carries one
+      // doc's worth of expected training mass — the reweighting
+      // alternative to q_cluster_reps' hard collapse (same persisted
+      // pair artifact)
+      val pairs = graft.catalog.IndexStore.ensure(s, s"ngrampairs_${sfKey(dir)}") {
+        Dedup.ngramJaccardFromPostings(ngramPostingsFor(s, dir), threshold = 0.5)
+      }
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_embed" -> ((s, dir) => {
       Dedup.embedCosine(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
     }),
@@ -451,6 +464,14 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q_tfidf_keywords" -> ((s, dir) => {
+      // top-3 tf·idf terms per document (smoothed idf as an integer
+      // micro-nat per TERM, scores pure BIGINT products — the LM
+      // rounding discipline, so ranking is engine-exact)
+      TextAnalysis.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
     }),
 
     // ---------------------------------------- ANN indexes / rows-only ops
@@ -2253,6 +2274,34 @@ object SparkEntry {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)
         |ORDER BY doc_id""".stripMargin,
 
+    // same recursive-CTE components, then weight_micro = floor(1e6 /
+    // cluster size) per doc — pure integer division, loners weight 1e6
+    "q_soft_dedup" ->
+      """WITH RECURSIVE toksrc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 3),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toksrc)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |csz AS (SELECT cluster_id, count(*) AS cs FROM comp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(coalesce(cs, 1) AS BIGINT) AS cluster_size,
+        |  CAST(1000000 // coalesce(cs, 1) AS BIGINT) AS weight_micro
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |LEFT JOIN csz ON c.cluster_id = csz.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_semdedup" ->
       """WITH RECURSIVE v AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS e
         |        FROM embeddings),
@@ -2334,6 +2383,22 @@ object SparkEntry {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // smoothed idf (ln((N+1)/(df+1)) + 1) rounded ONCE to an integer
+    // micro-nat per term; scores are BIGINT tf × idf_micro products, so
+    // the per-doc ranking is engine-exact (the LM discipline)
+    "q_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * CAST(round(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000 + 1000000, 0) AS BIGINT) AS score_micro
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS INT) AS rnk FROM sc)
+        |SELECT doc_id, rnk, term, tf, score_micro FROM rk WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     // simhash-candidates + exact-verify must equal the full posting
     // self-join answer when the block geometry is exhaustive for the

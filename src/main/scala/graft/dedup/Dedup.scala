@@ -295,6 +295,45 @@ object Dedup {
     reps.unionByName(loners)
   }
 
+  /** Soft deduplication — DOWNWEIGHT duplicated content instead of
+    * dropping it (the SoftDeDup idea, He et al. 2024: reweighting by
+    * data commonness preserves corpus coverage while removing the
+    * training-mass distortion of repeated text; SlimPajama-style hard
+    * collapse is [[clusterRepresentatives]]). Every document survives
+    * with a sampling weight that makes each near-dup cluster contribute
+    * ONE document's worth of expected training mass:
+    *
+    *   weight = 1 / |cluster|   (1.0 for docs in no near-dup pair)
+    *
+    * The weight is emitted as an integer MICRO-weight (⌊10⁶/|cluster|⌋,
+    * BIGINT) — the same engine-reproducible discipline as the LM
+    * micro-nats: pure integer floor division, nothing two engines can
+    * round differently. Feed `weight_micro` to
+    * [[graft.ops.Curation.weightedSample]]-style samplers or a loss
+    * scaler; `sum(weight_micro)/10⁶` is the effective deduplicated
+    * corpus size.
+    *
+    * Scale shape: components run over the near-dup EDGE list only;
+    * cluster sizes are one groupBy over the component map (near-dup
+    * survivors, orders of magnitude smaller than the corpus); the
+    * corpus itself takes one broadcast-sized left join — never sorted,
+    * never windowed, text never shuffles. */
+  def softDedupWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("doc_id").as("__cdoc"), col("cluster_id"))
+    val sized = comp.join(
+      comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz")), "cluster_id")
+    docs.select(col(idCol))
+      .join(sized, docs(idCol) === col("__cdoc"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("__csz"), lit(1L)).as("cluster_size"),
+        expr("CAST(1000000 DIV coalesce(__csz, 1) AS BIGINT)")
+          .as("weight_micro"))
+  }
+
   /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup by embedding
     * clusters: k-means cells bound the pairwise work, within-cell
     * pairs at cosine ≥ `eps` form duplicate groups, and each group

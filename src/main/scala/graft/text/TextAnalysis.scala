@@ -81,6 +81,46 @@ object TextAnalysis {
       length(t).as("n_chars"))
   }
 
+  /** TF-IDF keyword extraction — the top-k most characteristic terms
+    * per document (classic Salton-style tf·idf with the smoothed idf
+    * every IR stack ships: idf = ln((N+1)/(df+1)) + 1, strictly
+    * positive so single-doc corpora still rank). The per-corpus idf
+    * table doubles as a corpus-profiling artifact; the per-doc top
+    * terms feed topic tagging, mixture labelling, and the keyword arms
+    * of hybrid search.
+    *
+    * Engine-reproducible by the repo's micro-unit discipline: the one
+    * libm call (ln) is rounded ONCE to an integer micro-nat idf per
+    * TERM, scores are `tf × idf_micro` — pure BIGINT products — and
+    * ranking is (score_micro DESC, term ASC), so no double summation
+    * or half-boundary round exists for two engines to disagree on.
+    *
+    * Scale shape: tf is one hash aggregation over exploded
+    * (doc, term) pairs with map-side combine; df aggregates the tf
+    * table (already one row per (doc, term)); N is one bounded scalar
+    * count; the rank window partitions by doc_id (per-doc term counts
+    * are document-bounded). The text column never shuffles — only
+    * (id, term, count) slivers move. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfMicro = round(log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) *
+        lit(1000000.0) + lit(1000000.0), 0).cast("long")
+    val scored = tf.join(df.select(col("term"), idfMicro.as("idf_micro")), "term")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("score_micro"))
+  }
+
   /** PII pattern constants — ONE definition shared by the scrub and
     * its counters (see [[scrubPii]] for the count-vs-span overlap
     * contract on nested matches). RE2-safe

@@ -207,6 +207,35 @@ class TextSpec extends SparkSpec {
     assert(fp(0) != fp(1))
     assert(fp(0) == (97L * 31 + 98) % 1000000007) // 'a'*31 + 'b'
   }
+
+  test("tfidfKeywords ranks corpus-rare terms above ubiquitous ones") {
+    // 'common' appears in every doc (low idf); each doc has its own
+    // rare term repeated twice (high tf·idf) — the rare term must rank
+    // first despite 'common' having the same tf
+    val docs = Seq(
+      (1L, "common common apple apple"),
+      (2L, "common common banana banana"),
+      (3L, "common common cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "rnk", "term", "tf").as[(Long, Int, String, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1, "apple", 2L), (1L, 2, "common", 2L),
+      (2L, 1, "banana", 2L), (2L, 2, "common", 2L),
+      (3L, 1, "cherry", 2L), (3L, 2, "common", 2L)))
+    // idf_micro of a df=1 term in a 3-doc corpus: round(ln(4/2)*1e6)+1e6
+    val appleScore = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .where($"term" === "apple").select("score_micro").as[Long].head()
+    assert(appleScore == 2L * (math.round(math.log(2.0) * 1e6) + 1000000L))
+  }
+
+  test("tfidfKeywords: empty text yields no rows, k bounds output") {
+    val docs = Seq((1L, ""), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+    assert(out.where($"doc_id" === 1L).count() == 0)
+    assert(out.where($"doc_id" === 2L).count() == 2)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
@@ -225,5 +254,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     val out = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .select("cluster_id").distinct().as[Long].collect()
     assert(out.toSeq == Seq(1L))
+  }
+
+  test("softDedupWeights: 1e6/|cluster| for members, 1e6 for loners") {
+    // cluster {1,2,3} (size 3), pair {10,11} (size 2), loner 20
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (10L, 10L, 2L, 500000L), (11L, 10L, 2L, 500000L),
+      (20L, 20L, 1L, 1000000L)))
+    // expected training mass: one doc's worth per cluster (to within
+    // the floor-division micro-unit)
+    val mass = out.map(_._4).sum
+    assert(mass >= 3 * 1000000L - 3 && mass <= 3 * 1000000L)
   }
 }

@@ -522,6 +522,36 @@ object SparkEntry {
         "vec_id", "embedding", qLocal, k = 10, candMult = ((n + 9) / 10).toInt)
     }),
 
+    "q_bq_search" -> ((s, dir) => {
+      // binary quantization: 1 bit/dim against the per-dim corpus mean,
+      // Hamming = XOR + popcount over packed longs. UNLIKE the float
+      // families, the production ranking itself is integer-exact — the
+      // oracle recomputes the identical distances by counting per-dim
+      // sign disagreements, so this row is fully oracled with NO
+      // exhaustive configuration needed (the packing is what's proved).
+      // Thresholds + words are persisted ingest artifacts (bqthr/bqwords).
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.BqIndex.search(bqModelFor(s, dir), bqEncodedFor(s, dir),
+        qLocal, k = 10)
+    }),
+
+    "q_bq_rerank" -> ((s, dir) => {
+      // the production BQ pattern at a PRODUCTION shortlist (candMult=5,
+      // 50 of the corpus): bit scan -> Hamming shortlist -> exact cosine
+      // rerank of the sliver. Still fully oracled: the shortlist ties on
+      // (distance, id) so the candidate SET is deterministic and the
+      // oracle recomputes shortlist + rerank end-to-end.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.BqIndex.searchRerank(bqModelFor(s, dir), bqEncodedFor(s, dir),
+        embs, "vec_id", "embedding", qLocal, k = 10, candMult = 5)
+    }),
+
     "q_ivfpq_exhaustive" -> ((s, dir) => {
       // IVF_PQ's ORACLED row: nprobe = nlist probes every cell and the
       // corpus-spanning candMult makes the exact rerank degenerate to
@@ -1363,6 +1393,27 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
 
+  /** One BQ quantizer per (JVM, sf), persisted as the per-dimension
+    * threshold artifact and reconstructed from it (same contract as
+    * [[pqModelFor]]). */
+  private val bqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.vector.BqIndex.Model]
+  private def bqModelFor(s: SparkSession, dir: String): graft.vector.BqIndex.Model =
+    bqModels.getOrElseUpdate(sfKey(dir), {
+      val thr = graft.catalog.IndexStore.ensure(s, s"bqthr_${sfKey(dir)}") {
+        graft.vector.BqIndex.thresholdsDf(
+          graft.vector.BqIndex.train(Tables.embeddings(s, dir), "embedding"), s)
+      }
+      graft.vector.BqIndex.modelFromDf(thr, dim = 64)
+    })
+
+  /** Persisted BQ words (id, words) — the 1-bit/dim packed corpus. */
+  private[graft] def bqEncodedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"bqwords_${sfKey(dir)}") {
+      graft.vector.BqIndex.encode(bqModelFor(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
   /** One distilled quality-classifier model per (JVM, sf), persisted
     * as the (idx, w) artifact and reconstructed from it (same contract
     * as [[pqModelFor]]). */
@@ -1606,6 +1657,49 @@ object SparkEntry {
     "q_ivfpq_exhaustive" -> knnOracle("l2"),
     "q_ivfsq_exhaustive" -> knnOracle("l2"),
     "q_knn_ip" -> knnOracle("ip"),
+
+    // BQ Hamming is integer-exact: recompute the per-dim decimal-mean
+    // thresholds and count sign disagreements — proves the bit packing
+    // at the PRODUCTION configuration (no exhaustive twin needed)
+    "q_bq_search" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |thr AS (SELECT pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) GROUP BY pos),
+        |bits AS (SELECT id, pos, (x > m) AS b FROM
+        |  (SELECT id, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) ex
+        |  JOIN thr USING (pos)),
+        |h AS (SELECT qb.id AS query_id, cb.id AS id,
+        |    CAST(sum(CASE WHEN cb.b != qb.b THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM bits cb JOIN bits qb ON cb.pos = qb.pos AND qb.id < 8
+        |  GROUP BY qb.id, cb.id),
+        |r AS (SELECT query_id, id, ham,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rnk FROM h)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(CAST(ham AS DOUBLE), 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Hamming shortlist (deterministic: ties on (distance, id)) of
+    // k*candMult = 50, then exact cosine rerank of the sliver — the
+    // production path, recomputed end-to-end
+    "q_bq_rerank" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |thr AS (SELECT pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) GROUP BY pos),
+        |bits AS (SELECT id, pos, (x > m) AS b FROM
+        |  (SELECT id, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) ex
+        |  JOIN thr USING (pos)),
+        |h AS (SELECT qb.id AS query_id, cb.id AS id,
+        |    CAST(sum(CASE WHEN cb.b != qb.b THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM bits cb JOIN bits qb ON cb.pos = qb.pos AND qb.id < 8
+        |  GROUP BY qb.id, cb.id),
+        |short AS (SELECT query_id, id FROM (SELECT query_id, id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rnk FROM h)
+        |  WHERE rnk <= 50),
+        |s AS (SELECT sh.query_id, sh.id, list_cosine_similarity(c.e, q.e) AS sc
+        |  FROM short sh JOIN v c ON sh.id = c.id JOIN v q ON sh.query_id = q.id),
+        |rr AS (SELECT query_id, id, sc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM rr WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_filter" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),

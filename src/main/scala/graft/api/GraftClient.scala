@@ -154,7 +154,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val meta = describe
     val live = liveIndexes(meta)
     import live.{ftLive, lshLive, ivfLive, mhLive, shLive, pqLive, ivfPqLive,
-      ivfSqLive, hnswLive}
+      ivfSqLive, hnswLive, bqLive}
     val anyLive = live.anySeg
 
     // ALL batch-shape validation runs BEFORE anything is written: a
@@ -283,7 +283,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive,
-      keepIvfSq = ivfSqLive, keepHnsw = hnswLive)
+      keepIvfSq = ivfSqLive, keepHnsw = hnswLive, keepBq = bqLive)
     if (anyLive) maybeAutoCompact()
     } finally batch.unpersist()
   }
@@ -317,10 +317,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private case class LiveIndexes(ftLive: Boolean, lshLive: Boolean, ivfLive: Boolean,
                                  mhLive: Boolean, shLive: Boolean, pqLive: Boolean,
                                  ivfPqLive: Boolean, ivfSqLive: Boolean,
-                                 hnswLive: Boolean) {
+                                 hnswLive: Boolean, bqLive: Boolean) {
     def anySeg: Boolean =
       ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive || ivfSqLive ||
-        hnswLive
+        hnswLive || bqLive
   }
 
   private def liveIndexes(meta: Map[String, String]): LiveIndexes = LiveIndexes(
@@ -347,7 +347,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // so a batch becomes its own new segment graph(s) — no existing
     // graph is ever touched
     hnswLive = meta.contains("index.hnsw.m") &&
-      catalog.collectionExists(db, GraftCollection.hnswGraph(coll)))
+      catalog.collectionExists(db, GraftCollection.hnswGraph(coll)),
+    // BQ packs against the STORED thresholds — a pure per-doc
+    // projection, the cheapest maintenance of any coded family
+    bqLive = meta.contains("index.bq.dim") &&
+      catalog.collectionExists(db, GraftCollection.bqWords(coll)))
 
   /** Append one segment per live family for `batch` (one row per id —
     * caller enforces — with the full document schema) and advance the
@@ -409,6 +413,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }
     if (live.shLive) appendSegRows(GraftCollection.shSig(coll), seg,
       graft.dedup.Dedup.simhashSignatures(batch, idCol, meta("index.sh.text_col")))
+    if (live.bqLive) {
+      val model = bqModelFromMeta(meta)
+      val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+      appendSegRows(GraftCollection.bqWords(coll), seg,
+        graft.vector.BqIndex.encode(model, keyed, kid, vecCol))
+    }
     if (live.hnswLive) appendHnswSegment(batch, meta)
     advanceLedger(batch, seg)
   }
@@ -884,6 +894,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.read(db, GraftCollection.ivfSqBounds(coll)),
       meta("index.ivfsq.dim").toInt)
 
+  /** Reconstruct the BQ quantizer from the persisted per-dim
+    * thresholds. */
+  private def bqModelFromMeta(meta: Map[String, String]): graft.vector.BqIndex.Model =
+    graft.vector.BqIndex.modelFromDf(
+      catalog.read(db, GraftCollection.bqThresholds(coll)),
+      meta("index.bq.dim").toInt)
+
   def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
     beginVectorRebuild("IVF")
     val base = df.drop(GraftCollection.IndexCols: _*)
@@ -939,6 +956,55 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll, Map(
       "index.pq.m" -> m.toString, "index.pq.k" -> k.toString,
       "index.pq.dim" -> dim.toString, "index.pq.base_seg" -> baseSeg.toString))
+  }
+
+  /** rebuild_index for binary quantization (the extension family next
+    * to PQ/SQ8 — the Lucene/Elasticsearch-BBQ / Weaviate / Qdrant
+    * memory tier: 1 bit per dimension against per-dim corpus-mean
+    * thresholds, Hamming shortlist + exact rerank at serve time, 32×
+    * smaller than raw float32). Thresholds + packed words persist as
+    * sibling collections; [[searchBq]] serves any later session
+    * without retraining; `metric` fixes the rerank metric (stored in
+    * meta — the serving path must never silently switch metrics).
+    * String-PK collections pack over the xxhash64 surrogate and serve
+    * through the real-id rerank like every coded family. */
+  def rebuildBqIndex(metric: String = "cosine"): Unit = {
+    require(Set("cosine", "l2", "ip")(metric), s"unknown metric $metric")
+    val dim = beginVectorRebuild("BQ")
+    val baseSeg = mutationSeg
+    val model = graft.vector.BqIndex.train(df, vecCol)
+    val (keyed, kid) = indexKeyed(df)
+    catalog.createCollectionIfNotExists(db, GraftCollection.bqWords(coll))
+    catalog.createCollectionIfNotExists(db, GraftCollection.bqThresholds(coll))
+    catalog.write(db, GraftCollection.bqWords(coll),
+      graft.vector.BqIndex.encode(model, keyed, kid, vecCol)
+        .withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol))
+    catalog.write(db, GraftCollection.bqThresholds(coll),
+      graft.vector.BqIndex.thresholdsDf(model, spark))
+    catalog.updateMeta(db, coll, Map(
+      "index.bq.dim" -> dim.toString, "index.bq.metric" -> metric,
+      "index.bq.base_seg" -> baseSeg.toString))
+  }
+
+  /** BQ search served from the persisted packed words: Hamming
+    * shortlist of `limit * candMult`, exact rerank in the collection's
+    * stored BQ metric. */
+  def searchBq(queries: DataFrame, qIdCol: String, qVecCol: String,
+               limit: Int = 10, candMult: Int = 10): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.bq.dim"), "no BQ index: run rebuildBqIndex first")
+    val model = bqModelFromMeta(meta)
+    val words = liveSegRows(catalog.read(db, GraftCollection.bqWords(coll)),
+      "id", meta.get("index.bq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.BqIndex.searchRerank(model, words,
+        df, idCol, vecCol, qarr, limit, candMult,
+        metric = meta.getOrElse("index.bq.metric", "cosine"),
+        nodeKey = nodeKeyOpt),
+      remap)
   }
 
   /** rebuild_index for HNSW — the reference's DEFAULT index type
@@ -1315,6 +1381,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       _.repartitionByRange(col("h")).sortWithinPartitions("h"))
     compact(GraftCollection.shSig(coll), "doc_id", "index.sh.base_seg")
     compact(GraftCollection.pqCodes(coll), "id", "index.pq.base_seg",
+      surrogate = true)
+    compact(GraftCollection.bqWords(coll), "id", "index.bq.base_seg",
       surrogate = true)
     compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
       _.repartition(col("cell")), Seq("cell"), surrogate = true)
@@ -1840,7 +1908,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                 keepSh: Boolean = false, keepPq: Boolean = false,
                                 keepIvfPq: Boolean = false,
                                 keepIvfSq: Boolean = false,
-                                keepHnsw: Boolean = false): Unit = {
+                                keepHnsw: Boolean = false,
+                                keepBq: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
@@ -1851,7 +1920,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))
-    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq, keepHnsw)
+    invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq, keepHnsw,
+      keepBq)
   }
 
   /** Drop the persisted vector-index models (IVF centroids, PQ
@@ -1863,7 +1933,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                     keepPq: Boolean = false,
                                     keepIvfPq: Boolean = false,
                                     keepIvfSq: Boolean = false,
-                                    keepHnsw: Boolean = false): Unit = {
+                                    keepHnsw: Boolean = false,
+                                    keepBq: Boolean = false): Unit = {
     if (!keepHnsw) {
       invalidateFamily(Seq(GraftCollection.hnswGraph(coll)),
         Seq("index.hnsw.m", "index.hnsw.efc", "index.hnsw.segments",
@@ -1893,6 +1964,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         Seq(GraftCollection.ivfSqCodes(coll), GraftCollection.ivfSqCentroids(coll),
           GraftCollection.ivfSqBounds(coll)),
         Seq("index.ivfsq.nlist", "index.ivfsq.dim", "index.ivfsq.base_seg"))
+    if (!keepBq)
+      invalidateFamily(
+        Seq(GraftCollection.bqWords(coll), GraftCollection.bqThresholds(coll)),
+        Seq("index.bq.dim", "index.bq.metric", "index.bq.base_seg"))
   }
 
   /** fulltext_search: BM25-ranked docs containing the query terms; uses
@@ -2151,7 +2226,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
-      keepHnsw = live.hnswLive)
+      keepHnsw = live.hnswLive, keepBq = live.bqLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -2227,7 +2302,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
-      keepHnsw = live.hnswLive)
+      keepHnsw = live.hnswLive, keepBq = live.bqLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -2299,13 +2374,15 @@ object GraftCollection {
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"
   private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
   private[api] def hnswGraph(coll: String): String = coll + "__hnsw_graph"
+  private[api] def bqWords(coll: String): String = coll + "__bq_words"
+  private[api] def bqThresholds(coll: String): String = coll + "__bq_thresholds"
 
   /** Meta keys recording each segment-maintained family's base segment
     * — the compaction policy measures debt against the OLDEST one. */
   private[api] val baseSegKeys: Seq[String] = Seq(
     "index.ft.base_seg", "index.lsh.base_seg", "index.mh.base_seg",
     "index.sh.base_seg", "index.pq.base_seg", "index.ivfpq.base_seg",
-    "index.ivfsq.base_seg", "index.hnsw.base_seg")
+    "index.ivfsq.base_seg", "index.hnsw.base_seg", "index.bq.base_seg")
 
   /** Default auto-compaction threshold (segments past the oldest base
     * before [[GraftCollection.compactIndexes]] fires): high enough that

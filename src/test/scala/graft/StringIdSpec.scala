@@ -152,6 +152,27 @@ class StringIdSpec extends SparkSpec {
     }
   }
 
+  test("string-PK BQ: corpus-covering shortlist equals the FLAT cosine scan; maintenance") {
+    val coll = svColl("bq")
+    coll.rebuildBqIndex()
+    val n = svCorpus.count().toInt
+    val flat = rows(coll.search(svQueries, "qid", "qv", "cosine", limit = 5))
+    val bq = rows(coll.searchBq(svQueries, "qid", "qv", limit = 5, candMult = n))
+    assert(bq == flat, "string-PK corpus-covering BQ must equal exact cosine KNN")
+    // maintenance: replace doc-3's vector with q-1's — the stale words
+    // must be masked and the fresh segment must serve
+    val qv = svQueries.where(col("qid") === "q-1").select("qv").head().getSeq[Double](0)
+    coll.upsert(Seq(("doc-3", qv)).toDF("id", "vector"))
+    assert(coll.describe.contains("index.bq.dim"),
+      "upsert must keep the BQ index live")
+    val res = rows(coll.searchBq(svQueries, "qid", "qv", limit = 5, candMult = n + 1))
+    val flat2 = rows(coll.search(svQueries, "qid", "qv", "cosine", limit = 5))
+    assert(res == flat2,
+      "post-upsert corpus-covering BQ must equal exact cosine KNN over the new snapshot")
+    val top = res.filter(_._1 == "q-1").sortBy(_._2).map(_._3).take(2)
+    assert(top.contains("doc-3"), s"the re-packed doc must rank at the top, got $top")
+  }
+
   test("string-PK PQ maintenance: the surrogate ledger masks replaced codes") {
     val coll = svColl("pqmut")
     coll.rebuildPqIndex(m = 8, k = 16)

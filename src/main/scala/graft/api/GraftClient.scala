@@ -1068,6 +1068,81 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       remap)
   }
 
+  /** FILTERED HNSW search with cost-based routing and ADAPTIVE beam
+    * escalation — the answer to the measured §5b-r8 recall collapse
+    * (a fixed ef leaves few post-filter survivors once the filter gets
+    * selective; at 1% selectivity the default beam's recall craters).
+    * Two devices, both standard in production ANN engines
+    * (pgvector/Qdrant-style planning):
+    *
+    *  - **Cost route.** Graph traversal with post-filter needs
+    *    ef ≈ 2k/(segments·s) at selectivity s (the §5b-r8 guidance),
+    *    so its work scales like k·n/|filtered| while an exact FLAT
+    *    scan of the filtered subset costs |filtered| — the scan wins
+    *    (and is EXACT, recall 1) when |filtered| < √(2·k·n). Below
+    *    that threshold the search routes to the FLAT path, where the
+    *    predicate pushes into the parquet scan; an empty filter match
+    *    returns empty through the same route.
+    *  - **Adaptive escalation.** On the graph route, any query whose
+    *    post-filter result count falls short of min(limit, |filtered|)
+    *    retries at 4× the beam, up to the exhaustive bound (ef ≥ graph
+    *    rows ⇒ every node visited ⇒ the count provably fills), so the
+    *    method ALWAYS returns min(limit, |filtered|) rows per query —
+    *    fixed-beam silent starvation is unrepresentable. Filled
+    *    queries never re-traverse; each round retries only the
+    *    deficient remainder.
+    *
+    * `adaptive = false` pins the single-shot fixed-ef behavior (the
+    * caller owns the recall/latency trade, as with an explicit hybrid
+    * `ef`). Both counts here are bounded driver scalars; per-round
+    * results are k·|batch| rows. */
+  def searchHnswFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
+                         filter: String, limit: Int = 10, ef: Int = 10,
+                         adaptive: Boolean = true): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    require(filter.nonEmpty,
+      "searchHnswFiltered requires a filter — use searchHnsw for unfiltered search")
+    val metric = meta("index.hnsw.metric")
+    val filtered = df.where(FilterParser.parse(filter))
+    val nFiltered = filtered.count()
+    val nTotal = df.count()
+    if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * nTotal))
+      return search(queries, qIdCol, qVecCol, metric, limit, filter = filter)
+
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val graph = preparedHnswGraph(meta)
+    val target = math.min(limit.toLong, nFiltered)
+    val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
+    var pending = qarr
+    var curEf = math.max(ef, 1)
+    var parts = Vector.empty[DataFrame]
+    while (pending.nonEmpty) {
+      // bounded result (limit·|pending| rows): eager-checkpoint so the
+      // count and the keep-filter don't re-traverse the graph
+      val res = graft.vector.HnswIndex.search(graph, filtered, idCol, vecCol,
+          pending, metric, limit, curEf, prepared = true, nodeKey = nodeKeyOpt)
+        .localCheckpoint(true)
+      val exhausted = !adaptive || curEf >= efCap
+      if (exhausted) {
+        parts :+= res
+        pending = Array.empty
+      } else {
+        val counts = res.groupBy("query_id").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val fullIds = pending.map(_._1)
+          .filter(q => counts.getOrElse(q, 0L) >= target).toSet
+        if (fullIds.nonEmpty)
+          parts :+= res.where(col("query_id").isin(fullIds.toSeq: _*))
+        pending = pending.filterNot(q => fullIds.contains(q._1))
+        curEf = math.min(curEf.toLong * 4, efCap).toInt
+      }
+    }
+    remapQueryIds(
+      parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
+  }
+
   /** Serving handle for the HNSW graph: the seg-whole arrangement
     * ([[graft.vector.HnswIndex.prepare]]) paid ONCE per artifact
     * generation and cached process-wide — per-query searches must not
@@ -2046,17 +2121,27 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         meta.getOrElse("index.ivf.metric", "l2"), fetch,
         filter = filter, nprobe = nprobe)
     else if (live.hnswLive) {
-      // HnswIndex.search clamps the per-segment beam to >= the rerank
-      // k, so the default ef still fills `fetch` fused ranks
-      val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
-      remapQueryIds(
-        graft.vector.HnswIndex.search(
-          preparedHnswGraph(meta),
-          if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
-          idCol, vecCol, qarr,
-          meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
-          ef.getOrElse(10), prepared = true, nodeKey = nodeKeyOpt),
-        remap)
+      // a FILTERED arm with NO explicit ef routes through the adaptive
+      // path (cost-routed FLAT under selective filters, beam
+      // escalation otherwise) — the fixed default beam's post-filter
+      // starvation is the measured §5b-r8 collapse; an explicit ef
+      // stays the caller's own recall/latency knob, byte-identical to
+      // the pinned HybridAnnSpec twins
+      if (filter.nonEmpty && ef.isEmpty)
+        searchHnswFiltered(queries, qIdCol, qVecCol, filter, fetch, 10)
+      else {
+        // HnswIndex.search clamps the per-segment beam to >= the rerank
+        // k, so the default ef still fills `fetch` fused ranks
+        val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+        remapQueryIds(
+          graft.vector.HnswIndex.search(
+            preparedHnswGraph(meta),
+            if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
+            idCol, vecCol, qarr,
+            meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
+            ef.getOrElse(10), prepared = true, nodeKey = nodeKeyOpt),
+          remap)
+      }
     }
     // FLAT fallback: rank by the live index's STORED metric when one
     // exists (a collection whose index was built for l2 must not
@@ -2082,7 +2167,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     *    FLAT dense arm pre-filters with scan pushdown; the HNSW arm
     *    filters at the rerank (candidates join the FILTERED snapshot
     *    before top-k — byte-equal to FLAT at exhaustive ef, the
-    *    pinned twin; ef is the recall knob under selective filters);
+    *    pinned twin). An EXPLICIT ef is the caller's own recall/
+    *    latency knob under selective filters; a filtered arm with NO
+    *    ef routes through [[searchHnswFiltered]]'s cost-based plan
+    *    (exact FLAT under selective filters, adaptive beam escalation
+    *    otherwise), so the default never silently starves;
     *  - `outputFields` / `retrieveVector`: document fields joined back
     *    by id onto the fused hits (same join-back as search()).
     *

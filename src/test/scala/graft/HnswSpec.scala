@@ -129,4 +129,65 @@ class HnswSpec extends SparkSpec {
       numSegments = 1)
     assert(g.count() == 2)
   }
+
+  // ---------------------------------------- filtered search, adaptive
+
+  private def filteredColl() = {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-hnswfilt").toString
+    val rnd = new scala.util.Random(53)
+    val rows: Seq[(Long, Seq[Double], Long, Long)] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()), i % 100, i % 2))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector", "grp", "par"))
+    coll.rebuildHnswIndex(m = 8, efConstruction = 32, numSegments = 2)
+    (coll, rows)
+  }
+
+  test("filtered search: tiny selectivity routes to the exact FLAT scan") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    // grp = 7 matches 3 of 300 docs — far under the √(2·k·n) ≈ 77 cost
+    // threshold, so the route is the pushed-down exact scan: equality
+    // with the FLAT path is byte-for-byte, and the count is |filtered|
+    val got = coll.searchHnswFiltered(q, "qid", "qvec", "grp = 7", limit = 10)
+      .collect().toSeq
+    val flat = coll.search(q, "qid", "qvec", "cosine", limit = 10,
+      filter = "grp = 7").collect().toSeq
+    assert(got == flat)
+    assert(got.length == 3 && got.forall(_.getLong(2) % 100 == 7))
+  }
+
+  test("filtered search: adaptive escalation always fills min(limit, |filtered|)") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    // par = 0 matches 150 docs — above the cost threshold, so the
+    // GRAPH route serves; the adaptive guarantee is a full result set
+    // for every query, which a small fixed beam cannot promise
+    val got = coll.searchHnswFiltered(q, "qid", "qvec", "par = 0",
+      limit = 10, ef = 1).collect()
+    assert(got.length == 20, s"adaptive must fill 10 rows per query, got ${got.length}")
+    assert(got.forall(_.getLong(2) % 2 == 0), "every hit must satisfy the filter")
+    // adaptive recall vs exact is at least the single-shot fixed-beam's
+    val exact = coll.search(q, "qid", "qvec", "cosine", limit = 10,
+        filter = "par = 0").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val fixed = coll.searchHnswFiltered(q, "qid", "qvec", "par = 0",
+        limit = 10, ef = 1, adaptive = false).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val adap = got.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]) = exact.map { case (qid, ids) =>
+      (ids intersect m.getOrElse(qid, Set.empty)).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall(adap) >= recall(fixed),
+      s"adaptive recall ${recall(adap)} < fixed ${recall(fixed)}")
+  }
+
+  test("filtered search: empty filter match returns empty, not an error") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    assert(coll.searchHnswFiltered(q, "qid", "qvec", "grp = 777", limit = 5)
+      .isEmpty)
+  }
 }

@@ -96,6 +96,21 @@ object RecallProbe {
       enc.unpersist()
     }
 
+    // ---- BQ (cosine): Hamming-only vs exact rerank, candMult sweep --
+    // (1 bit/dim: the Hamming ranking is exact-in-its-own-metric, so
+    // what the sweep measures is how well sign agreement proxies
+    // cosine — and how small a rerank shortlist buys it back)
+    val bq = BqIndex.train(embs, "embedding")
+    val encB = BqIndex.encode(bq, embs, "vec_id", "embedding").cache()
+    encB.count()
+    emit("bq_hamming", "1bit/dim mean-thresholds",
+      Recall.atK(BqIndex.search(bq, encB, qLocal, k), gtCos))
+    for (cm <- Seq(2, 5, 10, 20))
+      emit("bq_rerank", s"candMult=$cm",
+        Recall.atK(BqIndex.searchRerank(bq, encB, embs, "vec_id", "embedding",
+          qLocal, k, candMult = cm), gtCos))
+    encB.unpersist()
+
     // ---- IVF_PQ (L2): nprobe sweep, ADC-only vs exact rerank --------
     // (code-only ranking is capped by PQ quantization error regardless
     // of nprobe — the rerank lifts it back onto the IVF coverage curve)

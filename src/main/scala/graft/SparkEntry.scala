@@ -924,6 +924,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_lm_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser–Ney over the SAME train/held-out split and
+      // the SAME bigram sufficient statistic as q_lm_perplexity — the
+      // backoff is the continuation distribution (distinct-context
+      // counts), the smoothing KenLM/CCNet actually ship
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.NgramLm.train(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      graft.text.NgramLm.scoreKn(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     "q_lm_perplexity" -> ((s, dir) => {
       // CCNet-style LM quality scoring: an interpolated absolute-
       // discount bigram LM trained on the even-doc_id half of the
@@ -1836,6 +1849,39 @@ object SparkEntry {
         |         + len(regexp_extract_all(text, chr(65533))))
         |        / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS noise_ratio
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // Kneser–Ney: same split and count tables; the backoff term is the
+    // add-one-smoothed CONTINUATION distribution (distinct-context
+    // counts cw/ct) instead of raw unigram frequency
+    "q_lm_kneser_ney" ->
+      """WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |trp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM tr, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |bgc AS (SELECT v, w, count(*) AS c_vw FROM trp GROUP BY v, w),
+        |ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p FROM bgc GROUP BY v),
+        |cw AS (SELECT w, count(*) AS n1pw FROM bgc GROUP BY w),
+        |ct AS (SELECT count(*) AS btypes, count(DISTINCT w) AS wtypes FROM bgc),
+        |sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |scp AS (SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE a[i-1] END AS v, a[i] AS w
+        |        FROM sc, UNNEST(range(1, len(a) + 1)) AS r(i)),
+        |lp AS (SELECT s.doc_id,
+        |  CAST(round(ln(CASE WHEN ctx.c_v IS NULL
+        |    THEN (CAST(coalesce(cw.n1pw, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(ct.btypes AS DOUBLE) + CAST(ct.wtypes AS DOUBLE) + 1.0)
+        |    ELSE greatest(CAST(coalesce(bgc.c_vw, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.c_v AS DOUBLE)
+        |       + (0.75 * CAST(ctx.n1p AS DOUBLE) / CAST(ctx.c_v AS DOUBLE)) *
+        |         ((CAST(coalesce(cw.n1pw, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(ct.btypes AS DOUBLE) + CAST(ct.wtypes AS DOUBLE) + 1.0))
+        |    END) * 1000000, 0) AS BIGINT) AS lp6
+        |  FROM scp s LEFT JOIN bgc ON s.v = bgc.v AND s.w = bgc.w
+        |             LEFT JOIN ctx ON s.v = ctx.v
+        |             LEFT JOIN cw ON s.w = cw.w
+        |             CROSS JOIN ct)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(((-sum(lp6)) * 10000) // (count(*) * 1000000) AS DOUBLE) / 10000.0 AS nll
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_lm_perplexity" ->
       """WITH tr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a

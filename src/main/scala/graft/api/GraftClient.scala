@@ -1779,16 +1779,26 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   /** (id, n_tokens, nll) for an ARBITRARY batch against the stored LM
     * — token-key joins against the persisted count sliver, O(batch);
-    * the stored order (meta model.lm.order) picks the chain. */
+    * the stored order (meta model.lm.order) picks the chain.
+    * `smoothing = "kn"` serves interpolated Kneser–Ney from the SAME
+    * stored counts (order-2 chains only — the continuation tables are
+    * aggregations of the persisted sufficient statistic, so no new
+    * artifact and no retraining). */
   def scoreLmOf(batch: DataFrame, batchIdCol: String,
-                batchTextCol: String): DataFrame = {
+                batchTextCol: String, smoothing: String = "abs"): DataFrame = {
     val meta = describe
     require(meta.contains("model.lm.text_col"),
       "no LM model: run trainLmModel first")
+    require(Set("abs", "kn")(smoothing), s"unknown LM smoothing $smoothing")
     val counts = catalog.read(db, GraftCollection.lmBigrams(coll))
-    if (meta.getOrElse("model.lm.order", "2") == "3")
+    if (meta.getOrElse("model.lm.order", "2") == "3") {
+      require(smoothing == "abs",
+        "Kneser–Ney serving is defined for the order-2 chain; the stored LM is order 3")
       graft.text.NgramLm.score3(batch, batchIdCol, batchTextCol,
         graft.text.NgramLm.fromTrigrams(counts))
+    } else if (smoothing == "kn")
+      graft.text.NgramLm.scoreKn(batch, batchIdCol, batchTextCol,
+        graft.text.NgramLm.fromBigrams(counts))
     else
       graft.text.NgramLm.score(batch, batchIdCol, batchTextCol,
         graft.text.NgramLm.fromBigrams(counts))

@@ -217,6 +217,51 @@ object NgramLm {
           .cast("long").as("__lp6")),
       idCol)
 
+  /** Interpolated Kneser–Ney scoring (Kneser & Ney 1995; the smoothing
+    * KenLM ships, i.e. what CCNet's 5-gram actually runs) — same
+    * discounted bigram term as [[score]], but the backoff distribution
+    * is the CONTINUATION probability instead of raw frequency:
+    *
+    *   p_KN(w|v) = max(c(v,w) − d, 0)/c(v) + d·n₁₊(v·)/c(v) · p_cont(w)
+    *   p_cont(w) = (N₁₊(·w) + 1) / (N₁₊(··) + W + 1)
+    *
+    * where N₁₊(·w) counts the DISTINCT contexts w completes (its row
+    * count in the bigram table), N₁₊(··) the bigram types, W the word
+    * types — with the same add-one shared-OOV bucket as [[score]]'s
+    * unigram, so the distribution stays proper for every context kind
+    * (p_KN = p_cont when v was never seen). The KN signature: a word
+    * frequent in ONE collocation ("Francisco") backs off LOW — raw
+    * frequency would rank it high exactly where its context evidence
+    * is useless (NgramLmSpec pins the inversion against [[score]]).
+    *
+    * No new artifact: both continuation tables are aggregations of the
+    * SAME persisted (v, w, c_vw) sufficient statistic, so a stored
+    * collection LM serves either smoothing. Same micro-nat rounding
+    * discipline, output schema, and scale shape as [[score]]. */
+  def scoreKn(docs: DataFrame, idCol: String, textCol: String,
+              model: Model): DataFrame = {
+    val d = lit(Discount)
+    val contW = model.bigrams.groupBy("w").agg(count(lit(1)).as("__n1pw"))
+    val contTot = model.bigrams.agg(count(lit(1)).as("__btypes"),
+      countDistinct(col("w")).as("__wtypes"))
+    val pCont = (coalesce(col("__n1pw"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__btypes").cast("double") + col("__wtypes").cast("double") + lit(1.0))
+    val pKn = when(col("c_v").isNull, pCont).otherwise(
+      greatest(coalesce(col("__cvw"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c_v").cast("double") +
+        (d * col("n1p").cast("double") / col("c_v").cast("double")) * pCont)
+    aggregateNll(
+      pairRows(docs, idCol, textCol)
+        .join(model.bigrams.withColumnRenamed("c_vw", "__cvw"),
+          Seq("v", "w"), "left")
+        .join(model.contexts, Seq("v"), "left")
+        .join(contW, Seq("w"), "left")
+        .crossJoin(broadcast(contTot))
+        .select(col(idCol), round(log(pKn) * lit(1000000.0), 0)
+          .cast("long").as("__lp6")),
+      idCol)
+  }
+
   /** CCNet's head/middle/tail perplexity bucketing: within each domain
     * (CCNet buckets per language), the best-scoring third of documents
     * is `head`, the next third `middle`, the rest `tail` — the

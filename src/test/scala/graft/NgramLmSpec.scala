@@ -44,6 +44,51 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("Kneser–Ney: p_KN(.|v) is proper and the continuation backoff inverts raw frequency") {
+    // the KN motivation corpus: 'francisco' is FREQUENT (10 tokens)
+    // but completes exactly ONE context ('san'); 'cat' is rare (2
+    // tokens) but completes TWO contexts ('the', 'a')
+    val corpus = docs(
+      0L -> Seq.fill(10)("san francisco").mkString(" "),
+      1L -> "the cat a cat the dog a dog")
+    val m = NgramLm.train(corpus, "doc_id", "text")
+    val bg = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ctx = m.contexts.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n1pw = bg.keySet.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val btypes = bg.size.toLong
+    val wtypes = n1pw.size.toLong
+    def pCont(w: String): Double =
+      (n1pw.getOrElse(w, 0L) + 1.0) / (btypes + wtypes + 1.0)
+    def pKn(w: String, c: String): Double = ctx.get(c) match {
+      case Some((cv, n1p)) =>
+        math.max(bg.getOrElse((c, w), 0L) - NgramLm.Discount, 0.0) / cv +
+          (NgramLm.Discount * n1p / cv) * pCont(w)
+      case None => pCont(w)
+    }
+    // proper for every context kind (seen + the never-seen 'zzz')
+    val vocab = n1pw.keySet
+    for (c <- vocab + "<s>" + "zzz") {
+      val total = vocab.toSeq.map(pKn(_, c)).sum + pKn("__OOV__", c)
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$c' sums to $total")
+    }
+    // the signature inversion on an UNSEEN context: raw-frequency
+    // backoff (score) ranks francisco (c_w=10) over cat (c_w=2);
+    // continuation backoff (scoreKn) must invert — cat completes more
+    // contexts
+    assert(pCont("cat") > pCont("francisco"))
+    val probe = docs(10L -> "zzz cat", 11L -> "zzz francisco")
+    val kn = NgramLm.scoreKn(probe, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val abs = NgramLm.score(probe, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(10L) < kn(11L),
+      s"KN must score the many-context word as more likely: $kn")
+    assert(abs(11L) < abs(10L),
+      s"raw-frequency backoff favors the frequent word: $abs")
+  }
+
   test("held-out backoff paths fire: unseen bigram, unseen context, unseen word") {
     val m = NgramLm.train(docs(0L -> "a b a b", 1L -> "b c"), "doc_id", "text")
     // "c a": context 'c' IS seen (c->sentence-end never counted; c
@@ -206,6 +251,21 @@ class NgramLmSpec extends SparkSpec {
     // lmFilter over the stored docs themselves: everything the LM was
     // trained on is in-distribution at this ceiling
     assert(again.lmFilter(ceil).count() == 20)
+
+    // Kneser–Ney serves from the SAME stored counts (no new artifact):
+    // byte-equal to a direct scoreKn over the rebuilt model
+    val probe = Seq((100L, fluent), (101L, "zq wv xk jj qqq")).toDF("id", "text")
+    val knServed = again.scoreLmOf(probe, "id", "text", smoothing = "kn")
+      .orderBy("id").collect().toSeq
+    val storedCounts = new graft.api.GraftClient(spark, root)
+      .database("db").collection("trusted__lm_bigrams").df
+    val knDirect = graft.text.NgramLm.scoreKn(probe, "id", "text",
+        graft.text.NgramLm.fromBigrams(storedCounts))
+      .orderBy("id").collect().toSeq
+    assert(knServed == knDirect)
+    assertThrows[IllegalArgumentException] {
+      again.scoreLmOf(probe, "id", "text", smoothing = "zzz")
+    }
   }
 
   test("buildTrainingSet lmGate equals manually pre-filtering by the score") {

@@ -53,6 +53,28 @@ class RecallSpec extends SparkSpec {
     assert(rr > adc, s"rerank ($rr) must beat ADC-only ($adc)")
   }
 
+  test("BQ rerank recall climbs with candMult; floor holds at candMult=20 (spec corpus)") {
+    // §5b-r8 BQ rows: 64-bit codes at dim 64 are information-limited,
+    // so fixed-candMult recall DECAYS with corpus size (measured
+    // 0.95/0.97/0.83 at cm=20 across the SFs) — candMult is the
+    // explicit knob, exactly as documented for the PQ family. This
+    // spec runs at sf0.001; the floor is the weakest measured value
+    // minus noise margin.
+    val bq = BqIndex.train(embs, "embedding")
+    val enc = BqIndex.encode(bq, embs, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ham = Recall.atK(BqIndex.search(bq, enc, qLocal, 10), gtCos)
+    val cm5 = Recall.atK(BqIndex.searchRerank(bq, enc, embs, "vec_id",
+      "embedding", qLocal, 10, candMult = 5), gtCos)
+    val cm20 = Recall.atK(BqIndex.searchRerank(bq, enc, embs, "vec_id",
+      "embedding", qLocal, 10, candMult = 20), gtCos)
+    enc.unpersist()
+    assert(ham >= 0.2, s"bq hamming-only recall@10 = $ham")
+    assert(cm5 > ham && cm20 > cm5,
+      s"recall must climb with candMult: $ham -> $cm5 -> $cm20")
+    assert(cm20 >= 0.85, s"bq rerank cm=20 recall@10 = $cm20")
+  }
+
   test("IVF_PQ exact rerank lifts recall off the ADC ceiling (>= 0.75 at nprobe=8)") {
     val model = IvfPq.train(embs, "embedding", dim = 64, nlist = 16, m = 8, k = 16)
     val enc = IvfPq.encode(model, embs, "vec_id", "embedding")

@@ -283,7 +283,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     } // failSafe
     invalidateDerived(keepFt = ftLive, keepIvf = ivfLive, keepLsh = lshLive,
       keepMh = mhLive, keepSh = shLive, keepPq = pqLive, keepIvfPq = ivfPqLive,
-      keepIvfSq = ivfSqLive, keepHnsw = hnswLive, keepBq = bqLive)
+      keepIvfSq = ivfSqLive, keepHnsw = hnswLive, keepBq = bqLive,
+      keepSv = live.svLive)
     if (anyLive) maybeAutoCompact()
     } finally batch.unpersist()
   }
@@ -317,10 +318,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private case class LiveIndexes(ftLive: Boolean, lshLive: Boolean, ivfLive: Boolean,
                                  mhLive: Boolean, shLive: Boolean, pqLive: Boolean,
                                  ivfPqLive: Boolean, ivfSqLive: Boolean,
-                                 hnswLive: Boolean, bqLive: Boolean) {
+                                 hnswLive: Boolean, bqLive: Boolean,
+                                 svLive: Boolean) {
     def anySeg: Boolean =
       ftLive || lshLive || mhLive || shLive || pqLive || ivfPqLive || ivfSqLive ||
-        hnswLive || bqLive
+        hnswLive || bqLive || svLive
   }
 
   private def liveIndexes(meta: Map[String, String]): LiveIndexes = LiveIndexes(
@@ -351,7 +353,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // BQ packs against the STORED thresholds — a pure per-doc
     // projection, the cheapest maintenance of any coded family
     bqLive = meta.contains("index.bq.dim") &&
-      catalog.collectionExists(db, GraftCollection.bqWords(coll)))
+      catalog.collectionExists(db, GraftCollection.bqWords(coll)),
+    // stored-sparse postings are a stat-less per-doc projection too
+    svLive = meta.contains("index.sv.field") &&
+      catalog.collectionExists(db, GraftCollection.svPostings(coll)))
 
   /** Append one segment per live family for `batch` (one row per id —
     * caller enforces — with the full document schema) and advance the
@@ -419,6 +424,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       appendSegRows(GraftCollection.bqWords(coll), seg,
         graft.vector.BqIndex.encode(model, keyed, kid, vecCol))
     }
+    if (live.svLive)
+      appendSegRows(GraftCollection.svPostings(coll), seg,
+        graft.sparse.SparseSearch.sparsePostings(batch, idCol,
+            meta("index.sv.field"))
+          .sortWithinPartitions("term"))
     if (live.hnswLive) appendHnswSegment(batch, meta)
     advanceLedger(batch, seg)
   }
@@ -1459,6 +1469,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       surrogate = true)
     compact(GraftCollection.bqWords(coll), "id", "index.bq.base_seg",
       surrogate = true)
+    compact(GraftCollection.svPostings(coll), "doc_id", "index.sv.base_seg",
+      _.repartition(col("term")).sortWithinPartitions("term"))
     compact(GraftCollection.ivfPqCodes(coll), "id", "index.ivfpq.base_seg",
       _.repartition(col("cell")), Seq("cell"), surrogate = true)
     compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
@@ -1994,7 +2006,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                                 keepIvfPq: Boolean = false,
                                 keepIvfSq: Boolean = false,
                                 keepHnsw: Boolean = false,
-                                keepBq: Boolean = false): Unit = {
+                                keepBq: Boolean = false,
+                                keepSv: Boolean = false): Unit = {
     if (!keepFt)
       invalidateFamily(Seq(GraftCollection.ftPostings(coll), GraftCollection.ftTerms(coll)),
         Seq("index.ft.text_col", "index.ft.base_seg"))
@@ -2005,6 +2018,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepSh)
       invalidateFamily(Seq(GraftCollection.shSig(coll)),
         Seq("index.sh.text_col", "index.sh.base_seg"))
+    if (!keepSv)
+      invalidateFamily(Seq(GraftCollection.svPostings(coll)),
+        Seq("index.sv.field", "index.sv.base_seg"))
     invalidateVectorIndex(keepIvf, keepLsh, keepPq, keepIvfPq, keepIvfSq, keepHnsw,
       keepBq)
   }
@@ -2070,12 +2086,50 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** fulltext_search(data=SparseVector, field_name): dot-product top-k
     * over a caller-populated stored sparse-vector field
     * (collection.py:403 — the client encodes documents with its own
-    * vocabulary and supplies the query's sparse vector). */
+    * vocabulary and supplies the query's sparse vector). Served from
+    * the inverted postings artifact when [[rebuildSparseVectorIndex]]
+    * built one for this field (term-pruned sliver reads instead of a
+    * corpus scan — bit-identical results by the shared scoring tail);
+    * inline scan otherwise. */
   def fulltextSearchSparse(data: Seq[(String, Double)],
                            fieldName: String = "sparse_vector",
-                           limit: Int = 10, filter: String = ""): DataFrame =
-    graft.sparse.SparseSearch.dotTopK(df, idCol, fieldName, data, limit,
-      if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
+                           limit: Int = 10, filter: String = ""): DataFrame = {
+    val meta = describe
+    if (meta.get("index.sv.field").contains(fieldName) &&
+        catalog.collectionExists(db, GraftCollection.svPostings(coll))) {
+      val postings = liveSegRows(
+        catalog.read(db, GraftCollection.svPostings(coll)),
+        "doc_id", meta.get("index.sv.base_seg").map(_.toInt).getOrElse(0))
+      graft.sparse.SparseSearch.dotTopKIndexed(postings, data, limit,
+        docFilter = if (filter.isEmpty) None
+          else Some(df.where(FilterParser.parse(filter))
+            .select(col(idCol).as("doc_id"))))
+    } else
+      graft.sparse.SparseSearch.dotTopK(df, idCol, fieldName, data, limit,
+        if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
+  }
+
+  /** Build the inverted postings artifact for a stored sparse-vector
+    * field — the 100 TB serving tier of [[fulltextSearchSparse]]: one
+    * (doc_id, term, weight) row per stored entry, clustered by term so
+    * a query's In(terms) filter prunes at parquet rowgroup level and
+    * reads only its own terms' posting slivers (the corpus' vectors
+    * are never scanned). No global stats exist (weights are stored),
+    * so upserts maintain the artifact with a pure per-doc projection
+    * append and the ledger masks replaced docs — the cheapest
+    * maintenance of the text families. */
+  def rebuildSparseVectorIndex(fieldName: String = "sparse_vector"): Unit = {
+    require(df.columns.contains(fieldName), s"no such field: $fieldName")
+    val baseSeg = mutationSeg
+    catalog.createCollectionIfNotExists(db, GraftCollection.svPostings(coll))
+    catalog.write(db, GraftCollection.svPostings(coll),
+      graft.sparse.SparseSearch.sparsePostings(df, idCol, fieldName)
+        .repartition(col("term")).sortWithinPartitions("term")
+        .withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol))
+    catalog.updateMeta(db, coll, Map(
+      "index.sv.field" -> fieldName, "index.sv.base_seg" -> baseSeg.toString))
+  }
 
   /** Dense arm of hybrid search: served from the collection's LIVE
     * HNSW index when one exists — string or numeric PK alike
@@ -2325,7 +2379,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
-      keepHnsw = live.hnswLive, keepBq = live.bqLive)
+      keepHnsw = live.hnswLive, keepBq = live.bqLive, keepSv = live.svLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -2401,7 +2455,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     invalidateDerived(keepFt = live.ftLive, keepIvf = keptCell, keepLsh = live.lshLive,
       keepMh = live.mhLive, keepSh = live.shLive, keepPq = live.pqLive,
       keepIvfPq = live.ivfPqLive, keepIvfSq = live.ivfSqLive,
-      keepHnsw = live.hnswLive, keepBq = live.bqLive)
+      keepHnsw = live.hnswLive, keepBq = live.bqLive, keepSv = live.svLive)
     if (live.anySeg) maybeAutoCompact()
   }
 
@@ -2475,13 +2529,15 @@ object GraftCollection {
   private[api] def hnswGraph(coll: String): String = coll + "__hnsw_graph"
   private[api] def bqWords(coll: String): String = coll + "__bq_words"
   private[api] def bqThresholds(coll: String): String = coll + "__bq_thresholds"
+  private[api] def svPostings(coll: String): String = coll + "__sv_postings"
 
   /** Meta keys recording each segment-maintained family's base segment
     * — the compaction policy measures debt against the OLDEST one. */
   private[api] val baseSegKeys: Seq[String] = Seq(
     "index.ft.base_seg", "index.lsh.base_seg", "index.mh.base_seg",
     "index.sh.base_seg", "index.pq.base_seg", "index.ivfpq.base_seg",
-    "index.ivfsq.base_seg", "index.hnsw.base_seg", "index.bq.base_seg")
+    "index.ivfsq.base_seg", "index.hnsw.base_seg", "index.bq.base_seg",
+    "index.sv.base_seg")
 
   /** Default auto-compaction threshold (segments past the oldest base
     * before [[GraftCollection.compactIndexes]] fires): high enough that

@@ -447,6 +447,40 @@ class Round3Spec extends SparkSpec {
     val filtered = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
       limit = 3, filter = """tag = "a"""").collect()
     assert(filtered.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+
+    // indexed serving tier: bit-identical results (plain + filtered)
+    // from the inverted postings artifact instead of a corpus scan
+    coll.rebuildSparseVectorIndex()
+    assert(coll.describe("index.sv.field") == "sparse_vector")
+    val idxHits = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
+      limit = 3).collect()
+    assert(idxHits.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      hits.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+    val idxFiltered = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
+      limit = 3, filter = """tag = "a"""").collect()
+    assert(idxFiltered.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+
+    // maintenance: an upsert appends a postings segment (replace doc 2
+    // with a dominant join weight, add doc 5) and the ledger masks the
+    // replaced doc's old postings
+    coll.upsert(Seq(
+      (2L, "b", sv("join" -> 5.0)),
+      (5L, "a", sv("spark" -> 2.0))
+    ).toDF("id", "tag", "sv0")
+      .select(col("id"), col("tag"),
+        expr("transform(sv0, e -> struct(e._1 AS term, e._2 AS weight))")
+          .as("sparse_vector")))
+    assert(coll.describe.contains("index.sv.field"),
+      "upsert must keep the sparse-vector index live")
+    val after = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
+      limit = 4).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // d2 = 10.0 (new), d5 = 2.0, d1 = 1.1, d3 = 0.2; d2's old 0.9 gone
+    assert(after == Seq((2L, 10.0), (5L, 2.0), (1L, 1.1), (3L, 0.2)))
+    // compaction folds segments without changing results
+    coll.compactIndexes()
+    val compacted = coll.fulltextSearchSparse(Seq("spark" -> 1.0, "join" -> 2.0),
+      limit = 4).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(compacted == after)
   }
 
   test("embed-at-upsert: searchByText uses the stored embedding column") {

@@ -261,13 +261,19 @@ object SparkEntry {
 
     "q_sparse_search" -> ((s, dir) => {
       // user-supplied sparse_vector field: documents store a pre-encoded
-      // term->weight list (persisted once); the query brings its own
-      // weighted sparse vector and scores by dot product
-      val sv = graft.catalog.IndexStore.ensure(s, s"sparsevec_${sfKey(dir)}") {
-        graft.sparse.SparseSearch.packSparse(
+      // term->weight list; the query brings its own weighted sparse
+      // vector and scores by dot product. Re-armed (round 8) through
+      // the INVERTED POSTINGS artifact — the serving tier reads only
+      // the query terms' posting slivers, never the stored vectors
+      // (indexed ≡ inline bit-for-bit via the shared scoring tail, so
+      // the q_sparse_search oracle is unchanged)
+      val postings = graft.catalog.IndexStore.ensure(s, s"svpostings_${sfKey(dir)}") {
+        val sv = graft.sparse.SparseSearch.packSparse(
           Bm25.weightedPostings(sparseIndexFor(s, dir)))
+        graft.sparse.SparseSearch.sparsePostings(sv, "doc_id", "sparse_vector")
+          .repartition(col("term")).sortWithinPartitions("term")
       }
-      graft.sparse.SparseSearch.dotTopK(sv, "doc_id", "sparse_vector",
+      graft.sparse.SparseSearch.dotTopKIndexed(postings,
         Seq("spark" -> 2.0, "join" -> 1.0, "scan" -> 0.5), k = 15)
     }),
 

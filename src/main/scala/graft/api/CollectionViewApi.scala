@@ -189,6 +189,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       "index.hnsw.default_ef" -> defaultEf.toString,
       "index.hnsw.pending" -> null,
       "index.hnsw.merge_pending" -> null,
+      "index.hnsw.appends" -> "0",
       "index.hnsw.gen" -> GraftCollection.freshGen()))
   }
 
@@ -210,8 +211,23 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   private def appendChunkSegment(newChunks: DataFrame): Unit =
     if (catalog.collectionExists(db, graphColl)) {
       val meta = graphStore.meta
-      if (meta.contains("index.hnsw.m"))
+      if (meta.contains("index.hnsw.m")) {
         HnswMaintain.append(graphStore, chunkNodes(newChunks), "id", "vec", meta)
+        // collections auto-fold after mutations (maybeAutoCompact); the
+        // chunk graph needs the same policy or per-upload mini-segments
+        // and re-upload staleness accumulate unboundedly — every search
+        // runs one beam per segment, so serving cost would grow
+        // linearly in upload count until someone discovers the manual
+        // compactChunkGraph. Debt = appends since the last fold (a
+        // meta-only counter: the view has no mutation ledger, and
+        // nextseg keeps climbing across tiered folds so it cannot
+        // measure debt).
+        val appends =
+          meta.get("index.hnsw.appends").map(_.toInt).getOrElse(0) + 1
+        graphStore.update(Map("index.hnsw.appends" -> appends.toString))
+        if (appends >= GraftCollection.DefaultAutoCompactSegments)
+          compactChunkGraph()
+      }
       else dropChunkGraph()
     }
 
@@ -224,8 +240,10 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   def compactChunkGraph(): Unit =
     if (catalog.collectionExists(db, graphColl)) {
       val meta = graphStore.meta
-      if (meta.contains("index.hnsw.m"))
+      if (meta.contains("index.hnsw.m")) {
         HnswMaintain.compact(graphStore, chunkNodes(chunks), "vec", meta)
+        graphStore.update(Map("index.hnsw.appends" -> "0"))
+      }
     }
 
   private def dropChunkGraph(): Unit =

@@ -1116,13 +1116,26 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "searchHnswFiltered requires a filter — use searchHnsw for unfiltered search")
     val metric = meta("index.hnsw.metric")
     val filtered = df.where(FilterParser.parse(filter))
-    val nFiltered = filtered.count()
-    val nTotal = df.count()
+    // the fill target must count only docs a beam can ever RETURN:
+    // null-vector rows match filters but are unsearchable (and score
+    // nothing on the FLAT route either) — counting them would make
+    // `target` unreachable and every deficient query climb the whole
+    // ef ladder to the exhaustive bound for nothing
+    val nFiltered = filtered.where(col(vecCol).isNotNull).count()
+    // corpus size from the CACHED serving graph (one aggregate over
+    // in-memory partitions after first touch), not a per-call corpus
+    // scan — this is the default filtered hybrid route, so per-search
+    // O(corpus) jobs would silently break the arm's flat-serving claim
+    val graph = preparedHnswGraph(meta)
+    val nTotal = graph.count()
     if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * nTotal))
       return search(queries, qIdCol, qVecCol, metric, limit, filter = filter)
 
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
-    val graph = preparedHnswGraph(meta)
+    // empty query batch: nothing to traverse, and the loop below would
+    // reduce over zero parts — return the (empty) FLAT-route frame
+    if (qarr.isEmpty)
+      return search(queries, qIdCol, qVecCol, metric, limit, filter = filter)
     val target = math.min(limit.toLong, nFiltered)
     val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
     var pending = qarr
@@ -2040,7 +2053,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       invalidateFamily(Seq(GraftCollection.hnswGraph(coll)),
         Seq("index.hnsw.m", "index.hnsw.efc", "index.hnsw.segments",
           "index.hnsw.metric", "index.hnsw.dim", "index.hnsw.seed",
-          "index.hnsw.nextseg", "index.hnsw.base_seg", "index.hnsw.gen"))
+          "index.hnsw.nextseg", "index.hnsw.base_seg", "index.hnsw.gen",
+          // crash markers die with the graph they describe — a stale
+          // merge_pending surviving into a REBUILT graph would make the
+          // next compaction's recovery drop live segments of the new
+          // graph (their ids collide with the old mini-segment range)
+          "index.hnsw.pending", "index.hnsw.merge_pending"))
       GraftCollection.evictHnswServing(catalog.rootPath, db, coll)
     }
     if (!keepIvf)

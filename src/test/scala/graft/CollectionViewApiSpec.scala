@@ -141,6 +141,25 @@ class CollectionViewApiSpec extends SparkSpec {
     checkStage("rewritten body", "incremental-vs-rebuilt")
   }
 
+  test("chunk graph auto-compacts: upload count never grows segments unboundedly") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvac").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+    view.loadAndSplitText("seed.md", ("spark join fast " * 12).trim)
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 1)
+    // one past the auto-compaction threshold: each upload appends a
+    // mini-segment; the fold must fire on its own (the collections
+    // maybeAutoCompact policy — nothing here calls compactChunkGraph)
+    val n = graft.api.GraftCollection.DefaultAutoCompactSegments + 1
+    (1 to n).foreach(i =>
+      view.loadAndSplitText(s"d$i.md", s"unique words number $i " * 8))
+    assert(view.chunkGraphSegments < n,
+      s"auto-compaction must have folded: ${view.chunkGraphSegments} segments after $n uploads")
+    // everything still serves exactly at exhaustive ef
+    val hits = view.search(s"unique words number $n", limit = 3,
+      ef = Some(Int.MaxValue)).collect()
+    assert(hits.nonEmpty && hits.head.getString(1) == s"d$n.md")
+  }
+
   test("rebuildChunkGraph default_ef governs the no-param search beam") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cvef").toString)
     val view = client.createDatabase("db").createCollectionView("docs")

@@ -239,6 +239,28 @@ class HnswMaintenanceSpec extends SparkSpec {
     assert(exhaustive(coll) == exact(coll))
   }
 
+  test("crash markers die with the graph: rebuild clears stale pending/merge_pending") {
+    val root = Files.createTempDirectory("graft-hnsw-stalemark").toString
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val coll = db.createCollection("v")
+    coll.upsert(embs.limit(60))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    // a merge crashed under the OLD graph, then the user rebuilds: the
+    // marker describes segments of a graph that no longer exists — were
+    // it to survive, the next compaction's recovery would treat live
+    // segments of the NEW graph (same id range) as the dead attempt's
+    // output and drop them
+    val cat = new graft.catalog.Catalog(spark, root)
+    cat.updateMeta("db", "v", Map("index.hnsw.merge_pending" -> "1:1:0"))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    assert(!coll.describe.contains("index.hnsw.merge_pending"),
+      "rebuild must clear a stale merge marker")
+    assert(!coll.describe.contains("index.hnsw.pending"))
+    coll.compactIndexes()
+    assert(exhaustive(coll) == exact(coll),
+      "compaction after rebuild must not drop live segments")
+  }
+
   test("auto-compaction fires on an HNSW-only collection") {
     val coll = freshColl("auto")
     coll.setAutoCompact(3)

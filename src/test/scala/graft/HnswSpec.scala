@@ -190,4 +190,38 @@ class HnswSpec extends SparkSpec {
     assert(coll.searchHnswFiltered(q, "qid", "qvec", "grp = 777", limit = 5)
       .isEmpty)
   }
+
+  test("filtered search: empty QUERY batch returns empty, not a reduce crash") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec").where(col("qid") < 0)
+    // par = 0 keeps the graph route (above the cost threshold) — the
+    // escalation loop must not reduce over zero parts
+    assert(coll.searchHnswFiltered(q, "qid", "qvec", "par = 0", limit = 5)
+      .isEmpty)
+  }
+
+  test("filtered search: null-vector docs never inflate the fill target") {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-hnswnull").toString
+    val rnd = new scala.util.Random(59)
+    // 150 filter-matching docs but only 40 searchable (the rest have
+    // null vectors): the target must be min(limit, SEARCHABLE), not
+    // min(limit, filtered) — otherwise every query climbs the whole ef
+    // ladder to exhaustion chasing unreachable rows. limit=50 > 40
+    // makes the distinction observable: exactly 40 rows, loop exits.
+    val rows: Seq[(Long, Option[Seq[Double]], Long)] = (0L until 150L).map(i =>
+      (i, if (i < 40) Some(Seq.fill(8)(rnd.nextGaussian())) else None, 0L))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    // the rebuild guard rejects null vectors, so build on the
+    // searchable 40 and UPSERT the null-vector docs after (the append
+    // path skips them — the reachable real-world shape)
+    coll.upsert(rows.take(40).toDF("id", "vector", "par"))
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    coll.upsert(rows.drop(40).toDF("id", "vector", "par"))
+    val q = Seq((0L, rows(3)._2.get)).toDF("qid", "qvec")
+    val got = coll.searchHnswFiltered(q, "qid", "qvec", "par = 0", limit = 50,
+      ef = 1).collect()
+    assert(got.length == 40,
+      s"must fill exactly the searchable filtered count, got ${got.length}")
+  }
 }

@@ -1140,6 +1140,20 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_unigram_encode" -> ((s, dir) => {
+      // unigram-LM (SentencePiece/Kudo) subword encoding served from
+      // the persisted piece table (rows-only: the EM/prune trainer and
+      // the Viterbi segmenter are not SQL-expressible; UnigramSpec
+      // pins train determinism, the integer-Viterbi tie rules,
+      // round-trip, id mapping, and distributed ≡ local training).
+      // One row per word position; pieces concatenate back to the word.
+      graft.text.Unigram.encode(
+          Tables.documents(s, dir), "doc_id", "text", unigramModelFor(s, dir))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", col("pieces")).as("pieces"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_bpe_ids" -> ((s, dir) => {
       // BPE to LOADER IDS, served from the persisted merge table: the
       // piece-id space derives from the artifact alone (EndMark = 0,
@@ -1468,6 +1482,12 @@ object SparkEntry {
   private[graft] def bpeMergesFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"bpemerges_${sfKey(dir)}") {
       graft.text.Bpe.train(Tables.documents(s, dir), "text", numMerges = 50)
+    }
+
+  /** Persisted unigram-LM piece table (piece, logp_micro, piece_id). */
+  private[graft] def unigramModelFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"unigram_${sfKey(dir)}") {
+      graft.text.Unigram.train(Tables.documents(s, dir), "text", vocabSize = 64)
     }
 
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */

@@ -143,3 +143,104 @@ class TokenizerSpec extends SparkSpec {
     assert(!pairs.contains(("z", "z")))
   }
 }
+
+/** Unigram-LM tokenizer (Kudo 2018): seed→EM→prune training over the
+  * bounded word dictionary, integer-micro-nat Viterbi encoding, id
+  * derivation from the artifact alone, and the coverage/OOV
+  * contracts. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.{Tokenizer, Unigram}
+
+  private val dict: Array[(String, Long)] =
+    Array(("lowlow", 20L), ("lower", 12L), ("low", 30L), ("west", 8L))
+
+  test("training is deterministic and keeps frequent substrings as pieces") {
+    val a = Unigram.trainLocal(dict, vocabSize = 12)
+    val b = Unigram.trainLocal(dict, vocabSize = 12)
+    assert(a.toSeq == b.toSeq, "two trainings over one dict must be identical")
+    val pieces = a.map(_.piece).toSet
+    assert(pieces.contains("low"),
+      s"the dominant substring must survive pruning, got $pieces")
+    // coverage floor: every training character is a piece
+    val chars = dict.flatMap(_._1).map(_.toString).toSet
+    assert(chars.subsetOf(pieces))
+    // ids are the (logp DESC, piece ASC) dense rank
+    assert(a.sortBy(_.pieceId).map(_.pieceId).toSeq == a.indices.toSeq)
+    val sorted = a.sortBy(p => (-p.logpMicro, p.piece))
+    assert(sorted.map(_.pieceId).toSeq == a.indices.toSeq)
+  }
+
+  test("vocabSize bounds the vocabulary (alphabet floor wins when smaller)") {
+    val big = Unigram.trainLocal(dict, vocabSize = 30)
+    assert(big.length <= 30)
+    val tiny = Unigram.trainLocal(dict, vocabSize = 2)
+    // cannot shrink below the alphabet: chars are the coverage floor
+    assert(tiny.forall(_.piece.length == 1))
+    assert(tiny.map(_.piece).toSet == dict.flatMap(_._1).map(_.toString).toSet)
+  }
+
+  test("Viterbi: integer max-sum, deterministic ties, UNK chars, empty word") {
+    val lp = Map("ab" -> -1000000L, "a" -> -2000000L, "b" -> -2000000L)
+    assert(Unigram.viterbi("ab", lp, 2).toSeq == Seq("ab"),
+      "one piece at -1.0 beats two at -2.0 each")
+    // equal score -> fewer pieces wins
+    val tie = Map("ab" -> -4000000L, "a" -> -2000000L, "b" -> -2000000L)
+    assert(Unigram.viterbi("ab", tie, 2).toSeq == Seq("ab"))
+    // unknown char segments as a floor-scored single-char piece
+    assert(Unigram.viterbi("aqb", lp, 2).toSeq == Seq("a", "q", "b"))
+    assert(Unigram.viterbi("", lp, 2).isEmpty)
+  }
+
+  test("encode round-trips: pieces concatenate back to each word") {
+    val docs = Seq((1L, "low lower lowlow west"),
+      (2L, "low low lowlow")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", vocabSize = 12)
+    val out = Unigram.encode(docs, "doc_id", "text", model)
+      .orderBy("doc_id", "pos").collect()
+    val words = Seq("low", "lower", "lowlow", "west", "low", "low", "lowlow")
+    assert(out.length == words.length)
+    out.zip(words).foreach { case (r, w) =>
+      assert(r.getSeq[String](2).mkString == w,
+        s"pieces of '$w' must concatenate back, got ${r.getSeq[String](2)}")
+    }
+    // determinism across encode calls
+    val again = Unigram.encode(docs, "doc_id", "text", model)
+      .orderBy("doc_id", "pos").collect()
+    assert(out.map(_.getSeq[String](2)).toSeq == again.map(_.getSeq[String](2)).toSeq)
+  }
+
+  test("encodeIds maps pieces through the artifact ids; unseen chars are UnkId") {
+    val docs = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", vocabSize = 12)
+    val idOf = model.collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    val pieces = Unigram.encode(docs, "doc_id", "text", model)
+      .orderBy("doc_id", "pos").collect().map(_.getSeq[String](2))
+    val ids = Unigram.encodeIds(docs, "doc_id", "text", model)
+      .orderBy("doc_id", "pos").collect().map(_.getSeq[Int](2))
+    assert(pieces.zip(ids).forall { case (ps, is) =>
+      ps.map(idOf) == is
+    }, "ids must be exactly the pieces under the artifact map")
+    // a word with a never-seen char: that char's id is UnkId
+    val probe = Seq((9L, "loqw")).toDF("doc_id", "text")
+    val probeIds = Unigram.encodeIds(probe, "doc_id", "text", model)
+      .collect().head.getSeq[Int](2)
+    assert(probeIds.contains(Tokenizer.UnkId))
+    // array form flattens in word order
+    val arr = Unigram.encodeIdArrays(docs, "doc_id", "text", model)
+      .collect().head.getSeq[Int](1)
+    assert(arr == ids.flatten.toSeq)
+  }
+
+  test("distributed train equals local training over the same dictionary") {
+    val docs = Seq((1L, "low lower lowlow west"),
+      (2L, "low low lowlow")).toDF("doc_id", "text")
+    val viaDf = Unigram.train(docs, "text", vocabSize = 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val localDict = Array(("low", 3L), ("lower", 1L), ("lowlow", 2L), ("west", 1L))
+    val viaLocal = Unigram.trainLocal(localDict, vocabSize = 12)
+      .map(p => (p.piece, p.logpMicro, p.pieceId)).toSeq.sorted
+    assert(viaDf == viaLocal)
+  }
+}

@@ -77,7 +77,7 @@ object Bench {
     // regression, the exact failure mode min-of-N exists to kill
     val maintRuns: Seq[Seq[(String, Double)]] = (1 to 2).map { _ =>
       maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir) ++
-        modelMaintenanceOps(spark, sfDir)
+        modelMaintenanceOps(spark, sfDir) ++ vectorMaintenanceOps(spark, sfDir)
     }
     val maintKeys = maintRuns.head.map(_._1)
     val maint = maintKeys.map { k =>
@@ -166,6 +166,55 @@ object Bench {
     * of slopes is the incremental-maintenance claim, robust to the
     * fixed orchestration floor that dominates any single small-scale
     * measurement. */
+  /** Coded-vector-family maintenance pair (BQ — the round-8 family):
+    * appending a 200-vector batch to a live BQ index (pack against the
+    * STORED thresholds — O(batch)) versus the old cost of a full
+    * rebuild (train + encode — O(corpus)), at 1× and 8× corpus sizes.
+    * The flat-vs-linear contrast is the scaling evidence every
+    * maintained artifact here carries. */
+  private def vectorMaintenanceOps(spark: SparkSession,
+                                   sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-vec").toString
+      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vector"))
+      val batch = base.limit(200)
+        .select((col("id") + lit(90000000L)).as("id"), col("vector"))
+        .cache()
+      batch.count()
+      // warm the pack/append/rebuild paths once (the index arm's lesson)
+      locally {
+        val warm = client.createCollection("vwarm")
+        warm.upsert(base.limit(2000))
+        warm.rebuildBqIndex()
+        warm.upsert(batch)
+        warm.rebuildBqIndex()
+      }
+      def measure(name: String, mult: Int): Seq[(String, Double)] = {
+        val coll = client.createCollection(name)
+        val docs = (0 until mult).map(i =>
+            base.select((col("id") + lit(i * 1000000L)).as("id"), col("vector")))
+          .reduce(_ unionAll _)
+        coll.upsert(docs)        // untimed: initial corpus load
+        coll.rebuildBqIndex()    // untimed: ingest-time build (warms too)
+        val t0 = System.nanoTime()
+        coll.upsert(batch)       // incremental: O(batch) packed segment
+        val tUpsert = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        coll.rebuildBqIndex()    // the old cost: O(corpus)
+        val tRebuild = (System.nanoTime() - t1) / 1e9
+        Seq(s"m_bq_upsert_live_$name" -> tUpsert,
+            s"m_bq_rebuild_$name" -> tRebuild)
+      }
+      measure("1x", 1) ++ measure("8x", 8)
+    } catch { case _: Throwable =>
+      Seq("m_bq_upsert_live_1x" -> -1.0, "m_bq_rebuild_1x" -> -1.0,
+          "m_bq_upsert_live_8x" -> -1.0, "m_bq_rebuild_8x" -> -1.0)
+    }
+  }
+
   private def maintenanceOps(spark: SparkSession,
                              sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._

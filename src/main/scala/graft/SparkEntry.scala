@@ -807,6 +807,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_length_quantiles" -> ((s, dir) => {
+      // per-domain length distribution: EXACT integer-rank quantiles
+      // (pX = smallest len with cum·100 >= X·N — no float percentile
+      // interpolation), plus min/max/total — the profile packing ctx
+      // sizes and Gopher floors are tuned from
+      graft.ops.Curation.lengthQuantiles(
+          Tables.documents(s, dir), "text", "source")
+        .orderBy("domain")
+    }),
+
+    "q_winnow" -> ((s, dir) => {
+      // winnowing fingerprints (Schleimer et al. 2003, the MOSS
+      // scheme): per-window minima of salted-md5 k-gram hashes — any
+      // verbatim match >= w+k-1 tokens shares a fingerprint at ANY
+      // alignment, sketch density <= 2/(w+1). Pure projection; the
+      // oracle recomputes the identical integers
+      TextAnalysis.winnowFingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       // per-domain corpus report card: doc count, distinct-content
       // count (md5 identity), token volume, vocabulary size, char
@@ -1151,6 +1172,18 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", unigramModelFor(s, dir))
         .select(col("doc_id"), col("pos"),
           concat_ws("|", col("pieces")).as("pieces"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_unigram_ids" -> ((s, dir) => {
+      // unigram pieces to LOADER IDS from the persisted artifact alone
+      // (logp-desc dense rank; unseen chars → UnkId) — the SentencePiece
+      // analog of q_bpe_ids (rows-only; UnigramSpec pins ids ≡ pieces
+      // under the artifact map and the UnkId contract)
+      graft.text.Unigram.encodeIds(
+          Tables.documents(s, dir), "doc_id", "text", unigramModelFor(s, dir))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", col("piece_ids")).as("piece_ids"))
         .orderBy("doc_id", "pos")
     }),
 
@@ -1784,6 +1817,39 @@ object SparkEntry {
         |                WHEN 'src2' THEN 5000  WHEN 'src3' THEN 2500
         |                WHEN 'src4' THEN 0     ELSE 6000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // exact integer-rank quantiles over the (domain, len) grouped
+    // sliver: pX = smallest len with cum·100 >= X·N (pure integer
+    // cross-multiplication — quantile_disc semantics on both engines)
+    "q_length_quantiles" ->
+      """WITH l AS (SELECT source AS domain, len(string_split(text, ' ')) AS len FROM documents),
+        |g AS (SELECT domain, len, count(*) AS c FROM l GROUP BY 1, 2),
+        |cum AS (SELECT domain, len, c,
+        |  sum(c) OVER (PARTITION BY domain ORDER BY len) AS cum,
+        |  sum(c) OVER (PARTITION BY domain) AS n FROM g)
+        |SELECT domain, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN len END) AS INT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS INT) AS p90,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN len END) AS INT) AS p99,
+        |  CAST(min(len) AS INT) AS min_len, CAST(max(len) AS INT) AS max_len,
+        |  CAST(sum(len * c) AS BIGINT) AS total_tokens
+        |FROM cum GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // winnowing: recompute the identical salted-md5 32-bit k-gram
+    // hashes, take each window's leftmost minimum, distinct the
+    // (pos, hash) selections — proves the whole sketch integer-exactly
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        |h AS (SELECT doc_id, list_transform(generate_series(1, len(a) - 3),
+        |        i -> ('0x' || substr(md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || 'winnow'), 1, 8))::BIGINT) AS hs
+        |      FROM t WHERE len(a) >= 7),
+        |s AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 3),
+        |        j -> struct_pack(p := j + list_position(hs[j:j+3], list_min(hs[j:j+3])) - 2,
+        |                         f := list_min(hs[j:j+3])))) AS sel
+        |      FROM h)
+        |SELECT DISTINCT doc_id, CAST(sel.p AS INT) AS pos, sel.f AS fingerprint
+        |FROM s ORDER BY doc_id, pos""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH doclvl AS (SELECT source AS domain, count(*) AS n_docs,

@@ -223,6 +223,44 @@ object Curation {
       .drop("__grp", "__thr")
   }
 
+  /** Per-domain document-length quantile report — the distribution
+    * profile [[corpusStats]]'s single mean cannot show (a curation
+    * pipeline tunes its Gopher word floors, packing ctx sizes and
+    * length-bucket bands off p50/p90/p99, not off a mean a few long
+    * docs dominate). Quantiles are EXACT by the integer rank rule
+    * pX = smallest length whose cumulative doc count · 100 ≥ X · N —
+    * pure integer cross-multiplication (no float percentile
+    * interpolation for two engines to disagree on; `quantile_disc`
+    * semantics, deterministic everywhere).
+    *
+    * 100 TB shape: one groupBy collapses the corpus to (domain, len)
+    * rows; the cumulative window runs over that GROUPED sliver — the
+    * row-90 argument: partitions are bounded by the length VALUE
+    * SPACE, not the corpus — and one final groupBy(domain) reduces to
+    * a row per domain. Text never shuffles; only (domain, len, count)
+    * moves. */
+  def lengthQuantiles(docs: DataFrame, textCol: String, domainCol: String,
+                      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val grp = docs
+      .groupBy(col(domainCol).as("domain"),
+        size(split(col(textCol), " ")).as("len"))
+      .agg(count(lit(1)).as("__c"))
+    val byLen = Window.partitionBy("domain").orderBy("len")
+    val cum = grp.select(col("domain"), col("len"), col("__c"),
+      sum("__c").over(byLen).as("__cum"),
+      sum("__c").over(Window.partitionBy("domain")).as("__n"))
+    val qCols = ps.map(p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("len"))).as(s"p$p"))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      max(col("__n")).as("n_docs") +: qCols :+
+        min("len").as("min_len") :+ max("len").as("max_len") :+
+        sum(col("len").cast("long") * col("__c")).as("total_tokens")
+    cum.groupBy("domain").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** The raw 32-bit salted hash every bucket/draw decision derives
     * from: first 8 md5 hex digits of (value || salt) as a long in
     * [0, 2³²) — THE one definition of the engine-portable hash width

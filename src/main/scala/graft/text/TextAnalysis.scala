@@ -121,6 +121,57 @@ object TextAnalysis {
       .select(col(idCol), col("rnk"), col("term"), col("tf"), col("score_micro"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS scheme): hash every k-token gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum (leftmost on
+    * ties — deterministic; the paper's robust variant picks rightmost,
+    * the guarantee below holds for either). The selected (position,
+    * hash) set is the document's fingerprint sketch with TWO provable
+    * properties row 37's single rolling hash lacks: any cross-document
+    * verbatim match of ≥ w+k−1 tokens shares at least one fingerprint
+    * (detection guarantee at ANY alignment), and the sketch density is
+    * ≤ 2/(w+1) of positions (size guarantee) — the principled sweet
+    * spot between stride-16 blocks (row 62, alignment-blind) and
+    * stride-1 windows (row 87, k× the tokens).
+    *
+    * Gram hashes are the engine-portable salted-md5 32-bit device
+    * (rows 49/82/89 — a DuckDB oracle writes the identical integers),
+    * and the whole computation is per-row higher-order-function
+    * arithmetic: one projection, NO shuffle, nothing leaves the row
+    * until the final distinct-explode of the (pos, hash) selections.
+    * Join two corpora's outputs on `fingerprint` for candidate match
+    * detection — a posting-list join like every dedup family here. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4,
+                         salt: String = "winnow"): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val toks = s"filter(split($textCol, ' '), x -> x <> '')"
+    // k-gram strings, then the 32-bit salted-md5 hash of each
+    val grams =
+      s"""transform(sequence(0, size($toks) - $k),
+         |  i -> array_join(slice($toks, i + 1, $k), ' '))""".stripMargin
+    val hashes =
+      s"""transform($grams,
+         |  g -> CAST(conv(substring(md5(concat(g, '$salt')), 1, 8), 16, 10) AS BIGINT))""".stripMargin
+    // per window j (0-based): leftmost argmin of h[j .. j+w-1]
+    val sels =
+      s"""CASE WHEN size($toks) >= ${k + w - 1} THEN
+         |  transform(sequence(0, size($hashes) - $w), j ->
+         |    aggregate(sequence(j, j + $w - 1),
+         |      struct(CAST(NULL AS BIGINT) AS mh, CAST(-1 AS INT) AS mp),
+         |      (acc, i) -> CASE WHEN acc.mh IS NULL
+         |                         OR element_at($hashes, i + 1) < acc.mh
+         |                    THEN struct(element_at($hashes, i + 1) AS mh,
+         |                                CAST(i AS INT) AS mp)
+         |                    ELSE acc END))
+         |ELSE array() END""".stripMargin
+    docs
+      .select(col(idCol).as("doc_id"), explode(expr(sels)).as("__s"))
+      .select(col("doc_id"), col("__s.mp").as("pos"),
+        col("__s.mh").as("fingerprint"))
+      .distinct()
+  }
+
   /** PII pattern constants — ONE definition shared by the scrub and
     * its counters (see [[scrubPii]] for the count-vs-span overlap
     * contract on nested matches). RE2-safe

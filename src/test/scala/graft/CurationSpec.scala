@@ -585,4 +585,77 @@ class CurationSpec extends SparkSpec {
     assert(again === out.collect().toSet)
     out.unpersist()
   }
+
+  test("lengthQuantiles: exact integer-rank quantiles, per-domain independence") {
+    // domain a: lengths 1..10 (one doc each) — p50 = 5 (cum 5·100 >= 10·50),
+    // p90 = 9, p99 = 10; domain b: all docs length 7
+    val docs = ((1 to 10).map(i => (s"a$i", ("w " * i).trim, "a")) ++
+      (1 to 4).map(i => (s"b$i", "x x x x x x x", "b")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Curation.lengthQuantiles(docs, "text", "source")
+      .orderBy("domain").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 10)
+    assert((a.getInt(2), a.getInt(3), a.getInt(4)) == ((5, 9, 10)), s"a: $a")
+    assert((a.getInt(5), a.getInt(6)) == ((1, 10)))
+    assert(a.getLong(7) == 55L)
+    assert(b.getString(0) == "b" && b.getLong(1) == 4)
+    assert((b.getInt(2), b.getInt(3), b.getInt(4)) == ((7, 7, 7)))
+    assert(b.getLong(7) == 28L)
+    // percentile bounds guard
+    assertThrows[IllegalArgumentException] {
+      graft.ops.Curation.lengthQuantiles(docs, "text", "source", Seq(0))
+    }
+  }
+}
+
+/** Winnowing fingerprints (Schleimer et al. 2003): the detection
+  * guarantee (any >= w+k-1-token verbatim match shares a
+  * fingerprint at ANY alignment), the density bound, selection
+  * determinism, and the short-document degenerate. */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.text.TextAnalysis
+
+  test("any w+k-1-token verbatim match shares a fingerprint at every alignment") {
+    val k = 4; val w = 4
+    val passage = (1 to (w + k - 1)).map(i => s"p$i").mkString(" ") // 7 tokens
+    // the passage embedded at different offsets inside different noise
+    val docs = (0 to 5).map { off =>
+      val pre = (1 to off).map(i => s"n${off}x$i").mkString(" ")
+      val post = (1 to 3).map(i => s"m${off}y$i").mkString(" ")
+      (off.toLong, Seq(pre, passage, post).filter(_.nonEmpty).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .select("doc_id", "fingerprint").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // pairwise: every pair of docs shares at least one fingerprint
+    // (they share the 7-token passage => 4 shared grams => one full
+    // window of shared hashes => the same minimum selected)
+    for (a <- 0L to 5L; b <- (a + 1) to 5L)
+      assert((fp(a) intersect fp(b)).nonEmpty,
+        s"docs $a and $b embed the same passage but share no fingerprint")
+  }
+
+  test("density <= 2/(w+1) on random text; selections are deterministic") {
+    val rnd = new scala.util.Random(61)
+    val text = (1 to 400).map(_ => s"t${rnd.nextInt(5000)}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val sel = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    val n = sel.count()
+    // positions available: 400 - 3 grams; expected density 2/(w+1) = 0.4
+    assert(n <= (397 * 0.5).toInt, s"selected $n of 397 — density too high")
+    assert(n >= (397 / 8), s"selected $n of 397 — implausibly sparse")
+    val again = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    assert(sel.collect().toSet == again.collect().toSet)
+  }
+
+  test("documents shorter than w+k-1 tokens emit nothing; empty text too") {
+    val docs = Seq((1L, "a b c d e f"), (2L, ""), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+    assert(out.where(col("doc_id") === 1L).count() == 0, "6 < 7 tokens")
+    assert(out.where(col("doc_id") === 2L).count() == 0)
+    assert(out.where(col("doc_id") === 3L).count() == 1, "exactly one window")
+  }
 }

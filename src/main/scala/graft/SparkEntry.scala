@@ -828,6 +828,21 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_winnow_matches" -> ((s, dir) => {
+      // MOSS candidate stage: doc pairs sharing >= 2 distinct winnow
+      // fingerprints (posting self-join over the sketch, df-pruned).
+      // The sketch postings are an ingest artifact — computed once per
+      // corpus like every dedup family's signatures; the query pays
+      // the posting join only
+      val fp = graft.catalog.IndexStore.ensure(s, s"winnowfp_${sfKey(dir)}") {
+        TextAnalysis.winnowFingerprints(
+            Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4)
+          .select(col("doc_id"), col("fingerprint")).distinct()
+      }
+      TextAnalysis.winnowMatchesFromPostings(fp, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_corpus_stats" -> ((s, dir) => {
       // per-domain corpus report card: doc count, distinct-content
       // count (md5 identity), token volume, vocabulary size, char
@@ -1850,6 +1865,26 @@ object SparkEntry {
         |      FROM h)
         |SELECT DISTINCT doc_id, CAST(sel.p AS INT) AS pos, sel.f AS fingerprint
         |FROM s ORDER BY doc_id, pos""".stripMargin,
+
+    // winnow sketch -> distinct (doc, fingerprint) postings -> df-pruned
+    // self-join -> pairs sharing >= 2 fingerprints (the MOSS candidate
+    // stage, recomputed integer-exactly end-to-end)
+    "q_winnow_matches" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+        |           FROM documents),
+        |h AS (SELECT doc_id, list_transform(generate_series(1, len(a) - 3),
+        |        i -> ('0x' || substr(md5(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || 'winnow'), 1, 8))::BIGINT) AS hs
+        |      FROM t WHERE len(a) >= 7),
+        |s AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 3),
+        |        j -> list_min(hs[j:j+3]))) AS f
+        |      FROM h),
+        |fp AS (SELECT DISTINCT doc_id, f FROM s),
+        |rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000),
+        |fr AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM fr a JOIN fr b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH doclvl AS (SELECT source AS domain, count(*) AS n_docs,

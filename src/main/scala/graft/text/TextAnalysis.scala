@@ -146,30 +146,76 @@ object TextAnalysis {
                          salt: String = "winnow"): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val toks = s"filter(split($textCol, ' '), x -> x <> '')"
-    // k-gram strings, then the 32-bit salted-md5 hash of each
-    val grams =
-      s"""transform(sequence(0, size($toks) - $k),
-         |  i -> array_join(slice($toks, i + 1, $k), ' '))""".stripMargin
+    // k-gram strings, then the 32-bit salted-md5 hash of each. The
+    // hash array MATERIALIZES as its own column before the window
+    // pass: element_at inside a lambda does not share subexpressions
+    // with the enclosing projection, so referencing the transform
+    // expression there would recompute EVERY gram's md5 per element
+    // access — O(grams²·w) hashing per document instead of O(grams)
     val hashes =
-      s"""transform($grams,
-         |  g -> CAST(conv(substring(md5(concat(g, '$salt')), 1, 8), 16, 10) AS BIGINT))""".stripMargin
-    // per window j (0-based): leftmost argmin of h[j .. j+w-1]
-    val sels =
       s"""CASE WHEN size($toks) >= ${k + w - 1} THEN
-         |  transform(sequence(0, size($hashes) - $w), j ->
-         |    aggregate(sequence(j, j + $w - 1),
-         |      struct(CAST(NULL AS BIGINT) AS mh, CAST(-1 AS INT) AS mp),
-         |      (acc, i) -> CASE WHEN acc.mh IS NULL
-         |                         OR element_at($hashes, i + 1) < acc.mh
-         |                    THEN struct(element_at($hashes, i + 1) AS mh,
-         |                                CAST(i AS INT) AS mp)
-         |                    ELSE acc END))
-         |ELSE array() END""".stripMargin
+         |  transform(
+         |    transform(sequence(0, size($toks) - $k),
+         |      i -> array_join(slice($toks, i + 1, $k), ' ')),
+         |    g -> CAST(conv(substring(md5(concat(g, '$salt')), 1, 8), 16, 10) AS BIGINT))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    // per window j (0-based): leftmost argmin of __h[j .. j+w-1]
+    val sels =
+      s"""transform(sequence(0, size(__h) - $w), j ->
+         |  aggregate(sequence(j, j + $w - 1),
+         |    struct(CAST(NULL AS BIGINT) AS mh, CAST(-1 AS INT) AS mp),
+         |    (acc, i) -> CASE WHEN acc.mh IS NULL
+         |                       OR element_at(__h, i + 1) < acc.mh
+         |                  THEN struct(element_at(__h, i + 1) AS mh,
+         |                              CAST(i AS INT) AS mp)
+         |                  ELSE acc END))""".stripMargin
     docs
-      .select(col(idCol).as("doc_id"), explode(expr(sels)).as("__s"))
+      .select(col(idCol).as("doc_id"), expr(hashes).as("__h"))
+      .where(size(col("__h")) >= w)
+      .select(col("doc_id"), explode(expr(sels)).as("__s"))
       .select(col("doc_id"), col("__s.mp").as("pos"),
         col("__s.mh").as("fingerprint"))
       .distinct()
+  }
+
+  /** Cross-document match candidates from the winnowing sketch: pairs
+    * of documents sharing ≥ `minShared` distinct fingerprints, with
+    * the shared count (MOSS's candidate stage). By the winnowing
+    * guarantee, any pair sharing a verbatim passage of ≥ w+k−1 tokens
+    * appears here — at any alignment — while the join is over the
+    * ≤ 2/(w+1)-density sketch, not the text.
+    *
+    * Scale shape: one (fingerprint → doc) posting self-join, the same
+    * geometry as every dedup family; `maxDf` drops fingerprints
+    * present in more than that many documents BEFORE the join (the
+    * boilerplate guard row 62/87 carry — a corpus-wide header's
+    * fingerprint would otherwise quadratically explode its posting
+    * group; matches supported only by such mass-repeated content are
+    * boilerplate, not document similarity). */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 4, minShared: Int = 2,
+                    maxDf: Int = 1000,
+                    salt: String = "winnow"): DataFrame =
+    winnowMatchesFromPostings(
+      winnowFingerprints(docs, idCol, textCol, k, w, salt)
+        .select(col("doc_id"), col("fingerprint")).distinct(),
+      minShared, maxDf)
+
+  /** [[winnowMatches]] over a PERSISTED distinct (doc_id, fingerprint)
+    * posting table — the serving form: the sketch is an ingest
+    * artifact (like every dedup family's signatures), match queries
+    * pay only the posting join. */
+  def winnowMatchesFromPostings(fp: DataFrame, minShared: Int = 2,
+                                maxDf: Int = 1000): DataFrame = {
+    val rare = fp.groupBy("fingerprint").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("fingerprint")
+    val pruned = fp.join(rare, Seq("fingerprint"), "left_semi")
+    val b = pruned.select(col("fingerprint"), col("doc_id").as("id_b"))
+    pruned.select(col("fingerprint"), col("doc_id").as("id_a"))
+      .join(b, "fingerprint")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 
   /** PII pattern constants — ONE definition shared by the scrub and

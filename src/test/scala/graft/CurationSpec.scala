@@ -658,4 +658,27 @@ class WinnowSpec extends SparkSpec {
     assert(out.where(col("doc_id") === 2L).count() == 0)
     assert(out.where(col("doc_id") === 3L).count() == 1, "exactly one window")
   }
+
+  test("winnowMatches surfaces passage-sharing pairs; maxDf prunes boilerplate support") {
+    val rnd = new scala.util.Random(67)
+    def noise(n: Int) = (1 to n).map(_ => s"z${rnd.nextInt(100000)}").mkString(" ")
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val header = (1 to 12).map(i => s"h$i").mkString(" ")
+    // docs 1,2 share a long unique passage; EVERY doc carries the
+    // corpus-wide header
+    val docs = Seq(
+      (1L, s"$header ${noise(10)} $passage"),
+      (2L, s"$header $passage ${noise(10)}"),
+      (3L, s"$header ${noise(20)}"),
+      (4L, s"$header ${noise(20)}")).toDF("doc_id", "text")
+    val m = TextAnalysis.winnowMatches(docs, "doc_id", "text",
+      minShared = 2, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.contains((1L, 2L)), "the passage-sharing pair must surface")
+    // with maxDf=3 the header's fingerprints (df=4) are pruned, so the
+    // noise-only docs — whose ONLY common content is the header —
+    // must not pair with anything
+    assert(!m.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      s"header-only overlap must be pruned, got $m")
+  }
 }

@@ -835,9 +835,8 @@ object SparkEntry {
       // corpus like every dedup family's signatures; the query pays
       // the posting join only
       val fp = graft.catalog.IndexStore.ensure(s, s"winnowfp_${sfKey(dir)}") {
-        TextAnalysis.winnowFingerprints(
-            Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4)
-          .select(col("doc_id"), col("fingerprint")).distinct()
+        TextAnalysis.winnowPostings(
+          Tables.documents(s, dir), "doc_id", "text", k = 4, w = 4)
       }
       TextAnalysis.winnowMatchesFromPostings(fp, minShared = 2)
         .orderBy("id_a", "id_b")
@@ -1198,7 +1197,8 @@ object SparkEntry {
       graft.text.Unigram.encodeIds(
           Tables.documents(s, dir), "doc_id", "text", unigramModelFor(s, dir))
         .select(col("doc_id"), col("pos"),
-          concat_ws("|", col("piece_ids")).as("piece_ids"))
+          concat_ws("|", transform(col("piece_ids"), i => i.cast("string")))
+            .as("piece_ids"))
         .orderBy("doc_id", "pos")
     }),
 
@@ -1837,7 +1837,8 @@ object SparkEntry {
     // sliver: pX = smallest len with cum·100 >= X·N (pure integer
     // cross-multiplication — quantile_disc semantics on both engines)
     "q_length_quantiles" ->
-      """WITH l AS (SELECT source AS domain, len(string_split(text, ' ')) AS len FROM documents),
+      """WITH l AS (SELECT source AS domain, len(string_split(text, ' ')) AS len
+        |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT domain, len, count(*) AS c FROM l GROUP BY 1, 2),
         |cum AS (SELECT domain, len, c,
         |  sum(c) OVER (PARTITION BY domain ORDER BY len) AS cum,

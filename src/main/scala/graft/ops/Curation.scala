@@ -244,7 +244,12 @@ object Curation {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       "percentiles must be in [1, 100]")
     import org.apache.spark.sql.expressions.Window
+    // null-text docs are excluded on BOTH sides (a length report cannot
+    // measure text that isn't there; Spark's NULLS-FIRST cumulative
+    // window vs DuckDB's NULLS-LAST would otherwise shift every
+    // quantile) — the corpusStats null-guard convention
     val grp = docs
+      .where(col(textCol).isNotNull)
       .groupBy(col(domainCol).as("domain"),
         size(split(col(textCol), " ")).as("len"))
       .agg(count(lit(1)).as("__c"))

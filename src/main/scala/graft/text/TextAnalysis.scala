@@ -143,22 +143,34 @@ object TextAnalysis {
     * detection — a posting-list join like every dedup family here. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 4,
-                         salt: String = "winnow"): DataFrame = {
+                         salt: String = "winnow"): DataFrame =
+    winnowSelections(docs, idCol, textCol, k, w, salt).distinct()
+
+  /** The raw per-window selections BEFORE the distinct — shared by
+    * [[winnowFingerprints]] (distinct over (doc, pos, hash)) and
+    * [[winnowMatches]] (which only needs distinct (doc, hash), so
+    * distincting the wider key first would be a wasted corpus-sized
+    * exchange). */
+  private def winnowSelections(docs: DataFrame, idCol: String,
+                               textCol: String, k: Int, w: Int,
+                               salt: String): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val toks = s"filter(split($textCol, ' '), x -> x <> '')"
-    // k-gram strings, then the 32-bit salted-md5 hash of each. The
-    // hash array MATERIALIZES as its own column before the window
-    // pass: element_at inside a lambda does not share subexpressions
-    // with the enclosing projection, so referencing the transform
-    // expression there would recompute EVERY gram's md5 per element
-    // access — O(grams²·w) hashing per document instead of O(grams)
-    val hashes =
-      s"""CASE WHEN size($toks) >= ${k + w - 1} THEN
-         |  transform(
-         |    transform(sequence(0, size($toks) - $k),
-         |      i -> array_join(slice($toks, i + 1, $k), ' ')),
-         |    g -> CAST(conv(substring(md5(concat(g, '$salt')), 1, 8), 16, 10) AS BIGINT))
-         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    val toksC = filter(split(col(textCol), " "), x => x =!= "")
+    // k-gram strings, then the 32-bit salted-md5 hash of each (the
+    // salt binds as a lit — never interpolated into SQL text, the
+    // saltedHash32 discipline). The hash array MATERIALIZES as its own
+    // column before the window pass: element_at inside a lambda does
+    // not share subexpressions with the enclosing projection, so
+    // referencing the transform expression there would recompute EVERY
+    // gram's md5 per element access — O(grams²·w) hashing per document
+    // instead of O(grams)
+    val hashesC = when(size(toksC) >= k + w - 1,
+      transform(
+        transform(sequence(lit(0), size(toksC) - k),
+          i => array_join(slice(toksC, i + 1, lit(k)), " ")),
+        g => conv(substring(md5(concat(g, lit(salt))), 1, 8), 16, 10)
+          .cast("long")))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
     // per window j (0-based): leftmost argmin of __h[j .. j+w-1]
     val sels =
       s"""transform(sequence(0, size(__h) - $w), j ->
@@ -170,12 +182,11 @@ object TextAnalysis {
          |                              CAST(i AS INT) AS mp)
          |                  ELSE acc END))""".stripMargin
     docs
-      .select(col(idCol).as("doc_id"), expr(hashes).as("__h"))
+      .select(col(idCol).as("doc_id"), hashesC.as("__h"))
       .where(size(col("__h")) >= w)
       .select(col("doc_id"), explode(expr(sels)).as("__s"))
       .select(col("doc_id"), col("__s.mp").as("pos"),
         col("__s.mh").as("fingerprint"))
-      .distinct()
   }
 
   /** Cross-document match candidates from the winnowing sketch: pairs
@@ -197,9 +208,17 @@ object TextAnalysis {
                     maxDf: Int = 1000,
                     salt: String = "winnow"): DataFrame =
     winnowMatchesFromPostings(
-      winnowFingerprints(docs, idCol, textCol, k, w, salt)
-        .select(col("doc_id"), col("fingerprint")).distinct(),
-      minShared, maxDf)
+      winnowPostings(docs, idCol, textCol, k, w, salt), minShared, maxDf)
+
+  /** The distinct (doc_id, fingerprint) posting form of the sketch —
+    * the persistable match-index artifact ([[winnowMatchesFromPostings]]
+    * serves from it). One distinct on exactly the key the join needs
+    * (position-free), never the wider (doc, pos, hash) one. */
+  def winnowPostings(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 4, w: Int = 4,
+                     salt: String = "winnow"): DataFrame =
+    winnowSelections(docs, idCol, textCol, k, w, salt)
+      .select(col("doc_id"), col("fingerprint")).distinct()
 
   /** [[winnowMatches]] over a PERSISTED distinct (doc_id, fingerprint)
     * posting table — the serving form: the sketch is an ingest

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   * (Viterbi) counts, so expected counts are exact integers; piece
   * log-probabilities round ONCE to integer MICRO-NATS (the row-86 LM
   * discipline) and Viterbi maximizes an integer sum with a pinned
-  * tie-break (fewer pieces, then lexicographically smaller sequence) —
-  * two sessions, or two engines walking the same table, segment
-  * identically. Single characters are never pruned, so any word over
+  * tie-break (fewer pieces, then the lexicographically smaller
+  * candidate piece at each prefix — a deterministic LOCAL rule, see
+  * [[viterbi]]) — two sessions, or two engines walking the same table
+  * with the same rule, segment identically. Single characters are
+  * never pruned, so any word over
   * the training alphabet is always segmentable; characters never seen
   * in training encode as [[Tokenizer.UnkId]] pieces.
   */
@@ -207,10 +209,17 @@ object Unigram {
   }
 
   /** The bounded artifact fetch the encode paths share:
-    * piece → (logp_micro, piece_id). */
-  private def collectPieces(model: DataFrame): Map[String, (Long, Int)] =
-    model.select(col("piece"), col("logp_micro"), col("piece_id"))
+    * piece → (logp_micro, piece_id). Fails fast on an empty artifact
+    * (a trainer run over an empty corpus, or one where every word fell
+    * below minCount) — encoding against no pieces would otherwise
+    * surface as an NPE in the max-piece-length probe. */
+  private def collectPieces(model: DataFrame): Map[String, (Long, Int)] = {
+    val m = model.select(col("piece"), col("logp_micro"), col("piece_id"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    require(m.nonEmpty,
+      "empty unigram model: train on a non-empty corpus (or lower minCount)")
+    m
+  }
 
   private def explodeWords(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = docs

@@ -180,20 +180,29 @@ object Bench {
       val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
       val base = graft.sources.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vector"))
-      val batch = base.limit(200)
-        .select((col("id") + lit(90000000L)).as("id"), col("vector"))
-        .cache()
+      // POINT batch on a bucketed collection, like the ft arm: all ids
+      // hash into bucket 0 so the upsert's DATA merge rewrites one
+      // bucket — the timed number then isolates index maintenance
+      // (otherwise the O(corpus) snapshot rewrite dominates and the
+      // pair cannot show the flat-vs-linear contrast)
+      val ids = spark.range(20000000L, 22000000L).toDF("id")
+        .where(pmod(xxhash64(col("id")), lit(32L)) === 0).limit(200)
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      val vecs = base.limit(200).select(col("vector"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val batch = ids.zip(vecs).toDF("id", "vector").cache()
       batch.count()
       // warm the pack/append/rebuild paths once (the index arm's lesson)
       locally {
-        val warm = client.createCollection("vwarm")
+        val warm = client.createCollection("vwarm", Map("buckets" -> "32"))
         warm.upsert(base.limit(2000))
         warm.rebuildBqIndex()
         warm.upsert(batch)
         warm.rebuildBqIndex()
       }
       def measure(name: String, mult: Int): Seq[(String, Double)] = {
-        val coll = client.createCollection(name)
+        val coll = client.createCollection(name, Map("buckets" -> "32"))
         val docs = (0 until mult).map(i =>
             base.select((col("id") + lit(i * 1000000L)).as("id"), col("vector")))
           .reduce(_ unionAll _)

@@ -689,9 +689,32 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
              filter: String = "", outputFields: Seq[String] = Nil,
              retrieveVector: Boolean = false,
              nprobe: Option[Int] = None,
-             radius: Option[Double] = None): DataFrame = {
+             radius: Option[Double] = None,
+             ef: Option[Int] = None): DataFrame = {
     require(nprobe.isEmpty || radius.isEmpty,
       "radius applies to the exact scan; combining it with nprobe is unsupported")
+    // the reference's search() takes the collection index's OWN search
+    // param (collection.py:179 — SearchParams(ef) for HNSW, nprobe for
+    // the IVF series); an ef here serves through the live graph with
+    // the same contracts as the dedicated paths: explicit ef = the
+    // caller's fixed beam (filtered searches run the single-shot
+    // searchHnswFiltered route so the filter semantics stay identical
+    // to the adaptive default's), same error-not-silent-scan rule as
+    // hybridSearch
+    require(ef.isEmpty || (nprobe.isEmpty && radius.isEmpty),
+      "ef tunes the HNSW graph; nprobe/radius belong to other paths")
+    if (ef.isDefined) {
+      require(describe.contains("index.hnsw.m"),
+        "search ef param requires a live HNSW index: run rebuildHnswIndex first")
+      val hits =
+        if (filter.isEmpty)
+          searchHnsw(queries, qIdCol, qVecCol, limit, ef.get,
+            metric = Some(metric))
+        else
+          searchHnswFiltered(queries, qIdCol, qVecCol, filter, limit, ef.get,
+            adaptive = false, metric = Some(metric))
+      return withOutputFields(hits, outputFields, retrieveVector)
+    }
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
     val raw = catalog.read(db, coll)
     val hits = (nprobe, radius) match {
@@ -1108,13 +1131,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * results are k·|batch| rows. */
   def searchHnswFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
                          filter: String, limit: Int = 10, ef: Int = 10,
-                         adaptive: Boolean = true): DataFrame = {
+                         adaptive: Boolean = true,
+                         metric: Option[String] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
     require(filter.nonEmpty,
       "searchHnswFiltered requires a filter — use searchHnsw for unfiltered search")
-    val metric = meta("index.hnsw.metric")
+    val m = metric.getOrElse(meta("index.hnsw.metric"))
     val filtered = df.where(FilterParser.parse(filter))
     // the fill target must count only docs a beam can ever RETURN:
     // null-vector rows match filters but are unsearchable (and score
@@ -1129,13 +1153,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val graph = preparedHnswGraph(meta)
     val nTotal = graph.count()
     if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * nTotal))
-      return search(queries, qIdCol, qVecCol, metric, limit, filter = filter)
+      return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
 
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     // empty query batch: nothing to traverse, and the loop below would
     // reduce over zero parts — return the (empty) FLAT-route frame
     if (qarr.isEmpty)
-      return search(queries, qIdCol, qVecCol, metric, limit, filter = filter)
+      return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
     val target = math.min(limit.toLong, nFiltered)
     val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
     var pending = qarr
@@ -1145,7 +1169,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // bounded result (limit·|pending| rows): eager-checkpoint so the
       // count and the keep-filter don't re-traverse the graph
       val res = graft.vector.HnswIndex.search(graph, filtered, idCol, vecCol,
-          pending, metric, limit, curEf, prepared = true, nodeKey = nodeKeyOpt)
+          pending, m, limit, curEf, prepared = true, nodeKey = nodeKeyOpt)
         .localCheckpoint(true)
       val exhausted = !adaptive || curEf >= efCap
       if (exhausted) {

@@ -191,6 +191,45 @@ class HnswSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("search(ef=...) is the reference surface: routes to the graph, composes with filter") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    val n = 300
+    // unfiltered: search(ef) == searchHnsw at the same beam
+    val viaSearch = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      ef = Some(n)).collect().toSeq
+    val direct = coll.searchHnsw(q, "qid", "qvec", limit = 5, ef = n,
+      metric = Some("cosine")).collect().toSeq
+    assert(viaSearch == direct)
+    // filtered: search(ef, filter) == fixed-beam searchHnswFiltered
+    val viaSearchF = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      filter = "par = 0", ef = Some(n)).collect().toSeq
+    val directF = coll.searchHnswFiltered(q, "qid", "qvec", "par = 0",
+      limit = 5, ef = n, adaptive = false, metric = Some("cosine"))
+      .collect().toSeq
+    assert(viaSearchF == directF)
+    assert(viaSearchF.forall(_.getLong(2) % 2 == 0))
+    // exhaustive ef + filter == the FLAT filtered scan (the twin rule)
+    val flatF = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      filter = "par = 0").collect().toSeq
+    assert(viaSearchF == flatF)
+    // param exclusivity + error-not-silent-scan
+    assertThrows[IllegalArgumentException] {
+      coll.search(q, "qid", "qvec", limit = 5, ef = Some(4), nprobe = Some(2))
+    }
+    assertThrows[IllegalArgumentException] {
+      coll.search(q, "qid", "qvec", limit = 5, ef = Some(4), radius = Some(1.0))
+    }
+    val root2 = java.nio.file.Files.createTempDirectory("graft-noidx").toString
+    val bare = new graft.api.GraftClient(spark, root2)
+      .createDatabase("db").createCollection("v")
+    bare.upsert(Seq((1L, Seq(1.0, 2.0))).toDF("id", "vector"))
+    assertThrows[IllegalArgumentException] {
+      bare.search(Seq((0L, Seq(1.0, 2.0))).toDF("qid", "qvec"),
+        "qid", "qvec", limit = 5, ef = Some(4))
+    }
+  }
+
   test("filtered search: empty QUERY batch returns empty, not a reduce crash") {
     val (coll, rows) = filteredColl()
     val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec").where(col("qid") < 0)

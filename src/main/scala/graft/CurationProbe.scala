@@ -147,6 +147,28 @@ object CurationProbe {
         graft.dedup.Dedup.crossCorpusExact(corpus, "text", ref, "text",
           bloomExpectedItems = Some(8000000L)).count()
       }
+      time(s"winnow_postings_$tag") {
+        // the sketch is a pure projection + ONE distinct on the
+        // (doc, fingerprint) key; work = distinct selections, which
+        // must track tokens linearly (density <= 2/(w+1) of grams)
+        graft.text.TextAnalysis.winnowPostings(d, "doc_id", "text").count()
+      }
+      time(s"winnow_matches_$tag") {
+        // pair-bounded generator: docs 2i and 2i+1 share ONE 8-token
+        // passage, noise is doc-unique — every passage fingerprint has
+        // df = 2, so true pairs = k/2 and the probe measures the JOIN
+        // at linear pair volume (the df-quadratic blowup of
+        // mass-duplicated content is exactly what maxDf exists to cap,
+        // measured separately by the generator's own duplicates in the
+        // postings row above). work = pairs found, must ~8x at 8x
+        val wd = spark.range(k).toDF("doc_id").select(col("doc_id"),
+          expr("concat_ws(' ', " +
+            "transform(sequence(0, 9), i -> concat('n', cast(doc_id as string), 'x', cast(i as string))), " +
+            "transform(sequence(0, 7), i -> concat('p', cast(doc_id div 2 as string), 'q', cast(i as string))))")
+            .as("text"))
+        graft.text.TextAnalysis.winnowMatches(wd, "doc_id", "text",
+          minShared = 1).count()
+      }
       d.unpersist()
     }
 

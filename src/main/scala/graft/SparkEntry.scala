@@ -828,6 +828,22 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_lang_lines" -> ((s, dir) => {
+      // mixed-language page detection: per-line langId, majority
+      // language + agreement ratio per doc. The synthetic corpus is
+      // single-line, so the entry deterministically plants Spanish /
+      // French lines (doc_id-keyed, mirrored in the oracle) — majority,
+      // tie, and agreement paths all non-vacuous at every SF
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2L)) === 0,
+            lit("\nel la de y en que el la")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            lit("\nle est une et le est")).otherwise(lit(""))).as("text"))
+      TextAnalysis.langLineComposition(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_winnow_matches" -> ((s, dir) => {
       // MOSS candidate stage: doc pairs sharing >= 2 distinct winnow
       // fingerprints (posting self-join over the sketch, df-pruned).
@@ -1866,6 +1882,32 @@ object SparkEntry {
         |      FROM h)
         |SELECT DISTINCT doc_id, CAST(sel.p AS INT) AS pos, sel.f AS fingerprint
         |FROM s ORDER BY doc_id, pos""".stripMargin,
+
+    // per-line langId under the SAME stopword rule as q_lang_id, then
+    // majority via min(struct(-count, lang)) — ties to the
+    // alphabetically first language on both engines
+    "q_lang_lines" ->
+      """WITH planted AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'el la de y en que el la' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'le est une et le est' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM planted),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(string_split(line, ' '), x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(string_split(line, ' '), x -> x IN ('the','a','of','and','is','to','in'))) AS s_en,
+        |  len(list_filter(string_split(line, ' '), x -> x IN ('el','la','de','y','en','que'))) AS s_es,
+        |  len(list_filter(string_split(line, ' '), x -> x IN ('le','la','de','et','est','une'))) AS s_fr,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang FROM l),
+        |c AS (SELECT doc_id, lang, count(*) AS c FROM s GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |      min(struct_pack(nc := -c, lang := lang)) AS mm FROM c GROUP BY 1)
+        |SELECT doc_id, n_lines, mm.lang AS major_lang,
+        |  CAST(-mm.nc AS BIGINT) AS n_major,
+        |  CAST(-mm.nc AS DOUBLE) / n_lines AS agreement
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // winnow sketch -> distinct (doc, fingerprint) postings -> df-pruned
     // self-join -> pairs sharing >= 2 fingerprints (the MOSS candidate

@@ -45,6 +45,49 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Per-LINE language composition — mixed-language page detection
+    * (the page-level companion of [[langId]]: CCNet classifies per
+    * paragraph and real web pages mix languages; a page whose lines
+    * disagree with its majority language is navigation chrome,
+    * bilingual boilerplate, or a scrape artifact, and monolingual
+    * corpora drop or segment it). Each line classifies under the SAME
+    * stopword rule as [[langId]]; the report gives per doc the line
+    * count, the majority language (ties break to the alphabetically
+    * first — all-zero stopword lines classify 'de' by the same rule on
+    * both engines), the majority's line count, and the agreement
+    * ratio (one long/long IEEE division, unrounded — the row-35
+    * discipline). Threshold `agreement` to drop mixed pages.
+    *
+    * Scale shape: one line explode, one (doc, lang) groupBy, one
+    * struct-min per doc — map-side-combinable aggregations only, the
+    * text never shuffles (lines collapse to counts before any
+    * exchange). */
+  def langLineComposition(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "\n")).as("__line"))
+    val scored = lines.select(col("doc_id"), {
+      val de = hitCount("__line", stopwords("de"))
+      val en = hitCount("__line", stopwords("en"))
+      val es = hitCount("__line", stopwords("es"))
+      val fr = hitCount("__line", stopwords("fr"))
+      when(de >= en && de >= es && de >= fr, "de")
+        .when(en >= es && en >= fr, "en")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("lang")
+    })
+    val counts = scored.groupBy("doc_id", "lang").agg(count(lit(1)).as("__c"))
+    counts.groupBy("doc_id")
+      .agg(sum("__c").as("n_lines"),
+        // min over (−count, lang): highest count, then alphabetically
+        // first language — deterministic struct ordering on both engines
+        min(struct((-col("__c")).as("nc"), col("lang"))).as("__m"))
+      .select(col("doc_id"), col("n_lines"),
+        col("__m.lang").as("major_lang"),
+        (-col("__m.nc")).as("n_major"),
+        ((-col("__m.nc")).cast("double") / col("n_lines")).as("agreement"))
+  }
+
   /** Quality score from length / repetition / stopword ratios. `keep`
     * columns pass through unchanged (e.g. a group key for downstream
     * per-group curation — cheaper than joining them back by id). */

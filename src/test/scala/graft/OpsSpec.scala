@@ -230,6 +230,25 @@ class TextSpec extends SparkSpec {
     assert(appleScore == 2L * (math.round(math.log(2.0) * 1e6) + 1000000L))
   }
 
+  test("langLineComposition: majority, deterministic ties, agreement ratio") {
+    val docs = Seq(
+      // 2 English lines + 1 Spanish: majority en, agreement 2/3
+      (1L, "the cat is of the mat\nthe dog is in a house\nel la de y en que"),
+      // 1 en + 1 es: tie -> alphabetically first of the tied pair
+      (2L, "the cat is of the mat\nel la de y en que"),
+      // stopword-less single line: all-zero tie classifies 'de'
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.langLineComposition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "major_lang", "n_major", "agreement")
+      .collect()
+    assert(out(0).getLong(1) == 3 && out(0).getString(2) == "en"
+      && out(0).getLong(3) == 2 && math.abs(out(0).getDouble(4) - 2.0 / 3) < 1e-12)
+    assert(out(1).getString(2) == "en" && out(1).getDouble(4) == 0.5,
+      s"en/es tie must break alphabetically: ${out(1)}")
+    assert(out(2).getString(2) == "de" && out(2).getDouble(4) == 1.0)
+  }
+
   test("tfidfKeywords: empty text yields no rows, k bounds output") {
     val docs = Seq((1L, ""), (2L, "x y z")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)

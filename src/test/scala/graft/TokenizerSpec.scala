@@ -233,6 +233,16 @@ class UnigramSpec extends SparkSpec {
     assert(arr == ids.flatten.toSeq)
   }
 
+  test("encoding against an empty artifact fails fast, not NPE") {
+    val empty = Seq.empty[(String, Long, Int)]
+      .toDF("piece", "logp_micro", "piece_id")
+    val docs = Seq((1L, "low")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Unigram.encode(docs, "doc_id", "text", empty).collect()
+    }
+    assert(err.getMessage.contains("empty unigram model"))
+  }
+
   test("distributed train equals local training over the same dictionary") {
     val docs = Seq((1L, "low lower lowlow west"),
       (2L, "low low lowlow")).toDF("doc_id", "text")

@@ -185,7 +185,12 @@ object Bench {
       // bucket — the timed number then isolates index maintenance
       // (otherwise the O(corpus) snapshot rewrite dominates and the
       // pair cannot show the flat-vs-linear contrast)
-      val ids = spark.range(20000000L, 22000000L).toDF("id")
+      // id range DISJOINT from every corpus slice (slice i of the 64x
+      // arm covers i*1M + [0, base rows); 90M clears i <= 63): the two
+      // timed arms must both be pure inserts — colliding ids would turn
+      // the bigger arm's batch into part-updates (ledger masking +
+      // replacement), a different operation under the same key
+      val ids = spark.range(90000000L, 92000000L).toDF("id")
         .where(pmod(xxhash64(col("id")), lit(32L)) === 0).limit(200)
         .collect().map(_.getLong(0)).toSeq
       import spark.implicits._
@@ -219,7 +224,10 @@ object Bench {
       }
       // 8/64 corpus multiples like the sibling arms: at 1/8 both
       // points are floor-dominated and the flat-vs-linear contrast
-      // the pair exists to demonstrate is invisible in the numbers
+      // the pair exists to demonstrate is invisible in the numbers.
+      // Labels stay RELATIVE (1x = the arm's baseline), the
+      // maintenanceOps convention — the absolute multiple is a
+      // property of the arm, recorded here and in SURVEY §7
       val out = measure("1x", 8) ++ measure("8x", 64)
       batch.unpersist()
       out

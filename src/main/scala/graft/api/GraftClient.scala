@@ -700,7 +700,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // caller's fixed beam (filtered searches run the single-shot
     // searchHnswFiltered route so the filter semantics stay identical
     // to the adaptive default's), same error-not-silent-scan rule as
-    // hybridSearch
+    // hybridSearch. The ef route ranks in the index's STORED metric —
+    // the reference's search carries no metric param, the INDEX
+    // defines it, and `metric`'s "cosine" default must not silently
+    // re-rank an l2-built graph (the hybridDense rule); `metric`
+    // governs the FLAT/IVF/radius paths only, and a caller who wants
+    // an explicit metric override on the graph path has searchHnsw
     require(ef.isEmpty || (nprobe.isEmpty && radius.isEmpty),
       "ef tunes the HNSW graph; nprobe/radius belong to other paths")
     if (ef.isDefined) {
@@ -708,11 +713,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         "search ef param requires a live HNSW index: run rebuildHnswIndex first")
       val hits =
         if (filter.isEmpty)
-          searchHnsw(queries, qIdCol, qVecCol, limit, ef.get,
-            metric = Some(metric))
+          searchHnsw(queries, qIdCol, qVecCol, limit, ef.get)
         else
           searchHnswFiltered(queries, qIdCol, qVecCol, filter, limit, ef.get,
-            adaptive = false, metric = Some(metric))
+            adaptive = false)
       return withOutputFields(hits, outputFields, retrieveVector)
     }
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))

@@ -32,18 +32,29 @@ object TextAnalysis {
     expr(s"size(filter(split($textColName, ' '), x -> x IN ($list)))")
   }
 
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = docs.select(col(idCol),
+  /** The four-way stopword argmax (ties resolve in de/en/es/fr scan
+    * order) — ONE definition shared by the per-doc classifier
+    * ([[langId]]) and the per-line composition
+    * ([[langLineComposition]]), so the rule cannot diverge between the
+    * two (nor between their mirrored oracles). */
+  private def langArgmax(textColName: String): Column = {
+    val de = hitCount(textColName, stopwords("de"))
+    val en = hitCount(textColName, stopwords("en"))
+    val es = hitCount(textColName, stopwords("es"))
+    val fr = hitCount(textColName, stopwords("fr"))
+    when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
       hitCount(textCol, stopwords("de")).as("s_de"),
       hitCount(textCol, stopwords("en")).as("s_en"),
       hitCount(textCol, stopwords("es")).as("s_es"),
-      hitCount(textCol, stopwords("fr")).as("s_fr"))
-    scored.withColumn("predicted",
-      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-        .when(col("s_es") >= col("s_fr"), "es")
-        .otherwise("fr"))
-  }
+      hitCount(textCol, stopwords("fr")).as("s_fr"),
+      langArgmax(textCol).as("predicted"))
 
   /** Per-LINE language composition — mixed-language page detection
     * (the page-level companion of [[langId]]: CCNet classifies per
@@ -66,16 +77,7 @@ object TextAnalysis {
                           textCol: String): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), "\n")).as("__line"))
-    val scored = lines.select(col("doc_id"), {
-      val de = hitCount("__line", stopwords("de"))
-      val en = hitCount("__line", stopwords("en"))
-      val es = hitCount("__line", stopwords("es"))
-      val fr = hitCount("__line", stopwords("fr"))
-      when(de >= en && de >= es && de >= fr, "de")
-        .when(en >= es && en >= fr, "en")
-        .when(es >= fr, "es")
-        .otherwise("fr").as("lang")
-    })
+    val scored = lines.select(col("doc_id"), langArgmax("__line").as("lang"))
     val counts = scored.groupBy("doc_id", "lang").agg(count(lit(1)).as("__c"))
     counts.groupBy("doc_id")
       .agg(sum("__c").as("n_lines"),

@@ -213,6 +213,26 @@ class HnswSpec extends SparkSpec {
     val flatF = coll.search(q, "qid", "qvec", "cosine", limit = 5,
       filter = "par = 0").collect().toSeq
     assert(viaSearchF == flatF)
+    // the ef route ranks in the index's STORED metric — an l2-built
+    // graph must not silently serve cosine neighbors just because the
+    // metric param defaults to "cosine" (the hybridDense rule)
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-efl2").toString
+      val l2coll = new graft.api.GraftClient(spark, root)
+        .createDatabase("db").createCollection("v")
+      l2coll.upsert(rows.take(100).map(r => (r._1, r._2)).toDF("id", "vector"))
+      l2coll.rebuildHnswIndex(m = 8, efConstruction = 32, numSegments = 1,
+        metric = "l2")
+      val viaEf = l2coll.search(q, "qid", "qvec", limit = 5, ef = Some(100))
+        .collect().toSeq
+      val l2direct = l2coll.searchHnsw(q, "qid", "qvec", limit = 5, ef = 100)
+        .collect().toSeq
+      assert(viaEf == l2direct, "search(ef) must rank in the stored l2 metric")
+      val cosDirect = l2coll.searchHnsw(q, "qid", "qvec", limit = 5, ef = 100,
+        metric = Some("cosine")).collect().toSeq
+      assert(viaEf != cosDirect,
+        "l2 and cosine rankings differ on this corpus — the pin is non-vacuous")
+    }
     // param exclusivity + error-not-silent-scan
     assertThrows[IllegalArgumentException] {
       coll.search(q, "qid", "qvec", limit = 5, ef = Some(4), nprobe = Some(2))

@@ -128,4 +128,35 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("doc_id").select("fingerprint").as[Long].collect()
     assert(fp(0) == 97L && fp(1) == (97L * 31 + 97) % 1000000007)
   }
+
+  test("BQ train rejects an empty corpus; winnow rejects non-positive k/w") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val err = intercept[IllegalArgumentException] {
+      graft.vector.BqIndex.train(empty, "v")
+    }
+    assert(err.getMessage.contains("empty corpus"))
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 0, w = 4)
+    }
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 0)
+    }
+  }
+
+  test("softDedupWeights on an empty pair list: every doc is its own loner") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L, 1000000L), (2L, 2L, 1L, 1000000L)))
+  }
+
+  test("lengthQuantiles skips null-text docs entirely (no null len group)") {
+    val docs = Seq((1L, Some("a b c"), "x"), (2L, None, "x"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ops.Curation.lengthQuantiles(docs, "text", "source").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1,
+      "the null-text doc must not count toward n_docs or any quantile")
+  }
 }

@@ -673,6 +673,23 @@ object SparkEntry {
         nodeKey = Some(xxhash64(col("sid"))))
     }),
 
+    "q_hnsw_radius_exhaustive" -> ((s, dir) => {
+      // radius served FROM THE GRAPH (reference: radius rides in
+      // SearchParams next to ef, applied WITH the configured index —
+      // model/document.py, stub.py:589), oracled by the verified-twin
+      // device: ef >= segment size visits every node, so the raw-score
+      // radius gate + bounded-heap top-k over the graph's candidates
+      // equals FLAT radius+limit search byte-for-byte while the whole
+      // traversal/rescore/boundary machinery executes end-to-end.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.HnswIndex.searchRadius(hnswGraphFor(s, dir), embs,
+        "vec_id", "embedding", qLocal, "cosine", r = 0.3, k = 5,
+        ef = Int.MaxValue)
+    }),
+
     "q_lsh_ann" -> ((s, dir) => {
       // banded ANN over the PERSISTED bucket table (signatures are the
       // O(corpus) part — computed once at rebuild, not per query) at
@@ -1738,6 +1755,19 @@ object SparkEntry {
     // chain-connected segment graphs + ef >= segment size => every node
     // visited, exact rerank through the FLAT pipeline => exact KNN
     "q_hnsw_exhaustive" -> knnOracle("cosine"),
+
+    // graph-served radius at the exhaustive bound: every node visited,
+    // raw-score radius gate before the bounded heap => equals FLAT
+    // radius+limit (the q_knn_radius_limit shape) byte-for-byte
+    "q_hnsw_radius_exhaustive" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk
+        |      FROM s WHERE sc >= 0.3)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // string-keyed exact cosine KNN — the surrogate-built graph's
     // exhaustive twin must reproduce it byte-for-byte, string ties

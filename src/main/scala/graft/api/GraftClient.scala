@@ -692,7 +692,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
              radius: Option[Double] = None,
              ef: Option[Int] = None): DataFrame = {
     require(nprobe.isEmpty || radius.isEmpty,
-      "radius applies to the exact scan; combining it with nprobe is unsupported")
+      "radius combines with the exact scan or the HNSW graph (ef); nprobe is unsupported")
     // the reference's search() takes the collection index's OWN search
     // param (collection.py:179 — SearchParams(ef) for HNSW, nprobe for
     // the IVF series); an ef here serves through the live graph with
@@ -706,13 +706,22 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // re-rank an l2-built graph (the hybridDense rule); `metric`
     // governs the FLAT/IVF/radius paths only, and a caller who wants
     // an explicit metric override on the graph path has searchHnsw
-    require(ef.isEmpty || (nprobe.isEmpty && radius.isEmpty),
-      "ef tunes the HNSW graph; nprobe/radius belong to other paths")
+    require(ef.isEmpty || nprobe.isEmpty,
+      "ef tunes the HNSW graph; nprobe belongs to the IVF path")
     if (ef.isDefined) {
       require(describe.contains("index.hnsw.m"),
         "search ef param requires a live HNSW index: run rebuildHnswIndex first")
       val hits =
-        if (filter.isEmpty)
+        if (radius.isDefined)
+          // radius WITH the index's search param (the reference's
+          // SearchParams shape): served from the graph, ef as the
+          // STARTING beam — a fixed beam cannot know the ball size, so
+          // radius semantics ("docs within r", limit-capped) get the
+          // adaptive escalation; single-shot is searchHnswRadius's
+          // adaptive = false
+          searchHnswRadius(queries, qIdCol, qVecCol, radius.get, limit,
+            ef.get, filter)
+        else if (filter.isEmpty)
           searchHnsw(queries, qIdCol, qVecCol, limit, ef.get)
         else
           searchHnswFiltered(queries, qIdCol, qVecCol, filter, limit, ef.get,
@@ -1148,8 +1157,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // null-vector rows match filters but are unsearchable (and score
     // nothing on the FLAT route either) — counting them would make
     // `target` unreachable and every deficient query climb the whole
-    // ef ladder to the exhaustive bound for nothing
-    val nFiltered = filtered.where(col(vecCol).isNotNull).count()
+    // ef ladder to the exhaustive bound for nothing. LAZY: only the
+    // adaptive route consults it — the single-shot fixed-ef route
+    // exists to avoid corpus scans and must not pay an O(filtered)
+    // driver job it never reads
+    lazy val nFiltered = filtered.where(col(vecCol).isNotNull).count()
     // corpus size from the CACHED serving graph (one aggregate over
     // in-memory partitions after first touch), not a per-call corpus
     // scan — this is the default filtered hybrid route, so per-search
@@ -1164,7 +1176,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // reduce over zero parts — return the (empty) FLAT-route frame
     if (qarr.isEmpty)
       return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
-    val target = math.min(limit.toLong, nFiltered)
+    // lazy for the same reason as nFiltered: only the adaptive
+    // fill-count branch reads it
+    lazy val target = math.min(limit.toLong, nFiltered)
     val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
     var pending = qarr
     var curEf = math.max(ef, 1)
@@ -1187,6 +1201,88 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         if (fullIds.nonEmpty)
           parts :+= res.where(col("query_id").isin(fullIds.toSeq: _*))
         pending = pending.filterNot(q => fullIds.contains(q._1))
+        curEf = math.min(curEf.toLong * 4, efCap).toInt
+      }
+    }
+    remapQueryIds(
+      parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
+  }
+
+  /** Radius search served from the LIVE HNSW graph with adaptive beam
+    * escalation — closing the reference's one remaining call shape
+    * that used to pay O(corpus) per query here: the reference applies
+    * `radius` WITH the collection index's own search params
+    * (model/document.py SearchParams carries radius next to ef;
+    * stub.py:589 search takes radius alongside the index params), so
+    * an indexed collection must serve radius queries at ANN cost, not
+    * by a FLAT corpus scan.
+    *
+    * Contract (the searchHnswFiltered discipline, boundary-adapted):
+    * traverse at beam `ef`, exactly rescore, keep raw-score-in-radius
+    * rows, top-`limit` per query. A query is DONE when its ball is
+    * filled (`limit` in-radius rows) or the beam's frontier has passed
+    * the ball boundary (an exactly-rescored candidate fell OUTSIDE the
+    * radius — in-ball rows outrank out-of-ball rows under the radius
+    * metric, so every in-ball candidate the beam has seen is already
+    * in the answer); every other query retries at 4× the beam up to
+    * the exhaustive bound (ef ≥ graph rows ⇒ the graph-reachable
+    * corpus is rescored ⇒ exactly FLAT radius — the byte-equality
+    * HnswSpec pins). The boundary test is per-BEAM (segment beams
+    * union before the check), the same granularity as a fixed-ef
+    * reference search; recall below the exhaustive bound is what
+    * RecallProbe measures. No corpus-sized driver job on any route —
+    * radius serving is the path that exists to avoid scans.
+    *
+    * `adaptive = false` pins the single-shot fixed-ef behavior. */
+  def searchHnswRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       radius: Double, limit: Int = 10, ef: Int = 10,
+                       filter: String = "", adaptive: Boolean = true): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    val m = meta("index.hnsw.metric")
+    val larger = graft.vector.VectorMetric(m).largerIsBetter
+    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
+    val data = pred.fold(df)(df.where)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    // empty query batch: nothing to traverse — the FLAT radius route
+    // returns the (empty) frame with the contract schema
+    if (qarr.isEmpty)
+      return KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
+        m, radius, limit, pred)
+    val graph = preparedHnswGraph(meta)
+    val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
+    val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
+    var pending = qarr
+    var curEf = math.max(ef, 1)
+    var parts = Vector.empty[DataFrame]
+    while (pending.nonEmpty) {
+      val exhausted = !adaptive || curEf >= efCap
+      if (exhausted) {
+        parts :+= graft.vector.HnswIndex.searchRadius(graph, data, idCol,
+          vecCol, pending, m, radius, limit, curEf, prepared = true,
+          nodeKey = nodeKeyOpt)
+        pending = Array.empty
+      } else {
+        // bounded (|pending|·segments·beam rows): eager-checkpoint so
+        // the fill stats and the answer share ONE traversal
+        val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+            idCol, vecCol, pending, m, math.max(curEf, limit),
+            prepared = true, nodeKey = nodeKeyOpt)
+          .localCheckpoint(true)
+        val stats = scored.groupBy("query_id")
+          .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
+            sum(lit(1L)).as("seen"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        val doneIds = pending.map(_._1).filter { q =>
+          val (hits, seen) = stats.getOrElse(q, (0L, 0L))
+          hits >= limit || hits < seen
+        }.toSet
+        if (doneIds.nonEmpty)
+          parts :+= graft.vector.Ranked.topK(
+            scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
+            limit, asc = !larger)
+        pending = pending.filterNot(q => doneIds.contains(q._1))
         curEf = math.min(curEf.toLong * 4, efCap).toInt
       }
     }

@@ -43,7 +43,10 @@ object SparseSearch {
     val scored = matched
       .groupBy("doc_id")
       .agg(sum(round(col("weight"), 4).cast("decimal(18,4)") *
-          col("qw").cast("decimal(8,4)")).cast("double").as("score"))
+          // (18,4) for the query side too: a caller weight >= 1e4 would
+          // overflow a (8,4) cast to NULL under non-ANSI semantics and
+          // silently drop that term from every document's score
+          col("qw").cast("decimal(18,4)")).cast("double").as("score"))
     graft.vector.Ranked.rankTop(scored, k, col("score").desc, col("doc_id"))
       .select(col("rank"), col("doc_id"), col("score"))
       .orderBy("rank")

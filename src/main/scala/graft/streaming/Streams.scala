@@ -211,18 +211,18 @@ object Streams {
               // model self-reinforces on admitted docs — the CCNet
               // trusted-corpus mode trains once elsewhere and never
               // sets this flag.
-              val fresh = if (!maintainLm) None else {
-                val f = gated.join(coll.df.select(col("id")), Seq("id"),
-                    "left_anti")
-                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                f.count() // pin the pre-upsert snapshot NOW
-                Some(f)
-              }
-              try {
-                coll.upsert(gated)
-                fresh.filter(!_.isEmpty)
-                  .foreach(coll.updateLmModel(_, "id", textCol))
-              } finally fresh.foreach(_.unpersist())
+              // localCheckpoint (eager), not persist+count: a persisted
+              // block dropped under memory pressure would silently
+              // RECOMPUTE the anti-join against the post-upsert
+              // snapshot (fold skipped for the whole batch);
+              // checkpointing severs the lineage, so the pre-upsert
+              // evaluation is the only one that can ever be served
+              val fresh = if (!maintainLm) None else
+                Some(gated.join(coll.df.select(col("id")), Seq("id"),
+                  "left_anti").localCheckpoint(true))
+              coll.upsert(gated)
+              fresh.filter(!_.isEmpty)
+                .foreach(coll.updateLmModel(_, "id", textCol))
             }
           }
         } finally { curated.unpersist(); gateInputs.foreach(_.unpersist()) }

@@ -343,9 +343,14 @@ object TextAnalysis {
     * projection; nothing shuffles at any corpus size. */
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
-    val t = col(textCol)
+    // NULL text folds to '' so the verdict is TOTAL (the gopherRules /
+    // encodingNoise degenerate-input contract): split(NULL) would give
+    // keep = NULL and n_lines = -1, making where(keep) vs where(!keep)
+    // silently disagree on such rows
+    val tc = s"coalesce($textCol, '')"
+    val t = coalesce(col(textCol), lit(""))
     val keptArr = expr(
-      s"""filter(split($textCol, '\n'), x ->
+      s"""filter(split($tc, '\n'), x ->
          |  right(x, 1) IN ('.', '!', '?', '"')
          |  AND size(filter(split(x, ' '), w -> w <> '')) >= $minLineWords)"""
         .stripMargin)
@@ -354,7 +359,7 @@ object TextAnalysis {
     docs.select(
         col(idCol),
         clean.as("text_clean"),
-        size(expr(s"split($textCol, '\n')")).as("n_lines"),
+        size(expr(s"split($tc, '\n')")).as("n_lines"),
         size(keptArr).as("n_lines_kept"),
         nSentences.as("n_sentences"),
         (nSentences >= minSentences &&

@@ -430,6 +430,43 @@ object HnswIndex {
              k: Int, ef: Int = 10, prepared: Boolean = false,
              nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = VectorMetric(metric)
+    Ranked.topK(
+      scoredCandidates(graph, data, idCol, vecCol, queries, metric,
+        math.max(ef, k), prepared, nodeKey),
+      k, asc = !m.largerIsBetter)
+  }
+
+  /** Radius search served from the graph (reference `radius` WITH the
+    * collection's HNSW SearchParams — model/document.py SearchParams,
+    * stub.py:589): traverse at beam `ef`, exactly rescore the
+    * candidates, keep rows within the radius (score >= r for
+    * similarity metrics, distance <= r for L2 — [[KnnSearch.radius]]'s
+    * rule, applied to the RAW score before ranking/rounding), then the
+    * same bounded-heap top-k postlude. ef ≥ segment size visits every
+    * node, so the exhaustive setting equals FLAT
+    * [[KnnSearch.radiusTopK]] byte-for-byte (pinned in HnswSpec) —
+    * the radius family's verified-twin certificate. */
+  def searchRadius(graph: DataFrame, data: DataFrame, idCol: String,
+                   vecCol: String, queries: Array[(Long, Array[Double])],
+                   metric: String, r: Double, k: Int, ef: Int = 10,
+                   prepared: Boolean = false,
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val m = VectorMetric(metric)
+    val scored = scoredCandidates(graph, data, idCol, vecCol, queries, metric,
+      math.max(ef, k), prepared, nodeKey)
+    val kept = if (m.largerIsBetter) scored.where(col("__s") >= r)
+               else scored.where(col("__s") <= r)
+    Ranked.topK(kept, k, asc = !m.largerIsBetter)
+  }
+
+  /** The shared traversal + exact-rescore stage: (query_id, __s, id)
+    * rows over the beam's candidates, RAW scores — what every graph
+    * serving path ranks, radius-filters, or fill-counts on. */
+  private[graft] def scoredCandidates(graph: DataFrame, data: DataFrame,
+      idCol: String, vecCol: String, queries: Array[(Long, Array[Double])],
+      metric: String, candWidth: Int, prepared: Boolean,
+      nodeKey: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val m = VectorMetric(metric)
     val spark = data.sparkSession
     import spark.implicits._
     // distinct: after incremental appends a re-upserted id has nodes in
@@ -437,7 +474,7 @@ object HnswIndex {
     // — both surface the same id, and duplicate (query_id, id) pairs
     // would occupy two top-k ranks. Bounded input (segments·ef rows per
     // query), so the dedup never touches corpus-sized data.
-    val cand = candidates(graph, queries, math.max(ef, k), prepared).distinct()
+    val cand = candidates(graph, queries, candWidth, prepared).distinct()
     val qdf = queries.toSeq.toDF("query_id", "__qv")
     // cand is NOT broadcast-hinted: at production ef it is tiny
     // (segments·ef ids per query — AQE broadcasts it), but on the
@@ -445,11 +482,9 @@ object HnswIndex {
     // corpus-sized and a forced broadcast would hit the driver's
     // 8 GB/512M-row broadcast limits; the query batch IS bounded,
     // so it keeps the hint
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
+    Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey, bcast = false)
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"),
         VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, k, asc = !m.largerIsBetter)
   }
 }

@@ -233,12 +233,11 @@ class HnswSpec extends SparkSpec {
       assert(viaEf != cosDirect,
         "l2 and cosine rankings differ on this corpus — the pin is non-vacuous")
     }
-    // param exclusivity + error-not-silent-scan
+    // param exclusivity + error-not-silent-scan (radius + ef is now a
+    // SUPPORTED pair — the reference's SearchParams shape — and has
+    // its own tests below; nprobe + ef stays exclusive)
     assertThrows[IllegalArgumentException] {
       coll.search(q, "qid", "qvec", limit = 5, ef = Some(4), nprobe = Some(2))
-    }
-    assertThrows[IllegalArgumentException] {
-      coll.search(q, "qid", "qvec", limit = 5, ef = Some(4), radius = Some(1.0))
     }
     val root2 = java.nio.file.Files.createTempDirectory("graft-noidx").toString
     val bare = new graft.api.GraftClient(spark, root2)
@@ -282,5 +281,77 @@ class HnswSpec extends SparkSpec {
       ef = 1).collect()
     assert(got.length == 40,
       s"must fill exactly the searchable filtered count, got ${got.length}")
+  }
+
+  // ---------------------------------------- radius through the graph
+
+  test("graph radius at the exhaustive bound equals FLAT radius+limit byte-for-byte") {
+    // pick each metric's ball from the exact top-k so it is non-empty
+    // by construction; any r gives byte-equality (both sides gate the
+    // RAW score with the same rule), a populated ball makes it
+    // non-vacuous
+    for (metric <- Seq("cosine", "l2")) {
+      val gt = KnnSearch.topK(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", metric, 10).collect()
+      val r = gt.filter(_.getInt(1) == 5).map(_.getDouble(3)).head
+      val flat = KnnSearch.radiusTopK(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", metric, r, 5).collect()
+      val viaGraph = HnswIndex.searchRadius(graph, embs, "vec_id", "embedding",
+        qLocal, metric, r, k = 5, ef = Int.MaxValue).collect()
+      assert(flat.nonEmpty, s"metric $metric: empty ball makes the pin vacuous")
+      assert(viaGraph.sameElements(flat),
+        s"metric $metric: graph radius diverges from FLAT")
+    }
+  }
+
+  test("search(radius, ef): served from the graph, exhaustive beam equals FLAT, composes with filter") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    // ball radius from the exact scan's rank-7 score for query 0: both
+    // queries get a populated, sub-corpus ball
+    val r = coll.search(q, "qid", "qvec", "cosine", limit = 10)
+      .where(col("query_id") === 0 && col("rank") === 7).head().getDouble(3)
+    val flat = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r)).collect().toSeq
+    assert(flat.nonEmpty)
+    // beam >= corpus: one exhaustive round, byte-equal to FLAT
+    val viaGraph = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), ef = Some(300)).collect().toSeq
+    assert(viaGraph == flat, "exhaustive-beam graph radius must equal FLAT")
+    // single-shot pin (adaptive = false) at the exhaustive beam too
+    val single = coll.searchHnswRadius(q, "qid", "qvec", r, limit = 5,
+      ef = 300, adaptive = false).collect().toSeq
+    assert(single == flat)
+    // filter composes: exhaustive graph radius+filter == FLAT radius+filter
+    val flatF = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), filter = "par = 0").collect().toSeq
+    val viaGraphF = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), filter = "par = 0", ef = Some(300)).collect().toSeq
+    assert(viaGraphF == flatF)
+    assert(flatF.nonEmpty)
+  }
+
+  test("search(radius, ef): adaptive escalation from a tiny beam stays inside the ball") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    val r = coll.search(q, "qid", "qvec", "cosine", limit = 10)
+      .where(col("query_id") === 0 && col("rank") === 7).head().getDouble(3)
+    // the full ball per query (limit >= corpus), the reference answer set
+    val ball = coll.search(q, "qid", "qvec", "cosine", limit = 300,
+        radius = Some(r)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), ef = Some(1)).collect()
+    // contract: every row in-ball (raw-score gate; rounded output gets
+    // the 1e-4 tolerance), ranks contiguous from 1 per query, never
+    // more than limit rows, and ids a subset of the true ball
+    assert(got.forall(_.getDouble(3) >= r - 1e-4))
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"query $qid: ranks not contiguous")
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(2)).toSet.subsetOf(ball.getOrElse(qid, Set.empty)),
+        s"query $qid: a returned id is outside the true ball")
+    }
   }
 }

@@ -343,13 +343,32 @@ object Bench {
         Seq(s"m_lm_fold_$name" -> tFold, s"m_lm_retrain_$name" -> tRetrain,
             s"m_dsir_serve_$name" -> tServe)
       }
-      val out = measure("1x", 8) ++ measure("8x", 64)
+      // VOCAB-scaling arm (the corpus arm above multiplies rows with
+      // IDENTICAL text, so stored TYPES stay constant): suffix-rewriting
+      // every token per copy multiplies the stored bigram vocabulary
+      // ~10x while the fold batch stays fixed — the log-structured
+      // append must keep the fold flat against artifact SIZE, not just
+      // corpus rows (r8 verdict #5)
+      def measureVocab(name: String, vmult: Int): Seq[(String, Double)] = {
+        val coll = client.createCollection("mlv" + name)
+        coll.upsert((0 until vmult).map(i =>
+            base.select((col("id") + lit(i * 1000000L)).as("id"),
+              regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text")))
+          .reduce(_ unionAll _))
+        coll.trainLmModel()
+        val t0 = System.nanoTime()
+        coll.updateLmModel(batch, "id", "text")
+        Seq(s"m_lm_fold_vocab_$name" -> ((System.nanoTime() - t0) / 1e9))
+      }
+      val out = measure("1x", 8) ++ measure("8x", 64) ++
+        measureVocab("1x", 1) ++ measureVocab("10x", 10)
       batch.unpersist()
       out
     } catch { case _: Throwable =>
       Seq("m_lm_fold_1x" -> -1.0, "m_lm_retrain_1x" -> -1.0,
           "m_dsir_serve_1x" -> -1.0, "m_lm_fold_8x" -> -1.0,
-          "m_lm_retrain_8x" -> -1.0, "m_dsir_serve_8x" -> -1.0)
+          "m_lm_retrain_8x" -> -1.0, "m_dsir_serve_8x" -> -1.0,
+          "m_lm_fold_vocab_1x" -> -1.0, "m_lm_fold_vocab_10x" -> -1.0)
     }
   }
 }

@@ -210,12 +210,33 @@ object RecallProbe {
         emit("semdedup_pairs", s"nclusters=$ncl cap=4096 eps=$eps truth=$nTruth",
           Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
             "embedding", eps, nclusters = ncl, maxCellSize = 4096), truthP))
+      // multi-assign (margin-gated 2nd-nearest cell): the boundary-pair
+      // fix — recall gain vs single-assign at the prod config, with the
+      // measured pair-work inflation next to it (the cost axis)
+      for (margin <- Seq(0.01, 0.02, 0.05, 0.1))
+        emit("semdedup_pairs",
+          s"nclusters=8 cap=4096 eps=$eps margin=$margin truth=$nTruth",
+          Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
+            "embedding", eps, nclusters = 8, maxCellSize = 4096,
+            assignMargin = margin), truthP))
       // a tight cap on this corpus: measures what the hot-cell guard
       // costs when it actually bisects
       emit("semdedup_pairs", s"nclusters=8 cap=64 eps=$eps truth=$nTruth",
         Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(embs, "vec_id",
           "embedding", eps, nclusters = 8, maxCellSize = 64), truthP))
       truthP.unpersist()
+    }
+    // pair-work inflation of multi-assign (Σ |group|² over the pair
+    // join's input groups, the quantity the cap bounds) — reported as
+    // a ratio so "≤ 2× at the recommended margin" is a measured claim
+    locally {
+      val w0 = graft.dedup.Dedup.semDedupPairWork(embs, "vec_id", "embedding",
+        nclusters = 8, maxCellSize = 4096)
+      for (margin <- Seq(0.01, 0.02, 0.05, 0.1)) {
+        val w = graft.dedup.Dedup.semDedupPairWork(embs, "vec_id", "embedding",
+          nclusters = 8, maxCellSize = 4096, assignMargin = margin)
+        println(f"""{"family":"semdedup_pairwork","config":"nclusters=8 cap=4096 margin=$margin","ratio":${w.toDouble / w0}%.3f,"work":$w,"base":$w0}""")
+      }
     }
 
     // ---- embedLsh dedup: pair recall vs the all-pairs scan ----------

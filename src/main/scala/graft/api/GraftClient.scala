@@ -1831,9 +1831,43 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       if (order == 2) graft.text.NgramLm.train(df, idCol, textCol).bigrams
       else graft.text.NgramLm.train3(df, idCol, textCol).trigrams
     catalog.createCollectionIfNotExists(db, GraftCollection.lmBigrams(coll))
-    catalog.write(db, GraftCollection.lmBigrams(coll), counts)
+    // LOG-STRUCTURED layout: the artifact is __seg-partitioned so a
+    // fold ([[updateLmModel]]) APPENDS its batch's counts as one new
+    // segment dir instead of rewriting the whole table — additive
+    // integer counts re-aggregate exactly at read time, so serving is
+    // unchanged value-for-value while fold cost stops depending on the
+    // stored vocabulary size (the HnswMaintain segment discipline
+    // applied to a model artifact)
+    catalog.write(db, GraftCollection.lmBigrams(coll),
+      counts.withColumn(GraftCollection.SegCol, lit(0)), partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map("model.lm.text_col" -> textCol,
-      "model.lm.order" -> order.toString))
+      "model.lm.order" -> order.toString, "model.lm.nextseg" -> "1"))
+  }
+
+  /** Stored LM counts re-aggregated across fold segments — the ONE
+    * serving view every scorer derives from. Plain one-segment (or
+    * pre-segment) artifacts pass through untouched. */
+  private def lmCounts(meta: Map[String, String]): DataFrame = {
+    val raw = catalog.read(db, GraftCollection.lmBigrams(coll))
+    if (!raw.columns.contains(GraftCollection.SegCol)) raw
+    else if (meta.getOrElse("model.lm.order", "2") == "3")
+      raw.groupBy("u", "v", "w").agg(sum("c_uvw").as("c_uvw"))
+    else raw.groupBy("v", "w").agg(sum("c_vw").as("c_vw"))
+  }
+
+  /** Fold every LM segment back into one (the tier-merge): bounds the
+    * read-time segment fan-in that sustained folding accretes. O(stored
+    * types) — [[updateLmModel]] triggers it only every
+    * [[GraftCollection.LmMaxSegments]] folds, so the amortized per-fold
+    * compaction cost is stored/LmMaxSegments while the fold itself
+    * stays O(batch types). */
+  def compactLmModel(): Unit = {
+    val meta = describe
+    require(meta.contains("model.lm.text_col"),
+      "no LM model: run trainLmModel first")
+    catalog.overwriteFromSelf(db, GraftCollection.lmBigrams(coll),
+      lmCounts(meta).withColumn(GraftCollection.SegCol, lit(0)), partitionBy = Seq(GraftCollection.SegCol))
+    catalog.updateMeta(db, coll, Map("model.lm.nextseg" -> "1"))
   }
 
   /** Fold a new document batch into the persisted LM counts — the
@@ -1855,17 +1889,28 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(meta.contains("model.lm.text_col"),
       "no LM model: run trainLmModel first")
     val store = GraftCollection.lmBigrams(coll)
-    val stored = catalog.read(db, store)
-    val merged =
+    // pre-segment artifact (older layout): migrate once — rewrite as
+    // segment 0 — so the append below always lands in a partitioned dir
+    // (mixed loose-files + seg dirs would break partition discovery)
+    if (!catalog.read(db, store).columns.contains(GraftCollection.SegCol))
+      catalog.overwriteFromSelf(db, store,
+        catalog.read(db, store).withColumn(GraftCollection.SegCol, lit(0)),
+        partitionBy = Seq(GraftCollection.SegCol))
+    val batchCounts =
       if (meta.getOrElse("model.lm.order", "2") == "3")
-        stored.unionByName(
-            graft.text.NgramLm.train3(newDocs, batchIdCol, batchTextCol).trigrams)
-          .groupBy("u", "v", "w").agg(sum("c_uvw").as("c_uvw"))
+        graft.text.NgramLm.train3(newDocs, batchIdCol, batchTextCol).trigrams
       else
-        stored.unionByName(
-            graft.text.NgramLm.train(newDocs, batchIdCol, batchTextCol).bigrams)
-          .groupBy("v", "w").agg(sum("c_vw").as("c_vw"))
-    catalog.overwriteFromSelf(db, store, merged)
+        graft.text.NgramLm.train(newDocs, batchIdCol, batchTextCol).bigrams
+    // claim the segment id BEFORE writing (appendHnswSegment's crash
+    // ordering): a crash between the two steps leaves an unused id, a
+    // RETRY overwrites the same seg dir — never a double count
+    val seg = meta.getOrElse("model.lm.nextseg", "1").toInt
+    catalog.updateMeta(db, coll, Map("model.lm.nextseg" -> (seg + 1).toString))
+    catalog.overwritePartitions(db, store,
+      batchCounts.withColumn(GraftCollection.SegCol, lit(seg)), GraftCollection.SegCol)
+    // bound the read-time fan-in: every LmMaxSegments folds, one
+    // O(stored) tier-merge (amortized stored/LmMaxSegments per fold)
+    if (seg >= GraftCollection.LmMaxSegments) compactLmModel()
   }
 
   /** Fit and persist a DSIR importance model (Xie et al. 2023; §2 row
@@ -1939,7 +1984,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(meta.contains("model.lm.text_col"),
       "no LM model: run trainLmModel first")
     require(Set("abs", "kn")(smoothing), s"unknown LM smoothing $smoothing")
-    val counts = catalog.read(db, GraftCollection.lmBigrams(coll))
+    val counts = lmCounts(meta)
     if (meta.getOrElse("model.lm.order", "2") == "3") {
       require(smoothing == "abs",
         "Kneser–Ney serving is defined for the order-2 chain; the stored LM is order 3")
@@ -2649,6 +2694,10 @@ object GraftCollection {
   /** Segment partition column of incrementally maintained index
     * artifacts (same name as [[graft.sparse.Bm25.SegCol]]). */
   val SegCol: String = graft.sparse.Bm25.SegCol
+  /** LM fold segments folded back into one every this-many appends —
+    * bounds the count table's read-time segment fan-in while keeping
+    * the per-fold cost O(batch types). */
+  val LmMaxSegments = 16
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def mhSig(coll: String): String = coll + "__mh_sig"
   private[api] def mhBkt(coll: String): String = coll + "__mh_bkt"

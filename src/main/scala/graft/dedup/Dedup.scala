@@ -366,9 +366,10 @@ object Dedup {
                eps: Double, nclusters: Int = 16, seed: Long = 42L,
                maxIter: Int = 10,
                centers: Option[Seq[(Seq[Double], Int)]] = None,
-               maxCellSize: Int = Int.MaxValue): DataFrame = {
+               maxCellSize: Int = Int.MaxValue,
+               assignMargin: Double = 0.0): DataFrame = {
     val (withCell, cents, pairs) = semDedupFrames(embs, idCol, vecCol, eps,
-      nclusters, seed, maxIter, centers, maxCellSize)
+      nclusters, seed, maxIter, centers, maxCellSize, assignMargin)
     // keep the LOWEST centroid similarity => rank by its negation
     val scored = withCell.join(broadcast(cents), Seq("__cell"))
       .select(col("doc_id"),
@@ -386,9 +387,26 @@ object Dedup {
                                    eps: Double, nclusters: Int = 16,
                                    seed: Long = 42L, maxIter: Int = 10,
                                    centers: Option[Seq[(Seq[Double], Int)]] = None,
-                                   maxCellSize: Int = Int.MaxValue): DataFrame =
+                                   maxCellSize: Int = Int.MaxValue,
+                                   assignMargin: Double = 0.0): DataFrame =
     semDedupFrames(embs, idCol, vecCol, eps, nclusters, seed, maxIter,
-      centers, maxCellSize)._3
+      centers, maxCellSize, assignMargin)._3
+
+  /** Pair-generation WORK a semDedup config pays — the row count of
+    * the self-join's input groups summed over group² (the quantity the
+    * cell cap bounds and multi-assign inflates): Σ_g |g|·(|g|−1)/2.
+    * Exposed so RecallProbe can report multi-assign's measured pair
+    * inflation next to its recall gain. */
+  private[graft] def semDedupPairWork(embs: DataFrame, idCol: String,
+      vecCol: String, nclusters: Int, seed: Long = 42L, maxIter: Int = 10,
+      maxCellSize: Int = Int.MaxValue, assignMargin: Double = 0.0): Long = {
+    val (_, _, pairSrc, pairKey, _) = semDedupAll(embs, idCol, vecCol,
+      nclusters, seed, maxIter, None, maxCellSize, assignMargin)
+    pairSrc.groupBy(pairKey.map(col): _*).count()
+      // n·(n−1) is even, so DIV 2 on the long product is exact
+      .select(sum(expr("count * (count - 1) DIV 2")).cast("long"))
+      .head().getLong(0)
+  }
 
   /** (cell-assigned rows, per-cell centroids, qualifying pairs) —
     * [[semDedup]]'s internals, shared with [[semDedupPairs]]. */
@@ -396,9 +414,48 @@ object Dedup {
                eps: Double, nclusters: Int, seed: Long,
                maxIter: Int,
                centers: Option[Seq[(Seq[Double], Int)]],
-               maxCellSize: Int): (DataFrame, DataFrame, DataFrame) = {
+               maxCellSize: Int,
+               assignMargin: Double): (DataFrame, DataFrame, DataFrame) = {
+    val (withCell, cents, pairSrc, pairKey, multi) = semDedupAll(embs, idCol,
+      vecCol, nclusters, seed, maxIter, centers, maxCellSize, assignMargin)
+    val b = pairSrc.select(pairKey.map(col) :+ col("doc_id").as("id_b") :+
+      col("__v").as("__vb"): _*)
+    val pairs0 = pairSrc
+      .select(pairKey.map(col) :+ col("doc_id").as("id_a") :+ col("__v").as("__va"): _*)
+      .join(b, pairKey)
+      .where(col("id_a") < col("id_b") &&
+        graft.vector.VectorScore.cosine(col("__va"), col("__vb")) >= eps)
+      .select("id_a", "id_b")
+    // multi-assign can surface one pair in BOTH shared cells — dedup
+    // the bounded pair stream (single-assign keeps its original plan)
+    val pairs = if (multi) pairs0.distinct() else pairs0
+    (withCell, cents, pairs)
+  }
+
+  /** The shared assignment/refinement stage:
+    * (primary-cell rows, per-cell centroids, pair-join source, pair-join
+    * key, multi-assign?). `assignMargin > 0` turns on MULTI-CELL
+    * assignment for PAIR GENERATION only (the IVF multi-probe analog,
+    * SemDeDup's boundary-pair fix): a row also lands in its
+    * SECOND-nearest cell when that centroid is nearly as close as the
+    * winner (L2 within (1+margin)·d_best — scale-free, and a row AT a
+    * centroid never duplicates), so an eps-pair straddling a cell
+    * boundary gets a second chance to co-occur. Representative scoring
+    * stays on the primary cell — the dedup output keeps its form; only
+    * the candidate stream widens, by a measured ≤2× at margin 0.2
+    * (RecallProbe semdedup_pairs rows). */
+  private def semDedupAll(embs: DataFrame, idCol: String, vecCol: String,
+               nclusters: Int, seed: Long, maxIter: Int,
+               centers: Option[Seq[(Seq[Double], Int)]],
+               maxCellSize: Int, assignMargin: Double)
+      : (DataFrame, DataFrame, DataFrame, Seq[String], Boolean) = {
     require(maxCellSize >= 2, "maxCellSize must be >= 2")
     require(nclusters >= 1, "nclusters must be positive")
+    require(assignMargin >= 0.0, "assignMargin must be >= 0")
+    // multi-assign at nclusters = 1 would silently do nothing — the
+    // same mask-a-caller-bug rule as the centers guard below
+    require(assignMargin == 0.0 || nclusters > 1,
+      "assignMargin is meaningless at nclusters = 1 (exhaustive mode)")
     // a centroid artifact trained with a different nlist would
     // deterministically change assignments (and results) with no error;
     // and at nclusters == 1 there is no assignment step to feed, so
@@ -413,22 +470,42 @@ object Dedup {
     // `centers` is the persisted-artifact path: the O(corpus) k-means
     // pass is ingest-time work (like every model here — IVF centroids,
     // PQ codebooks); a dedup RUN then only assigns + dedups
-    val withCell =
-      if (nclusters == 1) base.withColumn("__cell", lit(0))
-      else {
-        val cs = centers.getOrElse {
-          val model = graft.vector.IvfIndex.train(base, "__v", nclusters, seed, maxIter)
-          model.kmeans.clusterCenters.zipWithIndex
-            .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
-        }
-        // eager checkpoint: withCell feeds FOUR consumers (centroid agg,
-        // both sides of the pair self-join, the scored projection) and
-        // the k-way assignExpr is the dominant per-row cost — without
-        // it the assignment would re-evaluate once per consumer (the
-        // same reuse pattern connectedComponents checkpoints for)
-        base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(cs, col("__v")))
+    val csOpt =
+      if (nclusters == 1) None
+      else Some(centers.getOrElse {
+        val model = graft.vector.IvfIndex.train(base, "__v", nclusters, seed, maxIter)
+        model.kmeans.clusterCenters.zipWithIndex
+          .map { case (v, i) => (v.toArray.toSeq, i) }.toSeq
+      })
+    // eager checkpoint in every assigned branch: the frame feeds FOUR
+    // consumers (centroid agg, both sides of the pair self-join, the
+    // scored projection) and the k-way assignment is the dominant
+    // per-row cost — without it the assignment would re-evaluate once
+    // per consumer (the same reuse pattern connectedComponents
+    // checkpoints for)
+    val (withCell, multiSrc) = csOpt match {
+      case None => (base.withColumn("__cell", lit(0)), None)
+      case Some(cs) if assignMargin > 0.0 =>
+        val a2 = base
+          .withColumn("__a2", graft.vector.IvfIndex.assign2Expr(cs, col("__v")))
           .localCheckpoint(true)
-      }
+        val d0 = col("__a2").getItem(0).getField("d")
+        val d1 = col("__a2").getItem(1).getField("d")
+        // primary = argmin (d, cell) — identical to assignExpr's
+        // least() tiebreak, so margin = 0 reproduces single-assign
+        val primary = a2.select(col("doc_id"), col("__v"),
+          col("__a2").getItem(0).getField("c").as("__cell"))
+        val exploded = a2.select(col("doc_id"), col("__v"),
+          explode(filter(array(
+            col("__a2").getItem(0).getField("c"),
+            when(d1 <= d0 * (1.0 + assignMargin),
+              col("__a2").getItem(1).getField("c"))),
+            x => x.isNotNull)).as("__cell"))
+        (primary, Some(exploded))
+      case Some(cs) =>
+        (base.withColumn("__cell", graft.vector.IvfIndex.assignExpr(cs, col("__v")))
+          .localCheckpoint(true), None)
+    }
     // per-cell mean vector, decimal-exact per dimension (order-free)
     val cents = withCell
       .select(col("__cell"), posexplode(col("__v")).as(Seq("pos", "x")))
@@ -447,19 +524,12 @@ object Dedup {
     // k-means centroid, so only the pair-generation key tightens.
     // Uncapped (the default, and the oracled exhaustive twin) takes
     // the untouched path.
+    val pairBase = multiSrc.getOrElse(withCell)
     val (pairSrc, pairKey) =
-      if (maxCellSize == Int.MaxValue) (withCell, Seq("__cell"))
-      else (capCells(withCell, "__v", maxCellSize, seed),
+      if (maxCellSize == Int.MaxValue) (pairBase, Seq("__cell"))
+      else (capCells(pairBase, "__v", maxCellSize, seed),
         Seq("__cell", "__sub"))
-    val b = pairSrc.select(pairKey.map(col) :+ col("doc_id").as("id_b") :+
-      col("__v").as("__vb"): _*)
-    val pairs = pairSrc
-      .select(pairKey.map(col) :+ col("doc_id").as("id_a") :+ col("__v").as("__va"): _*)
-      .join(b, pairKey)
-      .where(col("id_a") < col("id_b") &&
-        graft.vector.VectorScore.cosine(col("__va"), col("__vb")) >= eps)
-      .select("id_a", "id_b")
-    (withCell, cents, pairs)
+    (withCell, cents, pairSrc, pairKey, multiSrc.isDefined)
   }
 
   /** Refine oversized cells until no (cell, sub) group exceeds `cap`:

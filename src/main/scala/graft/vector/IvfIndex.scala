@@ -71,6 +71,20 @@ object IvfIndex {
     when(vec.isNull, lit(null)).otherwise(best.getField("c"))
   }
 
+  /** Top-2 assignment: the two nearest centroids as a sorted
+    * array<struct<d, c>> ([0] = winner). array_sort on (d, c) structs
+    * orders by distance then cell — the SAME tiebreak as
+    * [[assignExpr]]'s least(), so element 0 always equals the
+    * single-assign cell. Feeds margin-gated multi-cell assignment
+    * (SemDeDup's boundary-pair device — the IVF multi-probe analog). */
+  def assign2Expr(centers: Seq[(Seq[Double], Int)], vec: Column): Column = {
+    require(centers.length >= 2, "top-2 assignment needs at least 2 centroids")
+    val sorted = array_sort(array(centers.map { case (c, i) =>
+      struct(VectorScore.l2(vec, typedLit(c)).as("d"), lit(i).as("c"))
+    }: _*))
+    when(vec.isNull, lit(null)).otherwise(slice(sorted, 1, 2))
+  }
+
   /** Collect a persisted (cell, centroid) table to the driver-side
     * literal form [[assignExpr]] needs (nlist rows — tiny by contract). */
   def centersFromDf(centroidsDf: DataFrame): Seq[(Seq[Double], Int)] =

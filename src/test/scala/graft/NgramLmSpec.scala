@@ -354,14 +354,47 @@ class NgramLmSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(folded === full,
         s"order-$order fold must equal the union retrain exactly")
-      // the stored count table itself is value-equal, not just scores
+      // the stored count table itself is value-equal, not just scores —
+      // aggregated over fold segments (the artifact is log-structured:
+      // a fold APPENDS a batch-count segment; the logical table is the
+      // per-key sum, which serving re-derives)
       val keys = if (order == 3) Seq("u", "v", "w") else Seq("v", "w")
       val cCol = if (order == 3) "c_uvw" else "c_vw"
       def counts(r: String) = spark.read
         .parquet(s"$r/db/c__lm_bigrams/data")
+        .groupBy(keys.map(col): _*).agg(sum(cCol).as(cCol))
         .collect().map(x => keys.map(x.getAs[String]) -> x.getAs[Long](cCol)).toMap
       assert(counts(root) === counts(retrainRoot))
+      // and the fold really was an append: the batch's counts landed in
+      // their own segment, segment 0 untouched
+      assert(spark.read.parquet(s"$root/db/c__lm_bigrams/data")
+        .select(graft.sparse.Bm25.SegCol).distinct().count() == 2,
+        "fold must append a new count segment, not rewrite the table")
     }
+  }
+
+  test("compactLmModel folds the segments back to one, scores unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lmc").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("c")
+    coll.upsert(Seq((0L, "a b c a"), (1L, "b c d")).toDF("id", "text"))
+    coll.trainLmModel()
+    coll.updateLmModel(Seq((10L, "a b x")).toDF("id", "text"), "id", "text")
+    coll.updateLmModel(Seq((11L, "c d c d")).toDF("id", "text"), "id", "text")
+    val probe = Seq((100L, "a b c x q"), (101L, "d c b a")).toDF("id", "text")
+    val before = coll.scoreLmOf(probe, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def segs() = spark.read.parquet(s"$root/db/c__lm_bigrams/data")
+      .select(graft.sparse.Bm25.SegCol).distinct().count()
+    assert(segs() == 3)
+    coll.compactLmModel()
+    assert(segs() == 1, "compaction must fold every count segment into one")
+    val after = coll.scoreLmOf(probe, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before, "compaction changed LM scores")
+    // a fold after compaction appends again from nextseg = 1
+    coll.updateLmModel(Seq((12L, "x y z")).toDF("id", "text"), "id", "text")
+    assert(segs() == 2)
   }
 
   test("streaming: curatedIngest maintainLm folds each admitted batch") {

@@ -171,6 +171,34 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.6, s"semdedup prod pair recall = $r")
   }
 
+  test("SemDeDup multi-assign: superset of single-assign pairs, recall floor at margin 0.05") {
+    // margin-gated second-nearest-cell assignment (the boundary-pair
+    // fix): structural invariants first — a row lands in at MOST 2
+    // cells (row inflation <= 2 by construction) and its primary cell
+    // never changes, so every single-assign pair still co-occurs:
+    // multi-assign candidate pairs are a SUPERSET at any margin
+    val single = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+      0.45, nclusters = 8, maxCellSize = 4096)
+    val multi = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+      0.45, nclusters = 8, maxCellSize = 4096, assignMargin = 0.05)
+    assert(single.join(multi, Seq("id_a", "id_b"), "left_anti").isEmpty,
+      "multi-assign lost a single-assign pair")
+    // measured floor (RecallProbe sf0.1: 0.36 single -> 0.76 at margin
+    // 0.05, the clusterless synthetic worst case; sf0.01 here: 1.0)
+    val truth = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+      0.45, nclusters = 1)
+    val rMulti = Recall.pairRecall(multi, truth)
+    val rSingle = Recall.pairRecall(single, truth)
+    assert(rMulti >= 0.7, s"semdedup multi-assign pair recall = $rMulti")
+    assert(rMulti >= rSingle,
+      s"multi-assign recall $rMulti under single-assign $rSingle")
+    // margin = 0 must reproduce single-assign exactly (the same argmin
+    // tiebreak), so the knob is safe to leave at its default
+    val zero = graft.dedup.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+      0.45, nclusters = 8, maxCellSize = 4096, assignMargin = 0.0)
+    assert(zero.exceptAll(single).isEmpty && single.exceptAll(zero).isEmpty)
+  }
+
   test("embedLsh near-dup at the production band config (64/16, t=0.45) misses no true pair") {
     // t=0.45 is where THIS corpus has pairs (max pair cosine 0.48 at
     // sf0.001) — a higher "production" threshold would grade against an

@@ -111,6 +111,52 @@ object RecallProbe {
           qLocal, k, candMult = cm), gtCos))
     encB.unpersist()
 
+    // ---- BQ at production dimensionality (r8 verdict #4) ------------
+    // The dim-64 grid above is information-limited: 64 sign bits can't
+    // separate a 2000-row corpus's cosine neighborhoods, and recall
+    // decays as the corpus grows at fixed candMult. Real embedding
+    // models ship 256-1536 dims — this sweep measures the SAME corpus
+    // size and candMult grid at dim 64/256/768 on a deterministic
+    // synthetic gaussian corpus (hash-seeded Box-Muller — no RNG state,
+    // identical across runs/partitionings) to show the fixed-candMult
+    // decay flattening as the bit budget grows.
+    locally {
+      val nSynth = math.max(corpusN, 2000L)
+      // hash-seeded standard normal (Box-Muller over two hash draws)
+      def g(key: String, salt: Int) =
+        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
+        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      // isotropic = the hard worst case (neighbors barely beat random
+      // pairs at ANY dim); clustered = 64 gaussian centers with 0.5-σ
+      // spread, the shape real embedding models produce
+      def synth(dim: Int, clustered: Boolean) =
+        spark.range(nSynth).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(1, $dim), j -> " + (
+            if (clustered) s"${g("pmod(id, 64)", 11)} + 0.5 * ${g("id", 1)}"
+            else g("id", 1)) + ")").as("embedding"))
+      for (clustered <- Seq(false, true); dim <- Seq(64, 256, 768)) {
+        val embsD = synth(dim, clustered)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embsD.count()
+        val queriesD = embsD.where(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val qLocalD = queriesD.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val gtD = KnnSearch.topK(embsD, "vec_id", "embedding",
+          queriesD, "qid", "qvec", "cosine", k).cache()
+        gtD.count()
+        val bqD = BqIndex.train(embsD, "embedding")
+        val encD = BqIndex.encode(bqD, embsD, "vec_id", "embedding").cache()
+        encD.count()
+        val fam = if (clustered) "bq_dim_clustered" else "bq_dim"
+        for (cm <- Seq(5, 10, 20))
+          emit(fam, s"n=$nSynth dim=$dim candMult=$cm",
+            Recall.atK(BqIndex.searchRerank(bqD, encD, embsD, "vec_id",
+              "embedding", qLocalD, k, candMult = cm), gtD))
+        encD.unpersist(); gtD.unpersist(); embsD.unpersist()
+      }
+    }
+
     // ---- IVF_PQ (L2): nprobe sweep, ADC-only vs exact rerank --------
     // (code-only ranking is capped by PQ quantization error regardless
     // of nprobe — the rerank lifts it back onto the IVF coverage curve)

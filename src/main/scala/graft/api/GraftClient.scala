@@ -748,13 +748,29 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     withOutputFields(hits, outputFields, retrieveVector)
   }
 
+  /** search_by_id takes the SAME SearchParams as search (stub.py:589
+    * routes both through one payload): an `ef`/`nprobe`/`radius` here
+    * looks the query vectors up from the stored corpus and serves
+    * through the param-routed [[search]] — the reference's
+    * `search_by_id(document_ids, params=HNSWSearchParams(ef=...))`
+    * shape. Unset params keep the exact FLAT scan. */
   def searchById(ids: Seq[Any], metric: String = "cosine", limit: Int = 10,
                  filter: String = "", outputFields: Seq[String] = Nil,
-                 retrieveVector: Boolean = false): DataFrame =
+                 retrieveVector: Boolean = false,
+                 nprobe: Option[Int] = None,
+                 radius: Option[Double] = None,
+                 ef: Option[Int] = None): DataFrame = {
+    if (nprobe.isDefined || radius.isDefined || ef.isDefined) {
+      val queries = df.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      return search(queries, "__qid", "__qv", metric, limit, filter,
+        outputFields, retrieveVector, nprobe, radius, ef)
+    }
     withOutputFields(
       KnnSearch.byId(df, idCol, vecCol, ids, metric, limit,
         if (filter.isEmpty) None else Some(FilterParser.parse(filter))),
       outputFields, retrieveVector)
+  }
 
   private def withOutputFields(hits: DataFrame, outputFields: Seq[String],
                                retrieveVector: Boolean): DataFrame = {
@@ -1284,6 +1300,88 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             limit, asc = !larger)
         pending = pending.filterNot(q => doneIds.contains(q._1))
         curEf = math.min(curEf.toLong * 4, efCap).toInt
+      }
+    }
+    remapQueryIds(
+      parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
+  }
+
+  /** FILTERED IVF search with cost-based routing and ADAPTIVE nprobe
+    * escalation — the IVF arm of [[searchHnswFiltered]]'s contract
+    * (the r8 grid's "double the nprobe" guidance, made automatic):
+    *
+    *  - **Cost route.** |filtered| < √(2·k·n) routes to the exact FLAT
+    *    scan of the filtered subset (predicate pushed into the parquet
+    *    scan), exactly as the HNSW arm does.
+    *  - **Adaptive escalation.** On the index route, any query whose
+    *    post-filter result count falls short of min(limit, |searchable
+    *    filtered|) retries at 4× the probe width, up to nprobe = nlist
+    *    — and the FULL probe scans every cell's filtered survivors, so
+    *    it is the EXACT backstop: the method always returns
+    *    min(limit, |searchable filtered|) rows per query. "Searchable"
+    *    counts docs this index can surface (non-null vector AND a cell
+    *    from the stored layout).
+    *
+    * `adaptive = false` pins the single-shot fixed-nprobe behavior;
+    * ranking uses the index's STORED metric unless overridden (the
+    * search(ef) discipline). */
+  def searchIvfFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        filter: String, limit: Int = 10, nprobe: Int = 4,
+                        adaptive: Boolean = true,
+                        metric: Option[String] = None): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivf.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)),
+      "no IVF index: run rebuildIndex first")
+    require(filter.nonEmpty,
+      "searchIvfFiltered requires a filter — use search(nprobe) for unfiltered search")
+    val raw = catalog.read(db, coll)
+    require(raw.columns.contains(GraftCollection.CellCol),
+      "collection has no cell layout: run rebuildIndex first")
+    val nlist = meta("index.ivf.nlist").toInt
+    val m = metric.getOrElse(meta.getOrElse("index.ivf.metric", "l2"))
+    val filtered = raw.where(FilterParser.parse(filter))
+    // fill target counts only docs the index can RETURN (the
+    // searchHnswFiltered rule, plus the cell-layout condition); lazy —
+    // the single-shot route must not pay an O(filtered) driver job
+    lazy val nFiltered = filtered
+      .where(col(vecCol).isNotNull && col(GraftCollection.CellCol).isNotNull)
+      .count()
+    // corpus size for the cost threshold: a parquet count(*) resolves
+    // from footer metadata, not a data scan
+    if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * raw.count()))
+      return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    if (qarr.isEmpty)
+      return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
+    val assigned = filtered.select(KnnSearch.idNorm(filtered, idCol).as("id"),
+      col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
+    val cents = catalog.read(db, GraftCollection.ivfCentroids(coll))
+    lazy val target = math.min(limit.toLong, nFiltered)
+    val spark0 = spark
+    import spark0.implicits._
+    var pending = qarr
+    var curNp = math.min(math.max(nprobe, 1), nlist)
+    var parts = Vector.empty[DataFrame]
+    while (pending.nonEmpty) {
+      val qdf = pending.toSeq.toDF("qid", "qvec")
+      // bounded (limit·|pending| rows): eager-checkpoint so the fill
+      // count and the keep-filter don't re-run the probe
+      val res = graft.vector.IvfIndex.searchAssigned(assigned, cents,
+        qdf, "qid", "qvec", m, limit, curNp).localCheckpoint(true)
+      val exhausted = !adaptive || curNp >= nlist
+      if (exhausted) {
+        parts :+= res
+        pending = Array.empty
+      } else {
+        val counts = res.groupBy("query_id").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val fullIds = pending.map(_._1)
+          .filter(q => counts.getOrElse(q, 0L) >= target).toSet
+        if (fullIds.nonEmpty)
+          parts :+= res.where(col("query_id").isin(fullIds.toSeq: _*))
+        pending = pending.filterNot(q => fullIds.contains(q._1))
+        curNp = math.min(curNp * 4, nlist)
       }
     }
     remapQueryIds(

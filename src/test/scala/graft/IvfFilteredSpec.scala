@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cost-routed adaptive FILTERED IVF search — the IVF arm of the
+  * filtered-search contract searchHnswFiltered pins: FLAT route below
+  * the √(2kn) threshold (exact), nprobe escalation with the full-probe
+  * EXACT backstop above it, so fixed-nprobe silent starvation is
+  * unrepresentable. */
+class IvfFilteredSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filteredColl() = {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-ivffilt").toString
+    val rnd = new scala.util.Random(53)
+    val rows: Seq[(Long, Seq[Double], Long, Long)] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()), i % 100, i % 2))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector", "grp", "par"))
+    coll.rebuildIndex(nlist = 8, metric = "l2")
+    (coll, rows)
+  }
+
+  test("tiny selectivity routes to the exact FLAT scan") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    // grp = 7 matches 3 of 300 — far under √(2·k·n) ≈ 77, so the route
+    // is the pushed-down exact scan: byte-for-byte FLAT, |filtered| rows
+    val got = coll.searchIvfFiltered(q, "qid", "qvec", "grp = 7", limit = 10)
+      .collect().toSeq
+    val flat = coll.search(q, "qid", "qvec", "l2", limit = 10,
+      filter = "grp = 7").collect().toSeq
+    assert(got == flat)
+    assert(got.length == 3 && got.forall(_.getLong(2) % 100 == 7))
+  }
+
+  test("adaptive escalation always fills min(limit, |filtered|); full probe is the exact backstop") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    // par = 0 matches 150 — above the cost threshold, so the INDEX
+    // route serves; nprobe=1 starts starved, the ladder must fill
+    val got = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+      limit = 10, nprobe = 1).collect()
+    assert(got.length == 20, s"adaptive must fill 10 rows per query, got ${got.length}")
+    assert(got.forall(_.getLong(2) % 2 == 0), "every hit must satisfy the filter")
+    // the single-shot fixed-nprobe route may starve — that is exactly
+    // what adaptive repairs; recall(adaptive) >= recall(fixed)
+    val exact = coll.search(q, "qid", "qvec", "l2", limit = 10,
+        filter = "par = 0").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val fixed = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+        limit = 10, nprobe = 1, adaptive = false).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val adap = got.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recall(m: Map[Long, Set[Long]]) = exact.map { case (qid, ids) =>
+      (ids intersect m.getOrElse(qid, Set.empty)).size.toDouble / ids.size
+    }.sum / exact.size
+    assert(recall(adap) >= recall(fixed),
+      s"adaptive recall ${recall(adap)} < fixed ${recall(fixed)}")
+    // full probe == exact filtered KNN byte-for-byte (the backstop that
+    // makes the fill guarantee a guarantee)
+    val full = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+      limit = 10, nprobe = 8, adaptive = false).collect().toSeq
+    val flatF = coll.search(q, "qid", "qvec", "l2", limit = 10,
+      filter = "par = 0").collect().toSeq
+    assert(full == flatF, "full-probe filtered IVF must equal the FLAT scan")
+  }
+
+  test("empty filter match and empty query batch return empty, not an error") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    assert(coll.searchIvfFiltered(q, "qid", "qvec", "grp = 777", limit = 5)
+      .isEmpty)
+    val qEmpty = q.where(col("qid") < 0)
+    assert(coll.searchIvfFiltered(qEmpty, "qid", "qvec", "par = 0", limit = 5)
+      .isEmpty)
+  }
+
+  test("null-vector docs never inflate the fill target") {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfnull").toString
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Option[Seq[Double]], Long)] = (0L until 60L).map(i =>
+      (i, if (i < 40) Some(Seq.fill(8)(rnd.nextGaussian())) else None, 0L))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.take(40).toDF("id", "vector", "par"))
+    coll.rebuildIndex(nlist = 4, metric = "l2")
+    coll.upsert(rows.drop(40).toDF("id", "vector", "par"))
+    val q = Seq((0L, rows(3)._2.get)).toDF("qid", "qvec")
+    val got = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0", limit = 50,
+      nprobe = 1).collect()
+    assert(got.length == 40,
+      s"must fill exactly the searchable filtered count, got ${got.length}")
+  }
+
+  test("stored-metric discipline: a cosine-built index serves cosine unless overridden") {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfmet").toString
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Double], Long)] =
+      (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()), i % 2))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector", "par"))
+    coll.rebuildIndex(nlist = 4, metric = "cosine")
+    val q = Seq((0L, rows(7)._2)).toDF("qid", "qvec")
+    val viaStored = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+      limit = 5, nprobe = 4, adaptive = false).collect().toSeq
+    val viaCos = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+      limit = 5, nprobe = 4, adaptive = false, metric = Some("cosine"))
+      .collect().toSeq
+    assert(viaStored == viaCos, "default must rank in the stored metric")
+    val viaL2 = coll.searchIvfFiltered(q, "qid", "qvec", "par = 0",
+      limit = 5, nprobe = 4, adaptive = false, metric = Some("l2"))
+      .collect().toSeq
+    assert(viaStored != viaL2,
+      "cosine and l2 rankings differ on this corpus — the pin is non-vacuous")
+  }
+}

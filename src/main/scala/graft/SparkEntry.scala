@@ -480,6 +480,61 @@ object SparkEntry {
         .orderBy("doc_id", "rnk")
     }),
 
+    "q_normalize_text" -> ((s, dir) => {
+      // unicode normalization over PLANTED noise (the PII device:
+      // doc_id-keyed dirt, mirrored in the oracle — the clean synthetic
+      // corpus alone would make the op vacuous): curly quotes +
+      // zero-width + NBSP on ≡0 (mod 4) docs, smart-quote prefix on ≡1,
+      // tabs + a BEL control on ≡2, untouched on ≡3
+      val p = pmod(col("doc_id"), lit(4))
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        when(p === 0, concat(lit("\u201C"), col("text"), lit("\u201D\u200B")))
+          .when(p === 1, concat(lit("\u00A0\u2018q\u2019 "), col("text")))
+          .when(p === 2, concat(col("text"), lit("\t\tend\u0007")))
+          .otherwise(col("text")).as("text"))
+      graft.text.TextAnalysis.normalizeText(dirty, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q_url_dedup" -> ((s, dir) => {
+      // URL canonicalization + canonical-URL dedup over PLANTED urls
+      // (doc_id-keyed, oracle-mirrored): case-variant scheme/host,
+      // shared page key (doc_id DIV 7), a trailing slash on ≡0 (mod
+      // 11), tracking params everywhere, a KEPT id param on ≡0 (mod 5),
+      // and a fragment — groups of up to 7 raw urls collapse onto one
+      // canonical page
+      val d = col("doc_id")
+      val urls = Tables.documents(s, dir).select(d,
+        concat(
+          when(pmod(d, lit(2)) === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(pmod(d, lit(3)) === 0, lit("WWW.Example.COM"))
+            .otherwise(lit("www.example.com")),
+          lit("/Page/"), expr("doc_id DIV 7"),
+          when(pmod(d, lit(11)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(d, lit(5)) === 0,
+            concat(lit("?id="), pmod(d, lit(2)), lit("&utm_campaign=c"), d))
+            .otherwise(concat(lit("?utm_source=s"), d)),
+          lit("#sec"), d).as("url"))
+      graft.ops.UrlOps.urlDedup(urls, "doc_id", "url")
+    }),
+
+    "q_token_budget" -> ((s, dir) => {
+      graft.ops.Curation.tokenBudget(Tables.documents(s, dir),
+        "doc_id", "text", "source", budget = 800L)
+    }),
+
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: top-10 cosine neighbors whose label
+      // DIFFERS from the anchor's — near the anchor, known non-positive
+      val embs = Tables.embeddings(s, dir)
+      val q = embs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlab"))
+      KnnSearch.hardNegatives(embs, "vec_id", "embedding", "label",
+        q, "qid", "qvec", "qlab", "cosine", 10)
+    }),
+
     // ---------------------------------------- ANN indexes / rows-only ops
     "q_ivf_search" -> ((s, dir) => {
       // nprobe = nlist ⇒ exhaustive ⇒ equals the exact-KNN SQL oracle,
@@ -2715,6 +2770,83 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the identical planted dirt (chr() codepoints = the Scala \u
+    // escapes) and the identical translate/strip/collapse rule chain
+    "q_normalize_text" ->
+      """WITH dirty AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN chr(8220) || text || chr(8221) || chr(8203)
+        |  WHEN 1 THEN chr(160) || chr(8216) || 'q' || chr(8217) || ' ' || text
+        |  WHEN 2 THEN text || chr(9) || chr(9) || 'end' || chr(7)
+        |  ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(translate(text,
+        |      chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211) || chr(8212) || chr(160),
+        |      chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' '),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]', '', 'g'),
+        |   '[ \x{09}]+', ' ', 'g')) AS text_norm FROM dirty)
+        |SELECT doc_id, text_norm, text_norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // identical planted urls and the identical canonicalization chain:
+    // lowercase scheme+host, fragment drop, tracking-param drop with
+    // order preserved, trailing-slash strip on non-root paths
+    "q_url_dedup" ->
+      """WITH urls AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END) ||
+        |  '/Page/' || (doc_id // 7) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?id=' || (doc_id % 2) || '&utm_campaign=c' || doc_id
+        |        ELSE '?utm_source=s' || doc_id END) || '#sec' || doc_id AS url
+        | FROM documents),
+        |parts AS (SELECT doc_id,
+        |  lower(split_part(url, '://', 1)) AS scheme,
+        |  lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+        |  substr(split_part(url, '://', 2),
+        |         length(split_part(split_part(url, '://', 2), '/', 1)) + 1) AS pathq
+        | FROM urls),
+        |pieces AS (SELECT doc_id, scheme, host,
+        |  split_part(split_part(pathq, '#', 1), '?', 1) AS path0,
+        |  split_part(split_part(pathq, '#', 1), '?', 2) AS query
+        | FROM parts),
+        |canon AS (SELECT doc_id, scheme || '://' || host ||
+        |  (CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+        |        THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) ||
+        |  (CASE WHEN length(coalesce(array_to_string(list_filter(string_split(query, '&'),
+        |            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid'))), '&'), '')) > 0
+        |        THEN '?' || array_to_string(list_filter(string_split(query, '&'),
+        |            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid'))), '&')
+        |        ELSE '' END) AS url_canon
+        | FROM pieces)
+        |SELECT min(doc_id) AS id, url_canon FROM canon GROUP BY url_canon ORDER BY id""".stripMargin,
+
+    // same salted-md5 content-addressed order as detSplit, inclusive
+    // running token total per domain (window sum is HUGEINT in DuckDB —
+    // cast to BIGINT to match Spark's long)
+    "q_token_budget" ->
+      """WITH b AS (SELECT doc_id, source AS domain,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tokens,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'budget'), 1, 8))::BIGINT AS ord
+        | FROM documents),
+        |c AS (SELECT doc_id, domain, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY ord, doc_id) AS BIGINT) AS cum_tokens
+        | FROM b)
+        |SELECT doc_id, domain, n_tokens, cum_tokens, cum_tokens <= 800 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // null-safe label inequality (IS DISTINCT FROM = Spark's negated
+    // <=>), exact cosine top-k through the shared ranking shape
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlab
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q WHERE e.label IS DISTINCT FROM q.qlab),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

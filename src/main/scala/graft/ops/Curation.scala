@@ -239,6 +239,44 @@ object Curation {
     * SPACE, not the corpus — and one final groupBy(domain) reduces to
     * a row per domain. Text never shuffles; only (domain, len, count)
     * moves. */
+  /** Per-domain TOKEN-BUDGET truncation — the final sizing step of a
+    * data-mixing recipe: a mixture spec ends in "take B tokens of each
+    * domain", not a doc-count or a rate ([[temperatureSample]] rescales
+    * RATES; this op cuts an absolute token budget). Docs are taken in
+    * content-addressed order (salted md5 of the PRIMARY KEY — the
+    * detSplit reproducibility contract: same budget, same corpus ⇒ the
+    * same kept set on any engine or shard layout, and a grown corpus
+    * only appends candidates after the already-ordered prefix) and a
+    * doc is kept while the domain's running token total stays within
+    * `budget` (inclusive-prefix rule: cum_tokens counts the doc
+    * itself).
+    *
+    * Token convention: ws_tokens ([[graft.text.TextAnalysis.tokenCount]]
+    * — size of the single-space split), NULL text folds to '' (1
+    * token, the totality contract). Returns every doc with its verdict
+    * — (doc_id, domain, n_tokens, cum_tokens, keep) — so the report
+    * doubles as an audit of what the budget cut.
+    *
+    * Scale shape: one projection + one cumulative window PARTITIONED
+    * by domain. A single 100-TB domain makes that partition big; the
+    * two-phase form (per-shard partial sums + a broadcast offset join)
+    * drops in behind the same output contract if a domain outgrows a
+    * partition — the verdict depends only on the prefix SUM, which is
+    * associative. */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                  domainCol: String, budget: Long,
+                  salt: String = "budget"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
+      size(split(coalesce(col(textCol), lit("")), " ")).as("n_tokens"),
+      saltedHash32(col(idCol), salt).as("__ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("__ord"), col("doc_id"))
+    base.select(col("doc_id"), col("domain"), col("n_tokens"),
+        sum(col("n_tokens").cast("long")).over(w).as("cum_tokens"))
+      .withColumn("keep", col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
   def lengthQuantiles(docs: DataFrame, textCol: String, domainCol: String,
                       ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),

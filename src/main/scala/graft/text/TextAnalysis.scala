@@ -115,6 +115,37 @@ object TextAnalysis {
         .as("quality")): _*)
   }
 
+  /** Unicode text normalization — the cleanup pass every web-scale
+    * pipeline runs before tokenization/dedup (C4 and Gopher both
+    * normalize before filtering; a dedup over unnormalized text misses
+    * byte-different-but-visually-identical twins):
+    *
+    *  - curly quotes → straight (‘ ’ → ', “ ” → "),
+    *    en/em dash → '-', NBSP → space  (1:1 `translate` — equal-length
+    *    from/to so no silent deletion)
+    *  - zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and C0 controls
+    *    except \n\t stripped
+    *  - runs of spaces/tabs collapsed to one space, outer whitespace
+    *    trimmed
+    *
+    * Every rule is an engine-portable translate/regexp_replace, so a
+    * DuckDB oracle evaluates the identical normalization. NULL text
+    * folds to '' (the c4Clean totality contract). Pure projection at
+    * scan speed; returns (id, text_norm, changed). */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val folded = translate(t,
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+      "''\"\"-- ")
+    val stripped = regexp_replace(folded,
+      "[\u200B\u200C\u200D\uFEFF\u0000-\u0008\u000B\u000C\u000E-\u001F]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \t]+", " "))
+    docs.select(
+      col(idCol),
+      collapsed.as("text_norm"),
+      (collapsed =!= coalesce(col(textCol), lit(""))).as("changed"))
+  }
+
   /** Whitespace token count + BPE-ish regex token count + char count. */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -131,6 +131,40 @@ object KnnSearch {
     else scored.where(col("__s") <= r)
   }
 
+  /** Hard-negative mining — for each anchor, the top-k nearest
+    * neighbors with a DIFFERENT label (contrastive/embedding training
+    * wants negatives that are CLOSE to the anchor but known
+    * non-positives; random negatives are too easy to teach anything).
+    * The label test is null-safe (NULL vs non-NULL labels differ, two
+    * NULLs match — SQL IS DISTINCT FROM), and an anchor can never mine
+    * itself (it shares its own label). Same plan shape as [[topK]]:
+    * broadcast anchors, codegen'd score + label predicate on the scan,
+    * bounded per-partition heaps — the corpus never shuffles. */
+  def hardNegatives(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      qLabelCol: String,
+      metric: String,
+      k: Int): DataFrame = {
+    val m = VectorMetric(metric)
+    val corpus = data.select(idNorm(data, idCol).as("id"),
+      col(vecCol).as("__vec"), col(labelCol).as("__lab"))
+    val q = broadcast(queries.select(
+      idNorm(queries, qIdCol).as("query_id"),
+      col(qVecCol).as("__qvec"), col(qLabelCol).as("__qlab")))
+    val scored = corpus.crossJoin(q)
+      .where(!(col("__lab") <=> col("__qlab")))
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
+        col("id"))
+    Ranked.topK(scored, k, asc = !m.largerIsBetter)
+  }
+
   /** search_by_id: look the query vectors up from the stored corpus
     * (reference `search_by_id(document_ids=...)`), then run exact KNN.
     * The id lookup is a broadcast semi-join — no corpus shuffle. */

@@ -75,6 +75,57 @@ class RecallSpec extends SparkSpec {
     assert(cm20 >= 0.85, s"bq rerank cm=20 recall@10 = $cm20")
   }
 
+  test("BQ recall is corpus-geometry-limited, not dimension-limited (r8 verdict #4 grid)") {
+    // RecallProbe bq_dim rows (n=2000, sf0.1 box): fixed-candMult
+    // recall is DIMENSION-INVARIANT — isotropic gaussian corpora sit at
+    // ~0.50/0.66/0.81 (cm 5/10/20) at dim 64, 256 AND 768, while a
+    // 64-cluster mixture (the shape real embedding models produce) is
+    // 1.0 everywhere. The r8 claim "at 768-1536 dims the bit budget is
+    // 12-24x larger" buys nothing on the isotropic worst case: task
+    // difficulty (all pairs near-orthogonal) grows exactly as fast as
+    // the sign-agreement estimator sharpens. candMult remains the one
+    // recall knob. This pin re-measures both geometries at dim 64 vs
+    // 512 on a smaller deterministic corpus.
+    def g(key: String, salt: Int) =
+      s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
+      s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+    def synth(dim: Int, clustered: Boolean) =
+      spark.range(1000).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(1, $dim), j -> " + (
+          if (clustered) s"${g("pmod(id, 64)", 11)} + 0.5 * ${g("id", 1)}"
+          else g("id", 1)) + ")").as("embedding"))
+    def recallAt(dim: Int, clustered: Boolean): Double = {
+      val e = synth(dim, clustered)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ql = q.select(col("qid"), col("qvec").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val gt = KnnSearch.topK(e, "vec_id", "embedding", q, "qid", "qvec",
+        "cosine", 10)
+      val bq = BqIndex.train(e, "embedding")
+      val enc = BqIndex.encode(bq, e, "vec_id", "embedding")
+      val r = Recall.atK(BqIndex.searchRerank(bq, enc, e, "vec_id",
+        "embedding", ql, 10, candMult = 20), gt)
+      e.unpersist()
+      r
+    }
+    val iso64 = recallAt(64, clustered = false)
+    val iso512 = recallAt(512, clustered = false)
+    val clu64 = recallAt(64, clustered = true)
+    val clu512 = recallAt(512, clustered = true)
+    // dimension-invariance on the hard case (within a noise band), a
+    // hard floor on both dims, and the clustered (realistic) geometry
+    // essentially exact
+    assert(iso64 >= 0.75 && iso512 >= 0.75,
+      s"isotropic cm=20 floors: dim64=$iso64 dim512=$iso512")
+    assert(math.abs(iso512 - iso64) <= 0.12,
+      s"recall should be dimension-invariant on isotropic data: $iso64 vs $iso512")
+    assert(clu64 >= 0.95 && clu512 >= 0.95,
+      s"clustered geometry floors: dim64=$clu64 dim512=$clu512")
+  }
+
   test("IVF_PQ exact rerank lifts recall off the ADC ceiling (>= 0.75 at nprobe=8)") {
     val model = IvfPq.train(embs, "embedding", dim = 64, nlist = 16, m = 8, k = 16)
     val enc = IvfPq.encode(model, embs, "vec_id", "embedding")

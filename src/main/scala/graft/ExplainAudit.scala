@@ -23,7 +23,9 @@ object ExplainAudit {
         "q_ppl_buckets", "q_dsir_select", "q_concat_chunks",
         "q_soft_dedup", "q_tfidf_keywords", "q_bq_search", "q_bq_rerank",
         "q_lm_kneser_ney", "q_sparse_search", "q_unigram_encode",
-        "q_winnow", "q_winnow_matches", "q_length_quantiles", "q_lang_lines")
+        "q_winnow", "q_winnow_matches", "q_length_quantiles", "q_lang_lines",
+        "q_hnsw_radius_exhaustive", "q_normalize_text", "q_url_dedup",
+        "q_token_budget", "q_hard_negatives")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -2802,9 +2802,9 @@ object SparkEntry {
         | FROM documents),
         |parts AS (SELECT doc_id,
         |  lower(split_part(url, '://', 1)) AS scheme,
-        |  lower(split_part(split_part(url, '://', 2), '/', 1)) AS host,
+        |  lower(split_part(split_part(split_part(split_part(url, '://', 2), '#', 1), '?', 1), '/', 1)) AS host,
         |  substr(split_part(url, '://', 2),
-        |         length(split_part(split_part(url, '://', 2), '/', 1)) + 1) AS pathq
+        |         length(split_part(split_part(split_part(split_part(url, '://', 2), '#', 1), '?', 1), '/', 1)) + 1) AS pathq
         | FROM urls),
         |pieces AS (SELECT doc_id, scheme, host,
         |  split_part(split_part(pathq, '#', 1), '?', 1) AS path0,

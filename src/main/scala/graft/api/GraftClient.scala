@@ -691,8 +691,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
              nprobe: Option[Int] = None,
              radius: Option[Double] = None,
              ef: Option[Int] = None): DataFrame = {
-    require(nprobe.isEmpty || radius.isEmpty,
-      "radius combines with the exact scan or the HNSW graph (ef); nprobe is unsupported")
+    // radius composes with EITHER index's own search param (the
+    // reference's SearchParams shape): ef routes to the graph below,
+    // nprobe routes to the cell layout in the match — no combination
+    // is rejected anymore
     // the reference's search() takes the collection index's OWN search
     // param (collection.py:179 — SearchParams(ef) for HNSW, nprobe for
     // the IVF series); an ef here serves through the live graph with
@@ -704,8 +706,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // the reference's search carries no metric param, the INDEX
     // defines it, and `metric`'s "cosine" default must not silently
     // re-rank an l2-built graph (the hybridDense rule); `metric`
-    // governs the FLAT/IVF/radius paths only, and a caller who wants
-    // an explicit metric override on the graph path has searchHnsw
+    // governs the FLAT paths (exact scan, plain radius) and the
+    // historical nprobe-only route; EVERY radius+index-param
+    // combination (radius+ef, radius+nprobe) ranks AND gates in the
+    // index's STORED metric — a radius threshold is only meaningful in
+    // the metric the index was built for, and a defaulted "cosine"
+    // silently re-gating an l2 ball would be the exact bug the
+    // hybridDense rule exists to prevent. Explicit metric overrides
+    // live on searchHnsw / searchIvfRadius / searchIvfFiltered
     require(ef.isEmpty || nprobe.isEmpty,
       "ef tunes the HNSW graph; nprobe belongs to the IVF path")
     if (ef.isDefined) {
@@ -731,7 +739,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
     val raw = catalog.read(db, coll)
     val hits = (nprobe, radius) match {
-      case (Some(np), _) if raw.columns.contains(GraftCollection.CellCol) &&
+      case (Some(np), Some(r)) if raw.columns.contains(GraftCollection.CellCol) &&
+          catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)) =>
+        // radius WITH the IVF index's nprobe: served from the cell
+        // layout with adaptive probe escalation (full probe = exact)
+        searchIvfRadius(queries, qIdCol, qVecCol, r, limit, np, filter)
+      case (Some(np), None) if raw.columns.contains(GraftCollection.CellCol) &&
           catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)) =>
         val base = pred.fold(raw)(raw.where)
         val assigned = base.select(KnnSearch.idNorm(base, idCol).as("id"),
@@ -1188,7 +1201,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
 
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
-    // empty query batch: nothing to traverse, and the loop below would
+    // empty query batch: nothing to traverse, and the ladder would
     // reduce over zero parts — return the (empty) FLAT-route frame
     if (qarr.isEmpty)
       return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
@@ -1196,28 +1209,55 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // fill-count branch reads it
     lazy val target = math.min(limit.toLong, nFiltered)
     val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
+    escalateRounds(qarr, ef, if (adaptive) efCap else 0L, remap) {
+      (pending, curEf, exhausted) =>
+        // bounded result (limit·|pending| rows): eager-checkpoint so
+        // the count and the keep-filter don't re-traverse the graph
+        val res = graft.vector.HnswIndex.search(graph, filtered, idCol,
+            vecCol, pending, m, limit, curEf, prepared = true,
+            nodeKey = nodeKeyOpt)
+          .localCheckpoint(true)
+        if (exhausted) (res, Set.empty)
+        else {
+          val counts = res.groupBy("query_id").count().collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toMap
+          val fullIds = pending.map(_._1)
+            .filter(q => counts.getOrElse(q, 0L) >= target).toSet
+          (res.where(col("query_id").isin(fullIds.toSeq: _*)), fullIds)
+        }
+    }
+  }
+
+  /** The shared adaptive-escalation driver of the four ladder routes
+    * (filtered/radius × HNSW/IVF): each rung calls
+    * `round(pending, width, exhausted)` — which returns (the finished
+    * part for the queries it settles this rung, their ids) — and the
+    * remainder retries at 4× the width up to `cap`, the family's
+    * exhaustive/exact backstop (an `exhausted` rung must return a part
+    * covering EVERY pending query; its ids are ignored). ONE
+    * definition of the ladder control flow, so a fix or a done-rule
+    * subtlety cannot drift between the four routes — the review that
+    * introduced it caught exactly such a drift (the IVF radius arm had
+    * inherited the HNSW boundary rule, which never escalates on cell
+    * geometry). Single-shot callers (`adaptive = false`) pass
+    * cap = 0: the first rung is already exhausted at `start`. */
+  private def escalateRounds(qarr: Array[(Long, Array[Double])],
+      start: Int, cap: Long, remap: Option[DataFrame])(
+      round: (Array[(Long, Array[Double])], Int, Boolean) => (DataFrame, Set[Long]))
+      : DataFrame = {
     var pending = qarr
-    var curEf = math.max(ef, 1)
+    var cur = math.max(start, 1)
     var parts = Vector.empty[DataFrame]
     while (pending.nonEmpty) {
-      // bounded result (limit·|pending| rows): eager-checkpoint so the
-      // count and the keep-filter don't re-traverse the graph
-      val res = graft.vector.HnswIndex.search(graph, filtered, idCol, vecCol,
-          pending, m, limit, curEf, prepared = true, nodeKey = nodeKeyOpt)
-        .localCheckpoint(true)
-      val exhausted = !adaptive || curEf >= efCap
+      val exhausted = cur >= cap
+      val (part, doneIds) = round(pending, cur, exhausted)
       if (exhausted) {
-        parts :+= res
+        parts :+= part
         pending = Array.empty
       } else {
-        val counts = res.groupBy("query_id").count().collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toMap
-        val fullIds = pending.map(_._1)
-          .filter(q => counts.getOrElse(q, 0L) >= target).toSet
-        if (fullIds.nonEmpty)
-          parts :+= res.where(col("query_id").isin(fullIds.toSeq: _*))
-        pending = pending.filterNot(q => fullIds.contains(q._1))
-        curEf = math.min(curEf.toLong * 4, efCap).toInt
+        if (doneIds.nonEmpty) parts :+= part
+        pending = pending.filterNot(q => doneIds.contains(q._1))
+        cur = math.min(cur.toLong * 4, cap).toInt
       }
     }
     remapQueryIds(
@@ -1238,18 +1278,24 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * rows, top-`limit` per query. A query is DONE when its ball is
     * filled (`limit` in-radius rows) or the beam's frontier has passed
     * the ball boundary (an exactly-rescored candidate fell OUTSIDE the
-    * radius — in-ball rows outrank out-of-ball rows under the radius
-    * metric, so every in-ball candidate the beam has seen is already
-    * in the answer); every other query retries at 4× the beam up to
-    * the exhaustive bound (ef ≥ graph rows ⇒ the graph-reachable
-    * corpus is rescored ⇒ exactly FLAT radius — the byte-equality
-    * HnswSpec pins). The boundary test is per-BEAM (segment beams
-    * union before the check), the same granularity as a fixed-ef
-    * reference search; recall below the exhaustive bound is what
-    * RecallProbe measures. No corpus-sized driver job on any route —
-    * radius serving is the path that exists to avoid scans.
+    * radius — the beam visits nearest-first, and in-ball rows outrank
+    * out-of-ball rows under the radius metric, so every in-ball
+    * candidate the beam has seen is already in the answer); every
+    * other query retries at 4× the beam up to the exhaustive bound
+    * (ef ≥ graph rows ⇒ the graph-reachable corpus is rescored ⇒
+    * exactly FLAT radius — the byte-equality HnswSpec pins). The
+    * adaptive ladder starts at max(ef, limit): the candidate width
+    * clamps at `limit`, so rungs below it would re-run the identical
+    * traversal and settle nothing. The boundary test is per-BEAM
+    * (segment beams union before the check), the same granularity as
+    * a fixed-ef reference search; recall below the exhaustive bound
+    * is what RecallProbe measures. No corpus-sized driver job on any
+    * route — radius serving is the path that exists to avoid scans.
     *
-    * `adaptive = false` pins the single-shot fixed-ef behavior. */
+    * Ranks and gates in the index's STORED metric (the search(ef)
+    * discipline — a radius threshold is only meaningful in the metric
+    * the index was built for). `adaptive = false` pins the single-shot
+    * fixed-ef behavior. */
   def searchHnswRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
                        radius: Double, limit: Int = 10, ef: Int = 10,
                        filter: String = "", adaptive: Boolean = true): DataFrame = {
@@ -1269,41 +1315,33 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val graph = preparedHnswGraph(meta)
     val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
     val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
-    var pending = qarr
-    var curEf = math.max(ef, 1)
-    var parts = Vector.empty[DataFrame]
-    while (pending.nonEmpty) {
-      val exhausted = !adaptive || curEf >= efCap
-      if (exhausted) {
-        parts :+= graft.vector.HnswIndex.searchRadius(graph, data, idCol,
-          vecCol, pending, m, radius, limit, curEf, prepared = true,
-          nodeKey = nodeKeyOpt)
-        pending = Array.empty
-      } else {
-        // bounded (|pending|·segments·beam rows): eager-checkpoint so
-        // the fill stats and the answer share ONE traversal
-        val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
-            idCol, vecCol, pending, m, math.max(curEf, limit),
-            prepared = true, nodeKey = nodeKeyOpt)
-          .localCheckpoint(true)
-        val stats = scored.groupBy("query_id")
-          .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
-            sum(lit(1L)).as("seen"))
-          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-        val doneIds = pending.map(_._1).filter { q =>
-          val (hits, seen) = stats.getOrElse(q, (0L, 0L))
-          hits >= limit || hits < seen
-        }.toSet
-        if (doneIds.nonEmpty)
-          parts :+= graft.vector.Ranked.topK(
+    val start = if (adaptive) math.max(ef, limit) else ef
+    escalateRounds(qarr, start, if (adaptive) efCap else 0L, remap) {
+      (pending, curEf, exhausted) =>
+        if (exhausted)
+          (graft.vector.HnswIndex.searchRadius(graph, data, idCol, vecCol,
+            pending, m, radius, limit, curEf, prepared = true,
+            nodeKey = nodeKeyOpt), Set.empty)
+        else {
+          // bounded (|pending|·segments·beam rows): eager-checkpoint
+          // so the fill stats and the answer share ONE traversal
+          val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+              idCol, vecCol, pending, m, math.max(curEf, limit),
+              prepared = true, nodeKey = nodeKeyOpt)
+            .localCheckpoint(true)
+          val stats = scored.groupBy("query_id")
+            .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
+              sum(lit(1L)).as("seen"))
+            .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+          val doneIds = pending.map(_._1).filter { q =>
+            val (hits, seen) = stats.getOrElse(q, (0L, 0L))
+            hits >= limit || hits < seen
+          }.toSet
+          (graft.vector.Ranked.topK(
             scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
-            limit, asc = !larger)
-        pending = pending.filterNot(q => doneIds.contains(q._1))
-        curEf = math.min(curEf.toLong * 4, efCap).toInt
-      }
+            limit, asc = !larger), doneIds)
+        }
     }
-    remapQueryIds(
-      parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
   }
 
   /** FILTERED IVF search with cost-based routing and ADAPTIVE nprobe
@@ -1360,32 +1398,97 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     lazy val target = math.min(limit.toLong, nFiltered)
     val spark0 = spark
     import spark0.implicits._
-    var pending = qarr
-    var curNp = math.min(math.max(nprobe, 1), nlist)
-    var parts = Vector.empty[DataFrame]
-    while (pending.nonEmpty) {
-      val qdf = pending.toSeq.toDF("qid", "qvec")
-      // bounded (limit·|pending| rows): eager-checkpoint so the fill
-      // count and the keep-filter don't re-run the probe
-      val res = graft.vector.IvfIndex.searchAssigned(assigned, cents,
-        qdf, "qid", "qvec", m, limit, curNp).localCheckpoint(true)
-      val exhausted = !adaptive || curNp >= nlist
-      if (exhausted) {
-        parts :+= res
-        pending = Array.empty
-      } else {
-        val counts = res.groupBy("query_id").count().collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toMap
-        val fullIds = pending.map(_._1)
-          .filter(q => counts.getOrElse(q, 0L) >= target).toSet
-        if (fullIds.nonEmpty)
-          parts :+= res.where(col("query_id").isin(fullIds.toSeq: _*))
-        pending = pending.filterNot(q => fullIds.contains(q._1))
-        curNp = math.min(curNp * 4, nlist)
-      }
+    escalateRounds(qarr, math.min(math.max(nprobe, 1), nlist),
+        if (adaptive) nlist.toLong else 0L, remap) {
+      (pending, curNp, exhausted) =>
+        val qdf = pending.toSeq.toDF("qid", "qvec")
+        // bounded (limit·|pending| rows): eager-checkpoint so the fill
+        // count and the keep-filter don't re-run the probe
+        val res = graft.vector.IvfIndex.searchAssigned(assigned, cents,
+          qdf, "qid", "qvec", m, limit, curNp).localCheckpoint(true)
+        if (exhausted) (res, Set.empty)
+        else {
+          val counts = res.groupBy("query_id").count().collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toMap
+          val fullIds = pending.map(_._1)
+            .filter(q => counts.getOrElse(q, 0L) >= target).toSet
+          (res.where(col("query_id").isin(fullIds.toSeq: _*)), fullIds)
+        }
     }
-    remapQueryIds(
-      parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
+  }
+
+  /** Radius search served from the IVF cell layout — the nprobe arm of
+    * [[searchHnswRadius]]'s contract (the reference applies `radius`
+    * WITH whatever index the collection configured, SearchParams
+    * carries it next to nprobe exactly as next to ef): probe at
+    * `nprobe`, exactly rescore the probed cells' rows, keep
+    * raw-score-in-radius rows, top-`limit` per query.
+    *
+    * The done-rule is BALL-FILLED ONLY (`limit` in-radius rows) —
+    * deliberately NOT the HNSW arm's boundary signal: a probed cell is
+    * a Voronoi region, not a nearest-first frontier, so it virtually
+    * always contains out-of-ball rows and "saw an out-of-ball
+    * candidate" carries no information here (with that rule the ladder
+    * would never escalate — the review catch that motivated
+    * [[escalateRounds]]). An under-filled ball therefore escalates at
+    * 4× the probe width all the way to nprobe = nlist, where the full
+    * probe rescans every cell's survivors — the EXACT backstop
+    * (full-probe radius ≡ FLAT radius+limit byte-for-byte, pinned in
+    * IvfFilteredSpec). Below the backstop the guarantee is COUNT-fill,
+    * not membership-exactness: a filled query's rows come from its
+    * probed cells (standard ANN semantics).
+    *
+    * Ranks and gates in the index's STORED metric unless overridden
+    * (the searchHnswRadius discipline — a radius threshold is only
+    * meaningful in the metric the index was built for).
+    * `adaptive = false` pins single-shot fixed-nprobe. */
+  def searchIvfRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                      radius: Double, limit: Int = 10, nprobe: Int = 4,
+                      filter: String = "", adaptive: Boolean = true,
+                      metric: Option[String] = None): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivf.nlist") &&
+      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)),
+      "no IVF index: run rebuildIndex first")
+    val raw = catalog.read(db, coll)
+    require(raw.columns.contains(GraftCollection.CellCol),
+      "collection has no cell layout: run rebuildIndex first")
+    val nlist = meta("index.ivf.nlist").toInt
+    val m = metric.getOrElse(meta.getOrElse("index.ivf.metric", "l2"))
+    val larger = graft.vector.VectorMetric(m).largerIsBetter
+    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
+    val filtered = pred.fold(raw)(raw.where)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    if (qarr.isEmpty)
+      return KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
+        m, radius, limit, pred)
+    val assigned = filtered.select(KnnSearch.idNorm(filtered, idCol).as("id"),
+      col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
+    val cents = catalog.read(db, GraftCollection.ivfCentroids(coll))
+    val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
+    val spark0 = spark
+    import spark0.implicits._
+    escalateRounds(qarr, math.min(math.max(nprobe, 1), nlist),
+        if (adaptive) nlist.toLong else 0L, remap) {
+      (pending, curNp, exhausted) =>
+        val qdf = pending.toSeq.toDF("qid", "qvec")
+        if (exhausted)
+          (graft.vector.IvfIndex.searchAssignedRadius(assigned, cents,
+            qdf, "qid", "qvec", m, radius, limit, curNp), Set.empty)
+        else {
+          // bounded (probed-cells rows for |pending| queries):
+          // eager-checkpoint so fill stats and answer share one probe
+          val scored = graft.vector.IvfIndex.scoredProbed(assigned, cents,
+            qdf, "qid", "qvec", m, curNp).localCheckpoint(true)
+          val counts = scored.where(inBall).groupBy("query_id").count()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val doneIds = pending.map(_._1)
+            .filter(q => counts.getOrElse(q, 0L) >= limit).toSet
+          (graft.vector.Ranked.topK(
+            scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
+            limit, asc = !larger), doneIds)
+        }
+    }
   }
 
   /** Serving handle for the HNSW graph: the seg-whole arrangement
@@ -2000,8 +2103,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       else
         graft.text.NgramLm.train(newDocs, batchIdCol, batchTextCol).bigrams
     // claim the segment id BEFORE writing (appendHnswSegment's crash
-    // ordering): a crash between the two steps leaves an unused id, a
-    // RETRY overwrites the same seg dir — never a double count
+    // ordering). Crash between the two steps: the claimed id's dir was
+    // never written, and a RETRY (which re-reads meta) claims the NEXT
+    // id — the gap is permanent but BENIGN, because serving aggregates
+    // whatever segment dirs exist and never enumerates ids. Crash
+    // after the write: the fold is already durable and the retry adds
+    // a fresh segment — the same at-least-once exposure as the old
+    // full-rewrite path, and the streaming caller's content-id
+    // anti-join already dedups replays before they reach here
     val seg = meta.getOrElse("model.lm.nextseg", "1").toInt
     catalog.updateMeta(db, coll, Map("model.lm.nextseg" -> (seg + 1).toString))
     catalog.overwritePartitions(db, store,

@@ -403,8 +403,11 @@ object Dedup {
     val (_, _, pairSrc, pairKey, _) = semDedupAll(embs, idCol, vecCol,
       nclusters, seed, maxIter, None, maxCellSize, assignMargin)
     pairSrc.groupBy(pairKey.map(col): _*).count()
-      // n·(n−1) is even, so DIV 2 on the long product is exact
-      .select(sum(expr("count * (count - 1) DIV 2")).cast("long"))
+      // n·(n−1) is even, so DIV 2 on the long product is exact;
+      // coalesce: sum over ZERO groups (empty/all-null-vector input)
+      // is NULL, and getLong would NPE instead of reporting 0 work
+      .select(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L))
+        .cast("long"))
       .head().getLong(0)
   }
 
@@ -442,8 +445,10 @@ object Dedup {
     * centroid never duplicates), so an eps-pair straddling a cell
     * boundary gets a second chance to co-occur. Representative scoring
     * stays on the primary cell — the dedup output keeps its form; only
-    * the candidate stream widens, by a measured ≤2× at margin 0.2
-    * (RecallProbe semdedup_pairs rows). */
+    * the candidate stream widens (measured at sf0.1: ≤2× pair work at
+    * margin 0.02, 3.5× at the recall-recommended margin 0.05 — the
+    * RecallProbe semdedup_pairs/pairwork frontier; row inflation is
+    * ≤2 by construction regardless). */
   private def semDedupAll(embs: DataFrame, idCol: String, vecCol: String,
                nclusters: Int, seed: Long, maxIter: Int,
                centers: Option[Seq[(Seq[Double], Int)]],

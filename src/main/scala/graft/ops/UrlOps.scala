@@ -33,9 +33,16 @@ object UrlOps {
     val u = coalesce(url, lit(""))
     val scheme = lower(split_part(u, lit("://"), lit(1)))
     val rest = split_part(u, lit("://"), lit(2))
-    val host = lower(split_part(rest, lit("/"), lit(1)))
+    // the host ends at the EARLIEST of '/', '?', '#' — a URL like
+    // 'https://ex.com#frag' or 'https://ex.com?utm_source=x' has no
+    // path, and taking everything up to '/' would swallow the
+    // fragment/query into the "host" and silently skip the drop rules
+    // (review finding)
+    val hostRaw = split_part(split_part(split_part(rest, lit("#"), lit(1)),
+      lit("?"), lit(1)), lit("/"), lit(1))
+    val host = lower(hostRaw)
     // path+query = rest minus the host prefix (same length, any case)
-    val pathq = rest.substr(length(host) + 1, length(rest))
+    val pathq = rest.substr(length(hostRaw) + 1, length(rest))
     val noFrag = split_part(pathq, lit("#"), lit(1))
     val path0 = split_part(noFrag, lit("?"), lit(1))
     // strip the trailing slash of a non-root path

@@ -211,18 +211,28 @@ object Streams {
               // model self-reinforces on admitted docs — the CCNet
               // trusted-corpus mode trains once elsewhere and never
               // sets this flag.
-              // localCheckpoint (eager), not persist+count: a persisted
-              // block dropped under memory pressure would silently
-              // RECOMPUTE the anti-join against the post-upsert
-              // snapshot (fold skipped for the whole batch);
-              // checkpointing severs the lineage, so the pre-upsert
-              // evaluation is the only one that can ever be served
-              val fresh = if (!maintainLm) None else
-                Some(gated.join(coll.df.select(col("id")), Seq("id"),
-                  "left_anti").localCheckpoint(true))
-              coll.upsert(gated)
-              fresh.filter(!_.isEmpty)
-                .foreach(coll.updateLmModel(_, "id", textCol))
+              // checkpoint (RDD-level, eager), not persist+count: a
+              // persisted block dropped under memory pressure would
+              // silently RECOMPUTE the anti-join against the
+              // post-upsert snapshot (fold skipped for the whole
+              // batch); checkpointing severs the lineage, so the
+              // pre-upsert evaluation is the only one that can ever be
+              // served. The RDD handle is kept so the finally can
+              // UNPERSIST the checkpoint blocks — an unbounded stream
+              // must not accumulate per-batch blocks until driver GC
+              // happens to collect the frame
+              val fresh = if (!maintainLm) None else {
+                val raw = gated.join(coll.df.select(col("id")), Seq("id"),
+                  "left_anti")
+                val rdd = raw.rdd.localCheckpoint()
+                rdd.count() // materialize: pin the pre-upsert snapshot NOW
+                Some((raw.sparkSession.createDataFrame(rdd, raw.schema), rdd))
+              }
+              try {
+                coll.upsert(gated)
+                fresh.filterNot(_._1.isEmpty)
+                  .foreach(p => coll.updateLmModel(p._1, "id", textCol))
+              } finally fresh.foreach(_._2.unpersist(blocking = false))
             }
           }
         } finally { curated.unpersist(); gateInputs.foreach(_.unpersist()) }

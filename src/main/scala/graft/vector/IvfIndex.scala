@@ -111,6 +111,39 @@ object IvfIndex {
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      metric: String, k: Int, nprobe: Int): DataFrame = {
     val m = VectorMetric(metric)
+    Ranked.topK(
+      scoredProbed(assigned, centroidsDf, queries, qIdCol, qVecCol, metric, nprobe),
+      k, asc = !m.largerIsBetter)
+  }
+
+  /** Radius search served from the cell layout (reference `radius`
+    * WITH the IVF index's own nprobe — the SearchParams shape): probe
+    * the nprobe nearest cells, exactly rescore their rows, gate the
+    * RAW score by the radius before the bounded-heap top-k
+    * ([[KnnSearch.radius]]'s rule — score >= r for similarity metrics,
+    * distance <= r for L2). nprobe = nlist probes every cell, so the
+    * full-probe setting equals FLAT radius+limit byte-for-byte over
+    * the cell-assigned corpus — the family's exactness backstop. */
+  def searchAssignedRadius(assigned: DataFrame, centroidsDf: DataFrame,
+                           queries: DataFrame, qIdCol: String, qVecCol: String,
+                           metric: String, r: Double, k: Int,
+                           nprobe: Int): DataFrame = {
+    val m = VectorMetric(metric)
+    val scored = scoredProbed(assigned, centroidsDf, queries, qIdCol, qVecCol,
+      metric, nprobe)
+    val kept = if (m.largerIsBetter) scored.where(col("__s") >= r)
+               else scored.where(col("__s") <= r)
+    Ranked.topK(kept, k, asc = !m.largerIsBetter)
+  }
+
+  /** The shared probe + exact-rescore stage: (query_id, __s, id) rows
+    * over the probed cells' candidates, RAW scores — what the ranked,
+    * radius-gated, and fill-counted serving paths all consume. */
+  private[graft] def scoredProbed(assigned: DataFrame, centroidsDf: DataFrame,
+                                  queries: DataFrame, qIdCol: String,
+                                  qVecCol: String, metric: String,
+                                  nprobe: Int): DataFrame = {
+    val m = VectorMetric(metric)
     // probe cells per query: queries × centroids (both tiny, broadcast)
     val q = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec"))
     val probes = q.crossJoin(broadcast(centroidsDf))
@@ -122,11 +155,9 @@ object IvfIndex {
       .select(col("query_id"), col("__qvec"), explode(col("__t.id")).as("cell"))
 
     // candidates: corpus rows in a probed cell of some query
-    val cand = assigned.join(broadcast(probes), "cell")
-    Ranked.topK(
-      cand.select(col("query_id"),
-        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"), col("id")),
-      k, asc = !m.largerIsBetter)
+    assigned.join(broadcast(probes), "cell")
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"), col("id"))
   }
 
   /** rebuild_index / modify_vector_index: (re)write the collection

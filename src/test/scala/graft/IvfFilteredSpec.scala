@@ -95,6 +95,53 @@ class IvfFilteredSpec extends SparkSpec {
       s"must fill exactly the searchable filtered count, got ${got.length}")
   }
 
+  test("search(radius, nprobe): served from the cells, full probe equals FLAT, tiny probe stays in the ball") {
+    val (coll, rows) = filteredColl()
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    // l2 index: the ball keeps distance <= r; take r from the exact
+    // scan's rank-7 distance so both queries have a populated ball
+    val r = coll.search(q, "qid", "qvec", "l2", limit = 10)
+      .where(col("query_id") === 0 && col("rank") === 7).head().getDouble(3)
+    val flat = coll.search(q, "qid", "qvec", "l2", limit = 5,
+      radius = Some(r)).collect().toSeq
+    assert(flat.nonEmpty)
+    // full probe (nprobe = nlist): one exhaustive round, byte-equal
+    val full = coll.search(q, "qid", "qvec", "l2", limit = 5,
+      radius = Some(r), nprobe = Some(8)).collect().toSeq
+    assert(full == flat, "full-probe cell radius must equal FLAT")
+    // single-shot pin at the full probe too
+    val single = coll.searchIvfRadius(q, "qid", "qvec", r, limit = 5,
+      nprobe = 8, adaptive = false).collect().toSeq
+    assert(single == flat)
+    // adaptive from nprobe = 1: every row in-ball (distance <= r up to
+    // output rounding), ranks contiguous, ids inside the true ball
+    val ball = coll.search(q, "qid", "qvec", "l2", limit = 300,
+        radius = Some(r)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = coll.search(q, "qid", "qvec", "l2", limit = 5,
+      radius = Some(r), nprobe = Some(1)).collect()
+    assert(got.forall(_.getDouble(3) <= r + 1e-4))
+    // FILL guarantee: query 0's ball holds >= 7 docs (r = its rank-7
+    // distance) and they can span cells the first probe misses — the
+    // ball-filled-only done-rule must escalate until 5 rows land (the
+    // rule an out-of-ball "boundary" signal would break: probed cells
+    // always contain out-of-ball rows, so that signal never escalates)
+    assert(got.count(_.getLong(0) == 0L) == 5,
+      "adaptive cell-radius must fill min(limit, |ball|) for query 0")
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.map(_.getLong(2)).toSet.subsetOf(ball.getOrElse(qid, Set.empty)),
+        s"query $qid: a returned id is outside the true ball")
+    }
+    // filter composes on the radius route too
+    val flatF = coll.search(q, "qid", "qvec", "l2", limit = 5,
+      radius = Some(r), filter = "par = 0").collect().toSeq
+    val fullF = coll.search(q, "qid", "qvec", "l2", limit = 5,
+      radius = Some(r), filter = "par = 0", nprobe = Some(8)).collect().toSeq
+    assert(fullF == flatF)
+    assert(flatF.nonEmpty)
+  }
+
   test("stored-metric discipline: a cosine-built index serves cosine unless overridden") {
     import graft.api.GraftClient
     val root = java.nio.file.Files.createTempDirectory("graft-ivfmet").toString

@@ -57,6 +57,11 @@ class Round9Spec extends SparkSpec {
       // trailing slash drops on non-root paths only
       ("https://ex.com/a/b/", "https://ex.com/a/b"),
       ("https://ex.com/", "https://ex.com/"),
+      // PATHLESS urls: the host ends at the earliest of /, ?, # — a
+      // fragment or query straight after the host must still drop
+      ("https://ex.com#frag", "https://ex.com"),
+      ("https://EX.com?utm_source=X", "https://ex.com"),
+      ("https://ex.com?id=7&utm_source=x", "https://ex.com?id=7"),
       // schemeless input: best-effort lowercase
       ("Just-Text", "just-text"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }

@@ -367,10 +367,14 @@ object SparkEntry {
       // toward n² without it). Far above this corpus' cell sizes, so
       // the toy result is identical — the bound exists for the skewed
       // corpus SemDedupProbe measures.
+      // assignMargin 0.05: the recommended boundary-pair setting (r8
+      // verdict #3) — pair recall 0.36 -> 0.76/0.86 at sf0.1 on the
+      // clusterless worst case, §7-probes-r9 frontier; row inflation
+      // <= 2 by construction
       Dedup.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         eps = 0.45, nclusters = 8,
         centers = Some(graft.vector.IvfIndex.centersFromDf(centDf)),
-        maxCellSize = 4096)
+        maxCellSize = 4096, assignMargin = 0.05)
     }),
 
     "q_dedup_embed_lsh" -> ((s, dir) => {

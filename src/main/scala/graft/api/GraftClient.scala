@@ -1323,88 +1323,93 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             pending, m, radius, limit, curEf, prepared = true,
             nodeKey = nodeKeyOpt), Set.empty)
         else {
-          // bounded (|pending|·segments·beam rows): eager-checkpoint
-          // so the fill stats and the answer share ONE traversal
+          // persist (not checkpoint — the candidate set can approach
+          // corpus size on high rungs, and the underlying parquet
+          // snapshot is immutable, so an evicted block recomputes the
+          // IDENTICAL data) so the fill stats and the answer share one
+          // traversal; the answer part is checkpointed at its BOUNDED
+          // size (≤ limit·|done| rows) before the unpersist, so no
+          // rung leaves corpus-scale blocks behind (review finding)
           val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
               idCol, vecCol, pending, m, math.max(curEf, limit),
               prepared = true, nodeKey = nodeKeyOpt)
-            .localCheckpoint(true)
-          val stats = scored.groupBy("query_id")
-            .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
-              sum(lit(1L)).as("seen"))
-            .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
-          val doneIds = pending.map(_._1).filter { q =>
-            val (hits, seen) = stats.getOrElse(q, (0L, 0L))
-            hits >= limit || hits < seen
-          }.toSet
-          (graft.vector.Ranked.topK(
-            scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
-            limit, asc = !larger), doneIds)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val stats = scored.groupBy("query_id")
+              .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
+                sum(lit(1L)).as("seen"))
+              .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+            val doneIds = pending.map(_._1).filter { q =>
+              val (hits, seen) = stats.getOrElse(q, (0L, 0L))
+              hits >= limit || hits < seen
+            }.toSet
+            (graft.vector.Ranked.topK(
+              scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
+              limit, asc = !larger).localCheckpoint(true), doneIds)
+          } finally scored.unpersist(blocking = false)
         }
     }
   }
 
-  /** FILTERED IVF search with cost-based routing and ADAPTIVE nprobe
-    * escalation — the IVF arm of [[searchHnswFiltered]]'s contract
-    * (the r8 grid's "double the nprobe" guidance, made automatic):
-    *
-    *  - **Cost route.** |filtered| < √(2·k·n) routes to the exact FLAT
-    *    scan of the filtered subset (predicate pushed into the parquet
-    *    scan), exactly as the HNSW arm does.
-    *  - **Adaptive escalation.** On the index route, any query whose
-    *    post-filter result count falls short of min(limit, |searchable
-    *    filtered|) retries at 4× the probe width, up to nprobe = nlist
-    *    — and the FULL probe scans every cell's filtered survivors, so
-    *    it is the EXACT backstop: the method always returns
-    *    min(limit, |searchable filtered|) rows per query. "Searchable"
-    *    counts docs this index can surface (non-null vector AND a cell
-    *    from the stored layout).
-    *
-    * `adaptive = false` pins the single-shot fixed-nprobe behavior;
-    * ranking uses the index's STORED metric unless overridden (the
-    * search(ef) discipline). */
-  def searchIvfFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
-                        filter: String, limit: Int = 10, nprobe: Int = 4,
-                        adaptive: Boolean = true,
-                        metric: Option[String] = None): DataFrame = {
+  /** Shared serving state of the IVF routes — index requires, stored-
+    * metric fallback, the filtered snapshot and its cell-assigned
+    * projection, the centroid table. ONE definition so the routes'
+    * disciplines (cell-layout require, metric fallback, id
+    * normalization) cannot drift (the escalateRounds lesson, applied
+    * to the preamble). */
+  private case class IvfServing(nlist: Int, metric: String, raw: DataFrame,
+                                filtered: DataFrame, assigned: DataFrame,
+                                cents: DataFrame)
+  private def ivfServing(filter: String, metric: Option[String]): IvfServing = {
     val meta = describe
     require(meta.contains("index.ivf.nlist") &&
       catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)),
       "no IVF index: run rebuildIndex first")
-    require(filter.nonEmpty,
-      "searchIvfFiltered requires a filter — use search(nprobe) for unfiltered search")
     val raw = catalog.read(db, coll)
     require(raw.columns.contains(GraftCollection.CellCol),
       "collection has no cell layout: run rebuildIndex first")
-    val nlist = meta("index.ivf.nlist").toInt
-    val m = metric.getOrElse(meta.getOrElse("index.ivf.metric", "l2"))
-    val filtered = raw.where(FilterParser.parse(filter))
+    val filtered =
+      if (filter.isEmpty) raw else raw.where(FilterParser.parse(filter))
+    IvfServing(
+      meta("index.ivf.nlist").toInt,
+      metric.getOrElse(meta.getOrElse("index.ivf.metric", "l2")),
+      raw, filtered,
+      filtered.select(KnnSearch.idNorm(filtered, idCol).as("id"),
+        col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell")),
+      catalog.read(db, GraftCollection.ivfCentroids(coll)))
+  }
+
+  def searchIvfFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        filter: String, limit: Int = 10, nprobe: Int = 4,
+                        adaptive: Boolean = true,
+                        metric: Option[String] = None): DataFrame = {
+    require(filter.nonEmpty,
+      "searchIvfFiltered requires a filter — use search(nprobe) for unfiltered search")
+    val sv = ivfServing(filter, metric)
+    val m = sv.metric
     // fill target counts only docs the index can RETURN (the
     // searchHnswFiltered rule, plus the cell-layout condition); lazy —
     // the single-shot route must not pay an O(filtered) driver job
-    lazy val nFiltered = filtered
+    lazy val nFiltered = sv.filtered
       .where(col(vecCol).isNotNull && col(GraftCollection.CellCol).isNotNull)
       .count()
     // corpus size for the cost threshold: a parquet count(*) resolves
     // from footer metadata, not a data scan
-    if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * raw.count()))
+    if (adaptive && nFiltered.toDouble < math.sqrt(2.0 * limit * sv.raw.count()))
       return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     if (qarr.isEmpty)
       return search(queries, qIdCol, qVecCol, m, limit, filter = filter)
-    val assigned = filtered.select(KnnSearch.idNorm(filtered, idCol).as("id"),
-      col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
-    val cents = catalog.read(db, GraftCollection.ivfCentroids(coll))
     lazy val target = math.min(limit.toLong, nFiltered)
     val spark0 = spark
     import spark0.implicits._
-    escalateRounds(qarr, math.min(math.max(nprobe, 1), nlist),
-        if (adaptive) nlist.toLong else 0L, remap) {
+    escalateRounds(qarr, math.min(math.max(nprobe, 1), sv.nlist),
+        if (adaptive) sv.nlist.toLong else 0L, remap) {
       (pending, curNp, exhausted) =>
         val qdf = pending.toSeq.toDF("qid", "qvec")
         // bounded (limit·|pending| rows): eager-checkpoint so the fill
         // count and the keep-filter don't re-run the probe
-        val res = graft.vector.IvfIndex.searchAssigned(assigned, cents,
+        val res = graft.vector.IvfIndex.searchAssigned(sv.assigned, sv.cents,
           qdf, "qid", "qvec", m, limit, curNp).localCheckpoint(true)
         if (exhausted) (res, Set.empty)
         else {
@@ -1431,12 +1436,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * candidate" carries no information here (with that rule the ladder
     * would never escalate — the review catch that motivated
     * [[escalateRounds]]). An under-filled ball therefore escalates at
-    * 4× the probe width all the way to nprobe = nlist, where the full
-    * probe rescans every cell's survivors — the EXACT backstop
-    * (full-probe radius ≡ FLAT radius+limit byte-for-byte, pinned in
-    * IvfFilteredSpec). Below the backstop the guarantee is COUNT-fill,
-    * not membership-exactness: a filled query's rows come from its
-    * probed cells (standard ANN semantics).
+    * 4× the probe width all the way to nprobe = nlist, where the FULL
+    * probe keeps exactly the cell-reachable rows — served as a direct
+    * radius scan over them (the probe machinery at nprobe = nlist
+    * matches everything, so it is skipped; provably identical, and
+    * IvfFilteredSpec pins full ≡ FLAT byte-for-byte). Below the
+    * backstop the guarantee is COUNT-fill, not membership-exactness: a
+    * filled query's rows come from its probed cells (standard ANN
+    * semantics).
     *
     * Ranks and gates in the index's STORED metric unless overridden
     * (the searchHnswRadius discipline — a radius threshold is only
@@ -1446,47 +1453,51 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                       radius: Double, limit: Int = 10, nprobe: Int = 4,
                       filter: String = "", adaptive: Boolean = true,
                       metric: Option[String] = None): DataFrame = {
-    val meta = describe
-    require(meta.contains("index.ivf.nlist") &&
-      catalog.collectionExists(db, GraftCollection.ivfCentroids(coll)),
-      "no IVF index: run rebuildIndex first")
-    val raw = catalog.read(db, coll)
-    require(raw.columns.contains(GraftCollection.CellCol),
-      "collection has no cell layout: run rebuildIndex first")
-    val nlist = meta("index.ivf.nlist").toInt
-    val m = metric.getOrElse(meta.getOrElse("index.ivf.metric", "l2"))
+    val sv = ivfServing(filter, metric)
+    val m = sv.metric
     val larger = graft.vector.VectorMetric(m).largerIsBetter
-    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
-    val filtered = pred.fold(raw)(raw.where)
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     if (qarr.isEmpty)
       return KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
-        m, radius, limit, pred)
-    val assigned = filtered.select(KnnSearch.idNorm(filtered, idCol).as("id"),
-      col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
-    val cents = catalog.read(db, GraftCollection.ivfCentroids(coll))
+        m, radius, limit,
+        if (filter.isEmpty) None else Some(FilterParser.parse(filter)))
     val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
     val spark0 = spark
     import spark0.implicits._
-    escalateRounds(qarr, math.min(math.max(nprobe, 1), nlist),
-        if (adaptive) nlist.toLong else 0L, remap) {
+    escalateRounds(qarr, math.min(math.max(nprobe, 1), sv.nlist),
+        if (adaptive) sv.nlist.toLong else 0L, remap) {
       (pending, curNp, exhausted) =>
         val qdf = pending.toSeq.toDF("qid", "qvec")
-        if (exhausted)
-          (graft.vector.IvfIndex.searchAssignedRadius(assigned, cents,
-            qdf, "qid", "qvec", m, radius, limit, curNp), Set.empty)
-        else {
-          // bounded (probed-cells rows for |pending| queries):
-          // eager-checkpoint so fill stats and answer share one probe
-          val scored = graft.vector.IvfIndex.scoredProbed(assigned, cents,
-            qdf, "qid", "qvec", m, curNp).localCheckpoint(true)
-          val counts = scored.where(inBall).groupBy("query_id").count()
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-          val doneIds = pending.map(_._1)
-            .filter(q => counts.getOrElse(q, 0L) >= limit).toSet
-          (graft.vector.Ranked.topK(
-            scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
-            limit, asc = !larger), doneIds)
+        if (exhausted) {
+          if (curNp >= sv.nlist)
+            // full probe: every cell is matched, so skip the probe
+            // machinery and radius-scan the cell-reachable rows
+            // directly — identical result (null-cell rows are outside
+            // the index's reach on both forms), none of the
+            // |q|·nlist probe broadcast
+            (KnnSearch.radiusTopK(sv.assigned.where(col("cell").isNotNull),
+              "id", "__vec", qdf, "qid", "qvec", m, radius, limit), Set.empty)
+          else
+            // single-shot fixed-nprobe (adaptive = false)
+            (graft.vector.IvfIndex.searchAssignedRadius(sv.assigned, sv.cents,
+              qdf, "qid", "qvec", m, radius, limit, curNp), Set.empty)
+        } else {
+          // persist (immutable snapshot under it — eviction recomputes
+          // identical data), checkpoint only the BOUNDED answer part,
+          // unpersist before the rung ends (review finding: the rung
+          // below exhaustion can hold ~nlist/4 cells)
+          val scored = graft.vector.IvfIndex.scoredProbed(sv.assigned,
+              sv.cents, qdf, "qid", "qvec", m, curNp)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val counts = scored.where(inBall).groupBy("query_id").count()
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+            val doneIds = pending.map(_._1)
+              .filter(q => counts.getOrElse(q, 0L) >= limit).toSet
+            (graft.vector.Ranked.topK(
+              scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
+              limit, asc = !larger).localCheckpoint(true), doneIds)
+          } finally scored.unpersist(blocking = false)
         }
     }
   }

@@ -146,16 +146,22 @@ object IvfIndex {
     val m = VectorMetric(metric)
     // probe cells per query: queries × centroids (both tiny, broadcast)
     val q = queries.select(KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec"))
+    // the probes broadcast carries only (query_id, cell) KEYS — the
+    // query vector attaches afterwards through one (query_id → vec)
+    // broadcast, so the payload is |q|·nprobe keys plus |q| vectors,
+    // NOT |q|·nprobe duplicated vectors (at the adaptive ladder's
+    // full-probe backstop nprobe = nlist, the duplicated form would
+    // broadcast |q|·nlist·dim doubles)
     val probes = q.crossJoin(broadcast(centroidsDf))
-      .select(col("query_id"), col("__qvec"), col("cell"),
+      .select(col("query_id"), col("cell"),
         VectorScore.l2(col("__qvec"), col("centroid")).as("__d"))
       .groupBy("query_id")
-      .agg(TopKAgg.topk(col("__d"), col("cell").cast("long"), nprobe, asc = true).as("__t"),
-        first(col("__qvec")).as("__qvec"))
-      .select(col("query_id"), col("__qvec"), explode(col("__t.id")).as("cell"))
+      .agg(TopKAgg.topk(col("__d"), col("cell").cast("long"), nprobe, asc = true).as("__t"))
+      .select(col("query_id"), explode(col("__t.id")).as("cell"))
 
     // candidates: corpus rows in a probed cell of some query
     assigned.join(broadcast(probes), "cell")
+      .join(broadcast(q), "query_id")
       .select(col("query_id"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"), col("id"))
   }

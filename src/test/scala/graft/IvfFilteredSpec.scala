@@ -142,6 +142,36 @@ class IvfFilteredSpec extends SparkSpec {
     assert(flatF.nonEmpty)
   }
 
+  test("radius on a cosine-built index gates score >= r (the largerIsBetter branch)") {
+    // the l2 test above exercises distance <= r; a sign flip in the
+    // similarity branch of the gate / fill count would otherwise pass
+    // the whole suite unnoticed (review finding)
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfradcos").toString
+    val rnd = new scala.util.Random(29)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 200L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIndex(nlist = 4, metric = "cosine")
+    val q = Seq((0L, rows(7)._2), (1L, rows(8)._2)).toDF("qid", "qvec")
+    val r = coll.search(q, "qid", "qvec", "cosine", limit = 10)
+      .where(col("query_id") === 0 && col("rank") === 7).head().getDouble(3)
+    val flat = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r)).collect().toSeq
+    assert(flat.nonEmpty)
+    // full probe equals FLAT in the similarity metric too
+    val full = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), nprobe = Some(4)).collect().toSeq
+    assert(full == flat, "full-probe cosine radius must equal FLAT")
+    // adaptive from nprobe = 1: in-ball means score >= r here, and the
+    // ball-filled rule must still fill query 0 (ball >= 7 > limit)
+    val got = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      radius = Some(r), nprobe = Some(1)).collect()
+    assert(got.forall(_.getDouble(3) >= r - 1e-4))
+    assert(got.count(_.getLong(0) == 0L) == 5)
+  }
+
   test("stored-metric discipline: a cosine-built index serves cosine unless overridden") {
     import graft.api.GraftClient
     val root = java.nio.file.Files.createTempDirectory("graft-ivfmet").toString

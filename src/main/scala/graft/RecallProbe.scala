@@ -72,6 +72,26 @@ object RecallProbe {
       emit("hnsw", s"M=8 efC=64 segs=4 ef=$ef",
         Recall.atK(HnswIndex.search(hnswG, embs, "vec_id", "embedding",
           qLocalH, "cosine", k, ef), gtCos))
+    // ---- graph-served radius (row 102): ball recall at fixed beams --
+    // r = the MEDIAN rank-k similarity, so roughly half the balls hold
+    // fewer than k rows (the count-fill regime) and half spill past k
+    // (the top-k-in-ball regime) — truth is the FLAT ball, so the rows
+    // measure what a fixed single-shot beam recovers of it (the
+    // adaptive client route escalates from here; exhaustive ef = 1.0
+    // by the byte-equality pin)
+    locally {
+      val scores = gtCos.where(col("rank") === k)
+        .select("score").collect().map(_.getDouble(0)).sorted
+      val r = scores(scores.length / 2)
+      val gtBall = KnnSearch.radiusTopK(embs, "vec_id", "embedding",
+        queries, "qid", "qvec", "cosine", r, k).cache()
+      gtBall.count()
+      for (ef <- Seq(10, 16, 32, 64))
+        emit("hnsw_radius", f"M=8 efC=64 segs=4 r=$r%.2f ef=$ef",
+          Recall.atK(HnswIndex.searchRadius(hnswG, embs, "vec_id",
+            "embedding", qLocalH, "cosine", r, k, ef), gtBall))
+      gtBall.unpersist()
+    }
     hnswG.unpersist()
 
     // ---- IVF (L2): nprobe sweep at nlist=16 ------------------------

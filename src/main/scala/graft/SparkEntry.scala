@@ -39,6 +39,20 @@ object SparkEntry {
     Tables.embeddings(spark, dir).where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
+  /** Documents with a PLANTED three-sentence passage (doc_id-keyed,
+    * oracle-mirrored): appended on ≡0 (mod 9), prepended on ≡1 — the
+    * (A,B,C) span then recurs corpus-wide at two alignments while
+    * every span touching the doc's own text stays unique. The span
+    * dedup entries' non-vacuity device. */
+  private def spanPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val plant = "Alpha gamma delta repeats. Beta span sentence here. Third planted sentence ends."
+    val p9 = pmod(col("doc_id"), lit(9))
+    Tables.documents(spark, dir).select(col("doc_id"),
+      when(p9 === 0, concat(col("text"), lit(". " + plant)))
+        .when(p9 === 1, concat(lit(plant + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ----------------------------------------------- relational / document
@@ -482,6 +496,30 @@ object SparkEntry {
       // rounding discipline, so ranking is engine-exact)
       TextAnalysis.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rnk")
+    }),
+
+    "q_span_repeats" -> ((s, dir) => {
+      // C4's cross-document three-sentence-span rule, REPORT stage —
+      // planted spans (the passage device: the synthetic corpus has no
+      // natural '.'-sentences, so ≡0 (mod 9) docs append and ≡1 docs
+      // prepend the SAME three planted sentences, mirrored in the
+      // oracle): the (A,B,C) span recurs across all planted docs at
+      // two different positions, every other span is unique
+      Dedup.repeatedSpans(spanPlanted(s, dir), "doc_id", "text")
+    }),
+
+    "q_span_dedup" -> ((s, dir) => {
+      // the APPLY stage: non-first occurrences of the duplicated span
+      // lose its three sentences; the globally first occurrence and
+      // every unplanted doc reconstruct unchanged (normalized '. '
+      // join — the lossy-punctuation convention of the line/block
+      // strippers)
+      Dedup.stripRepeatedSpans(spanPlanted(s, dir), "doc_id", "text")
+    }),
+
+    "q_lexical_spectrum" -> ((s, dir) => {
+      graft.ops.Curation.lexicalSpectrum(Tables.documents(s, dir),
+        "text", "source")
     }),
 
     "q_normalize_text" -> ((s, dir) => {
@@ -2774,6 +2812,75 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical plant, identical sentence convention ('.'-split, trim,
+    // drop empties), duplicated spans via window count, global first
+    // occurrence via row_number over (doc_id, pos)
+    "q_span_repeats" ->
+      """WITH planted AS (SELECT doc_id, CASE CAST(doc_id % 9 AS INT)
+        |  WHEN 0 THEN text || '. Alpha gamma delta repeats. Beta span sentence here. Third planted sentence ends.'
+        |  WHEN 1 THEN 'Alpha gamma delta repeats. Beta span sentence here. Third planted sentence ends. ' || text
+        |  ELSE text END AS text FROM documents),
+        |s AS (SELECT doc_id, list_filter(list_transform(string_split(text, '.'), x -> trim(x)), x -> x <> '') AS l
+        |      FROM planted),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(l[i:i+2], '. ') AS span
+        |       FROM s, UNNEST(range(1, len(l) - 1)) AS r(i) WHERE len(l) >= 3),
+        |w AS (SELECT doc_id, pos, span,
+        |        count(*) OVER (PARTITION BY span) AS n_occ,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |      FROM sp)
+        |SELECT doc_id, pos, span, n_occ, rn = 1 AS is_first
+        |FROM w WHERE n_occ >= 2 ORDER BY doc_id, pos""".stripMargin,
+
+    // the apply step: doom the sentences of every non-first duplicated
+    // span occurrence, rebuild per doc with string_agg ordered by
+    // sentence position
+    "q_span_dedup" ->
+      """WITH planted AS (SELECT doc_id, CASE CAST(doc_id % 9 AS INT)
+        |  WHEN 0 THEN text || '. Alpha gamma delta repeats. Beta span sentence here. Third planted sentence ends.'
+        |  WHEN 1 THEN 'Alpha gamma delta repeats. Beta span sentence here. Third planted sentence ends. ' || text
+        |  ELSE text END AS text FROM documents),
+        |s AS (SELECT doc_id, list_filter(list_transform(string_split(text, '.'), x -> trim(x)), x -> x <> '') AS l
+        |      FROM planted),
+        |sent AS (SELECT doc_id, CAST(i AS INT) AS sent_pos, l[i] AS sentence
+        |         FROM s, UNNEST(range(1, len(l) + 1)) AS r(i)),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(l[i:i+2], '. ') AS span
+        |       FROM s, UNNEST(range(1, len(l) - 1)) AS r(i) WHERE len(l) >= 3),
+        |w AS (SELECT doc_id, pos,
+        |        count(*) OVER (PARTITION BY span) AS n_occ,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |      FROM sp),
+        |doomed AS (SELECT DISTINCT d.doc_id, CAST(p AS INT) AS sent_pos
+        |           FROM (SELECT doc_id, pos FROM w WHERE n_occ >= 2 AND rn > 1) d,
+        |                UNNEST(range(d.pos, d.pos + 3)) AS u(p)),
+        |kept AS (SELECT sent.doc_id, sent.sent_pos, sent.sentence
+        |         FROM sent LEFT JOIN doomed USING (doc_id, sent_pos)
+        |         WHERE doomed.sent_pos IS NULL),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(sentence, '. ' ORDER BY sent_pos) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_sentences FROM sent GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(cnt.n_sentences, 0) AS n_sentences,
+        |  COALESCE(cnt.n_sentences, 0) - COALESCE(reb.n_kept, 0) AS n_dropped,
+        |  COALESCE(reb.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same whitespace-token convention; ratios are the identical
+    // unrounded IEEE divisions over exact integer inputs
+    "q_lexical_spectrum" ->
+      """WITH tc AS (SELECT domain, tk, count(*) AS c FROM (
+        |    SELECT source AS domain,
+        |           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+        |    FROM documents) GROUP BY domain, tk)
+        |SELECT domain,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+        |  CAST(max(c) AS BIGINT) AS top_type_tokens,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS type_token_ratio,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS hapax_ratio
+        |FROM tc GROUP BY domain ORDER BY domain""".stripMargin,
 
     // the identical planted dirt (chr() codepoints = the Scala \u
     // escapes) and the identical translate/strip/collapse rule chain

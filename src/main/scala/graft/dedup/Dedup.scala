@@ -537,6 +537,104 @@ object Dedup {
     (withCell, cents, pairSrc, pairKey, multiSrc.isDefined)
   }
 
+  /** (doc_id, pos, span) — every `n`-consecutive-sentence span of the
+    * corpus, 1-based start position. The sentence convention is
+    * engine-portable: '.'-delimited, trimmed, empties dropped (NULL
+    * text is total — zero sentences). Shared by [[repeatedSpans]] and
+    * [[stripRepeatedSpans]]. */
+  private def sentenceSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        filter(transform(split(coalesce(col(textCol), lit("")), "\\."),
+          x => trim(x)), x => x =!= "").as("__sents"))
+      .where(size(col("__sents")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("__sents")) - (n - 1)),
+        i => concat_ws(". ", slice(col("__sents"), i, lit(n))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("span"))
+
+  /** C4's CROSS-document span dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span of text
+    * occurring more than once in the data set") — the
+    * between-documents companion of [[dedupRepeatedBlocks]]
+    * (within one doc) and [[stripBoilerplate]] (per-domain line
+    * frequency). This is the REPORT: every occurrence of a span that
+    * occurs ≥2 times corpus-wide, with its occurrence count and
+    * whether it is the GLOBALLY FIRST occurrence (lexicographic
+    * (doc_id, pos) — min(struct) on both engines), the one
+    * [[stripRepeatedSpans]] lets keep its text.
+    *
+    * Scale shape: spans are ~one per sentence (NOT the stride-1
+    * window explosion — sentences don't overlap, only spans do, n
+    * rows per sentence), the frequency pass is a map-side-combinable
+    * groupBy(span), and the join back is posting-shaped on the span
+    * key. Nothing quadratic; text crosses the exchange once as the
+    * span key (use [[passageRepeatsShifted]]'s hash-prune device
+    * instead if spans must never shuffle as strings). */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    require(n >= 1, "span length must be positive")
+    val spans = sentenceSpans(docs, idCol, textCol, n)
+    val dups = spans.groupBy("span").agg(
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .where(col("n_occ") >= 2)
+    spans.join(dups, "span")
+      .select(col("doc_id"), col("pos"), col("span"), col("n_occ"),
+        (col("doc_id") === col("__first.doc_id") &&
+          col("pos") === col("__first.pos")).as("is_first"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** The APPLY step of [[repeatedSpans]]: reconstruct each document
+    * from the sentences NOT covered by a non-first occurrence of a
+    * duplicated span (the first occurrence keeps its text — C4's
+    * "all but one"; a first-occurrence sentence can still drop if a
+    * DIFFERENT duplicated span's non-first occurrence covers it — the
+    * deterministic resolution of overlapping doom).
+    *
+    * Returns (doc_id, n_sentences, n_dropped, text_clean) for EVERY
+    * document — text_clean is the normalized '. '-joined
+    * reconstruction (the sentence convention is lossy about original
+    * punctuation/whitespace by design, exactly like the line- and
+    * block-level strippers), docs with fewer than `n` sentences pass
+    * through with nothing dropped. */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    require(n >= 1, "span length must be positive")
+    val sents = docs.select(col(idCol).as("doc_id"),
+        filter(transform(split(coalesce(col(textCol), lit("")), "\\."),
+          x => trim(x)), x => x =!= "").as("__sents"))
+      .select(col("doc_id"), posexplode(col("__sents")))
+      .select(col("doc_id"), (col("pos") + 1).as("sent_pos"),
+        col("col").as("sentence"))
+    // doomed sentence positions: covered by any NON-first duplicated
+    // span occurrence (bounded: n rows per doomed span occurrence)
+    val doomed = repeatedSpans(docs, idCol, textCol, n)
+      .where(!col("is_first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("sent_pos"))
+      .distinct()
+    val kept = sents.join(doomed, Seq("doc_id", "sent_pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("__n_kept"),
+      concat_ws(". ", transform(array_sort(collect_list(
+        struct(col("sent_pos"), col("sentence")))), p => p("sentence")))
+        .as("text_clean"))
+    // base on the full doc set: a zero-sentence doc (NULL/empty text)
+    // must still report, with an empty reconstruction
+    val counts = sents.groupBy("doc_id").agg(count(lit(1)).as("__ns"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ns"), lit(0L)).as("n_sentences"),
+        (coalesce(col("__ns"), lit(0L)) - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   /** Refine oversized cells until no (cell, sub) group exceeds `cap`:
     * each round, every group still over the cap is split by a CENTERED
     * random hyperplane — project members onto a seeded direction and

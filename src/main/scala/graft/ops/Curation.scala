@@ -611,6 +611,47 @@ object Curation {
         col("total_tokens").cast("double") / col("n_docs"))
   }
 
+  /** Per-domain LEXICAL SPECTRUM — the corpus-health report the
+    * corpusStats counts can't see: how the token mass distributes over
+    * TYPES. A healthy natural-language domain has a Zipfian spectrum
+    * (hapax_ratio ≈ 0.4–0.6 of types); template/boilerplate-heavy
+    * domains collapse it (few types carry everything, hapax_ratio
+    * small), and encoding garbage explodes it (nearly every "type"
+    * unique, type_token_ratio → 1). Monitors tokenizer-vocabulary
+    * assumptions and flags domains whose crawl changed character.
+    *
+    * Returns per domain: n_tokens, n_types, hapax_types (frequency-1
+    * types), top_type_tokens (the most frequent type's count — a
+    * boilerplate-concentration signal), type_token_ratio and
+    * hapax_ratio (unrounded
+    * long/long IEEE divisions, the row-35 discipline). Tokens are the
+    * whitespace convention with empties dropped (the corpusStats
+    * rule); NULL text contributes nothing.
+    *
+    * Scale shape: one token explode collapses IMMEDIATELY to
+    * (domain, token) counts — map-side-combinable — then per-domain
+    * aggregates over the type table; text never shuffles, nothing
+    * wider than (domain, token) crosses an Exchange. */
+  def lexicalSpectrum(docs: DataFrame, textCol: String,
+                      domainCol: String): DataFrame = {
+    val typeCounts = docs
+      .select(col(domainCol).as("domain"),
+        explode(split(col(textCol), " ")).as("__tk"))
+      .where(col("__tk") =!= "")
+      .groupBy("domain", "__tk").agg(count(lit(1)).as("__c"))
+    typeCounts.groupBy("domain")
+      .agg(
+        sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_types"),
+        max(col("__c")).as("top_type_tokens"))
+      .select(col("domain"), col("n_tokens"), col("n_types"),
+        col("hapax_types"), col("top_type_tokens"),
+        (col("n_types").cast("double") / col("n_tokens")).as("type_token_ratio"),
+        (col("hapax_types").cast("double") / col("n_types")).as("hapax_ratio"))
+      .orderBy("domain")
+  }
+
   /** Vocabulary drift report between two corpora — the ingest-monitor
     * companion of [[corpusStats]] (is today's crawl batch distributed
     * like the accepted corpus? did a scraper change shift the token

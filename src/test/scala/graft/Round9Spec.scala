@@ -112,6 +112,71 @@ class Round9Spec extends SparkSpec {
     assert(repart == kept(5L))
   }
 
+  // ------------------------------------------------- cross-doc span dedup
+
+  test("repeatedSpans/stripRepeatedSpans: keep-first rule, overlap doom, short docs pass through") {
+    val docs = Seq(
+      (1L, "A. B. C. tail one"),        // first occurrence of (A,B,C)
+      (2L, "head two. A. B. C"),        // duplicate at a different offset
+      (3L, "A. B. C"),                  // duplicate, nothing else
+      (4L, "unique. sentences. here"),  // unique span — untouched
+      (5L, "too. short"),               // < 3 sentences — no spans
+      (6L, null.asInstanceOf[String]))  // total on NULL
+      .toDF("id", "text")
+    val rep = graft.dedup.Dedup.repeatedSpans(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    // (A,B,C) occurs in docs 1 (pos 1), 2 (pos 2), 3 (pos 1); doc 1 is
+    // the lexicographically first and the only is_first
+    assert(rep.toSet == Set((1L, 1, true), (2L, 2, false), (3L, 1, false)))
+    val out = graft.dedup.Dedup.stripRepeatedSpans(docs, "id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 0L, "A. B. C. tail one")), "first occurrence keeps its text")
+    assert(out(2L) == ((4L, 3L, "head two")))
+    assert(out(3L) == ((3L, 3L, "")), "a doc that WAS the span empties out")
+    assert(out(4L) == ((3L, 0L, "unique. sentences. here")))
+    assert(out(5L) == ((2L, 0L, "too. short")), "short docs reconstruct unchanged")
+    assert(out(6L) == ((0L, 0L, "")), "NULL text reports zero sentences")
+  }
+
+  test("stripRepeatedSpans: a first-occurrence sentence still drops under ANOTHER span's duplicate") {
+    // doc 20 holds the first occurrence of (X,Y,Z) but its Y,Z,W tail
+    // is a NON-first occurrence of (Y,Z,W) (first lives in doc 10) —
+    // the overlap resolution dooms Y,Z,W in doc 20 while X survives
+    val docs = Seq(
+      (10L, "Y. Z. W"),
+      (20L, "X. Y. Z. W"),
+      (30L, "X. Y. Z. pad"))            // makes (X,Y,Z) duplicated too
+      .toDF("id", "text")
+    val out = graft.dedup.Dedup.stripRepeatedSpans(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    // doc 20: (X,Y,Z) first occurrence is doc 20 pos 1 (doc 10 has no X)
+    // but (Y,Z,W) first is doc 10 pos 1, so doc 20's pos-2 occurrence
+    // dooms Y, Z, W — only X survives
+    assert(out(20L) == ((3L, "X")), s"got ${out(20L)}")
+    assert(out(10L) == ((0L, "Y. Z. W")), "doc 10 is (Y,Z,W)'s first occurrence")
+    // doc 30's (X,Y,Z) at pos 1 is a non-first duplicate -> drops
+    assert(out(30L) == ((3L, "pad")))
+  }
+
+  // ------------------------------------------------------ lexicalSpectrum
+
+  test("lexicalSpectrum: exact counts on a known fixture") {
+    val docs = Seq(
+      (1L, "a a b c", "x"),
+      (2L, "a d", "x"),
+      (3L, "q q q", "y"),
+      (4L, null.asInstanceOf[String], "y")).toDF("id", "text", "dom")
+    val out = graft.ops.Curation.lexicalSpectrum(docs, "text", "dom")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // x: tokens a,a,b,c,a,d -> 6 tokens, 4 types (a:3,b:1,c:1,d:1),
+    // 3 hapax, top type count 3
+    assert(out("x") == ((6L, 4L, 3L, 3L)))
+    // y: q,q,q -> 3 tokens, 1 type, 0 hapax, top 3 (NULL text adds nothing)
+    assert(out("y") == ((3L, 1L, 0L, 3L)))
+  }
+
   // ------------------------------------------------------ hardNegatives
 
   test("hardNegatives: never the anchor's own label, never self, null-safe labels") {

@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, UNDECORATED
+// (no `[info] ` prefix) — the driver parses the last stdout line of
+// `sbt "runMain graft.Bench"` as JSON, and sbt's log decoration
+// defeated that parse three rounds running (BENCH_r07–r09
+// `"parsed": null`). Bench also writes the same line to
+// BENCH_SUMMARY.json as a file-based fallback.
+run / outputStrategy := Some(StdoutOutput)
 // The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
 // as the bench summary JSON; sbt's `[success] Total time: …` epilogue
 // otherwise lands after it and breaks the parse (BENCH_r07/r08

@@ -129,7 +129,11 @@ object Bench {
       }
     }
     sb.append(tail2)
+    // file-based copy of the summary line (BENCH_SUMMARY.json): the
+    // driver's stdout parse has a second, decoration-proof way in
     println(sb.toString)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (sb.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 

@@ -541,23 +541,35 @@ object SparkEntry {
     "q_url_dedup" -> ((s, dir) => {
       // URL canonicalization + canonical-URL dedup over PLANTED urls
       // (doc_id-keyed, oracle-mirrored): case-variant scheme/host,
-      // shared page key (doc_id DIV 7), a trailing slash on ≡0 (mod
-      // 11), tracking params everywhere, a KEPT id param on ≡0 (mod 5),
-      // and a fragment — groups of up to 7 raw urls collapse onto one
-      // canonical page
+      // shared page key (doc_id DIV 7), a DEFAULT :443 port on ≡0 (mod
+      // 13) (strips — https default), case-variant percent escapes on
+      // ≡0/≡6 (mod 12) (%2F/%2f collapse), a trailing slash on ≡0 (mod
+      // 11), tracking params everywhere plus an exact-name near-miss
+      // `gclid_src` that must SURVIVE on ≡0 (mod 5), an EMBEDDED URL in
+      // a kept `next` param on ≡0 (mod 19) (first-'://' split — value
+      // case preserved), a fragment, and a SCHEMELESS override on ≡0
+      // (mod 23) that must pass through unchanged
       val d = col("doc_id")
       val urls = Tables.documents(s, dir).select(d,
-        concat(
+        when(pmod(d, lit(23)) === 0,
+          concat(lit("www.example.com/Case"), pmod(d, lit(2))))
+        .otherwise(concat(
           when(pmod(d, lit(2)) === 0, lit("HTTPS")).otherwise(lit("https")),
           lit("://"),
           when(pmod(d, lit(3)) === 0, lit("WWW.Example.COM"))
             .otherwise(lit("www.example.com")),
+          when(pmod(d, lit(13)) === 0, lit(":443")).otherwise(lit("")),
           lit("/Page/"), expr("doc_id DIV 7"),
+          when(pmod(d, lit(12)) === 0, lit("%2F"))
+            .when(pmod(d, lit(12)) === 6, lit("%2f")).otherwise(lit("")),
           when(pmod(d, lit(11)) === 0, lit("/")).otherwise(lit("")),
           when(pmod(d, lit(5)) === 0,
-            concat(lit("?id="), pmod(d, lit(2)), lit("&utm_campaign=c"), d))
+            concat(lit("?id="), pmod(d, lit(2)), lit("&utm_campaign=c"), d,
+              lit("&gclid_src=g")))
             .otherwise(concat(lit("?utm_source=s"), d)),
-          lit("#sec"), d).as("url"))
+          when(pmod(d, lit(19)) === 0,
+            lit("&next=https://Other.example.org/KeepCase")).otherwise(lit("")),
+          lit("#sec"), d)).as("url"))
       graft.ops.UrlOps.urlDedup(urls, "doc_id", "url")
     }),
 
@@ -785,6 +797,26 @@ object SparkEntry {
       graft.vector.HnswIndex.searchRadius(hnswGraphFor(s, dir), embs,
         "vec_id", "embedding", qLocal, "cosine", r = 0.3, k = 5,
         ef = Int.MaxValue)
+    }),
+
+    "q_hard_negatives_hnsw" -> ((s, dir) => {
+      // ANN arm of hard-negative mining at PRODUCTION ef (rows-only by
+      // design — the exhaustive twin below is the oracled row): graph
+      // candidates from the persisted index, label predicate applied
+      // at the exact rerank, per anchor-label group (within a group
+      // the predicate is one fixed filter — the hardNegativesHnsw
+      // device; the client adds the adaptive fill ladder on top,
+      // pinned in Round10Spec)
+      hardNegativesFromGraph(s, dir, ef = 48)
+    }),
+
+    "q_hard_negatives_hnsw_exhaustive" -> ((s, dir) => {
+      // the ORACLED twin: ef >= segment size visits every node, so the
+      // label-filtered rerank over the graph's candidates equals the
+      // exact O(N·Q) scan (KnnSearch.hardNegatives, q_hard_negatives'
+      // oracle) byte-for-byte while the traversal + per-label-group
+      // machinery executes end-to-end from the persisted artifact
+      hardNegativesFromGraph(s, dir, ef = Int.MaxValue)
     }),
 
     "q_lsh_ann" -> ((s, dir) => {
@@ -1525,6 +1557,28 @@ object SparkEntry {
       graft.vector.HnswIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
         m = 8, efConstruction = 64, numSegments = 4)
     }
+
+  /** Hard-negative mining served from the persisted HNSW graph: the 8
+    * standard anchors with their labels, grouped by anchor label (one
+    * fixed `label IS DISTINCT FROM` predicate per group, applied at
+    * the exact rerank — graph candidates join only differently-labeled
+    * rows), cosine rerank, top-10. ef = Int.MaxValue is the oracled
+    * exhaustive twin (≡ KnnSearch.hardNegatives). */
+  private def hardNegativesFromGraph(s: SparkSession, dir: String,
+                                     ef: Int): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val graph = hnswGraphFor(s, dir)
+    val anchors = embs.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.get(2)))
+    anchors.groupBy(_._3).toSeq.map { case (lab, qs) =>
+      val dataNeg = if (lab == null) embs.where(col("label").isNotNull)
+                    else embs.where(!(col("label") <=> lit(lab)))
+      graft.vector.HnswIndex.search(graph, dataNeg, "vec_id", "embedding",
+        qs.map(t => (t._1, t._2)), "cosine", k = 10, ef = ef)
+    }.reduce(_ unionByName _).orderBy("query_id", "rank")
+  }
 
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family
     * ingest artifact shared by q_dedup_ngram and the cluster pair
@@ -2900,36 +2954,57 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     // identical planted urls and the identical canonicalization chain:
-    // lowercase scheme+host, fragment drop, tracking-param drop with
-    // order preserved, trailing-slash strip on non-root paths
+    // first-'://' split, lowercase scheme+host, default-port strip,
+    // fragment drop, exact-key tracking-param drop with order
+    // preserved, trailing-slash strip on non-root paths, percent-hex
+    // lowercase, schemeless pass-through
     "q_url_dedup" ->
       """WITH urls AS (SELECT doc_id,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END) ||
-        |  '/Page/' || (doc_id // 7) ||
-        |  (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN '?id=' || (doc_id % 2) || '&utm_campaign=c' || doc_id
-        |        ELSE '?utm_source=s' || doc_id END) || '#sec' || doc_id AS url
+        |  CASE WHEN doc_id % 23 = 0 THEN 'www.example.com/Case' || (doc_id % 2)
+        |  ELSE
+        |   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END) ||
+        |   (CASE WHEN doc_id % 13 = 0 THEN ':443' ELSE '' END) ||
+        |   '/Page/' || (doc_id // 7) ||
+        |   (CASE WHEN doc_id % 12 = 0 THEN '%2F' WHEN doc_id % 12 = 6 THEN '%2f' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN '?id=' || (doc_id % 2) || '&utm_campaign=c' || doc_id || '&gclid_src=g'
+        |         ELSE '?utm_source=s' || doc_id END) ||
+        |   (CASE WHEN doc_id % 19 = 0 THEN '&next=https://Other.example.org/KeepCase' ELSE '' END) ||
+        |   '#sec' || doc_id END AS url
         | FROM documents),
-        |parts AS (SELECT doc_id,
-        |  lower(split_part(url, '://', 1)) AS scheme,
-        |  lower(split_part(split_part(split_part(split_part(url, '://', 2), '#', 1), '?', 1), '/', 1)) AS host,
-        |  substr(split_part(url, '://', 2),
-        |         length(split_part(split_part(split_part(split_part(url, '://', 2), '#', 1), '?', 1), '/', 1)) + 1) AS pathq
+        |parts AS (SELECT doc_id, url, instr(url, '://') AS sep,
+        |  lower(substr(url, 1, instr(url, '://') - 1)) AS scheme,
+        |  substr(url, instr(url, '://') + 3) AS rest
         | FROM urls),
-        |pieces AS (SELECT doc_id, scheme, host,
-        |  split_part(split_part(pathq, '#', 1), '?', 1) AS path0,
-        |  split_part(split_part(pathq, '#', 1), '?', 2) AS query
-        | FROM parts),
-        |canon AS (SELECT doc_id, scheme || '://' || host ||
+        |hostp AS (SELECT *, split_part(split_part(split_part(rest, '#', 1), '?', 1), '/', 1) AS host_raw FROM parts),
+        |hp AS (SELECT *, lower(host_raw) AS host_port,
+        |  substr(rest, length(host_raw) + 1) AS pathq,
+        |  CASE WHEN scheme = 'http' THEN ':80' WHEN scheme = 'https' THEN ':443' ELSE '' END AS def_port
+        | FROM hostp),
+        |hh AS (SELECT *, CASE WHEN length(def_port) > 0 AND ends_with(host_port, def_port)
+        |    THEN substr(host_port, 1, length(host_port) - length(def_port)) ELSE host_port END AS host,
+        |  split_part(pathq, '#', 1) AS nofrag FROM hp),
+        |pq AS (SELECT *, split_part(nofrag, '?', 1) AS path0,
+        |  CASE WHEN instr(nofrag, '?') > 0 THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS query
+        | FROM hh),
+        |kq AS (SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'),
+        |    p -> NOT (starts_with(split_part(p, '=', 1), 'utm_')
+        |           OR split_part(p, '=', 1) = 'fbclid'
+        |           OR split_part(p, '=', 1) = 'gclid')), '&'), '') AS kept
+        | FROM pq),
+        |canon0 AS (SELECT doc_id, url, sep, scheme || '://' || host ||
         |  (CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
         |        THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) ||
-        |  (CASE WHEN length(coalesce(array_to_string(list_filter(string_split(query, '&'),
-        |            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid'))), '&'), '')) > 0
-        |        THEN '?' || array_to_string(list_filter(string_split(query, '&'),
-        |            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid') OR starts_with(p, 'gclid'))), '&')
-        |        ELSE '' END) AS url_canon
-        | FROM pieces)
+        |  (CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END) AS c
+        | FROM kq),
+        |lowpct AS (SELECT doc_id, url, sep,
+        |  CASE WHEN len(ps) > 1 THEN ps[1] || '%' || array_to_string(
+        |    list_transform(ps[2:], x -> CASE WHEN regexp_matches(x, '^[0-9A-Fa-f]{2}')
+        |      THEN lower(substr(x, 1, 2)) || substr(x, 3) ELSE x END), '%')
+        |  ELSE c END AS cl
+        | FROM (SELECT *, string_split(c, '%') AS ps FROM canon0)),
+        |canon AS (SELECT doc_id, CASE WHEN sep = 0 THEN url ELSE cl END AS url_canon FROM lowpct)
         |SELECT min(doc_id) AS id, url_canon FROM canon GROUP BY url_canon ORDER BY id""".stripMargin,
 
     // same salted-md5 content-addressed order as detSplit, inclusive
@@ -2949,6 +3024,20 @@ object SparkEntry {
     // null-safe label inequality (IS DISTINCT FROM = Spark's negated
     // <=>), exact cosine top-k through the shared ranking shape
     "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlab
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q WHERE e.label IS DISTINCT FROM q.qlab),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk
+        |      FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the ANN arm's exhaustive twin: ef >= segment size visits every
+    // node, so the graph-served label-filtered rerank equals the exact
+    // scan — the SAME oracle as q_hard_negatives
+    "q_hard_negatives_hnsw_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec, label AS qlab
         |           FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS id,

@@ -49,6 +49,25 @@ final class GraftClient(val spark: SparkSession, root: String) {
     * these are 1:1 naming aliases. */
   def createAIDatabase(name: String): GraftDatabase = createDatabase(name)
   def dropAIDatabase(name: String): Unit = dropDatabase(name)
+
+  // --------------------------------------------------- user management
+  // The reference's instance-level user/permission family
+  // (stub.py:923–1060) — see [[graft.catalog.Users]] for semantics.
+  private val users = new graft.catalog.Users(root)
+  def createUser(user: String, password: String): Unit =
+    users.createUser(user, password)
+  def dropUser(user: String): Unit = users.dropUser(user)
+  def describeUser(user: String): graft.catalog.UserInfo =
+    users.describeUser(user)
+  def userList(): Seq[graft.catalog.UserInfo] = users.userList()
+  def changePassword(user: String, password: String): Unit =
+    users.changePassword(user, password)
+  def verifyPassword(user: String, password: String): Boolean =
+    users.verifyPassword(user, password)
+  def grantToUser(user: String, privileges: Seq[graft.catalog.UserPrivilege]): Unit =
+    users.grantToUser(user, privileges)
+  def revokeFromUser(user: String, privileges: Seq[graft.catalog.UserPrivilege]): Unit =
+    users.revokeFromUser(user, privileges)
 }
 
 final class GraftDatabase(client: GraftClient, catalog: Catalog, val name: String) {
@@ -702,14 +721,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // caller's fixed beam (filtered searches run the single-shot
     // searchHnswFiltered route so the filter semantics stay identical
     // to the adaptive default's), same error-not-silent-scan rule as
-    // hybridSearch. The ef route ranks in the index's STORED metric —
-    // the reference's search carries no metric param, the INDEX
-    // defines it, and `metric`'s "cosine" default must not silently
-    // re-rank an l2-built graph (the hybridDense rule); `metric`
-    // governs the FLAT paths (exact scan, plain radius) and the
-    // historical nprobe-only route; EVERY radius+index-param
-    // combination (radius+ef, radius+nprobe) ranks AND gates in the
-    // index's STORED metric — a radius threshold is only meaningful in
+    // hybridSearch. EVERY index-served route (ef, nprobe, radius+ef,
+    // radius+nprobe) ranks — and radius-gates — in the index's STORED
+    // metric: the reference's search carries no metric param, the
+    // INDEX defines it, and `metric`'s "cosine" default must not
+    // silently re-rank an l2-built graph (the hybridDense rule);
+    // `metric` governs only the FLAT paths (exact scan, plain radius) — a radius threshold is only meaningful in
     // the metric the index was built for, and a defaulted "cosine"
     // silently re-gating an l2 ball would be the exact bug the
     // hybridDense rule exists to prevent. Explicit metric overrides
@@ -749,9 +766,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         val base = pred.fold(raw)(raw.where)
         val assigned = base.select(KnnSearch.idNorm(base, idCol).as("id"),
           col(vecCol).as("__vec"), col(GraftCollection.CellCol).as("cell"))
+        // the nprobe arm ranks in the index's STORED metric, exactly
+        // like the radius+nprobe arm — adding `radius` to an
+        // otherwise-identical call must not silently change the
+        // ranking metric on an l2-built index (r9 advice: the two IVF
+        // arms can't be allowed to diverge; caller-metric behavior
+        // lives only on the FLAT paths, explicit overrides on
+        // searchIvfFiltered/searchIvfRadius)
         graft.vector.IvfIndex.searchAssigned(assigned,
           catalog.read(db, GraftCollection.ivfCentroids(coll)),
-          queries, qIdCol, qVecCol, metric, limit, np)
+          queries, qIdCol, qVecCol,
+          describe.getOrElse("index.ivf.metric", metric), limit, np)
       case (_, Some(r)) =>
         KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
           metric, r, limit, pred)
@@ -1240,7 +1265,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * introduced it caught exactly such a drift (the IVF radius arm had
     * inherited the HNSW boundary rule, which never escalates on cell
     * geometry). Single-shot callers (`adaptive = false`) pass
-    * cap = 0: the first rung is already exhausted at `start`. */
+    * cap = 0: the first rung is already exhausted at `start`.
+    *
+    * [[lastLadderRungs]] records each rung's (width, pending-query
+    * count) for the run — the probe-facing cost telemetry (total
+    * ladder work ≈ Σ width·pending vs the single-shot exhaustive
+    * cap·|batch|). */
   private def escalateRounds(qarr: Array[(Long, Array[Double])],
       start: Int, cap: Long, remap: Option[DataFrame])(
       round: (Array[(Long, Array[Double])], Int, Boolean) => (DataFrame, Set[Long]))
@@ -1248,8 +1278,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     var pending = qarr
     var cur = math.max(start, 1)
     var parts = Vector.empty[DataFrame]
+    lastLadderRungs.clear()
     while (pending.nonEmpty) {
       val exhausted = cur >= cap
+      lastLadderRungs += ((cur, pending.length))
       val (part, doneIds) = round(pending, cur, exhausted)
       if (exhausted) {
         parts :+= part
@@ -1263,6 +1295,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     remapQueryIds(
       parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
   }
+
+  /** Rung telemetry of the LAST [[escalateRounds]] ladder on this
+    * collection: (width, pending queries) per rung, in run order.
+    * Read by RecallProbe's radius-ladder cost rows; driver-side
+    * bookkeeping only (bounded: one tuple per rung). */
+  private[graft] val lastLadderRungs =
+    scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
 
   /** Radius search served from the LIVE HNSW graph with adaptive beam
     * escalation — closing the reference's one remaining call shape
@@ -1286,11 +1325,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * exactly FLAT radius — the byte-equality HnswSpec pins). The
     * adaptive ladder starts at max(ef, limit): the candidate width
     * clamps at `limit`, so rungs below it would re-run the identical
-    * traversal and settle nothing. The boundary test is per-BEAM
-    * (segment beams union before the check), the same granularity as
-    * a fixed-ef reference search; recall below the exhaustive bound
-    * is what RecallProbe measures. No corpus-sized driver job on any
-    * route — radius serving is the path that exists to avoid scans.
+    * traversal and settle nothing. The boundary test is per SEGMENT
+    * beam — a query stops escalating only when EVERY segment's
+    * frontier has passed the ball (each beam rescored an out-of-ball
+    * candidate) or its ball is filled; the union-level test let one
+    * segment's out-of-ball row stop escalation for all of them (r9
+    * advice). Recall below the exhaustive bound is what RecallProbe
+    * measures. No corpus-sized driver job on any route — radius
+    * serving is the path that exists to avoid scans.
     *
     * Ranks and gates in the index's STORED metric (the search(ef)
     * discipline — a radius threshold is only meaningful in the metric
@@ -1330,21 +1372,41 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           // traversal; the answer part is checkpointed at its BOUNDED
           // size (≤ limit·|done| rows) before the unpersist, so no
           // rung leaves corpus-scale blocks behind (review finding)
-          val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+          val scored = graft.vector.HnswIndex.scoredCandidatesSeg(graph, data,
               idCol, vecCol, pending, m, math.max(curEf, limit),
               prepared = true, nodeKey = nodeKeyOpt)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val stats = scored.groupBy("query_id")
-              .agg(sum(when(inBall, 1L).otherwise(0L)).as("hits"),
-                sum(lit(1L)).as("seen"))
-              .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+            // the boundary signal is per SEGMENT beam (r9 advice): "the
+            // frontier passed the ball" is only meaningful for ONE
+            // nearest-first traversal, and testing it on the union let
+            // a single out-of-ball candidate from any segment stop
+            // escalation for the whole query — with multi-segment
+            // graphs the ladder essentially never escalated when
+            // hits < limit. Done ⇔ ball filled (limit DISTINCT in-ball
+            // ids) OR every segment's beam has rescored an out-of-ball
+            // candidate (its frontier is past the boundary, so every
+            // in-ball row that segment can reach is already seen). A
+            // query with no surviving candidates at all (e.g. its whole
+            // beam was deleted from the snapshot) escalates.
+            val segStats = scored.groupBy("query_id", "seg")
+              .agg(sum(when(inBall, 1L).otherwise(0L)).as("h"),
+                sum(lit(1L)).as("s"))
+              .collect()
+              .groupBy(_.getLong(0))
+              .map { case (q, rs) =>
+                (q, rs.forall(r => r.getLong(2) < r.getLong(3))) }
+            val hits = scored.where(inBall).groupBy("query_id")
+              .agg(countDistinct(col("id")).as("h"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
             val doneIds = pending.map(_._1).filter { q =>
-              val (hits, seen) = stats.getOrElse(q, (0L, 0L))
-              hits >= limit || hits < seen
+              hits.getOrElse(q, 0L) >= limit || segStats.getOrElse(q, false)
             }.toSet
+            // an id surfaced by two segment beams appears once per
+            // segment in the seg-tagged frame — dedup before ranking
             (graft.vector.Ranked.topK(
-              scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*)),
+              scored.where(inBall && col("query_id").isin(doneIds.toSeq: _*))
+                .select(col("query_id"), col("__s"), col("id")).distinct(),
               limit, asc = !larger).localCheckpoint(true), doneIds)
           } finally scored.unpersist(blocking = false)
         }
@@ -1500,6 +1562,91 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           } finally scored.unpersist(blocking = false)
         }
     }
+  }
+
+  /** Hard-negative mining served from the LIVE HNSW graph — the ANN
+    * arm of [[graft.vector.KnnSearch.hardNegatives]] (the exact scan
+    * is O(N·Q) and stays the oracle; a 100 TB contrastive pipeline
+    * mines millions of anchors, so serving must ride the index). For
+    * each anchor: the top-`k` nearest stored vectors whose `labelCol`
+    * DIFFERS from the anchor's label (SQL IS DISTINCT FROM — NULL vs
+    * non-NULL differ, two NULLs match; an anchor can never mine
+    * itself).
+    *
+    * Contract — the [[searchHnswFiltered]] ladder with
+    * filter = "label differs from the anchor's": queries GROUP BY
+    * anchor label (within a group the predicate is one fixed filter),
+    * graph candidates join only differently-labeled data rows (the
+    * predicate applies at the exact rerank, so traversal cost is
+    * shared and semantics match the filtered-search contract), and any
+    * query whose post-filter result count falls short of
+    * min(k, |differently-labeled|) retries at 4× the beam up to the
+    * exhaustive bound — where the output is byte-equal to the exact
+    * [[graft.vector.KnnSearch.hardNegatives]] (pinned in Round10Spec).
+    * Ranks in the index's STORED metric (the search(ef) discipline).
+    * `adaptive = false` pins single-shot fixed-ef. */
+  def hardNegativesHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        qLabelCol: String, labelCol: String, k: Int = 10,
+                        ef: Int = 10, adaptive: Boolean = true): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    require(df.columns.contains(labelCol), s"unknown label column: $labelCol")
+    val m = meta("index.hnsw.metric")
+    // ONE collect carries ids, vectors AND labels — a second collect
+    // could see a different row order, and the string-PK remap indexes
+    // rows by collect order (the collectQueries device, label-extended)
+    val isStr = queries.schema(qIdCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val rows = queries.select(
+      (if (isStr) col(qIdCol) else col(qIdCol).cast("long")).as("__q"),
+      col(qVecCol).cast("array<double>"), col(qLabelCol)).collect()
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      "duplicate query ids in batch")
+    if (rows.isEmpty)
+      return graft.vector.KnnSearch.hardNegatives(df, idCol, vecCol, labelCol,
+        queries, qIdCol, qVecCol, qLabelCol, m, k)
+    def qidOf(i: Int): Long = if (isStr) i.toLong else rows(i).getLong(0)
+    val remap =
+      if (!isStr) None
+      else {
+        val spark0 = spark
+        import spark0.implicits._
+        Some(rows.toSeq.zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getString(0)) }
+          .toDF("__qidx", "__qid"))
+      }
+    val graph = preparedHnswGraph(meta)
+    val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
+    val groups = rows.indices.groupBy(i => rows(i).get(2))
+    val parts = groups.toSeq.map { case (lab, idxs) =>
+      val qarr = idxs.map(i => (qidOf(i), rows(i).getSeq[Double](1).toArray))
+        .toArray
+      val dataNeg =
+        if (lab == null) df.where(col(labelCol).isNotNull)
+        else df.where(!(col(labelCol) <=> lit(lab)))
+      // fill target counts only docs a beam can ever return (the
+      // searchHnswFiltered rule); lazy — single-shot never reads it
+      lazy val target = math.min(k.toLong,
+        dataNeg.where(col(vecCol).isNotNull).count())
+      escalateRounds(qarr, ef, if (adaptive) efCap else 0L, remap = None) {
+        (pending, curEf, exhausted) =>
+          val res = graft.vector.HnswIndex.search(graph, dataNeg, idCol,
+              vecCol, pending, m, k, curEf, prepared = true,
+              nodeKey = nodeKeyOpt)
+            .localCheckpoint(true)
+          if (exhausted) (res, Set.empty)
+          else {
+            val counts = res.groupBy("query_id").agg(sum(lit(1L)).as("c"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+            val fullIds = pending.map(_._1)
+              .filter(q => counts.getOrElse(q, 0L) >= target).toSet
+            (res.where(col("query_id").isin(fullIds.toSeq: _*)), fullIds)
+          }
+      }
+    }
+    remapQueryIds(parts.reduce(_ unionByName _).orderBy("query_id", "rank"),
+      remap)
   }
 
   /** Serving handle for the HNSW graph: the seg-whole arrangement

@@ -566,20 +566,36 @@ object Dedup {
     *
     * Scale shape: spans are ~one per sentence (NOT the stride-1
     * window explosion — sentences don't overlap, only spans do, n
-    * rows per sentence), the frequency pass is a map-side-combinable
-    * groupBy(span), and the join back is posting-shaped on the span
-    * key. Nothing quadratic; text crosses the exchange once as the
-    * span key (use [[passageRepeatsShifted]]'s hash-prune device
-    * instead if spans must never shuffle as strings). */
+    * rows per sentence), but span TEXT is ~3× corpus text and must
+    * never be the shuffle key ([[passageRepeatsShifted]]'s hash-prune
+    * device, ported here by the round-9 verdict):
+    *  1. frequency over xxhash64(span) — the exchange carries 8-byte
+    *     hashes, map-side-combinable; only hashes with ≥2 occurrences
+    *     survive (the corpus-frequency-bounded hot set);
+    *  2. spans semi-joined to the hot hashes (AQE broadcasts the
+    *     sliver) regroup by TRUE span text for the exact count and the
+    *     global first occurrence — a 64-bit collision can create a
+    *     phase-1 candidate but never a false report row (the exact
+    *     regroup re-checks n_occ ≥ 2), and a true duplicate always
+    *     clears the prune for its hash. Exact at any corpus size;
+    *     text shuffles only for the repeated sliver. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     require(n >= 1, "span length must be positive")
     val spans = sentenceSpans(docs, idCol, textCol, n)
-    val dups = spans.groupBy("span").agg(
+    val hot = spans
+      .select(xxhash64(col("span")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2)
+      .select("__h")
+    val sliver = spans.withColumn("__h", xxhash64(col("span")))
+      .join(hot, Seq("__h"), "left_semi")
+      .drop("__h")
+    val dups = sliver.groupBy("span").agg(
         count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("__first"))
       .where(col("n_occ") >= 2)
-    spans.join(dups, "span")
+    sliver.join(dups, "span")
       .select(col("doc_id"), col("pos"), col("span"), col("n_occ"),
         (col("doc_id") === col("__first.doc_id") &&
           col("pos") === col("__first.pos")).as("is_first"))

@@ -257,22 +257,49 @@ object Curation {
     * — (doc_id, domain, n_tokens, cum_tokens, keep) — so the report
     * doubles as an audit of what the budget cut.
     *
-    * Scale shape: one projection + one cumulative window PARTITIONED
-    * by domain. A single 100-TB domain makes that partition big; the
-    * two-phase form (per-shard partial sums + a broadcast offset join)
-    * drops in behind the same output contract if a domain outgrows a
-    * partition — the verdict depends only on the prefix SUM, which is
-    * associative. */
+    * Scale shape — TWO-PHASE prefix sum (the q_pack device): domains
+    * are FEW (dozens) and a window partitioned by domain alone would
+    * put a 100-TB domain's billions of doc rows into ONE window
+    * partition = one task's sort (the round-9 `weak` finding). The
+    * order key `__ord` is a uniform 32-bit hash, so its TOP BITS shard
+    * the sort order into `shards` contiguous ranges: phase 1 windows
+    * over (domain, shard) — each partition is ~1/shards of a domain —
+    * and phase 2 adds each shard's broadcast offset (the running total
+    * of strictly-preceding shards, a domains×shards sliver). The
+    * verdict depends only on the prefix SUM, which is associative, so
+    * the two-phase form is byte-equal to the single-window form
+    * (pinned in Round10Spec) and the oracle is unchanged. */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
                   domainCol: String, budget: Long,
-                  salt: String = "budget"): DataFrame = {
+                  salt: String = "budget", shards: Int = 64): DataFrame = {
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      "shards must be a power of two (top bits of the 32-bit order hash)")
+    import org.apache.spark.sql.expressions.Window
+    val shardBits = 31 - Integer.numberOfLeadingZeros(shards)
     val base = docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"),
       size(split(coalesce(col(textCol), lit("")), " ")).as("n_tokens"),
       saltedHash32(col(idCol), salt).as("__ord"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain").orderBy(col("__ord"), col("doc_id"))
-    base.select(col("doc_id"), col("domain"), col("n_tokens"),
-        sum(col("n_tokens").cast("long")).over(w).as("cum_tokens"))
+      // shard = top log2(shards) bits of __ord: monotone in __ord, so
+      // shard ranges are contiguous runs of the (__ord, doc_id) order
+      // and equal __ord values (ties) always share a shard
+      .withColumn("__shard", shiftright(col("__ord"), 32 - shardBits).cast("int"))
+    // phase 1: partial prefix sums inside each (domain, shard) run
+    val w = Window.partitionBy("domain", "__shard")
+      .orderBy(col("__ord"), col("doc_id"))
+    val partial = base.select(col("doc_id"), col("domain"), col("n_tokens"),
+      col("__shard"), sum(col("n_tokens").cast("long")).over(w).as("__part"))
+    // phase 2: each shard's offset = sum of preceding shards' totals —
+    // a domains×shards sliver (the only whole-domain window left runs
+    // over THAT, shards rows per domain, never doc rows)
+    val wOff = Window.partitionBy("domain").orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("domain", "__shard")
+      .agg(sum(col("n_tokens").cast("long")).as("__tot"))
+      .select(col("domain"), col("__shard"),
+        coalesce(sum("__tot").over(wOff), lit(0L)).as("__off"))
+    partial.join(broadcast(offsets), Seq("domain", "__shard"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        (col("__part") + col("__off")).as("cum_tokens"))
       .withColumn("keep", col("cum_tokens") <= budget)
       .orderBy("doc_id")
   }

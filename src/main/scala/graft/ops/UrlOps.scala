@@ -10,29 +10,62 @@ import org.apache.spark.sql.functions._
   *
   *  - scheme and host lowercase (path case is PRESERVED — it is
   *    significant on real servers),
+  *  - the scheme's DEFAULT PORT drops (`:80` for http, `:443` for
+  *    https — RFC 3986 §6.2.3; explicit non-default ports stay),
   *  - the `#fragment` drops (client-side only),
-  *  - tracking parameters drop (`utm_*`, `fbclid`, `gclid`),
-  *    surviving parameters keep their ORDER (reordering changes
-  *    semantics on some endpoints — conservative canonicalization),
-  *  - a trailing `/` on a non-root path drops.
+  *  - tracking parameters drop by EXACT key match — any `utm_*`-keyed
+  *    param, plus `fbclid` and `gclid` exactly (a legitimate param
+  *    whose name merely starts with one of those, e.g. `gclid_src`,
+  *    survives); surviving parameters keep their ORDER (reordering
+  *    changes semantics on some endpoints — conservative
+  *    canonicalization),
+  *  - a trailing `/` on a non-root path drops,
+  *  - percent-escape hex lowercases (`%2F` ≡ `%2f` — RFC 3986 §6.2.2.1
+  *    case normalization; this rewrite picks lowercase and applies it
+  *    everywhere so the two spellings collapse).
   *
-  * Every rule is an engine-portable split_part/lower/filter chain, so
-  * a DuckDB oracle evaluates the identical canonicalization. Pure
-  * projection at scan speed; the dedup is one groupBy(canonical) —
-  * exact-dedup's shuffle shape, on a key orders of magnitude shorter
+  * The split point is the FIRST `://` only — a URL embedding another
+  * URL in its query (redirect/outbound-link params, e.g.
+  * `https://a.com/r?u=https://b.com`) keeps everything after its own
+  * scheme; likewise the query starts at the FIRST `?`. Inputs without
+  * a scheme separator are returned UNCHANGED (no best-effort
+  * lowercasing: without a scheme the host/path boundary is ambiguous,
+  * and path case is significant).
+  *
+  * Every rule is an engine-portable instr/split_part/lower/filter
+  * chain, so a DuckDB oracle evaluates the identical canonicalization.
+  * Pure projection at scan speed; the dedup is one groupBy(canonical)
+  * — exact-dedup's shuffle shape, on a key orders of magnitude shorter
   * than the content hash it replaces.
   */
 object UrlOps {
 
+  /** Lowercase the two hex digits of every percent escape (`%4F` →
+    * `%4f`); a `%` not followed by two hex digits is literal and kept
+    * as-is. Split on '%' (tail empties preserved by both engines),
+    * first piece passes through, each later piece lowercases its
+    * leading hex pair. */
+  private[ops] def lowerPercent(s: Column): Column = {
+    val parts = split(s, "%")
+    val fixed = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      x => when(x.rlike("^[0-9A-Fa-f]{2}"),
+        concat(lower(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x))))
+        .otherwise(x))
+    when(size(parts) > 1,
+      concat(element_at(parts, 1), lit("%"), array_join(fixed, "%")))
+      .otherwise(s)
+  }
+
   /** The canonical form of `url` (see object doc for the rule set).
-    * URLs without a scheme or an empty input canonicalize to
-    * themselves lowercased-up-to-path as best effort: split_part
-    * returns '' on missing separators, and the reassembly guards keep
-    * the expression total. */
+    * NULL folds to ''; inputs with no `://` return unchanged. */
   def canonicalize(url: Column): Column = {
     val u = coalesce(url, lit(""))
-    val scheme = lower(split_part(u, lit("://"), lit(1)))
-    val rest = split_part(u, lit("://"), lit(2))
+    // FIRST '://' only (instr is first-occurrence): an embedded URL in
+    // the query must not truncate the split (split_part with part 2
+    // splits on EVERY occurrence — the round-9 advice finding)
+    val sep = instr(u, "://")
+    val scheme = lower(u.substr(lit(1), sep - 1))
+    val rest = u.substr(sep + 3, length(u))
     // the host ends at the EARLIEST of '/', '?', '#' — a URL like
     // 'https://ex.com#frag' or 'https://ex.com?utm_source=x' has no
     // path, and taking everything up to '/' would swallow the
@@ -40,7 +73,15 @@ object UrlOps {
     // (review finding)
     val hostRaw = split_part(split_part(split_part(rest, lit("#"), lit(1)),
       lit("?"), lit(1)), lit("/"), lit(1))
-    val host = lower(hostRaw)
+    val hostPort = lower(hostRaw)
+    // default-port strip, scheme-aware: ':80' is default only for
+    // http, ':443' only for https (an https://ex.com:80 stays — it IS
+    // a different endpoint)
+    val defPort = when(scheme === "http", lit(":80"))
+      .when(scheme === "https", lit(":443")).otherwise(lit(""))
+    val host = when(length(defPort) > 0 && hostPort.endsWith(defPort),
+        hostPort.substr(lit(1), length(hostPort) - length(defPort)))
+      .otherwise(hostPort)
     // path+query = rest minus the host prefix (same length, any case)
     val pathq = rest.substr(length(hostRaw) + 1, length(rest))
     val noFrag = split_part(pathq, lit("#"), lit(1))
@@ -49,14 +90,23 @@ object UrlOps {
     val pathFixed = when(
       length(path0) > 1 && path0.substr(length(path0), lit(1)) === "/",
       path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
-    val query = split_part(noFrag, lit("?"), lit(2))
-    val kept = filter(split(query, "&"), p =>
-      !(p.startsWith("utm_") || p.startsWith("fbclid") || p.startsWith("gclid")))
+    // query = everything after the FIRST '?' (split_part part 2 would
+    // truncate a query embedding its own '?')
+    val qpos = instr(noFrag, "?")
+    val query = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag)))
+      .otherwise(lit(""))
+    // tracking params drop by exact KEY: utm_* prefix, fbclid/gclid
+    // exact — a bare startsWith on the whole param would also drop a
+    // legitimate 'gclid_src=…' (round-9 verdict finding)
+    val kept = filter(split(query, "&"), p => {
+      val k = split_part(p, lit("="), lit(1))
+      !(k.startsWith("utm_") || k === "fbclid" || k === "gclid")
+    })
     val keptStr = array_join(kept, "&")
     val tail = when(length(keptStr) > 0, concat(lit("?"), keptStr))
       .otherwise(lit(""))
-    when(rest === "", lower(u))
-      .otherwise(concat(scheme, lit("://"), host, pathFixed, tail))
+    when(sep === 0, u)
+      .otherwise(lowerPercent(concat(scheme, lit("://"), host, pathFixed, tail)))
   }
 
   /** Canonical-URL dedup: one surviving doc per canonical URL — the

@@ -327,11 +327,14 @@ object HnswIndex {
     .sortWithinPartitions("seg", "id")
     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Per-segment graph traversal → candidate (query_id, id) pairs: up
-    * to `ef` per (segment, query). The exhaustive certificate lives
-    * here — ef ≥ segment size returns every node (see object doc).
-    * `prepared = true` promises the frame came from [[prepare]] (seg-
-    * whole partitions) and skips the arranging shuffle. */
+  /** Per-segment graph traversal → candidate (query_id, id, seg)
+    * rows: up to `ef` per (segment, query), tagged with the segment
+    * whose beam surfaced them (the per-SEGMENT granularity the radius
+    * ladder's boundary signal needs — r9 advice). The exhaustive
+    * certificate lives here — ef ≥ segment size returns every node
+    * (see object doc). `prepared = true` promises the frame came from
+    * [[prepare]] (seg-whole partitions) and skips the arranging
+    * shuffle. */
   private[graft] def candidates(graph: DataFrame,
       queries: Array[(Long, Array[Double])], ef: Int,
       prepared: Boolean = false): DataFrame = {
@@ -349,10 +352,10 @@ object HnswIndex {
         // a hash partition may hold several segments; rows arrive
         // seg-contiguous (sortWithinPartitions), so group by run
         val bySeg = it.toArray.groupBy(_._1).toSeq.sortBy(_._1)
-        bySeg.iterator.flatMap { case (_, rs) =>
-          searchSegment(rs, qs, ef)
+        bySeg.iterator.flatMap { case (sg, rs) =>
+          searchSegment(rs, qs, ef).map { case (q, id) => (q, id, sg) }
         }
-      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+      }(Encoders.product[(Long, Long, Int)]).toDF("query_id", "id", "seg")
   }
 
   private def prepareNoPersist(graph: DataFrame): DataFrame = graph
@@ -474,7 +477,8 @@ object HnswIndex {
     // — both surface the same id, and duplicate (query_id, id) pairs
     // would occupy two top-k ranks. Bounded input (segments·ef rows per
     // query), so the dedup never touches corpus-sized data.
-    val cand = candidates(graph, queries, candWidth, prepared).distinct()
+    val cand = candidates(graph, queries, candWidth, prepared)
+      .select("query_id", "id").distinct()
     val qdf = queries.toSeq.toDF("query_id", "__qv")
     // cand is NOT broadcast-hinted: at production ef it is tiny
     // (segments·ef ids per query — AQE broadcasts it), but on the
@@ -486,5 +490,40 @@ object HnswIndex {
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"),
         VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
+  }
+
+  /** [[scoredCandidates]] keeping the SEGMENT tag: (query_id, __s, id,
+    * seg) rows, one per (segment beam, candidate) — an id surfaced by
+    * two segment beams appears once per segment (same score). The
+    * radius ladder's done-rule needs this granularity: "the beam
+    * passed the ball boundary" is a statement about ONE segment's
+    * nearest-first frontier, and testing it on the union of beams lets
+    * a single out-of-ball candidate from any segment stop escalation
+    * for the whole query (r9 advice). Answers derived from this frame
+    * must dedup (query_id, id) before ranking. */
+  private[graft] def scoredCandidatesSeg(graph: DataFrame, data: DataFrame,
+      idCol: String, vecCol: String, queries: Array[(Long, Array[Double])],
+      metric: String, candWidth: Int, prepared: Boolean,
+      nodeKey: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val m = VectorMetric(metric)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cand = candidates(graph, queries, candWidth, prepared).distinct()
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    // candidateRows inlined with the seg column kept (it projects the
+    // candidate frame down to (query_id, id))
+    val rows = nodeKey match {
+      case None =>
+        data.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+          .join(cand, "id")
+      case Some(nk) =>
+        data.select(nk.as("__nk"), col(idCol).as("id"), col(vecCol).as("__v"))
+          .join(cand.withColumnRenamed("id", "__nk"), "__nk")
+          .drop("__nk")
+    }
+    rows.join(broadcast(qdf), "query_id")
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"),
+        col("id"), col("seg"))
   }
 }

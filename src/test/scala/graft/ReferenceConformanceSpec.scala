@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Reference conformance matrix: one test per reference test under
-  * /root/reference/tests/test_documents (every .py test there),
-  * shape-for-shape — the
+  * /root/reference/tests (every .py test in test_documents AND
+  * test_database — 14/14), shape-for-shape — the
   * same fixture (string PKs, dim-3 vectors, HNSW/cosine M=8 efC=80
   * with `tag: string` + `page: uint64` filter fields, conftest.py
   * temp_collection) and the same asserted behavior, so reference
@@ -187,5 +187,18 @@ class ReferenceConformanceSpec extends SparkSpec {
     val res = coll.searchByText(Seq("apple"), limit = 1).collect()
     assert(res.length == 1)
     assert(res(0).getAs[String]("id") == "t_apple")
+  }
+
+  // ------------------------- test_database/test_database_listing.py
+
+  test("test_list_databases_includes_configured_db: create_if_not_exists then list contains it") {
+    // tests/test_database/test_database_listing.py:1 — the 14th (and
+    // last) reference test, completing the matrix: creating the
+    // configured db idempotently, then listing, must include it
+    val root = java.nio.file.Files.createTempDirectory("graft-refconf-db").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createDatabaseIfNotExists("test_db")
+    client.createDatabaseIfNotExists("test_db") // idempotent, like the fixture re-run
+    assert(client.listDatabases().contains("test_db"))
   }
 }

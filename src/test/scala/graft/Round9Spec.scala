@@ -62,8 +62,9 @@ class Round9Spec extends SparkSpec {
       ("https://ex.com#frag", "https://ex.com"),
       ("https://EX.com?utm_source=X", "https://ex.com"),
       ("https://ex.com?id=7&utm_source=x", "https://ex.com?id=7"),
-      // schemeless input: best-effort lowercase
-      ("Just-Text", "just-text"))
+      // schemeless input: UNCHANGED (no scheme ⇒ the host/path boundary
+      // is ambiguous and path case is significant — r9 advice)
+      ("Just-Text", "Just-Text"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("id", "url")
       .select(col("id"), UrlOps.canonicalize(col("url")).as("c"))

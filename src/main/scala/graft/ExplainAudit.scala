@@ -26,7 +26,8 @@ object ExplainAudit {
         "q_winnow", "q_winnow_matches", "q_length_quantiles", "q_lang_lines",
         "q_hnsw_radius_exhaustive", "q_normalize_text", "q_url_dedup",
         "q_token_budget", "q_hard_negatives", "q_span_repeats",
-        "q_span_dedup", "q_lexical_spectrum")
+        "q_span_dedup", "q_lexical_spectrum",
+        "q_hard_negatives_hnsw", "q_hard_negatives_hnsw_exhaustive")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

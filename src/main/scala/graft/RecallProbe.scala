@@ -324,6 +324,144 @@ object RecallProbe {
           truthByT(t)))
     truthByT.values.foreach(_.unpersist())
 
+    // ---- radius-ladder COST telemetry (r9 verdict #5) ----------------
+    // Recall floors are measured above; this measures what the ADAPTIVE
+    // route PAYS: per-rung (width, pending) from escalateRounds for a
+    // realistic radius mix — tight (most balls nearly empty: the
+    // boundary-signal regime), boundary (half the balls under-filled),
+    // easy (most balls over-filled: first-rung fills) — on both the
+    // HNSW and IVF arms. work = Σ width·pending over rungs;
+    // final_work = Σ (each query's final width) = the one-shot cost had
+    // the right width been known; work_multiple = work/final_work (the
+    // 4/3 geometric bound is the theory ceiling); vs_exhaustive =
+    // work / (cap · |batch|), the single-shot exhaustive backstop.
+    def ladderLine(family: String, config: String,
+                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit = {
+      val work = rungs.map { case (w, p) => w.toLong * p }.sum
+      val finals = rungs.zipWithIndex.map { case ((w, p), i) =>
+        val nxt = if (i + 1 < rungs.length) rungs(i + 1)._2 else 0
+        w.toLong * (p - nxt)
+      }.sum
+      val exhaustive = cap * rungs.head._2
+      println(f"""{"family":"$family","config":"$config","rungs":${rungs.length},"rung_widths":"${rungs.map(r => r._1 + "x" + r._2).mkString(",")}","work":$work,"final_work":$finals,"work_multiple":${work.toDouble / math.max(finals, 1)}%.3f,"vs_exhaustive":${work.toDouble / exhaustive}%.4f,"recall":$recall%.4f}""")
+    }
+    def pctOf(a: Array[Double], p: Double): Double =
+      a(math.min((a.length * p).toInt, a.length - 1))
+
+    val probeRoot = java.nio.file.Files.createTempDirectory("graft-probe-ladder").toString
+    val probeDb = new graft.api.GraftClient(spark, probeRoot).createDatabase("p")
+    locally {
+      val collH = probeDb.createCollection("h")
+      collH.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label")))
+      collH.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "cosine")
+      // rank-1 is the query itself (queries are corpus members, cosine
+      // self-score 1.0) — the tight mix keys off rank-2, so most balls
+      // hold only the self row and stay under-filled
+      val r1 = gtCos.where(col("rank") === 2).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      val rk = gtCos.where(col("rank") === k).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      for ((name, r) <- Seq(("tight", pctOf(r1, 0.9)),
+          ("boundary", pctOf(rk, 0.5)), ("easy", pctOf(rk, 0.1)))) {
+        val gtBall = KnnSearch.radiusTopK(embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "cosine", r, k).cache()
+        gtBall.count()
+        val res = collH.searchHnswRadius(queries, "qid", "qvec", radius = r,
+          limit = k, ef = 10)
+        val rec = Recall.atK(res, gtBall)
+        ladderLine("hnsw_radius_ladder", f"$name r=$r%.3f ef0=10",
+          collH.lastLadderRungs.toSeq, corpusN, rec)
+        gtBall.unpersist()
+      }
+      // hard negatives from the live graph (r9 verdict #4): recall of
+      // the adaptive ANN arm vs the exact O(N·Q) scan
+      val qhn = embs.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlab"))
+      val gtHn = KnnSearch.hardNegatives(embs, "vec_id", "embedding", "label",
+        qhn, "qid", "qvec", "qlab", "cosine", k).cache()
+      gtHn.count()
+      for (ef <- Seq(10, 32, 64))
+        emit("hardneg_hnsw", s"M=8 efC=64 segs=4 ef=$ef adaptive",
+          Recall.atK(collH.hardNegativesHnsw(qhn, "qid", "qvec", "qlab",
+            "label", k = k, ef = ef), gtHn))
+      gtHn.unpersist()
+    }
+    locally {
+      val collI = probeDb.createCollection("i")
+      collI.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector")))
+      collI.rebuildIndex(nlist = 16, metric = "l2")
+      val d1 = gtL2.where(col("rank") === 1).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      val dk = gtL2.where(col("rank") === k).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      for ((name, r) <- Seq(("tight", pctOf(d1, 0.1)),
+          ("boundary", pctOf(dk, 0.5)), ("easy", pctOf(dk, 0.9)))) {
+        val gtBall = KnnSearch.radiusTopK(embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "l2", r, k).cache()
+        gtBall.count()
+        val res = collI.searchIvfRadius(queries, "qid", "qvec", radius = r,
+          limit = k, nprobe = 1)
+        val rec = Recall.atK(res, gtBall)
+        ladderLine("ivf_radius_ladder", f"$name r=$r%.3f nprobe0=1 nlist=16",
+          collI.lastLadderRungs.toSeq, 16L, rec)
+        gtBall.unpersist()
+      }
+    }
+
+    // ---- SemDeDup multi-assign on REALISTIC geometry (r9 verdict #8) -
+    // The grid above measures the clusterless worst case (testdata
+    // embeddings) and RecallSpec pins exact-clustered = 1.0; real
+    // embedding spaces sit between — tight clusters plus an isotropic
+    // noise fraction. Two mixtures (hash-seeded, deterministic):
+    // tight = 32 centers at 0.25σ spread + 25% noise; loose = 64
+    // centers at 0.5σ + 25% noise. Rows report where the margin
+    // default actually lands there, with the pair-work multiple.
+    locally {
+      val nS = math.max(corpusN, 2000L)
+      def g(key: String, salt: Int) =
+        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
+        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      def mixture(centers: Int, spread: Double) =
+        spark.range(nS).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(1, 64), j -> " +
+            s"CASE WHEN pmod(id, 4) < 3 THEN ${g(s"pmod(id, $centers)", 21)} + $spread * ${g("id", 3)} " +
+            s"ELSE ${g("id", 3)} END)").as("embedding"))
+      for ((geo, centers, spread, epses) <- Seq(
+          ("mix_tight", 32, 0.25, Seq(0.7, 0.8)),
+          ("mix_loose", 64, 0.5, Seq(0.5, 0.6)))) {
+        val embsM = mixture(centers, spread)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embsM.count()
+        for (eps <- epses) {
+          val truthM = graft.dedup.Dedup.semDedupPairs(embsM, "vec_id",
+              "embedding", eps, nclusters = 1)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nT = truthM.count()
+          if (nT > 0) {
+            val w0 = graft.dedup.Dedup.semDedupPairWork(embsM, "vec_id",
+              "embedding", nclusters = 8, maxCellSize = 4096)
+            for (margin <- Seq(0.0, 0.02, 0.05, 0.1)) {
+              val rec = Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(
+                embsM, "vec_id", "embedding", eps, nclusters = 8,
+                maxCellSize = 4096, assignMargin = margin), truthM)
+              val w = if (margin == 0.0) w0
+                else graft.dedup.Dedup.semDedupPairWork(embsM, "vec_id",
+                  "embedding", nclusters = 8, maxCellSize = 4096,
+                  assignMargin = margin)
+              println(f"""{"family":"semdedup_$geo","config":"nclusters=8 cap=4096 eps=$eps margin=$margin truth=$nT","recall":$rec%.4f,"work_ratio":${w.toDouble / w0}%.3f}""")
+            }
+          } else
+            println(s"""{"family":"semdedup_$geo","config":"eps=$eps","note":"no qualifying pairs at this eps"}""")
+          truthM.unpersist()
+        }
+        embsM.unpersist()
+      }
+    }
+
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir","results":$qs}""")

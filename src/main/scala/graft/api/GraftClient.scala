@@ -1358,6 +1358,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
     val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
     val start = if (adaptive) math.max(ef, limit) else ef
+    // an under-filled query always pays AT LEAST one escalation (r9
+    // advice): the boundary signal is a proxy — the beam navigates L2
+    // while the gate may be cosine/IP, so a first-rung beam almost
+    // always contains an out-of-ball candidate even when in-ball rows
+    // remain unvisited (measured: without this, boundary-mix recall
+    // stays at the fixed-beam floor ~0.79; with it the second rung at
+    // 4× the width recovers the r9 ef-grid's ~0.97 tier). From rung 2
+    // on the per-segment boundary rule decides.
+    var firstRung = true
     escalateRounds(qarr, start, if (adaptive) efCap else 0L, remap) {
       (pending, curEf, exhausted) =>
         if (exhausted)
@@ -1399,8 +1408,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             val hits = scored.where(inBall).groupBy("query_id")
               .agg(countDistinct(col("id")).as("h"))
               .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+            val boundaryMayStop = !firstRung
+            firstRung = false
             val doneIds = pending.map(_._1).filter { q =>
-              hits.getOrElse(q, 0L) >= limit || segStats.getOrElse(q, false)
+              hits.getOrElse(q, 0L) >= limit ||
+                (boundaryMayStop && segStats.getOrElse(q, false))
             }.toSet
             // an id surfaced by two segment beams appears once per
             // segment in the seg-tagged frame — dedup before ranking

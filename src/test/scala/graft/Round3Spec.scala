@@ -55,9 +55,11 @@ class Round3Spec extends SparkSpec {
     coll.rebuildIndex(nlist = 2) // second rebuild must not trip on a stored cell column
     assert(coll.describe("index.ivf.nlist") == "2")
     // nprobe search serves from the persisted centroids + cell layout;
-    // nprobe = nlist is exhaustive, so it equals the exact scan
+    // nprobe = nlist is exhaustive, so it equals the exact scan IN THE
+    // INDEX'S STORED METRIC (l2, the rebuildIndex default — the r10
+    // rule: index-served routes rank in index.ivf.metric, Round10Spec)
     val q = Seq((9L, vec(1.0, 0.0))).toDF("qid", "qvec")
-    val exact = coll.search(q, "qid", "qvec", limit = 3).collect().toSeq
+    val exact = coll.search(q, "qid", "qvec", metric = "l2", limit = 3).collect().toSeq
     val ivf = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(2)).collect().toSeq
     assert(ivf == exact)
     val pruned = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(1)).collect()

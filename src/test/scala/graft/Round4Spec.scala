@@ -469,7 +469,9 @@ class Round4Spec extends SparkSpec {
     assert(cellDirs > 0, "fresh write with live IVF must restore the __cell layout")
     val q = Seq((0L, rows(3)._2)).toDF("qid", "qvec")
     val ivf = coll.search(q, "qid", "qvec", limit = 3, nprobe = Some(2)).collect().toSeq
-    assert(ivf == coll.search(q, "qid", "qvec", limit = 3).collect().toSeq,
+    // the exact side ranks in the index's STORED metric (l2 — the r10
+    // stored-metric rule for every index-served route)
+    assert(ivf == coll.search(q, "qid", "qvec", metric = "l2", limit = 3).collect().toSeq,
       "nprobe = nlist must equal the exact scan on the re-filled collection")
   }
 }

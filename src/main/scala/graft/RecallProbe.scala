@@ -394,7 +394,9 @@ object RecallProbe {
       collI.upsert(embs.select(col("vec_id").as("id"),
         col("embedding").as("vector")))
       collI.rebuildIndex(nlist = 16, metric = "l2")
-      val d1 = gtL2.where(col("rank") === 1).select("score")
+      // rank-1 is the query itself (L2 self-distance exactly 0.0) —
+      // the tight mix keys off rank-2, same as the HNSW arm
+      val d1 = gtL2.where(col("rank") === 2).select("score")
         .collect().map(_.getDouble(0)).sorted
       val dk = gtL2.where(col("rank") === k).select("score")
         .collect().map(_.getDouble(0)).sorted
@@ -436,23 +438,23 @@ object RecallProbe {
         val embsM = mixture(centers, spread)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         embsM.count()
+        // pair work has no eps dependence — compute the margin grid's
+        // work once per geometry, not once per eps (review finding)
+        val margins = Seq(0.0, 0.02, 0.05, 0.1)
+        val workOf = margins.map(mg => mg ->
+          graft.dedup.Dedup.semDedupPairWork(embsM, "vec_id", "embedding",
+            nclusters = 8, maxCellSize = 4096, assignMargin = mg)).toMap
         for (eps <- epses) {
           val truthM = graft.dedup.Dedup.semDedupPairs(embsM, "vec_id",
               "embedding", eps, nclusters = 1)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nT = truthM.count()
           if (nT > 0) {
-            val w0 = graft.dedup.Dedup.semDedupPairWork(embsM, "vec_id",
-              "embedding", nclusters = 8, maxCellSize = 4096)
-            for (margin <- Seq(0.0, 0.02, 0.05, 0.1)) {
+            for (margin <- margins) {
               val rec = Recall.pairRecall(graft.dedup.Dedup.semDedupPairs(
                 embsM, "vec_id", "embedding", eps, nclusters = 8,
                 maxCellSize = 4096, assignMargin = margin), truthM)
-              val w = if (margin == 0.0) w0
-                else graft.dedup.Dedup.semDedupPairWork(embsM, "vec_id",
-                  "embedding", nclusters = 8, maxCellSize = 4096,
-                  assignMargin = margin)
-              println(f"""{"family":"semdedup_$geo","config":"nclusters=8 cap=4096 eps=$eps margin=$margin truth=$nT","recall":$rec%.4f,"work_ratio":${w.toDouble / w0}%.3f}""")
+              println(f"""{"family":"semdedup_$geo","config":"nclusters=8 cap=4096 eps=$eps margin=$margin truth=$nT","recall":$rec%.4f,"work_ratio":${workOf(margin).toDouble / workOf(0.0)}%.3f}""")
             }
           } else
             println(s"""{"family":"semdedup_$geo","config":"eps=$eps","note":"no qualifying pairs at this eps"}""")

@@ -3004,7 +3004,9 @@ object SparkEntry {
         |      THEN lower(substr(x, 1, 2)) || substr(x, 3) ELSE x END), '%')
         |  ELSE c END AS cl
         | FROM (SELECT *, string_split(c, '%') AS ps FROM canon0)),
-        |canon AS (SELECT doc_id, CASE WHEN sep = 0 THEN url ELSE cl END AS url_canon FROM lowpct)
+        |canon AS (SELECT doc_id,
+        |  CASE WHEN sep = 0 OR NOT regexp_matches(substr(url, 1, sep - 1), '^[A-Za-z][A-Za-z0-9+.-]*$')
+        |       THEN url ELSE cl END AS url_canon FROM lowpct)
         |SELECT min(doc_id) AS id, url_canon FROM canon GROUP BY url_canon ORDER BY id""".stripMargin,
 
     // same salted-md5 content-addressed order as detSplit, inclusive

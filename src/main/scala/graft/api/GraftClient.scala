@@ -776,7 +776,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         graft.vector.IvfIndex.searchAssigned(assigned,
           catalog.read(db, GraftCollection.ivfCentroids(coll)),
           queries, qIdCol, qVecCol,
-          describe.getOrElse("index.ivf.metric", metric), limit, np)
+          // fallback "l2" = rebuildIndex's default, matching
+          // ivfServing's fallback — a meta-less legacy artifact must
+          // not rank differently on the two nprobe arms
+          describe.getOrElse("index.ivf.metric", "l2"), limit, np)
       case (_, Some(r)) =>
         KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
           metric, r, limit, pred)
@@ -1234,7 +1237,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // fill-count branch reads it
     lazy val target = math.min(limit.toLong, nFiltered)
     val efCap = math.min(math.max(nTotal, 1L), Int.MaxValue.toLong)
-    escalateRounds(qarr, ef, if (adaptive) efCap else 0L, remap) {
+    // adaptive start clamps at limit (the searchHnswRadius rule): the
+    // candidate width is max(ef, limit), so rungs below limit would
+    // re-run the identical traversal and settle nothing
+    escalateRounds(qarr, if (adaptive) math.max(ef, limit) else ef,
+        if (adaptive) efCap else 0L, remap) {
       (pending, curEf, exhausted) =>
         // bounded result (limit·|pending| rows): eager-checkpoint so
         // the count and the keep-filter don't re-traverse the graph
@@ -1278,10 +1285,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     var pending = qarr
     var cur = math.max(start, 1)
     var parts = Vector.empty[DataFrame]
-    lastLadderRungs.clear()
+    var rungs = Vector.empty[(Int, Int)]
     while (pending.nonEmpty) {
       val exhausted = cur >= cap
-      lastLadderRungs += ((cur, pending.length))
+      rungs :+= ((cur, pending.length))
       val (part, doneIds) = round(pending, cur, exhausted)
       if (exhausted) {
         parts :+= part
@@ -1292,6 +1299,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         cur = math.min(cur.toLong * 4, cap).toInt
       }
     }
+    lastLadderRungs = rungs
     remapQueryIds(
       parts.reduce(_ unionByName _).orderBy("query_id", "rank"), remap)
   }
@@ -1299,9 +1307,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** Rung telemetry of the LAST [[escalateRounds]] ladder on this
     * collection: (width, pending queries) per rung, in run order.
     * Read by RecallProbe's radius-ladder cost rows; driver-side
-    * bookkeeping only (bounded: one tuple per rung). */
-  private[graft] val lastLadderRungs =
-    scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    * bookkeeping only (bounded: one tuple per rung). Each ladder
+    * accumulates LOCALLY and publishes one immutable Seq at the end
+    * (a volatile write — concurrent searches can interleave, last
+    * writer wins, but no partially-built state is ever visible; the
+    * search methods themselves stay stateless). Multi-ladder calls
+    * (hardNegativesHnsw runs one ladder per anchor-label group)
+    * publish their final group's rungs. */
+  @volatile private[graft] var lastLadderRungs: Seq[(Int, Int)] = Nil
 
   /** Radius search served from the LIVE HNSW graph with adaptive beam
     * escalation — closing the reference's one remaining call shape
@@ -1356,6 +1369,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         m, radius, limit, pred)
     val graph = preparedHnswGraph(meta)
     val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
+    // total segment count for the boundary vote: a segment must vote
+    // PRESENT — a (query, segment) with zero surviving candidates (its
+    // whole beam was filtered/deleted out of the snapshot) is absent
+    // from the stats and must count as NOT past the boundary, else a
+    // filtered radius search could stop escalating while an invisible
+    // segment still holds unreached in-ball rows (review finding)
+    val nSegs = graph.select("seg").distinct().count()
     val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
     val start = if (adaptive) math.max(ef, limit) else ef
     // an under-filled query always pays AT LEAST one escalation (r9
@@ -1404,7 +1424,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
               .collect()
               .groupBy(_.getLong(0))
               .map { case (q, rs) =>
-                (q, rs.forall(r => r.getLong(2) < r.getLong(3))) }
+                // every one of the graph's segments must be PRESENT and
+                // past the boundary — an absent segment hasn't voted
+                (q, rs.length == nSegs &&
+                  rs.forall(r => r.getLong(2) < r.getLong(3))) }
             val hits = scored.where(inBall).groupBy("query_id")
               .agg(countDistinct(col("id")).as("h"))
               .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -1641,7 +1664,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // searchHnswFiltered rule); lazy — single-shot never reads it
       lazy val target = math.min(k.toLong,
         dataNeg.where(col(vecCol).isNotNull).count())
-      escalateRounds(qarr, ef, if (adaptive) efCap else 0L, remap = None) {
+      // adaptive start clamps at k (the searchHnswRadius rule): the
+      // candidate width is max(ef, k), so rungs below k would re-run
+      // the identical traversal and settle nothing
+      escalateRounds(qarr, if (adaptive) math.max(ef, k) else ef,
+          if (adaptive) efCap else 0L, remap = None) {
         (pending, curEf, exhausted) =>
           val res = graft.vector.HnswIndex.search(graph, dataNeg, idCol,
               vecCol, pending, m, k, curEf, prepared = true,

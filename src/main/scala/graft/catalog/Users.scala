@@ -58,22 +58,38 @@ final class Users(root: String) {
     Json.parse(Files.readString(userFile(user)))
   }
 
+  /** Updates stage to a unique temp file and ATOMIC_MOVE into place —
+    * a crash mid-write can never leave a truncated JSON that breaks
+    * every later load (review finding). */
   private def store(user: String, entries: Map[String, String]): Unit = {
     Files.createDirectories(usersDir)
-    Files.writeString(userFile(user), Json.render(entries))
+    val tmp = usersDir.resolve(
+      validUser(user) + "." + java.util.UUID.randomUUID + ".tmp")
+    Files.writeString(tmp, Json.render(entries))
+    Files.move(tmp, userFile(user),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def userExists(user: String): Boolean = Files.exists(userFile(user))
 
   /** create_user (stub.py:923). Creating an existing user is an
-    * error — silently resetting a password would be a grant bypass. */
+    * error — silently resetting a password would be a grant bypass.
+    * Enforced by the FILESYSTEM (CREATE_NEW), not just the pre-check:
+    * two concurrent creates cannot both succeed (review finding — a
+    * check-then-write race would let the loser silently replace the
+    * winner's password). */
   def createUser(user: String, password: String): Unit = {
     require(!userExists(user), s"user $user already exists")
     val now = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss")
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    store(user, Map("password" -> digest(user, password), "create_time" -> now))
+    Files.createDirectories(usersDir)
+    Files.writeString(userFile(user),
+      Json.render(Map("password" -> digest(user, password),
+        "create_time" -> now)),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
   /** drop_user (stub.py:941) — idempotent, like dropDatabase. */
@@ -116,8 +132,13 @@ final class Users(root: String) {
 
   /** grant_to_user (stub.py:1017): per-resource action-set UNION —
     * existing actions keep their order, new ones append, duplicates
-    * drop. */
+    * drop. Actions must be non-empty and comma-free (they persist
+    * comma-joined; an embedded ',' would silently split into two
+    * actions on read and defeat a later revoke — review finding). */
   def grantToUser(user: String, privileges: Seq[UserPrivilege]): Unit = {
+    privileges.foreach(p => p.actions.foreach(a =>
+      require(a.nonEmpty && !a.contains(","),
+        s"invalid action '$a' (must be non-empty and comma-free)")))
     val m = load(user)
     val merged = privileges.foldLeft(m) { (acc, p) =>
       val key = PrivPrefix + p.resource

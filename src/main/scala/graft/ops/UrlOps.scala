@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   *    case normalization; this rewrite picks lowercase and applies it
   *    everywhere so the two spellings collapse).
   *
-  * The split point is the FIRST `://` only — a URL embedding another
-  * URL in its query (redirect/outbound-link params, e.g.
-  * `https://a.com/r?u=https://b.com`) keeps everything after its own
-  * scheme; likewise the query starts at the FIRST `?`. Inputs without
-  * a scheme separator are returned UNCHANGED (no best-effort
-  * lowercasing: without a scheme the host/path boundary is ambiguous,
-  * and path case is significant).
+  * The split point is the FIRST `://` only, and only when the text
+  * before it is a valid RFC 3986 scheme (ALPHA then ALPHA/DIGIT/+-.)
+  * — a URL embedding another URL in its query (redirect/outbound-link
+  * params, e.g. `https://a.com/r?u=https://b.com`) keeps everything
+  * after its own scheme, and a SCHEMELESS url embedding one
+  * (`Example.com/r?u=https://b.com`) is not mis-split at the embedded
+  * separator; likewise the query starts at the FIRST `?`. Inputs
+  * without a (valid) scheme separator are returned UNCHANGED (no
+  * best-effort lowercasing: without a scheme the host/path boundary
+  * is ambiguous, and path case is significant).
   *
   * Every rule is an engine-portable instr/split_part/lower/filter
   * chain, so a DuckDB oracle evaluates the identical canonicalization.
@@ -57,14 +60,22 @@ object UrlOps {
   }
 
   /** The canonical form of `url` (see object doc for the rule set).
-    * NULL folds to ''; inputs with no `://` return unchanged. */
+    * NULL folds to ''; inputs with no `://` — or whose text before the
+    * first `://` is not a valid RFC 3986 scheme — return unchanged. */
   def canonicalize(url: Column): Column = {
     val u = coalesce(url, lit(""))
     // FIRST '://' only (instr is first-occurrence): an embedded URL in
     // the query must not truncate the split (split_part with part 2
     // splits on EVERY occurrence — the round-9 advice finding)
     val sep = instr(u, "://")
-    val scheme = lower(u.substr(lit(1), sep - 1))
+    val schemeRaw = u.substr(lit(1), sep - 1)
+    // the split is only real if the prefix IS a scheme (RFC 3986 §3.1:
+    // ALPHA *( ALPHA / DIGIT / + - . )) — a SCHEMELESS url embedding a
+    // URL in its query ('Example.com/r?u=https://b.com') would
+    // otherwise be parsed as scheme 'example.com/r?u=https' and
+    // mangled instead of passing through unchanged (review finding)
+    val schemed = sep > 0 && schemeRaw.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*$")
+    val scheme = lower(schemeRaw)
     val rest = u.substr(sep + 3, length(u))
     // the host ends at the EARLIEST of '/', '?', '#' — a URL like
     // 'https://ex.com#frag' or 'https://ex.com?utm_source=x' has no
@@ -105,7 +116,7 @@ object UrlOps {
     val keptStr = array_join(kept, "&")
     val tail = when(length(keptStr) > 0, concat(lit("?"), keptStr))
       .otherwise(lit(""))
-    when(sep === 0, u)
+    when(!schemed, u)
       .otherwise(lowerPercent(concat(scheme, lit("://"), host, pathFixed, tail)))
   }
 

@@ -37,7 +37,13 @@ class Round10Spec extends SparkSpec {
       ("https://ex.com/a?gclid_src=1&gclid=2&utm_x=3&fbclid2=4",
         "https://ex.com/a?gclid_src=1&fbclid2=4"),
       // schemeless input passes through UNCHANGED (path case matters)
-      ("www.Ex.com/Path", "www.Ex.com/Path"))
+      ("www.Ex.com/Path", "www.Ex.com/Path"),
+      // a SCHEMELESS url embedding a URL in its query must not be
+      // mis-split at the embedded '://' (the prefix before the first
+      // '://' is not a valid RFC 3986 scheme — review finding)
+      ("Example.com/r?u=https://B.com/x", "Example.com/r?u=https://B.com/x"),
+      // '://' with an empty/invalid scheme prefix: unchanged
+      ("://nohost/Path", "://nohost/Path"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("id", "url")
       .select(col("id"), UrlOps.canonicalize(col("url")).as("c"))
@@ -238,5 +244,14 @@ class Round10Spec extends SparkSpec {
     assert(client.listDatabases().isEmpty)
     // path-escaping names are rejected
     intercept[IllegalArgumentException] { client.createUser("../evil", "x") }
+    // actions persist comma-joined, so commas in an action are rejected
+    // at grant time (an embedded ',' would silently split on read and
+    // defeat a later revoke — review finding)
+    intercept[IllegalArgumentException] {
+      client.grantToUser("alice", Seq(UserPrivilege("db2.*", Seq("read,write"))))
+    }
+    intercept[IllegalArgumentException] {
+      client.grantToUser("alice", Seq(UserPrivilege("db2.*", Seq(""))))
+    }
   }
 }

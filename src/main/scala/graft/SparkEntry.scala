@@ -1558,26 +1558,36 @@ object SparkEntry {
         m = 8, efConstruction = 64, numSegments = 4)
     }
 
-  /** Hard-negative mining served from the persisted HNSW graph: the 8
-    * standard anchors with their labels, grouped by anchor label (one
-    * fixed `label IS DISTINCT FROM` predicate per group, applied at
-    * the exact rerank — graph candidates join only differently-labeled
-    * rows), cosine rerank, top-10. ef = Int.MaxValue is the oracled
-    * exhaustive twin (≡ KnnSearch.hardNegatives). */
+  /** Hard-negative mining served from the persisted HNSW graph: ONE
+    * label-blind traversal for the 8 standard anchors (candidates
+    * don't depend on the anchor's label — per-label traversals would
+    * degenerate to per-query cost on a many-label batch), the label
+    * predicate applied at the exact rerank (candidate ids join the
+    * corpus label projection, anchors broadcast theirs, null-safe
+    * IS DISTINCT FROM), cosine rerank, top-10 — the
+    * GraftCollection.hardNegativesHnsw rung shape. candWidth =
+    * Int.MaxValue is the oracled exhaustive twin
+    * (≡ KnnSearch.hardNegatives). */
   private def hardNegativesFromGraph(s: SparkSession, dir: String,
                                      ef: Int): DataFrame = {
     val embs = Tables.embeddings(s, dir)
     val graph = hnswGraphFor(s, dir)
     val anchors = embs.where(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding").cast("array<double>"),
-        col("label"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.get(2)))
-    anchors.groupBy(_._3).toSeq.map { case (lab, qs) =>
-      val dataNeg = if (lab == null) embs.where(col("label").isNotNull)
-                    else embs.where(!(col("label") <=> lit(lab)))
-      graft.vector.HnswIndex.search(graph, dataNeg, "vec_id", "embedding",
-        qs.map(t => (t._1, t._2)), "cosine", k = 10, ef = ef)
-    }.reduce(_ unionByName _).orderBy("query_id", "rank")
+    val qLocal = anchors
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qlabs = anchors.select(col("vec_id").as("query_id"),
+      col("label").as("__qlab"))
+    val labs = embs.select(col("vec_id").cast("long").as("id"),
+      col("label").as("__lab"))
+    val scored = graft.vector.HnswIndex.scoredCandidates(graph, embs,
+      "vec_id", "embedding", qLocal, "cosine", math.max(ef, 10),
+      prepared = false, nodeKey = None)
+    graft.vector.Ranked.topK(
+      scored.join(labs, "id").join(broadcast(qlabs), "query_id")
+        .where(!(col("__lab") <=> col("__qlab")))
+        .select(col("query_id"), col("__s"), col("id")),
+      10, asc = false)
   }
 
   /** Persisted (doc_id, g) word-3gram postings — the dedup-family

@@ -1609,17 +1609,25 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * itself).
     *
     * Contract — the [[searchHnswFiltered]] ladder with
-    * filter = "label differs from the anchor's": queries GROUP BY
-    * anchor label (within a group the predicate is one fixed filter),
-    * graph candidates join only differently-labeled data rows (the
-    * predicate applies at the exact rerank, so traversal cost is
-    * shared and semantics match the filtered-search contract), and any
-    * query whose post-filter result count falls short of
+    * filter = "label differs from the anchor's": ONE label-blind graph
+    * traversal per rung for the WHOLE batch (candidates don't depend
+    * on the anchor's label, so traversal cost is shared across
+    * anchors no matter how many distinct labels the batch carries — a
+    * per-label-group design would degenerate to per-query traversals
+    * on the realistic many-label contrastive batch), the label
+    * predicate applied at the exact rerank (candidate ids join the
+    * corpus label projection, anchors broadcast theirs, null-safe
+    * IS-DISTINCT-FROM keeps only true negatives), and any query whose
+    * post-filter result count falls short of
     * min(k, |differently-labeled|) retries at 4× the beam up to the
     * exhaustive bound — where the output is byte-equal to the exact
     * [[graft.vector.KnnSearch.hardNegatives]] (pinned in Round10Spec).
     * Ranks in the index's STORED metric (the search(ef) discipline).
-    * `adaptive = false` pins single-shot fixed-ef. */
+    * `adaptive = false` pins single-shot fixed-ef. If the anchor and
+    * corpus label columns have DIFFERENT types, the null-safe equality
+    * compares casted values per Spark's coercion while the driver-side
+    * fill target may over-count — harmless (a too-high target only
+    * climbs extra rungs toward the exact backstop). */
   def hardNegativesHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
                         qLabelCol: String, labelCol: String, k: Int = 10,
                         ef: Int = 10, adaptive: Boolean = true): DataFrame = {
@@ -1628,6 +1636,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "no HNSW index: run rebuildHnswIndex first")
     require(df.columns.contains(labelCol), s"unknown label column: $labelCol")
     val m = meta("index.hnsw.metric")
+    val larger = graft.vector.VectorMetric(m).largerIsBetter
     // ONE collect carries ids, vectors AND labels — a second collect
     // could see a different row order, and the string-PK remap indexes
     // rows by collect order (the collectQueries device, label-extended)
@@ -1642,6 +1651,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       return graft.vector.KnnSearch.hardNegatives(df, idCol, vecCol, labelCol,
         queries, qIdCol, qVecCol, qLabelCol, m, k)
     def qidOf(i: Int): Long = if (isStr) i.toLong else rows(i).getLong(0)
+    val qarr = rows.indices
+      .map(i => (qidOf(i), rows(i).getSeq[Double](1).toArray)).toArray
     val remap =
       if (!isStr) None
       else {
@@ -1651,41 +1662,56 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           .map { case (r, i) => (i.toLong, r.getString(0)) }
           .toDF("__qidx", "__qid"))
       }
+    // anchor labels keyed by the TRAVERSAL query id, built from the
+    // original frame (no Any-typed literals): numeric ids key
+    // directly, string ids join through the remap
+    val qlabs = remap match {
+      case None => queries.select(col(qIdCol).cast("long").as("query_id"),
+        col(qLabelCol).as("__qlab"))
+      case Some(mp) => queries
+        .join(mp, queries(qIdCol) === mp("__qid"))
+        .select(col("__qidx").as("query_id"), col(qLabelCol).as("__qlab"))
+    }
+    val labs = df.select(KnnSearch.idNorm(df, idCol).as("id"),
+      col(labelCol).as("__lab"))
     val graph = preparedHnswGraph(meta)
     val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
-    val groups = rows.indices.groupBy(i => rows(i).get(2))
-    val parts = groups.toSeq.map { case (lab, idxs) =>
-      val qarr = idxs.map(i => (qidOf(i), rows(i).getSeq[Double](1).toArray))
-        .toArray
-      val dataNeg =
-        if (lab == null) df.where(col(labelCol).isNotNull)
-        else df.where(!(col(labelCol) <=> lit(lab)))
-      // fill target counts only docs a beam can ever return (the
-      // searchHnswFiltered rule); lazy — single-shot never reads it
-      lazy val target = math.min(k.toLong,
-        dataNeg.where(col(vecCol).isNotNull).count())
-      // adaptive start clamps at k (the searchHnswRadius rule): the
-      // candidate width is max(ef, k), so rungs below k would re-run
-      // the identical traversal and settle nothing
-      escalateRounds(qarr, if (adaptive) math.max(ef, k) else ef,
-          if (adaptive) efCap else 0L, remap = None) {
-        (pending, curEf, exhausted) =>
-          val res = graft.vector.HnswIndex.search(graph, dataNeg, idCol,
-              vecCol, pending, m, k, curEf, prepared = true,
-              nodeKey = nodeKeyOpt)
-            .localCheckpoint(true)
-          if (exhausted) (res, Set.empty)
-          else {
-            val counts = res.groupBy("query_id").agg(sum(lit(1L)).as("c"))
-              .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-            val fullIds = pending.map(_._1)
-              .filter(q => counts.getOrElse(q, 0L) >= target).toSet
-            (res.where(col("query_id").isin(fullIds.toSeq: _*)), fullIds)
-          }
-      }
+    // per-query fill target = min(k, |eligible differently-labeled|):
+    // per-label eligible counts once for the whole batch (lazy — the
+    // single-shot route never reads them)
+    lazy val labCounts = df.where(col(vecCol).isNotNull)
+      .groupBy(col(labelCol)).agg(sum(lit(1L)).as("c"))
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    lazy val nEligible = labCounts.values.sum
+    lazy val targets: Map[Long, Long] = rows.indices.map { i =>
+      (qidOf(i), math.min(k.toLong,
+        nEligible - labCounts.getOrElse(rows(i).get(2), 0L)))
+    }.toMap
+    // adaptive start clamps at k (the searchHnswRadius rule): the
+    // candidate width is max(ef, k), so rungs below k would re-run
+    // the identical traversal and settle nothing
+    escalateRounds(qarr, if (adaptive) math.max(ef, k) else ef,
+        if (adaptive) efCap else 0L, remap) {
+      (pending, curEf, exhausted) =>
+        val scored = graft.vector.HnswIndex.scoredCandidates(graph, df,
+          idCol, vecCol, pending, m, math.max(curEf, k), prepared = true,
+          nodeKey = nodeKeyOpt)
+        val neg = scored.join(labs, "id").join(broadcast(qlabs), "query_id")
+          .where(!(col("__lab") <=> col("__qlab")))
+          .select(col("query_id"), col("__s"), col("id"))
+        // bounded (k·|pending| rows): eager-checkpoint so the fill
+        // count and the keep-filter don't re-traverse
+        val res = graft.vector.Ranked.topK(neg, k, asc = !larger)
+          .localCheckpoint(true)
+        if (exhausted) (res, Set.empty)
+        else {
+          val counts = res.groupBy("query_id").agg(sum(lit(1L)).as("c"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val fullIds = pending.map(_._1)
+            .filter(q => counts.getOrElse(q, 0L) >= targets(q)).toSet
+          (res.where(col("query_id").isin(fullIds.toSeq: _*)), fullIds)
+        }
     }
-    remapQueryIds(parts.reduce(_ unionByName _).orderBy("query_id", "rank"),
-      remap)
   }
 
   /** Serving handle for the HNSW graph: the seg-whole arrangement

@@ -801,12 +801,11 @@ object SparkEntry {
 
     "q_hard_negatives_hnsw" -> ((s, dir) => {
       // ANN arm of hard-negative mining at PRODUCTION ef (rows-only by
-      // design — the exhaustive twin below is the oracled row): graph
-      // candidates from the persisted index, label predicate applied
-      // at the exact rerank, per anchor-label group (within a group
-      // the predicate is one fixed filter — the hardNegativesHnsw
-      // device; the client adds the adaptive fill ladder on top,
-      // pinned in Round10Spec)
+      // design — the exhaustive twin below is the oracled row): ONE
+      // label-blind traversal over the persisted graph for the whole
+      // anchor batch, null-safe label predicate applied at the exact
+      // rerank (the hardNegativesHnsw rung shape; the client adds the
+      // adaptive fill ladder on top, pinned in Round10Spec)
       hardNegativesFromGraph(s, dir, ef = 48)
     }),
 
@@ -814,8 +813,8 @@ object SparkEntry {
       // the ORACLED twin: ef >= segment size visits every node, so the
       // label-filtered rerank over the graph's candidates equals the
       // exact O(N·Q) scan (KnnSearch.hardNegatives, q_hard_negatives'
-      // oracle) byte-for-byte while the traversal + per-label-group
-      // machinery executes end-to-end from the persisted artifact
+      // oracle) byte-for-byte while the traversal + label-join rerank
+      // executes end-to-end from the persisted artifact
       hardNegativesFromGraph(s, dir, ef = Int.MaxValue)
     }),
 

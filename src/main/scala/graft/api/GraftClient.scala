@@ -1311,9 +1311,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * accumulates LOCALLY and publishes one immutable Seq at the end
     * (a volatile write — concurrent searches can interleave, last
     * writer wins, but no partially-built state is ever visible; the
-    * search methods themselves stay stateless). Multi-ladder calls
-    * (hardNegativesHnsw runs one ladder per anchor-label group)
-    * publish their final group's rungs. */
+    * search methods themselves stay stateless). Every ladder route —
+    * including hardNegativesHnsw, which runs ONE ladder for the whole
+    * batch — publishes its complete rung sequence. */
   @volatile private[graft] var lastLadderRungs: Seq[(Int, Int)] = Nil
 
   /** Radius search served from the LIVE HNSW graph with adaptive beam
@@ -1374,8 +1374,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // whole beam was filtered/deleted out of the snapshot) is absent
     // from the stats and must count as NOT past the boundary, else a
     // filtered radius search could stop escalating while an invisible
-    // segment still holds unreached in-ball rows (review finding)
-    val nSegs = graph.select("seg").distinct().count()
+    // segment still holds unreached in-ball rows (review finding).
+    // LAZY: only the adaptive boundary vote reads it — the single-shot
+    // route must not pay a distinct+count job over the serving graph
+    lazy val nSegs = graph.select("seg").distinct().count()
     val inBall = if (larger) col("__s") >= radius else col("__s") <= radius
     val start = if (adaptive) math.max(ef, limit) else ef
     // an under-filled query always pays AT LEAST one escalation (r9
@@ -1663,14 +1665,23 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           .toDF("__qidx", "__qid"))
       }
     // anchor labels keyed by the TRAVERSAL query id, built from the
-    // original frame (no Any-typed literals): numeric ids key
-    // directly, string ids join through the remap
-    val qlabs = remap match {
-      case None => queries.select(col(qIdCol).cast("long").as("query_id"),
-        col(qLabelCol).as("__qlab"))
-      case Some(mp) => queries
-        .join(mp, queries(qIdCol) === mp("__qid"))
-        .select(col("__qidx").as("query_id"), col(qLabelCol).as("__qlab"))
+    // ALREADY-COLLECTED rows (re-evaluating `queries` here would break
+    // the single-collect invariant: a nondeterministic query frame
+    // could yield a different row set on the second evaluation and
+    // silently drop or mislabel anchors — review finding). The label's
+    // runtime TYPE rides in from the collected schema, so no Any-typed
+    // literals are needed.
+    val qlabs = {
+      val labType = queries.schema(qLabelCol).dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__qlab", labType,
+          nullable = true)))
+      val data: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(rows.indices.map(i =>
+          org.apache.spark.sql.Row(qidOf(i), rows(i).get(2))): _*)
+      spark.createDataFrame(data, schema)
     }
     val labs = df.select(KnnSearch.idNorm(df, idCol).as("id"),
       col(labelCol).as("__lab"))

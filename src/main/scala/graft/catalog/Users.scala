@@ -86,10 +86,21 @@ final class Users(root: String) {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
     Files.createDirectories(usersDir)
-    Files.writeString(userFile(user),
-      Json.render(Map("password" -> digest(user, password),
-        "create_time" -> now)),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // stage + ATOMIC_MOVE *without* REPLACE_EXISTING: atomic content
+    // (a crash mid-write can't leave a truncated file that bricks
+    // every later load/userList) AND the concurrent-create loser still
+    // fails (the move throws FileAlreadyExistsException)
+    val tmp = usersDir.resolve(
+      validUser(user) + "." + java.util.UUID.randomUUID + ".tmp")
+    Files.writeString(tmp, Json.render(Map(
+      "password" -> digest(user, password), "create_time" -> now)))
+    try Files.move(tmp, userFile(user),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(s"user $user already exists", e)
+    }
   }
 
   /** drop_user (stub.py:941) — idempotent, like dropDatabase. */

@@ -414,6 +414,60 @@ object RecallProbe {
       }
     }
 
+    // ---- IVF ladder at LARGER nlist: the vs_exhaustive claim --------
+    // At nlist=16 a 3-rung ladder costs ~the full probe (cap is tiny);
+    // the ladder's win is supposed to GROW with nlist — rungs stay ~3
+    // while the cap grows 4×. Measure instead of assert.
+    locally {
+      val collI64 = probeDb.createCollection("i64")
+      collI64.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector")))
+      collI64.rebuildIndex(nlist = 64, metric = "l2")
+      val d1 = gtL2.where(col("rank") === 2).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      val dk = gtL2.where(col("rank") === k).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      for ((name, r) <- Seq(("tight", pctOf(d1, 0.1)),
+          ("boundary", pctOf(dk, 0.5)), ("easy", pctOf(dk, 0.9)))) {
+        val gtBall = KnnSearch.radiusTopK(embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "l2", r, k).cache()
+        gtBall.count()
+        val res = collI64.searchIvfRadius(queries, "qid", "qvec", radius = r,
+          limit = k, nprobe = 1)
+        val rec = Recall.atK(res, gtBall)
+        ladderLine("ivf_radius_ladder64", f"$name r=$r%.3f nprobe0=1 nlist=64",
+          collI64.lastLadderRungs.toSeq, 64L, rec)
+        gtBall.unpersist()
+      }
+    }
+
+    // ---- hard-negative serving vs LABEL COUNT (single-traversal) ----
+    // hardNegativesHnsw traverses once per rung regardless of how many
+    // distinct labels the batch carries (a per-label-group design
+    // would pay one traversal per label). Measure wall time for a
+    // 32-anchor batch at 2 / 8 / 32 distinct labels — the claim is a
+    // FLAT row, min-of-3 after a warm run.
+    for (nLabels <- Seq(2, 8, 32)) {
+      val collL = probeDb.createCollection(s"hl$nLabels")
+      collL.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"),
+        pmod(col("vec_id"), lit(nLabels)).as("label")))
+      collL.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "cosine")
+      val qhn = embs.where(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          pmod(col("vec_id"), lit(nLabels)).as("qlab"))
+      collL.hardNegativesHnsw(qhn, "qid", "qvec", "qlab", "label",
+        k = k, ef = 32).count() // warm (graph prepare + codegen)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        collL.hardNegativesHnsw(qhn, "qid", "qvec", "qlab", "label",
+          k = k, ef = 32).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"family":"hardneg_labels","config":"n_labels=$nLabels anchors=$nQ ef=32","sec":${ts.min}%.3f}""")
+    }
+
     // ---- SemDeDup multi-assign on REALISTIC geometry (r9 verdict #8) -
     // The grid above measures the clusterless worst case (testdata
     // embeddings) and RecallSpec pins exact-clustered = 1.0; real

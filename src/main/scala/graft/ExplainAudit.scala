@@ -27,7 +27,8 @@ object ExplainAudit {
         "q_hnsw_radius_exhaustive", "q_normalize_text", "q_url_dedup",
         "q_token_budget", "q_hard_negatives", "q_span_repeats",
         "q_span_dedup", "q_lexical_spectrum",
-        "q_hard_negatives_hnsw", "q_hard_negatives_hnsw_exhaustive")
+        "q_hard_negatives_hnsw", "q_hard_negatives_hnsw_exhaustive",
+        "q_search_by_text_w2v")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -856,6 +856,29 @@ object SparkEntry {
         Seq("spark join filter window scan", "the fast key order sort table"), k = 10)
     }),
 
+    "q_search_by_text_w2v" -> ((s, dir) => {
+      // TRAINED-embedding search_by_text (row 113 — the reference's
+      // server-side model, stood in by MLlib Word2Vec instead of the
+      // hash stub): the word-vector table is a persisted ingest
+      // artifact; corpus and queries embed through it as a pure
+      // relational mean-of-word-vectors (deterministic given the
+      // artifact), exact cosine top-k. rows-only by design: hogwild
+      // SGD training isn't SQL-expressible — Round10Spec pins the
+      // mechanics (artifact shape, vocab-mean embed, OOV totality,
+      // upsert-through-vocab)
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.catalog.IndexStore.ensure(s, s"w2vvocab_${sfKey(dir)}") {
+        TextEmbed.trainWord2VecVocab(docs, "text", dim = 32)
+      }
+      val corpus = TextEmbed.embedWithVocab(docs, "doc_id", "text", vocab)
+        .where(col("vec").isNotNull)
+      val q = TextEmbed.embedWithVocab(
+        docs.where(col("doc_id") < 2)
+          .select(col("doc_id").as("qid"), col("text").as("qtext")),
+        "qid", "qtext", vocab).where(col("vec").isNotNull)
+      KnnSearch.topK(corpus, "doc_id", "vec", q, "qid", "vec", "cosine", 10)
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       // signatures are an ingest artifact: the shingle+min O(corpus)
       // pass is persisted once; the query pays only the banded join

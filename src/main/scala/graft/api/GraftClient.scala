@@ -828,9 +828,23 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** The collection's text-embedding config (reference: a collection
     * created with an embedding model embeds `text_field` at ingest,
     * model/collection.py Embedding). Set meta "embedding.text_field"
-    * (and optionally "embedding.dim") to enable. */
-  private lazy val embedTextCol: Option[String] = describe.get("embedding.text_field")
-  private lazy val embedDim: Int = describe.get("embedding.dim").map(_.toInt).getOrElse(64)
+    * (and optionally "embedding.dim") to enable. Read FRESH (defs, not
+    * lazy vals): [[trainTextEmbedding]] flips the config mid-handle. */
+  private def embedTextCol: Option[String] = describe.get("embedding.text_field")
+  private def embedDim: Int = describe.get("embedding.dim").map(_.toInt).getOrElse(64)
+  /** The embedder kind: "hash" (the deterministic hashing-trick
+    * default) or "word2vec" once [[trainTextEmbedding]] has run. */
+  private def embedModel: String = describe.getOrElse("embedding.model", "hash")
+
+  /** (id, vec) through the collection's configured embedder: the
+    * trained Word2Vec vocab artifact when the model is "word2vec" (and
+    * the artifact exists), the hashing-trick stub otherwise. */
+  private def embedDocs(docs: DataFrame, idC: String, tc: String): DataFrame =
+    if (embedModel == "word2vec" &&
+        catalog.collectionExists(db, GraftCollection.w2vVocab(coll)))
+      graft.text.TextEmbed.embedWithVocab(docs, idC, tc,
+        catalog.read(db, GraftCollection.w2vVocab(coll)))
+    else graft.text.TextEmbed.hashEmbed(docs, idC, tc, embedDim)
 
   /** Embed-at-ingest: append the stored embedding column for
     * text-bearing collections, so search_by_text never re-embeds the
@@ -839,17 +853,51 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * embedding (they are unmatchable, not dropped). */
   private def withStoredEmbedding(docs: DataFrame): DataFrame = embedTextCol match {
     case Some(tc) if docs.columns.contains(tc) =>
-      val emb = graft.text.TextEmbed.hashEmbed(
-          docs.select(col(idCol), col(tc)), idCol, tc, embedDim)
+      val emb = embedDocs(docs.select(col(idCol), col(tc)), idCol, tc)
         .withColumnRenamed("vec", GraftCollection.EmbedCol)
       docs.drop(GraftCollection.EmbedCol).join(emb, Seq(idCol), "left")
     case _ => docs
   }
 
+  /** Train the collection's text-embedding MODEL — MLlib Word2Vec over
+    * the stored corpus (a real public trained embedding, replacing the
+    * hashing-trick stand-in; the reference's "collection with an
+    * embedding model" config, model/collection.py Embedding): persists
+    * the word-vector table as `<coll>__w2v_vocab`, flips the
+    * collection's embedder to it (meta embedding.model = word2vec,
+    * embedding.text_field/dim recorded), and re-embeds every stored
+    * doc through the new vocab. Later upserts embed THROUGH the stored
+    * artifact (pure relational join — no retrain, fully deterministic
+    * given the vocab); call again to refresh the model after the
+    * corpus drifts ([[graft.ops.Curation.vocabDrift]] is the signal).
+    * Word2Vec training itself is seeded hogwild SGD — the persisted
+    * artifact, not the fit, is the reproducibility contract. */
+  def trainTextEmbedding(textCol: String = "", dim: Int = 0,
+                         minCount: Int = 2, maxIter: Int = 1,
+                         seed: Long = 42L): Unit = {
+    val tc = if (textCol.nonEmpty) textCol
+             else embedTextCol.getOrElse("text")
+    require(df.columns.contains(tc),
+      s"no text column '$tc' to train the embedding on")
+    val d = if (dim > 0) dim else embedDim
+    val vocab = graft.text.TextEmbed.trainWord2VecVocab(
+      df.select(col(tc)), tc, d, minCount, maxIter, seed)
+    catalog.createCollectionIfNotExists(db, GraftCollection.w2vVocab(coll))
+    catalog.write(db, GraftCollection.w2vVocab(coll), vocab)
+    catalog.updateMeta(db, coll, Map("embedding.model" -> "word2vec",
+      "embedding.text_field" -> tc, "embedding.dim" -> d.toString))
+    // the stored embedding column is DERIVED state — re-derive the
+    // whole snapshot through the new vocab (the reembedIfNeeded rule)
+    catalog.overwriteFromSelf(db, coll,
+      withStoredEmbedding(catalog.read(db, coll).drop(GraftCollection.EmbedCol)))
+  }
+
   /** search_by_text: embed the query strings with the collection's
-    * (stub) embedder and KNN against the embeddings STORED at upsert
-    * time (falling back to an inline corpus embed only when the
-    * collection was written without embedding config). */
+    * configured embedder (trained Word2Vec vocab or the hash stub) and
+    * KNN against the embeddings STORED at upsert time (falling back to
+    * an inline corpus embed only when the collection was written
+    * without embedding config). An all-OOV query under the trained
+    * model embeds to null and returns no hits (never a random match). */
   def searchByText(texts: Seq[String], textCol: String = "text",
                    limit: Int = 10): DataFrame = {
     val data = df
@@ -857,11 +905,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       if (data.columns.contains(GraftCollection.EmbedCol))
         data.select(col(idCol), col(GraftCollection.EmbedCol).as("vec"))
           .where(col("vec").isNotNull)
-      else graft.text.TextEmbed.hashEmbed(data, idCol, textCol, embedDim)
+      else embedDocs(data.select(col(idCol), col(textCol)), idCol, textCol)
     import spark.implicits._
-    val qdf = graft.text.TextEmbed.hashEmbed(
+    val qdf = embedDocs(
       texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("qid", "qtext"),
-      "qid", "qtext", embedDim)
+      "qid", "qtext").where(col("vec").isNotNull)
     KnnSearch.topK(corpus, idCol, "vec", qdf, "qid", "vec", "cosine", limit)
   }
 
@@ -3146,6 +3194,7 @@ object GraftCollection {
   private[api] def ftPostings(coll: String): String = coll + "__ft_postings"
   private[api] def ftTerms(coll: String): String = coll + "__ft_terms"
   private[api] def ivfCentroids(coll: String): String = coll + "__ivf_centroids"
+  private[api] def w2vVocab(coll: String): String = coll + "__w2v_vocab"
   private[api] def pqCodes(coll: String): String = coll + "__pq_codes"
   private[api] def pqCodebooks(coll: String): String = coll + "__pq_codebooks"
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"

@@ -56,4 +56,63 @@ object TextEmbed {
   def searchByText(docs: DataFrame, idCol: String, textCol: String,
                    queryTexts: Seq[String], k: Int, dim: Int = 64): DataFrame =
     searchEmbedded(hashEmbed(docs, idCol, textCol, dim), idCol, queryTexts, k, dim)
+
+  // ------------------------------------------------- trained embeddings
+
+  /** Train MLlib Word2Vec (skip-gram, Mikolov et al. 2013 — Spark's
+    * own public implementation, no new dependency) on the corpus text
+    * and return the WORD-VECTOR TABLE (word, vec: array<double>) — a
+    * persistable artifact any later session embeds against without the
+    * model object. This upgrades the hashing-trick stand-in to a REAL
+    * trained embedding: tokens that co-occur get nearby vectors, so
+    * search_by_text can match semantically related text, not just
+    * shared tokens. Training cost is one MLlib fit over the tokenized
+    * corpus (distributed; `maxIter` sweeps); serving never retrains.
+    * Training is seeded but (like all hogwild SGD) only
+    * partitioning-stable — the artifact is the contract, downstream
+    * embedding/serving from a FIXED vocab table is fully
+    * deterministic. */
+  def trainWord2VecVocab(docs: DataFrame, textCol: String, dim: Int = 64,
+                         minCount: Int = 2, maxIter: Int = 1,
+                         seed: Long = 42L): DataFrame = {
+    val toks = docs.select(
+      filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
+        .as("__toks"))
+    val model = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("__toks").setOutputCol("__emb")
+      .setVectorSize(dim).setMinCount(minCount).setMaxIter(maxIter)
+      .setSeed(seed)
+      .fit(toks)
+    model.getVectors.select(col("word"),
+      org.apache.spark.ml.functions.vector_to_array(col("vector"), "float64")
+        .as("vec"))
+  }
+
+  /** (idCol, vec) — L2-normalized MEAN of the document's word vectors
+    * from a stored (word, vec) vocab table (the Word2Vec sentence
+    * convention, made relational): OOV words skip; a doc with NO
+    * in-vocab word embeds to null (unmatchable, not dropped — the
+    * stored-embedding contract). Pure posting-shaped join + two
+    * groupBys — the vocab side is dictionary-sized (AQE broadcasts
+    * it), corpus text never shuffles beyond its own (id, word)
+    * postings. Fully deterministic given the vocab artifact. */
+  def embedWithVocab(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(coalesce(col(textCol), lit("")), " "),
+        t => t =!= "")).as("word"))
+    val sums = toks.join(broadcast(vocab), "word")
+      .select(col("__id"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("__id", "pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    sums.groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("s") / col("n")).as("m")))), p => p("m")).as("__raw"))
+      .select(col("__id"), col("__raw"),
+        sqrt(expr("aggregate(__raw, 0.0D, (a, v) -> a + v * v)")).as("__norm"))
+      .select(col("__id"),
+        when(col("__norm") > 0.0,
+          expr("transform(__raw, x -> x / __norm)")).as("vec"))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -198,6 +198,42 @@ class Round10Spec extends SparkSpec {
       "a NULL-label anchor must never mine another NULL-label doc")
   }
 
+  // ------------------------------------------- trained text embedding
+
+  test("trainTextEmbedding: Word2Vec vocab artifact, re-embed, upsert-through-vocab, OOV totality") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r10-w2v").toString
+    val dbh = new graft.api.GraftClient(spark, root).createDatabase("db")
+    val coll = dbh.createCollection("t",
+      Map("embedding.text_field" -> "text", "embedding.dim" -> "8"))
+    // words below minCount=2 (tasty/fresh/fast/loud) must be OOV
+    coll.upsert(Seq(
+      (1L, "apple fruit tasty"), (2L, "apple fruit fresh"),
+      (3L, "car engine fast"), (4L, "car engine loud")).toDF("id", "text"))
+    coll.trainTextEmbedding(minCount = 2, maxIter = 3)
+    // the artifact is a sibling collection with (word, vec[dim]) rows
+    assert(dbh.listCollections().contains("t__w2v_vocab"))
+    val vocab = dbh.collection("t__w2v_vocab").df.collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1))).toMap
+    assert(vocab.keySet == Set("apple", "fruit", "car", "engine"))
+    assert(vocab.values.forall(_.length == 8))
+    assert(coll.describe("embedding.model") == "word2vec")
+    // exact-vocab-content query: docs 1 and 2 both embed as
+    // mean(apple, fruit) (their third words are OOV), identical to the
+    // query's embedding -> cosine exactly 1.0, id tie-break
+    val r = coll.searchByText(Seq("apple fruit"), limit = 4).collect()
+    assert(r.take(2).map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(r.take(2).forall(_.getAs[Double]("score") == 1.0))
+    // an all-OOV query embeds to null and returns NO hits (never a
+    // random match)
+    assert(coll.searchByText(Seq("zzz qqq"), limit = 3).count() == 0)
+    // upserts AFTER training embed through the STORED vocab (no
+    // retrain): a new doc with the same vocab words joins the 1.0 tier
+    coll.upsert(Seq((9L, "apple fruit")).toDF("id", "text"))
+    val r2 = coll.searchByText(Seq("apple fruit"), limit = 5).collect()
+    assert(r2.filter(_.getAs[Double]("score") == 1.0)
+      .map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 9L))
+  }
+
   // ------------------------------------------------ user management
 
   test("users: create/describe/list/grant/revoke/changePassword/drop lifecycle") {

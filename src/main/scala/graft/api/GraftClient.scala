@@ -837,14 +837,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   private def embedModel: String = describe.getOrElse("embedding.model", "hash")
 
   /** (id, vec) through the collection's configured embedder: the
-    * trained Word2Vec vocab artifact when the model is "word2vec" (and
-    * the artifact exists), the hashing-trick stub otherwise. */
+    * trained Word2Vec vocab artifact when the model is "word2vec", the
+    * hashing-trick stub otherwise. A MISSING vocab artifact under
+    * model=word2vec is corrupted state and throws — silently falling
+    * back to the hash embedder would KNN hash query vectors against
+    * stored word2vec doc vectors and return meaningless rankings
+    * (review finding). */
   private def embedDocs(docs: DataFrame, idC: String, tc: String): DataFrame =
-    if (embedModel == "word2vec" &&
-        catalog.collectionExists(db, GraftCollection.w2vVocab(coll)))
+    if (embedModel == "word2vec") {
+      require(catalog.collectionExists(db, GraftCollection.w2vVocab(coll)),
+        s"embedding.model=word2vec but ${GraftCollection.w2vVocab(coll)} is " +
+          "missing — retrain with trainTextEmbedding")
       graft.text.TextEmbed.embedWithVocab(docs, idC, tc,
         catalog.read(db, GraftCollection.w2vVocab(coll)))
-    else graft.text.TextEmbed.hashEmbed(docs, idC, tc, embedDim)
+    } else graft.text.TextEmbed.hashEmbed(docs, idC, tc, embedDim)
 
   /** Embed-at-ingest: append the stored embedding column for
     * text-bearing collections, so search_by_text never re-embeds the
@@ -884,12 +890,27 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       df.select(col(tc)), tc, d, minCount, maxIter, seed)
     catalog.createCollectionIfNotExists(db, GraftCollection.w2vVocab(coll))
     catalog.write(db, GraftCollection.w2vVocab(coll), vocab)
+    // the stored embedding column is DERIVED state — re-derive the
+    // whole snapshot DIRECTLY through the new vocab (meta still names
+    // the old embedder, so routing through embedDocs would re-embed
+    // with the old model), persist through the LAYOUT-PRESERVING
+    // snapshot writers (a raw overwrite would flatten bucket / IVF
+    // cell / scalar-index layouts and leave the next merge-on-write
+    // upsert stacking partition dirs onto flat files — review
+    // finding), and flip meta LAST: a failed re-embed job leaves a
+    // consistent hash-embedded collection whose queries still match
+    // its stored embeddings (the failSafe data-first discipline)
+    val snap = catalog.read(db, coll).drop(GraftCollection.EmbedCol)
+    val emb = graft.text.TextEmbed.embedWithVocab(
+        snap.select(col(idCol), col(tc)), idCol, tc,
+        catalog.read(db, GraftCollection.w2vVocab(coll)))
+      .withColumnRenamed("vec", GraftCollection.EmbedCol)
+    failSafe {
+      persistSnapshotKeepingCell(snap.join(emb, Seq(idCol), "left"),
+        liveIndexes(describe).ivfLive)
+    }
     catalog.updateMeta(db, coll, Map("embedding.model" -> "word2vec",
       "embedding.text_field" -> tc, "embedding.dim" -> d.toString))
-    // the stored embedding column is DERIVED state — re-derive the
-    // whole snapshot through the new vocab (the reembedIfNeeded rule)
-    catalog.overwriteFromSelf(db, coll,
-      withStoredEmbedding(catalog.read(db, coll).drop(GraftCollection.EmbedCol)))
   }
 
   /** search_by_text: embed the query strings with the collection's

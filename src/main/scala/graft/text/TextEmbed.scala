@@ -91,11 +91,13 @@ object TextEmbed {
   /** (idCol, vec) — L2-normalized MEAN of the document's word vectors
     * from a stored (word, vec) vocab table (the Word2Vec sentence
     * convention, made relational): OOV words skip; a doc with NO
-    * in-vocab word embeds to null (unmatchable, not dropped — the
-    * stored-embedding contract). Pure posting-shaped join + two
-    * groupBys — the vocab side is dictionary-sized (AQE broadcasts
-    * it), corpus text never shuffles beyond its own (id, word)
-    * postings. Fully deterministic given the vocab artifact. */
+    * in-vocab word keeps its row with a NULL vec (unmatchable, not
+    * dropped — TOTAL: one output row per distinct input id, restored
+    * by a left join back to the id set because the vocab join is
+    * inner — review finding). Pure posting-shaped join + two groupBys
+    * — the vocab side is dictionary-sized (AQE broadcasts it), corpus
+    * text never shuffles beyond its own (id, word) postings. Fully
+    * deterministic given the vocab artifact. */
   def embedWithVocab(docs: DataFrame, idCol: String, textCol: String,
                      vocab: DataFrame): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"),
@@ -105,7 +107,7 @@ object TextEmbed {
       .select(col("__id"), posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy("__id", "pos")
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    sums.groupBy("__id")
+    val embedded = sums.groupBy("__id")
       .agg(transform(array_sort(collect_list(struct(col("pos"),
           (col("s") / col("n")).as("m")))), p => p("m")).as("__raw"))
       .select(col("__id"), col("__raw"),
@@ -113,6 +115,8 @@ object TextEmbed {
       .select(col("__id"),
         when(col("__norm") > 0.0,
           expr("transform(__raw, x -> x / __norm)")).as("vec"))
+    docs.select(col(idCol).as("__id")).distinct()
+      .join(embedded, Seq("__id"), "left")
       .withColumnRenamed("__id", idCol)
   }
 }

@@ -222,7 +222,7 @@ class Round10Spec extends SparkSpec {
     // query's embedding -> cosine exactly 1.0, id tie-break
     val r = coll.searchByText(Seq("apple fruit"), limit = 4).collect()
     assert(r.take(2).map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
-    assert(r.take(2).forall(_.getAs[Double]("score") == 1.0))
+    assert(r.take(2).forall(_.getAs[Double]("score") > 1.0 - 1e-9))
     // an all-OOV query embeds to null and returns NO hits (never a
     // random match)
     assert(coll.searchByText(Seq("zzz qqq"), limit = 3).count() == 0)
@@ -230,8 +230,33 @@ class Round10Spec extends SparkSpec {
     // retrain): a new doc with the same vocab words joins the 1.0 tier
     coll.upsert(Seq((9L, "apple fruit")).toDF("id", "text"))
     val r2 = coll.searchByText(Seq("apple fruit"), limit = 5).collect()
-    assert(r2.filter(_.getAs[Double]("score") == 1.0)
+    assert(r2.filter(_.getAs[Double]("score") > 1.0 - 1e-9)
       .map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 9L))
+    // embedWithVocab is TOTAL: an all-OOV doc keeps its row, vec null
+    import graft.text.TextEmbed
+    val vocabDf = dbh.collection("t__w2v_vocab").df
+    val tot = TextEmbed.embedWithVocab(
+      Seq((1L, "apple fruit"), (2L, "zzz qqq")).toDF("id", "text"),
+      "id", "text", vocabDf).collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
+    assert(tot == Map(1L -> false, 2L -> true))
+    // a dropped vocab artifact under model=word2vec is corrupted state:
+    // searchByText must THROW, never silently fall back to hash vectors
+    dbh.dropCollection("t__w2v_vocab")
+    intercept[IllegalArgumentException] { coll.searchByText(Seq("apple")) }
+    // layout preservation: a BUCKETED collection keeps its bucket dirs
+    // through trainTextEmbedding (a raw overwrite would flatten them
+    // and the next merge-on-write upsert would stack partition dirs
+    // onto flat files — review finding)
+    val collB = dbh.createCollection("tb",
+      Map("embedding.text_field" -> "text", "buckets" -> "4"))
+    collB.upsert(Seq(
+      (1L, "apple fruit tasty"), (2L, "apple fruit fresh"),
+      (3L, "car engine fast"), (4L, "car engine loud")).toDF("id", "text"))
+    collB.trainTextEmbedding(minCount = 2, maxIter = 3)
+    collB.upsert(Seq((9L, "apple fruit")).toDF("id", "text"))
+    assert(collB.count() == 5, "bucket layout must survive the re-embed")
+    assert(collB.searchByText(Seq("apple fruit"), limit = 5).collect()
+      .count(_.getAs[Double]("score") > 1.0 - 1e-9) == 3)
   }
 
   // ------------------------------------------------ user management

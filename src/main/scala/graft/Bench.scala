@@ -77,7 +77,8 @@ object Bench {
     // regression, the exact failure mode min-of-N exists to kill
     val maintRuns: Seq[Seq[(String, Double)]] = (1 to 2).map { _ =>
       maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir) ++
-        modelMaintenanceOps(spark, sfDir) ++ vectorMaintenanceOps(spark, sfDir)
+        modelMaintenanceOps(spark, sfDir) ++ vectorMaintenanceOps(spark, sfDir) ++
+        w2vMaintenanceOps(spark, sfDir)
     }
     val maintKeys = maintRuns.head.map(_._1)
     val maint = maintKeys.map { k =>
@@ -135,6 +136,53 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       (sb.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+  }
+
+  /** Trained-embedding (row 113) maintenance pair: the Word2Vec FIT is
+    * the one-time O(corpus) cost (m_w2v_train at 1× and 8× corpus —
+    * expected to grow), while EMBEDDING a fixed 200-doc batch through
+    * the stored vocab artifact is the per-upsert cost and must stay
+    * FLAT against corpus growth (a posting join against a
+    * dictionary-sized broadcast — the artifact-serving split every
+    * maintained model here carries). */
+  private def w2vMaintenanceOps(spark: SparkSession,
+                                sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    try {
+      val base = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val batch = base.limit(200).cache()
+      batch.count()
+      // warm the fit/embed codepaths once
+      locally {
+        val v = graft.text.TextEmbed.trainWord2VecVocab(
+          base.limit(500), "text", dim = 32)
+        graft.text.TextEmbed.embedWithVocab(batch, "doc_id", "text", v).count()
+      }
+      def measure(name: String, mult: Int): Seq[(String, Double)] = {
+        val corpus = (0 until mult).map(i =>
+            base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+              col("text")))
+          .reduce(_ unionAll _)
+        val t0 = System.nanoTime()
+        val vocab = graft.text.TextEmbed.trainWord2VecVocab(
+          corpus, "text", dim = 32)
+        vocab.cache().count()
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.text.TextEmbed.embedWithVocab(batch, "doc_id", "text", vocab)
+          .count()
+        val tEmbed = (System.nanoTime() - t1) / 1e9
+        vocab.unpersist()
+        Seq(s"m_w2v_train_$name" -> tTrain, s"m_w2v_embed_$name" -> tEmbed)
+      }
+      val out = measure("1x", 1) ++ measure("8x", 8)
+      batch.unpersist()
+      out
+    } catch { case _: Throwable =>
+      Seq("m_w2v_train_1x" -> -1.0, "m_w2v_embed_1x" -> -1.0,
+          "m_w2v_train_8x" -> -1.0, "m_w2v_embed_8x" -> -1.0)
+    }
   }
 
   /** Serving cost of the banded embedding dedup at the PRODUCTION band

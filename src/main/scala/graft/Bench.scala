@@ -148,10 +148,11 @@ object Bench {
   private def w2vMaintenanceOps(spark: SparkSession,
                                 sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
+    var batch: org.apache.spark.sql.DataFrame = null
     try {
       val base = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
-      val batch = base.limit(200).cache()
+      batch = base.limit(200).cache()
       batch.count()
       // warm the fit/embed codepaths once
       locally {
@@ -176,13 +177,13 @@ object Bench {
         vocab.unpersist()
         Seq(s"m_w2v_train_$name" -> tTrain, s"m_w2v_embed_$name" -> tEmbed)
       }
-      val out = measure("1x", 1) ++ measure("8x", 8)
-      batch.unpersist()
-      out
+      measure("1x", 1) ++ measure("8x", 8)
     } catch { case _: Throwable =>
       Seq("m_w2v_train_1x" -> -1.0, "m_w2v_embed_1x" -> -1.0,
           "m_w2v_train_8x" -> -1.0, "m_w2v_embed_8x" -> -1.0)
-    }
+    // unpersist on BOTH paths — the failure path used to leak the
+    // cached batch for the rest of the bench run (advisor finding)
+    } finally if (batch != null) batch.unpersist()
   }
 
   /** Serving cost of the banded embedding dedup at the PRODUCTION band

@@ -24,9 +24,10 @@ final case class UserInfo(user: String, createTime: String,
   * database listings), touched once at setup time — nothing here is
   * on a data path.
   *
-  * Passwords are never stored: the file keeps a SHA-256 of
-  * `user + ":" + password` (the username salts the digest, so two
-  * users with the same password hash differently). Privileges merge
+  * Passwords are never stored: the file keeps a PBKDF2-HMAC-SHA256
+  * digest with a per-user random salt (`pbkdf2:iters:salt:hash`);
+  * verification is constant-time and still accepts (and upgrades on
+  * change_password) legacy unsalted-SHA-256 records. Privileges merge
   * per resource on grant (action order preserved, duplicates
   * dropped) and subtract on revoke (a resource with no actions left
   * disappears) — the semantics a grant/revoke round-trip implies. */
@@ -45,11 +46,44 @@ final class Users(root: String) {
     u
   }
 
-  private def digest(user: String, password: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest((user + ":" + password)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  /** PBKDF2-HMAC-SHA256 with a per-user random salt, persisted as
+    * `pbkdf2:<iters>:<saltHex>:<hashHex>` — a leaked user file costs a
+    * dictionary attacker ~iters hashes per guess instead of one
+    * (advisor finding; the earlier single SHA-256 was trivially
+    * attackable). JDK-builtin primitive, no new dependency. */
+  private val Pbkdf2Iters = 100000
+
+  private def hex(bs: Array[Byte]): String = bs.map("%02x".format(_)).mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def pbkdf2(password: String, salt: Array[Byte], iters: Int): Array[Byte] =
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(new javax.crypto.spec.PBEKeySpec(
+        password.toCharArray, salt, iters, 256))
+      .getEncoded
+
+  private def digest(user: String, password: String): String = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    s"pbkdf2:$Pbkdf2Iters:${hex(salt)}:${hex(pbkdf2(password, salt, Pbkdf2Iters))}"
+  }
+
+  /** Constant-time verification against the stored record; legacy
+    * unsalted-SHA-256 records (pre-round-11 files: bare 64-hex) still
+    * verify, and upgrade to PBKDF2 on the next changePassword. */
+  private def digestMatches(stored: String, user: String, password: String): Boolean =
+    stored.split(":", -1) match {
+      case Array("pbkdf2", iters, saltHex, hashHex) =>
+        java.security.MessageDigest.isEqual(
+          pbkdf2(password, unhex(saltHex), iters.toInt), unhex(hashHex))
+      case _ =>
+        java.security.MessageDigest.isEqual(
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest((user + ":" + password)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+          unhex(stored))
+    }
 
   private val PrivPrefix = "priv."
 
@@ -86,21 +120,22 @@ final class Users(root: String) {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
     Files.createDirectories(usersDir)
-    // stage + ATOMIC_MOVE *without* REPLACE_EXISTING: atomic content
-    // (a crash mid-write can't leave a truncated file that bricks
-    // every later load/userList) AND the concurrent-create loser still
-    // fails (the move throws FileAlreadyExistsException)
+    // stage to a temp file then hard-LINK it into place: link(2) fails
+    // with EEXIST when the target exists, so the concurrent-create
+    // loser fails AT THE FILESYSTEM — unlike ATOMIC_MOVE, whose Linux
+    // rename(2) silently replaces an existing target (the JavaDoc
+    // leaves exists-behavior implementation-specific; advisor
+    // finding). Content stays atomic: the link publishes a fully
+    // written file, a crash mid-write leaves only an orphan .tmp.
     val tmp = usersDir.resolve(
       validUser(user) + "." + java.util.UUID.randomUUID + ".tmp")
     Files.writeString(tmp, Json.render(Map(
       "password" -> digest(user, password), "create_time" -> now)))
-    try Files.move(tmp, userFile(user),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(userFile(user), tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new IllegalArgumentException(s"user $user already exists", e)
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** drop_user (stub.py:941) — idempotent, like dropDatabase. */
@@ -137,9 +172,11 @@ final class Users(root: String) {
     store(user, load(user) + ("password" -> digest(user, password)))
 
   /** True iff `password` is the user's current password (the check a
-    * connection handshake performs; plaintext never persists). */
+    * connection handshake performs; plaintext never persists).
+    * Comparison is constant-time (MessageDigest.isEqual) — digest
+    * strings never meet `==` (advisor finding). */
   def verifyPassword(user: String, password: String): Boolean =
-    load(user).get("password").contains(digest(user, password))
+    load(user).get("password").exists(digestMatches(_, user, password))
 
   /** grant_to_user (stub.py:1017): per-resource action-set UNION —
     * existing actions keep their order, new ones append, duplicates

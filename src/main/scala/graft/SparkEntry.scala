@@ -297,6 +297,36 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "q_file_details" -> ((s, dir) => {
+      // batch file ingest (upload_file / query_file_details,
+      // collection_view.py:342/:437): every document's text arrives as
+      // a BINARY upload payload, and the registry — byte length, type,
+      // REAL chunker count — is derived distributed from the payloads
+      // (parse is a pure projection; one narrow count per file)
+      val uploads = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("n_chars") > 0)
+        .select(concat(col("doc_id").cast("string"), lit(".md")).as("file_name"),
+          encode(col("text"), "UTF-8").as("content"))
+      graft.text.FileIngest.details(uploads, "file_name", "content")
+        .orderBy("file_name")
+    }),
+
+    "q_file_images" -> ((s, dir) => {
+      // get_image_url's asset registry (collection_view.py:425): each
+      // uploaded markdown embeds one per-file figure and one shared
+      // logo; parse extracts the refs and derives catalog-relative
+      // URLs — a projection + explode, no shuffle beyond the distinct
+      val uploads = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("n_chars") > 0)
+        .select(concat(col("doc_id").cast("string"), lit(".md")).as("file_name"),
+          encode(concat(col("text"),
+            lit(" ![fig](fig_"), col("doc_id").cast("string"), lit(".png)"),
+            lit(" ![logo](assets/logo.png)")), "UTF-8").as("content"))
+      graft.text.FileIngest.imageRefs(
+          graft.text.FileIngest.parse(uploads, "file_name", "content"))
+        .orderBy("file_name", "image_name")
+    }),
+
     // ------------------------------------------------------------ dedup
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("keep_id")
@@ -2727,6 +2757,23 @@ object SparkEntry {
         |        unnest(generate_series(0, greatest(0, CAST(floor((length(text) - 1) / 60.0) AS INT)))) AS i
         |      FROM documents)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_file_details" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '.md' AS file_name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_length,
+        |  'md' AS file_type,
+        |  CAST(greatest(0, CAST(floor((length(text) - 1) / 60.0) AS INT)) + 1 AS BIGINT) AS n_chunks
+        |FROM documents WHERE text IS NOT NULL AND n_chars > 0
+        |ORDER BY file_name""".stripMargin,
+
+    "q_file_images" ->
+      """WITH f AS (SELECT CAST(doc_id AS VARCHAR) || '.md' AS file_name, doc_id
+        |           FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+        |i AS (SELECT file_name, 'fig_' || CAST(doc_id AS VARCHAR) || '.png' AS image_name FROM f
+        |      UNION ALL SELECT file_name, 'assets/logo.png' FROM f)
+        |SELECT file_name, image_name,
+        |  'files/' || file_name || '/' || image_name AS url
+        |FROM i ORDER BY file_name, image_name""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS text_hash

@@ -28,6 +28,9 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   private def setsColl = view + SetsSuffix
   private def chunksColl = view + ChunksSuffix
   private def graphColl = view + GraphSuffix
+  private def filesColl = view + FilesSuffix
+  private def imagesColl = view + ImagesSuffix
+  private def vocabColl = view + VocabSuffix
 
   private[api] def create(): this.type = {
     catalog.createCollectionIfNotExists(db, setsColl)
@@ -57,6 +60,32 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   def sets: DataFrame = withViewSchema(catalog.read(db, setsColl),
     GraftCollectionView.SetsSchema)
   def chunks: DataFrame = withViewSchema(catalog.read(db, chunksColl), chunksSchema)
+  /** File/image registries are created lazily on the first upload —
+    * reads before that behave like empty collections (the same
+    * never-loaded-view invariant as sets/chunks). */
+  def files: DataFrame = withViewSchema(
+    if (catalog.collectionExists(db, filesColl)) catalog.read(db, filesColl)
+    else spark.emptyDataFrame, GraftCollectionView.FilesSchema)
+  def images: DataFrame = withViewSchema(
+    if (catalog.collectionExists(db, imagesColl)) catalog.read(db, imagesColl)
+    else spark.emptyDataFrame, GraftCollectionView.ImagesSchema)
+
+  /** The view's trained chunk-embedding vocab, when [[trainEmbedding]]
+    * has flipped the view to word2vec (meta on the sets registry —
+    * mirroring GraftCollection's embedding.model). A missing artifact
+    * under the word2vec meta is corrupted state and throws, never a
+    * silent hash fallback (the collections-family rule: mixed-model
+    * rankings are meaningless). */
+  private def chunkVocab: Option[DataFrame] =
+    if (!catalog.collectionExists(db, setsColl)) None
+    else if (catalog.describeCollection(db, setsColl)
+               .getOrElse("embedding.model", "hash") != "word2vec") None
+    else {
+      require(catalog.collectionExists(db, vocabColl),
+        s"view $view: embedding.model=word2vec but $vocabColl is missing — " +
+          "retrain with trainEmbedding")
+      Some(catalog.read(db, vocabColl))
+    }
 
   /** load_and_split_text: register the document set and persist its
     * split + embedded chunks (replacing any previous upload of the same
@@ -68,7 +97,7 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     val t = if (title.isEmpty) documentSetName else title
     val doc = Seq((documentSetName, text, t)).toDF("doc_set", "text", "title")
     val newChunks = CollectionView.buildChunkIndex(doc, "doc_set", "text", "title",
-      chunkSize, overlap)
+      chunkSize, overlap, vocab = chunkVocab)
     replaceIn(chunksColl, documentSetName, newChunks)
     // a live graph absorbs the upload as an appended segment (the
     // collections discipline — claim → write → publish) instead of
@@ -132,9 +161,24 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
                   else sets.where(FilterParser.parse(filter)))
       .select("doc_set")
     if (!doomed.isEmpty) {
-      // chunks first: its anti-join reads the still-unmodified registry
+      // the doomed frame READS the sets registry, so every cleanup
+      // that consumes it must run BEFORE the sets overwrite swaps the
+      // underlying files (a post-swap evaluation would hold the old
+      // file listing and die with FILE_NOT_EXIST)
       catalog.overwriteFromSelf(db, chunksColl,
         chunks.join(doomed, Seq("doc_set"), "left_anti"))
+      // uploaded files ARE document sets (doc_set = file name), so a
+      // delete that matches a file must also retire its registry row
+      // and image refs — a stale file-details row for unsearchable
+      // content would be a lie
+      val fileKeys = doomed.withColumnRenamed("doc_set", "file_name")
+      if (catalog.collectionExists(db, filesColl))
+        catalog.overwriteFromSelf(db, filesColl,
+          files.join(fileKeys, Seq("file_name"), "left_anti"))
+      if (catalog.collectionExists(db, imagesColl))
+        catalog.overwriteFromSelf(db, imagesColl,
+          images.join(fileKeys, Seq("file_name"), "left_anti"))
+      // sets last: after this swap no plan references the old listing
       catalog.overwriteFromSelf(db, setsColl,
         sets.join(doomed, Seq("doc_set"), "left_anti"))
       // the graph is NOT dropped: deleted chunks' nodes go stale but
@@ -201,9 +245,13 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     catalog.read(db, graphColl).select("seg").distinct().count().toInt
 
   /** The current chunk index keyed for the graph: node id = xxhash64
-    * of the composite chunk key (the string-PK surrogate device). */
+    * of the composite chunk key (the string-PK surrogate device).
+    * Null-vec chunks (all-OOV under a trained vocab) carry nothing to
+    * navigate by and stay out of the graph — they are unmatchable on
+    * the FLAT arm too, so the arms agree. */
   private def chunkNodes(rows: DataFrame): DataFrame =
-    rows.select(graft.text.CollectionView.cid64("doc_set").as("id"), col("vec"))
+    rows.where(col("vec").isNotNull)
+      .select(graft.text.CollectionView.cid64("doc_set").as("id"), col("vec"))
 
   /** Append an upload's chunks to the live graph as fresh segments —
     * no-op when no graph exists (or one predates the incremental meta,
@@ -306,13 +354,196 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     val servingEf = ef.getOrElse(prepared.fold(10)(
       _._2.getOrElse("index.hnsw.default_ef", "10").toInt))
     CollectionView.search(chunks, "doc_set", content, limit, expandChunk, filter,
-      graph = graph, ef = servingEf, graphPrepared = true)
+      graph = graph, ef = servingEf, graphPrepared = true, vocab = chunkVocab)
+  }
+
+  // ------------------------------------------------ file-upload family
+
+  /** Batch file ingest — the 100 TB shape of the reference's per-file
+    * `upload_file` (collection_view.py:342): `batch` carries one row
+    * per file with a BINARY payload column; parse → chunk → embed →
+    * register runs as one distributed pipeline over the whole batch
+    * (the per-file [[uploadFile]] is a width-1 call into this).
+    * Zero-byte and unparseable-type payloads are dropped by the batch
+    * parse (the per-file API rejects them loudly first). Re-uploading
+    * a name replaces its previous content everywhere — chunks, the
+    * document-set registry, file details, and image refs. Uploaded
+    * files ARE document sets (doc_set = file name): the existing
+    * search / getChunks / getText / delete / update surface applies to
+    * them unchanged, with the file registry adding byteLength /
+    * fileType / metadata on top (queryFileDetails). An optional
+    * `metadata` map column on `batch` rides into the registry. */
+  def uploadFiles(batch: DataFrame, nameCol: String = "file_name",
+                  contentCol: String = "content",
+                  chunkSize: Int = 80, overlap: Int = 20): Unit = {
+    create()
+    val parsed = graft.text.FileIngest.parse(batch, nameCol, contentCol)
+    val docs = parsed.select(col("file_name").as("doc_set"), col("text"),
+      col("file_name").as("title"))
+    val newChunks = CollectionView.buildChunkIndex(docs, "doc_set", "text",
+      "title", chunkSize, overlap, vocab = chunkVocab)
+    val names = parsed.select(col("file_name").as("doc_set")).distinct()
+    replaceManyIn(chunksColl, "doc_set", names, newChunks)
+    // graph append + registry counts read the chunks AS WRITTEN (a
+    // parquet scan) — never a second run of the split+embed plan
+    val written = catalog.read(db, chunksColl)
+      .join(names, Seq("doc_set"), "left_semi")
+    appendChunkSegment(written)
+    val nChunks = written.groupBy("doc_set").agg(count(lit(1)).as("n_chunks"))
+    val setsRows = parsed.select(col("file_name").as("doc_set"),
+        col("file_name").as("title"), col("text"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(nChunks, Seq("doc_set"), "left")
+      .select(col("doc_set"), col("title"), col("text"), col("n_chars"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"))
+    replaceManyIn(setsColl, "doc_set", names, setsRows)
+    val now = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val metaCol =
+      if (batch.columns.contains("metadata")) col("metadata")
+      else typedLit(Map.empty[String, String])
+    val fileRows = parsed
+      .join(batch.select(col(nameCol).as("file_name"),
+          metaCol.as("metadata")).dropDuplicates("file_name"),
+        Seq("file_name"), "left")
+      .join(nChunks.withColumnRenamed("doc_set", "file_name"),
+        Seq("file_name"), "left")
+      .select(col("file_name"), col("byte_length"), col("file_type"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("metadata"), lit(now).as("upload_time"))
+    val fileNames = parsed.select("file_name").distinct()
+    replaceManyIn(filesColl, "file_name", fileNames, fileRows)
+    replaceManyIn(imagesColl, "file_name", fileNames,
+      graft.text.FileIngest.imageRefs(parsed))
+  }
+
+  /** upload_file (collection_view.py:342): validate loudly — the
+    * reference's "0 bytes file denied" and splitter-type checks —
+    * then ingest as a width-1 batch. Text/markdown payloads parse;
+    * PDF / office / image decode stays declared out of scope (the
+    * reference client never parses them either — it ships bytes to a
+    * server-side parser). */
+  def uploadFile(fileName: String, content: Array[Byte],
+                 metadata: Map[String, String] = Map.empty,
+                 chunkSize: Int = 80, overlap: Int = 20): Unit = {
+    require(fileName.nonEmpty, "please provide file_name")
+    require(content.nonEmpty, s"$fileName: 0 bytes file denied")
+    val tpe = graft.text.FileIngest.fileTypeOf(fileName)
+    require(graft.text.FileIngest.SupportedTypes.contains(tpe),
+      s"$fileName: unsupported file type '$tpe' (parseable: " +
+        s"${graft.text.FileIngest.SupportedTypes.toSeq.sorted.mkString(", ")}; " +
+        "PDF/office/image parsing is out of scope)")
+    import spark.implicits._
+    uploadFiles(Seq((fileName, content)).toDF("file_name", "content")
+        .withColumn("metadata", typedLit(metadata)),
+      "file_name", "content", chunkSize, overlap)
+  }
+
+  /** upload_file from a client-local path — the reference's exact
+    * entry shape (local_file_path + optional file_name), with its
+    * exists / is-a-file checks. */
+  def uploadFileFromPath(localPath: String, fileName: String = "",
+                         metadata: Map[String, String] = Map.empty,
+                         chunkSize: Int = 80, overlap: Int = 20): Unit = {
+    val p = java.nio.file.Paths.get(localPath)
+    require(java.nio.file.Files.exists(p), s"file not found: $localPath")
+    require(java.nio.file.Files.isRegularFile(p), s"not a file: $localPath")
+    val name = if (fileName.nonEmpty) fileName else p.getFileName.toString
+    uploadFile(name, java.nio.file.Files.readAllBytes(p), metadata,
+      chunkSize, overlap)
+  }
+
+  /** query_file_details (collection_view.py:437): the file registry,
+    * filterable by exact names and/or the filter language, paged and
+    * field-projected like query(). */
+  def queryFileDetails(fileNames: Seq[String] = Nil, filter: String = "",
+                       outputFields: Seq[String] = Nil,
+                       limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    var out = files
+    if (fileNames.nonEmpty) out = out.where(col("file_name").isin(fileNames: _*))
+    out = out.where(FilterParser.parse(filter)).orderBy("file_name")
+    if (offset > 0) out = out.offset(offset)
+    out = limit.fold(out)(out.limit)
+    if (outputFields.isEmpty) out
+    else out.select(("file_name" +: outputFields.filterNot(_ == "file_name"))
+      .distinct.map(col): _*)
+  }
+
+  /** get_image_url (collection_view.py:425): for each requested
+    * document (= chunk key "file#chunkId") of `fileName`, the image
+    * assets whose markdown reference appears in that chunk's text,
+    * with their catalog-relative URLs. Both join sides are bounded —
+    * the request's id batch × one file's image refs — so the
+    * containment join is a broadcast nested loop over slivers, never
+    * a corpus product. */
+  def getImageUrl(documentIds: Seq[String], fileName: String): DataFrame = {
+    require(documentIds.nonEmpty, "please provide document ids")
+    import spark.implicits._
+    val ids = documentIds.toDF("document_id")
+    val fileChunks = chunks.where(col("doc_set") === fileName)
+      .select(concat(col("doc_set"), lit("#"),
+        col("chunk_id").cast("string")).as("document_id"), col("chunk"))
+      .join(broadcast(ids), "document_id")
+    val imgs = images.where(col("file_name") === fileName)
+    fileChunks.join(imgs,
+        col("chunk").contains(concat(lit("]("), col("image_name"), lit(")"))))
+      .select(col("document_id"), col("image_name"), col("url"))
+      .orderBy("document_id", "image_name")
+  }
+
+  // ------------------------------------------- trained chunk embedding
+
+  /** Train the VIEW's chunk-embedding model — the reference's
+    * collection_view is the surface that carries an embedding config
+    * (collection_view.py Embedding), and this routes the collections
+    * family's trained Word2Vec through the AI-doc layer: fit on the
+    * stored chunk text, persist the word-vector artifact, re-embed
+    * the whole chunk index through it, and flip the view's meta so
+    * every later upload / search embeds through the artifact (pure
+    * relational join — deterministic, no retrain). Data first, meta
+    * last: a failed re-embed leaves a consistent hash-embedded view.
+    * A live chunk graph indexes the OLD vectors, so it is rebuilt
+    * from its own stored params in the same call. `maxVocab` bounds
+    * the vocabulary exactly as on collections (Heaps' law does not
+    * bound a whitespace vocabulary at 100 TB). */
+  def trainEmbedding(dim: Int = 64, minCount: Int = 2, maxIter: Int = 1,
+                     seed: Long = 42L, maxVocab: Int = 0): Unit = {
+    val c = chunks
+    require(c.columns.nonEmpty && !c.isEmpty,
+      s"view $view has no chunks to train on — load documents first")
+    val vocab = graft.text.TextEmbed.trainWord2VecVocab(
+      c.select(col("chunk")), "chunk", dim, minCount, maxIter, seed, maxVocab)
+    catalog.createCollectionIfNotExists(db, vocabColl)
+    catalog.write(db, vocabColl, vocab)
+    val keyed = c.withColumn("__key",
+      concat(col("doc_set"), lit("#"), col("chunk_id").cast("string")))
+    val re = graft.text.TextEmbed.embedWithVocab(
+      keyed.select(col("__key"), col("chunk")), "__key", "chunk",
+      catalog.read(db, vocabColl))
+    val newChunks = keyed.drop("vec").join(re, Seq("__key"), "left")
+      .select(col("doc_set"), col("chunk_id"), col("chunk"), col("vec"))
+    catalog.overwriteFromSelf(db, chunksColl, newChunks)
+    if (catalog.collectionExists(db, graphColl)) {
+      val meta = graphStore.meta
+      if (meta.contains("index.hnsw.m"))
+        rebuildChunkGraph(
+          meta("index.hnsw.m").toInt,
+          meta.getOrElse("index.hnsw.efc", "64").toInt,
+          meta.getOrElse("index.hnsw.segments", "4").toInt,
+          meta.getOrElse("index.hnsw.default_ef", "10").toInt)
+    }
+    catalog.updateMeta(db, setsColl, Map("embedding.model" -> "word2vec",
+      "embedding.dim" -> dim.toString))
   }
 
   /** Drop the whole view (all backing collections). */
   def drop(): Unit = {
     catalog.dropCollection(db, setsColl)
     catalog.dropCollection(db, chunksColl)
+    catalog.dropCollection(db, filesColl)
+    catalog.dropCollection(db, imagesColl)
+    catalog.dropCollection(db, vocabColl)
     dropChunkGraph()
   }
 
@@ -323,15 +554,42 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     else catalog.overwriteFromSelf(db, coll,
       existing.where(col("doc_set") =!= name).unionByName(rows))
   }
+
+  /** Batch form of [[replaceIn]]: drop every existing row keyed by the
+    * `keys` FRAME (not by `rows` — a re-upload with zero image refs
+    * must still clear the file's old refs), then union the new rows.
+    * The key set never lands on the driver. */
+  private def replaceManyIn(coll: String, keyCol: String, keys: DataFrame,
+                            rows: DataFrame): Unit = {
+    catalog.createCollectionIfNotExists(db, coll)
+    val existing = catalog.read(db, coll)
+    if (existing.columns.isEmpty || existing.isEmpty) {
+      if (!rows.isEmpty) catalog.write(db, coll, rows)
+    } else catalog.overwriteFromSelf(db, coll,
+      existing.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(rows))
+  }
 }
 
 object GraftCollectionView {
   val SetsSuffix = "__cv_sets"
   val ChunksSuffix = "__cv_chunks"
   val GraphSuffix = "__cv_graph"
+  val FilesSuffix = "__cv_files"
+  val ImagesSuffix = "__cv_images"
+  val VocabSuffix = "__cv_w2v_vocab"
   /** Registry schema — the single definition both the row writer and
     * the empty-read path use. */
   val SetsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "doc_set STRING, title STRING, text STRING, n_chars BIGINT, n_chunks BIGINT")
+  /** File-detail registry (query_file_details' row shape). */
+  val FilesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "file_name STRING, byte_length BIGINT, file_type STRING, " +
+        "n_chunks BIGINT, metadata MAP<STRING,STRING>, upload_time STRING")
+  /** Image-asset registry (get_image_url's source). */
+  val ImagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "file_name STRING, image_name STRING, url STRING")
 }

@@ -18,13 +18,24 @@ import graft.vector.KnnSearch
   */
 object CollectionView {
 
-  /** Split + embed a corpus into a searchable chunk index. */
+  /** Split + embed a corpus into a searchable chunk index. With
+    * `vocab` (a trained Word2Vec word-vector table — the collections
+    * family's `embedding.model=word2vec` artifact, routed through the
+    * AI-doc layer) chunks embed as the mean of their word vectors; an
+    * all-OOV chunk KEEPS its row with a null vec — present for
+    * get_chunks, unmatchable in search (the embedWithVocab totality
+    * contract). Without it, the deterministic hashing-trick embed. */
   def buildChunkIndex(docs: DataFrame, idCol: String, textCol: String, titleCol: String,
-                      chunkSize: Int = 80, overlap: Int = 20, dim: Int = 64): DataFrame = {
+                      chunkSize: Int = 80, overlap: Int = 20, dim: Int = 64,
+                      vocab: Option[DataFrame] = None): DataFrame = {
     val chunks = TextAnalysis.chunkSplit(docs, idCol, textCol, titleCol, chunkSize, overlap)
       .withColumn("__cid", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
-    val embedded = TextEmbed.hashEmbed(
-      chunks.select(col("__cid"), col("chunk")), "__cid", "chunk", dim)
+    val embedded = vocab match {
+      case Some(v) => TextEmbed.embedWithVocab(
+        chunks.select(col("__cid"), col("chunk")), "__cid", "chunk", v)
+      case None => TextEmbed.hashEmbed(
+        chunks.select(col("__cid"), col("chunk")), "__cid", "chunk", dim)
+    }
     chunks.join(embedded, "__cid")
       .select(col(idCol), col("chunk_id"), col("chunk"), col("vec"))
   }
@@ -64,18 +75,30 @@ object CollectionView {
   def search(chunkIndex: DataFrame, idCol: String, content: String, limit: Int,
              expandChunk: (Int, Int) = (0, 0), filter: String = "",
              dim: Int = 64, graph: Option[DataFrame] = None,
-             ef: Int = 10, graphPrepared: Boolean = false): DataFrame = {
+             ef: Int = 10, graphPrepared: Boolean = false,
+             vocab: Option[DataFrame] = None): DataFrame = {
     val spark = chunkIndex.sparkSession
     import spark.implicits._
     val flat = chunkIndex
       .where(FilterParser.parse(filter))
+      // null-vec chunks (all-OOV under a trained vocab) are present in
+      // the index but unmatchable — same rule as collections' stored
+      // embeddings
+      .where(col("vec").isNotNull)
       .withColumn("__key", concat(col(idCol).cast("string"), lit("#"), col("chunk_id")))
-    // embed the query text ONCE: the graph arm collects the 1-row
-    // result for the traversal and the ranking below reuses the
-    // collected literal instead of re-running the embed job in its
-    // lineage; the FLAT arm keeps the lazy single-evaluation frame
-    val qEmbed = TextEmbed.hashEmbed(
-      Seq((0L, content)).toDF("qid", "qtext"), "qid", "qtext", dim)
+    // embed the query text ONCE — through the SAME model the chunks
+    // were embedded with (vocab when trained, hash otherwise; mixing
+    // models would rank hash query vectors against w2v chunk vectors).
+    // An all-OOV query under the vocab embeds to null ⇒ zero hits.
+    // The graph arm collects the 1-row result for the traversal and
+    // the ranking below reuses the collected literal instead of
+    // re-running the embed job in its lineage; the FLAT arm keeps the
+    // lazy single-evaluation frame
+    val qRaw = Seq((0L, content)).toDF("qid", "qtext")
+    val qEmbed = (vocab match {
+      case Some(v) => TextEmbed.embedWithVocab(qRaw, "qid", "qtext", v)
+      case None => TextEmbed.hashEmbed(qRaw, "qid", "qtext", dim)
+    }).where(col("vec").isNotNull)
     val (indexed, qdf) = graph match {
       case Some(g) =>
         // an all-stopword query has no vector and no hits on either arm

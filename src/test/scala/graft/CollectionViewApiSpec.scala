@@ -187,4 +187,154 @@ class CollectionViewApiSpec extends SparkSpec {
     assert(left == (1 to 30).filter(_ % 2 == 1).map(i => s"d$i.md").toSet)
     assert(view.chunks.select("doc_set").distinct().count() == 15)
   }
+
+  // ------------------------------------------------- file-upload family
+
+  test("upload_file lifecycle: details, search, images, re-upload, delete") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvfile").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+
+    val mdA = "spark join fast ![fig](fig_a.png) done"
+    view.uploadFile("a.md", mdA.getBytes("UTF-8"),
+      metadata = Map("author" -> "t"))
+    view.uploadFile("b.txt", ("slow table scan " * 12).trim.getBytes("UTF-8"))
+
+    // query_file_details: registry rows with byte length / type /
+    // REAL chunk count; metadata rides along
+    val det = view.queryFileDetails().collect()
+    assert(det.map(_.getString(0)).toSeq == Seq("a.md", "b.txt"))
+    val a = det.head
+    assert(a.getLong(1) == mdA.getBytes("UTF-8").length.toLong)
+    assert(a.getString(2) == "md")
+    assert(a.getLong(3) == view.getChunks("a.md").count())
+    assert(a.getMap[String, String](4).get("author").contains("t"))
+    // name + filter + outputFields + paging arms
+    assert(view.queryFileDetails(fileNames = Seq("b.txt")).count() == 1)
+    assert(view.queryFileDetails(filter = """file_type = "md"""")
+      .collect().map(_.getString(0)).toSeq == Seq("a.md"))
+    val proj = view.queryFileDetails(outputFields = Seq("byte_length"))
+    assert(proj.columns.toSeq == Seq("file_name", "byte_length"))
+    assert(view.queryFileDetails(limit = Some(1), offset = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("b.txt"))
+
+    // uploaded files are document sets: the whole existing surface works
+    assert(view.getText("a.md").contains(mdA))
+    assert(view.search("spark join", limit = 3).head().getString(1) == "a.md")
+
+    // get_image_url: the file's one chunk carries the fig ref
+    val urls = view.getImageUrl(Seq("a.md#0"), "a.md").collect()
+    assert(urls.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a.md#0", "fig_a.png", "files/a.md/fig_a.png")))
+    // ids outside the file (or with no refs) yield nothing
+    assert(view.getImageUrl(Seq("b.txt#0"), "a.md").isEmpty)
+
+    // re-upload REPLACES: content, chunk count, and image refs
+    val mdA2 = ("fresh body " * 20).trim + " ![pic](new.png)"
+    view.uploadFile("a.md", mdA2.getBytes("UTF-8"))
+    val a2 = view.queryFileDetails(fileNames = Seq("a.md")).head()
+    assert(a2.getLong(1) == mdA2.getBytes("UTF-8").length.toLong)
+    assert(a2.getLong(3) == view.getChunks("a.md").count())
+    val imgs2 = view.images.where(col("file_name") === "a.md")
+      .collect().map(_.getString(1)).toSeq
+    assert(imgs2 == Seq("new.png"), s"old refs must be replaced: $imgs2")
+
+    // delete retires the file registry and image refs with the chunks
+    view.delete(names = Seq("a.md"))
+    assert(view.queryFileDetails().collect().map(_.getString(0)).toSeq == Seq("b.txt"))
+    assert(view.images.where(col("file_name") === "a.md").isEmpty)
+    assert(view.getChunks("a.md").isEmpty)
+
+    // validation: 0 bytes denied; unparseable types declared out
+    intercept[IllegalArgumentException] {
+      view.uploadFile("x.md", Array.empty[Byte])
+    }
+    intercept[IllegalArgumentException] {
+      view.uploadFile("x.pdf", "ignored".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      view.uploadFileFromPath("/nonexistent/path/x.md")
+    }
+    // uploadFileFromPath: the reference's local-file entry shape
+    val tmp = Files.createTempFile("graft-up", ".md")
+    Files.writeString(tmp, "from disk payload")
+    view.uploadFileFromPath(tmp.toString)
+    assert(view.getText(tmp.getFileName.toString).contains("from disk payload"))
+  }
+
+  test("uploadFiles batch: distributed ingest, invalid payloads dropped") {
+    import spark.implicits._
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvbatch").toString)
+    val view = client.createDatabase("db").createCollectionView("bulk")
+    val batch = Seq(
+      ("f1.md", "alpha beta ![i](a.png)".getBytes("UTF-8")),
+      ("f2.txt", ("gamma delta " * 10).getBytes("UTF-8")),
+      ("empty.md", Array.empty[Byte]),
+      ("skip.pdf", "binaryish".getBytes("UTF-8"))
+    ).toDF("file_name", "content")
+    view.uploadFiles(batch)
+    // only the two parseable non-empty payloads register
+    assert(view.queryFileDetails().collect().map(_.getString(0)).toSeq ==
+      Seq("f1.md", "f2.txt"))
+    assert(view.query().collect().map(_.getString(0)).toSeq ==
+      Seq("f1.md", "f2.txt"))
+    assert(view.images.count() == 1)
+    assert(view.search("gamma delta", limit = 1).head().getString(1) == "f2.txt")
+  }
+
+  // --------------------------------------------- trained chunk embedding
+
+  test("trainEmbedding routes the w2v artifact through chunk embed + search; OOV chunks stay total") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvw2v").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+    view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
+    view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
+    // a doc whose words appear ONCE in the corpus: under minCount=2
+    // every word is OOV, so its chunk re-embeds to null
+    view.loadAndSplitText("rare.md", "qqq www eee")
+
+    view.trainEmbedding(dim = 8, minCount = 2, maxIter = 2)
+    // the artifact persisted and the meta flipped
+    assert(view.queryFileDetails().columns.nonEmpty) // registries unharmed
+    // trained search still routes to the right document (the repeated
+    // phrase words are in-vocab and co-trained)
+    val hits = view.search("spark join fast", limit = 3).collect()
+    assert(hits.nonEmpty && hits.head.getString(1) == "a.md",
+      s"trained search must hit a.md: ${hits.toSeq}")
+    // OOV totality: the rare chunk is present for get_chunks but
+    // unmatchable (null vec) — and never surfaces with a null score
+    assert(view.getChunks("rare.md").count() == 1)
+    assert(view.chunks.where(col("doc_set") === "rare.md")
+      .head().isNullAt(3), "all-OOV chunk must carry a null vec")
+    assert(view.search("spark join fast", limit = 10).collect()
+      .forall(_.getString(1) != "rare.md"))
+    // an all-OOV QUERY yields zero hits, not a random ranking
+    assert(view.search("zzz9 yyy8", limit = 3).isEmpty)
+    // uploads AFTER training embed through the stored artifact:
+    // a new doc repeating a.md's phrase ranks with it
+    view.loadAndSplitText("c.md", ("spark join fast " * 6).trim)
+    val hits2 = view.search("spark join fast", limit = 20).collect()
+    assert(Set("a.md", "c.md").subsetOf(hits2.map(_.getString(1)).toSet),
+      s"post-train upload must embed through the vocab: ${hits2.toSeq}")
+    // file uploads route through the trained embedder too
+    view.uploadFile("d.md", ("spark join fast " * 6).trim.getBytes("UTF-8"))
+    assert(Set("a.md", "c.md", "d.md").subsetOf(
+      view.search("spark join fast", limit = 20).collect()
+        .map(_.getString(1)).toSet))
+  }
+
+  test("trainEmbedding rebuilds a live chunk graph in the new embedding space") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvw2vg").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+    view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
+    view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2,
+      defaultEf = Int.MaxValue)
+    view.trainEmbedding(dim = 8, minCount = 2, maxIter = 2)
+    // the graph serves the NEW space: exhaustive-ef graph search must
+    // equal the FLAT ranking over the re-embedded chunks
+    val viaGraph = view.search("slow table scan", limit = 3,
+      ef = Some(Int.MaxValue)).collect().toSeq
+    assert(viaGraph.nonEmpty && viaGraph.head.getString(1) == "b.md",
+      s"graph arm must rank in the trained space: $viaGraph")
+  }
 }

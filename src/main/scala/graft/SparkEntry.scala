@@ -683,6 +683,39 @@ object SparkEntry {
         qLocal, k = 10)
     }),
 
+    "q_bq_radius" -> ((s, dir) => {
+      // radius on the BQ index: the gate is the index's OWN integer
+      // Hamming distance, so gate and ranking share one metric and a
+      // single bounded-heap scan is EXACT — no escalation ladder, no
+      // exhaustive twin (the graph/cell radius routes escalate because
+      // their beams navigate a PROXY of the gate metric; a linear bit
+      // scan sees every code once). radius=24/limit=15 mixes
+      // under-filled balls (11 hits) with truncated ones (22).
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.BqIndex.searchRadius(bqModelFor(s, dir),
+        bqEncodedFor(s, dir), qLocal, radius = 24, k = 15)
+    }),
+
+    "q_bq_radius_filtered" -> ((s, dir) => {
+      // filtered radius on the BQ index: the scalar predicate
+      // SEMI-JOINS the code table down BEFORE the scan (a scan
+      // structure pre-filters where a graph post-filters its beam),
+      // so the in-ball top-k is exact among eligible rows at any
+      // selectivity — still fully oracled
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val eligible = bqEncodedFor(s, dir).join(
+        embs.where(col("label").isin(1, 2, 3))
+          .select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      graft.vector.BqIndex.searchRadius(bqModelFor(s, dir), eligible,
+        qLocal, radius = 28, k = 10)
+    }),
+
     "q_bq_rerank" -> ((s, dir) => {
       // the production BQ pattern at a PRODUCTION shortlist (candMult=5,
       // 50 of the corpus): bit scan -> Hamming shortlist -> exact cosine
@@ -2020,6 +2053,41 @@ object SparkEntry {
         |  GROUP BY qb.id, cb.id),
         |r AS (SELECT query_id, id, ham,
         |    row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rnk FROM h)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(CAST(ham AS DOUBLE), 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bq_radius" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |thr AS (SELECT pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) GROUP BY pos),
+        |bits AS (SELECT id, pos, (x > m) AS b FROM
+        |  (SELECT id, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) ex
+        |  JOIN thr USING (pos)),
+        |h AS (SELECT qb.id AS query_id, cb.id AS id,
+        |    CAST(sum(CASE WHEN cb.b != qb.b THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM bits cb JOIN bits qb ON cb.pos = qb.pos AND qb.id < 8
+        |  GROUP BY qb.id, cb.id),
+        |r AS (SELECT query_id, id, ham,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rnk
+        |  FROM h WHERE ham <= 24)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(CAST(ham AS DOUBLE), 4) AS score
+        |FROM r WHERE rnk <= 15 ORDER BY query_id, rank""".stripMargin,
+
+    "q_bq_radius_filtered" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |thr AS (SELECT pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) GROUP BY pos),
+        |bits AS (SELECT id, pos, (x > m) AS b FROM
+        |  (SELECT id, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM v) ex
+        |  JOIN thr USING (pos)),
+        |h AS (SELECT qb.id AS query_id, cb.id AS id,
+        |    CAST(sum(CASE WHEN cb.b != qb.b THEN 1 ELSE 0 END) AS BIGINT) AS ham
+        |  FROM bits cb JOIN bits qb ON cb.pos = qb.pos AND qb.id < 8
+        |  WHERE cb.id IN (SELECT vec_id FROM embeddings WHERE label IN (1, 2, 3))
+        |  GROUP BY qb.id, cb.id),
+        |r AS (SELECT query_id, id, ham,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rnk
+        |  FROM h WHERE ham <= 28)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(CAST(ham AS DOUBLE), 4) AS score
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 

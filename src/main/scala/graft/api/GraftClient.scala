@@ -1191,6 +1191,79 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       remap)
   }
 
+  /** The live BQ code table, optionally narrowed to filter-passing
+    * documents: the scalar predicate evaluates on the data snapshot
+    * and SEMI-JOINS the codes down before any scan — a scan structure
+    * pre-filters where a graph must post-filter its beam (string-PK
+    * collections map through the xxhash64 surrogate, the code tables'
+    * key). */
+  private def bqEligible(meta: Map[String, String], filter: String): DataFrame = {
+    val words = liveSegRows(catalog.read(db, GraftCollection.bqWords(coll)),
+      "id", meta.get("index.bq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    if (filter.isEmpty) words
+    else words.join(df.where(FilterParser.parse(filter))
+      .select(nodeKey.as("id")), Seq("id"), "left_semi")
+  }
+
+  /** Radius search on the live BQ index — `radius` is the index's OWN
+    * integer Hamming distance (≤ radius bit flips), so the gate and
+    * the ranking share one metric and a single bounded-heap scan over
+    * the (optionally filtered) codes is EXACT: no escalation ladder,
+    * no exhaustive twin (the row-96 integer discipline extended to
+    * the radius gate — contrast searchHnswRadius/searchIvfRadius,
+    * whose traversals navigate a proxy of the gate metric and must
+    * escalate with measured recall; a linear bit scan sees every
+    * eligible code once, so there is nothing to escalate to). The
+    * reference's search(radius) shape (stub.py:589 carries radius
+    * next to the index params) served at the quantized family's
+    * universal O(codes) cost — 1 bit/dim, never the raw vectors. */
+  def searchBqRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     radius: Int, limit: Int = 10,
+                     filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.bq.dim"), "no BQ index: run rebuildBqIndex first")
+    require(radius >= 0, s"negative Hamming radius $radius")
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val raw = graft.vector.BqIndex.searchRadius(bqModelFromMeta(meta),
+      bqEligible(meta, filter), qarr, radius, limit)
+    // string-PK collections: codes key by the xxhash64 surrogate —
+    // resolve back to the real document id (the raw result is bounded
+    // at limit·|batch| rows, so IT is the broadcast side)
+    val resolved = nodeKeyOpt match {
+      case None => raw
+      case Some(nk) =>
+        df.select(nk.as("__nk"), col(idCol).as("id"))
+          .join(broadcast(raw.withColumnRenamed("id", "__nk")), "__nk")
+          .select(col("query_id"), col("rank"), col("id"), col("score"))
+          .orderBy("query_id", "rank")
+    }
+    remapQueryIds(resolved, remap)
+  }
+
+  /** Filtered BQ search: Hamming shortlist over the PRE-filtered
+    * codes, exact rerank in the stored BQ metric against the same
+    * filtered snapshot. Exact among eligible rows at ANY selectivity
+    * — the shortlist is taken after the semi-join, so a 0.1% filter
+    * cannot starve it (the failure mode the graph routes pay a ladder
+    * to avoid). */
+  def searchBqFiltered(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       filter: String, limit: Int = 10,
+                       candMult: Int = 10): DataFrame = {
+    require(filter.nonEmpty,
+      "searchBqFiltered requires a filter — use searchBq for unfiltered search")
+    val meta = describe
+    require(meta.contains("index.bq.dim"), "no BQ index: run rebuildBqIndex first")
+    val filtered = df.where(FilterParser.parse(filter))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.BqIndex.searchRerank(bqModelFromMeta(meta),
+        bqEligible(meta, filter), filtered, idCol, vecCol, qarr, limit,
+        candMult, metric = meta.getOrElse("index.bq.metric", "cosine"),
+        nodeKey = nodeKeyOpt),
+      remap)
+  }
+
   /** rebuild_index for HNSW — the reference's DEFAULT index type
     * (tests/conftest.py builds every collection with IndexType.HNSW,
     * params {"M", "efConstruction"}): build per-segment graphs

@@ -119,13 +119,35 @@ object BqIndex {
     * is the EXACT integer Hamming distance (as a double — ≤ dim, so
     * lossless), making the whole ranking oracle-checkable. */
   def search(model: Model, encoded: DataFrame,
-             queries: Array[(Long, Array[Double])], k: Int): DataFrame = {
+             queries: Array[(Long, Array[Double])], k: Int): DataFrame =
+    scan(model, encoded, queries, k, radius = None)
+
+  /** Hamming-RADIUS search: the top-`k` codes within `radius` bit
+    * flips of each query. The gate metric IS the ranking metric (both
+    * the integer Hamming distance), so one bounded-heap pass over the
+    * eligible codes is EXACT — unlike the graph/cell radius routes,
+    * whose beams navigate a proxy of the gate metric and need the
+    * escalation ladder with measured recall, a linear bit scan sees
+    * every code exactly once and the in-ball top-k it keeps is the
+    * true one. No ladder, no exhaustive twin: the same integer
+    * discipline that makes [[search]] fully oracled extends to the
+    * radius gate end-to-end. Queries with an empty ball return no
+    * rows (the family's radius convention). */
+  def searchRadius(model: Model, encoded: DataFrame,
+                   queries: Array[(Long, Array[Double])], radius: Int,
+                   k: Int): DataFrame =
+    scan(model, encoded, queries, k, radius = Some(radius))
+
+  private def scan(model: Model, encoded: DataFrame,
+                   queries: Array[(Long, Array[Double])], k: Int,
+                   radius: Option[Int]): DataFrame = {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids: results are keyed by query id")
     val spark = encoded.sparkSession
     val packed = queries.map { case (qid, qv) => (qid, pack(model, qv)) }
     val bc = spark.sparkContext.broadcast(packed)
     val nq = queries.length
+    val rGate = radius.getOrElse(Int.MaxValue)
 
     val partial = encoded.as(Encoders.product[(Long, Array[Long])])
       .mapPartitions { it =>
@@ -140,7 +162,7 @@ object BqIndex {
             while (w < words.length) {
               h += java.lang.Long.bitCount(words(w) ^ qw(w)); w += 1
             }
-            heaps(j).insert(h.toDouble, id)
+            if (h <= rGate) heaps(j).insert(h.toDouble, id)
             j += 1
           }
         }

@@ -121,4 +121,65 @@ class BqIndexSpec extends SparkSpec {
       .collect().toSeq
     assert(live.map(_.getLong(2)) == rebuilt.map(_.getLong(2)))
   }
+
+  test("searchRadius: the Hamming-gated ranking is exact at any width — no ladder needed") {
+    val model = BqIndex.train(embs, "embedding")
+    val enc = BqIndex.encode(model, embs, "vec_id", "embedding")
+    val n = embs.count().toInt
+    // reference: gate + re-rank the FULL integer Hamming ranking
+    val full = BqIndex.search(model, enc, qLocal, k = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(2)))
+    val limit = 15
+    val expect = full.filter(_._2 <= 24.0).groupBy(_._1).toSeq
+      .flatMap { case (_, rs) =>
+        rs.sortBy(t => (t._2, t._3)).take(limit).zipWithIndex
+          .map { case ((qq, s, id), i) => (qq, i + 1, id, s) }
+      }.sortBy(t => (t._1, t._2))
+    val got = BqIndex.searchRadius(model, enc, qLocal, radius = 24, k = limit)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expect,
+      "one bounded-heap scan must equal the gated full ranking exactly")
+    // radius 0: each corpus-member query finds (at least) itself at
+    // distance 0; every returned row IS at distance 0
+    val self = BqIndex.searchRadius(model, enc, qLocal, radius = 0, k = n)
+      .collect()
+    assert(self.forall(_.getDouble(3) == 0.0))
+    assert(qLocal.map(_._1).toSet.subsetOf(
+      self.filter(r => r.getLong(0) == r.getLong(2)).map(_.getLong(0)).toSet))
+  }
+
+  test("client searchBqRadius/searchBqFiltered: exact among eligible; filter pre-joins codes") {
+    import graft.api.GraftClient
+    val root = java.nio.file.Files.createTempDirectory("graft-bqrad").toString
+    val rnd = new scala.util.Random(43)
+    val rows: Seq[(Long, Seq[Double], Long)] =
+      (0L until 240L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()), i % 3))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector", "tag"))
+    val q = Seq((0L, rows(5)._2), (1L, rows(100)._2)).toDF("qid", "qvec")
+    // routes require the index
+    intercept[IllegalArgumentException] {
+      coll.searchBqRadius(q, "qid", "qvec", radius = 4)
+    }
+    coll.rebuildBqIndex()
+    val n = 240
+    // filtered top-k at corpus-covering candMult ≡ the FLAT filtered
+    // cosine scan (exact among eligible at any selectivity)
+    val flat = coll.search(q, "qid", "qvec", "cosine", limit = 5,
+      filter = "tag = 1").collect().toSeq
+    val bqf = coll.searchBqFiltered(q, "qid", "qvec", "tag = 1", limit = 5,
+      candMult = n).collect().toSeq
+    assert(bqf == flat, "corpus-covering filtered BQ must equal exact filtered KNN")
+    // radius = dim covers every eligible code: exactly the tag-1 rows
+    val ball = coll.searchBqRadius(q, "qid", "qvec", radius = 16, limit = n,
+      filter = "tag = 1").collect()
+    assert(ball.length == 2 * rows.count(_._3 == 1L))
+    assert(ball.forall(r => r.getLong(2) % 3 == 1L),
+      "every radius hit must satisfy the pre-join filter")
+    // radius 0 finds the query's own row (q 0 = doc 5's vector)
+    val self = coll.searchBqRadius(q, "qid", "qvec", radius = 0, limit = n)
+      .collect().filter(_.getLong(0) == 0L).map(_.getLong(2)).toSet
+    assert(self.contains(5L))
+  }
 }

@@ -173,6 +173,32 @@ class StringIdSpec extends SparkSpec {
     assert(top.contains("doc-3"), s"the re-packed doc must rank at the top, got $top")
   }
 
+  test("string-PK BQ radius + filtered arms: surrogates resolve, ids stay strings") {
+    val coll = svColl("bqrad")
+    coll.rebuildBqIndex()
+    val n = svCorpus.count().toInt
+    // radius = dim covers the whole corpus: every query returns all n
+    // rows, ids resolved back from the xxhash64 surrogate to strings
+    val ball = coll.searchBqRadius(svQueries, "qid", "qv", radius = 64, limit = n)
+    assert(ball.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(ball.count() == 4L * n)
+    assert(ball.select("id").distinct().count() == n.toLong)
+    // radius 0: each query (a corpus member) finds its own document
+    val self = coll.searchBqRadius(svQueries, "qid", "qv", radius = 0, limit = n)
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(Set("q-0", "q-1", "q-2", "q-3").subsetOf(
+      self.filter { case (q, d) => d == q.replace("q-", "doc-") }.map(_._1).toSet))
+    // filtered top-k at corpus candMult ≡ the FLAT filtered scan
+    val f = """id in ("doc-3", "doc-7", "doc-11", "doc-42", "doc-99")"""
+    val flat = rows(coll.search(svQueries, "qid", "qv", "cosine", limit = 3,
+      filter = f))
+    val bqf = rows(coll.searchBqFiltered(svQueries, "qid", "qv", f, limit = 3,
+      candMult = n))
+    assert(bqf == flat,
+      "string-PK corpus-covering filtered BQ must equal exact filtered KNN")
+  }
+
   test("string-PK PQ maintenance: the surrogate ledger masks replaced codes") {
     val coll = svColl("pqmut")
     coll.rebuildPqIndex(m = 8, k = 16)

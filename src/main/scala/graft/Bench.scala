@@ -177,10 +177,39 @@ object Bench {
         vocab.unpersist()
         Seq(s"m_w2v_train_$name" -> tTrain, s"m_w2v_embed_$name" -> tEmbed)
       }
-      measure("1x", 1) ++ measure("8x", 8)
+      val corpusAxis = measure("1x", 1) ++ measure("8x", 8)
+      // the VOCABULARY axis (r10 verdict #8): serving cost of the same
+      // 200-doc batch against a 1× and a 10× STORED vocab — the axis
+      // the (now removed) broadcast hint was hiding. The 10× table
+      // inflates the artifact with distinct suffixed words (they match
+      // no corpus token, exactly like the long tail of a 100 TB vocab)
+      // — the posting equi-join must stay FLAT in stored-vocab size,
+      // because the join is keyed by word and the batch's postings,
+      // not the dictionary, are the probe side.
+      val vocabAxis = {
+        val v1 = graft.text.TextEmbed.trainWord2VecVocab(
+          base, "text", dim = 32).cache()
+        v1.count()
+        val v10 = (0 until 10).map(i =>
+            if (i == 0) v1
+            else v1.select(concat(col("word"), lit(s"~$i")).as("word"),
+              col("vec"), col("freq")))
+          .reduce(_ unionAll _).cache()
+        v10.count()
+        def t(v: org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          graft.text.TextEmbed.embedWithVocab(batch, "doc_id", "text", v).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val out = Seq("m_w2v_embed_v1x" -> t(v1), "m_w2v_embed_v10x" -> t(v10))
+        v1.unpersist(); v10.unpersist()
+        out
+      }
+      corpusAxis ++ vocabAxis
     } catch { case _: Throwable =>
       Seq("m_w2v_train_1x" -> -1.0, "m_w2v_embed_1x" -> -1.0,
-          "m_w2v_train_8x" -> -1.0, "m_w2v_embed_8x" -> -1.0)
+          "m_w2v_train_8x" -> -1.0, "m_w2v_embed_8x" -> -1.0,
+          "m_w2v_embed_v1x" -> -1.0, "m_w2v_embed_v10x" -> -1.0)
     // unpersist on BOTH paths — the failure path used to leak the
     // cached batch for the rest of the bench run (advisor finding)
     } finally if (batch != null) batch.unpersist()

@@ -389,6 +389,43 @@ object RecallProbe {
             "label", k = k, ef = ef), gtHn))
       gtHn.unpersist()
     }
+
+    // ---- hard-negative LADDER COST (r10 verdict #7) -----------------
+    // The row-102/103 work-accounting device on the label-filtered arm:
+    // three negative-AVAILABILITY mixes decide how deep the one
+    // label-blind traversal per rung must dig before the exact-rerank
+    // label predicate fills k negatives per anchor — easy (anchor
+    // label ~10% of the corpus: 90% of every beam is negative, first
+    // rung fills), boundary (~50%), starved (~95% anchor label: the
+    // negatives are a 5% tail and early rungs cannot fill, so the
+    // ladder must escalate toward the exhaustive bound). work_multiple
+    // ≤ 4/3 is the geometric claim under test on this arm.
+    for ((name, pct) <- Seq(("easy", 10), ("boundary", 50), ("starved", 95))) {
+      val collM = probeDb.createCollection(s"hn_$name")
+      // deterministic relabel: label 0 on ~pct% of rows (salted hash —
+      // independent of vec_id order), everything else keeps a shifted
+      // original label (never 0)
+      val relabeled = embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"),
+        when(pmod(xxhash64(col("vec_id"), lit(name)), lit(100)) < pct, lit(0L))
+          .otherwise(col("label") + 1L).as("label"))
+      collM.upsert(relabeled)
+      collM.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "cosine")
+      // anchors: label-0 members (the mix's majority/minority class)
+      val anchors = collM.query(filter = "label = 0",
+          sort = Seq(("id", true)), limit = Some(nQ))
+        .select(col("id").as("qid"), col("vector").as("qvec"),
+          col("label").as("qlab"))
+      val gtM = KnnSearch.hardNegatives(relabeled, "id", "vector", "label",
+        anchors, "qid", "qvec", "qlab", "cosine", k).cache()
+      gtM.count()
+      val res = collM.hardNegativesHnsw(anchors, "qid", "qvec", "qlab",
+        "label", k = k, ef = 10)
+      ladderLine("hardneg_hnsw_ladder", s"$name anchor_label_pct=$pct ef0=10",
+        collM.lastLadderRungs.toSeq, corpusN, Recall.atK(res, gtM))
+      gtM.unpersist()
+    }
     locally {
       val collI = probeDb.createCollection("i")
       collI.upsert(embs.select(col("vec_id").as("id"),

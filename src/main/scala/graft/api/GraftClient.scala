@@ -920,6 +920,70 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "embedding.text_field" -> tc, "embedding.dim" -> d.toString))
   }
 
+  /** Report-only retrain signal for the trained embedding: scores the
+    * CURRENT stored corpus against the vocab artifact's TRAIN-TIME
+    * token distribution (persisted as the artifact's `freq` column, so
+    * no training corpus is kept around). Three bounded numbers —
+    *  - `oov_token_rate`: share of live token occurrences with no
+    *    word vector (each one embeds as a hole today);
+    *  - `oov_type_rate`: share of live distinct types out of vocab;
+    *  - `tv_distance`: total-variation distance between the live and
+    *    train-time frequency distributions RESTRICTED to vocab words
+    *    (both renormalized — topical drift even when coverage holds);
+    * plus `retrain_recommended` = any of them above `threshold`. The
+    * retrain itself stays a user action ([[trainTextEmbedding]]) — a
+    * silent auto-retrain would invalidate stored embeddings mid-query.
+    * Cost: one token groupBy over the corpus + one dictionary-sized
+    * join, two scalar aggregates — the [[graft.ops.Curation.vocabDrift]]
+    * shape, reduced to a one-row report. */
+  def w2vDriftCheck(threshold: Double = 0.2): DataFrame = {
+    require(embedModel == "word2vec",
+      "no trained embedding: run trainTextEmbedding first")
+    require(catalog.collectionExists(db, GraftCollection.w2vVocab(coll)),
+      s"embedding.model=word2vec but ${GraftCollection.w2vVocab(coll)} is " +
+        "missing — retrain with trainTextEmbedding")
+    val vocab = catalog.read(db, GraftCollection.w2vVocab(coll))
+    require(vocab.columns.contains("freq"),
+      "vocab artifact carries no train-time frequencies (trained before " +
+        "drift checks existed) — retrain with trainTextEmbedding to arm them")
+    val tc = embedTextCol.getOrElse("text")
+    val live = df.select(explode(filter(
+        split(coalesce(col(tc), lit("")), " "), t => t =!= "")).as("word"))
+      .groupBy("word").agg(sum(lit(1L)).as("c"))
+    val joined = live
+      .join(vocab.select(col("word"), col("freq")), Seq("word"), "full_outer")
+      .select(coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("freq"), lit(0L)).as("f"))
+    // pass 1: totals + OOV mass (one aggregate over the type table)
+    val t = joined.agg(
+        coalesce(sum(col("c")), lit(0L)).as("totC"),
+        coalesce(sum(when(col("f") > 0, col("c")).otherwise(0L)), lit(0L)).as("inC"),
+        coalesce(sum(when(col("f") > 0, col("f")).otherwise(0L)), lit(0L)).as("inF"),
+        coalesce(sum(when(col("f") === 0, col("c")).otherwise(0L)), lit(0L)).as("oovC"),
+        coalesce(sum(when(col("c") > 0, 1L).otherwise(0L)), lit(0L)).as("types"),
+        coalesce(sum(when(col("c") > 0 && col("f") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("oovTypes"))
+      .collect()(0)
+    val (totC, inC, inF) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val oovTokRate = if (totC == 0) 0.0 else t.getLong(3).toDouble / totC
+    val oovTypeRate = if (t.getLong(4) == 0) 0.0
+                      else t.getLong(5).toDouble / t.getLong(4)
+    // pass 2 (needs pass-1 totals): TV distance over in-vocab words,
+    // both sides renormalized to their in-vocab mass
+    val tvd =
+      if (inC == 0 || inF == 0) 1.0 // no overlap: maximal drift
+      else 0.5 * joined.where(col("f") > 0)
+        .agg(sum(abs(col("c").cast("double") / lit(inC.toDouble) -
+          col("f").cast("double") / lit(inF.toDouble))))
+        .collect()(0).getDouble(0)
+    import spark.implicits._
+    Seq((oovTokRate, oovTypeRate, tvd,
+        oovTokRate > threshold || oovTypeRate > threshold || tvd > threshold,
+        threshold))
+      .toDF("oov_token_rate", "oov_type_rate", "tv_distance",
+        "retrain_recommended", "threshold")
+  }
+
   /** search_by_text: embed the query strings with the collection's
     * configured embedder (trained Word2Vec vocab or the hash stub) and
     * KNN against the embeddings STORED at upsert time (falling back to
@@ -1085,10 +1149,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.read(db, GraftCollection.bqThresholds(coll)),
       meta("index.bq.dim").toInt)
 
-  def rebuildIndex(nlist: Int = 16, metric: String = "l2"): Unit = {
+  /** `nlist ≤ 0` (the default) derives the cell count from the corpus
+    * at rebuild time: ⌈√N⌉ cells, the standard IVF sizing rule — with
+    * √N cells a probe scans ~√N rows, balancing the centroid scan
+    * against the cell scans, and the r10 ladder telemetry showed the
+    * adaptive routes' advantage GROWS with nlist (vs_exhaustive 1.31
+    * at nlist=16 → 0.73 at 64 on the same sf0.1 corpus), so a fixed
+    * small default was leaving measured performance on the table at
+    * every scale above toy. Explicit `nlist` stays an override;
+    * auto-derivation clamps to [1, 65536] (65536 centroid rows remain
+    * a broadcastable model at any corpus size). */
+  def rebuildIndex(nlist: Int = 0, metric: String = "l2"): Unit = {
     beginVectorRebuild("IVF")
     val base = df.drop(GraftCollection.IndexCols: _*)
-    val model = graft.vector.IvfIndex.train(base, vecCol, nlist)
+    val nl = if (nlist > 0) nlist else GraftCollection.autoNlist(base.count())
+    val model = graft.vector.IvfIndex.train(base, vecCol, nl)
     val assigned = graft.vector.IvfIndex.assign(model, base, vecCol,
       outCol = GraftCollection.CellCol)
     // bucketed collections KEEP the bucket directory layout (upserts
@@ -1109,12 +1184,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.write(db, GraftCollection.ivfCentroids(coll),
       graft.vector.IvfIndex.centroids(model, spark))
     catalog.updateMeta(db, coll,
-      Map("index.ivf.nlist" -> nlist.toString, "index.ivf.metric" -> metric))
+      Map("index.ivf.nlist" -> nl.toString, "index.ivf.metric" -> metric))
   }
 
   /** modify_vector_index (stub.py:887): change index params and
-    * re-derive the layout — a rebuild with the new configuration. */
-  def modifyVectorIndex(nlist: Int = 16, metric: String = "l2"): Unit =
+    * re-derive the layout — a rebuild with the new configuration
+    * (same auto-√N default as [[rebuildIndex]]). */
+  def modifyVectorIndex(nlist: Int = 0, metric: String = "l2"): Unit =
     rebuildIndex(nlist, metric)
 
   /** rebuild_index for the PQ family (reference index.py PQ / IVF_PQ
@@ -3293,6 +3369,12 @@ object GraftCollection {
     * bounds the count table's read-time segment fan-in while keeping
     * the per-fold cost O(batch types). */
   val LmMaxSegments = 16
+  /** Corpus-derived IVF cell count: ⌈√N⌉ clamped to [1, 65536] — the
+    * standard sizing rule (a probe then scans ~√N rows; the centroid
+    * table stays a broadcastable model at any corpus size). */
+  private[graft] def autoNlist(n: Long): Int =
+    math.max(1L, math.min(65536L,
+      math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def mhSig(coll: String): String = coll + "__mh_sig"
   private[api] def mhBkt(coll: String): String = coll + "__mh_bkt"

@@ -61,7 +61,8 @@ object TextEmbed {
 
   /** Train MLlib Word2Vec (skip-gram, Mikolov et al. 2013 — Spark's
     * own public implementation, no new dependency) on the corpus text
-    * and return the WORD-VECTOR TABLE (word, vec: array<double>) — a
+    * and return the WORD-VECTOR TABLE (word, vec: array<double>,
+    * freq: train-time corpus count — the drift-check baseline) — a
     * persistable artifact any later session embeds against without the
     * model object. This upgrades the hashing-trick stand-in to a REAL
     * trained embedding: tokens that co-occur get nearby vectors, so
@@ -90,13 +91,17 @@ object TextEmbed {
     val toks0 = docs.select(
       filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
         .as("__toks"))
+    // train-time corpus frequency per type — drives the maxVocab cut
+    // AND persists in the artifact (`freq`), so a later drift check
+    // can compare the live corpus against the distribution this model
+    // was actually trained on without keeping the training corpus
+    val counts = toks0.select(explode(col("__toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
     val toks = if (maxVocab <= 0) toks0 else {
       // top-K types by count — orderBy().limit() plans as a
       // distributed TakeOrderedAndProject, never a single-partition
       // sort; K rows is dictionary-sized by construction
-      val top = toks0.select(explode(col("__toks")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("__c"))
-        .orderBy(desc("__c"), asc("word")).limit(maxVocab)
+      val top = counts.orderBy(desc("freq"), asc("word")).limit(maxVocab)
         .select("word")
       // filter each doc's token stream to in-vocab words, preserving
       // token ORDER (Word2Vec context windows are positional): the
@@ -115,8 +120,10 @@ object TextEmbed {
       .setSeed(seed)
       .fit(toks)
     model.getVectors.select(col("word"),
-      org.apache.spark.ml.functions.vector_to_array(col("vector"), "float64")
-        .as("vec"))
+        org.apache.spark.ml.functions.vector_to_array(col("vector"), "float64")
+          .as("vec"))
+      .join(counts, Seq("word"), "left")
+      .select(col("word"), col("vec"), coalesce(col("freq"), lit(0L)).as("freq"))
   }
 
   /** (idCol, vec) — L2-normalized MEAN of the document's word vectors

@@ -103,6 +103,55 @@ class Round11Spec extends SparkSpec {
       "no null-scored rows from the fallback branch")
   }
 
+  // ---------------------------------------------------- auto-nlist IVF
+
+  test("rebuildIndex default derives nlist = ceil(sqrt(N)); explicit nlist overrides") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r11-nlist").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("v")
+    val rnd = new scala.util.Random(7)
+    coll.upsert((0L until 256L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("id", "vector"))
+    coll.rebuildIndex()
+    assert(coll.describe("index.ivf.nlist") == "16",
+      s"auto nlist for N=256 must be sqrt = 16, got ${coll.describe("index.ivf.nlist")}")
+    // a full probe over the auto layout equals the FLAT scan
+    val q = Seq((0L, Seq.fill(8)(0.1))).toDF("qid", "qvec")
+    val flat = coll.search(q, "qid", "qvec", "l2", limit = 5)
+      .collect().map(_.getLong(2)).toSeq
+    val ivf = coll.search(q, "qid", "qvec", "l2", limit = 5, nprobe = Some(16))
+      .collect().map(_.getLong(2)).toSeq
+    assert(ivf == flat)
+    // explicit override still wins
+    coll.modifyVectorIndex(nlist = 4)
+    assert(coll.describe("index.ivf.nlist") == "4")
+  }
+
+  // -------------------------------------------------- w2v drift check
+
+  test("w2vDriftCheck: clean corpus scores low; novel-vocabulary drift recommends retrain") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r11-drift").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("docs",
+        Map("embedding.text_field" -> "text", "embedding.dim" -> "8"))
+    intercept[IllegalArgumentException] { coll.w2vDriftCheck() } // untrained
+    coll.upsert((0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta tok${i % 4}")).toDF("id", "text"))
+    coll.trainTextEmbedding(minCount = 1, maxIter = 1)
+    // same corpus as training: zero OOV, zero TV distance
+    val clean = coll.w2vDriftCheck(threshold = 0.2).head()
+    assert(clean.getDouble(0) == 0.0 && clean.getDouble(1) == 0.0)
+    assert(clean.getDouble(2) < 1e-12)
+    assert(!clean.getBoolean(3), "a drift-free corpus must not recommend retrain")
+    // the corpus drifts: a wave of docs in entirely new vocabulary
+    coll.upsert((100L until 160L).map(i =>
+      (i, s"nova$i quasar$i pulsar$i nebula$i comet$i")).toDF("id", "text"))
+    val drifted = coll.w2vDriftCheck(threshold = 0.2).head()
+    assert(drifted.getDouble(0) > 0.2,
+      s"OOV token mass must dominate after the novel wave: ${drifted.getDouble(0)}")
+    assert(drifted.getBoolean(3), "drift past the threshold must recommend retrain")
+  }
+
   // ------------------------------------------------- password storage
 
   test("users: PBKDF2 per-user salt, constant-time verify, legacy SHA-256 upgrade") {

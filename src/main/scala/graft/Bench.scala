@@ -187,23 +187,31 @@ object Bench {
       // because the join is keyed by word and the batch's postings,
       // not the dictionary, are the probe side.
       val vocabAxis = {
-        val v1 = graft.text.TextEmbed.trainWord2VecVocab(
-          base, "text", dim = 32).cache()
-        v1.count()
-        val v10 = (0 until 10).map(i =>
-            if (i == 0) v1
-            else v1.select(concat(col("word"), lit(s"~$i")).as("word"),
-              col("vec"), col("freq")))
-          .reduce(_ unionAll _).cache()
-        v10.count()
-        def t(v: org.apache.spark.sql.DataFrame): Double = {
-          val t0 = System.nanoTime()
-          graft.text.TextEmbed.embedWithVocab(batch, "doc_id", "text", v).count()
-          (System.nanoTime() - t0) / 1e9
+        var v1: org.apache.spark.sql.DataFrame = null
+        var v10: org.apache.spark.sql.DataFrame = null
+        // unpersist in finally — the catch-all below swallows failures
+        // and a leaked cache entry would shadow the rest of the bench
+        // (the same advisor finding as `batch`)
+        try {
+          v1 = graft.text.TextEmbed.trainWord2VecVocab(
+            base, "text", dim = 32).cache()
+          v1.count()
+          v10 = (0 until 10).map(i =>
+              if (i == 0) v1
+              else v1.select(concat(col("word"), lit(s"~$i")).as("word"),
+                col("vec"), col("freq")))
+            .reduce(_ unionAll _).cache()
+          v10.count()
+          def t(v: org.apache.spark.sql.DataFrame): Double = {
+            val t0 = System.nanoTime()
+            graft.text.TextEmbed.embedWithVocab(batch, "doc_id", "text", v).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Seq("m_w2v_embed_v1x" -> t(v1), "m_w2v_embed_v10x" -> t(v10))
+        } finally {
+          if (v1 != null) v1.unpersist()
+          if (v10 != null) v10.unpersist()
         }
-        val out = Seq("m_w2v_embed_v1x" -> t(v1), "m_w2v_embed_v10x" -> t(v10))
-        v1.unpersist(); v10.unpersist()
-        out
       }
       corpusAxis ++ vocabAxis
     } catch { case _: Throwable =>

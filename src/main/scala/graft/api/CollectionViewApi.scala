@@ -378,6 +378,15 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
                   chunkSize: Int = 80, overlap: Int = 20): Unit = {
     create()
     val parsed = graft.text.FileIngest.parse(batch, nameCol, contentCol)
+    // duplicate names INSIDE one batch would write two chunk sets with
+    // identical (doc_set, chunk_id) keys side by side — corrupted
+    // state no later read can untangle. Reject loudly (the re-upload
+    // path for replacing a file is a second call); one tiny aggregate
+    // over the batch (review finding)
+    val dup = parsed.groupBy("file_name").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate file_name in one upload batch: ${dup.headOption.map(_.getString(0)).getOrElse("")}")
     val docs = parsed.select(col("file_name").as("doc_set"), col("text"),
       col("file_name").as("title"))
     val newChunks = CollectionView.buildChunkIndex(docs, "doc_set", "text",
@@ -501,9 +510,11 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     * stored chunk text, persist the word-vector artifact, re-embed
     * the whole chunk index through it, and flip the view's meta so
     * every later upload / search embeds through the artifact (pure
-    * relational join — deterministic, no retrain). Data first, meta
-    * last: a failed re-embed leaves a consistent hash-embedded view.
-    * A live chunk graph indexes the OLD vectors, so it is rebuilt
+    * relational join — deterministic, no retrain). A failed re-embed
+    * leaves a consistent hash-embedded view (the chunk overwrite is a
+    * staged swap and meta flips right after it — see the ordering
+    * note in the body). A live chunk graph indexes the OLD vectors,
+    * so it is rebuilt
     * from its own stored params in the same call. `maxVocab` bounds
     * the vocabulary exactly as on collections (Heaps' law does not
     * bound a whitespace vocabulary at 100 TB). */
@@ -523,18 +534,32 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       catalog.read(db, vocabColl))
     val newChunks = keyed.drop("vec").join(re, Seq("__key"), "left")
       .select(col("doc_set"), col("chunk_id"), col("chunk"), col("vec"))
+    // ORDER is the consistency argument (review finding): the chunk
+    // overwrite is the one all-or-nothing step (staged swap) — a
+    // failure before it changes nothing; meta flips IMMEDIATELY after,
+    // so the window where w2v chunks serve hash queries is one local
+    // JSON write, not the whole graph rebuild; the graph rebuild runs
+    // LAST, and if it fails the stale graph (old vectors) is DROPPED
+    // rather than left serving the new space through old geometry —
+    // searches fall back to the FLAT scan, consistent in the new
+    // space, until rebuildChunkGraph is re-run.
     catalog.overwriteFromSelf(db, chunksColl, newChunks)
+    catalog.updateMeta(db, setsColl, Map("embedding.model" -> "word2vec",
+      "embedding.dim" -> dim.toString))
     if (catalog.collectionExists(db, graphColl)) {
       val meta = graphStore.meta
       if (meta.contains("index.hnsw.m"))
-        rebuildChunkGraph(
+        try rebuildChunkGraph(
           meta("index.hnsw.m").toInt,
           meta.getOrElse("index.hnsw.efc", "64").toInt,
           meta.getOrElse("index.hnsw.segments", "4").toInt,
           meta.getOrElse("index.hnsw.default_ef", "10").toInt)
+        catch { case t: Throwable =>
+          try dropChunkGraph()
+          catch { case c: Throwable => t.addSuppressed(c) }
+          throw t
+        }
     }
-    catalog.updateMeta(db, setsColl, Map("embedding.model" -> "word2vec",
-      "embedding.dim" -> dim.toString))
   }
 
   /** Drop the whole view (all backing collections). */
@@ -563,9 +588,13 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
                             rows: DataFrame): Unit = {
     catalog.createCollectionIfNotExists(db, coll)
     val existing = catalog.read(db, coll)
-    if (existing.columns.isEmpty || existing.isEmpty) {
-      if (!rows.isEmpty) catalog.write(db, coll, rows)
-    } else catalog.overwriteFromSelf(db, coll,
+    // no rows.isEmpty pre-check: `rows` is the full split+embed plan
+    // and probing it would run its shuffle stages once for the check
+    // and again for the write (review finding); writing an empty frame
+    // is harmless (schema-only collection, same as replaceIn)
+    if (existing.columns.isEmpty || existing.isEmpty)
+      catalog.write(db, coll, rows)
+    else catalog.overwriteFromSelf(db, coll,
       existing.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
         .unionByName(rows))
   }

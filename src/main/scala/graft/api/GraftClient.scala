@@ -950,10 +950,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val live = df.select(explode(filter(
         split(coalesce(col(tc), lit("")), " "), t => t =!= "")).as("word"))
       .groupBy("word").agg(sum(lit(1L)).as("c"))
+    // persisted: BOTH aggregate passes read the type table — without
+    // it the corpus tokenize+groupBy+join would run twice (review
+    // finding); the table is type-count-sized, spillable
     val joined = live
       .join(vocab.select(col("word"), col("freq")), Seq("word"), "full_outer")
       .select(coalesce(col("c"), lit(0L)).as("c"),
         coalesce(col("freq"), lit(0L)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // pass 1: totals + OOV mass (one aggregate over the type table)
     val t = joined.agg(
         coalesce(sum(col("c")), lit(0L)).as("totC"),
@@ -982,6 +987,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         threshold))
       .toDF("oov_token_rate", "oov_type_rate", "tv_distance",
         "retrain_recommended", "threshold")
+    } finally joined.unpersist(blocking = false)
   }
 
   /** search_by_text: embed the query strings with the collection's
@@ -1273,13 +1279,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * pre-filters where a graph must post-filter its beam (string-PK
     * collections map through the xxhash64 surrogate, the code tables'
     * key). */
-  private def bqEligible(meta: Map[String, String], filter: String): DataFrame = {
+  private def bqEligible(meta: Map[String, String],
+                         filtered: Option[DataFrame]): DataFrame = {
     val words = liveSegRows(catalog.read(db, GraftCollection.bqWords(coll)),
       "id", meta.get("index.bq.base_seg").map(_.toInt).getOrElse(0),
       surrogate = true)
-    if (filter.isEmpty) words
-    else words.join(df.where(FilterParser.parse(filter))
-      .select(nodeKey.as("id")), Seq("id"), "left_semi")
+    filtered.fold(words)(f =>
+      words.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
   }
 
   /** Radius search on the live BQ index — `radius` is the index's OWN
@@ -1301,20 +1307,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     require(meta.contains("index.bq.dim"), "no BQ index: run rebuildBqIndex first")
     require(radius >= 0, s"negative Hamming radius $radius")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
-    val raw = graft.vector.BqIndex.searchRadius(bqModelFromMeta(meta),
-      bqEligible(meta, filter), qarr, radius, limit)
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
     // string-PK collections: codes key by the xxhash64 surrogate —
-    // resolve back to the real document id (the raw result is bounded
-    // at limit·|batch| rows, so IT is the broadcast side)
-    val resolved = nodeKeyOpt match {
-      case None => raw
-      case Some(nk) =>
-        df.select(nk.as("__nk"), col(idCol).as("id"))
-          .join(broadcast(raw.withColumnRenamed("id", "__nk")), "__nk")
-          .select(col("query_id"), col("rank"), col("id"), col("score"))
-          .orderBy("query_id", "rank")
-    }
-    remapQueryIds(resolved, remap)
+    // restoreStringIds resolves back to the real document id (review
+    // finding: this is the shared code-only-result device, not a
+    // hand-rolled copy)
+    remapQueryIds(restoreStringIds(
+      graft.vector.BqIndex.searchRadius(bqModelFromMeta(meta),
+        bqEligible(meta, filtered), qarr, radius, limit)),
+      remap)
   }
 
   /** Filtered BQ search: Hamming shortlist over the PRE-filtered
@@ -1330,11 +1332,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "searchBqFiltered requires a filter — use searchBq for unfiltered search")
     val meta = describe
     require(meta.contains("index.bq.dim"), "no BQ index: run rebuildBqIndex first")
+    // ONE filter scan: the same filtered frame feeds the code
+    // semi-join and the exact rerank (review finding)
     val filtered = df.where(FilterParser.parse(filter))
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     remapQueryIds(
       graft.vector.BqIndex.searchRerank(bqModelFromMeta(meta),
-        bqEligible(meta, filter), filtered, idCol, vecCol, qarr, limit,
+        bqEligible(meta, Some(filtered)), filtered, idCol, vecCol, qarr, limit,
         candMult, metric = meta.getOrElse("index.bq.metric", "cosine"),
         nodeKey = nodeKeyOpt),
       remap)

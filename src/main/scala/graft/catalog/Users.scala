@@ -71,9 +71,12 @@ final class Users(root: String) {
 
   /** Constant-time verification against the stored record; legacy
     * unsalted-SHA-256 records (pre-round-11 files: bare 64-hex) still
-    * verify, and upgrade to PBKDF2 on the next changePassword. */
+    * verify, and upgrade to PBKDF2 on the next changePassword. A
+    * MALFORMED record (truncated file, hand edit) verifies as false —
+    * it must never throw out of a connection handshake (review
+    * finding: unhex/toInt on garbage raised NumberFormatException). */
   private def digestMatches(stored: String, user: String, password: String): Boolean =
-    stored.split(":", -1) match {
+    try stored.split(":", -1) match {
       case Array("pbkdf2", iters, saltHex, hashHex) =>
         java.security.MessageDigest.isEqual(
           pbkdf2(password, unhex(saltHex), iters.toInt), unhex(hashHex))
@@ -83,6 +86,8 @@ final class Users(root: String) {
             .digest((user + ":" + password)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
           unhex(stored))
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException => false
     }
 
   private val PrivPrefix = "priv."
@@ -129,12 +134,26 @@ final class Users(root: String) {
     // written file, a crash mid-write leaves only an orphan .tmp.
     val tmp = usersDir.resolve(
       validUser(user) + "." + java.util.UUID.randomUUID + ".tmp")
-    Files.writeString(tmp, Json.render(Map(
-      "password" -> digest(user, password), "create_time" -> now)))
+    val payload = Json.render(Map(
+      "password" -> digest(user, password), "create_time" -> now))
+    Files.writeString(tmp, payload)
     try Files.createLink(userFile(user), tmp)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalArgumentException(s"user $user already exists", e)
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        // filesystems without hard links (FAT, some network mounts):
+        // fall back to CREATE_NEW, which is still create-exclusive at
+        // open(2) — only content atomicity on a crash mid-write is
+        // weaker than the link path (review finding)
+        try Files.write(userFile(user), payload.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalArgumentException(s"user $user already exists", e)
+        }
     } finally Files.deleteIfExists(tmp)
   }
 

@@ -38,7 +38,13 @@ object FileIngest {
     files.select(col(nameCol).as("file_name"),
         decode(col(contentCol), "UTF-8").as("text"),
         length(col(contentCol)).cast("long").as("byte_length"),
-        lower(element_at(split(col(nameCol), "\\."), -1)).as("file_type"))
+        // a DOTLESS name has no extension — without the size guard,
+        // split's single element would make "md" its own type and the
+        // batch path would admit names the per-file fileTypeOf rejects
+        // (review finding)
+        when(size(split(col(nameCol), "\\.")) > 1,
+          lower(element_at(split(col(nameCol), "\\."), -1)))
+          .otherwise(lit("")).as("file_type"))
       .where(col("byte_length") > 0 &&
         col("file_type").isin(SupportedTypes.toSeq: _*))
 

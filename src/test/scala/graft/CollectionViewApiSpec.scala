@@ -269,8 +269,18 @@ class CollectionViewApiSpec extends SparkSpec {
       ("f1.md", "alpha beta ![i](a.png)".getBytes("UTF-8")),
       ("f2.txt", ("gamma delta " * 10).getBytes("UTF-8")),
       ("empty.md", Array.empty[Byte]),
-      ("skip.pdf", "binaryish".getBytes("UTF-8"))
+      ("skip.pdf", "binaryish".getBytes("UTF-8")),
+      // a DOTLESS name has no extension — it must NOT ingest as if the
+      // whole name were its type (batch/per-file consistency)
+      ("md", "dotless payload".getBytes("UTF-8"))
     ).toDF("file_name", "content")
+    // duplicate names inside ONE batch are rejected loudly — two chunk
+    // sets under the same (doc_set, chunk_id) keys would be corrupted
+    // state (re-uploads are a second call)
+    intercept[IllegalArgumentException] {
+      view.uploadFiles(batch.unionAll(
+        Seq(("f1.md", "again".getBytes("UTF-8"))).toDF("file_name", "content")))
+    }
     view.uploadFiles(batch)
     // only the two parseable non-empty payloads register
     assert(view.queryFileDetails().collect().map(_.getString(0)).toSeq ==

@@ -181,6 +181,14 @@ class Round11Spec extends SparkSpec {
     client.changePassword("erin", "new")
     assert(stored("erin").startsWith("pbkdf2:"))
     assert(client.verifyPassword("erin", "new"))
+    // a MALFORMED stored record (truncated/hand-edited) verifies as
+    // false — never an exception out of a handshake check
+    java.nio.file.Files.writeString(dir.resolve("mallory.json"),
+      """{"create_time": "2026-01-01 00:00:00", "password": "pbkdf2:xx:zz"}""")
+    assert(!client.verifyPassword("mallory", "anything"))
+    java.nio.file.Files.writeString(dir.resolve("mallory2.json"),
+      """{"create_time": "2026-01-01 00:00:00", "password": "not-hex-at-all"}""")
+    assert(!client.verifyPassword("mallory2", "anything"))
     // create leaves no staging orphans (the createLink path cleans up)
     val s = java.nio.file.Files.list(dir)
     val leftovers = try {

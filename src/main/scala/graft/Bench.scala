@@ -40,6 +40,9 @@ object Bench {
         "q_hnsw_search",
         // builds pqbooks + pqcodes / ivfpqcodes / sqbounds + ivfsqcodes
         "q_pq_search", "q_ivfpq_exhaustive", "q_ivfsq_search",
+        // builds the per-cell ball-radius stats artifact (ingest-time
+        // cost of the exact-radius certificate)
+        "q_sq_radius",
         // builds the bigram-frequency and distilled-classifier artifacts
         // (ingest-time cost) — timed runs then measure serving
         "q_rare_bigrams", "q_quality_classifier",

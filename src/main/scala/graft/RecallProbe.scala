@@ -215,6 +215,47 @@ object RecallProbe {
         Recall.atK(IvfSq.searchRerank(ivfsq, encS, embs, "vec_id", "embedding",
           qLocal, k, nprobe, candMult = 10), gtL2))
     }
+
+    // ---- EXACT-RADIUS certificate selectivity (row 118) -------------
+    // Not a recall — these routes are exact by construction; the number
+    // that matters is the fraction of (query, row) pairs the
+    // certificates ADMIT, i.e. the work the exact rerank pays for.
+    // radius=1.2 is the oracled q_sq_radius operating point (balls of
+    // ~5-35 rows against a 500-16k corpus).
+    {
+      val r = 1.2
+      val pairs = qLocal.length.toDouble * corpusN
+      // SQ8 row gate: the resid is tiny (8 bits/dim), the gate admits
+      // nearly the true ball only
+      emit("sq_radius_gate", f"r=$r survivors/corpus",
+        SqIndex.radiusCandidates(ivfsq.sq,
+          encS.select("id", "codes", "resid"), qLocal, r).count() / pairs)
+      // SQ8 cell certificate: fraction of (query, cell) pairs the
+      // ball bound keeps (the file-listing prune)
+      val centersT = ivfsq.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+      val rho = IvfSq.cellStats(centersT, embs, "vec_id", "embedding")
+        .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+      val kept = qLocal.map { case (_, qv) =>
+        centersT.count { case (c, cell) =>
+          val d = math.sqrt(c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+          rho.get(cell).exists(d <= r + _)
+        }
+      }.sum.toDouble
+      emit("sq_radius_cells", f"r=$r cells kept/probed",
+        kept / (qLocal.length * centersT.length))
+      // PQ row gate vs quantizer fidelity: the gate only narrows when
+      // resid falls below the corpus' distance SPREAD — on this
+      // geometry k alone barely moves it at m=8 (dsub=8 subspaces stay
+      // coarse), the m axis is the lever. Measured frontier: the
+      // answer is exact at every point; the SCAN SAVINGS are what the
+      // quantizer buys
+      for ((mm, cb) <- Seq((8, 16), (8, 256), (16, 256), (32, 256))) {
+        val pqR = PqIndex.train(embs, "embedding", dim = 64, m = mm, k = cb)
+        val encR = PqIndex.encode(pqR, embs, "vec_id", "embedding")
+        emit("pq_radius_gate", s"m=$mm k=$cb r=$r survivors/corpus",
+          PqIndex.radiusCandidates(pqR, encR, qLocal, r).count() / pairs)
+      }
+    }
     encS.unpersist()
 
     // ---- FILTERED HNSW (cosine): selectivity × ef grid --------------

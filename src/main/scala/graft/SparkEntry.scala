@@ -787,6 +787,83 @@ object SparkEntry {
         candMult = ((n + 9) / 10).toInt)
     }),
 
+    "q_sq_radius" -> ((s, dir) => {
+      // EXACT L2 radius from the IVF_SQ8 artifacts — certificate-backed
+      // at both levels (row 118): stored per-cell ball radii prune
+      // cells at file listing (||q-c_j|| > R + rho_j provably holds no
+      // member), the stored per-row reconstruction error gates the ADC
+      // scan to the ball's provable superset, and only that sliver's
+      // original vectors are exactly reranked. Fully oracled — the
+      // oracle is plain exact L2 radius+limit; it never needs to know
+      // a quantizer existed (contrast the graph/cell radius routes,
+      // which escalate a proxy beam with measured recall). radius=1.2 /
+      // limit=15 mixes under-filled (5-12 hits at small SF) and
+      // truncated (19-33 in-ball at sf0.1) regimes.
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfsqEncodedFor(s, dir)
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.IvfSq.searchStoredRadius(centers, ivfsqStatsFor(s, dir),
+        sqModelFor(s, dir), enc, embs, "vec_id", "embedding",
+        qLocal, radius = 1.2, k = 15)
+    }),
+
+    "q_sq_radius_filtered" -> ((s, dir) => {
+      // filtered exact radius on IVF_SQ8: the scalar predicate
+      // SEMI-JOINS the code table down BEFORE the scan and the exact
+      // rerank runs against the same filtered snapshot — exact among
+      // eligible rows at any selectivity, still fully oracled. Cell
+      // pruning stays conservative under a filter (rho over the full
+      // cell >= rho over its filtered subset).
+      val embs = Tables.embeddings(s, dir)
+      val eligible = embs.where(col("label").isin(1, 2, 3))
+      val enc = ivfsqEncodedFor(s, dir).join(
+        eligible.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.IvfSq.searchStoredRadius(centers, ivfsqStatsFor(s, dir),
+        sqModelFor(s, dir), enc, eligible, "vec_id", "embedding",
+        qLocal, radius = 1.25, k = 10)
+    }),
+
+    "q_pq_radius" -> ((s, dir) => {
+      // EXACT L2 radius from the PQ codes (row 118's flat-layout arm):
+      // the ADC pass gates on the stored per-row resid — at this
+      // deliberately coarse codebook (m=8, k=16) the resids are LARGE,
+      // so the certificate gate is wide and the exactness is doing
+      // real work (a lossier quantizer widens the gate, never the
+      // answer; §7-probes-r11 measures the survivor fraction against
+      // codebook size). Fully oracled as plain exact L2 radius.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.PqIndex.searchRadius(pqModelFor(s, dir),
+        pqEncodedFor(s, dir), embs, "vec_id", "embedding",
+        qLocal, radius = 1.2, k = 12)
+    }),
+
+    "q_pq_radius_filtered" -> ((s, dir) => {
+      // filtered exact radius on PQ codes: semi-join before the scan,
+      // rerank against the filtered snapshot — exact among eligible
+      // rows, fully oracled.
+      val embs = Tables.embeddings(s, dir)
+      val eligible = embs.where(col("label").isin(1, 2, 3))
+      val enc = pqEncodedFor(s, dir).join(
+        eligible.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.PqIndex.searchRadius(pqModelFor(s, dir), enc,
+        eligible, "vec_id", "embedding", qLocal, radius = 1.25, k = 8)
+    }),
+
     "q_hnsw_search" -> ((s, dir) => {
       // the reference's DEFAULT index (HNSW, search param `ef` —
       // collection.py:179): per-segment graph traversal narrows each
@@ -1708,9 +1785,12 @@ object SparkEntry {
       graft.vector.PqIndex.modelFromDf(books, m = 8, k = 16, dim = 64)
     })
 
-  /** Persisted PQ codes (id, codes) — the scannable compressed corpus. */
+  /** Persisted PQ codes (id, codes, resid) — the scannable compressed
+    * corpus plus the per-row reconstruction error the exact radius
+    * gate rides on (cache key bumped when resid shipped — a stale
+    * resid-less artifact must not serve the radius route). */
   private[graft] def pqEncodedFor(s: SparkSession, dir: String): DataFrame =
-    graft.catalog.IndexStore.ensure(s, s"pqcodes_${sfKey(dir)}") {
+    graft.catalog.IndexStore.ensure(s, s"pqcodes2_${sfKey(dir)}") {
       graft.vector.PqIndex.encode(pqModelFor(s, dir),
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
@@ -1745,11 +1825,22 @@ object SparkEntry {
     * centroids with [[ivfAssignedFor]] and the bounds with
     * [[sqModelFor]]. */
   private[graft] def ivfsqEncodedFor(s: SparkSession, dir: String): DataFrame =
-    graft.catalog.IndexStore.ensure(s, s"ivfsqcodes_${sfKey(dir)}",
+    graft.catalog.IndexStore.ensure(s, s"ivfsqcodes2_${sfKey(dir)}",
       partitionBy = Seq("cell")) {
       val centers = graft.vector.IvfIndex.centersFromDf(ivfCentroidsFor(s, dir))
         .map { case (c, i) => (c.toArray, i) }
       graft.vector.IvfSq.encodeAssigned(centers, sqModelFor(s, dir),
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+    }
+
+  /** Persisted per-cell ball radii (cell, rho) for the IVF_SQ8 layout —
+    * the cell-level certificate of the exact radius route (tiny:
+    * one row per non-empty cell). */
+  private[graft] def ivfsqStatsFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfsqstats_${sfKey(dir)}") {
+      val centers = graft.vector.IvfIndex.centersFromDf(ivfCentroidsFor(s, dir))
+        .map { case (c, i) => (c.toArray, i) }
+      graft.vector.IvfSq.cellStats(centers,
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
 
@@ -2090,6 +2181,51 @@ object SparkEntry {
         |  FROM h WHERE ham <= 28)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(CAST(ham AS DOUBLE), 4) AS score
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the exact-radius quantized routes (IVF_SQ8 / PQ): the Spark side
+    // scans CODES behind triangle-inequality certificates (per-cell
+    // rho, per-row resid) and exactly reranks the provable superset —
+    // so the oracle is plain exact L2 radius+limit over the raw
+    // vectors; the quantizer is invisible to it by construction
+    "q_sq_radius" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc, id) AS rnk
+        |      FROM s WHERE sc <= 1.2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 15 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sq_radius_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q WHERE e.label IN (1, 2, 3)),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc, id) AS rnk
+        |      FROM s WHERE sc <= 1.25)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_radius" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc, id) AS rnk
+        |      FROM s WHERE sc <= 1.2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 12 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_radius_filtered" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q WHERE e.label IN (1, 2, 3)),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc, id) AS rnk
+        |      FROM s WHERE sc <= 1.25)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 8 ORDER BY query_id, rank""".stripMargin,
 
     // Hamming shortlist (deterministic: ties on (distance, id)) of
     // k*candMult = 50, then exact cosine rerank of the sliver — the

@@ -415,6 +415,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       appendSegRows(GraftCollection.ivfSqCodes(coll), seg,
         graft.vector.IvfSq.encodeAssigned(centers, sq, keyed, kid, vecCol),
         subPartition = Seq("cell"))
+      // the batch's own per-cell ball radii: an appended row can lie
+      // farther from its centroid than the base rho — without this row
+      // the radius route's cell certificate would silently understate
+      // a cell and drop a true ball member
+      if (catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)))
+        appendSegRows(GraftCollection.ivfSqStats(coll), seg,
+          graft.vector.IvfSq.cellStats(centers, keyed, kid, vecCol))
     }
     // dedup signatures are per-doc pure functions of the text — the
     // batch's signatures are a self-contained new segment
@@ -2281,6 +2288,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       _.repartition(col("cell")), Seq("cell"), surrogate = true)
     compact(GraftCollection.ivfSqCodes(coll), "id", "index.ivfsq.base_seg",
       _.repartition(col("cell")), Seq("cell"), surrogate = true)
+    // ball-radius stats fold by max(rho) per cell — NOT liveSegRows
+    // masking (stats are per-cell aggregates, not per-doc rows): the
+    // max over all generations stays an upper bound because deletes
+    // only shrink cells (conservative-correct, never recall-lossy)
+    if (meta.contains("index.ivfsq.base_seg") &&
+        catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)))
+      catalog.overwriteFromSelf(db, GraftCollection.ivfSqStats(coll),
+        catalog.read(db, GraftCollection.ivfSqStats(coll))
+          .groupBy("cell").agg(max("rho").as("rho"))
+          .withColumn(GraftCollection.SegCol, lit(seg)),
+        partitionBy = Seq(GraftCollection.SegCol))
     // HNSW has no row-level fold — a graph's value IS its edge
     // structure — so this family compacts with a TIERED MERGE POLICY
     // (the Lucene answer): fold only the SMALL segments into fresh
@@ -2377,7 +2395,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val (keyed, kid) = indexKeyed(base)
     val enc = graft.vector.IvfSq.encode(model, keyed, kid, vecCol)
     Seq(GraftCollection.ivfSqCentroids(coll), GraftCollection.ivfSqBounds(coll),
-        GraftCollection.ivfSqCodes(coll))
+        GraftCollection.ivfSqCodes(coll), GraftCollection.ivfSqStats(coll))
       .foreach(catalog.createCollectionIfNotExists(db, _))
     catalog.write(db, GraftCollection.ivfSqCentroids(coll),
       graft.vector.IvfIndex.centroids(model.ivf, spark))
@@ -2389,6 +2407,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.write(db, GraftCollection.ivfSqCodes(coll),
       enc.withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol, "cell"))
+    // per-cell ball radii (rho = max member-to-centroid distance, from
+    // the RAW vectors): the certificate searchIvfSqRadius prunes cells
+    // with — one tiny (cell, rho) row per non-empty cell. Deletes only
+    // shrink cells, so stored rho stays a valid upper bound with no
+    // maintenance; appends contribute their own rows (max-folded at
+    // read and at compaction).
+    catalog.write(db, GraftCollection.ivfSqStats(coll),
+      graft.vector.IvfSq.cellStats(
+          model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
+          keyed, kid, vecCol)
+        .withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
       "index.ivfsq.nlist" -> nlist.toString, "index.ivfsq.dim" -> dim.toString,
       "index.ivfsq.base_seg" -> baseSeg.toString))
@@ -2418,6 +2448,56 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       case Some(c) => graft.vector.IvfSq.searchStoredRerank(centers, sq, codes,
         df, idCol, vecCol, qarr, limit, nprobe, c, nodeKey = nodeKeyOpt)
     }, remap)
+  }
+
+  /** EXACT L2 radius search served from the IVF_SQ8 artifacts —
+    * certificate-backed at BOTH levels, so the result equals the FLAT
+    * radius+limit route byte-for-byte at any nlist:
+    *
+    *  - CELL level: the stored per-cell ball radius rho_j (max member
+    *    distance to its centroid, [[graft.vector.IvfSq.cellStats]])
+    *    prunes every cell with ||q - c_j|| > R + rho_j at file listing
+    *    — no ball member can live there, by the triangle inequality;
+    *  - ROW level: the stored per-row reconstruction error `resid`
+    *    gates the ADC scan to the provable ball superset
+    *    (|d(q,x) - ADC| ≤ resid), and the original vectors of only
+    *    that sliver are exactly reranked and gated.
+    *
+    * Contrast searchHnswRadius/searchIvfRadius: their beams navigate a
+    * PROXY of the gate metric with no per-row bound, so they escalate
+    * with measured recall; here both prunes carry certificates and
+    * there is nothing to escalate to — the BQ-radius discipline
+    * (row 116) extended to a LOSSY quantizer by paying 8 bytes/row for
+    * the bound. `filter` (reference search filter param) SEMI-JOINS
+    * the codes before the scan and reranks against the same filtered
+    * snapshot: exact among eligible rows at any selectivity. Requires
+    * an index built since cell stats shipped (rebuild refreshes). */
+  def searchIvfSqRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        radius: Double, limit: Int = 10,
+                        filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivfsq.nlist"),
+      "no IVF_SQ8 index: run rebuildIvfSqIndex first")
+    require(catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)),
+      "IVF_SQ8 index predates radius serving (no cell stats): rerun rebuildIvfSqIndex")
+    val sq = sqModelFromMeta(meta)
+    val centers = catalog.read(db, GraftCollection.ivfSqCentroids(coll))
+      .select(col("centroid"), col("cell")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
+    val stats = catalog.read(db, GraftCollection.ivfSqStats(coll))
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
+    val codes0 = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
+      "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    val codes = filtered.fold(codes0)(f =>
+      codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.IvfSq.searchStoredRadius(centers, stats, sq, codes,
+        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
+        nodeKey = nodeKeyOpt),
+      remap)
   }
 
   /** Train + persist the distilled document-quality model (the
@@ -2759,6 +2839,40 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       remap)
   }
 
+  /** EXACT L2 radius search served from the PQ codes — the
+    * [[searchIvfSqRadius]] row-level certificate on the flat (cell-less)
+    * PQ layout: one ADC pass gates on the stored per-row resid
+    * (|d(q,x) - ADC| ≤ resid, so the survivors are a provable superset
+    * of the true ball even at aggressive m/k — a lossier codebook just
+    * widens the gate, never the answer), then the original vectors of
+    * only that sliver are exactly reranked and gated. Result ≡ FLAT
+    * radius+limit byte-for-byte. `filter` semi-joins the codes before
+    * the scan and reranks against the same filtered snapshot — exact
+    * among eligible rows at any selectivity. Requires codes written
+    * since resid shipped (rebuild refreshes). */
+  def searchPqRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     radius: Double, limit: Int = 10,
+                     filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
+    val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
+    val codes0 = liveSegRows(catalog.read(db, GraftCollection.pqCodes(coll)),
+      "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    require(codes0.columns.contains("resid"),
+      "PQ index predates radius serving (no per-row resid): rerun rebuildPqIndex")
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
+    val codes = filtered.fold(codes0)(f =>
+      codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.PqIndex.searchRadius(model, codes,
+        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
+        nodeKey = nodeKeyOpt),
+      remap)
+  }
+
   /** add_index (scalar filter index, reference stub.py add_index /
     * collection.py add_index): record the field in collection meta and
     * rewrite the collection CLUSTERED by its indexed fields —
@@ -2925,7 +3039,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepIvfSq)
       invalidateFamily(
         Seq(GraftCollection.ivfSqCodes(coll), GraftCollection.ivfSqCentroids(coll),
-          GraftCollection.ivfSqBounds(coll)),
+          GraftCollection.ivfSqBounds(coll), GraftCollection.ivfSqStats(coll)),
         Seq("index.ivfsq.nlist", "index.ivfsq.dim", "index.ivfsq.base_seg"))
     if (!keepBq)
       invalidateFamily(
@@ -3398,6 +3512,7 @@ object GraftCollection {
   private[api] def ivfSqCodes(coll: String): String = coll + "__ivfsq_codes"
   private[api] def ivfSqCentroids(coll: String): String = coll + "__ivfsq_centroids"
   private[api] def ivfSqBounds(coll: String): String = coll + "__ivfsq_bounds"
+  private[api] def ivfSqStats(coll: String): String = coll + "__ivfsq_stats"
   private[api] def lshBuckets(coll: String): String = coll + "__lsh_buckets"
   private[api] def hnswGraph(coll: String): String = coll + "__hnsw_graph"
   private[api] def bqWords(coll: String): String = coll + "__bq_words"

@@ -111,7 +111,12 @@ object PqIndex {
     Model(m, k, dim, books)
   }
 
-  /** (id, codes: array<int>) — m codes per vector. Partition-wise
+  /** (id, codes: array<int>, resid: double) — m codes per vector plus
+    * the exact reconstruction error ||v - v̂||₂, which falls out of the
+    * encode for FREE (the per-subspace best distances ARE the squared
+    * subspace residuals; their sum is ||v - v̂||² because subspaces
+    * partition the dimensions). resid is the per-row triangle-
+    * inequality bound [[searchRadius]] gates on. Partition-wise
     * imperative encode against the broadcast codebooks. The typed
     * block pipeline keys by numeric id; string-PK collections encode
     * over a numeric surrogate column (the client derives
@@ -130,6 +135,7 @@ object PqIndex {
         val dsub = mod.dsub
         it.map { case (id, v) =>
           val codes = new Array[Int](mod.m)
+          var err = 0.0
           var s = 0
           while (s < mod.m) {
             var best = 0
@@ -148,11 +154,12 @@ object PqIndex {
               c += 1
             }
             codes(s) = best
+            err += bestD
             s += 1
           }
-          (id, codes)
+          (id, codes, math.sqrt(err))
         }
-      }(Encoders.product[(Long, Array[Int])]).toDF("id", "codes")
+      }(Encoders.product[(Long, Array[Int], Double)]).toDF("id", "codes", "resid")
   }
 
   /** Per-query ADC tables: table(sub)(code) = |q_sub - centroid|^2.
@@ -180,7 +187,8 @@ object PqIndex {
     val bc = spark.sparkContext.broadcast(adcTables(model, queries))
     val nq = queries.length
 
-    val partial = encoded.as(Encoders.product[(Long, Array[Int])])
+    val partial = encoded.select(col("id"), col("codes"))
+      .as(Encoders.product[(Long, Array[Int])])
       .mapPartitions { it =>
         val tabs = bc.value
         val heaps = Array.fill(nq)(new TopKBuffer(k, asc = true))
@@ -202,6 +210,69 @@ object PqIndex {
       }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
     Ranked.topK(partial, k, asc = true)
+  }
+
+  /** EXACT L2 radius search from the ADC scan — the same triangle-
+    * inequality device as [[SqIndex.searchRadius]]: the ADC distance is
+    * exactly ||q - v̂||₂ (the reconstruction concatenates the per-
+    * subspace nearest centroids, and the ADC table sums those exact
+    * subspace distances), so with the stored per-row resid,
+    * `d(q,v) ≤ R ⟹ ADC ≤ R + resid`. One coded pass keeps the provable
+    * ball superset, the original vectors of only the survivors are
+    * exactly reranked and gated — the result EQUALS the FLAT
+    * radius+limit route byte-for-byte at any m/k (a LOSSIER quantizer
+    * only means larger resids, i.e. a wider-but-still-exact gate, never
+    * a wrong answer). */
+  /** The resid-gated ball-superset candidates (query_id, id) — the
+    * shared gate scan of [[searchRadius]], public for the survivor-
+    * fraction telemetry (how much a finer codebook narrows the gate). */
+  def radiusCandidates(model: Model, encoded: DataFrame,
+                       queries: Array[(Long, Array[Double])],
+                       radius: Double): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids: results are keyed by query id")
+    require(radius >= 0, s"negative L2 radius $radius")
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(adcTables(model, queries))
+    val nq = queries.length
+    encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Int], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        it.flatMap { case (id, codes, resid) =>
+          val gate = radius + resid
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
+          var j = 0
+          while (j < nq) {
+            val t = tabs(j)._2
+            var d = 0.0
+            var s = 0
+            while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+            if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0))
+              out += ((tabs(j)._1, id))
+            j += 1
+          }
+          out
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+  }
+
+  def searchRadius(model: Model, encoded: DataFrame,
+                   data: DataFrame, idCol: String, vecCol: String,
+                   queries: Array[(Long, Array[Double])], radius: Double,
+                   k: Int,
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cand = radiusCandidates(model, encoded, queries, radius)
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+      .where(col("__s") <= radius)
+    Ranked.topK(exact, k, asc = true)
   }
 
   /** The production PQ pattern: ADC narrows the corpus to `k * candMult`

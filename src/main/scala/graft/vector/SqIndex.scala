@@ -95,25 +95,37 @@ object SqIndex {
     Model(dim, vmin, vdelta)
   }
 
-  private def quantize(model: Model, v: Array[Double]): Array[Byte] = {
+  /** Quantize one vector AND report the exact reconstruction error
+    * `resid = ||v - decode(codes)||₂` — the per-row bound the exact
+    * radius gate rides on ([[searchRadius]]): by the triangle
+    * inequality |d(q,v) - d(q,v̂)| ≤ resid, EXACTLY, including for
+    * vectors outside the trained bounds (clamped codes just mean a
+    * larger stored resid, never a broken bound). */
+  private def quantize(model: Model, v: Array[Double]): (Array[Byte], Double) = {
     val codes = new Array[Byte](model.dim)
+    var err = 0.0
     var i = 0
     while (i < model.dim) {
       val d = model.vdelta(i)
       val c =
         if (d == 0.0) 0L
         else math.round((v(i) - model.vmin(i)) / d)
-      codes(i) = (math.max(0L, math.min(255L, c)) & 0xffL).toByte
+      val cc = math.max(0L, math.min(255L, c))
+      codes(i) = (cc & 0xffL).toByte
+      val diff = v(i) - (model.vmin(i) + cc * d)
+      err += diff * diff
       i += 1
     }
-    codes
+    (codes, math.sqrt(err))
   }
 
-  /** (id, codes: binary) — one byte per dimension. Partition-wise
-    * imperative encode against the broadcast bounds. Numeric-id
-    * contract, same as [[PqIndex.encode]]: string-PK collections
-    * encode over a numeric surrogate column (the client derives
-    * xxhash64(id)). */
+  /** (id, codes: binary, resid: double) — one byte per dimension plus
+    * the exact per-row reconstruction error (8 bytes/row buys the
+    * triangle-inequality gate that makes [[searchRadius]] EXACT from
+    * the coded scan). Partition-wise imperative encode against the
+    * broadcast bounds. Numeric-id contract, same as
+    * [[PqIndex.encode]]: string-PK collections encode over a numeric
+    * surrogate column (the client derives xxhash64(id)). */
   def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
     require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
       "SQ codes key by numeric id: string-PK collections encode over a " +
@@ -123,9 +135,11 @@ object SqIndex {
     data.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as(Encoders.product[(Long, Array[Double])])
-      .map { case (id, v) => (id, quantize(bc.value, v)) }(
-        Encoders.product[(Long, Array[Byte])])
-      .toDF("id", "codes")
+      .map { case (id, v) =>
+        val (codes, resid) = quantize(bc.value, v)
+        (id, codes, resid)
+      }(Encoders.product[(Long, Array[Byte], Double)])
+      .toDF("id", "codes", "resid")
   }
 
   /** Per-query lookup tables: table(i)(c) = (q_i - decode(i, c))^2.
@@ -151,7 +165,8 @@ object SqIndex {
     val bc = spark.sparkContext.broadcast(distTables(model, queries))
     val nq = queries.length
 
-    val partial = encoded.as(Encoders.product[(Long, Array[Byte])])
+    val partial = encoded.select(col("id"), col("codes"))
+      .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
         val tabs = bc.value
         val heaps = Array.fill(nq)(new TopKBuffer(k, asc = true))
@@ -173,6 +188,74 @@ object SqIndex {
       }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
     Ranked.topK(partial, k, asc = true)
+  }
+
+  /** EXACT L2 radius search served from the coded scan — the
+    * triangle-inequality gate over the stored per-row reconstruction
+    * error: for any row, |d(q,x) - d(q,x̂)| ≤ resid where d(q,x̂) is
+    * exactly the ADC distance, so `d(q,x) ≤ R  ⟹  ADC ≤ R + resid`.
+    * One pass over the codes keeps that PROVABLE SUPERSET of the true
+    * ball (typically a sliver — resid is small for in-bounds rows),
+    * then the original vectors of only the survivors are fetched and
+    * the exact `d ≤ R` gate + bounded top-k run on true L2. The result
+    * EQUALS the FLAT radius+limit route byte-for-byte — a quantized
+    * scan with an oracle that never needs to know the quantizer
+    * existed (contrast the graph/cell radius routes, whose beams
+    * navigate a proxy WITHOUT a per-row bound and must escalate with
+    * measured recall). A tiny epsilon widens the gate against
+    * floating-point rounding; widening only grows the superset, the
+    * exact rerank gate is unaffected. */
+  /** The resid-gated ball-superset candidates (query_id, id) — the
+    * shared gate scan of [[searchRadius]], public so telemetry can
+    * measure the survivor fraction the certificate admits (the work
+    * the exact rerank pays for). */
+  def radiusCandidates(model: Model, encoded: DataFrame,
+                       queries: Array[(Long, Array[Double])],
+                       radius: Double): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids: results are keyed by query id")
+    require(radius >= 0, s"negative L2 radius $radius")
+    val spark = encoded.sparkSession
+    val bc = spark.sparkContext.broadcast(distTables(model, queries))
+    val nq = queries.length
+    encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Byte], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        it.flatMap { case (id, codes, resid) =>
+          val gate = radius + resid
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
+          var j = 0
+          while (j < nq) {
+            val t = tabs(j)._2
+            var d = 0.0
+            var i = 0
+            while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
+            if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0))
+              out += ((tabs(j)._1, id))
+            j += 1
+          }
+          out
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+  }
+
+  def searchRadius(model: Model, encoded: DataFrame,
+                   data: DataFrame, idCol: String, vecCol: String,
+                   queries: Array[(Long, Array[Double])], radius: Double,
+                   k: Int,
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val cand = radiusCandidates(model, encoded, queries, radius)
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+      .where(col("__s") <= radius)
+    Ranked.topK(exact, k, asc = true)
   }
 
   /** The production SQ pattern (same shape as [[PqIndex.searchRerank]]):
@@ -227,6 +310,109 @@ object IvfSq {
       IvfIndex.assignExpr(centers.map { case (c, i) => (c.toSeq, i) },
         col(vecCol)).as("cell"))
     SqIndex.encode(sq, data, idCol, vecCol).join(cells, "id")
+  }
+
+  /** Per-cell ball statistics: rho(cell) = max over members of
+    * ||x - c_cell|| — ONE scalar per cell, the classic ball-tree bound
+    * that lets an exact radius search prune whole cells at FILE
+    * LISTING: a ball member x in cell j forces
+    * ||q - c_j|| ≤ d(q,x) + ||x - c_j|| ≤ R + rho_j, so any cell with
+    * ||q - c_j|| > R + rho_j provably holds no member. rho is computed
+    * from the RAW vectors at encode/append time (exact); deletes only
+    * shrink cells, so a stored rho stays a valid upper bound without
+    * maintenance, and folding stats rows by max(rho) at compaction is
+    * conservative-correct for the same reason. Output: (cell, rho),
+    * one row per non-empty cell. */
+  def cellStats(centers: Seq[(Array[Double], Int)], data: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pairs = centers.map { case (c, i) => (c.toSeq, i) }
+    // assignment through the SAME assignExpr the encoder uses — a
+    // reimplemented loop could tiebreak a boundary point differently
+    // (fp summation order) and silently under-state another cell's rho
+    val centDf = broadcast(pairs.toDF("centroid", "cell"))
+    data.select(IvfIndex.assignExpr(pairs, col(vecCol)).as("cell"),
+        col(vecCol).as("__v"))
+      .join(centDf, "cell")
+      .select(col("cell"),
+        VectorScore.l2(col("__v"), col("centroid")).as("__d"))
+      .groupBy("cell").agg(max(col("__d")).as("rho"))
+  }
+
+  /** EXACT L2 radius search from the cell-partitioned coded layout —
+    * the [[SqIndex.searchRadius]] triangle gate composed with
+    * [[cellStats]] cell pruning: per query, only cells with
+    * ||q - c_j|| ≤ R + rho_j survive (a driver-side check over the
+    * tiny centroid set), the surviving cells' partitions are pruned at
+    * file listing (isin PartitionFilter), the per-row resid gate keeps
+    * the provable ball superset, and the exact rerank gates on true
+    * L2. Result ≡ FLAT radius+limit byte-for-byte at ANY nlist —
+    * pruning is certificate-backed, not recall-traded. `stats` rows
+    * are (cell, rho) (≤ nlist of them — collected driver-side, a
+    * bounded model like the centroids themselves); cells with no
+    * stats row are empty and prune automatically. */
+  def searchStoredRadius(centers: Seq[(Array[Double], Int)], stats: DataFrame,
+                         sq: SqIndex.Model, encoded: DataFrame,
+                         data: DataFrame, idCol: String, vecCol: String,
+                         queries: Array[(Long, Array[Double])], radius: Double,
+                         k: Int,
+                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in batch")
+    require(radius >= 0, s"negative L2 radius $radius")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+
+    // rho per cell: ≤ nlist rows, the same driver-bounded contract as
+    // the centroid collect in searchStored. Multiple stats rows per
+    // cell (append segments) fold by max — conservative-correct.
+    val rho: Map[Int, Double] = stats.select(col("cell").cast("int"), col("rho"))
+      .groupBy("cell").agg(max("rho").as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    val probes = queries.toSeq.flatMap { case (qid, qv) =>
+      centers.flatMap { case (c, cell) =>
+        rho.get(cell).flatMap { rj =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+          val gate = radius + rj
+          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, cell)) else None
+        }
+      }
+    }
+    if (probes.isEmpty) {
+      // no cell can hold a ball member for any query: the exact result
+      // is empty, shaped like every ranked output
+      return Ranked.topK(
+        Seq.empty[(Long, Double, Long)].toDF("query_id", "__s", "id"), k, asc = true)
+    }
+    val probesDf = probes.toDF("query_id", "cell")
+    val bc = spark.sparkContext.broadcast(SqIndex.distTables(sq, queries).toMap)
+
+    val probedCells = probes.map(_._2).distinct
+    val cand = encoded.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probesDf), "cell")
+      .select(col("query_id"), col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Long, Array[Byte], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        it.flatMap { case (qid, id, codes, resid) =>
+          val t = tabs(qid)
+          var d = 0.0; var i = 0
+          while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
+          val gate = radius + resid
+          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, id)) else None
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+      .where(col("__s") <= radius)
+    Ranked.topK(exact, k, asc = true)
   }
 
   /** nprobe cells per query + the asymmetric coded scan over the

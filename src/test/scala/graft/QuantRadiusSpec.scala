@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+import graft.vector.{IvfIndex, IvfSq, KnnSearch, PqIndex, SqIndex}
+
+/** Exact radius serving from the LOSSY quantized families (SURVEY §2
+  * row 118) — the triangle-inequality certificates:
+  *
+  *  - per-row: |d(q,x) - ADC(q,x̂)| ≤ resid = ||x - x̂|| (stored at
+  *    encode time), so gating the coded scan at ADC ≤ R + resid keeps
+  *    a provable superset of the true ball;
+  *  - per-cell (IVF_SQ8): rho_j = max member distance to centroid j,
+  *    so ||q - c_j|| > R + rho_j prunes the whole cell at file listing.
+  *
+  * Both prunes are certificate-backed, so every route here must equal
+  * the FLAT L2 radius+limit result BYTE-FOR-BYTE — including clamped
+  * out-of-bounds rows, coarse codebooks, filters, upserts that expand
+  * a cell, and compaction. Contrast the graph/cell-beam radius routes
+  * (HNSW/IVF), which navigate a proxy without a per-row bound and pay
+  * an escalation ladder with measured recall instead. */
+class QuantRadiusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val qdf = embs.where(col("vec_id") < 6)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val qLocal = embs.where(col("vec_id") < 6)
+    .select(col("vec_id"), col("embedding").cast("array<double>"))
+    .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def flatRadius(data: org.apache.spark.sql.DataFrame, r: Double,
+                         k: Int): Seq[org.apache.spark.sql.Row] = {
+    val q = data.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    KnnSearch.radiusTopK(data, "vec_id", "embedding", q, "qid", "qvec",
+      "l2", r = r, k = k).collect().toSeq
+  }
+
+  test("IVF_SQ8 radius equals FLAT radius+limit byte-for-byte") {
+    val model = IvfSq.train(embs, "embedding", nlist = 8)
+    val enc = IvfSq.encode(model, embs, "vec_id", "embedding").cache()
+    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    val got = IvfSq.searchStoredRadius(centers, stats, model.sq, enc,
+      embs, "vec_id", "embedding", qLocal, radius = 1.2, k = 15)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == flatRadius(embs, 1.2, 15))
+  }
+
+  test("PQ radius equals FLAT at a COARSE codebook (wide gate, exact answer)") {
+    // m=8/k=4 is deliberately terrible: resids are large, the gate is
+    // wide and the scan prunes little — but the answer must not move
+    for (k <- Seq(4, 16)) {
+      val pq = PqIndex.train(embs, "embedding", dim = 64, m = 8, k = k)
+      val enc = PqIndex.encode(pq, embs, "vec_id", "embedding")
+      val got = PqIndex.searchRadius(pq, enc, embs, "vec_id", "embedding",
+        qLocal, radius = 1.2, k = 15).collect().toSeq
+      assert(got == flatRadius(embs, 1.2, 15), s"codebook k=$k diverged")
+    }
+  }
+
+  test("out-of-bounds rows clamp with honest resids: radius stays exact") {
+    // bounds trained on HALF the corpus: the other half's extremes
+    // clamp to the trained range — the per-dim ≤ step/2 error story is
+    // gone, but resid is computed from the ACTUAL reconstruction, so
+    // the certificate (and the answer) must hold anyway
+    val half = embs.where(col("vec_id") % 2 === 0)
+    val sq = SqIndex.train(half, "embedding")
+    val ivf = IvfIndex.train(embs, "embedding", 4, 42L, maxIter = 10)
+    val centers = ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+    val enc = IvfSq.encodeAssigned(centers, sq, embs, "vec_id", "embedding").cache()
+    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    val got = IvfSq.searchStoredRadius(centers, stats, sq, enc,
+      embs, "vec_id", "embedding", qLocal, radius = 1.2, k = 15)
+      .collect().toSeq
+    assert(got == flatRadius(embs, 1.2, 15))
+    // the clamped half really does carry larger resids than in-bounds
+    // encoding would produce (the honesty the gate rides on)
+    val inB = SqIndex.encode(sq, half, "vec_id", "embedding")
+      .agg(max("resid")).head.getDouble(0)
+    val outB = SqIndex.encode(sq, embs.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding").agg(max("resid")).head.getDouble(0)
+    assert(outB > inB, s"out-of-bounds resid $outB should exceed in-bounds $inB")
+  }
+
+  test("cell certificate provably prunes a far cluster, result still exact") {
+    val rnd = new scala.util.Random(11)
+    val near = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextGaussian() * 0.1)))
+    val far = (200L until 400L).map(i =>
+      (i, Seq.fill(8)(50.0 + rnd.nextGaussian() * 0.1)))
+    val data = (near ++ far).toDF("vec_id", "embedding")
+    val model = IvfSq.train(data, "embedding", nlist = 2)
+    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+    val enc = IvfSq.encode(model, data, "vec_id", "embedding").cache()
+    val stats = IvfSq.cellStats(centers, data, "vec_id", "embedding")
+
+    // a query at the near cluster with a small radius: the far cell's
+    // certificate ||q - c_far|| > R + rho_far must hold (the prune the
+    // serving path takes at file listing)
+    val q = near.head._2.toArray
+    val rho = stats.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val R = 1.0
+    val pruned = centers.count { case (c, cell) =>
+      val d = math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d > R + rho(cell)
+    }
+    assert(pruned == 1, s"exactly the far cell should be certificate-pruned, got $pruned")
+
+    val got = IvfSq.searchStoredRadius(centers, stats, model.sq, enc,
+      data, "vec_id", "embedding", Array((0L, q)), radius = R, k = 300)
+      .collect().toSeq
+    val want = KnnSearch.radiusTopK(data, "vec_id", "embedding",
+      Seq((0L, near.head._2)).toDF("qid", "qvec"), "qid", "qvec",
+      "l2", r = R, k = 300).collect().toSeq
+    assert(got == want && got.size == 200, "the whole near cluster is in-ball")
+  }
+
+  test("client lifecycle: rebuild -> radius; upsert EXPANDS a cell's rho; compaction folds") {
+    val root = Files.createTempDirectory("graft-sqradius").toString
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIvfSqIndex(nlist = 4)
+
+    val q = Seq((0L, rows(5)._2)).toDF("qid", "qvec")
+    val got = coll.searchIvfSqRadius(q, "qid", "qvec", radius = 4.0, limit = 50)
+      .collect().toSeq
+    val want = KnnSearch.radiusTopK(rows.toDF("id", "vector"), "id", "vector",
+      q, "qid", "qvec", "l2", r = 4.0, k = 50).collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // upsert a vector FAR outside every trained cell's ball: without
+    // the appended per-cell stats row, the old rho would certificate-
+    // prune its cell and silently drop a true ball member
+    val outlier: Seq[Double] = Seq.fill(16)(25.0)
+    coll.upsert(Seq((900L, outlier)).toDF("id", "vector"))
+    val qOut = Seq((0L, outlier)).toDF("qid", "qvec")
+    val hit = coll.searchIvfSqRadius(qOut, "qid", "qvec", radius = 0.5, limit = 5)
+      .collect().toSeq
+    assert(hit.map(_.getLong(2)) == Seq(900L),
+      s"appended-segment stats must admit the outlier's cell, got $hit")
+
+    // compaction folds stats by max(rho) — conservative, still found
+    coll.compactIndexes()
+    val hit2 = coll.searchIvfSqRadius(qOut, "qid", "qvec", radius = 0.5, limit = 5)
+      .collect().toSeq
+    assert(hit2.map(_.getLong(2)) == Seq(900L))
+
+    // filter arm: exact among eligible rows (semi-join before the scan)
+    val evens = coll.searchIvfSqRadius(q, "qid", "qvec", radius = 4.0,
+      limit = 50, filter = "id >= 100").collect().toSeq
+    val wantF = KnnSearch.radiusTopK(
+      rows.filter(_._1 >= 100L).toDF("id", "vector"), "id", "vector",
+      q, "qid", "qvec", "l2", r = 4.0, k = 50).collect().toSeq
+    assert(evens == wantF && evens.forall(_.getLong(2) >= 100L))
+  }
+
+  test("client PQ radius: filter arm + string-PK surrogate resolution") {
+    val root = Files.createTempDirectory("graft-pqradius").toString
+    val rnd = new scala.util.Random(19)
+    val rows: Seq[(String, Seq[Double])] =
+      (0 until 200).map(i => (s"doc-$i", Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildPqIndex(m = 4, k = 8)
+
+    val q = Seq(("q0", rows(3)._2)).toDF("qid", "qvec")
+    val got = coll.searchPqRadius(q, "qid", "qvec", radius = 4.0, limit = 40)
+      .collect().toSeq
+    assert(got.nonEmpty && got.head.getString(0) == "q0")
+    // real string ids come back (the surrogate never leaks), and the
+    // query's own row ranks first at distance 0
+    assert(got.head.getString(2) == "doc-3" && got.head.getDouble(3) == 0.0)
+    val want = KnnSearch.radiusTopK(rows.toDF("id", "vector"), "id", "vector",
+      Seq((0L, rows(3)._2)).toDF("qid", "qvec"), "qid", "qvec",
+      "l2", r = 4.0, k = 40).collect().toSeq
+    assert(got.map(r => (r.getInt(1), r.getString(2), r.getDouble(3))) ==
+      want.map(r => (r.getInt(1), r.getString(2), r.getDouble(3))))
+
+    val filtered = coll.searchPqRadius(q, "qid", "qvec", radius = 4.0,
+      limit = 40, filter = "id != \"doc-3\"").collect().toSeq
+    assert(filtered.nonEmpty && !filtered.exists(_.getString(2) == "doc-3"))
+  }
+
+  test("empty ball returns an empty ranked frame, not an error") {
+    val model = IvfSq.train(embs, "embedding", nlist = 4)
+    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+    val enc = IvfSq.encode(model, embs, "vec_id", "embedding")
+    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    // a query far from the corpus with a tiny radius: every cell is
+    // certificate-pruned, the early-exit empty frame keeps the shape
+    val farQ = Array((0L, Array.fill(64)(1e6)))
+    val got = IvfSq.searchStoredRadius(centers, stats, model.sq, enc,
+      embs, "vec_id", "embedding", farQ, radius = 0.01, k = 5)
+    assert(got.columns.toSeq == Seq("query_id", "rank", "id", "score"))
+    assert(got.count() == 0)
+  }
+}

@@ -206,6 +206,32 @@ object SparkEntry {
         Seq(3L, 5L, 8L, 13L), "cosine", 5)
     }),
 
+    "q_grouped_search" -> ((s, dir) => {
+      // grouped vector search (row 119): top-3 GROUPS per query ranked
+      // by best member, top-4 members each — retrieval that refuses to
+      // let one near-dup cluster monopolize the page. Exact and fully
+      // oracled: both rankings are total orders (best-member ties →
+      // smaller group, member ties → smaller id), and both reduce
+      // through bounded heaps — no WindowExec anywhere in the plan.
+      val embs = Tables.embeddings(s, dir)
+      graft.vector.GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
+        "label", knnQueries(s, dir), "qid", "qvec", "cosine",
+        limitGroups = 3, groupSize = 4)
+    }),
+
+    "q_mmr" -> ((s, dir) => {
+      // MMR diversified top-k (row 120): greedy selection is
+      // inherently sequential, so this row is rows-only BY DESIGN (the
+      // iterative argmax is not SQL-expressible); DiversitySpec pins
+      // lambda=1 ≡ exact top-k BYTE-FOR-BYTE, a hand-computed
+      // two-cluster case, and determinism. The pool stage is the same
+      // oracled TopKAgg pipeline as q_knn_cosine.
+      val embs = Tables.embeddings(s, dir)
+      graft.vector.Mmr.topKDiverse(embs, "vec_id", "embedding",
+        knnQueries(s, dir), "qid", "qvec", "cosine",
+        k = 10, lambda = 0.5, poolMult = 4)
+    }),
+
     // --------------------------------------------- sparse / fulltext / hybrid
     "q_bm25_encode" -> ((s, dir) => {
       Bm25.encode(Tables.documents(s, dir), "doc_id", "text")
@@ -2084,6 +2110,27 @@ object SparkEntry {
         |    rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer)
         |WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    // grouped search: groups rank per query by BEST member (ties →
+    // smaller group key), members by (score, id) within their group —
+    // two window ranks recompute the double-heap pipeline exactly
+    "q_grouped_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id, CAST(e.label AS BIGINT) AS grp,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |g AS (SELECT query_id, grp, max(sc) AS gbest FROM s GROUP BY query_id, grp),
+        |gr AS (SELECT query_id, grp,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY gbest DESC, grp) AS grp_rank
+        |       FROM g),
+        |mem AS (SELECT query_id, grp, id, sc,
+        |        row_number() OVER (PARTITION BY query_id, grp ORDER BY sc DESC, id) AS rnk
+        |        FROM s)
+        |SELECT m.query_id, CAST(gr.grp_rank AS INT) AS grp_rank, m.grp,
+        |       CAST(m.rnk AS INT) AS rank, m.id, round(m.sc, 4) AS score
+        |FROM mem m JOIN gr USING (query_id, grp)
+        |WHERE gr.grp_rank <= 3 AND m.rnk <= 4
+        |ORDER BY query_id, grp_rank, rank""".stripMargin,
 
     "q_knn_cosine" -> knnOracle("cosine"),
     // exhaustive-grade banded LSH covers the true top-k and re-ranks by

@@ -796,6 +796,40 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     withOutputFields(hits, outputFields, retrieveVector)
   }
 
+  /** Grouped search — top `limit` GROUPS per query (ranked by best
+    * member), `groupSize` members each ([[graft.vector.GroupedSearch]]
+    * over the snapshot; the Milvus `group_by_field` shape): retrieval
+    * that must not let one near-dup cluster monopolize the page, and
+    * the serving face of a chunked corpus (group = parent document).
+    * Exact over the (optionally filtered) snapshot, deterministic,
+    * fully oracle-able. */
+  def searchGrouped(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    groupBy: String, metric: String = "cosine",
+                    limit: Int = 10, groupSize: Int = 3,
+                    filter: String = ""): DataFrame = {
+    require(df.columns.contains(groupBy), s"no such field: $groupBy")
+    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
+    graft.vector.GroupedSearch.groupedTopK(
+      df.where(col(vecCol).isNotNull), idCol, vecCol, groupBy,
+      queries, qIdCol, qVecCol, metric, limit, groupSize, pred)
+  }
+
+  /** Diversified search — Maximal Marginal Relevance over an exact
+    * bounded relevance pool ([[graft.vector.Mmr]]): `lambda` trades
+    * query relevance against redundancy with the already-selected set
+    * (1.0 = plain top-k exactly, pinned). The greedy runs per query
+    * over at most `limit * poolMult` pool rows inside one task —
+    * nothing corpus-sized reaches a single task or the driver. */
+  def searchMmr(queries: DataFrame, qIdCol: String, qVecCol: String,
+                metric: String = "cosine", limit: Int = 10,
+                lambda: Double = 0.7, poolMult: Int = 4,
+                filter: String = ""): DataFrame = {
+    val pred = if (filter.isEmpty) None else Some(FilterParser.parse(filter))
+    graft.vector.Mmr.topKDiverse(
+      df.where(col(vecCol).isNotNull), idCol, vecCol,
+      queries, qIdCol, qVecCol, metric, limit, lambda, poolMult, pred)
+  }
+
   /** search_by_id takes the SAME SearchParams as search (stub.py:589
     * routes both through one payload): an `ef`/`nprobe`/`radius` here
     * looks the query vectors up from the stored corpus and serves

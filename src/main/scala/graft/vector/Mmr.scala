@@ -1,0 +1,171 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
+  * diversified top-k: greedily pick the candidate maximizing
+  *
+  *   lambda · rel(q, d)  −  (1 − lambda) · max_{s ∈ selected} sim(d, s)
+  *
+  * so each pick trades query relevance against redundancy with what is
+  * already selected. The retrieval-serving face of near-dup-aware
+  * search: a result page (or a RAG context window) full of one tight
+  * cluster's copies wastes its slots; lambda=1 degenerates to plain
+  * top-k EXACTLY (pinned), lambda→0 maximizes spread.
+  *
+  * Scale shape — greedy selection is inherently sequential, so the
+  * distribution is two-stage:
+  *
+  *  1. POOL: exact bounded top-(k·poolMult) per query through the
+  *     [[TopKAgg]] heap pipeline (queries broadcast, scan never
+  *     shuffles, RAW scores kept for the greedy math), then the pool's
+  *     vectors join back — a (queries · k · poolMult)-sized sliver of
+  *     the corpus.
+  *  2. GREEDY per query inside `flatMapGroups` — each group holds at
+  *     most k·poolMult rows, so the O(pool²·dim) selection is a
+  *     per-task constant, runs IN PARALLEL across queries, and nothing
+  *     corpus-sized ever reaches one task or the driver.
+  *
+  * The pool bound is the honest approximation knob (standard for MMR
+  * over ANN systems): diversity is computed within the top-(k·poolMult)
+  * relevance shortlist, not the whole corpus — documents outside the
+  * pool can't be picked no matter how diverse. lambda=1 is exact at any
+  * poolMult ≥ 1 by construction.
+  *
+  * Orientation: rel and sim both use `metric`, oriented so larger =
+  * better/more-similar (L2 negates). Ties break by (objective, id) —
+  * a total order, deterministic at every lambda.
+  */
+object Mmr {
+
+  private def oriented(asc: Boolean, s: Double): Double = if (asc) -s else s
+
+  private def sim(metric: String, a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var dd = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      val df = a(i) - b(i); dd += df * df
+      i += 1
+    }
+    metric match {
+      case "cosine" =>
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      case "ip" => dot
+      case "l2" => -math.sqrt(dd)
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+  }
+
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: String, y: String) => x < y
+    case _ => false
+  }
+
+  /** @return (query_id, rank, id, score) — `score` is the metric-native
+    *         relevance (rounded to 4 decimals, the same contract as
+    *         [[KnnSearch.topK]]), `rank` the SELECTION order. */
+  def topKDiverse(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      k: Int,
+      lambda: Double,
+      poolMult: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
+    require(k > 0 && poolMult >= 1, s"k=$k poolMult=$poolMult")
+    val m = VectorMetric(metric)
+    val asc = !m.largerIsBetter
+    val corpus = filter.foldLeft(data)(_ where _)
+      .select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
+    val q = broadcast(queries.select(
+      KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
+    val scored = corpus.crossJoin(q)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
+        col("id"))
+    // bounded pool, RAW scores (TopKAgg emits raw; rounding happens at
+    // output so lambda=1 ranks exactly like KnnSearch.topK)
+    val pool = scored.groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), k * poolMult, asc).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+    // the pool sliver's vectors (broadcast the bounded pool side)
+    val rows = corpus.select(col("id"), col("__vec").cast("array<double>").as("__v"))
+      .join(broadcast(pool), "id")
+      .select(col("query_id"), col("id"), col("__s"), col("__v"))
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", rows.schema("query_id").dataType),
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", rows.schema("id").dataType),
+      StructField("score", DoubleType)))
+
+    val met = metric
+    val lam = lambda
+    val kk = k
+    val ascB = asc
+    val out = rows
+      .groupByKey { r: Row =>
+        r.get(0) match {
+          case s: String => "s:" + s
+          case other => "l:" + other
+        }
+      }(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val cand = it.toArray // ≤ k·poolMult rows by the pool bound
+        val qid = cand.head.get(0)
+        val ids = cand.map(_.get(1))
+        val rels = cand.map(r => oriented(ascB, r.getDouble(2)))
+        val raw = cand.map(_.getDouble(2))
+        val vecs = cand.map(_.getSeq[Double](3).toArray)
+        val n = cand.length
+        val picked = new Array[Boolean](n)
+        // running max-similarity of each candidate to the selected set:
+        // updating it after each pick keeps the greedy O(n²·dim) total
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var round = 0
+        while (round < math.min(kk, n)) {
+          var best = -1
+          var bestObj = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val penalty = if (order.isEmpty) 0.0 else maxSim(i)
+              val obj = lam * rels(i) - (1.0 - lam) * penalty
+              if (best < 0 || obj > bestObj ||
+                  (obj == bestObj && idLess(ids(i), ids(best))))
+                { best = i; bestObj = obj }
+            }
+            i += 1
+          }
+          picked(best) = true
+          order += best
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s = sim(met, vecs(j), vecs(best))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          round += 1
+        }
+        order.iterator.zipWithIndex.map { case (i, pos) =>
+          Row(qid, pos + 1, ids(i),
+            BigDecimal(raw(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        }
+      }(Encoders.row(outSchema))
+    out.orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+import graft.vector.{GroupedSearch, KnnSearch, Mmr, VectorScore}
+
+/** Grouped search (SURVEY §2 row 119) and MMR diversified retrieval
+  * (row 120): the two serving-side answers to "one near-dup cluster
+  * monopolizes the result page". Grouped search is exact and
+  * SQL-oracled (q_grouped_search); MMR's greedy is not SQL-expressible,
+  * so its contract is pinned here — lambda=1 ≡ plain top-k
+  * byte-for-byte, diversity on a two-cluster geometry, determinism. */
+class DiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+  private lazy val qdf = embs.where(col("vec_id") < 6)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("groupedTopK equals the window-rank reference (heap form ≡ window form)") {
+    val got = GroupedSearch.groupedTopK(embs, "vec_id", "embedding", "label",
+      qdf, "qid", "qvec", "cosine", limitGroups = 3, groupSize = 4)
+      .collect().toSeq
+
+    // independent reference: same scoring expression, ranked through
+    // two explicit windows instead of the bounded heaps
+    val scored = embs
+      .select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("grp"), col("embedding").as("__v"))
+      .crossJoin(broadcast(qdf.select(col("qid").cast("long").as("query_id"),
+        col("qvec").as("__qv"))))
+      .select(col("query_id"), col("grp"), col("id"),
+        VectorScore.cosine(col("__v"), col("__qv")).as("__s"))
+    val withBest = scored.withColumn("__gbest",
+      max("__s").over(Window.partitionBy("query_id", "grp")))
+    val grpRank = withBest.select("query_id", "grp", "__gbest").distinct()
+      .withColumn("grp_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("__gbest"), asc("grp"))))
+    val want = withBest
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id", "grp").orderBy(desc("__s"), asc("id"))))
+      .join(grpRank.select("query_id", "grp", "grp_rank"), Seq("query_id", "grp"))
+      .where(col("grp_rank") <= 3 && col("rank") <= 4)
+      .select(col("query_id"), col("grp_rank").cast("int"), col("grp"),
+        col("rank").cast("int"), col("id"), round(col("__s"), 4).as("score"))
+      .orderBy("query_id", "grp_rank", "rank")
+      .collect().toSeq
+
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("groupedTopK: limitGroups beyond the group count returns every group once") {
+    val nGroups = embs.select(countDistinct("label")).head.getLong(0).toInt
+    val got = GroupedSearch.groupedTopK(embs, "vec_id", "embedding", "label",
+      qdf.limit(1), "qid", "qvec", "l2", limitGroups = nGroups + 5, groupSize = 1)
+    val rows = got.collect()
+    assert(rows.length == nGroups)
+    assert(rows.map(_.getLong(2)).distinct.length == nGroups)
+    // groupSize=1 keeps exactly the best member per group: each row's
+    // score is that group's true best (checked against a plain min)
+    val bestByGrp = embs
+      .select(col("label").cast("long").as("grp"), col("embedding").as("__v"))
+      .crossJoin(broadcast(qdf.limit(1).select(col("qvec").as("__qv"))))
+      .groupBy("grp").agg(round(min(VectorScore.l2(col("__v"), col("__qv"))), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(5) == bestByGrp(r.getLong(2))))
+  }
+
+  test("MMR at lambda=1 equals plain exact top-k byte-for-byte (cosine and l2)") {
+    for (metric <- Seq("cosine", "l2")) {
+      val got = Mmr.topKDiverse(embs, "vec_id", "embedding", qdf, "qid", "qvec",
+        metric, k = 10, lambda = 1.0, poolMult = 4).collect().toSeq
+      val want = KnnSearch.topK(embs, "vec_id", "embedding", qdf, "qid", "qvec",
+        metric, 10).collect().toSeq
+      assert(got == want, s"lambda=1 must reduce to exact top-k under $metric")
+    }
+  }
+
+  test("MMR diversifies: two-cluster geometry, one pick per cluster") {
+    val rnd = new scala.util.Random(5)
+    // cluster A hugs the query direction (high relevance, near-copies);
+    // cluster B is moderately relevant but genuinely different
+    def jitter(base: Seq[Double]) = base.map(_ + rnd.nextGaussian() * 0.005)
+    val dirA = Seq(1.0, 0.0, 0.0, 0.0)
+    val dirB = Seq(0.6, 0.8, 0.0, 0.0)
+    val rows = (0L until 5L).map(i => (i, jitter(dirA))) ++
+      (5L until 10L).map(i => (i, jitter(dirB)))
+    val data = rows.toDF("vec_id", "embedding")
+    val q = Seq((0L, dirA)).toDF("qid", "qvec")
+
+    val plain = KnnSearch.topK(data, "vec_id", "embedding", q, "qid", "qvec",
+      "cosine", 2).collect().map(_.getLong(2)).toSet
+    assert(plain.subsetOf((0L until 5L).toSet),
+      "plain top-2 drowns in cluster A by construction")
+
+    val div = Mmr.topKDiverse(data, "vec_id", "embedding", q, "qid", "qvec",
+      "cosine", k = 2, lambda = 0.5, poolMult = 5).collect()
+    val ids = div.map(_.getLong(2)).toSet
+    assert(ids.exists(_ < 5) && ids.exists(_ >= 5),
+      s"lambda=0.5 must pick one per cluster, got $ids")
+    // rank 1 is still the most relevant doc (the first greedy pick is
+    // pure relevance)
+    assert(div.head.getInt(1) == 1 && plain.contains(div.head.getLong(2)))
+  }
+
+  test("MMR is deterministic and rank covers min(k, pool)") {
+    val a = Mmr.topKDiverse(embs, "vec_id", "embedding", qdf, "qid", "qvec",
+      "cosine", k = 8, lambda = 0.3, poolMult = 3).collect().toSeq
+    val b = Mmr.topKDiverse(embs, "vec_id", "embedding", qdf, "qid", "qvec",
+      "cosine", k = 8, lambda = 0.3, poolMult = 3).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val perQ = a.groupBy(_.getLong(0)).values
+    assert(perQ.forall(rows => rows.map(_.getInt(1)).sorted == (1 to 8)))
+  }
+
+  test("client routes: grouped + MMR over a filtered string-PK collection") {
+    val root = Files.createTempDirectory("graft-diversity").toString
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 120).map { i =>
+      (s"doc-$i", s"grp-${i % 6}", Seq.fill(8)(rnd.nextGaussian()))
+    }
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "bucket", "vector"))
+    val q = Seq(("q0", rows(9)._3)).toDF("qid", "qvec")
+
+    val grouped = coll.searchGrouped(q, "qid", "qvec", groupBy = "bucket",
+      metric = "l2", limit = 3, groupSize = 2, filter = "bucket != \"grp-3\"")
+      .collect()
+    assert(grouped.nonEmpty && grouped.length <= 6)
+    assert(!grouped.exists(_.getString(2) == "grp-3"))
+    // grp_rank 1's first member is the global (filtered) nearest doc
+    val nearest = KnnSearch.topK(
+      rows.filterNot(_._2 == "grp-3").toDF("id", "bucket", "vector"),
+      "id", "vector", q, "qid", "qvec", "l2", 1).head
+    assert(grouped.head.getString(4) == nearest.getString(2))
+
+    val mmr = coll.searchMmr(q, "qid", "qvec", metric = "l2", limit = 5,
+      lambda = 1.0, filter = "bucket != \"grp-3\"").collect()
+    val plain = coll.search(q, "qid", "qvec", metric = "l2", limit = 5,
+      filter = "bucket != \"grp-3\"").collect()
+    assert(mmr.map(r => (r.getString(2), r.getDouble(3))).toSeq ==
+      plain.map(r => (r.getString(2), r.getDouble(3))).toSeq)
+  }
+}

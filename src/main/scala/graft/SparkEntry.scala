@@ -875,6 +875,54 @@ object SparkEntry {
         qLocal, radius = 1.2, k = 12)
     }),
 
+    "q_ivfpq_radius" -> ((s, dir) => {
+      // EXACT L2 radius from the IVF_PQ layout — with this, every
+      // quantized family serves radius: BQ (integer-exact, row 116),
+      // IVF_SQ8 / PQ / IVF_PQ (certificate-exact, row 118). The cell
+      // stats are shared with q_sq_radius: both composed families ride
+      // the same coarse model (ivfCentroidsFor) and the same
+      // assignExpr, so one rho table certifies both layouts.
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfpqEncodedFor(s, dir)
+      val centers = ivfCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.IvfPq.searchStoredRadius(centers, ivfsqStatsFor(s, dir),
+        pqModelFor(s, dir), enc, embs, "vec_id", "embedding",
+        qLocal, radius = 1.2, k = 10)
+    }),
+
+    "q_sq_topk_exact" -> ((s, dir) => {
+      // EXACT top-k from the SQ8 coded scan — the kth-upper-bound
+      // certificate (row 118's top-k sibling): pass 1 bounds the true
+      // kth distance by the kth smallest (ADC + resid), pass 2 keeps
+      // the provable superset, exact rerank closes. Oracled as plain
+      // exact L2 KNN — the candMult-rerank's "is the shortlist big
+      // enough?" answered by a certificate instead of a guess.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.SqIndex.searchTopKExact(sqModelFor(s, dir),
+        ivfsqEncodedFor(s, dir), embs, "vec_id", "embedding", qLocal, k = 10)
+    }),
+
+    "q_pq_topk_exact" -> ((s, dir) => {
+      // the same certificate over the PQ ADC scan: even at the coarse
+      // m=8/k=16 codebook (whose wide resids make the gate admit most
+      // of the corpus — §7-probes-r11 measures it) the answer is
+      // byte-equal to exact KNN; a finer quantizer narrows the work,
+      // never the result.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      graft.vector.PqIndex.searchTopKExact(pqModelFor(s, dir),
+        pqEncodedFor(s, dir), embs, "vec_id", "embedding", qLocal, k = 10)
+    }),
+
     "q_pq_radius_filtered" -> ((s, dir) => {
       // filtered exact radius on PQ codes: semi-join before the scan,
       // rerank against the filtered snapshot — exact among eligible
@@ -1821,11 +1869,13 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding")
     }
 
-  /** Persisted IVF_PQ codes (id, codes, cell), cell-partitioned so
-    * nprobe pruning happens at file listing; shares the IVF model with
-    * [[ivfAssignedFor]] and the PQ codebooks with [[pqEncodedFor]]. */
+  /** Persisted IVF_PQ codes (id, codes, resid, cell), cell-partitioned
+    * so nprobe pruning happens at file listing; shares the IVF model
+    * with [[ivfAssignedFor]] and the PQ codebooks with [[pqEncodedFor]]
+    * (cache key bumped when resid + assignExpr-consistent cells
+    * shipped). */
   private[graft] def ivfpqEncodedFor(s: SparkSession, dir: String): DataFrame =
-    graft.catalog.IndexStore.ensure(s, s"ivfpqcodes_${sfKey(dir)}",
+    graft.catalog.IndexStore.ensure(s, s"ivfpqcodes2_${sfKey(dir)}",
       partitionBy = Seq("cell")) {
       graft.vector.IvfPq.encode(
         graft.vector.IvfPq.Model(ivfModelFor(s, dir), pqModelFor(s, dir)),
@@ -2263,6 +2313,20 @@ object SparkEntry {
         |      FROM s WHERE sc <= 1.2)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
         |FROM r WHERE rnk <= 12 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivfpq_radius" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_distance(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc, id) AS rnk
+        |      FROM s WHERE sc <= 1.2)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the kth-upper-bound certificate routes equal plain exact L2 KNN
+    "q_sq_topk_exact" -> knnOracle("l2"),
+    "q_pq_topk_exact" -> knnOracle("l2"),
 
     "q_pq_radius_filtered" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),

@@ -402,6 +402,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
         graft.vector.PqIndex.encode(pq, vecs, kid, vecCol).join(cells, "id"),
         subPartition = Seq("cell"))
+      // the batch's per-cell ball radii — same rho-expansion contract
+      // as the IVF_SQ8 append (an appended outlier must widen its
+      // cell's certificate or the radius route would drop it)
+      if (catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)))
+        appendSegRows(GraftCollection.ivfPqStats(coll), seg,
+          graft.vector.IvfIndex.cellStats(
+            centers.map { case (c, i) => (c.toArray, i) }, vecs, kid, vecCol))
     }
     if (live.ivfSqLive) {
       // SQ8 codes against the STORED bounds + coarse centroids — a pure
@@ -2326,13 +2333,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // masking (stats are per-cell aggregates, not per-doc rows): the
     // max over all generations stays an upper bound because deletes
     // only shrink cells (conservative-correct, never recall-lossy)
-    if (meta.contains("index.ivfsq.base_seg") &&
-        catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)))
-      catalog.overwriteFromSelf(db, GraftCollection.ivfSqStats(coll),
-        catalog.read(db, GraftCollection.ivfSqStats(coll))
-          .groupBy("cell").agg(max("rho").as("rho"))
-          .withColumn(GraftCollection.SegCol, lit(seg)),
-        partitionBy = Seq(GraftCollection.SegCol))
+    def foldStats(artifact: String, baseKey: String): Unit =
+      if (meta.contains(baseKey) && catalog.collectionExists(db, artifact))
+        catalog.overwriteFromSelf(db, artifact,
+          catalog.read(db, artifact)
+            .groupBy("cell").agg(max("rho").as("rho"))
+            .withColumn(GraftCollection.SegCol, lit(seg)),
+          partitionBy = Seq(GraftCollection.SegCol))
+    foldStats(GraftCollection.ivfSqStats(coll), "index.ivfsq.base_seg")
+    foldStats(GraftCollection.ivfPqStats(coll), "index.ivfpq.base_seg")
     // HNSW has no row-level fold — a graph's value IS its edge
     // structure — so this family compacts with a TIERED MERGE POLICY
     // (the Lucene answer): fold only the SMALL segments into fresh
@@ -2397,7 +2406,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // plain IVF / PQ indexes, so a rebuild of one can never leave
     // another family probing against foreign assignments
     Seq(GraftCollection.ivfPqCentroids(coll), GraftCollection.ivfPqCodebooks(coll),
-        GraftCollection.ivfPqCodes(coll))
+        GraftCollection.ivfPqCodes(coll), GraftCollection.ivfPqStats(coll))
       .foreach(catalog.createCollectionIfNotExists(db, _))
     catalog.write(db, GraftCollection.ivfPqCentroids(coll),
       graft.vector.IvfIndex.centroids(model.ivf, spark))
@@ -2409,6 +2418,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.write(db, GraftCollection.ivfPqCodes(coll),
       enc.withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol, "cell"))
+    // per-cell ball radii — the exact-radius route's cell certificate
+    // (same contract as the IVF_SQ8 stats: appends add rows, deletes
+    // need nothing, compaction max-folds)
+    catalog.write(db, GraftCollection.ivfPqStats(coll),
+      graft.vector.IvfIndex.cellStats(
+          model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
+          keyed, kid, vecCol)
+        .withColumn(GraftCollection.SegCol, lit(baseSeg)),
+      partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
       "index.ivfpq.nlist" -> nlist.toString, "index.ivfpq.m" -> m.toString,
       "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
@@ -2530,6 +2548,37 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     remapQueryIds(
       graft.vector.IvfSq.searchStoredRadius(centers, stats, sq, codes,
         filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
+        nodeKey = nodeKeyOpt),
+      remap)
+  }
+
+  /** EXACT L2 top-k from the SQ8 coded scan — the kth-upper-bound
+    * certificate ([[graft.vector.SqIndex.searchTopKExact]]): pass 1
+    * bounds the true kth distance by the kth smallest (ADC + resid),
+    * pass 2 keeps the provable superset, the exact rerank closes. The
+    * candMult-rerank's "is the shortlist big enough?" answered with a
+    * certificate instead of a guess — byte-equal to the FLAT scan at
+    * two passes over 1-byte/dim codes + a sliver of raw vectors.
+    * `filter` semi-joins the codes first; exact among eligible rows. */
+  def searchIvfSqExact(queries: DataFrame, qIdCol: String, qVecCol: String,
+                       limit: Int = 10, filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivfsq.nlist"),
+      "no IVF_SQ8 index: run rebuildIvfSqIndex first")
+    val sq = sqModelFromMeta(meta)
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
+    val codes0 = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
+      "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    require(codes0.columns.contains("resid"),
+      "IVF_SQ8 index predates exact serving (no per-row resid): rerun rebuildIvfSqIndex")
+    val codes = filtered.fold(codes0)(f =>
+      codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.SqIndex.searchTopKExact(sq, codes,
+        filtered.getOrElse(df), idCol, vecCol, qarr, limit,
         nodeKey = nodeKeyOpt),
       remap)
   }
@@ -2855,6 +2904,44 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     }, remap)
   }
 
+  /** EXACT L2 radius search from the IVF_PQ artifacts — the
+    * [[searchIvfSqRadius]] certificates (per-cell ball radius at file
+    * listing, per-row resid on the ADC scan, exact rerank gate) over
+    * the PQ code layout; result ≡ FLAT radius+limit byte-for-byte at
+    * any nlist/m/k. With this, EVERY quantized family serves radius:
+    * BQ (integer-exact gate, row 116), IVF_SQ8/PQ/IVF_PQ
+    * (certificate-exact, row 118). `filter` semi-joins the codes
+    * before the scan and reranks against the same filtered snapshot. */
+  def searchIvfPqRadius(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        radius: Double, limit: Int = 10,
+                        filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.ivfpq.nlist"),
+      "no IVF_PQ index: run rebuildIvfPqIndex first")
+    require(catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)),
+      "IVF_PQ index predates radius serving (no cell stats): rerun rebuildIvfPqIndex")
+    val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
+    val centers = catalog.read(db, GraftCollection.ivfPqCentroids(coll))
+      .select(col("centroid"), col("cell")).collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1))).toSeq
+    val stats = catalog.read(db, GraftCollection.ivfPqStats(coll))
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
+    val codes0 = liveSegRows(catalog.read(db, GraftCollection.ivfPqCodes(coll)),
+      "id", meta.get("index.ivfpq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    require(codes0.columns.contains("resid"),
+      "IVF_PQ index predates radius serving (no per-row resid): rerun rebuildIvfPqIndex")
+    val codes = filtered.fold(codes0)(f =>
+      codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.IvfPq.searchStoredRadius(centers, stats, pq, codes,
+        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
+        nodeKey = nodeKeyOpt),
+      remap)
+  }
+
   /** PQ search served from the persisted index: ADC over the stored
     * codes narrows to limit·candMult candidates, then the original
     * vectors of that sliver are exactly re-ranked (L2). */
@@ -2870,6 +2957,31 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     remapQueryIds(
       graft.vector.PqIndex.searchRerank(model, codes,
         df, idCol, vecCol, qarr, limit, candMult, nodeKey = nodeKeyOpt),
+      remap)
+  }
+
+  /** EXACT L2 top-k from the PQ ADC scan — the kth-upper-bound
+    * certificate ([[graft.vector.PqIndex.searchTopKExact]]; see
+    * [[searchIvfSqExact]] for the contract). */
+  def searchPqExact(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    limit: Int = 10, filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.pq.m"), "no PQ index: run rebuildPqIndex first")
+    val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
+    val filtered = if (filter.isEmpty) None
+                   else Some(df.where(FilterParser.parse(filter)))
+    val codes0 = liveSegRows(catalog.read(db, GraftCollection.pqCodes(coll)),
+      "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0),
+      surrogate = true)
+    require(codes0.columns.contains("resid"),
+      "PQ index predates exact serving (no per-row resid): rerun rebuildPqIndex")
+    val codes = filtered.fold(codes0)(f =>
+      codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    remapQueryIds(
+      graft.vector.PqIndex.searchTopKExact(model, codes,
+        filtered.getOrElse(df), idCol, vecCol, qarr, limit,
+        nodeKey = nodeKeyOpt),
       remap)
   }
 
@@ -3067,7 +3179,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (!keepIvfPq)
       invalidateFamily(
         Seq(GraftCollection.ivfPqCodes(coll), GraftCollection.ivfPqCentroids(coll),
-          GraftCollection.ivfPqCodebooks(coll)),
+          GraftCollection.ivfPqCodebooks(coll), GraftCollection.ivfPqStats(coll)),
         Seq("index.ivfpq.nlist", "index.ivfpq.m", "index.ivfpq.k",
           "index.ivfpq.dim", "index.ivfpq.base_seg"))
     if (!keepIvfSq)
@@ -3540,6 +3652,7 @@ object GraftCollection {
   private[api] def ivfPqCodes(coll: String): String = coll + "__ivfpq_codes"
   private[api] def ivfPqCentroids(coll: String): String = coll + "__ivfpq_centroids"
   private[api] def ivfPqCodebooks(coll: String): String = coll + "__ivfpq_codebooks"
+  private[api] def ivfPqStats(coll: String): String = coll + "__ivfpq_stats"
   private[api] def qcWeights(coll: String): String = coll + "__qc_weights"
   private[api] def lmBigrams(coll: String): String = coll + "__lm_bigrams"
   private[api] def dsirRatios(coll: String): String = coll + "__dsir_ratios"

@@ -85,6 +85,35 @@ object IvfIndex {
     when(vec.isNull, lit(null)).otherwise(slice(sorted, 1, 2))
   }
 
+  /** Per-cell ball statistics: rho(cell) = max over members of
+    * ||x - c_cell|| — ONE scalar per cell, the classic ball-tree bound
+    * that lets an exact radius search prune whole cells at FILE
+    * LISTING: a ball member x in cell j forces
+    * ||q - c_j|| ≤ d(q,x) + ||x - c_j|| ≤ R + rho_j, so any cell with
+    * ||q - c_j|| > R + rho_j provably holds no member. rho is computed
+    * from the RAW vectors at encode/append time (exact); deletes only
+    * shrink cells, so a stored rho stays a valid upper bound without
+    * maintenance, and folding stats rows by max(rho) at compaction is
+    * conservative-correct for the same reason. Output: (cell, rho),
+    * one row per non-empty cell. Shared by the IVF_SQ8 and IVF_PQ
+    * exact-radius routes. */
+  def cellStats(centers: Seq[(Array[Double], Int)], data: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val pairs = centers.map { case (c, i) => (c.toSeq, i) }
+    // assignment through the SAME assignExpr the encoder uses — a
+    // reimplemented loop could tiebreak a boundary point differently
+    // (fp summation order) and silently under-state another cell's rho
+    val centDf = broadcast(pairs.toDF("centroid", "cell"))
+    data.select(assignExpr(pairs, col(vecCol)).as("cell"),
+        col(vecCol).as("__v"))
+      .join(centDf, "cell")
+      .select(col("cell"),
+        VectorScore.l2(col("__v"), col("centroid")).as("__d"))
+      .groupBy("cell").agg(max(col("__d")).as("rho"))
+  }
+
   /** Collect a persisted (cell, centroid) table to the driver-side
     * literal form [[assignExpr]] needs (nlist rows — tiny by contract). */
   def centersFromDf(centroidsDf: DataFrame): Seq[(Seq[Double], Int)] =

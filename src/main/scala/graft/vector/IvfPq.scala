@@ -23,14 +23,27 @@ object IvfPq {
       IvfIndex.train(data, vecCol, nlist, seed, maxIter = 10),
       PqIndex.train(data, vecCol, dim, m, k, seed))
 
-  /** (id, cell, codes) — the on-disk representation (partition by cell
-    * via [[IvfIndex.writeIndexed]]-style layout at scale). The
-    * assignment uses a reserved column internally so source data with a
-    * user field named "cell" encodes cleanly. */
-  def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cells = IvfIndex.assign(model.ivf, data, vecCol, outCol = "__graft_cell")
-      .select(col(idCol).cast("long").as("id"), col("__graft_cell").as("cell"))
-    PqIndex.encode(model.pq, data, idCol, vecCol).join(cells, "id")
+  /** (id, cell, codes, resid) — the on-disk representation (partition
+    * by cell via [[IvfIndex.writeIndexed]]-style layout at scale).
+    * Assignment goes through [[IvfIndex.assignExpr]] — the SAME
+    * expression the append path ([[GraftClient]] incremental segments)
+    * and the [[IvfIndex.cellStats]] ball radii use. It must: the
+    * radius route's cell certificate is only sound when the rho table
+    * and the stored cell column agree on every boundary tiebreak, and
+    * MLlib's KMeansModel.transform computes distances in a different
+    * fp order (norm-shortcut form) that can flip a near-tie. */
+  def encode(model: Model, data: DataFrame, idCol: String, vecCol: String): DataFrame =
+    encodeAssigned(model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
+      model.pq, data, idCol, vecCol)
+
+  /** [[encode]] against persisted artifacts (stored centroid pairs +
+    * reconstructed codebooks) — the maintenance path's encoder. */
+  def encodeAssigned(centers: Seq[(Array[Double], Int)], pq: PqIndex.Model,
+                     data: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = data.select(col(idCol).cast("long").as("id"),
+      IvfIndex.assignExpr(centers.map { case (c, i) => (c.toSeq, i) },
+        col(vecCol)).as("cell"))
+    PqIndex.encode(pq, data, idCol, vecCol).join(cells, "id")
   }
 
   /** nprobe cells per query + ADC over the candidates. nprobe = nlist
@@ -87,6 +100,74 @@ object IvfPq {
     }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
     Ranked.topK(scored, kTop, asc = true)
+  }
+
+  /** EXACT L2 radius search from the cell-partitioned PQ layout — the
+    * [[SqIndex]]-family certificates composed over PQ codes: per query,
+    * only cells with ||q - c_j|| ≤ R + rho_j survive
+    * ([[IvfIndex.cellStats]] ball bound, checked driver-side over the
+    * tiny centroid set and pushed as an isin PartitionFilter), the
+    * stored per-row resid gates the ADC scan to the ball's provable
+    * superset (|d(q,x) - ADC| ≤ resid), and the exact rerank closes.
+    * Result ≡ FLAT radius+limit byte-for-byte at any nlist/m/k — see
+    * [[IvfSq.searchStoredRadius]], whose structure this mirrors with
+    * Int codes and ADC tables. */
+  def searchStoredRadius(centers: Seq[(Array[Double], Int)], stats: DataFrame,
+                         pq: PqIndex.Model, encoded: DataFrame,
+                         data: DataFrame, idCol: String, vecCol: String,
+                         queries: Array[(Long, Array[Double])], radius: Double,
+                         k: Int,
+                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in batch")
+    require(radius >= 0, s"negative L2 radius $radius")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+
+    val rho: Map[Int, Double] = stats.select(col("cell").cast("int"), col("rho"))
+      .groupBy("cell").agg(max("rho").as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    val probes = queries.toSeq.flatMap { case (qid, qv) =>
+      centers.flatMap { case (c, cell) =>
+        rho.get(cell).flatMap { rj =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+          val gate = radius + rj
+          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, cell)) else None
+        }
+      }
+    }
+    if (probes.isEmpty) {
+      return Ranked.topK(
+        Seq.empty[(Long, Double, Long)].toDF("query_id", "__s", "id"), k, asc = true)
+    }
+    val probesDf = probes.toDF("query_id", "cell")
+    val bc = spark.sparkContext.broadcast(PqIndex.adcTables(pq, queries).toMap)
+
+    val probedCells = probes.map(_._2).distinct
+    val cand = encoded.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probesDf), "cell")
+      .select(col("query_id"), col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Long, Array[Int], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        it.flatMap { case (qid, id, codes, resid) =>
+          val t = tabs(qid)
+          var d = 0.0; var s = 0
+          while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+          val gate = radius + resid
+          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, id)) else None
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+      .where(col("__s") <= radius)
+    Ranked.topK(exact, k, asc = true)
   }
 
   /** The production IVF_PQ pattern (same shape as

@@ -275,6 +275,88 @@ object PqIndex {
     Ranked.topK(exact, k, asc = true)
   }
 
+  /** EXACT L2 top-k from the ADC scan — the kth-upper-bound
+    * certificate, identical math to [[SqIndex.searchTopKExact]] (see
+    * there for the proof sketch): pass 1 bounds the true kth distance
+    * by U = kth smallest (ADC + resid), pass 2 keeps the provable
+    * superset ADC − resid ≤ U, the exact rerank closes. Answers the
+    * candMult-rerank's "how big a shortlist is enough?" with a
+    * certificate instead of a guess — byte-equal to FLAT exact KNN at
+    * any m/k (a coarse codebook only widens the candidate set). */
+  def searchTopKExact(model: Model, encoded: DataFrame,
+                      data: DataFrame, idCol: String, vecCol: String,
+                      queries: Array[(Long, Array[Double])], k: Int,
+                      nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids: results are keyed by query id")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(adcTables(model, queries))
+    val nq = queries.length
+
+    val partialU = encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Int], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        val heaps = Array.fill(nq)(new TopKBuffer(k, asc = true))
+        it.foreach { case (id, codes, resid) =>
+          var j = 0
+          while (j < nq) {
+            val t = tabs(j)._2
+            var d = 0.0
+            var s = 0
+            while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+            heaps(j).insert(math.sqrt(d) + resid, id)
+            j += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, j) =>
+          h.sortedPairs.iterator.map { case (sc, id) =>
+            (tabs(j)._1, sc, id.asInstanceOf[Long]) }
+        }
+      }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__u", "id")
+    val ubRows = partialU.groupBy("query_id")
+      .agg(TopKAgg.topk(col("__u"), col("id"), k, asc = true).as("__t"))
+      .select(col("query_id"), element_at(col("__t"), -1).getField("score").as("__U"),
+        size(col("__t")).as("__n"))
+      .collect()
+    val U: Map[Long, Double] = ubRows.map { r =>
+      r.getLong(0) -> (if (r.getInt(2) < k) Double.PositiveInfinity
+                       else r.getDouble(1))
+    }.toMap
+    val bcU = spark.sparkContext.broadcast(U)
+
+    val cand = encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Int], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        val us = bcU.value
+        it.flatMap { case (id, codes, resid) =>
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
+          var j = 0
+          while (j < nq) {
+            val qid = tabs(j)._1
+            val u = us.getOrElse(qid, Double.PositiveInfinity)
+            val t = tabs(j)._2
+            var d = 0.0
+            var s = 0
+            while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+            if (math.sqrt(d) - resid <= u + 1e-9 * (math.abs(u) + 1.0))
+              out += ((qid, id))
+            j += 1
+          }
+          out
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, k, asc = true)
+  }
+
   /** The production PQ pattern: ADC narrows the corpus to `k * candMult`
     * candidates per query from codes alone, then the ORIGINAL vectors of
     * only those candidates are fetched (broadcast semi-join — the wide

@@ -258,6 +258,104 @@ object SqIndex {
     Ranked.topK(exact, k, asc = true)
   }
 
+  /** EXACT L2 top-k from the coded scan — the kth-upper-bound
+    * certificate (the top-k sibling of [[searchRadius]]'s ball gate):
+    *
+    *  pass 1: every row's distance upper bound u = ADC + resid; a
+    *          bounded heap keeps each query's k smallest u, whose
+    *          WORST value U satisfies d_k(true) ≤ U (each true
+    *          distance is ≤ its own u, so the true kth ≤ the kth
+    *          smallest upper bound);
+    *  pass 2: keep rows with ADC − resid ≤ U — every true top-k
+    *          member has d ≤ d_k ≤ U and ADC − resid ≤ d, so the
+    *          survivors PROVABLY contain the answer;
+    *  rerank: exact L2 over the survivors' original vectors.
+    *
+    * Result ≡ FLAT exact KNN byte-for-byte at any quantizer fidelity —
+    * the candMult-rerank's "how big a shortlist is enough?" question
+    * answered by a certificate instead of a guess. Two passes over the
+    * 1-byte/dim codes + a sliver of raw vectors; queries with fewer
+    * than k rows get U = +∞ (the gate keeps everything, the rerank
+    * returns what exists). The per-query U collect is query-batch-
+    * bounded (one double per query). */
+  def searchTopKExact(model: Model, encoded: DataFrame,
+                      data: DataFrame, idCol: String, vecCol: String,
+                      queries: Array[(Long, Array[Double])], k: Int,
+                      nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids: results are keyed by query id")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(distTables(model, queries))
+    val nq = queries.length
+
+    // pass 1: per-partition bounded heaps on u = ADC + resid (RAW —
+    // TopKAgg emits unrounded scores; rounding U would break the bound)
+    val partialU = encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Byte], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        val heaps = Array.fill(nq)(new TopKBuffer(k, asc = true))
+        it.foreach { case (id, codes, resid) =>
+          var j = 0
+          while (j < nq) {
+            val t = tabs(j)._2
+            var d = 0.0
+            var i = 0
+            while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
+            heaps(j).insert(math.sqrt(d) + resid, id)
+            j += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, j) =>
+          h.sortedPairs.iterator.map { case (sc, id) =>
+            (tabs(j)._1, sc, id.asInstanceOf[Long]) }
+        }
+      }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__u", "id")
+    val ubRows = partialU.groupBy("query_id")
+      .agg(TopKAgg.topk(col("__u"), col("id"), k, asc = true).as("__t"))
+      .select(col("query_id"), element_at(col("__t"), -1).getField("score").as("__U"),
+        size(col("__t")).as("__n"))
+      .collect()
+    val U: Map[Long, Double] = ubRows.map { r =>
+      r.getLong(0) -> (if (r.getInt(2) < k) Double.PositiveInfinity
+                       else r.getDouble(1))
+    }.toMap
+    val bcU = spark.sparkContext.broadcast(U)
+
+    // pass 2: the certificate gate ADC − resid ≤ U (epsilon-widened
+    // against fp rounding — widening only grows the candidate set)
+    val cand = encoded.select(col("id"), col("codes"), col("resid"))
+      .as(Encoders.product[(Long, Array[Byte], Double)])
+      .mapPartitions { it =>
+        val tabs = bc.value
+        val us = bcU.value
+        it.flatMap { case (id, codes, resid) =>
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
+          var j = 0
+          while (j < nq) {
+            val qid = tabs(j)._1
+            val u = us.getOrElse(qid, Double.PositiveInfinity)
+            val t = tabs(j)._2
+            var d = 0.0
+            var i = 0
+            while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
+            if (math.sqrt(d) - resid <= u + 1e-9 * (math.abs(u) + 1.0))
+              out += ((qid, id))
+            j += 1
+          }
+          out
+        }
+      }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
+
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
+        bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, k, asc = true)
+  }
+
   /** The production SQ pattern (same shape as [[PqIndex.searchRerank]]):
     * the coded scan narrows to `k * candMult` candidates per query,
     * then the ORIGINAL vectors of only that sliver are fetched
@@ -312,33 +410,12 @@ object IvfSq {
     SqIndex.encode(sq, data, idCol, vecCol).join(cells, "id")
   }
 
-  /** Per-cell ball statistics: rho(cell) = max over members of
-    * ||x - c_cell|| — ONE scalar per cell, the classic ball-tree bound
-    * that lets an exact radius search prune whole cells at FILE
-    * LISTING: a ball member x in cell j forces
-    * ||q - c_j|| ≤ d(q,x) + ||x - c_j|| ≤ R + rho_j, so any cell with
-    * ||q - c_j|| > R + rho_j provably holds no member. rho is computed
-    * from the RAW vectors at encode/append time (exact); deletes only
-    * shrink cells, so a stored rho stays a valid upper bound without
-    * maintenance, and folding stats rows by max(rho) at compaction is
-    * conservative-correct for the same reason. Output: (cell, rho),
-    * one row per non-empty cell. */
+  /** Per-cell ball radii for the exact radius route — delegates to
+    * [[IvfIndex.cellStats]] (the bound lives at the coarse-cell layer
+    * and is shared with IVF_PQ). */
   def cellStats(centers: Seq[(Array[Double], Int)], data: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
-    val pairs = centers.map { case (c, i) => (c.toSeq, i) }
-    // assignment through the SAME assignExpr the encoder uses — a
-    // reimplemented loop could tiebreak a boundary point differently
-    // (fp summation order) and silently under-state another cell's rho
-    val centDf = broadcast(pairs.toDF("centroid", "cell"))
-    data.select(IvfIndex.assignExpr(pairs, col(vecCol)).as("cell"),
-        col(vecCol).as("__v"))
-      .join(centDf, "cell")
-      .select(col("cell"),
-        VectorScore.l2(col("__v"), col("centroid")).as("__d"))
-      .groupBy("cell").agg(max(col("__d")).as("rho"))
-  }
+                idCol: String, vecCol: String): DataFrame =
+    IvfIndex.cellStats(centers, data, idCol, vecCol)
 
   /** EXACT L2 radius search from the cell-partitioned coded layout —
     * the [[SqIndex.searchRadius]] triangle gate composed with

@@ -189,6 +189,95 @@ class QuantRadiusSpec extends SparkSpec {
     assert(filtered.nonEmpty && !filtered.exists(_.getString(2) == "doc-3"))
   }
 
+  test("kth-upper-bound exact top-k equals FLAT KNN (SQ8 + coarse PQ)") {
+    val want = KnnSearch.topK(embs, "vec_id", "embedding",
+      qdf, "qid", "qvec", "l2", 10).collect().toSeq
+    val sq = SqIndex.train(embs, "embedding")
+    val encS = SqIndex.encode(sq, embs, "vec_id", "embedding").cache()
+    assert(SqIndex.searchTopKExact(sq, encS, embs, "vec_id", "embedding",
+      qLocal, k = 10).collect().toSeq == want)
+    // a deliberately terrible codebook: the certificate gate admits
+    // most of the corpus, the ANSWER must still be byte-equal
+    val pq = PqIndex.train(embs, "embedding", dim = 64, m = 8, k = 4)
+    val encP = PqIndex.encode(pq, embs, "vec_id", "embedding").cache()
+    assert(PqIndex.searchTopKExact(pq, encP, embs, "vec_id", "embedding",
+      qLocal, k = 10).collect().toSeq == want)
+    // corpus smaller than k: U = +inf keeps everything, the rerank
+    // returns what exists
+    val tiny = embs.where(col("vec_id") < 4)
+    val encT = SqIndex.encode(sq, tiny, "vec_id", "embedding")
+    val gotT = SqIndex.searchTopKExact(sq, encT, tiny, "vec_id", "embedding",
+      qLocal.take(1), k = 10).collect()
+    assert(gotT.length == 4 && gotT.map(_.getInt(1)).toSeq == (1 to 4))
+  }
+
+  test("IVF_PQ radius: client lifecycle with appended-outlier rho expansion") {
+    val root = Files.createTempDirectory("graft-ivfpqradius").toString
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIvfPqIndex(nlist = 4, m = 4, k = 8)
+
+    val q = Seq((0L, rows(11)._2)).toDF("qid", "qvec")
+    val got = coll.searchIvfPqRadius(q, "qid", "qvec", radius = 4.0, limit = 50)
+      .collect().toSeq
+    val want = KnnSearch.radiusTopK(rows.toDF("id", "vector"), "id", "vector",
+      q, "qid", "qvec", "l2", r = 4.0, k = 50).collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // an appended far outlier must expand its cell's certificate
+    val outlier: Seq[Double] = Seq.fill(16)(-30.0)
+    coll.upsert(Seq((901L, outlier)).toDF("id", "vector"))
+    val qOut = Seq((0L, outlier)).toDF("qid", "qvec")
+    val hit = coll.searchIvfPqRadius(qOut, "qid", "qvec", radius = 0.5, limit = 5)
+      .collect().toSeq
+    assert(hit.map(_.getLong(2)) == Seq(901L))
+    coll.compactIndexes()
+    assert(coll.searchIvfPqRadius(qOut, "qid", "qvec", radius = 0.5, limit = 5)
+      .collect().map(_.getLong(2)).toSeq == Seq(901L))
+
+    // filter arm: exact among eligible rows
+    val f = coll.searchIvfPqRadius(q, "qid", "qvec", radius = 4.0,
+      limit = 50, filter = "id < 150").collect().toSeq
+    val wantF = KnnSearch.radiusTopK(
+      rows.filter(_._1 < 150L).toDF("id", "vector"), "id", "vector",
+      q, "qid", "qvec", "l2", r = 4.0, k = 50).collect().toSeq
+    assert(f == wantF && f.forall(_.getLong(2) < 150L))
+  }
+
+  test("client exact top-k routes equal the FLAT search (filter arm too)") {
+    val root = Files.createTempDirectory("graft-exacttopk").toString
+    val rnd = new scala.util.Random(41)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 250L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    // a rebuild invalidates every other family (one index type per
+    // collection — the reference's modify_vector_index semantics), so
+    // the two routes get sibling collections
+    val db = new GraftClient(spark, root).createDatabase("db")
+    val sqColl = db.createCollection("vsq")
+    val pqColl = db.createCollection("vpq")
+    Seq(sqColl, pqColl).foreach(_.upsert(rows.toDF("id", "vector")))
+    sqColl.rebuildIvfSqIndex(nlist = 4)
+    pqColl.rebuildPqIndex(m = 4, k = 8)
+
+    val q = Seq((0L, rows(17)._2), (1L, rows(99)._2)).toDF("qid", "qvec")
+    val want = sqColl.search(q, "qid", "qvec", metric = "l2", limit = 7)
+      .collect().toSeq
+    assert(sqColl.searchIvfSqExact(q, "qid", "qvec", limit = 7)
+      .collect().toSeq == want)
+    assert(pqColl.searchPqExact(q, "qid", "qvec", limit = 7)
+      .collect().toSeq == want)
+
+    val wantF = sqColl.search(q, "qid", "qvec", metric = "l2", limit = 7,
+      filter = "id >= 50").collect().toSeq
+    assert(sqColl.searchIvfSqExact(q, "qid", "qvec", limit = 7,
+      filter = "id >= 50").collect().toSeq == wantF)
+    assert(pqColl.searchPqExact(q, "qid", "qvec", limit = 7,
+      filter = "id >= 50").collect().toSeq == wantF)
+  }
+
   test("empty ball returns an empty ranked frame, not an error") {
     val model = IvfSq.train(embs, "embedding", nlist = 4)
     val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq

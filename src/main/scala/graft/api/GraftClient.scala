@@ -2396,10 +2396,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * sliver scannable by table lookups). Persists centroids, codebooks,
     * and the (id, cell, codes) table; [[searchIvfPq]] serves from them
     * in any later session. */
-  def rebuildIvfPqIndex(nlist: Int = 16, m: Int = 8, k: Int = 16): Unit = {
+  def rebuildIvfPqIndex(nlist: Int = 0, m: Int = 8, k: Int = 16): Unit = {
     val dim = beginVectorRebuild("IVF_PQ")
     val base = df
-    val model = graft.vector.IvfPq.train(base, vecCol, dim, nlist, m, k)
+    // nlist = 0 derives ceil(sqrt(N)) from the corpus at rebuild time —
+    // the same auto-sizing rule as rebuildIndex (round-11: the r10
+    // ladder telemetry showed the adaptive routes' win GROWS with
+    // nlist, so a fixed small default was measured performance left on
+    // the table); explicit nlist stays an override
+    val nl = if (nlist > 0) nlist else GraftCollection.autoNlist(base.count())
+    val model = graft.vector.IvfPq.train(base, vecCol, dim, nl, m, k)
     val (keyed, kid) = indexKeyed(base)
     val enc = graft.vector.IvfPq.encode(model, keyed, kid, vecCol)
     // per-family artifact names: IVF_PQ never shares tables with the
@@ -2428,7 +2434,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         .withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
-      "index.ivfpq.nlist" -> nlist.toString, "index.ivfpq.m" -> m.toString,
+      "index.ivfpq.nlist" -> nl.toString, "index.ivfpq.m" -> m.toString,
       "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
       "index.ivfpq.base_seg" -> baseSeg.toString))
   }
@@ -2440,10 +2446,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * (id, cell, codes) table; [[searchIvfSq]] serves from them in any
     * later session. String-PK collections encode over the xxhash64
     * surrogate, like every coded family. */
-  def rebuildIvfSqIndex(nlist: Int = 16): Unit = {
+  def rebuildIvfSqIndex(nlist: Int = 0): Unit = {
     val dim = beginVectorRebuild("IVF_SQ8")
     val base = df
-    val model = graft.vector.IvfSq.train(base, vecCol, nlist)
+    // same auto-sqrt(N) default as rebuildIndex / rebuildIvfPqIndex
+    val nl = if (nlist > 0) nlist else GraftCollection.autoNlist(base.count())
+    val model = graft.vector.IvfSq.train(base, vecCol, nl)
     val (keyed, kid) = indexKeyed(base)
     val enc = graft.vector.IvfSq.encode(model, keyed, kid, vecCol)
     Seq(GraftCollection.ivfSqCentroids(coll), GraftCollection.ivfSqBounds(coll),
@@ -2472,7 +2480,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         .withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
-      "index.ivfsq.nlist" -> nlist.toString, "index.ivfsq.dim" -> dim.toString,
+      "index.ivfsq.nlist" -> nl.toString, "index.ivfsq.dim" -> dim.toString,
       "index.ivfsq.base_seg" -> baseSeg.toString))
   }
 

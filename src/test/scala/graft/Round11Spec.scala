@@ -127,6 +127,22 @@ class Round11Spec extends SparkSpec {
     assert(coll.describe("index.ivf.nlist") == "4")
   }
 
+  test("composed-family rebuilds share the auto-nlist default") {
+    val root = java.nio.file.Files.createTempDirectory("graft-r11-nlist2").toString
+    val db = new graft.api.GraftClient(spark, root).createDatabase("db")
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 256L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val sq = db.createCollection("vsq"); sq.upsert(rows.toDF("id", "vector"))
+    val pq = db.createCollection("vpq"); pq.upsert(rows.toDF("id", "vector"))
+    sq.rebuildIvfSqIndex()
+    assert(sq.describe("index.ivfsq.nlist") == "16")
+    pq.rebuildIvfPqIndex(m = 4, k = 8)
+    assert(pq.describe("index.ivfpq.nlist") == "16")
+    // explicit override still wins
+    sq.rebuildIvfSqIndex(nlist = 4)
+    assert(sq.describe("index.ivfsq.nlist") == "4")
+  }
+
   // -------------------------------------------------- w2v drift check
 
   test("w2vDriftCheck: clean corpus scores low; novel-vocabulary drift recommends retrain") {

@@ -233,7 +233,7 @@ object RecallProbe {
       // SQ8 cell certificate: fraction of (query, cell) pairs the
       // ball bound keeps (the file-listing prune)
       val centersT = ivfsq.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
-      val rho = IvfSq.cellStats(centersT, embs, "vec_id", "embedding")
+      val rho = IvfSq.cellStats(centersT, embs, "embedding")
         .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
       val kept = qLocal.map { case (_, qv) =>
         centersT.count { case (c, cell) =>

@@ -1917,7 +1917,7 @@ object SparkEntry {
       val centers = graft.vector.IvfIndex.centersFromDf(ivfCentroidsFor(s, dir))
         .map { case (c, i) => (c.toArray, i) }
       graft.vector.IvfSq.cellStats(centers,
-        Tables.embeddings(s, dir), "vec_id", "embedding")
+        Tables.embeddings(s, dir), "embedding")
     }
 
   /** One BQ quantizer per (JVM, sf), persisted as the per-dimension

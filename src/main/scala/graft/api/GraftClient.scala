@@ -408,7 +408,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       if (catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)))
         appendSegRows(GraftCollection.ivfPqStats(coll), seg,
           graft.vector.IvfIndex.cellStats(
-            centers.map { case (c, i) => (c.toArray, i) }, vecs, kid, vecCol))
+            centers.map { case (c, i) => (c.toArray, i) }, vecs, vecCol))
     }
     if (live.ivfSqLive) {
       // SQ8 codes against the STORED bounds + coarse centroids — a pure
@@ -428,7 +428,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       // a cell and drop a true ball member
       if (catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)))
         appendSegRows(GraftCollection.ivfSqStats(coll), seg,
-          graft.vector.IvfSq.cellStats(centers, keyed, kid, vecCol))
+          graft.vector.IvfSq.cellStats(centers, keyed, vecCol))
     }
     // dedup signatures are per-doc pure functions of the text — the
     // batch's signatures are a self-contained new segment
@@ -2430,7 +2430,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.write(db, GraftCollection.ivfPqStats(coll),
       graft.vector.IvfIndex.cellStats(
           model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
-          keyed, kid, vecCol)
+          keyed, vecCol)
         .withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
@@ -2476,7 +2476,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.write(db, GraftCollection.ivfSqStats(coll),
       graft.vector.IvfSq.cellStats(
           model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex,
-          keyed, kid, vecCol)
+          keyed, vecCol)
         .withColumn(GraftCollection.SegCol, lit(baseSeg)),
       partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(

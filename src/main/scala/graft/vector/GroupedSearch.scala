@@ -27,12 +27,21 @@ import org.apache.spark.sql.functions._
 object GroupedSearch {
 
   /** Group keys ride through [[TopKAgg]], which accepts long or string
-    * ids — normalize numeric group columns to long, keep strings. */
-  private def grpNorm(df: DataFrame, grpCol: String): Column =
+    * ids — integral group columns widen to long, strings stay. Any
+    * other type is REJECTED: a silent cast("long") would truncate
+    * non-integral keys (1.2 and 1.7 both → 1) and merge distinct
+    * groups without an error. */
+  private def grpNorm(df: DataFrame, grpCol: String): Column = {
+    import org.apache.spark.sql.types._
     df.schema(grpCol).dataType match {
-      case org.apache.spark.sql.types.StringType => col(grpCol)
-      case _ => col(grpCol).cast("long")
+      case StringType => col(grpCol)
+      case ByteType | ShortType | IntegerType | LongType => col(grpCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"group column $grpCol has type ${other.catalogString}: grouped search " +
+          "supports string and integral group keys (a lossy cast would " +
+          "silently merge distinct groups)")
     }
+  }
 
   /** @return (query_id, grp_rank, grp, rank, id, score) ordered by
     *         (query_id, grp_rank, rank); scores rounded to 4 decimals
@@ -52,9 +61,19 @@ object GroupedSearch {
       filter: Option[Column] = None): DataFrame = {
     require(limitGroups > 0 && groupSize > 0,
       s"limitGroups=$limitGroups and groupSize=$groupSize must be positive")
+    // results are keyed by query id — duplicates would silently pool
+    // two queries' scores into one heap (the same guard every coded
+    // route carries, here on the DataFrame form: one tiny aggregate)
+    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
+    require(qCounts.getLong(0) == qCounts.getLong(1),
+      "duplicate query ids: results are keyed by query id")
     val m = VectorMetric(metric)
     val asc = !m.largerIsBetter
+    // a null group key is unsearchable-by-group, the same contract as
+    // null vectors: dropped HERE, before any scoring — TopKAgg skips
+    // null ids anyway, so heaping those rows would be silent waste
     val corpus = filter.foldLeft(data)(_ where _)
+      .where(col(grpCol).isNotNull)
       .select(KnnSearch.idNorm(data, idCol).as("id"),
         grpNorm(data, grpCol).as("grp"), col(vecCol).as("__vec"))
     val q = broadcast(queries.select(

@@ -98,7 +98,7 @@ object IvfIndex {
     * one row per non-empty cell. Shared by the IVF_SQ8 and IVF_PQ
     * exact-radius routes. */
   def cellStats(centers: Seq[(Array[Double], Int)], data: DataFrame,
-                idCol: String, vecCol: String): DataFrame = {
+                vecCol: String): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     val pairs = centers.map { case (c, i) => (c.toSeq, i) }
@@ -113,6 +113,35 @@ object IvfIndex {
         VectorScore.l2(col("__v"), col("centroid")).as("__d"))
       .groupBy("cell").agg(max(col("__d")).as("rho"))
   }
+
+  /** Fold a persisted (cell, rho) stats table to the driver-side map
+    * the cell certificate checks against — ≤ nlist rows by contract
+    * (multiple generations per cell max-fold: conservative-correct,
+    * deletes only shrink cells). */
+  private[vector] def collectCellRho(stats: DataFrame): Map[Int, Double] =
+    stats.select(col("cell").cast("int"), col("rho"))
+      .groupBy("cell").agg(max("rho").as("rho"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** The cell-certificate survivors for a radius query batch: (qid,
+    * cell) pairs with ||q - c_j|| ≤ R + rho_j (epsilon-widened) —
+    * driver-side over the tiny centroid set; cells with no stats row
+    * are empty and prune automatically. Shared by the IVF_SQ8 and
+    * IVF_PQ exact-radius routes so the prune policy cannot drift. */
+  private[vector] def radiusProbes(centers: Seq[(Array[Double], Int)],
+                                   rho: Map[Int, Double],
+                                   queries: Array[(Long, Array[Double])],
+                                   radius: Double): Seq[(Long, Int)] =
+    queries.toSeq.flatMap { case (qid, qv) =>
+      centers.flatMap { case (c, cell) =>
+        rho.get(cell).flatMap { rj =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+          if (math.sqrt(d) <= Ranked.gateEps(radius + rj)) Some((qid, cell))
+          else None
+        }
+      }
+    }
 
   /** Collect a persisted (cell, centroid) table to the driver-side
     * literal form [[assignExpr]] needs (nlist rows — tiny by contract). */

@@ -124,24 +124,11 @@ object IvfPq {
     val spark = encoded.sparkSession
     import spark.implicits._
 
-    val rho: Map[Int, Double] = stats.select(col("cell").cast("int"), col("rho"))
-      .groupBy("cell").agg(max("rho").as("rho"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-
-    val probes = queries.toSeq.flatMap { case (qid, qv) =>
-      centers.flatMap { case (c, cell) =>
-        rho.get(cell).flatMap { rj =>
-          var d = 0.0; var i = 0
-          while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
-          val gate = radius + rj
-          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, cell)) else None
-        }
-      }
-    }
-    if (probes.isEmpty) {
-      return Ranked.topK(
-        Seq.empty[(Long, Double, Long)].toDF("query_id", "__s", "id"), k, asc = true)
-    }
+    // shared cell certificate + exact postlude (IvfIndex / Ranked) —
+    // see IvfSq.searchStoredRadius; empty probes flow through as an
+    // empty candidate frame with the id type bound from `data`
+    val probes = IvfIndex.radiusProbes(centers,
+      IvfIndex.collectCellRho(stats), queries, radius)
     val probesDf = probes.toDF("query_id", "cell")
     val bc = spark.sparkContext.broadcast(PqIndex.adcTables(pq, queries).toMap)
 
@@ -156,18 +143,13 @@ object IvfPq {
           val t = tabs(qid)
           var d = 0.0; var s = 0
           while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-          val gate = radius + resid
-          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, id)) else None
+          if (math.sqrt(d) <= Ranked.gateEps(radius + resid)) Some((qid, id))
+          else None
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-      .where(col("__s") <= radius)
-    Ranked.topK(exact, k, asc = true)
+    Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
+      Some(radius), nodeKey)
   }
 
   /** The production IVF_PQ pattern (same shape as

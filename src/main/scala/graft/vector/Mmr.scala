@@ -42,22 +42,32 @@ object Mmr {
 
   private def oriented(asc: Boolean, s: Double): Double = if (asc) -s else s
 
-  private def sim(metric: String, a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var dd = 0.0
-    var i = 0
-    while (i < a.length) {
-      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
-      val df = a(i) - b(i); dd += df * df
-      i += 1
-    }
+  /** Pairwise similarity oriented larger = more similar (L2 negates).
+    * Per-metric loops: this runs O(k · pool) times per query inside
+    * the greedy's hottest path — one generic loop maintaining four
+    * accumulators would pay ~3× the needed multiply-adds. */
+  private def sim(metric: String, a: Array[Double], b: Array[Double]): Double =
     metric match {
       case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+          i += 1
+        }
         if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-      case "ip" => dot
-      case "l2" => -math.sqrt(dd)
+      case "ip" =>
+        var dot = 0.0
+        var i = 0
+        while (i < a.length) { dot += a(i) * b(i); i += 1 }
+        dot
+      case "l2" =>
+        var dd = 0.0
+        var i = 0
+        while (i < a.length) { val df = a(i) - b(i); dd += df * df; i += 1 }
+        -math.sqrt(dd)
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
-  }
 
   private def idLess(a: Any, b: Any): Boolean = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x < y
@@ -82,6 +92,11 @@ object Mmr {
       filter: Option[Column] = None): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
     require(k > 0 && poolMult >= 1, s"k=$k poolMult=$poolMult")
+    // duplicate query ids would pool two queries' candidates into one
+    // greedy group — the same guard every sibling route carries
+    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
+    require(qCounts.getLong(0) == qCounts.getLong(1),
+      "duplicate query ids: results are keyed by query id")
     val m = VectorMetric(metric)
     val asc = !m.largerIsBetter
     val corpus = filter.foldLeft(data)(_ where _)

@@ -240,7 +240,7 @@ object PqIndex {
       .mapPartitions { it =>
         val tabs = bc.value
         it.flatMap { case (id, codes, resid) =>
-          val gate = radius + resid
+          val gate = Ranked.gateEps(radius + resid)
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
           var j = 0
           while (j < nq) {
@@ -248,7 +248,7 @@ object PqIndex {
             var d = 0.0
             var s = 0
             while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-            if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0))
+            if (math.sqrt(d) <= gate)
               out += ((tabs(j)._1, id))
             j += 1
           }
@@ -261,19 +261,10 @@ object PqIndex {
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], radius: Double,
                    k: Int,
-                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
-    val cand = radiusCandidates(model, encoded, queries, radius)
-
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-      .where(col("__s") <= radius)
-    Ranked.topK(exact, k, asc = true)
-  }
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    Ranked.exactRerank(data, idCol, vecCol,
+      radiusCandidates(model, encoded, queries, radius),
+      queries, k, Some(radius), nodeKey)
 
   /** EXACT L2 top-k from the ADC scan — the kth-upper-bound
     * certificate, identical math to [[SqIndex.searchTopKExact]] (see
@@ -341,7 +332,7 @@ object PqIndex {
             var d = 0.0
             var s = 0
             while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-            if (math.sqrt(d) - resid <= u + 1e-9 * (math.abs(u) + 1.0))
+            if (math.sqrt(d) - resid <= Ranked.gateEps(u))
               out += ((qid, id))
             j += 1
           }
@@ -349,12 +340,8 @@ object PqIndex {
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, k, asc = true)
+    Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
+      radius = None, nodeKey)
   }
 
   /** The production PQ pattern: ADC narrows the corpus to `k * candMult`

@@ -42,6 +42,38 @@ private[graft] object Ranked {
     }
   }
 
+  /** The certificate gates' fp-rounding slack: widening a provable-
+    * superset gate only grows the candidate set, never the answer.
+    * ONE definition — the radius and kth-upper-bound routes across all
+    * four quantized families must not be allowed to drift apart. */
+  @inline private[vector] def gateEps(gate: Double): Double =
+    gate + 1e-9 * (math.abs(gate) + 1.0)
+
+  /** Shared exact-rerank postlude of the certificate routes (SQ / PQ /
+    * IVF_SQ8 / IVF_PQ radius and kth-upper-bound top-k): fetch the
+    * ORIGINAL vectors of the gate's (query_id, id) survivors, score
+    * true L2 against the broadcast query batch, optionally apply the
+    * exact radius gate, bounded top-k. `cand` is ball/top-k-superset-
+    * sized, so the join side is left to AQE (bcast=false). An empty
+    * `cand` flows through normally — the output schema (including the
+    * id column's type, which candidateRows binds from `data`) is
+    * identical to the non-empty path's, string PKs included. */
+  private[vector] def exactRerank(data: DataFrame, idCol: String, vecCol: String,
+                                  cand: DataFrame,
+                                  queries: Array[(Long, Array[Double])],
+                                  k: Int, radius: Option[Double],
+                                  nodeKey: Option[Column]): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val scored = candidateRows(data, idCol, vecCol, cand, nodeKey, bcast = false)
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"),
+        col("id"))
+    val gated = radius.fold(scored)(r => scored.where(col("__s") <= r))
+    topK(gated, k, asc = true)
+  }
+
   def topK(scored: DataFrame, k: Int, asc: Boolean): DataFrame =
     scored
       .groupBy("query_id")

@@ -223,7 +223,7 @@ object SqIndex {
       .mapPartitions { it =>
         val tabs = bc.value
         it.flatMap { case (id, codes, resid) =>
-          val gate = radius + resid
+          val gate = Ranked.gateEps(radius + resid)
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](0)
           var j = 0
           while (j < nq) {
@@ -231,7 +231,7 @@ object SqIndex {
             var d = 0.0
             var i = 0
             while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
-            if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0))
+            if (math.sqrt(d) <= gate)
               out += ((tabs(j)._1, id))
             j += 1
           }
@@ -244,19 +244,10 @@ object SqIndex {
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], radius: Double,
                    k: Int,
-                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val spark = encoded.sparkSession
-    import spark.implicits._
-    val cand = radiusCandidates(model, encoded, queries, radius)
-
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-      .where(col("__s") <= radius)
-    Ranked.topK(exact, k, asc = true)
-  }
+                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    Ranked.exactRerank(data, idCol, vecCol,
+      radiusCandidates(model, encoded, queries, radius),
+      queries, k, Some(radius), nodeKey)
 
   /** EXACT L2 top-k from the coded scan — the kth-upper-bound
     * certificate (the top-k sibling of [[searchRadius]]'s ball gate):
@@ -340,7 +331,7 @@ object SqIndex {
             var d = 0.0
             var i = 0
             while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
-            if (math.sqrt(d) - resid <= u + 1e-9 * (math.abs(u) + 1.0))
+            if (math.sqrt(d) - resid <= Ranked.gateEps(u))
               out += ((qid, id))
             j += 1
           }
@@ -348,12 +339,8 @@ object SqIndex {
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, k, asc = true)
+    Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
+      radius = None, nodeKey)
   }
 
   /** The production SQ pattern (same shape as [[PqIndex.searchRerank]]):
@@ -414,8 +401,8 @@ object IvfSq {
     * [[IvfIndex.cellStats]] (the bound lives at the coarse-cell layer
     * and is shared with IVF_PQ). */
   def cellStats(centers: Seq[(Array[Double], Int)], data: DataFrame,
-                idCol: String, vecCol: String): DataFrame =
-    IvfIndex.cellStats(centers, data, idCol, vecCol)
+                vecCol: String): DataFrame =
+    IvfIndex.cellStats(centers, data, vecCol)
 
   /** EXACT L2 radius search from the cell-partitioned coded layout —
     * the [[SqIndex.searchRadius]] triangle gate composed with
@@ -441,29 +428,14 @@ object IvfSq {
     val spark = encoded.sparkSession
     import spark.implicits._
 
-    // rho per cell: ≤ nlist rows, the same driver-bounded contract as
-    // the centroid collect in searchStored. Multiple stats rows per
-    // cell (append segments) fold by max — conservative-correct.
-    val rho: Map[Int, Double] = stats.select(col("cell").cast("int"), col("rho"))
-      .groupBy("cell").agg(max("rho").as("rho"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-
-    val probes = queries.toSeq.flatMap { case (qid, qv) =>
-      centers.flatMap { case (c, cell) =>
-        rho.get(cell).flatMap { rj =>
-          var d = 0.0; var i = 0
-          while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
-          val gate = radius + rj
-          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, cell)) else None
-        }
-      }
-    }
-    if (probes.isEmpty) {
-      // no cell can hold a ball member for any query: the exact result
-      // is empty, shaped like every ranked output
-      return Ranked.topK(
-        Seq.empty[(Long, Double, Long)].toDF("query_id", "__s", "id"), k, asc = true)
-    }
+    // cell certificate: shared rho fold + probe policy (IvfIndex) —
+    // the IVF_SQ8 and IVF_PQ arms must not drift apart. An empty probe
+    // set (no cell can hold any ball member) flows through as an empty
+    // candidate frame: the exactRerank postlude keeps the output
+    // schema — including a string-PK id column — identical to the
+    // non-empty path's.
+    val probes = IvfIndex.radiusProbes(centers,
+      IvfIndex.collectCellRho(stats), queries, radius)
     val probesDf = probes.toDF("query_id", "cell")
     val bc = spark.sparkContext.broadcast(SqIndex.distTables(sq, queries).toMap)
 
@@ -478,18 +450,13 @@ object IvfSq {
           val t = tabs(qid)
           var d = 0.0; var i = 0
           while (i < codes.length) { d += t(i)(codes(i) & 0xff); i += 1 }
-          val gate = radius + resid
-          if (math.sqrt(d) <= gate + 1e-9 * (gate + 1.0)) Some((qid, id)) else None
+          if (math.sqrt(d) <= Ranked.gateEps(radius + resid)) Some((qid, id))
+          else None
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
-    val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
-        bcast = false)
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-      .where(col("__s") <= radius)
-    Ranked.topK(exact, k, asc = true)
+    Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
+      Some(radius), nodeKey)
   }
 
   /** nprobe cells per query + the asymmetric coded scan over the

@@ -117,6 +117,40 @@ class DiversitySpec extends SparkSpec {
     assert(perQ.forall(rows => rows.map(_.getInt(1)).sorted == (1 to 8)))
   }
 
+  test("guards: duplicate query ids rejected; lossy group types rejected; null groups dropped") {
+    val dupQ = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("qid", "qvec")
+    val data = Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+    intercept[IllegalArgumentException] {
+      GroupedSearch.groupedTopK(data, "vec_id", "embedding", "label",
+        dupQ, "qid", "qvec", "cosine", 2, 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Mmr.topKDiverse(data, "vec_id", "embedding", dupQ, "qid", "qvec",
+        "cosine", 2, 0.5).collect()
+    }
+    // a double group column would truncate 1.2 and 1.7 onto one group —
+    // rejected instead of silently merged
+    val dbl = Seq((1L, 1.2, Seq(1.0, 0.0)), (2L, 1.7, Seq(0.0, 1.0)))
+      .toDF("vec_id", "grp", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      GroupedSearch.groupedTopK(dbl, "vec_id", "embedding", "grp",
+        Seq((0L, Seq(1.0, 0.0))).toDF("qid", "qvec"), "qid", "qvec",
+        "cosine", 2, 2)
+    }
+    assert(err.getMessage.contains("integral"))
+    // null group keys = unsearchable-by-group (the null-vector
+    // contract): those documents are dropped before scoring, the rest
+    // rank normally
+    val withNull = Seq((1L, Some(0L), Seq(1.0, 0.0)), (2L, None, Seq(1.0, 0.1)),
+      (3L, Some(1L), Seq(0.0, 1.0))).toDF("vec_id", "label", "embedding")
+    val got = GroupedSearch.groupedTopK(withNull, "vec_id", "embedding", "label",
+      Seq((0L, Seq(1.0, 0.0))).toDF("qid", "qvec"), "qid", "qvec",
+      "cosine", 5, 5).collect()
+    assert(got.map(_.getLong(4)).toSet == Set(1L, 3L),
+      s"null-group doc 2 must be absent, groups 0/1 present: ${got.toSeq}")
+  }
+
   test("client routes: grouped + MMR over a filtered string-PK collection") {
     val root = Files.createTempDirectory("graft-diversity").toString
     val rnd = new scala.util.Random(23)

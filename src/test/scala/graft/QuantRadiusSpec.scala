@@ -44,7 +44,7 @@ class QuantRadiusSpec extends SparkSpec {
     val model = IvfSq.train(embs, "embedding", nlist = 8)
     val enc = IvfSq.encode(model, embs, "vec_id", "embedding").cache()
     val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
-    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    val stats = IvfSq.cellStats(centers, embs, "embedding")
     val got = IvfSq.searchStoredRadius(centers, stats, model.sq, enc,
       embs, "vec_id", "embedding", qLocal, radius = 1.2, k = 15)
       .collect().toSeq
@@ -74,7 +74,7 @@ class QuantRadiusSpec extends SparkSpec {
     val ivf = IvfIndex.train(embs, "embedding", 4, 42L, maxIter = 10)
     val centers = ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
     val enc = IvfSq.encodeAssigned(centers, sq, embs, "vec_id", "embedding").cache()
-    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    val stats = IvfSq.cellStats(centers, embs, "embedding")
     val got = IvfSq.searchStoredRadius(centers, stats, sq, enc,
       embs, "vec_id", "embedding", qLocal, radius = 1.2, k = 15)
       .collect().toSeq
@@ -97,7 +97,7 @@ class QuantRadiusSpec extends SparkSpec {
     val model = IvfSq.train(data, "embedding", nlist = 2)
     val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
     val enc = IvfSq.encode(model, data, "vec_id", "embedding").cache()
-    val stats = IvfSq.cellStats(centers, data, "vec_id", "embedding")
+    val stats = IvfSq.cellStats(centers, data, "embedding")
 
     // a query at the near cluster with a small radius: the far cell's
     // certificate ||q - c_far|| > R + rho_far must hold (the prune the
@@ -278,11 +278,33 @@ class QuantRadiusSpec extends SparkSpec {
       filter = "id >= 50").collect().toSeq == wantF)
   }
 
+  test("empty probe set on a string-PK collection keeps the string id schema") {
+    // the cell certificate can prune EVERY cell (far query, tiny
+    // radius): the empty result must carry the same schema as the
+    // non-empty path — in particular id: string on a string-PK
+    // collection, so callers can union/filter it without a type fork
+    val root = Files.createTempDirectory("graft-emptyball").toString
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 100).map(i => (s"d-$i", Seq.fill(8)(rnd.nextGaussian())))
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildIvfSqIndex(nlist = 2)
+    val farQ = Seq(("q0", Seq.fill(8)(1e6))).toDF("qid", "qvec")
+    val got = coll.searchIvfSqRadius(farQ, "qid", "qvec", radius = 0.01, limit = 5)
+    assert(got.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(got.count() == 0)
+    // and it unions cleanly with a non-empty result (the failure mode
+    // the old bigint-typed empty shortcut produced)
+    val hitQ = Seq(("q1", rows(7)._2)).toDF("qid", "qvec")
+    val hit = coll.searchIvfSqRadius(hitQ, "qid", "qvec", radius = 0.5, limit = 5)
+    assert(got.unionByName(hit).collect().map(_.getString(2)).toSeq == Seq("d-7"))
+  }
+
   test("empty ball returns an empty ranked frame, not an error") {
     val model = IvfSq.train(embs, "embedding", nlist = 4)
     val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
     val enc = IvfSq.encode(model, embs, "vec_id", "embedding")
-    val stats = IvfSq.cellStats(centers, embs, "vec_id", "embedding")
+    val stats = IvfSq.cellStats(centers, embs, "embedding")
     // a query far from the corpus with a tiny radius: every cell is
     // certificate-pruned, the early-exit empty frame keeps the shape
     val farQ = Array((0L, Array.fill(64)(1e6)))

@@ -28,7 +28,10 @@ object ExplainAudit {
         "q_token_budget", "q_hard_negatives", "q_span_repeats",
         "q_span_dedup", "q_lexical_spectrum",
         "q_hard_negatives_hnsw", "q_hard_negatives_hnsw_exhaustive",
-        "q_search_by_text_w2v")
+        "q_search_by_text_w2v",
+        "q_sq_radius", "q_sq_radius_filtered", "q_pq_radius",
+        "q_ivfpq_radius", "q_sq_topk_exact", "q_pq_topk_exact",
+        "q_grouped_search", "q_grouped_hnsw", "q_mmr")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -219,6 +219,48 @@ object SparkEntry {
         limitGroups = 3, groupSize = 4)
     }),
 
+    "q_grouped_hnsw" -> ((s, dir) => {
+      // grouped search served from the persisted HNSW graph at
+      // PRODUCTION ef (rows-only by design — the exhaustive twin below
+      // is the oracled row): one group-blind traversal, exact rescore,
+      // the SAME rankGrouped double-heap pipeline as the oracled exact
+      // route. The client adds the group-fill ladder on top
+      // (searchGroupedHnsw, pinned in DiversitySpec).
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("grp"))
+      val scored = graft.vector.HnswIndex.scoredCandidates(hnswGraphFor(s, dir),
+          embs, "vec_id", "embedding", qLocal, "cosine", 48,
+          prepared = false, nodeKey = None)
+        .join(grpOf, "id")
+        .select(col("query_id"), col("grp"), col("__s"), col("id"))
+      graft.vector.GroupedSearch.rankGrouped(scored, 3, 4, asc = false)
+    }),
+
+    "q_grouped_hnsw_exhaustive" -> ((s, dir) => {
+      // grouped-HNSW's ORACLED row (the verified-twin pattern): the
+      // chain-connectivity certificate makes ef = MaxValue visit every
+      // node, the candidate stream degenerates to the whole corpus,
+      // and rankGrouped — the SAME pipeline as q_grouped_search —
+      // reproduces the exact grouped result byte-for-byte while the
+      // full graph machinery executes end-to-end.
+      val embs = Tables.embeddings(s, dir)
+      val qLocal = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("grp"))
+      val scored = graft.vector.HnswIndex.scoredCandidates(hnswGraphFor(s, dir),
+          embs, "vec_id", "embedding", qLocal, "cosine", Int.MaxValue,
+          prepared = false, nodeKey = None)
+        .join(grpOf, "id")
+        .select(col("query_id"), col("grp"), col("__s"), col("id"))
+      graft.vector.GroupedSearch.rankGrouped(scored, 3, 4, asc = false)
+    }),
+
     "q_mmr" -> ((s, dir) => {
       // MMR diversified top-k (row 120): greedy selection is
       // inherently sequential, so this row is rows-only BY DESIGN (the
@@ -2165,6 +2207,26 @@ object SparkEntry {
     // smaller group key), members by (score, id) within their group —
     // two window ranks recompute the double-heap pipeline exactly
     "q_grouped_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id, CAST(e.label AS BIGINT) AS grp,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |g AS (SELECT query_id, grp, max(sc) AS gbest FROM s GROUP BY query_id, grp),
+        |gr AS (SELECT query_id, grp,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY gbest DESC, grp) AS grp_rank
+        |       FROM g),
+        |mem AS (SELECT query_id, grp, id, sc,
+        |        row_number() OVER (PARTITION BY query_id, grp ORDER BY sc DESC, id) AS rnk
+        |        FROM s)
+        |SELECT m.query_id, CAST(gr.grp_rank AS INT) AS grp_rank, m.grp,
+        |       CAST(m.rnk AS INT) AS rank, m.id, round(m.sc, 4) AS score
+        |FROM mem m JOIN gr USING (query_id, grp)
+        |WHERE gr.grp_rank <= 3 AND m.rnk <= 4
+        |ORDER BY query_id, grp_rank, rank""".stripMargin,
+
+    // the exhaustive grouped-HNSW twin reproduces the exact grouped
+    // ranking (chain-connectivity certificate: every node visited)
+    "q_grouped_hnsw_exhaustive" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.qid AS query_id, e.vec_id AS id, CAST(e.label AS BIGINT) AS grp,
         |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc

@@ -837,6 +837,82 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       queries, qIdCol, qVecCol, metric, limit, lambda, poolMult, pred)
   }
 
+  /** Grouped search served from the LIVE HNSW graph with an adaptive
+    * GROUP-FILL beam ladder — the production arm of [[searchGrouped]]
+    * (which scans; this traverses). Groups starve a fixed beam the
+    * same way filters do: an ef-candidate frontier may cover fewer
+    * than `limit` distinct groups (or leave groups short of
+    * `groupSize`), and the traversal is group-blind. The ladder is the
+    * row-102/103 discipline: traverse at the beam, exactly rescore,
+    * rank through the SAME double-heap pipeline as the exact route
+    * (`GroupedSearch.rankGrouped` — the two arms cannot drift), and a
+    * query is DONE only when its page is FULL (`limit` groups ×
+    * `groupSize` members); everything else retries at 4× the beam up
+    * to the exhaustive bound (ef ≥ graph rows ⇒ every reachable node
+    * rescored ⇒ ≡ the exact scan, the byte-equality DiversitySpec
+    * pins). A corpus that CANNOT fill the page (fewer groups than
+    * `limit`, or groups smaller than `groupSize`) escalates to that
+    * exhaustive rung and returns the exact answer — the deliberate
+    * price of a fill guarantee with no corpus-wide group statistics
+    * (counting distinct groups per search would cost the full scan the
+    * graph exists to avoid). Ranks in the index's STORED metric (the
+    * hybridDense rule); ladder telemetry lands in lastLadderRungs. */
+  def searchGroupedHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        groupBy: String, limit: Int = 10, groupSize: Int = 3,
+                        ef: Int = 10): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    require(df.columns.contains(groupBy), s"no such field: $groupBy")
+    require(limit > 0 && groupSize > 0,
+      s"limit=$limit and groupSize=$groupSize must be positive")
+    val m = meta("index.hnsw.metric")
+    val asc = !graft.vector.VectorMetric(m).largerIsBetter
+    // null group = unsearchable-by-group (the exact route's contract)
+    val data = df.where(col(vecCol).isNotNull && col(groupBy).isNotNull)
+    val grpOf = data.select(KnnSearch.idNorm(data, idCol).as("id"),
+      graft.vector.GroupedSearch.grpNorm(data, groupBy).as("grp"))
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    if (qarr.isEmpty)
+      return searchGrouped(queries, qIdCol, qVecCol, groupBy, m, limit, groupSize)
+    val graph = preparedHnswGraph(meta)
+    val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
+    // rungs below the page size can't possibly fill it — same clamp
+    // rationale as the radius ladder's max(ef, limit)
+    val start = math.max(ef, limit * groupSize)
+    val want = limit.toLong * groupSize
+    escalateRounds(qarr, start, efCap, remap) { (pending, curEf, exhausted) =>
+      val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+          idCol, vecCol, pending, m, curEf, prepared = true,
+          nodeKey = nodeKeyOpt)
+        .join(grpOf, "id")
+        .select(col("query_id"), col("grp"), col("__s"), col("id"))
+      val grouped = graft.vector.GroupedSearch.rankGrouped(scored, limit,
+        groupSize, asc)
+      if (exhausted) (grouped, Set.empty)
+      else {
+        // the fill stats read the BOUNDED grouped page (≤ pending ×
+        // limit × groupSize rows), never the candidate stream
+        val page = grouped
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // functions.count spelled out: the collection's own
+          // count(filter) method shadows it in this scope
+          val fill = page.groupBy("query_id")
+            .agg(countDistinct(col("grp")).as("g"),
+              org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+            .toMap
+          val doneIds = pending.map(_._1).filter { q =>
+            fill.get(q).exists { case (g, n) => g >= limit && n >= want }
+          }.toSet
+          (page.where(col("query_id").isin(doneIds.toSeq: _*))
+            .localCheckpoint(true), doneIds)
+        } finally page.unpersist(blocking = false)
+      }
+    }.orderBy("query_id", "grp_rank", "rank")
+  }
+
   /** search_by_id takes the SAME SearchParams as search (stub.py:589
     * routes both through one payload): an `ef`/`nprobe`/`radius` here
     * looks the query vectors up from the stored corpus and serves

@@ -31,7 +31,7 @@ object GroupedSearch {
     * other type is REJECTED: a silent cast("long") would truncate
     * non-integral keys (1.2 and 1.7 both → 1) and merge distinct
     * groups without an error. */
-  private def grpNorm(df: DataFrame, grpCol: String): Column = {
+  private[graft] def grpNorm(df: DataFrame, grpCol: String): Column = {
     import org.apache.spark.sql.types._
     df.schema(grpCol).dataType match {
       case StringType => col(grpCol)
@@ -82,7 +82,16 @@ object GroupedSearch {
       .select(col("query_id"), col("grp"),
         VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
         col("id"))
+    rankGrouped(scored, limitGroups, groupSize, asc)
+  }
 
+  /** The double-bounded-heap grouped ranking over an already-scored
+    * frame (query_id, grp, __s: double raw, id) — shared by the exact
+    * route above and the ANN-served arm (which feeds it graph-beam
+    * candidates instead of the full corpus). Output contract:
+    * (query_id, grp_rank, grp, rank, id, score-rounded-4), ordered. */
+  private[graft] def rankGrouped(scored: DataFrame, limitGroups: Int,
+                                 groupSize: Int, asc: Boolean): DataFrame = {
     // per-(query, group): bounded member heap + the group's raw best
     // (min/max is exact — no summation — so the group ranking below
     // compares the same doubles the oracle computes)

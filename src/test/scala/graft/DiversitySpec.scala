@@ -117,6 +117,50 @@ class DiversitySpec extends SparkSpec {
     assert(perQ.forall(rows => rows.map(_.getInt(1)).sorted == (1 to 8)))
   }
 
+  test("grouped-HNSW ladder: fill guarantee, exhaustive ≡ exact scan, unfillable page escalates") {
+    val root = Files.createTempDirectory("graft-ghnsw").toString
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, i % 10L, Seq.fill(8)(rnd.nextGaussian()))
+    }
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "bucket", "vector"))
+    coll.rebuildHnswIndex(m = 8, efConstruction = 32, numSegments = 2,
+      metric = "cosine")
+    val q = Seq((0L, rows(3)._3), (1L, rows(250)._3)).toDF("qid", "qvec")
+
+    // exhaustive beam ≡ the exact scan byte-for-byte (the chain-
+    // connectivity certificate through the grouped pipeline)
+    val exact = coll.searchGrouped(q, "qid", "qvec", groupBy = "bucket",
+      metric = "cosine", limit = 4, groupSize = 3).collect().toSeq
+    val exh = coll.searchGroupedHnsw(q, "qid", "qvec", groupBy = "bucket",
+      limit = 4, groupSize = 3, ef = Int.MaxValue).collect().toSeq
+    assert(exh == exact && exact.nonEmpty)
+
+    // tiny starting beam: the fill ladder must still return a FULL
+    // page (10 groups of 40 members each exist), and the telemetry
+    // shows the start clamped to the page size
+    val small = coll.searchGroupedHnsw(q, "qid", "qvec", groupBy = "bucket",
+      limit = 4, groupSize = 3, ef = 1).collect()
+    val perQ = small.groupBy(_.getLong(0))
+    assert(perQ.size == 2 && perQ.values.forall { rs =>
+      rs.length == 12 && rs.map(_.getLong(2)).distinct.length == 4
+    }, "every query's page must be full: 4 groups x 3 members")
+    assert(coll.lastLadderRungs.nonEmpty && coll.lastLadderRungs.head._1 == 12,
+      s"start clamps to limit*groupSize, got ${coll.lastLadderRungs}")
+
+    // a page the corpus CANNOT fill (limit > distinct groups): the
+    // ladder escalates to the exhaustive rung and returns the exact
+    // answer for what exists
+    val unfillable = coll.searchGroupedHnsw(q, "qid", "qvec",
+      groupBy = "bucket", limit = 15, groupSize = 2, ef = 4).collect().toSeq
+    val exactU = coll.searchGrouped(q, "qid", "qvec", groupBy = "bucket",
+      metric = "cosine", limit = 15, groupSize = 2).collect().toSeq
+    assert(unfillable == exactU)
+    assert(coll.lastLadderRungs.last._1 >= 400,
+      s"unfillable page must reach the exhaustive rung: ${coll.lastLadderRungs}")
+  }
+
   test("guards: duplicate query ids rejected; lossy group types rejected; null groups dropped") {
     val dupQ = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("qid", "qvec")
     val data = Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))

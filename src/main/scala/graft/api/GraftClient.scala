@@ -837,6 +837,54 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       queries, qIdCol, qVecCol, metric, limit, lambda, poolMult, pred)
   }
 
+  /** MMR served from the LIVE HNSW graph — the production arm of
+    * [[searchMmr]]: the relevance pool comes from one graph traversal
+    * (beam = max(ef, limit·poolMult) — a narrower beam cannot seed the
+    * pool) exactly rescored in the index's STORED metric, then the
+    * SAME greedy stage as the exact route ([[graft.vector.Mmr]]
+    * greedySelect — the two arms' selection math cannot drift).
+    * Single-shot BY DESIGN: MMR's only fill contract is the pool
+    * bound itself, and the pool inherits the beam's recall (measured
+    * on the hnsw rows of §7-probes); at the exhaustive beam the pool
+    * equals the exact route's and the output is byte-identical
+    * (DiversitySpec pins it). `filter` restricts the rescore snapshot
+    * (traversal is filter-blind — under a very selective filter raise
+    * ef, or use the exact [[searchMmr]], whose pool is
+    * filter-complete). */
+  def searchMmrHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
+                    limit: Int = 10, lambda: Double = 0.7,
+                    poolMult: Int = 4, ef: Int = 10,
+                    filter: String = ""): DataFrame = {
+    val meta = describe
+    require(meta.contains("index.hnsw.m"),
+      "no HNSW index: run rebuildHnswIndex first")
+    val m = meta("index.hnsw.metric")
+    val asc = !graft.vector.VectorMetric(m).largerIsBetter
+    val filtered = if (filter.isEmpty) df else df.where(FilterParser.parse(filter))
+    val data = filtered.where(col(vecCol).isNotNull)
+    val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    if (qarr.isEmpty)
+      return searchMmr(queries, qIdCol, qVecCol, m, limit, lambda, poolMult, filter)
+    val graph = preparedHnswGraph(meta)
+    val poolSize = limit * poolMult
+    val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+      idCol, vecCol, qarr, m, math.max(ef, poolSize), prepared = true,
+      nodeKey = nodeKeyOpt)
+    // bound the beam's candidates to the pool size (RAW scores — the
+    // greedy's lambda=1 degeneration to plain top-k needs unrounded
+    // relevance, the exact route's discipline)
+    val pool = scored.groupBy("query_id")
+      .agg(graft.vector.TopKAgg.topk(col("__s"), col("id"), poolSize, asc)
+        .as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+    val rows = data.select(KnnSearch.idNorm(data, idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(pool), "id")
+      .select(col("query_id"), col("id"), col("__s"), col("__v"))
+    remapQueryIds(graft.vector.Mmr.greedySelect(rows, m, limit, lambda), remap)
+  }
+
   /** Grouped search served from the LIVE HNSW graph with an adaptive
     * GROUP-FILL beam ladder — the production arm of [[searchGrouped]]
     * (which scans; this traverses). Groups starve a fixed beam the
@@ -859,7 +907,7 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * hybridDense rule); ladder telemetry lands in lastLadderRungs. */
   def searchGroupedHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
                         groupBy: String, limit: Int = 10, groupSize: Int = 3,
-                        ef: Int = 10): DataFrame = {
+                        ef: Int = 10, filter: String = ""): DataFrame = {
     val meta = describe
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
@@ -868,13 +916,20 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       s"limit=$limit and groupSize=$groupSize must be positive")
     val m = meta("index.hnsw.metric")
     val asc = !graft.vector.VectorMetric(m).largerIsBetter
-    // null group = unsearchable-by-group (the exact route's contract)
-    val data = df.where(col(vecCol).isNotNull && col(groupBy).isNotNull)
+    // null group = unsearchable-by-group (the exact route's contract).
+    // `filter` restricts the rescore snapshot (the hybridDense
+    // discipline: the traversal is filter-blind, the exact rescore is
+    // not) — a selective filter starves the beam exactly like sparse
+    // groups do, and the SAME fill ladder pays for it: under-filled
+    // pages escalate, the exhaustive rung is exact-among-eligible.
+    val filtered = if (filter.isEmpty) df else df.where(FilterParser.parse(filter))
+    val data = filtered.where(col(vecCol).isNotNull && col(groupBy).isNotNull)
     val grpOf = data.select(KnnSearch.idNorm(data, idCol).as("id"),
       graft.vector.GroupedSearch.grpNorm(data, groupBy).as("grp"))
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     if (qarr.isEmpty)
-      return searchGrouped(queries, qIdCol, qVecCol, groupBy, m, limit, groupSize)
+      return searchGrouped(queries, qIdCol, qVecCol, groupBy, m, limit,
+        groupSize, filter)
     val graph = preparedHnswGraph(meta)
     val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
     // rungs below the page size can't possibly fill it — same clamp

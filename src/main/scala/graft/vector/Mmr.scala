@@ -75,60 +75,25 @@ object Mmr {
     case _ => false
   }
 
-  /** @return (query_id, rank, id, score) — `score` is the metric-native
-    *         relevance (rounded to 4 decimals, the same contract as
-    *         [[KnnSearch.topK]]), `rank` the SELECTION order. */
-  def topKDiverse(
-      data: DataFrame,
-      idCol: String,
-      vecCol: String,
-      queries: DataFrame,
-      qIdCol: String,
-      qVecCol: String,
-      metric: String,
-      k: Int,
-      lambda: Double,
-      poolMult: Int = 4,
-      filter: Option[Column] = None): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
-    require(k > 0 && poolMult >= 1, s"k=$k poolMult=$poolMult")
-    // duplicate query ids would pool two queries' candidates into one
-    // greedy group — the same guard every sibling route carries
-    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
-    require(qCounts.getLong(0) == qCounts.getLong(1),
-      "duplicate query ids: results are keyed by query id")
-    val m = VectorMetric(metric)
-    val asc = !m.largerIsBetter
-    val corpus = filter.foldLeft(data)(_ where _)
-      .select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
-    val q = broadcast(queries.select(
-      KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
-    val scored = corpus.crossJoin(q)
-      .select(col("query_id"),
-        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
-        col("id"))
-    // bounded pool, RAW scores (TopKAgg emits raw; rounding happens at
-    // output so lambda=1 ranks exactly like KnnSearch.topK)
-    val pool = scored.groupBy("query_id")
-      .agg(TopKAgg.topk(col("__s"), col("id"), k * poolMult, asc).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
-    // the pool sliver's vectors (broadcast the bounded pool side)
-    val rows = corpus.select(col("id"), col("__vec").cast("array<double>").as("__v"))
-      .join(broadcast(pool), "id")
-      .select(col("query_id"), col("id"), col("__s"), col("__v"))
-
+  /** The greedy stage over an ALREADY-SCORED candidate pool
+    * (query_id, id, __s raw, __v: array<double>) — shared by the exact
+    * route below and the ANN-served arm (which feeds it graph-beam
+    * candidates): the two arms' selection math cannot drift. Pool rows
+    * per query must be bounded by the caller (the flatMapGroups
+    * contract). */
+  private[graft] def greedySelect(rows: DataFrame, metric: String, k: Int,
+                                  lambda: Double): DataFrame = {
+    val asc = !VectorMetric(metric).largerIsBetter
     val outSchema = StructType(Seq(
       StructField("query_id", rows.schema("query_id").dataType),
       StructField("rank", IntegerType, nullable = false),
       StructField("id", rows.schema("id").dataType),
       StructField("score", DoubleType)))
-
     val met = metric
     val lam = lambda
     val kk = k
     val ascB = asc
-    val out = rows
+    rows.select(col("query_id"), col("id"), col("__s"), col("__v"))
       .groupByKey { r: Row =>
         r.get(0) match {
           case s: String => "s:" + s
@@ -136,7 +101,7 @@ object Mmr {
         }
       }(Encoders.STRING)
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
-        val cand = it.toArray // ≤ k·poolMult rows by the pool bound
+        val cand = it.toArray
         val qid = cand.head.get(0)
         val ids = cand.map(_.get(1))
         val rels = cand.map(r => oriented(ascB, r.getDouble(2)))
@@ -181,6 +146,51 @@ object Mmr {
               .toDouble)
         }
       }(Encoders.row(outSchema))
-    out.orderBy("query_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** @return (query_id, rank, id, score) — `score` is the metric-native
+    *         relevance (rounded to 4 decimals, the same contract as
+    *         [[KnnSearch.topK]]), `rank` the SELECTION order. */
+  def topKDiverse(
+      data: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      metric: String,
+      k: Int,
+      lambda: Double,
+      poolMult: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
+    require(k > 0 && poolMult >= 1, s"k=$k poolMult=$poolMult")
+    // duplicate query ids would pool two queries' candidates into one
+    // greedy group — the same guard every sibling route carries
+    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
+    require(qCounts.getLong(0) == qCounts.getLong(1),
+      "duplicate query ids: results are keyed by query id")
+    val m = VectorMetric(metric)
+    val asc = !m.largerIsBetter
+    val corpus = filter.foldLeft(data)(_ where _)
+      .select(KnnSearch.idNorm(data, idCol).as("id"), col(vecCol).as("__vec"))
+    val q = broadcast(queries.select(
+      KnnSearch.idNorm(queries, qIdCol).as("query_id"), col(qVecCol).as("__qvec")))
+    val scored = corpus.crossJoin(q)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__vec"), col("__qvec")).as("__s"),
+        col("id"))
+    // bounded pool, RAW scores (TopKAgg emits raw; rounding happens at
+    // output so lambda=1 ranks exactly like KnnSearch.topK)
+    val pool = scored.groupBy("query_id")
+      .agg(TopKAgg.topk(col("__s"), col("id"), k * poolMult, asc).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+    // the pool sliver's vectors (broadcast the bounded pool side)
+    val rows = corpus.select(col("id"), col("__vec").cast("array<double>").as("__v"))
+      .join(broadcast(pool), "id")
+      .select(col("query_id"), col("id"), col("__s"), col("__v"))
+    greedySelect(rows, metric, k, lambda)
   }
 }

@@ -161,6 +161,51 @@ class DiversitySpec extends SparkSpec {
       s"unfillable page must reach the exhaustive rung: ${coll.lastLadderRungs}")
   }
 
+  test("MMR-HNSW: exhaustive beam ≡ exact searchMmr; grouped-HNSW filter arm exact at exhaustion") {
+    val root = Files.createTempDirectory("graft-mmrhnsw").toString
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, i % 5L, Seq.fill(8)(rnd.nextGaussian()))
+    }
+    val coll = new GraftClient(spark, root).createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "bucket", "vector"))
+    coll.rebuildHnswIndex(m = 8, efConstruction = 32, numSegments = 2,
+      metric = "cosine")
+    val q = Seq((0L, rows(9)._3), (1L, rows(150)._3)).toDF("qid", "qvec")
+
+    // exhaustive beam: the pool equals the exact route's, the greedy is
+    // shared — output byte-identical (stored metric on both sides)
+    val exact = coll.searchMmr(q, "qid", "qvec", metric = "cosine",
+      limit = 6, lambda = 0.5, poolMult = 4).collect().toSeq
+    val ann = coll.searchMmrHnsw(q, "qid", "qvec", limit = 6, lambda = 0.5,
+      poolMult = 4, ef = Int.MaxValue).collect().toSeq
+    assert(ann == exact && exact.nonEmpty)
+    // and with a filter on both arms
+    val exactF = coll.searchMmr(q, "qid", "qvec", metric = "cosine",
+      limit = 6, lambda = 0.5, poolMult = 4, filter = "bucket != 2")
+      .collect().toSeq
+    val annF = coll.searchMmrHnsw(q, "qid", "qvec", limit = 6, lambda = 0.5,
+      poolMult = 4, ef = Int.MaxValue, filter = "bucket != 2").collect().toSeq
+    assert(annF == exactF && !annF.exists(r => rows(r.getLong(2).toInt)._2 == 2L))
+
+    // grouped-HNSW filter arm: a filtered page still fills through the
+    // ladder, and the exhaustive rung is exact-among-eligible
+    val gotG = coll.searchGroupedHnsw(q, "qid", "qvec", groupBy = "bucket",
+      limit = 3, groupSize = 2, ef = 1, filter = "bucket != 2").collect().toSeq
+    val wantG = coll.searchGrouped(q, "qid", "qvec", groupBy = "bucket",
+      metric = "cosine", limit = 3, groupSize = 2, filter = "bucket != 2")
+      .collect().toSeq
+    // the fill ladder guarantees a full page here (4 eligible groups of
+    // 60 docs each ≥ 3×2), and a full page from the exhaustive-capable
+    // ladder on this corpus matches the exact route
+    assert(gotG.groupBy(_.getLong(0)).values.forall(_.length == 6))
+    assert(gotG.map(_.getLong(2)).distinct.sorted.forall(_ != 2L))
+    val exhG = coll.searchGroupedHnsw(q, "qid", "qvec", groupBy = "bucket",
+      limit = 3, groupSize = 2, ef = Int.MaxValue, filter = "bucket != 2")
+      .collect().toSeq
+    assert(exhG == wantG)
+  }
+
   test("guards: duplicate query ids rejected; lossy group types rejected; null groups dropped") {
     val dupQ = Seq((1L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("qid", "qvec")
     val data = Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))

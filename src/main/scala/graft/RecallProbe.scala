@@ -596,6 +596,62 @@ object RecallProbe {
       }
     }
 
+    // ---- diversity serving from the graph (rows 119-120) ------------
+    // What a fixed group-blind beam recovers of the exact GROUPED page
+    // (fraction of the exact (grp_rank, grp, id) page present in the
+    // beam page — the client ladder escalates from here; exhaustive
+    // beam = 1.0 by the byte-equality DiversitySpec pin), and how much
+    // the MMR selection over a graph-seeded pool overlaps the
+    // exact-pool selection at the same lambda.
+    locally {
+      val hnswD = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+        efConstruction = 64, numSegments = 4).cache()
+      hnswD.count()
+      val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
+        col("label").cast("long").as("grp"))
+      val exactPage = GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
+          "label", queries, "qid", "qvec", "cosine", 3, 4)
+        .select("query_id", "grp", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      for (ef <- Seq(12, 24, 48, 96)) {
+        val beamPage = GroupedSearch.rankGrouped(
+            HnswIndex.scoredCandidates(hnswD, embs, "vec_id", "embedding",
+              qLocalD, "cosine", ef, prepared = false, nodeKey = None)
+              .join(grpOf, "id")
+              .select(col("query_id"), col("grp"), col("__s"), col("id")),
+            3, 4, asc = false)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        emit("grouped_hnsw_page", s"limit=3 groupSize=4 ef=$ef",
+          (exactPage & beamPage).size.toDouble / exactPage.size)
+      }
+      val exactSel = Mmr.topKDiverse(embs, "vec_id", "embedding", queries,
+          "qid", "qvec", "cosine", k, lambda = 0.5, poolMult = 4)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (ef <- Seq(k * 2, k * 4, k * 8)) {
+        val pool = HnswIndex.scoredCandidates(hnswD, embs, "vec_id",
+            "embedding", qLocalD, "cosine", math.max(ef, k * 4),
+            prepared = false, nodeKey = None)
+          .groupBy("query_id")
+          .agg(TopKAgg.topk(col("__s"), col("id"), k * 4, asc = false).as("__t"))
+          .select(col("query_id"), explode(col("__t")).as("__r"))
+          .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+        val rows = embs.select(col("vec_id").cast("long").as("id"),
+            col("embedding").cast("array<double>").as("__v"))
+          .join(pool, "id")
+          .select(col("query_id"), col("id"), col("__s"), col("__v"))
+        val annSel = Mmr.greedySelect(rows, "cosine", k, 0.5)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        emit("mmr_hnsw_overlap", s"k=$k lambda=0.5 poolMult=4 ef=$ef",
+          (exactSel & annSel).size.toDouble / exactSel.size)
+      }
+      hnswD.unpersist()
+    }
+
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir","results":$qs}""")

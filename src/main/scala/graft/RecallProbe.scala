@@ -610,7 +610,7 @@ object RecallProbe {
       val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val grpOf = embs.select(col("vec_id").cast("long").as("id"),
-        col("label").cast("long").as("grp"))
+        GroupedSearch.grpNorm(embs, "label").as("grp"))
       val exactPage = GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
           "label", queries, "qid", "qvec", "cosine", 3, 4)
         .select("query_id", "grp", "id").collect()
@@ -631,9 +631,13 @@ object RecallProbe {
           "qid", "qvec", "cosine", k, lambda = 0.5, poolMult = 4)
         .select("query_id", "id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the beam is swept HONESTLY below the pool size too (a sub-pool
+      // beam yields a smaller pool — that is the measurement, not a
+      // clamp; review finding: max(ef, k*4) silently re-ran the k*4
+      // beam and mislabeled the row)
       for (ef <- Seq(k * 2, k * 4, k * 8)) {
         val pool = HnswIndex.scoredCandidates(hnswD, embs, "vec_id",
-            "embedding", qLocalD, "cosine", math.max(ef, k * 4),
+            "embedding", qLocalD, "cosine", ef,
             prepared = false, nodeKey = None)
           .groupBy("query_id")
           .agg(TopKAgg.topk(col("__s"), col("id"), k * 4, asc = false).as("__t"))

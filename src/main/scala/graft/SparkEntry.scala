@@ -231,7 +231,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val grpOf = embs.select(col("vec_id").cast("long").as("id"),
-        col("label").cast("long").as("grp"))
+        graft.vector.GroupedSearch.grpNorm(embs, "label").as("grp"))
       val scored = graft.vector.HnswIndex.scoredCandidates(hnswGraphFor(s, dir),
           embs, "vec_id", "embedding", qLocal, "cosine", 48,
           prepared = false, nodeKey = None)
@@ -252,7 +252,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val grpOf = embs.select(col("vec_id").cast("long").as("id"),
-        col("label").cast("long").as("grp"))
+        graft.vector.GroupedSearch.grpNorm(embs, "label").as("grp"))
       val scored = graft.vector.HnswIndex.scoredCandidates(hnswGraphFor(s, dir),
           embs, "vec_id", "embedding", qLocal, "cosine", Int.MaxValue,
           prepared = false, nodeKey = None)

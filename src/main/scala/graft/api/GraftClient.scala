@@ -858,6 +858,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val meta = describe
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
+    // the exact arm's parameter contract, verbatim — the ANN arm calls
+    // greedySelect directly and must not accept what searchMmr rejects
+    // (lambda > 1 would REWARD redundancy with no error)
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
+    require(limit > 0 && poolMult >= 1, s"limit=$limit poolMult=$poolMult")
     val m = meta("index.hnsw.metric")
     val asc = !graft.vector.VectorMetric(m).largerIsBetter
     val filtered = if (filter.isEmpty) df else df.where(FilterParser.parse(filter))

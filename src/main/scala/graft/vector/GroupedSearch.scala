@@ -63,10 +63,16 @@ object GroupedSearch {
       s"limitGroups=$limitGroups and groupSize=$groupSize must be positive")
     // results are keyed by query id — duplicates would silently pool
     // two queries' scores into one heap (the same guard every coded
-    // route carries, here on the DataFrame form: one tiny aggregate)
-    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
+    // route carries, here on the DataFrame form: one tiny aggregate
+    // over the query batch, which is RPC-bounded by contract). The
+    // check runs on the NORMALIZED id — idNorm casts non-string qids
+    // to long, so two raw qids of 1.2 and 1.7 would pass a raw-column
+    // check and still merge downstream (review finding).
+    val qCounts = queries
+      .select(KnnSearch.idNorm(queries, qIdCol).as("__qid"))
+      .agg(count(lit(1)), countDistinct(col("__qid"))).head
     require(qCounts.getLong(0) == qCounts.getLong(1),
-      "duplicate query ids: results are keyed by query id")
+      "duplicate query ids (after id normalization): results are keyed by query id")
     val m = VectorMetric(metric)
     val asc = !m.largerIsBetter
     // a null group key is unsearchable-by-group, the same contract as

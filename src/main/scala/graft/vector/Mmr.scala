@@ -167,10 +167,14 @@ object Mmr {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
     require(k > 0 && poolMult >= 1, s"k=$k poolMult=$poolMult")
     // duplicate query ids would pool two queries' candidates into one
-    // greedy group — the same guard every sibling route carries
-    val qCounts = queries.agg(count(lit(1)), countDistinct(col(qIdCol))).head
+    // greedy group — the same guard every sibling route carries, on
+    // the NORMALIZED id (idNorm's long cast can merge non-integral
+    // raw qids a raw-column check would miss)
+    val qCounts = queries
+      .select(KnnSearch.idNorm(queries, qIdCol).as("__qid"))
+      .agg(count(lit(1)), countDistinct(col("__qid"))).head
     require(qCounts.getLong(0) == qCounts.getLong(1),
-      "duplicate query ids: results are keyed by query id")
+      "duplicate query ids (after id normalization): results are keyed by query id")
     val m = VectorMetric(metric)
     val asc = !m.largerIsBetter
     val corpus = filter.foldLeft(data)(_ where _)

@@ -74,11 +74,19 @@ object Bench {
     val minQ = names.map(n => n -> runs.map(_(n)).min)
     val meanQ = names.map(n => n -> runs.map(_(n)).sum / runs.length)
     // the maintenance arm gets the same noise treatment as the timed
-    // suite (min-of-2 — each pass rebuilds its own collections, so two
-    // passes double the arm's cost where three would triple it): a GC
-    // pause during a single-shot m_* row would read as a multi-x
-    // regression, the exact failure mode min-of-N exists to kill
-    val maintRuns: Seq[Seq[(String, Double)]] = (1 to 2).map { _ =>
+    // suite — min-of-3 since r12 (the r11 min-of-2 numbers swung 10x
+    // in BOTH directions on unchanged code: m_lm_retrain_8x 1.2→12.1s
+    // while m_upsert_live_index_8x 16.0→3.0s — two samples cannot
+    // separate a real regression from one bad draw). Each pass drops
+    // the page/executor cache first: the maintenance arms run AFTER
+    // the 3×136-query timed suite has filled the block manager with
+    // pinned index artifacts, and that pressure — not the maintenance
+    // code — is what the r11 regression measured (r11 verdict #1; the
+    // isolated-JVM probe reproduces the fast numbers). The timed-query
+    // artifacts are IndexStore-ensured parquet, so dropping the cache
+    // costs re-reads, never correctness.
+    val maintRuns: Seq[Seq[(String, Double)]] = (1 to 3).map { _ =>
+      spark.catalog.clearCache()
       maintenanceOps(spark, sfDir) ++ prodBandCost(spark, sfDir) ++
         modelMaintenanceOps(spark, sfDir) ++ vectorMaintenanceOps(spark, sfDir) ++
         w2vMaintenanceOps(spark, sfDir)
@@ -148,7 +156,7 @@ object Bench {
     * FLAT against corpus growth (a posting join against a
     * dictionary-sized broadcast — the artifact-serving split every
     * maintained model here carries). */
-  private def w2vMaintenanceOps(spark: SparkSession,
+  private[graft] def w2vMaintenanceOps(spark: SparkSession,
                                 sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     var batch: org.apache.spark.sql.DataFrame = null
@@ -234,7 +242,7 @@ object Bench {
     * r=2 (LshProfile, sf0.1) vs ~64% at r=4 — the measured recall trade
     * lives in SURVEY §5b (selective bands lose ~5–7% of pairs sitting
     * AT the threshold on this clusterless synthetic corpus). */
-  private def prodBandCost(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+  private[graft] def prodBandCost(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     try {
       val embs = graft.sources.Tables.embeddings(spark, sfDir)
       val buckets = graft.catalog.IndexStore.ensure(spark,
@@ -265,12 +273,14 @@ object Bench {
     * rebuild (train + encode — O(corpus)), at 1× and 8× corpus sizes.
     * The flat-vs-linear contrast is the scaling evidence every
     * maintained artifact here carries. */
-  private def vectorMaintenanceOps(spark: SparkSession,
+  private[graft] def vectorMaintenanceOps(spark: SparkSession,
                                    sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-vec").toString
-      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
+      // fresh artifact root per arm — the modelMaintenanceOps rationale
+      def freshClient() = new graft.api.GraftClient(spark,
+        java.nio.file.Files.createTempDirectory("graft-bench-vec").toString)
+        .createDatabase("bench")
       val base = graft.sources.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vector"))
       // POINT batch on a bucketed collection, like the ft arm: all ids
@@ -293,14 +303,14 @@ object Bench {
       batch.count()
       // warm the pack/append/rebuild paths once (the index arm's lesson)
       locally {
-        val warm = client.createCollection("vwarm", Map("buckets" -> "32"))
+        val warm = freshClient().createCollection("vwarm", Map("buckets" -> "32"))
         warm.upsert(base.limit(2000))
         warm.rebuildBqIndex()
         warm.upsert(batch)
         warm.rebuildBqIndex()
       }
       def measure(name: String, mult: Int): Seq[(String, Double)] = {
-        val coll = client.createCollection(name, Map("buckets" -> "32"))
+        val coll = freshClient().createCollection(name, Map("buckets" -> "32"))
         val docs = (0 until mult).map(i =>
             base.select((col("id") + lit(i * 1000000L)).as("id"), col("vector")))
           .reduce(_ unionAll _)
@@ -330,12 +340,14 @@ object Bench {
     }
   }
 
-  private def maintenanceOps(spark: SparkSession,
+  private[graft] def maintenanceOps(spark: SparkSession,
                              sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-maint").toString
-      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
+      // fresh artifact root per arm — the modelMaintenanceOps rationale
+      def freshClient() = new graft.api.GraftClient(spark,
+        java.nio.file.Files.createTempDirectory("graft-bench-maint").toString)
+        .createDatabase("bench")
       val base = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id").as("id"), col("text"))
       // the POINT batch — all ids hash into bucket 0 — the workload
@@ -357,7 +369,7 @@ object Bench {
       // code paths (upsert merge, segment append, rebuild) once so both
       // timed points measure steady-state.
       {
-        val warm = client.createCollection("warm", Map("buckets" -> "32"))
+        val warm = freshClient().createCollection("warm", Map("buckets" -> "32"))
         warm.upsert(base.limit(2000))
         warm.rebuildFulltextIndex()
         warm.upsert(ids.zip(texts).toDF("id", "text"))
@@ -365,7 +377,7 @@ object Bench {
       }
 
       def measure(name: String, mult: Int): Seq[(String, Double)] = {
-        val coll = client.createCollection(name, Map("buckets" -> "32"))
+        val coll = freshClient().createCollection(name, Map("buckets" -> "32"))
         val docs = (0 until mult).map(i =>
             base.select((col("id") + lit(i * 1000000L)).as("id"), col("text")))
           .reduce(_ unionAll _)
@@ -395,12 +407,16 @@ object Bench {
     * (O(corpus)); and DSIR weight serving for the same batch against
     * the persisted ratio table (O(batch) through a fixed-size
     * broadcast — flat by construction). */
-  private def modelMaintenanceOps(spark: SparkSession,
+  private[graft] def modelMaintenanceOps(spark: SparkSession,
                                   sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft-bench-model").toString
-      val client = new graft.api.GraftClient(spark, root).createDatabase("bench")
+      // fresh artifact root PER ARM (r11 verdict #1): a shared root
+      // lets one arm's accumulated segments/artifacts sit in the
+      // filesystem cache the next arm's timings contend with
+      def freshClient() = new graft.api.GraftClient(spark,
+        java.nio.file.Files.createTempDirectory("graft-bench-model").toString)
+        .createDatabase("bench")
       val base = graft.sources.Tables.documents(spark, sfDir)
         .select(col("doc_id").as("id"), col("text"))
       val batch = base.limit(200)
@@ -410,7 +426,7 @@ object Bench {
       // warm the fold/score/retrain paths once (the index arm's lesson:
       // the 1x point otherwise absorbs all first-touch codegen cost)
       locally {
-        val warm = client.createCollection("mwarm")
+        val warm = freshClient().createCollection("mwarm")
         warm.upsert(base.limit(2000))
         warm.trainLmModel()
         warm.updateLmModel(batch, "id", "text")
@@ -418,7 +434,7 @@ object Bench {
         warm.dsirWeightsOf(batch, "id", "text").count()
       }
       def measure(name: String, mult: Int): Seq[(String, Double)] = {
-        val coll = client.createCollection("m" + name)
+        val coll = freshClient().createCollection("m" + name)
         coll.upsert((0 until mult).map(i =>
             base.select((col("id") + lit(i * 1000000L)).as("id"), col("text")))
           .reduce(_ unionAll _))
@@ -443,7 +459,7 @@ object Bench {
       // append must keep the fold flat against artifact SIZE, not just
       // corpus rows (r8 verdict #5)
       def measureVocab(name: String, vmult: Int): Seq[(String, Double)] = {
-        val coll = client.createCollection("mlv" + name)
+        val coll = freshClient().createCollection("mlv" + name)
         coll.upsert((0 until vmult).map(i =>
             base.select((col("id") + lit(i * 1000000L)).as("id"),
               regexp_replace(col("text"), "(\\S+)", s"$$1x$i").as("text")))

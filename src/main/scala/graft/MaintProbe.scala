@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated maintenance-arm probe (r11 verdict #1 — the bisect tool):
+  * runs ONLY the Bench maintenance ops in a fresh JVM, no 3×136-query
+  * timed suite before them, and prints each pass's numbers. If the
+  * isolated numbers are fast while the in-suite numbers are slow, the
+  * regression lives in suite-accumulated executor state (block-manager
+  * cache pressure, GC debt), not in the maintenance code path — which
+  * is exactly what distinguishes "the harness got heavier" (a
+  * hypothesis) from a real plan regression (a diagnosis).
+  *
+  * Usage: runMain graft.MaintProbe [sfDir] [passes] [family]
+  * family ∈ all|model|index|vector|w2v (default model — the r11
+  * regression arm). */
+object MaintProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val family = if (args.length > 2) args(2) else "model"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def ops(): Seq[(String, Double)] = family match {
+      case "model" => Bench.modelMaintenanceOps(spark, sfDir)
+      case "index" => Bench.maintenanceOps(spark, sfDir)
+      case "vector" => Bench.vectorMaintenanceOps(spark, sfDir)
+      case "w2v" => Bench.w2vMaintenanceOps(spark, sfDir)
+      case _ => Bench.maintenanceOps(spark, sfDir) ++
+        Bench.modelMaintenanceOps(spark, sfDir) ++
+        Bench.vectorMaintenanceOps(spark, sfDir) ++
+        Bench.w2vMaintenanceOps(spark, sfDir)
+    }
+    (1 to passes).foreach { i =>
+      val kvs = ops()
+      println(s"""{"probe":"maint_isolated","pass":$i,"family":"$family",""" +
+        kvs.map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+          .mkString(",") + "}")
+    }
+    spark.stop()
+  }
+}

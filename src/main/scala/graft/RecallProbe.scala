@@ -656,6 +656,110 @@ object RecallProbe {
       hnswD.unpersist()
     }
 
+    // ---- diversity-arm LADDER work accounting (r11 verdict #7) ------
+    // Rows 102/103/111 publish per-rung (width, pending) cost; the
+    // grouped/MMR fill ladders record the same telemetry but published
+    // nothing. Three mixes per arm through the CLIENT routes:
+    // grouped — easy (label groups: tens of small groups, the page
+    // fills on early rungs), coarse (4 giant groups ≥ the 3-group page:
+    // a group-blind beam may sit inside one cluster and must dig),
+    // unfillable (2 groups < the 3-group page: the ladder MUST run to
+    // the exhaustive rung — the fill guarantee's deliberate price);
+    // MMR — easy (no filter: the clamped first rung seeds the pool),
+    // starved (a 1-in-10 filter the traversal cannot see). recall =
+    // overlap with the exact route's page/selection (1.0 whenever the
+    // ladder ran to exhaustion, by the byte-equality pins).
+    locally {
+      val collD = probeDb.createCollection("div")
+      collD.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label"),
+        pmod(col("vec_id"), lit(4L)).as("g4"),
+        pmod(col("vec_id"), lit(2L)).as("g2"),
+        pmod(col("vec_id"), lit(10L)).as("b10")))
+      collD.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "cosine")
+      for ((name, grpCol) <- Seq(("easy", "label"), ("coarse", "g4"),
+          ("unfillable", "g2"))) {
+        val exactPg = collD.searchGrouped(queries, "qid", "qvec", grpCol,
+            "cosine", limit = 3, groupSize = 4)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val annPg = collD.searchGroupedHnsw(queries, "qid", "qvec", grpCol,
+            limit = 3, groupSize = 4, ef = 12)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        ladderLine("grouped_hnsw_ladder", s"$name groups=$grpCol ef0=12",
+          collD.lastLadderRungs.toSeq, corpusN,
+          (exactPg & annPg).size.toDouble / math.max(exactPg.size, 1))
+      }
+      for ((name, flt) <- Seq(("easy", ""), ("starved", "b10 = 0"))) {
+        val exactSel = collD.searchMmr(queries, "qid", "qvec", "cosine",
+            limit = k, lambda = 0.5, poolMult = 4, filter = flt)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val annSel = collD.searchMmrHnsw(queries, "qid", "qvec",
+            limit = k, lambda = 0.5, poolMult = 4, ef = 10, filter = flt)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ladderLine("mmr_hnsw_ladder", s"$name filter=${if (flt.isEmpty) "none" else flt} ef0=10",
+          collD.lastLadderRungs.toSeq, corpusN,
+          (exactSel & annSel).size.toDouble / math.max(exactSel.size, 1))
+      }
+    }
+
+    // ---- IVF_SQ8 cell certificate vs CLUSTER GEOMETRY (r11 verdict #6)
+    // The sq_radius_cells row above measures the cell gate on the
+    // driver's UN-clustered corpus — the worst case, where every
+    // query ball overlaps most cells (82% kept at sf0.01). The
+    // file-listing-prune claim rests on clustered data, so sweep the
+    // established mixture generator (64 gaussian centers, spread σ·unit
+    // around each) at production nlist = ceil(sqrt(N)): per (σ), build
+    // cell stats, and report the fraction of (query, cell) pairs the
+    // ball bound ||q - c_j|| ≤ R + rho_j KEEPS — R matched per corpus
+    // to the median k-NN distance so ball occupancy is comparable.
+    // iso (no clusters) reproduces the worst case at production nlist.
+    locally {
+      val dim = 64
+      val nSynth = math.max(corpusN, 2000L)
+      val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
+      def g(key: String, salt: Int) =
+        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
+        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
+        val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
+        val mix = if (sigma < 0) g("id", 1)
+                  else s"${g("pmod(id, 64)", 11)} + $sigma * ${g("id", 1)}"
+        val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
+            expr(s"transform(sequence(1, $dim), j -> $mix)")
+              .cast("array<double>").as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embsC.count()
+        val qC = embsC.where(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val qLocalC = qC.select(col("qid"), col("qvec"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        // R = median kth-NN distance: about half the balls hold ≥ k rows
+        val dists = KnnSearch.topK(embsC, "vec_id", "embedding", qC,
+            "qid", "qvec", "l2", k).where(col("rank") === k)
+          .select("score").collect().map(_.getDouble(0)).sorted
+        val r = dists(dists.length / 2)
+        val model = IvfSq.train(embsC, "embedding", nlist = nlist)
+        val centersT = model.ivf.kmeans.clusterCenters.map(_.toArray)
+          .zipWithIndex.toSeq
+        val rho = IvfSq.cellStats(centersT, embsC, "embedding")
+          .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+        val kept = qLocalC.map { case (_, qv) =>
+          centersT.count { case (c, cell) =>
+            val d = math.sqrt(c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+            rho.get(cell).exists(d <= r + _)
+          }
+        }.sum.toDouble
+        emit(s"sq_radius_cells_$geo", f"nlist=$nlist r=$r%.3f cells kept/probed",
+          kept / (qLocalC.length.toDouble * centersT.length))
+        embsC.unpersist()
+      }
+    }
+
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir","results":$qs}""")

@@ -262,16 +262,51 @@ object SparkEntry {
     }),
 
     "q_mmr" -> ((s, dir) => {
-      // MMR diversified top-k (row 120): greedy selection is
-      // inherently sequential, so this row is rows-only BY DESIGN (the
-      // iterative argmax is not SQL-expressible); DiversitySpec pins
-      // lambda=1 ≡ exact top-k BYTE-FOR-BYTE, a hand-computed
+      // MMR diversified top-k (row 120): the greedy is sequential PER
+      // QUERY but its pool is bounded (k·poolMult = 40 rows/query), so
+      // a DuckDB RECURSIVE CTE replays the argmax exactly — one
+      // iteration per rank carrying the selected-id list, penalty =
+      // max cosine against the selected set, the (objective, id)
+      // tiebreak verbatim (r11 verdict #2: this row graduated from
+      // rows-only to fully SQL-oracled). DiversitySpec additionally
+      // pins lambda=1 ≡ exact top-k BYTE-FOR-BYTE, a hand-computed
       // two-cluster case, and determinism. The pool stage is the same
       // oracled TopKAgg pipeline as q_knn_cosine.
+      // lambda = 0.7 (the client default), NOT 0.5: the standard query
+      // batch is drawn from the corpus, so after the greedy picks the
+      // query point itself every remaining candidate's penalty equals
+      // its relevance and 0.5·rel − 0.5·pen ties at EXACTLY 0 pool-wide
+      // — the whole selection would ride on last-ulp fp agreement
+      // between engines. At 0.7 the objective is 0.4·rel on that round
+      // (generically distinct, gaps ~1e-3 ≫ fp noise).
       val embs = Tables.embeddings(s, dir)
       graft.vector.Mmr.topKDiverse(embs, "vec_id", "embedding",
         knnQueries(s, dir), "qid", "qvec", "cosine",
-        k = 10, lambda = 0.5, poolMult = 4)
+        k = 10, lambda = 0.7, poolMult = 4)
+    }),
+
+    "q_mmr_hnsw" -> ((s, dir) => {
+      // MMR served from the persisted HNSW graph at PRODUCTION beam
+      // (rows-only by design — the exhaustive twin below is the oracled
+      // row): one traversal seeds the relevance pool, exact rescore,
+      // then the SAME Mmr.greedySelect stage as the oracled exact
+      // route — the two arms' selection math cannot drift. The client
+      // adds the pool-fill ladder on top (searchMmrHnsw, pinned in
+      // DiversitySpec). Beam 40 = the pool size: a narrower beam could
+      // not seed the pool (§7-probes-r11 measured selection overlap
+      // 0.975/1.0 at ef 20/40).
+      mmrFromGraph(s, dir, ef = 40)
+    }),
+
+    "q_mmr_hnsw_exhaustive" -> ((s, dir) => {
+      // MMR-HNSW's ORACLED row (the verified-twin pattern, r11 verdict
+      // #3): the chain-connectivity certificate makes ef = MaxValue
+      // visit every node, the pool degenerates to the exact top-40,
+      // and greedySelect — the SAME stage as q_mmr — reproduces the
+      // exact diversified page byte-for-byte while the full graph
+      // machinery executes end-to-end. Oracled by the same recursive
+      // CTE as q_mmr.
+      mmrFromGraph(s, dir, ef = Int.MaxValue)
     }),
 
     // --------------------------------------------- sparse / fulltext / hybrid
@@ -1836,6 +1871,34 @@ object SparkEntry {
         m = 8, efConstruction = 64, numSegments = 4)
     }
 
+  /** MMR served from the persisted HNSW graph (rows 119/120 ANN
+    * discipline): the graph traversal seeds the relevance pool at beam
+    * max(ef, k·poolMult), exact rescored cosine, pool bounded through
+    * the SAME TopKAgg pipeline as the exact route, then
+    * [[graft.vector.Mmr.greedySelect]] — selection math shared with
+    * q_mmr so the arms cannot drift. ef = Int.MaxValue is the oracled
+    * exhaustive twin (pool ≡ the exact top-40 ⇒ output ≡ q_mmr). */
+  private def mmrFromGraph(s: SparkSession, dir: String, ef: Int): DataFrame = {
+    val embs = Tables.embeddings(s, dir)
+    val qLocal = embs.where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val poolSize = 10 * 4 // k · poolMult, the q_mmr parameters
+    val scored = graft.vector.HnswIndex.scoredCandidates(hnswGraphFor(s, dir),
+      embs, "vec_id", "embedding", qLocal, "cosine",
+      math.max(ef, poolSize), prepared = false, nodeKey = None)
+    val pool = scored.groupBy("query_id")
+      .agg(graft.vector.TopKAgg.topk(col("__s"), col("id"), poolSize,
+        asc = false).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__r"))
+      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+    val rows = embs.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .join(broadcast(pool), "id")
+      .select(col("query_id"), col("id"), col("__s"), col("__v"))
+    graft.vector.Mmr.greedySelect(rows, "cosine", 10, lambda = 0.7)
+  }
+
   /** Hard-negative mining served from the persisted HNSW graph: ONE
     * label-blind traversal for the 8 standard anchors (candidates
     * don't depend on the anchor's label — per-label traversals would
@@ -2117,6 +2180,52 @@ object SparkEntry {
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The MMR greedy (Mmr.greedySelect, k=10 λ=0.7 pool=40 cosine)
+    * replayed exactly in DuckDB: the pool is BOUNDED, so a recursive
+    * CTE can afford one iteration per selection round — the working
+    * table holds one row per query carrying the selected-id list,
+    * each iteration joins the remaining pool, computes penalty = max
+    * cosine against the selected set, and keeps the argmax of
+    * 0.7·rel − 0.3·penalty with the (objective, id) tiebreak. The
+    * base case is the order.isEmpty branch (penalty 0 ⇒ order by
+    * relevance alone). Raw unrounded rel/penalty throughout, rounding
+    * only at output — Mmr's discipline verbatim. λ must stay OFF 0.5
+    * here: the query batch lives in the corpus, so round 2's penalty
+    * equals relevance for every candidate and 0.5/0.5 would tie the
+    * whole pool at exactly 0 (see the q_mmr entry). */
+  private val mmrOracle: String =
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.qid AS query_id, e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+      |             list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS rel
+      |      FROM embeddings e, q),
+      |pool AS (SELECT query_id, id, v, rel FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn FROM s) t
+      |         WHERE rn <= 40),
+      |steps(query_id, rank, id, rel, chosen) AS (
+      |  SELECT query_id, 1 AS rank, id, rel, [id] AS chosen FROM (
+      |    SELECT query_id, id, rel,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS pk
+      |    FROM pool) t WHERE pk = 1
+      |  UNION ALL
+      |  SELECT query_id, rank, id, rel, chosen FROM (
+      |    SELECT c.query_id, c.rank, c.id, c.rel, list_append(c.chosen, c.id) AS chosen,
+      |           row_number() OVER (PARTITION BY c.query_id
+      |                              ORDER BY 0.7 * c.rel - 0.3 * c.pen DESC, c.id) AS pk
+      |    FROM (
+      |      SELECT st.query_id, st.rank + 1 AS rank, p.id, p.rel, st.chosen,
+      |             max(list_cosine_similarity(p.v, p2.v)) AS pen
+      |      FROM steps st
+      |      JOIN pool p  ON p.query_id = st.query_id AND NOT list_contains(st.chosen, p.id)
+      |      JOIN pool p2 ON p2.query_id = st.query_id AND list_contains(st.chosen, p2.id)
+      |      WHERE st.rank < 10
+      |      GROUP BY st.query_id, st.rank, p.id, p.rel, st.chosen
+      |    ) c
+      |  ) t WHERE pk = 1
+      |)
+      |SELECT query_id, CAST(rank AS INT) AS rank, id, round(rel, 4) AS score
+      |FROM steps ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_agg" ->
@@ -2243,6 +2352,17 @@ object SparkEntry {
         |FROM mem m JOIN gr USING (query_id, grp)
         |WHERE gr.grp_rank <= 3 AND m.rnk <= 4
         |ORDER BY query_id, grp_rank, rank""".stripMargin,
+
+    // the MMR greedy replayed exactly in SQL (r11 verdict #2): the pool
+    // is bounded (top-40 per query), so a RECURSIVE CTE carries the
+    // selected-id list and picks one row per iteration — penalty = max
+    // cosine vs the selected set (first pick pays none: the base case
+    // orders by relevance alone, Mmr.greedySelect's order.isEmpty
+    // branch), objective = 0.7·rel − 0.3·penalty, ties → smaller id
+    "q_mmr" -> mmrOracle,
+    // exhaustive-beam MMR-HNSW: every node visited ⇒ pool ≡ the exact
+    // top-40 ⇒ the shared greedy reproduces q_mmr byte-for-byte
+    "q_mmr_hnsw_exhaustive" -> mmrOracle,
 
     "q_knn_cosine" -> knnOracle("cosine"),
     // exhaustive-grade banded LSH covers the true top-k and re-ranks by

@@ -794,6 +794,22 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           // ivfServing's fallback — a meta-less legacy artifact must
           // not rank differently on the two nprobe arms
           describe.getOrElse("index.ivf.metric", "l2"), limit, np)
+      case (None, Some(r)) if metric == "l2" =>
+        // cost-route the param-less L2 radius through the quantized
+        // CERTIFICATE tier when one is live (r11 verdict #5): the
+        // certificate routes are byte-equal to this FLAT scan at any
+        // quantizer fidelity (row 118's triangle-inequality gates), so
+        // the answer cannot change — only the cost: two passes over
+        // 1-byte/dim codes + an exact rerank of the certificate's
+        // sliver (measured: SQ8 admits ~1.7% of pairs) beats one pass
+        // over 8-byte/dim raw vectors. Cells prune at file listing on
+        // the IVF variants. L2 only — the certificates are triangle
+        // bounds in L2 space; an explicit ef/nprobe keeps the user's
+        // chosen index (ladder semantics above), no artifacts keeps
+        // the FLAT scan.
+        certificateRadiusRoute(queries, qIdCol, qVecCol, r, limit, filter)
+          .getOrElse(KnnSearch.radiusTopK(df, idCol, vecCol, queries,
+            qIdCol, qVecCol, metric, r, limit, pred))
       case (_, Some(r)) =>
         KnnSearch.radiusTopK(df, idCol, vecCol, queries, qIdCol, qVecCol,
           metric, r, limit, pred)
@@ -801,6 +817,35 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         KnnSearch.topK(df, idCol, vecCol, queries, qIdCol, qVecCol, metric, limit, pred)
     }
     withOutputFields(hits, outputFields, retrieveVector)
+  }
+
+  /** The certificate-tier routing rule behind `search(radius)` —
+    * row 103's cost-routing device one tier up: prefer IVF_SQ8 (cell
+    * prune + the tightest measured row gate), then IVF_PQ (cell
+    * prune), then flat PQ; `None` when no live quantized family
+    * carries the full certificate artifact set (pre-resid codes or
+    * missing cell stats ⇒ the caller falls back to FLAT rather than
+    * hitting a route's actionable-rebuild require — routing must
+    * never turn a valid FLAT query into an error). */
+  private def certificateRadiusRoute(queries: DataFrame, qIdCol: String,
+      qVecCol: String, radius: Double, limit: Int,
+      filter: String): Option[DataFrame] = {
+    val meta = describe
+    def residCodes(name: String): Boolean =
+      catalog.collectionExists(db, name) &&
+        catalog.read(db, name).columns.contains("resid")
+    if (meta.contains("index.ivfsq.nlist") &&
+        catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)) &&
+        residCodes(GraftCollection.ivfSqCodes(coll)))
+      Some(searchIvfSqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
+    else if (meta.contains("index.ivfpq.nlist") &&
+        catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)) &&
+        residCodes(GraftCollection.ivfPqCodes(coll)))
+      Some(searchIvfPqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
+    else if (meta.contains("index.pq.m") &&
+        residCodes(GraftCollection.pqCodes(coll)))
+      Some(searchPqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
+    else None
   }
 
   /** Grouped search — top `limit` GROUPS per query (ranked by best
@@ -837,20 +882,29 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       queries, qIdCol, qVecCol, metric, limit, lambda, poolMult, pred)
   }
 
-  /** MMR served from the LIVE HNSW graph — the production arm of
-    * [[searchMmr]]: the relevance pool comes from one graph traversal
-    * (beam = max(ef, limit·poolMult) — a narrower beam cannot seed the
-    * pool) exactly rescored in the index's STORED metric, then the
-    * SAME greedy stage as the exact route ([[graft.vector.Mmr]]
-    * greedySelect — the two arms' selection math cannot drift).
-    * Single-shot BY DESIGN: MMR's only fill contract is the pool
-    * bound itself, and the pool inherits the beam's recall (measured
-    * on the hnsw rows of §7-probes); at the exhaustive beam the pool
-    * equals the exact route's and the output is byte-identical
-    * (DiversitySpec pins it). `filter` restricts the rescore snapshot
-    * (traversal is filter-blind — under a very selective filter raise
-    * ef, or use the exact [[searchMmr]], whose pool is
-    * filter-complete). */
+  /** MMR served from the LIVE HNSW graph with an adaptive POOL-FILL
+    * beam ladder — the production arm of [[searchMmr]]: the relevance
+    * pool comes from a graph traversal (beam ≥ limit·poolMult — a
+    * narrower beam cannot seed the pool) exactly rescored in the
+    * index's STORED metric, then the SAME greedy stage as the exact
+    * route ([[graft.vector.Mmr]] greedySelect — the two arms'
+    * selection math cannot drift). MMR's fill contract is the pool
+    * bound itself, and a `filter` starves a fixed beam exactly like
+    * groups do (the traversal is filter-blind, the rescore snapshot
+    * is not) — so the row-102/103 ladder pays for it (r11 verdict #4,
+    * the searchGroupedHnsw discipline): a query is DONE when its pool
+    * holds limit·poolMult eligible rows, everything else retries at
+    * 4× the beam up to the exhaustive bound, where the pool ≡ the
+    * exact top-(limit·poolMult) among ELIGIBLE rows and the output is
+    * byte-identical to the filtered exact route (DiversitySpec pins
+    * both the unfiltered and the selective-filter equality). A corpus
+    * whose eligible rows cannot fill the pool escalates to that
+    * exhaustive rung and returns the exact-among-eligible answer —
+    * the grouped arm's deliberate price of a fill guarantee without
+    * corpus-wide selectivity statistics. Within a rung the pool
+    * inherits the beam's recall (§7-probes-r11: selection overlap
+    * 0.975/1.0 at ef 20/40); ladder telemetry lands in
+    * lastLadderRungs. */
   def searchMmrHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
                     limit: Int = 10, lambda: Double = 0.7,
                     poolMult: Int = 4, ef: Int = 10,
@@ -872,22 +926,49 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       return searchMmr(queries, qIdCol, qVecCol, m, limit, lambda, poolMult, filter)
     val graph = preparedHnswGraph(meta)
     val poolSize = limit * poolMult
-    val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
-      idCol, vecCol, qarr, m, math.max(ef, poolSize), prepared = true,
-      nodeKey = nodeKeyOpt)
-    // bound the beam's candidates to the pool size (RAW scores — the
-    // greedy's lambda=1 degeneration to plain top-k needs unrounded
-    // relevance, the exact route's discipline)
-    val pool = scored.groupBy("query_id")
-      .agg(graft.vector.TopKAgg.topk(col("__s"), col("id"), poolSize, asc)
-        .as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__r"))
-      .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
-    val rows = data.select(KnnSearch.idNorm(data, idCol).as("id"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .join(broadcast(pool), "id")
-      .select(col("query_id"), col("id"), col("__s"), col("__v"))
-    remapQueryIds(graft.vector.Mmr.greedySelect(rows, m, limit, lambda), remap)
+    val efCap = math.min(math.max(graph.count(), 1L), Int.MaxValue.toLong)
+    // rungs below the pool size can't possibly fill it — the grouped
+    // ladder's clamp rationale
+    val start = math.max(ef, poolSize)
+    // the greedy over an ALREADY-BOUNDED pool slice (≤ |queries| ×
+    // poolSize rows): pool ids join their vectors from the filtered
+    // snapshot, greedySelect runs per query in one task
+    def greedyOf(pool: DataFrame): DataFrame = {
+      val rows = data.select(KnnSearch.idNorm(data, idCol).as("id"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .join(broadcast(pool), "id")
+        .select(col("query_id"), col("id"), col("__s"), col("__v"))
+      graft.vector.Mmr.greedySelect(rows, m, limit, lambda)
+    }
+    escalateRounds(qarr, start, efCap, remap) { (pending, curEf, exhausted) =>
+      val scored = graft.vector.HnswIndex.scoredCandidates(graph, data,
+        idCol, vecCol, pending, m, curEf, prepared = true,
+        nodeKey = nodeKeyOpt)
+      // bound the beam's candidates to the pool size (RAW scores — the
+      // greedy's lambda=1 degeneration to plain top-k needs unrounded
+      // relevance, the exact route's discipline)
+      val pool = scored.groupBy("query_id")
+        .agg(graft.vector.TopKAgg.topk(col("__s"), col("id"), poolSize, asc)
+          .as("__top"))
+        .select(col("query_id"), explode(col("__top")).as("__r"))
+        .select(col("query_id"), col("__r.id").as("id"), col("__r.score").as("__s"))
+      if (exhausted) (greedyOf(pool), Set.empty)
+      else {
+        // fill stats read the BOUNDED pool (≤ pending × poolSize
+        // rows), never the candidate stream — the grouped arm's rule
+        val pp = pool
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val counts = pp.groupBy("query_id")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          val doneIds = pending.map(_._1)
+            .filter(q => counts.getOrElse(q, 0L) >= poolSize).toSet
+          (greedyOf(pp.where(col("query_id").isin(doneIds.toSeq: _*)))
+            .localCheckpoint(true), doneIds)
+        } finally pp.unpersist(blocking = false)
+      }
+    }
   }
 
   /** Grouped search served from the LIVE HNSW graph with an adaptive
@@ -2686,6 +2767,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val codes0 = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
       "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0),
       surrogate = true)
+    // the sibling routes' guard (r11 ADVICE): the stats-existence check
+    // above already implies a post-resid rebuild, but a raw
+    // AnalysisException from the internal select("resid") is not an
+    // actionable message — fail like searchIvfSqExact does
+    require(codes0.columns.contains("resid"),
+      "IVF_SQ8 index predates radius serving (no per-row resid): rerun rebuildIvfSqIndex")
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)

@@ -55,7 +55,13 @@ object Mmr {
           dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
           i += 1
         }
-        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        // sqrt(na)·sqrt(nb), NOT sqrt(na·nb): bit-identical to
+        // VectorScore's cosine (and the DuckDB oracle's), so a
+        // candidate's self-similarity to an in-pool query point equals
+        // its relevance EXACTLY — the two formulas differ in the last
+        // ulp, which is enough to flip an exact-tie argmax
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
       case "ip" =>
         var dot = 0.0
         var i = 0

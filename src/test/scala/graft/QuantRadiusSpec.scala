@@ -120,6 +120,49 @@ class QuantRadiusSpec extends SparkSpec {
     assert(got == want && got.size == 200, "the whole near cluster is in-ball")
   }
 
+  test("cell certificate generalizes: C-cluster mixture prunes every non-home cell, result exact") {
+    // the two-cluster pin above, generalized to the mixture geometry
+    // the §7-probes clustered sweep measures (r11 verdict #6): C
+    // well-separated gaussian clusters, nlist = C — a ball query at
+    // one cluster must certificate-prune every OTHER cell at file
+    // listing, and the answer stays byte-exact regardless
+    val rnd = new scala.util.Random(13)
+    val C = 8
+    val data = (0 until C).flatMap { c =>
+      (0L until 100L).map { i =>
+        val base = Seq.fill(8)(rnd.nextGaussian() * 0.1)
+        // cluster c sits at 25·(c+1) along axis c — pairwise distances
+        // dwarf the 0.1-σ spread, so k-means recovers the mixture
+        (c * 100L + i, base.zipWithIndex.map { case (v, j) =>
+          if (j == c) v + 25.0 * (c + 1) else v })
+      }
+    }.toDF("vec_id", "embedding")
+    val model = IvfSq.train(data, "embedding", nlist = C)
+    val centers = model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+    val enc = IvfSq.encode(model, data, "vec_id", "embedding").cache()
+    val stats = IvfSq.cellStats(centers, data, "embedding")
+    val rho = stats.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    // query at cluster 3's center region, R covers only that cluster
+    val q = data.where(col("vec_id") === 301L)
+      .select(col("embedding")).head.getSeq[Double](0).toArray
+    val R = 1.0
+    val pruned = centers.count { case (c, cell) =>
+      val d = math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      d > R + rho(cell)
+    }
+    assert(pruned == C - 1,
+      s"every non-home cell must be certificate-pruned, got $pruned of ${C - 1}")
+
+    val got = IvfSq.searchStoredRadius(centers, stats, model.sq, enc,
+      data, "vec_id", "embedding", Array((0L, q)), radius = R, k = 200)
+      .collect().toSeq
+    val want = KnnSearch.radiusTopK(data, "vec_id", "embedding",
+      Seq((0L, q.toSeq)).toDF("qid", "qvec"), "qid", "qvec",
+      "l2", r = R, k = 200).collect().toSeq
+    assert(got == want && got.size == 100, "exactly the home cluster is in-ball")
+  }
+
   test("client lifecycle: rebuild -> radius; upsert EXPANDS a cell's rho; compaction folds") {
     val root = Files.createTempDirectory("graft-sqradius").toString
     val rnd = new scala.util.Random(7)

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.vector._
+
+/** The round-12 probe blocks alone (diversity-ladder work accounting +
+  * IVF_SQ8 cell-certificate cluster-geometry sweep), runnable at ANY
+  * scale factor in minutes — RecallProbe runs the full historical sweep
+  * first, which at sf0.1 costs more wall-clock than the two new tables
+  * are worth re-measuring behind. Same output format (one JSON line per
+  * row) so SURVEY §7-probes tables cite either source.
+  *
+  * Usage: runMain graft.Round12Probe [sfDir] [nQueries] [k]
+  */
+object Round12Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQ = if (args.length > 1) args(1).toInt else 16
+    val k = if (args.length > 2) args(2).toInt else 10
+
+    val spark = GraftSession.builder(
+      master = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]",
+      shufflePartitions = 16).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val embs = Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusN = embs.count()
+    val queries = embs.where(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+    def ladderLine(family: String, config: String,
+                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit = {
+      val work = rungs.map { case (w, p) => w.toLong * p }.sum
+      val finals = rungs.zipWithIndex.map { case ((w, p), i) =>
+        val nxt = if (i + 1 < rungs.length) rungs(i + 1)._2 else 0
+        w.toLong * (p - nxt)
+      }.sum
+      val exhaustive = cap * rungs.head._2
+      println(f"""{"family":"$family","config":"$config","rungs":${rungs.length},"rung_widths":"${rungs.map(r => r._1 + "x" + r._2).mkString(",")}","work":$work,"final_work":$finals,"work_multiple":${work.toDouble / math.max(finals, 1)}%.3f,"vs_exhaustive":${work.toDouble / exhaustive}%.4f,"recall":$recall%.4f}""")
+    }
+
+    // ---- diversity-arm LADDER work accounting (the §7-probes-r12
+    // block, at this scale factor) ------------------------------------
+    val probeRoot = java.nio.file.Files.createTempDirectory("graft-probe-r12").toString
+    val probeDb = new graft.api.GraftClient(spark, probeRoot).createDatabase("p")
+    locally {
+      val collD = probeDb.createCollection("div")
+      collD.upsert(embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label"),
+        pmod(col("vec_id"), lit(4L)).as("g4"),
+        pmod(col("vec_id"), lit(2L)).as("g2"),
+        pmod(col("vec_id"), lit(10L)).as("b10")))
+      collD.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "cosine")
+      for ((name, grpCol) <- Seq(("easy", "label"), ("coarse", "g4"),
+          ("unfillable", "g2"))) {
+        val exactPg = collD.searchGrouped(queries, "qid", "qvec", grpCol,
+            "cosine", limit = 3, groupSize = 4)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val annPg = collD.searchGroupedHnsw(queries, "qid", "qvec", grpCol,
+            limit = 3, groupSize = 4, ef = 12)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        ladderLine("grouped_hnsw_ladder", s"$name groups=$grpCol ef0=12",
+          collD.lastLadderRungs.toSeq, corpusN,
+          (exactPg & annPg).size.toDouble / math.max(exactPg.size, 1))
+      }
+      for ((name, flt) <- Seq(("easy", ""), ("starved", "b10 = 0"))) {
+        val exactSel = collD.searchMmr(queries, "qid", "qvec", "cosine",
+            limit = k, lambda = 0.5, poolMult = 4, filter = flt)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val annSel = collD.searchMmrHnsw(queries, "qid", "qvec",
+            limit = k, lambda = 0.5, poolMult = 4, ef = 10, filter = flt)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ladderLine("mmr_hnsw_ladder", s"$name filter=${if (flt.isEmpty) "none" else flt} ef0=10",
+          collD.lastLadderRungs.toSeq, corpusN,
+          (exactSel & annSel).size.toDouble / math.max(exactSel.size, 1))
+      }
+    }
+
+    // ---- IVF_SQ8 cell certificate vs CLUSTER GEOMETRY ---------------
+    // (the §7-probes-r12 sweep at this SF's corpus size; see
+    // RecallProbe for the full commentary)
+    locally {
+      val dim = 64
+      val nSynth = math.max(corpusN, 2000L)
+      val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
+      def g(key: String, salt: Int) =
+        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
+        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
+        val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
+        val mix = if (sigma < 0) g("id", 1)
+                  else s"${g("pmod(id, 64)", 11)} + $sigma * ${g("id", 1)}"
+        val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
+            expr(s"transform(sequence(1, $dim), j -> $mix)")
+              .cast("array<double>").as("embedding"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        embsC.count()
+        val qC = embsC.where(col("vec_id") < nQ)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val qLocalC = qC.select(col("qid"), col("qvec"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val dists = KnnSearch.topK(embsC, "vec_id", "embedding", qC,
+            "qid", "qvec", "l2", k).where(col("rank") === k)
+          .select("score").collect().map(_.getDouble(0)).sorted
+        val r = dists(dists.length / 2)
+        val model = IvfSq.train(embsC, "embedding", nlist = nlist)
+        val centersT = model.ivf.kmeans.clusterCenters.map(_.toArray)
+          .zipWithIndex.toSeq
+        val rho = IvfSq.cellStats(centersT, embsC, "embedding")
+          .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+        val kept = qLocalC.map { case (_, qv) =>
+          centersT.count { case (c, cell) =>
+            val d = math.sqrt(c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+            rho.get(cell).exists(d <= r + _)
+          }
+        }.sum.toDouble
+        println(f"""{"family":"sq_radius_cells_$geo","config":"n=$nSynth nlist=$nlist r=$r%.3f cells kept/probed","value":${kept / (qLocalC.length.toDouble * centersT.length)}%.4f}""")
+        embsC.unpersist()
+      }
+    }
+    println(s"""{"metric":"round12_probe","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -716,7 +716,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * `nprobe`: serve from the IVF index built by [[rebuildIndex]] —
     * probe ranking uses the PERSISTED centroids, candidates come from
     * the cell-partitioned layout (no retraining, no full scan). Exact
-    * scan when unset or when no index exists. */
+    * scan when unset or when no index exists.
+    *
+    * `radius` with NO index param and metric "l2" cost-routes through
+    * the live quantized certificate tier when one exists
+    * ([[certificateRadiusRoute]] — byte-equal to the FLAT scan by the
+    * row-118 triangle bounds, only cheaper); FLAT otherwise. */
   def search(queries: DataFrame, qIdCol: String, qVecCol: String,
              metric: String = "cosine", limit: Int = 10,
              filter: String = "", outputFields: Seq[String] = Nil,

@@ -102,4 +102,32 @@ class Round12Spec extends SparkSpec {
     assert(viaLadder.collect().toSeq == want,
       "nprobe radius serves from the cell layout (full probe = exact)")
   }
+
+  test("routing on a string-PK collection: surrogate resolution through the certificate, byte-equal to FLAT") {
+    // the reference's PK is ALWAYS a string — the routed certificate
+    // path must resolve the xxhash64 surrogate back to real ids and
+    // still equal the FLAT route byte-for-byte (the StringIdSpec
+    // contract, one tier up at the router)
+    val rnd = new scala.util.Random(71)
+    val rows: Seq[(String, Seq[Double])] =
+      (0 until 200).map(i => (s"doc-$i", Seq.fill(16)(rnd.nextGaussian())))
+    val root = Files.createTempDirectory("graft-r12-str").toString
+    val coll = new GraftClient(spark, root).createDatabase("db")
+      .createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    val q = Seq(("q0", rows(3)._2), ("q1", rows(150)._2)).toDF("qid", "qvec")
+    val want = coll.search(q, "qid", "qvec", metric = "l2",
+      limit = 25, radius = Some(4.0)).collect().toSeq
+    coll.rebuildIvfSqIndex(nlist = 4)
+    val routed = coll.search(q, "qid", "qvec", metric = "l2",
+      limit = 25, radius = Some(4.0))
+    assert(planOf(routed).contains("resid"),
+      "string-PK L2 radius must route through the certificate too")
+    val got = routed.collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // real string ids come back (the surrogate never leaks), the
+    // query's own row ranks first at distance 0
+    assert(got.head.getString(0) == "q0" && got.head.getString(2) == "doc-3"
+      && got.head.getDouble(3) == 0.0)
+  }
 }

@@ -126,6 +126,73 @@ object Round12Probe {
         embsC.unpersist()
       }
     }
+    // ---- radius serving: LADDER vs CERTIFICATE cost at matched
+    // selectivity (the r11 verdict #5 done-criterion) -----------------
+    // The row-102 adaptive beam ladder (l2-metric HNSW) vs the row-118
+    // IVF_SQ8 certificate, radii matched to ball-occupancy mixes from
+    // the exact L2 ground truth (tight / boundary / easy — the
+    // hnsw_radius_ladder convention). The grid reports BOTH axes of
+    // the trade the router rides on: cost (wall seconds min-of-3 after
+    // a warm pass; ladder rung telemetry) AND exactness — the
+    // certificate is exact BY CONSTRUCTION at every radius, while the
+    // adaptive ladder's boundary-stop rule is a PROXY below the
+    // exhaustive rung (its sub-exhaustive recall is measured, not
+    // guaranteed — §7-probes-r10), so ladder_recall here is its ball
+    // overlap against the certificate's exact result. That asymmetry
+    // is the routing rationale stated in row 118: when the certificate
+    // artifacts exist, search(radius) gets exactness at comparable
+    // cost; the ladder remains the route for graph-indexed collections
+    // where no certificate exists.
+    // NOTE: one vector index at a time (beginVectorRebuild invalidates
+    // the others — the reference's one-index-per-collection model), so
+    // the two routes live on two SAME-DATA collections; the comparison
+    // is still apples-to-apples (identical corpus, queries, radii).
+    locally {
+      val data = embs.select(col("vec_id").as("id"),
+        col("embedding").as("vector"))
+      val collH = probeDb.createCollection("routeH")
+      collH.upsert(data)
+      collH.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "l2")
+      val collC = probeDb.createCollection("routeC")
+      collC.upsert(data)
+      collC.rebuildIvfSqIndex() // auto ceil(sqrt(N)) nlist — production default
+      val gtL2 = KnnSearch.topK(embs, "vec_id", "embedding", queries,
+        "qid", "qvec", "l2", k).cache()
+      gtL2.count()
+      def pct(a: Array[Double], p: Double): Double =
+        a(math.min((a.length * p).toInt, a.length - 1))
+      val d2 = gtL2.where(col("rank") === 2).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      val dk = gtL2.where(col("rank") === k).select("score")
+        .collect().map(_.getDouble(0)).sorted
+      gtL2.unpersist()
+      def timed(body: => Long): Double = {
+        body // warm
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      for ((name, r) <- Seq(("tight", pct(d2, 0.1)),
+          ("boundary", pct(dk, 0.5)), ("easy", pct(dk, 0.9)))) {
+        def key(rows: Seq[org.apache.spark.sql.Row]) =
+          rows.map(x => (x.getLong(0), x.getLong(2))).toSet
+        val viaLadder = key(collH.searchHnswRadius(queries, "qid", "qvec",
+          radius = r, limit = k, ef = 10).collect().toSeq)
+        val rungs = collH.lastLadderRungs
+        val viaCert = key(collC.searchIvfSqRadius(queries, "qid", "qvec",
+          radius = r, limit = k).collect().toSeq)
+        val ladderRecall =
+          if (viaCert.isEmpty) 1.0
+          else (viaCert & viaLadder).size.toDouble / viaCert.size
+        val tL = timed(collH.searchHnswRadius(queries, "qid", "qvec",
+          radius = r, limit = k, ef = 10).count())
+        val tC = timed(collC.searchIvfSqRadius(queries, "qid", "qvec",
+          radius = r, limit = k).count())
+        println(f"""{"family":"radius_route_cost","config":"$name r=$r%.3f","ladder_sec":$tL%.3f,"cert_sec":$tC%.3f,"ladder_rungs":"${rungs.map(x => x._1 + "x" + x._2).mkString(",")}","ladder_recall":$ladderRecall%.4f,"cert_recall":1.0,"cert_over_ladder":${tC / tL}%.3f}""")
+      }
+    }
+
     println(s"""{"metric":"round12_probe","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir"}""")
     spark.stop()
   }

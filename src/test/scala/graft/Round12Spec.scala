@@ -92,11 +92,14 @@ class Round12Spec extends SparkSpec {
       "vector", q, "qid", "qvec", "l2", r = 4.0, k = 30).collect().toSeq
     assert(viaPq.collect().toSeq == want && want.nonEmpty)
 
-    // an EXPLICIT nprobe keeps the user's chosen cell ladder (the
-    // reference's SearchParams contract) even when a certificate exists
+    // an EXPLICIT nprobe keeps the user's chosen cell route (the
+    // reference's SearchParams contract) — structurally: the router
+    // only fires on the (no-ef, no-nprobe) shape, and since
+    // beginVectorRebuild enforces ONE vector index per collection
+    // (the reference's model), a collection with an explicit-nprobe
+    // IVF index cannot even hold a live certificate to route to
     val ivfColl = mkColl("ivf", rows)
     ivfColl.rebuildIndex(nlist = 4)
-    ivfColl.rebuildPqIndex(m = 4, k = 8)
     val viaLadder = ivfColl.search(q, "qid", "qvec", metric = "l2",
       limit = 30, radius = Some(4.0), nprobe = Some(4))
     assert(viaLadder.collect().toSeq == want,

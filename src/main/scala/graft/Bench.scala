@@ -73,6 +73,15 @@ object Bench {
     }
     val minQ = names.map(n => n -> runs.map(_(n)).min)
     val meanQ = names.map(n => n -> runs.map(_(n)).sum / runs.length)
+    // per-query MEDIAN-of-3 alongside min (r12): min is the right
+    // plan-cost isolator WITHIN a run set, but it is not comparable
+    // ACROSS runs with different noise profiles — r11's committed runs
+    // spread 125–171s (its per-query min cherry-picked deep valleys)
+    // while r12's spread 115–122s, and the min-vs-min ratio read 1.24
+    // on code-identical paths where mean-vs-mean read 0.82. The median
+    // is robust to one bad AND one lucky run; future round-over-round
+    // comparisons should lead with it.
+    val medQ = names.map(n => n -> runs.map(_(n)).sorted.apply(runs.length / 2))
     // the maintenance arm gets the same noise treatment as the timed
     // suite — min-of-3 since r12 (the r11 min-of-2 numbers swung 10x
     // in BOTH directions on unchanged code: m_lm_retrain_8x 1.2→12.1s
@@ -102,6 +111,7 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val minTotal = r3(minQ.map(_._2).sum)
     val meanTotal = r3(meanQ.map(_._2).sum)
+    val medTotal = r3(medQ.map(_._2).sum)
 
     // full per-run detail to a file (the stdout line must stay compact:
     // the driver captures a bounded TAIL of stdout, and r5's long line
@@ -110,14 +120,15 @@ object Bench {
     val detail = runs.zipWithIndex.map { case (run, i) =>
       "\"run" + (i + 1) + "\":" + js(names.map(n => n -> run(n)))
     }.mkString("{", ",",
-      ",\"maintenance\":" + js(maint) +
+      ",\"median\":" + js(medQ) +
+        ",\"maintenance\":" + js(maint) +
         maintRuns.zipWithIndex.map { case (mr, i) =>
           ",\"maintenance_run" + (i + 1) + "\":" + js(mr)
         }.mkString + "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"runs":3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"median_total":$medTotal,"runs":3,"sf":"$sfDir"}""")
 
     // The driver captures a bounded 2000-char TAIL of stdout (which
     // also swallows sbt's trailing "[success]" line) and parses the
@@ -129,7 +140,7 @@ object Bench {
     // omitted here is in the full line above and BENCH_DETAIL.json.
     val budget = 1600
     val maintJs = js(maint)
-    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"runs":3,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"median_total":$medTotal,"runs":3,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
     val tail2 = s"},\"queries_total\":${names.length}}"
     val slowest = minQ.sortBy(-_._2)
     val sb = new StringBuilder(head)

@@ -84,6 +84,37 @@ object Round12Probe {
       }
     }
 
+    // ---- grouped page recovery: FIXED-beam ef sweep at this SF ------
+    // (the §7-probes-r11 grouped_hnsw_page device, at the target
+    // corpus: what fraction of the exact (grp_rank, grp, id) page a
+    // group-blind beam recovers WITHOUT the fill ladder — the §5b-r12
+    // ef-vs-corpus guidance's measured basis. Page = 3 groups × 4.)
+    locally {
+      val hnswD = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+        efConstruction = 64, numSegments = 4).cache()
+      hnswD.count()
+      val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
+        GroupedSearch.grpNorm(embs, "label").as("grp"))
+      val exactPage = GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
+          "label", queries, "qid", "qvec", "cosine", 3, 4)
+        .select("query_id", "grp", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      for (ef <- Seq(12, 24, 48, 96, 192)) {
+        val beamPage = GroupedSearch.rankGrouped(
+            HnswIndex.scoredCandidates(hnswD, embs, "vec_id", "embedding",
+              qLocalD, "cosine", ef, prepared = false, nodeKey = None)
+              .join(grpOf, "id")
+              .select(col("query_id"), col("grp"), col("__s"), col("id")),
+            3, 4, asc = false)
+          .select("query_id", "grp", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        println(f"""{"family":"grouped_hnsw_page","config":"n=$corpusN limit=3 groupSize=4 ef=$ef","value":${(exactPage & beamPage).size.toDouble / exactPage.size}%.4f}""")
+      }
+      hnswD.unpersist()
+    }
+
     // ---- IVF_SQ8 cell certificate vs CLUSTER GEOMETRY ---------------
     // (the §7-probes-r12 sweep at this SF's corpus size; see
     // RecallProbe for the full commentary)

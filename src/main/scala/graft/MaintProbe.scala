@@ -34,10 +34,15 @@ object MaintProbe {
       case "index" => Bench.maintenanceOps(spark, sfDir)
       case "vector" => Bench.vectorMaintenanceOps(spark, sfDir)
       case "w2v" => Bench.w2vMaintenanceOps(spark, sfDir)
-      case _ => Bench.maintenanceOps(spark, sfDir) ++
+      case "all" => Bench.maintenanceOps(spark, sfDir) ++
         Bench.modelMaintenanceOps(spark, sfDir) ++
         Bench.vectorMaintenanceOps(spark, sfDir) ++
         Bench.w2vMaintenanceOps(spark, sfDir)
+      // a typo'd family must FAIL, not silently run everything with
+      // the typo stamped on the output — this is a bisect tool, and a
+      // mislabeled row sends the investigation the wrong way
+      case other => throw new IllegalArgumentException(
+        s"unknown family '$other' (expected all|model|index|vector|w2v)")
     }
     (1 to passes).foreach { i =>
       val kvs = ops()

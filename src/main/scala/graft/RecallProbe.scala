@@ -143,16 +143,14 @@ object RecallProbe {
     locally {
       val nSynth = math.max(corpusN, 2000L)
       // hash-seeded standard normal (Box-Muller over two hash draws)
-      def g(key: String, salt: Int) =
-        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
-        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      def g(key: String, salt: Int) = ProbeUtil.gauss(key, salt)
       // isotropic = the hard worst case (neighbors barely beat random
       // pairs at ANY dim); clustered = 64 gaussian centers with 0.5-σ
       // spread, the shape real embedding models produce
       def synth(dim: Int, clustered: Boolean) =
         spark.range(nSynth).select(col("id").as("vec_id"),
           expr(s"transform(sequence(1, $dim), j -> " + (
-            if (clustered) s"${g("pmod(id, 64)", 11)} + 0.5 * ${g("id", 1)}"
+            if (clustered) ProbeUtil.mixtureExpr(0.5)
             else g("id", 1)) + ")").as("embedding"))
       for (clustered <- Seq(false, true); dim <- Seq(64, 256, 768)) {
         val embsD = synth(dim, clustered)
@@ -376,16 +374,10 @@ object RecallProbe {
     // the right width been known; work_multiple = work/final_work (the
     // 4/3 geometric bound is the theory ceiling); vs_exhaustive =
     // work / (cap · |batch|), the single-shot exhaustive backstop.
+    // ONE definition of the accounting math (shared with Round12Probe)
     def ladderLine(family: String, config: String,
-                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit = {
-      val work = rungs.map { case (w, p) => w.toLong * p }.sum
-      val finals = rungs.zipWithIndex.map { case ((w, p), i) =>
-        val nxt = if (i + 1 < rungs.length) rungs(i + 1)._2 else 0
-        w.toLong * (p - nxt)
-      }.sum
-      val exhaustive = cap * rungs.head._2
-      println(f"""{"family":"$family","config":"$config","rungs":${rungs.length},"rung_widths":"${rungs.map(r => r._1 + "x" + r._2).mkString(",")}","work":$work,"final_work":$finals,"work_multiple":${work.toDouble / math.max(finals, 1)}%.3f,"vs_exhaustive":${work.toDouble / exhaustive}%.4f,"recall":$recall%.4f}""")
-    }
+                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit =
+      ProbeUtil.ladderLine(family, config, rungs, cap, recall)
     def pctOf(a: Array[Double], p: Double): Double =
       a(math.min((a.length * p).toInt, a.length - 1))
 
@@ -556,9 +548,7 @@ object RecallProbe {
     // default actually lands there, with the pair-work multiple.
     locally {
       val nS = math.max(corpusN, 2000L)
-      def g(key: String, salt: Int) =
-        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
-        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      def g(key: String, salt: Int) = ProbeUtil.gauss(key, salt)
       def mixture(centers: Int, spread: Double) =
         spark.range(nS).select(col("id").as("vec_id"),
           expr(s"transform(sequence(1, 64), j -> " +
@@ -722,13 +712,10 @@ object RecallProbe {
       val dim = 64
       val nSynth = math.max(corpusN, 2000L)
       val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
-      def g(key: String, salt: Int) =
-        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
-        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+      def g(key: String, salt: Int) = ProbeUtil.gauss(key, salt)
       for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
         val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
-        val mix = if (sigma < 0) g("id", 1)
-                  else s"${g("pmod(id, 64)", 11)} + $sigma * ${g("id", 1)}"
+        val mix = ProbeUtil.mixtureExpr(sigma)
         val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
             expr(s"transform(sequence(1, $dim), j -> $mix)")
               .cast("array<double>").as("embedding"))

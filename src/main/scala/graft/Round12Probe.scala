@@ -32,15 +32,8 @@ object Round12Probe {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
     def ladderLine(family: String, config: String,
-                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit = {
-      val work = rungs.map { case (w, p) => w.toLong * p }.sum
-      val finals = rungs.zipWithIndex.map { case ((w, p), i) =>
-        val nxt = if (i + 1 < rungs.length) rungs(i + 1)._2 else 0
-        w.toLong * (p - nxt)
-      }.sum
-      val exhaustive = cap * rungs.head._2
-      println(f"""{"family":"$family","config":"$config","rungs":${rungs.length},"rung_widths":"${rungs.map(r => r._1 + "x" + r._2).mkString(",")}","work":$work,"final_work":$finals,"work_multiple":${work.toDouble / math.max(finals, 1)}%.3f,"vs_exhaustive":${work.toDouble / exhaustive}%.4f,"recall":$recall%.4f}""")
-    }
+                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit =
+      ProbeUtil.ladderLine(family, config, rungs, cap, recall)
 
     // ---- diversity-arm LADDER work accounting (the §7-probes-r12
     // block, at this scale factor) ------------------------------------
@@ -122,13 +115,10 @@ object Round12Probe {
       val dim = 64
       val nSynth = math.max(corpusN, 2000L)
       val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
-      def g(key: String, salt: Int) =
-        s"sqrt(-2.0 * ln((pmod(xxhash64($key, j, $salt), 1000000) + 0.5) / 1000000.0)) * " +
-        s"cos(6.283185307179586 * (pmod(xxhash64($key, j, ${salt + 1}), 1000000) + 0.5) / 1000000.0)"
+
       for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
         val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
-        val mix = if (sigma < 0) g("id", 1)
-                  else s"${g("pmod(id, 64)", 11)} + $sigma * ${g("id", 1)}"
+        val mix = ProbeUtil.mixtureExpr(sigma)
         val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
             expr(s"transform(sequence(1, $dim), j -> $mix)")
               .cast("array<double>").as("embedding"))

@@ -2186,7 +2186,11 @@ object SparkEntry {
     * table holds one row per query carrying the selected-id list,
     * each iteration joins the remaining pool, computes penalty = max
     * cosine against the selected set, and keeps the argmax of
-    * 0.7·rel − 0.3·penalty with the (objective, id) tiebreak. The
+    * λ·rel − (1−λ)·penalty with the (objective, id) tiebreak — the
+    * penalty coefficient is spelled `(1 - 0.7)` in the SQL, NOT the
+    * literal 0.3: Mmr.greedySelect computes `(1.0 - lam)` at runtime
+    * (= 0.30000000000000004) and fl(0.3) is one ulp below it, the
+    * same last-ulp class the Mmr.sim formula fix closed. The
     * base case is the order.isEmpty branch (penalty 0 ⇒ order by
     * relevance alone). Raw unrounded rel/penalty throughout, rounding
     * only at output — Mmr's discipline verbatim. λ must stay OFF 0.5
@@ -2211,7 +2215,7 @@ object SparkEntry {
       |  SELECT query_id, rank, id, rel, chosen FROM (
       |    SELECT c.query_id, c.rank, c.id, c.rel, list_append(c.chosen, c.id) AS chosen,
       |           row_number() OVER (PARTITION BY c.query_id
-      |                              ORDER BY 0.7 * c.rel - 0.3 * c.pen DESC, c.id) AS pk
+      |                              ORDER BY 0.7 * c.rel - (1 - 0.7) * c.pen DESC, c.id) AS pk
       |    FROM (
       |      SELECT st.query_id, st.rank + 1 AS rank, p.id, p.rel, st.chosen,
       |             max(list_cosine_similarity(p.v, p2.v)) AS pen
@@ -2358,7 +2362,7 @@ object SparkEntry {
     // selected-id list and picks one row per iteration — penalty = max
     // cosine vs the selected set (first pick pays none: the base case
     // orders by relevance alone, Mmr.greedySelect's order.isEmpty
-    // branch), objective = 0.7·rel − 0.3·penalty, ties → smaller id
+    // branch), objective = 0.7·rel − (1−0.7)·penalty, ties → smaller id
     "q_mmr" -> mmrOracle,
     // exhaustive-beam MMR-HNSW: every node visited ⇒ pool ≡ the exact
     // top-40 ⇒ the shared greedy reproduces q_mmr byte-for-byte

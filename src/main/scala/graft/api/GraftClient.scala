@@ -927,6 +927,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val filtered = if (filter.isEmpty) df else df.where(FilterParser.parse(filter))
     val data = filtered.where(col(vecCol).isNotNull)
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    // ... including searchMmr's duplicate-qid rejection: two NORMALIZED
+    // numeric qids colliding would pool two queries' candidates into
+    // one greedy group and silently emit a merged page (string batches
+    // are guarded inside collectQueries; their traversal ids are batch
+    // indexes, distinct by construction)
+    require(qarr.map(_._1).distinct.length == qarr.length,
+      "duplicate query ids (after id normalization): results are keyed by query id")
     if (qarr.isEmpty)
       return searchMmr(queries, qIdCol, qVecCol, m, limit, lambda, poolMult, filter)
     val graph = preparedHnswGraph(meta)
@@ -969,8 +976,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
           val doneIds = pending.map(_._1)
             .filter(q => counts.getOrElse(q, 0L) >= poolSize).toSet
-          (greedyOf(pp.where(col("query_id").isin(doneIds.toSeq: _*)))
-            .localCheckpoint(true), doneIds)
+          val done = greedyOf(pp.where(col("query_id").isin(doneIds.toSeq: _*)))
+          // only checkpoint when something settled: escalateRounds
+          // discards the part on an all-starving rung, and the eager
+          // checkpoint would pay a full (filtered-)corpus join for
+          // zero rows — once per starving rung
+          (if (doneIds.isEmpty) done else done.localCheckpoint(true), doneIds)
         } finally pp.unpersist(blocking = false)
       }
     }
@@ -1018,6 +1029,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val grpOf = data.select(KnnSearch.idNorm(data, idCol).as("id"),
       graft.vector.GroupedSearch.grpNorm(data, groupBy).as("grp"))
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    // the exact arm (groupedTopK) rejects colliding NORMALIZED qids —
+    // the ANN arm must too, or two merged queries' candidates rank as
+    // one page with no error (the searchMmrHnsw guard, same rationale)
+    require(qarr.map(_._1).distinct.length == qarr.length,
+      "duplicate query ids (after id normalization): results are keyed by query id")
     if (qarr.isEmpty)
       return searchGrouped(queries, qIdCol, qVecCol, groupBy, m, limit,
         groupSize, filter)
@@ -1052,8 +1068,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           val doneIds = pending.map(_._1).filter { q =>
             fill.get(q).exists { case (g, n) => g >= limit && n >= want }
           }.toSet
-          (page.where(col("query_id").isin(doneIds.toSeq: _*))
-            .localCheckpoint(true), doneIds)
+          val done = page.where(col("query_id").isin(doneIds.toSeq: _*))
+          // checkpoint only when something settled (the searchMmrHnsw
+          // rule): an all-starving rung's part is discarded unread
+          (if (doneIds.isEmpty) done else done.localCheckpoint(true), doneIds)
         } finally page.unpersist(blocking = false)
       }
     }.orderBy("query_id", "grp_rank", "rank")

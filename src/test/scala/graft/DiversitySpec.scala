@@ -266,6 +266,25 @@ class DiversitySpec extends SparkSpec {
       Mmr.topKDiverse(data, "vec_id", "embedding", dupQ, "qid", "qvec",
         "cosine", 2, 0.5).collect()
     }
+    // the ANN arms carry the same rejection (r12 review pass: two
+    // colliding NORMALIZED qids would silently merge two queries'
+    // candidates into one page/pool where the exact twins raise)
+    locally {
+      val root = Files.createTempDirectory("graft-dupq").toString
+      val coll = new GraftClient(spark, root).createDatabase("db")
+        .createCollection("v")
+      coll.upsert(Seq((1L, 0L, Seq(1.0, 0.0)), (2L, 1L, Seq(0.0, 1.0)))
+        .toDF("id", "bucket", "vector"))
+      coll.rebuildHnswIndex(m = 4, efConstruction = 8, numSegments = 1,
+        metric = "cosine")
+      intercept[IllegalArgumentException] {
+        coll.searchMmrHnsw(dupQ, "qid", "qvec", limit = 2)
+      }
+      intercept[IllegalArgumentException] {
+        coll.searchGroupedHnsw(dupQ, "qid", "qvec", groupBy = "bucket",
+          limit = 2, groupSize = 1)
+      }
+    }
     // a double group column would truncate 1.2 and 1.7 onto one group —
     // rejected instead of silently merged
     val dbl = Seq((1L, 1.2, Seq(1.0, 0.0)), (2L, 1.7, Seq(0.0, 1.0)))

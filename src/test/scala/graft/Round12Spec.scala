@@ -106,6 +106,38 @@ class Round12Spec extends SparkSpec {
       "nprobe radius serves from the cell layout (full probe = exact)")
   }
 
+  test("routing survives mutations: an appended outlier is served exactly through the routed path") {
+    // QuantRadiusSpec pins append-expands-cell on the DIRECT route;
+    // this pins it through the ROUTER — an upsert after rebuild must
+    // not silently degrade the param-less search(radius) to a stale
+    // or partial answer (liveSegRows + appended stats rows compose
+    // under the routing exactly as on the explicit call)
+    val rnd = new scala.util.Random(73)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val coll = mkColl("mut", rows)
+    coll.rebuildIvfSqIndex(nlist = 4)
+
+    // an outlier FAR outside every trained cell's ball: without the
+    // appended per-cell stats row the old rho would certificate-prune
+    // its cell and the routed search would drop a true ball member
+    val outlier: Seq[Double] = Seq.fill(16)(25.0)
+    coll.upsert(Seq((900L, outlier)).toDF("id", "vector"))
+    val qOut = Seq((0L, outlier)).toDF("qid", "qvec")
+    val routed = coll.search(qOut, "qid", "qvec", metric = "l2",
+      limit = 5, radius = Some(0.5))
+    assert(planOf(routed).contains("resid"),
+      "the mutated collection must still serve radius from the certificate")
+    assert(routed.collect().map(_.getLong(2)).toSeq == Seq(900L),
+      "appended-segment stats must admit the outlier's cell through the router")
+
+    // a delete only SHRINKS cells — the routed answer stays exact
+    coll.deleteByIds(Seq(900L))
+    assert(coll.search(qOut, "qid", "qvec", metric = "l2",
+      limit = 5, radius = Some(0.5)).collect().isEmpty,
+      "deleted rows must not resurface through the routed certificate")
+  }
+
   test("routing on a string-PK collection: surrogate resolution through the certificate, byte-equal to FLAT") {
     // the reference's PK is ALWAYS a string — the routed certificate
     // path must resolve the xxhash64 surrogate back to real ids and

@@ -935,6 +935,32 @@ object SparkEntry {
         qLocal, radius = 1.25, k = 10)
     }),
 
+    "q_sq_radius_cos" -> ((s, dir) => {
+      // EXACT COSINE radius from a cosine-built IVF_SQ8 index (row
+      // 118's cosine arm, r13): the stored artifacts live on the unit
+      // sphere, the cell + row certificates gate at the L2 radius
+      // √(2−2r), and the exact rerank scores true cosine over the RAW
+      // vectors with the FLAT route's own expression and gate — so the
+      // oracle is plain cosine radius+limit, quantizer-invisible, the
+      // q_sq_radius discipline in the reference's DEFAULT metric.
+      // r=0.35 sits under the corpus' max pair cosine (0.48–0.60 per
+      // SF, §5b) so in-ball sets are non-trivial; limit=15 truncates.
+      val embs = Tables.embeddings(s, dir)
+      val enc = ivfsqCosEncodedFor(s, dir)
+      val centers = ivfCosCentroidsFor(s, dir).select("cell", "centroid").collect()
+        .map(r => (r.getSeq[Double](1).toArray, r.getInt(0))).toSeq
+      val qRaw = embs.where(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val gq = qRaw.map { case (q, v) =>
+        (q, graft.vector.VectorScore.unitNormArr(v)) }
+      val r = 0.35
+      graft.vector.IvfSq.searchStoredRadius(centers, ivfsqCosStatsFor(s, dir),
+        sqCosModelFor(s, dir), enc, embs, "vec_id", "embedding",
+        gq, math.sqrt(2.0 - 2.0 * r), k = 15,
+        rerank = graft.vector.Ranked.Rerank("cosine", qRaw, Some(r)))
+    }),
+
     "q_pq_radius" -> ((s, dir) => {
       // EXACT L2 radius from the PQ codes (row 118's flat-layout arm):
       // the ADC pass gates on the stored per-row resid — at this
@@ -1772,20 +1798,39 @@ object SparkEntry {
     }),
 
     "q_multimodal" -> ((s, dir) => {
-      val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("doc_id"), col("format"), col("n_bytes"), col("checksum"),
-          round(element_at(col("feature"), 1), 4).as("f0"),
-          round(element_at(col("feature"), 2), 4).as("f1"))
+      // REAL image decode (r13 — the 12-round stub premise was wrong
+      // for images: javax.imageio ships in this JDK): plant one actual
+      // PNG per document (pixels = affine formulas of (doc_id, x, y)
+      // mod 256), ImageIO-decode it back per partition, reduce to
+      // INTEGER pixel sums. PNG is lossless, so the decoded stats
+      // equal the formula exactly — fully DuckDB-oracled end-to-end
+      // through a real codec (encode → decode → pixel math).
+      Multimodal.decodeImageStats(
+          Multimodal.plantPng(Tables.documents(s, dir), "doc_id")).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "q_media_resize" -> ((s, dir) => {
+      // REAL decode → nearest-neighbor resample → REAL re-encode →
+      // REAL decode: the resize stage's integer math (src = ⌊x·sw/tw⌋)
+      // is reproduced in the oracle, so the whole two-codec round trip
+      // is integer-exact. 10×7 target ≠ any planted dim: every image
+      // genuinely resamples.
+      Multimodal.decodeImageStats(
+          Multimodal.resizeNearest(
+            Multimodal.plantPng(Tables.documents(s, dir), "doc_id"), 10, 7)).toDF()
         .orderBy("doc_id")
     }),
 
     "q_frame_sample" -> ((s, dir) => {
-      // video-shaped multimodal pipeline: resize then sample every 2nd
-      // fixed-size frame; one media row fans out to many frame rows
-      // (rows-only: stub decode is not SQL-expressible)
-      val media = Multimodal.pack(Tables.documents(s, dir), "doc_id", "text", "source")
-      Multimodal.frameSample(Multimodal.resize(media, 320, 180)).toDF()
+      // video-shaped multimodal pipeline on a REAL codec (r13): each
+      // document plants a frame-stacked PNG (2+id%3 frames of 12×8),
+      // the sampler decodes it and emits every 2nd frame's integer
+      // pixel sums — the one-row-to-many-frames flatMap geometry,
+      // now DuckDB-oracled through the codec like q_multimodal.
+      Multimodal.frameStats(
+          Multimodal.plantFramePng(Tables.documents(s, dir), "doc_id"),
+          everyN = 2, maxFrames = 8).toDF()
         .orderBy("doc_id", "frame_idx")
     })
   )
@@ -2023,6 +2068,59 @@ object SparkEntry {
         .map { case (c, i) => (c.toArray, i) }
       graft.vector.IvfSq.cellStats(centers,
         Tables.embeddings(s, dir), "embedding")
+    }
+
+  // --------- cosine-built IVF_SQ8 artifacts (row 118's cosine arm, r13)
+  //
+  // The artifact contract of a COSINE-built quantized index: every
+  // stored piece (coarse centroids, per-dim bounds, codes, per-row
+  // resid, per-cell rho) lives in the UNIT-SPHERE gate space — codes
+  // quantize x̂ = x/‖x‖, where cos(q,x) ≥ r ⇔ ‖q̂−x̂‖₂ ≤ √(2−2r) makes
+  // the same L2 triangle certificates exact for cosine. The serve-time
+  // rerank scores TRUE cosine over the RAW vectors, so the oracle is
+  // plain cosine radius+limit and never sees the quantizer.
+
+  /** Embeddings projected onto the unit sphere (the gate space). */
+  private def normEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).withColumn("embedding",
+      graft.vector.VectorScore.unitNorm(col("embedding")))
+
+  private val ivfCosModels =
+    scala.collection.concurrent.TrieMap.empty[String, IvfIndex.Model]
+  private def ivfCosModelFor(s: SparkSession, dir: String): IvfIndex.Model =
+    ivfCosModels.getOrElseUpdate(sfKey(dir),
+      IvfIndex.train(normEmbeddings(s, dir), "embedding", nlist = 16, maxIter = 10))
+
+  private[graft] def ivfCosCentroidsFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfcentcos_${sfKey(dir)}") {
+      IvfIndex.centroids(ivfCosModelFor(s, dir), s)
+    }
+
+  private val sqCosModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.vector.SqIndex.Model]
+  private def sqCosModelFor(s: SparkSession, dir: String): graft.vector.SqIndex.Model =
+    sqCosModels.getOrElseUpdate(sfKey(dir), {
+      val bounds = graft.catalog.IndexStore.ensure(s, s"sqboundscos_${sfKey(dir)}") {
+        graft.vector.SqIndex.boundsDf(
+          graft.vector.SqIndex.train(normEmbeddings(s, dir), "embedding"), s)
+      }
+      graft.vector.SqIndex.modelFromDf(bounds, dim = 64)
+    })
+
+  private[graft] def ivfsqCosEncodedFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfsqcodescos_${sfKey(dir)}",
+      partitionBy = Seq("cell")) {
+      val centers = graft.vector.IvfIndex.centersFromDf(ivfCosCentroidsFor(s, dir))
+        .map { case (c, i) => (c.toArray, i) }
+      graft.vector.IvfSq.encodeAssigned(centers, sqCosModelFor(s, dir),
+        normEmbeddings(s, dir), "vec_id", "embedding")
+    }
+
+  private[graft] def ivfsqCosStatsFor(s: SparkSession, dir: String): DataFrame =
+    graft.catalog.IndexStore.ensure(s, s"ivfsqstatscos_${sfKey(dir)}") {
+      val centers = graft.vector.IvfIndex.centersFromDf(ivfCosCentroidsFor(s, dir))
+        .map { case (c, i) => (c.toArray, i) }
+      graft.vector.IvfSq.cellStats(centers, normEmbeddings(s, dir), "embedding")
     }
 
   /** One BQ quantizer per (JVM, sf), persisted as the per-dimension
@@ -2489,6 +2587,68 @@ object SparkEntry {
         |      FROM s WHERE sc <= 1.25)
         |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the cosine arm: same certificate machinery on the unit sphere,
+    // oracled as plain cosine radius+limit (keep similarity >= r,
+    // rank DESC) — the quantizer and the √(2−2r) gate are invisible
+    "q_sq_radius_cos" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.qid AS query_id, e.vec_id AS id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS sc
+        |      FROM embeddings e, q),
+        |r AS (SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, id) AS rnk
+        |      FROM s WHERE sc >= 0.35)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, id, round(sc, 4) AS score
+        |FROM r WHERE rnk <= 15 ORDER BY query_id, rank""".stripMargin,
+
+    // planted-PNG decode pipelines (r13): the Spark side runs a REAL
+    // codec (PNG encode → ImageIO decode → integer pixel sums); the
+    // oracle replays the planted pixel formulas — affine in
+    // (doc_id, frame, x, y) mod 256 — in plain SQL. PNG losslessness
+    // is exactly what makes the two sides integer-equal.
+    "q_multimodal" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 3) * 4 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         (doc_id*31 + x*7 + y*13) % 256 AS r,
+        |         (doc_id*17 + x*5 + y*11) % 256 AS g,
+        |         (doc_id*23 + x*3 + y*19) % 256 AS b
+        |       FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // nearest-neighbor resample to 10×7: src pixel = (⌊x·w/10⌋, ⌊y·h/7⌋)
+    // — the resize stage's own integer math, through TWO real codec
+    // passes (decode → resample → encode → decode)
+    "q_media_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + (doc_id % 4) * 4 AS w, 6 + (doc_id % 3) * 4 AS h FROM documents),
+        |px AS (SELECT doc_id,
+        |         (doc_id*31 + ((x*w)//10)*7 + ((y*h)//7)*13) % 256 AS r,
+        |         (doc_id*17 + ((x*w)//10)*5 + ((y*h)//7)*11) % 256 AS g,
+        |         (doc_id*23 + ((x*w)//10)*3 + ((y*h)//7)*19) % 256 AS b
+        |       FROM d, UNNEST(range(0, 10)) AS tx(x), UNNEST(range(0, 7)) AS ty(y))
+        |SELECT doc_id, CAST(10 AS INT) AS width, CAST(7 AS INT) AS height,
+        |       CAST(70 AS BIGINT) AS n_pixels,
+        |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // frame-stacked PNG, every 2nd frame of 2+id%3 sampled (the cap of
+    // 8 never binds at ≤ 2 sampled frames), 12×8 frames
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT doc_id, f FROM d, UNNEST(range(0, nf)) AS tf(f) WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f,
+        |         (doc_id*31 + f*101 + x*7 + y*13) % 256 AS r,
+        |         (doc_id*17 + f*101 + x*5 + y*11) % 256 AS g,
+        |         (doc_id*23 + f*101 + x*3 + y*19) % 256 AS b
+        |       FROM fr, UNNEST(range(0, 12)) AS tx(x), UNNEST(range(0, 8)) AS ty(y))
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_pq_radius" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),

@@ -388,7 +388,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     if (live.lshLive) appendLshSegment(batch, seg, meta)
     if (live.pqLive) {
       val model = pqModelFromMeta(meta, "index.pq", GraftCollection.pqCodebooks(coll))
-      val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+      // encode in the index's GATE SPACE (unit-normalized for a
+      // cosine-built family — the r13 metric contract): a raw-space
+      // code appended to a normalized-space artifact would carry a
+      // meaningless resid and silently break the certificate
+      val (keyed, kid) = indexKeyed(gateSpace(
+        batch.where(col(vecCol).isNotNull), quantMetric(meta, "index.pq")))
       appendSegRows(GraftCollection.pqCodes(coll), seg,
         graft.vector.PqIndex.encode(model, keyed, kid, vecCol))
     }
@@ -396,7 +401,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
       val centers = graft.vector.IvfIndex.centersFromDf(
         catalog.read(db, GraftCollection.ivfPqCentroids(coll)))
-      val (vecs, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+      val (vecs, kid) = indexKeyed(gateSpace(
+        batch.where(col(vecCol).isNotNull), quantMetric(meta, "index.ivfpq")))
       val cells = vecs.select(col(kid).cast("long").as("id"),
         graft.vector.IvfIndex.assignExpr(centers, col(vecCol)).as("cell"))
       appendSegRows(GraftCollection.ivfPqCodes(coll), seg,
@@ -418,7 +424,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       val centers = graft.vector.IvfIndex.centersFromDf(
           catalog.read(db, GraftCollection.ivfSqCentroids(coll)))
         .map { case (c, i) => (c.toArray, i) }
-      val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
+      // gate-space batch (the pq arm's rationale) — also true for the
+      // certificate SIDECAR, whose codes this same arm maintains
+      val (keyed, kid) = indexKeyed(gateSpace(
+        batch.where(col(vecCol).isNotNull), quantMetric(meta, "index.ivfsq")))
       appendSegRows(GraftCollection.ivfSqCodes(coll), seg,
         graft.vector.IvfSq.encodeAssigned(centers, sq, keyed, kid, vecCol),
         subPartition = Seq("cell"))
@@ -718,10 +727,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * the cell-partitioned layout (no retraining, no full scan). Exact
     * scan when unset or when no index exists.
     *
-    * `radius` with NO index param and metric "l2" cost-routes through
-    * the live quantized certificate tier when one exists
-    * ([[certificateRadiusRoute]] — byte-equal to the FLAT scan by the
-    * row-118 triangle bounds, only cheaper); FLAT otherwise. */
+    * `radius` with NO index param and metric "l2" or "cosine"
+    * cost-routes through the live quantized certificate tier when one
+    * was BUILT FOR that metric ([[certificateRadiusRoute]] — byte-equal
+    * to the FLAT scan by the row-118 triangle bounds, cosine via the
+    * unit-sphere gate space, only cheaper); FLAT otherwise. */
   def search(queries: DataFrame, qIdCol: String, qVecCol: String,
              metric: String = "cosine", limit: Int = 10,
              filter: String = "", outputFields: Seq[String] = Nil,
@@ -799,20 +809,26 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
           // ivfServing's fallback — a meta-less legacy artifact must
           // not rank differently on the two nprobe arms
           describe.getOrElse("index.ivf.metric", "l2"), limit, np)
-      case (None, Some(r)) if metric == "l2" =>
-        // cost-route the param-less L2 radius through the quantized
-        // CERTIFICATE tier when one is live (r11 verdict #5): the
-        // certificate routes are byte-equal to this FLAT scan at any
-        // quantizer fidelity (row 118's triangle-inequality gates), so
-        // the answer cannot change — only the cost: two passes over
-        // 1-byte/dim codes + an exact rerank of the certificate's
-        // sliver (measured: SQ8 admits ~1.7% of pairs) beats one pass
-        // over 8-byte/dim raw vectors. Cells prune at file listing on
-        // the IVF variants. L2 only — the certificates are triangle
-        // bounds in L2 space; an explicit ef/nprobe keeps the user's
-        // chosen index (ladder semantics above), no artifacts keeps
-        // the FLAT scan.
-        certificateRadiusRoute(queries, qIdCol, qVecCol, r, limit, filter)
+      case (None, Some(r)) if metric == "l2" || metric == "cosine" =>
+        // cost-route the param-less radius through the quantized
+        // CERTIFICATE tier when one is live IN THIS METRIC (r11
+        // verdict #5; cosine since r13 — the reference's default
+        // metric): the certificate routes are byte-equal to this FLAT
+        // scan at any quantizer fidelity (row 118's triangle-
+        // inequality gates; cosine rides the unit-sphere gate space,
+        // cos r ⇔ L2 √(2−2r)), so the answer cannot change — only the
+        // cost: two passes over 1-byte/dim codes + an exact rerank of
+        // the certificate's sliver (measured: SQ8 admits ~1.7% of
+        // pairs) beats one pass over 8-byte/dim raw vectors. Cells
+        // prune at file listing on the IVF variants. A metric MISMATCH
+        // (cosine radius on an l2-built index or vice versa) keeps the
+        // FLAT scan — silently re-gating in the wrong metric is the
+        // hybridDense bug class. ip has no certificate (unbounded
+        // scores — no triangle gate exists) and takes the arm below;
+        // an explicit ef/nprobe keeps the user's chosen index (ladder
+        // semantics above), no artifacts keeps the FLAT scan.
+        certificateRadiusRoute(queries, qIdCol, qVecCol, r, limit, filter,
+            metric)
           .getOrElse(KnnSearch.radiusTopK(df, idCol, vecCol, queries,
             qIdCol, qVecCol, metric, r, limit, pred))
       case (_, Some(r)) =>
@@ -827,31 +843,55 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
   /** The certificate-tier routing rule behind `search(radius)` —
     * row 103's cost-routing device one tier up: prefer IVF_SQ8 (cell
     * prune + the tightest measured row gate), then IVF_PQ (cell
-    * prune), then flat PQ; `None` when no live quantized family
-    * carries the full certificate artifact set (pre-resid codes or
-    * missing cell stats ⇒ the caller falls back to FLAT rather than
-    * hitting a route's actionable-rebuild require — routing must
-    * never turn a valid FLAT query into an error). */
+    * prune), then flat PQ; a family is eligible only when its full
+    * certificate artifact set is live AND its stored metric equals the
+    * query's (`None` ⇒ the caller falls back to FLAT rather than
+    * hitting a route's actionable-rebuild require — routing must never
+    * turn a valid FLAT query into an error). Eligibility is defined
+    * ONCE per family in the *RadiusReady predicates below (ADVICE r12:
+    * a route growing a new required artifact must extend its predicate
+    * in the same change, or the router would route into that route's
+    * require instead of falling back). */
   private def certificateRadiusRoute(queries: DataFrame, qIdCol: String,
       qVecCol: String, radius: Double, limit: Int,
-      filter: String): Option[DataFrame] = {
+      filter: String, metric: String): Option[DataFrame] = {
     val meta = describe
-    def residCodes(name: String): Boolean =
-      catalog.collectionExists(db, name) &&
-        catalog.read(db, name).columns.contains("resid")
-    if (meta.contains("index.ivfsq.nlist") &&
-        catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)) &&
-        residCodes(GraftCollection.ivfSqCodes(coll)))
+    if (ivfSqRadiusReady(meta, metric))
       Some(searchIvfSqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
-    else if (meta.contains("index.ivfpq.nlist") &&
-        catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)) &&
-        residCodes(GraftCollection.ivfPqCodes(coll)))
+    else if (ivfPqRadiusReady(meta, metric))
       Some(searchIvfPqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
-    else if (meta.contains("index.pq.m") &&
-        residCodes(GraftCollection.pqCodes(coll)))
+    else if (pqRadiusReady(meta, metric))
       Some(searchPqRadius(queries, qIdCol, qVecCol, radius, limit, filter))
     else None
   }
+
+  /** A coded artifact carries the per-row certificate column. */
+  private def residCodes(name: String): Boolean =
+    catalog.collectionExists(db, name) &&
+      catalog.read(db, name).columns.contains("resid")
+
+  // Per-family radius-serving eligibility — the ONE definition each
+  // router check and its route's artifact contract share (ADVICE r12).
+  // Each predicate = "the route's requires all pass AND the stored
+  // metric matches": searchIvfSqRadius needs meta + stats + resid
+  // codes, etc. Extend the predicate in the SAME change as any new
+  // require in the route.
+  private def ivfSqRadiusReady(meta: Map[String, String], metric: String): Boolean =
+    meta.contains("index.ivfsq.nlist") &&
+      quantMetric(meta, "index.ivfsq") == metric &&
+      catalog.collectionExists(db, GraftCollection.ivfSqStats(coll)) &&
+      residCodes(GraftCollection.ivfSqCodes(coll))
+
+  private def ivfPqRadiusReady(meta: Map[String, String], metric: String): Boolean =
+    meta.contains("index.ivfpq.nlist") &&
+      quantMetric(meta, "index.ivfpq") == metric &&
+      catalog.collectionExists(db, GraftCollection.ivfPqStats(coll)) &&
+      residCodes(GraftCollection.ivfPqCodes(coll))
+
+  private def pqRadiusReady(meta: Map[String, String], metric: String): Boolean =
+    meta.contains("index.pq.m") &&
+      quantMetric(meta, "index.pq") == metric &&
+      residCodes(GraftCollection.pqCodes(coll))
 
   /** Grouped search — top `limit` GROUPS per query (ranked by best
     * member), `groupSize` members each ([[graft.vector.GroupedSearch]]
@@ -1443,6 +1483,52 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       catalog.read(db, GraftCollection.bqThresholds(coll)),
       meta("index.bq.dim").toInt)
 
+  // ------------------------------------- quantized-family metric support
+  //
+  // A quantized index (PQ / IVF_PQ / IVF_SQ8) is built FOR a metric
+  // (r12 verdict #1 — the reference's index carries its MetricType and
+  // its default is COSINE, conftest.py:192): the artifact contract is
+  // "L2 machinery over the GATE SPACE", where gate space = the raw
+  // vectors for l2 and the UNIT-NORMALIZED vectors for cosine. On the
+  // unit sphere cos(q,x) ≥ r ⇔ ‖q̂−x̂‖₂ ≤ √(2−2r), so the SAME per-row
+  // resid and per-cell rho triangle certificates serve cosine radius /
+  // top-k exactly; the metric-space exact rerank (raw vectors, raw
+  // queries, the FLAT route's VectorScore expression and gate) closes
+  // the byte-equality. ip has no triangle bound (unbounded scores) and
+  // is rejected at build time. Legacy artifacts without the metric key
+  // are l2 (the only metric they could have been built for).
+
+  /** The metric a quantized family's stored artifacts live in. */
+  private def quantMetric(meta: Map[String, String], prefix: String): String =
+    meta.getOrElse(s"$prefix.metric", "l2")
+
+  private def requireQuantMetric(family: String, metric: String): Unit =
+    require(metric == "l2" || metric == "cosine",
+      s"$family serves l2 and cosine (unit-sphere) certificates; got '$metric'" +
+        " — ip has no triangle bound, use FLAT or HNSW for ip")
+
+  /** A snapshot projected into a quantized family's gate space. */
+  private def gateSpace(data: DataFrame, metric: String): DataFrame =
+    if (metric == "cosine")
+      data.withColumn(vecCol, graft.vector.VectorScore.unitNorm(col(vecCol)))
+    else data
+
+  /** Collected query batch → (gate-space queries, gate radius, rerank
+    * override) for a family's stored metric: cosine queries unit-
+    * normalize and the metric radius maps to the unit-sphere L2 gate
+    * radius √(max(0, 2−2r)) (r > 1 clamps to 0 — a superset gate is
+    * all the certificate needs, the metric-space rerank gate decides);
+    * l2 passes through with a null override (the historical plan,
+    * byte-identical). */
+  private def gateQueries(metric: String, qarr: Array[(Long, Array[Double])],
+                          radius: Option[Double])
+      : (Array[(Long, Array[Double])], Double, graft.vector.Ranked.Rerank) =
+    if (metric == "cosine")
+      (qarr.map { case (q, v) => (q, graft.vector.VectorScore.unitNormArr(v)) },
+        radius.map(r => math.sqrt(math.max(0.0, 2.0 - 2.0 * r))).getOrElse(0.0),
+        graft.vector.Ranked.Rerank("cosine", qarr, radius))
+    else (qarr, radius.getOrElse(0.0), null)
+
   /** `nlist ≤ 0` (the default) derives the cell count from the corpus
     * at rebuild time: ⌈√N⌉ cells, the standard IVF sizing rule — with
     * √N cells a probe scans ~√N rows, balancing the centroid scan
@@ -1493,10 +1579,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * any later session without retraining. String-PK collections
     * encode over the xxhash64 surrogate and serve through the real-id
     * rerank (see the string-PK surrogate section). */
-  def rebuildPqIndex(m: Int = 8, k: Int = 16): Unit = {
+  def rebuildPqIndex(m: Int = 8, k: Int = 16, metric: String = "l2"): Unit = {
+    requireQuantMetric("PQ", metric)
     val dim = beginVectorRebuild("PQ")
     val baseSeg = mutationSeg
-    val base = df
+    val base = gateSpace(df, metric)
     val model = graft.vector.PqIndex.train(base, vecCol, dim, m, k)
     val (keyed, kid) = indexKeyed(base)
     val codes = graft.vector.PqIndex.encode(model, keyed, kid, vecCol)
@@ -1509,7 +1596,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       graft.vector.PqIndex.codebooksDf(model, spark))
     catalog.updateMeta(db, coll, Map(
       "index.pq.m" -> m.toString, "index.pq.k" -> k.toString,
-      "index.pq.dim" -> dim.toString, "index.pq.base_seg" -> baseSeg.toString))
+      "index.pq.dim" -> dim.toString, "index.pq.base_seg" -> baseSeg.toString,
+      "index.pq.metric" -> metric))
   }
 
   /** rebuild_index for binary quantization (the extension family next
@@ -2636,9 +2724,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * sliver scannable by table lookups). Persists centroids, codebooks,
     * and the (id, cell, codes) table; [[searchIvfPq]] serves from them
     * in any later session. */
-  def rebuildIvfPqIndex(nlist: Int = 0, m: Int = 8, k: Int = 16): Unit = {
+  def rebuildIvfPqIndex(nlist: Int = 0, m: Int = 8, k: Int = 16,
+                        metric: String = "l2"): Unit = {
+    requireQuantMetric("IVF_PQ", metric)
     val dim = beginVectorRebuild("IVF_PQ")
-    val base = df
+    val base = gateSpace(df, metric)
     // nlist = 0 derives ceil(sqrt(N)) from the corpus at rebuild time —
     // the same auto-sizing rule as rebuildIndex (round-11: the r10
     // ladder telemetry showed the adaptive routes' win GROWS with
@@ -2676,7 +2766,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll, Map(
       "index.ivfpq.nlist" -> nl.toString, "index.ivfpq.m" -> m.toString,
       "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
-      "index.ivfpq.base_seg" -> baseSeg.toString))
+      "index.ivfpq.base_seg" -> baseSeg.toString,
+      "index.ivfpq.metric" -> metric))
   }
 
   /** rebuild_index for the composed IVF_SQ8 index (the remaining
@@ -2686,9 +2777,47 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * (id, cell, codes) table; [[searchIvfSq]] serves from them in any
     * later session. String-PK collections encode over the xxhash64
     * surrogate, like every coded family. */
-  def rebuildIvfSqIndex(nlist: Int = 0): Unit = {
+  def rebuildIvfSqIndex(nlist: Int = 0, metric: String = "l2"): Unit = {
+    requireQuantMetric("IVF_SQ8", metric)
     val dim = beginVectorRebuild("IVF_SQ8")
-    val base = df
+    buildIvfSqArtifacts(nlist, metric, dim)
+  }
+
+  /** Certificate SIDECAR — the IVF_SQ8 artifact set built NEXT TO the
+    * live primary index, with no sibling invalidation (r12 verdict #3):
+    * one-vector-index-per-collection means a collection serving the
+    * reference's default HNSW top-k could never hold the quantized
+    * certificate that makes its param-less `search(radius)` exact AND
+    * cheap — this maintains the SQ8 codes + per-cell ball stats as an
+    * AUXILIARY artifact alongside the graph, and
+    * [[certificateRadiusRoute]] serves from it (answer-invariant by
+    * the row-118 byte-equality, so coexistence needs no recall
+    * argument). `metric` defaults to the primary HNSW graph's stored
+    * metric so the routed radius gates in the metric the collection
+    * actually serves. Upserts maintain BOTH artifacts (the ivfSqLive
+    * append arm fires exactly as for a primary SQ8 index); deletes
+    * need nothing (cells only shrink). Rebuilding the graph
+    * invalidates the sidecar like any sibling — rebuild the sidecar
+    * after the graph, the same ordering as any dependent artifact. */
+  def buildCertificateSidecar(nlist: Int = 0, metric: String = ""): Unit = {
+    val meta = describe
+    val m = if (metric.nonEmpty) metric
+            else meta.getOrElse("index.hnsw.metric", "l2")
+    requireQuantMetric("IVF_SQ8 sidecar", m)
+    // beginVectorRebuild's corpus checks WITHOUT its invalidation — the
+    // whole point is that the primary index survives
+    require(df.where(col(vecCol).isNull).isEmpty,
+      "cannot build IVF_SQ8 sidecar: collection contains null vectors")
+    val dim = graft.vector.LshIndex.deriveDimOpt(df, vecCol)
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot build IVF_SQ8 sidecar on an empty collection"))
+    buildIvfSqArtifacts(nlist, m, dim)
+  }
+
+  /** The IVF_SQ8 artifact build shared by [[rebuildIvfSqIndex]] (after
+    * sibling invalidation) and [[buildCertificateSidecar]] (without). */
+  private def buildIvfSqArtifacts(nlist: Int, metric: String, dim: Int): Unit = {
+    val base = gateSpace(df, metric)
     // same auto-sqrt(N) default as rebuildIndex / rebuildIvfPqIndex
     val nl = if (nlist > 0) nlist else GraftCollection.autoNlist(base.count())
     val model = graft.vector.IvfSq.train(base, vecCol, nl)
@@ -2721,7 +2850,8 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       partitionBy = Seq(GraftCollection.SegCol))
     catalog.updateMeta(db, coll, Map(
       "index.ivfsq.nlist" -> nl.toString, "index.ivfsq.dim" -> dim.toString,
-      "index.ivfsq.base_seg" -> baseSeg.toString))
+      "index.ivfsq.base_seg" -> baseSeg.toString,
+      "index.ivfsq.metric" -> metric))
   }
 
   /** IVF_SQ8 search served from the persisted artifacts. `candMult =
@@ -2741,12 +2871,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val codes = liveSegRows(catalog.read(db, GraftCollection.ivfSqCodes(coll)),
       "id", meta.get("index.ivfsq.base_seg").map(_.toInt).getOrElse(0),
       surrogate = true)
+    // serves in the index's STORED metric (gate-space probes + scan;
+    // the rerank arm closes in metric space, the native arm emits the
+    // dequantized-cosine estimate on a cosine-built index)
+    val m = quantMetric(meta, "index.ivfsq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(candMult match {
       case None => restoreStringIds(
-        graft.vector.IvfSq.searchStored(centers, sq, codes, qarr, limit, nprobe))
+        graft.vector.IvfSq.searchStored(centers, sq, codes, gq, limit, nprobe,
+          cosineScores = m == "cosine"))
       case Some(c) => graft.vector.IvfSq.searchStoredRerank(centers, sq, codes,
-        df, idCol, vecCol, qarr, limit, nprobe, c, nodeKey = nodeKeyOpt)
+        df, idCol, vecCol, gq, limit, nprobe, c, nodeKey = nodeKeyOpt,
+        rerank = rr)
     }, remap)
   }
 
@@ -2798,11 +2935,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "IVF_SQ8 index predates radius serving (no per-row resid): rerun rebuildIvfSqIndex")
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    // radius gates in the index's STORED metric (cosine: similarity ≥
+    // radius, served through the unit-sphere gate space — see the
+    // quantized-family metric support section)
+    val m = quantMetric(meta, "index.ivfsq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, gr, rr) = gateQueries(m, qarr, Some(radius))
     remapQueryIds(
       graft.vector.IvfSq.searchStoredRadius(centers, stats, sq, codes,
-        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
-        nodeKey = nodeKeyOpt),
+        filtered.getOrElse(df), idCol, vecCol, gq, gr, limit,
+        nodeKey = nodeKeyOpt, rerank = rr),
       remap)
   }
 
@@ -2829,11 +2971,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "IVF_SQ8 index predates exact serving (no per-row resid): rerun rebuildIvfSqIndex")
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val m = quantMetric(meta, "index.ivfsq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(
       graft.vector.SqIndex.searchTopKExact(sq, codes,
-        filtered.getOrElse(df), idCol, vecCol, qarr, limit,
-        nodeKey = nodeKeyOpt),
+        filtered.getOrElse(df), idCol, vecCol, gq, limit,
+        nodeKey = nodeKeyOpt, rerank = rr),
       remap)
   }
 
@@ -3149,12 +3293,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val codes = liveSegRows(catalog.read(db, GraftCollection.ivfPqCodes(coll)),
       "id", meta.get("index.ivfpq.base_seg").map(_.toInt).getOrElse(0),
       surrogate = true)
+    // stored-metric serving (the searchIvfSq discipline)
+    val m = quantMetric(meta, "index.ivfpq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(candMult match {
       case None => restoreStringIds(
-        graft.vector.IvfPq.searchStored(centers, pq, codes, qarr, limit, nprobe))
+        graft.vector.IvfPq.searchStored(centers, pq, codes, gq, limit, nprobe,
+          cosineScores = m == "cosine"))
       case Some(c) => graft.vector.IvfPq.searchStoredRerank(centers, pq, codes,
-        df, idCol, vecCol, qarr, limit, nprobe, c, nodeKey = nodeKeyOpt)
+        df, idCol, vecCol, gq, limit, nprobe, c, nodeKey = nodeKeyOpt,
+        rerank = rr)
     }, remap)
   }
 
@@ -3188,11 +3337,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "IVF_PQ index predates radius serving (no per-row resid): rerun rebuildIvfPqIndex")
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val m = quantMetric(meta, "index.ivfpq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, gr, rr) = gateQueries(m, qarr, Some(radius))
     remapQueryIds(
       graft.vector.IvfPq.searchStoredRadius(centers, stats, pq, codes,
-        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
-        nodeKey = nodeKeyOpt),
+        filtered.getOrElse(df), idCol, vecCol, gq, gr, limit,
+        nodeKey = nodeKeyOpt, rerank = rr),
       remap)
   }
 
@@ -3207,10 +3358,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val codes = liveSegRows(catalog.read(db, GraftCollection.pqCodes(coll)),
       "id", meta.get("index.pq.base_seg").map(_.toInt).getOrElse(0),
       surrogate = true)
+    val m = quantMetric(meta, "index.pq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(
       graft.vector.PqIndex.searchRerank(model, codes,
-        df, idCol, vecCol, qarr, limit, candMult, nodeKey = nodeKeyOpt),
+        df, idCol, vecCol, gq, limit, candMult, nodeKey = nodeKeyOpt,
+        rerank = rr),
       remap)
   }
 
@@ -3231,11 +3385,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "PQ index predates exact serving (no per-row resid): rerun rebuildPqIndex")
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val m = quantMetric(meta, "index.pq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(
       graft.vector.PqIndex.searchTopKExact(model, codes,
-        filtered.getOrElse(df), idCol, vecCol, qarr, limit,
-        nodeKey = nodeKeyOpt),
+        filtered.getOrElse(df), idCol, vecCol, gq, limit,
+        nodeKey = nodeKeyOpt, rerank = rr),
       remap)
   }
 
@@ -3265,11 +3421,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                    else Some(df.where(FilterParser.parse(filter)))
     val codes = filtered.fold(codes0)(f =>
       codes0.join(f.select(nodeKey.as("id")), Seq("id"), "left_semi"))
+    val m = quantMetric(meta, "index.pq")
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
+    val (gq, gr, rr) = gateQueries(m, qarr, Some(radius))
     remapQueryIds(
       graft.vector.PqIndex.searchRadius(model, codes,
-        filtered.getOrElse(df), idCol, vecCol, qarr, radius, limit,
-        nodeKey = nodeKeyOpt),
+        filtered.getOrElse(df), idCol, vecCol, gq, gr, limit,
+        nodeKey = nodeKeyOpt, rerank = rr),
       remap)
   }
 

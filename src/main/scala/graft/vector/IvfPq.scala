@@ -56,9 +56,14 @@ object IvfPq {
   /** The serving path over PERSISTED artifacts: centroids as
     * (centroid, cell) pairs and the PQ model reconstructed from stored
     * codebooks — no KMeansModel object, no retraining. */
+  /** `cosineScores` marks a cosine-built index (see
+    * [[IvfSq.searchStored]]): gate-space L2 ranking over unit-
+    * normalized codes, emitted score = the dequantized-cosine estimate
+    * 1 − d²/2, descending. */
   def searchStored(centers: Seq[(Array[Double], Int)], pq: PqIndex.Model,
                    encoded: DataFrame, queries: Array[(Long, Array[Double])],
-                   kTop: Int, nprobe: Int): DataFrame = {
+                   kTop: Int, nprobe: Int,
+                   cosineScores: Boolean = false): DataFrame = {
     // ADC tables are broadcast keyed BY query id; duplicate qids would
     // silently collapse to one entry (and one result group)
     require(queries.map(_._1).distinct.length == queries.length,
@@ -99,7 +104,11 @@ object IvfPq {
       }
     }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    Ranked.topK(scored, kTop, asc = true)
+    if (cosineScores)
+      Ranked.topK(scored.select(col("query_id"),
+        (lit(1.0) - col("__s") * col("__s") / 2).as("__s"), col("id")),
+        kTop, asc = false)
+    else Ranked.topK(scored, kTop, asc = true)
   }
 
   /** EXACT L2 radius search from the cell-partitioned PQ layout — the
@@ -117,7 +126,8 @@ object IvfPq {
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], radius: Double,
                          k: Int,
-                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                         nodeKey: Option[org.apache.spark.sql.Column] = None,
+                         rerank: Ranked.Rerank = null): DataFrame = {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids in batch")
     require(radius >= 0, s"negative L2 radius $radius")
@@ -149,7 +159,7 @@ object IvfPq {
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
     Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
-      Some(radius), nodeKey)
+      Some(radius), nodeKey, rerank)
   }
 
   /** The production IVF_PQ pattern (same shape as
@@ -174,16 +184,20 @@ object IvfPq {
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], kTop: Int,
                          nprobe: Int, candMult: Int = 10,
-                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                         nodeKey: Option[org.apache.spark.sql.Column] = None,
+                         rerank: Ranked.Rerank = null): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    val rr = if (rerank == null) Ranked.Rerank("l2", queries, None) else rerank
+    val m = VectorMetric(rr.metric)
     val cand = searchStored(centers, pq, encoded, queries, kTop * candMult, nprobe)
       .select(col("query_id"), col("id"))
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val qdf = rr.queries.toSeq.toDF("query_id", "__qv")
     val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
         bcast = true)
       .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, kTop, asc = true)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, kTop, asc = !m.largerIsBetter)
   }
 }

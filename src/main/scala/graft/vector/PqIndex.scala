@@ -180,9 +180,13 @@ object PqIndex {
   }
 
   /** ADC search: approximate L2 top-k over the coded corpus.
-    * @param queries (query_id, query vector) — the broadcast batch */
+    * `cosineScores` marks a cosine-built index (see
+    * [[IvfSq.searchStored]] — gate-space L2 ranking, the emitted score
+    * becomes the dequantized-cosine estimate 1 − d²/2, descending).
+    * @param queries (query_id, query vector) — the broadcast batch,
+    *                in GATE SPACE (unit-normalized for cosine) */
   def search(model: Model, encoded: DataFrame, queries: Array[(Long, Array[Double])],
-             k: Int): DataFrame = {
+             k: Int, cosineScores: Boolean = false): DataFrame = {
     val spark = encoded.sparkSession
     val bc = spark.sparkContext.broadcast(adcTables(model, queries))
     val nq = queries.length
@@ -209,7 +213,11 @@ object PqIndex {
         }
       }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    Ranked.topK(partial, k, asc = true)
+    if (cosineScores)
+      Ranked.topK(partial.select(col("query_id"),
+        (lit(1.0) - col("__s") * col("__s") / 2).as("__s"), col("id")),
+        k, asc = false)
+    else Ranked.topK(partial, k, asc = true)
   }
 
   /** EXACT L2 radius search from the ADC scan — the same triangle-
@@ -257,14 +265,18 @@ object PqIndex {
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
   }
 
+  /** `queries`/`radius` are GATE-SPACE; `rerank` overrides the
+    * metric-space postlude for a cosine-built index
+    * ([[Ranked.Rerank]] — null keeps the historical L2 plan). */
   def searchRadius(model: Model, encoded: DataFrame,
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], radius: Double,
                    k: Int,
-                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame =
+                   nodeKey: Option[org.apache.spark.sql.Column] = None,
+                   rerank: Ranked.Rerank = null): DataFrame =
     Ranked.exactRerank(data, idCol, vecCol,
       radiusCandidates(model, encoded, queries, radius),
-      queries, k, Some(radius), nodeKey)
+      queries, k, Some(radius), nodeKey, rerank)
 
   /** EXACT L2 top-k from the ADC scan — the kth-upper-bound
     * certificate, identical math to [[SqIndex.searchTopKExact]] (see
@@ -277,7 +289,8 @@ object PqIndex {
   def searchTopKExact(model: Model, encoded: DataFrame,
                       data: DataFrame, idCol: String, vecCol: String,
                       queries: Array[(Long, Array[Double])], k: Int,
-                      nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                      nodeKey: Option[org.apache.spark.sql.Column] = None,
+                      rerank: Ranked.Rerank = null): DataFrame = {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids: results are keyed by query id")
     val spark = encoded.sparkSession
@@ -340,8 +353,11 @@ object PqIndex {
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
+    // the gate-space superset contains the metric-space top-k by
+    // monotonicity (SqIndex.searchTopKExact's note) — `rerank` only
+    // moves the postlude's scoring space
     Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
-      radius = None, nodeKey)
+      radius = None, nodeKey, rerank)
   }
 
   /** The production PQ pattern: ADC narrows the corpus to `k * candMult`
@@ -353,16 +369,20 @@ object PqIndex {
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], k: Int,
                    candMult: Int = 10,
-                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                   nodeKey: Option[org.apache.spark.sql.Column] = None,
+                   rerank: Ranked.Rerank = null): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    val rr = if (rerank == null) Ranked.Rerank("l2", queries, None) else rerank
+    val m = VectorMetric(rr.metric)
     val cand = search(model, encoded, queries, k * candMult)
       .select(col("query_id"), col("id"))
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val qdf = rr.queries.toSeq.toDF("query_id", "__qv")
     val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
         bcast = true)
       .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, k, asc = true)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, k, asc = !m.largerIsBetter)
   }
 }

@@ -49,29 +49,52 @@ private[graft] object Ranked {
   @inline private[vector] def gateEps(gate: Double): Double =
     gate + 1e-9 * (math.abs(gate) + 1.0)
 
+  /** Overrides the exact-rerank postlude's scoring space — the cosine
+    * arm of the certificate routes (r12 verdict #1): a cosine-built
+    * quantized index stores codes of the UNIT-NORMALIZED vectors, so
+    * the codes-level gates run in that L2 gate space (on the unit
+    * sphere cos(q,x) ≥ r ⇔ ‖q̂−x̂‖₂ ≤ √(2−2r), the same triangle
+    * certificates), while the final rerank must score/gate/rank the
+    * STORED METRIC over the RAW vectors with the RAW queries — the
+    * SAME VectorScore expression, gate direction and heap order as the
+    * FLAT route, which is what keeps the byte-equality argument:
+    * provable superset + identical postlude. `radius` is in metric
+    * space (cosine: keep similarity ≥ r). */
+  private[graft] final case class Rerank(metric: String,
+                                         queries: Array[(Long, Array[Double])],
+                                         radius: Option[Double])
+
   /** Shared exact-rerank postlude of the certificate routes (SQ / PQ /
     * IVF_SQ8 / IVF_PQ radius and kth-upper-bound top-k): fetch the
     * ORIGINAL vectors of the gate's (query_id, id) survivors, score
-    * true L2 against the broadcast query batch, optionally apply the
-    * exact radius gate, bounded top-k. `cand` is ball/top-k-superset-
-    * sized, so the join side is left to AQE (bcast=false). An empty
-    * `cand` flows through normally — the output schema (including the
-    * id column's type, which candidateRows binds from `data`) is
-    * identical to the non-empty path's, string PKs included. */
-  private[vector] def exactRerank(data: DataFrame, idCol: String, vecCol: String,
-                                  cand: DataFrame,
-                                  queries: Array[(Long, Array[Double])],
-                                  k: Int, radius: Option[Double],
-                                  nodeKey: Option[Column]): DataFrame = {
+    * the stored metric against the broadcast query batch (L2 when no
+    * `rerank` override — the historical plan, byte-identical),
+    * optionally apply the exact radius gate, bounded top-k. `cand` is
+    * ball/top-k-superset-sized, so the join side is left to AQE
+    * (bcast=false). An empty `cand` flows through normally — the
+    * output schema (including the id column's type, which
+    * candidateRows binds from `data`) is identical to the non-empty
+    * path's, string PKs included. */
+  private[graft] def exactRerank(data: DataFrame, idCol: String, vecCol: String,
+                                 cand: DataFrame,
+                                 queries: Array[(Long, Array[Double])],
+                                 k: Int, radius: Option[Double],
+                                 nodeKey: Option[Column],
+                                 rerank: Rerank = null): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val rr = if (rerank == null) Rerank("l2", queries, radius) else rerank
+    val m = VectorMetric(rr.metric)
+    val qdf = rr.queries.toSeq.toDF("query_id", "__qv")
     val scored = candidateRows(data, idCol, vecCol, cand, nodeKey, bcast = false)
       .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"),
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"),
         col("id"))
-    val gated = radius.fold(scored)(r => scored.where(col("__s") <= r))
-    topK(gated, k, asc = true)
+    val gated = rr.radius.fold(scored)(r =>
+      if (m.largerIsBetter) scored.where(col("__s") >= r)
+      else scored.where(col("__s") <= r))
+    topK(gated, k, asc = !m.largerIsBetter)
   }
 
   def topK(scored: DataFrame, k: Int, asc: Boolean): DataFrame =

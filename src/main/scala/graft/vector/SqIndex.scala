@@ -240,14 +240,19 @@ object SqIndex {
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
   }
 
+  /** `queries`/`radius` are GATE-SPACE (the space the codes quantize:
+    * raw vectors for an l2-built index, unit-normalized for cosine);
+    * `rerank` overrides the metric-space postlude ([[Ranked.Rerank]] —
+    * null keeps the historical L2 plan byte-identical). */
   def searchRadius(model: Model, encoded: DataFrame,
                    data: DataFrame, idCol: String, vecCol: String,
                    queries: Array[(Long, Array[Double])], radius: Double,
                    k: Int,
-                   nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame =
+                   nodeKey: Option[org.apache.spark.sql.Column] = None,
+                   rerank: Ranked.Rerank = null): DataFrame =
     Ranked.exactRerank(data, idCol, vecCol,
       radiusCandidates(model, encoded, queries, radius),
-      queries, k, Some(radius), nodeKey)
+      queries, k, Some(radius), nodeKey, rerank)
 
   /** EXACT L2 top-k from the coded scan — the kth-upper-bound
     * certificate (the top-k sibling of [[searchRadius]]'s ball gate):
@@ -272,7 +277,8 @@ object SqIndex {
   def searchTopKExact(model: Model, encoded: DataFrame,
                       data: DataFrame, idCol: String, vecCol: String,
                       queries: Array[(Long, Array[Double])], k: Int,
-                      nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                      nodeKey: Option[org.apache.spark.sql.Column] = None,
+                      rerank: Ranked.Rerank = null): DataFrame = {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids: results are keyed by query id")
     val spark = encoded.sparkSession
@@ -339,8 +345,12 @@ object SqIndex {
         }
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
+    // gate-space L2 and the stored metric rank monotonically (cosine =
+    // 1 − d²/2 on the unit sphere), so the gate-space kth-upper-bound
+    // superset provably contains the metric-space top-k too — the
+    // `rerank` override only changes the postlude's scoring space
     Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
-      radius = None, nodeKey)
+      radius = None, nodeKey, rerank)
   }
 
   /** The production SQ pattern (same shape as [[PqIndex.searchRerank]]):
@@ -421,7 +431,8 @@ object IvfSq {
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], radius: Double,
                          k: Int,
-                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                         nodeKey: Option[org.apache.spark.sql.Column] = None,
+                         rerank: Ranked.Rerank = null): DataFrame = {
     require(queries.map(_._1).distinct.length == queries.length,
       "duplicate query ids in batch")
     require(radius >= 0, s"negative L2 radius $radius")
@@ -456,7 +467,7 @@ object IvfSq {
       }(Encoders.product[(Long, Long)]).toDF("query_id", "id")
 
     Ranked.exactRerank(data, idCol, vecCol, cand, queries, k,
-      Some(radius), nodeKey)
+      Some(radius), nodeKey, rerank)
   }
 
   /** nprobe cells per query + the asymmetric coded scan over the
@@ -469,9 +480,17 @@ object IvfSq {
   /** The serving path over PERSISTED artifacts: centroids as
     * (centroid, cell) pairs and bounds reconstructed from storage — no
     * KMeansModel object, no retraining. */
+  /** `cosineScores` marks a cosine-built index (codes over unit-
+    * normalized vectors, gate-space queries): ranking stays the ADC
+    * scan's gate-space L2 heap (exactly monotone in cosine on the unit
+    * sphere), and the EMITTED score becomes the dequantized-cosine
+    * estimate 1 − d²/2, descending — the index's native approximate
+    * score in its stored metric, the same fidelity class as the l2
+    * arm's dequantized distance. */
   def searchStored(centers: Seq[(Array[Double], Int)], sq: SqIndex.Model,
                    encoded: DataFrame, queries: Array[(Long, Array[Double])],
-                   kTop: Int, nprobe: Int): DataFrame = {
+                   kTop: Int, nprobe: Int,
+                   cosineScores: Boolean = false): DataFrame = {
     // distance tables are broadcast keyed BY query id; duplicate qids
     // would silently collapse to one entry (and one result group)
     require(queries.map(_._1).distinct.length == queries.length,
@@ -512,7 +531,11 @@ object IvfSq {
       }
     }(Encoders.product[(Long, Double, Long)]).toDF("query_id", "__s", "id")
 
-    Ranked.topK(scored, kTop, asc = true)
+    if (cosineScores)
+      Ranked.topK(scored.select(col("query_id"),
+        (lit(1.0) - col("__s") * col("__s") / 2).as("__s"), col("id")),
+        kTop, asc = false)
+    else Ranked.topK(scored, kTop, asc = true)
   }
 
   /** [[searchStoredRerank]] from a trained model (convenience for
@@ -533,16 +556,20 @@ object IvfSq {
                          data: DataFrame, idCol: String, vecCol: String,
                          queries: Array[(Long, Array[Double])], kTop: Int,
                          nprobe: Int, candMult: Int = 10,
-                         nodeKey: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                         nodeKey: Option[org.apache.spark.sql.Column] = None,
+                         rerank: Ranked.Rerank = null): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    val rr = if (rerank == null) Ranked.Rerank("l2", queries, None) else rerank
+    val m = VectorMetric(rr.metric)
     val cand = searchStored(centers, sq, encoded, queries, kTop * candMult, nprobe)
       .select(col("query_id"), col("id"))
-    val qdf = queries.toSeq.toDF("query_id", "__qv")
+    val qdf = rr.queries.toSeq.toDF("query_id", "__qv")
     val exact = Ranked.candidateRows(data, idCol, vecCol, cand, nodeKey,
         bcast = true)
       .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), VectorScore.l2(col("__v"), col("__qv")).as("__s"), col("id"))
-    Ranked.topK(exact, kTop, asc = true)
+      .select(col("query_id"),
+        VectorScore.score(m.name, col("__v"), col("__qv")).as("__s"), col("id"))
+    Ranked.topK(exact, kTop, asc = !m.largerIsBetter)
   }
 }

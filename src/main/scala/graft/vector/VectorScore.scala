@@ -154,4 +154,35 @@ object VectorScore {
   def score(metric: String, a: Column, b: Column): Column =
     GraftShims.column(VectorScore(VectorMetric(metric).name,
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Unit-normalize a vector column (array<float|double> →
+    * array<double> on the unit sphere). The GATE-SPACE projection of a
+    * cosine-built quantized index (r12 verdict #1): on the unit sphere
+    * cos(q,x) ≥ r ⇔ ‖q̂−x̂‖₂ ≤ √(2−2r), so the L2 triangle certificates
+    * (per-row resid, per-cell rho) serve cosine radius/top-k EXACTLY
+    * once the stored codes quantize x̂ instead of x. Zero vectors pass
+    * through unchanged — their cosine is NaN on the FLAT path and the
+    * metric-space exact rerank drops them the same way (a NaN never
+    * satisfies ≥ r), so the gate space never needs a special case. */
+  def unitNorm(vec: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val v = vec.cast("array<double>")
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(v.isNull, v).otherwise(
+      when(n > lit(0.0), transform(v, x => x / n)).otherwise(v))
+  }
+
+  /** Driver-side twin of [[unitNorm]] for collected query batches. */
+  def unitNormArr(v: Array[Double]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v
+    else {
+      val out = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { out(j) = v(j) / n; j += 1 }
+      out
+    }
+  }
 }

@@ -135,4 +135,66 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).n_bytes == 0 && out(1).checksum == 0L)
     assert(out(1).feature.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
   }
+
+  /** The planted-pixel formulas, host-side (the oracle's spelling). */
+  private def chan(id: Long, f: Long, x: Long, y: Long): (Long, Long, Long) = (
+    (id * 31 + f * 101 + x * 7 + y * 13) % 256,
+    (id * 17 + f * 101 + x * 5 + y * 11) % 256,
+    (id * 23 + f * 101 + x * 3 + y * 19) % 256)
+
+  test("real PNG decode: planted image round-trips integer-exactly through the codec") {
+    val docs = Seq((0L, "x"), (1L, "x"), (7L, "x"), (1000003L, "x"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.plantPng(docs, "doc_id")
+    // the payload is a REAL png (magic bytes), not a synthetic blob
+    val raw = media.collect().sortBy(_.doc_id)
+    assert(raw.forall(m => (m.payload(1) & 0xff) == 'P'.toInt &&
+      (m.payload(2) & 0xff) == 'N'.toInt && (m.payload(3) & 0xff) == 'G'.toInt))
+    val got = Multimodal.decodeImageStats(media).collect().sortBy(_.doc_id)
+    got.foreach { s =>
+      val w = 8 + (s.doc_id % 4) * 4; val h = 6 + (s.doc_id % 3) * 4
+      assert(s.width == w && s.height == h && s.n_pixels == w * h)
+      val exp = (for (y <- 0L until h; x <- 0L until w) yield chan(s.doc_id, 0, x, y))
+      assert(s.sum_r == exp.map(_._1).sum && s.sum_g == exp.map(_._2).sum &&
+        s.sum_b == exp.map(_._3).sum,
+        s"decoded pixel sums must equal the planted formula for doc ${s.doc_id}")
+    }
+  }
+
+  test("real resize: nearest-neighbor resample through two codec passes matches the integer formula") {
+    val docs = Seq((3L, "x"), (5L, "x")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImageStats(
+      Multimodal.resizeNearest(Multimodal.plantPng(docs, "doc_id"), 10, 7))
+      .collect().sortBy(_.doc_id)
+    out.foreach { s =>
+      assert(s.width == 10 && s.height == 7 && s.n_pixels == 70)
+      val w = 8 + (s.doc_id % 4) * 4; val h = 6 + (s.doc_id % 3) * 4
+      val exp = (for (y <- 0L until 7; x <- 0L until 10)
+        yield chan(s.doc_id, 0, x * w / 10, y * h / 7))
+      assert(s.sum_r == exp.map(_._1).sum && s.sum_b == exp.map(_._3).sum)
+    }
+  }
+
+  test("real frame sampling: stacked-PNG bands slice to per-frame sums under the everyN/maxFrames contract") {
+    val docs = Seq((0L, "x"), (1L, "x"), (2L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.frameStats(
+        Multimodal.plantFramePng(docs, "doc_id"), everyN = 2, maxFrames = 8)
+      .collect().groupBy(_.doc_id)
+    // frames = 2 + id%3: id 0 → {0}; id 1 (3 frames) → {0,2}; id 2 (4) → {0,2}
+    assert(got(0L).map(_.frame_idx).sorted.toSeq == Seq(0))
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(got(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    got.values.flatten.foreach { fs =>
+      val exp = (for (y <- 0L until 8; x <- 0L until 12)
+        yield chan(fs.doc_id, fs.frame_idx, x, y))
+      assert(fs.sum_r == exp.map(_._1).sum && fs.sum_g == exp.map(_._2).sum &&
+        fs.sum_b == exp.map(_._3).sum)
+    }
+    // maxFrames caps the fan-out: everyN=1, maxFrames=2 on a 4-frame doc
+    val capped = Multimodal.frameStats(
+        Multimodal.plantFramePng(Seq((2L, "x")).toDF("doc_id", "text"), "doc_id"),
+        everyN = 1, maxFrames = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(capped == Seq(0, 1))
+  }
 }

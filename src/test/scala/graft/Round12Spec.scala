@@ -70,13 +70,16 @@ class Round12Spec extends SparkSpec {
 
     val sqColl = mkColl("guard", rows)
     sqColl.rebuildIvfSqIndex(nlist = 4)
-    // a COSINE radius must not touch the L2-certificate tier — the
-    // triangle bounds are L2 geometry, and silently re-gating in a
-    // different metric is the hybridDense bug class
+    // a COSINE radius must not touch an L2-BUILT certificate tier —
+    // its gate space is the raw vectors, and silently re-gating in a
+    // different metric is the hybridDense bug class. (Since r13 a
+    // cosine radius DOES route on a cosine-built index via the
+    // unit-sphere gate space — Round13Spec; the metric-match rule is
+    // what this pin now guards.)
     val cosine = sqColl.search(q, "qid", "qvec", metric = "cosine",
       limit = 20, radius = Some(0.2))
     assert(!planOf(cosine).contains("resid"),
-      "cosine radius must keep the FLAT scan")
+      "cosine radius on an l2-built index must keep the FLAT scan")
     val flatCos = KnnSearch.radiusTopK(rows.toDF("id", "vector"), "id",
       "vector", q, "qid", "qvec", "cosine", r = 0.2, k = 20).collect().toSeq
     assert(cosine.collect().toSeq == flatCos)

@@ -72,6 +72,15 @@ object RecallProbe {
       emit("hnsw", s"M=8 efC=64 segs=4 ef=$ef",
         Recall.atK(HnswIndex.search(hnswG, embs, "vec_id", "embedding",
           qLocalH, "cosine", k, ef), gtCos))
+    // ---- the DERIVED default beam (r13 recall-floor contract) ------
+    // ef₀ = max(16, 2·⌈√segSize⌉), what searchHnsw serves with NO
+    // manual ef — the row the ≥0.9 floor claim rests on at each SF
+    locally {
+      val autoEf = graft.api.GraftCollection.autoEf(corpusN, 4)
+      emit("hnsw", s"M=8 efC=64 segs=4 ef=$autoEf (auto-derived default)",
+        Recall.atK(HnswIndex.search(hnswG, embs, "vec_id", "embedding",
+          qLocalH, "cosine", k, autoEf), gtCos))
+    }
     // ---- graph-served radius (row 102): ball recall at fixed beams --
     // r = the MEDIAN rank-k similarity, so roughly half the balls hold
     // fewer than k rows (the count-fill regime) and half spill past k

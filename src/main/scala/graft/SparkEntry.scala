@@ -1676,6 +1676,24 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_bpe_apply" -> ((s, dir) => {
+      // the ORACLED member of the BPE family (r12 verdict #6): the
+      // SAME Bpe.encode machinery as q_bpe_encode (distinct-word table
+      // → broadcast merge ranks → iterative per-word merging → corpus
+      // equi-join on the word key), served from a PERSISTED merge
+      // artifact whose training dictionary is pinned — so the DuckDB
+      // oracle can replay encodeWord move-for-move with a recursive
+      // CTE over the inlined 12 merges (the mmrOracle device: bounded
+      // per-word state, argmin by (rank, position), one merge per
+      // iteration). q_bpe_encode (corpus-trained, 50 merges) stays
+      // rows-only; this entry closes the family's oracle gap.
+      graft.text.Bpe.encode(
+          Tables.documents(s, dir), "doc_id", "text", bpeApplyMergesFor(s))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", col("pieces")).as("pieces"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_unigram_encode" -> ((s, dir) => {
       // unigram-LM (SentencePiece/Kudo) subword encoding served from
       // the persisted piece table (rows-only: the EM/prune trainer and
@@ -2179,6 +2197,29 @@ object SparkEntry {
   private[graft] def bpeMergesFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"bpemerges_${sfKey(dir)}") {
       graft.text.Bpe.train(Tables.documents(s, dir), "text", numMerges = 50)
+    }
+
+  /** The PINNED training dictionary behind [[bpeApplyMergesFor]] —
+    * head word types of the documents corpus with fixed counts, so the
+    * trained merge table is a CONSTANT across SFs and the q_bpe_apply
+    * oracle can spell the same 12 merges as SQL VALUES (TokenizerSpec
+    * pins trainLocal(dict) == those rows: if training drifts, the spec
+    * fails before the oracle can). */
+  private[graft] val BpeApplyDict: Array[(String, Long)] = Array(
+    ("scan", 10L), ("spark", 9L), ("sort", 8L), ("stream", 7L),
+    ("table", 6L), ("data", 5L), ("slow", 4L), ("small", 4L),
+    ("the", 3L), ("hash", 3L))
+
+  /** Persisted merge table of the FIXED dictionary — the oracled
+    * member of the BPE family (r12 verdict #6): the artifact is
+    * genuinely trained (trainLocal, the same loop as Bpe.train's
+    * driver stage), persisted, and read back by the encode — the
+    * q_tokenize_ids "artifact becomes the fixture" pattern. */
+  private[graft] def bpeApplyMergesFor(s: SparkSession): DataFrame =
+    graft.catalog.IndexStore.ensure(s, "bpeapplymerges") {
+      import s.implicits._
+      graft.text.Bpe.trainLocal(BpeApplyDict, numMerges = 12)
+        .map(m => (m.rank, m.left, m.right)).toSeq.toDF("rank", "left", "right")
     }
 
   /** Persisted unigram-LM piece table (piece, logp_micro, piece_id). */
@@ -3992,6 +4033,48 @@ object SparkEntry {
         |        WHERE t[i] <> '')
         |SELECT pos.doc_id, pos.pos, COALESCE(v.id, -1) AS token_id
         |FROM pos LEFT JOIN v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q_bpe_apply: Bpe.encodeWord replayed move-for-move — the working
+    // table carries each word's CURRENT symbol list; every iteration
+    // finds the applicable adjacent pair with the smallest (rank,
+    // position) (encodeWord's scan keeps the FIRST position of the
+    // strictly-minimal rank — exactly argmin by (rank, pos)) and
+    // merges that ONE occurrence; a word with no applicable pair is
+    // terminal. The merges are the pinned trainLocal(BpeApplyDict)
+    // output, spelled as VALUES (TokenizerSpec pins the equality).
+    "q_bpe_apply" ->
+      """WITH RECURSIVE
+        |m(rank, l, r) AS (SELECT * FROM (VALUES
+        |  (0,'t','a'),(1,'a','n'),(2,'an','</w>'),(3,'c','an</w>'),(4,'s','can</w>'),
+        |  (5,'a','r'),(6,'ar','k'),(7,'ark','</w>'),(8,'e','</w>'),(9,'p','ark</w>'),
+        |  (10,'s','park</w>'),(11,'o','r')) t),
+        |words AS (SELECT DISTINCT token AS w FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''),
+        |init AS (SELECT w, list_append([w[i] for i in range(1, len(w)+1)], '</w>') AS syms FROM words),
+        |steps(w, syms) AS (
+        |  SELECT w, syms FROM init
+        |  UNION ALL
+        |  SELECT w, list_slice(syms, 1, p-1) || [syms[p] || syms[p+1]] || list_slice(syms, p+2, len(syms))
+        |  FROM (
+        |    SELECT s.w, s.syms, c.p,
+        |           row_number() OVER (PARTITION BY s.w ORDER BY c.rank, c.p) AS rn
+        |    FROM steps s,
+        |         LATERAL (SELECT i AS p, m.rank FROM UNNEST(range(1, len(s.syms))) t(i)
+        |                  JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1]) c
+        |  ) WHERE rn = 1
+        |),
+        |final AS (
+        |  SELECT w, array_to_string(syms, '|') AS pieces FROM steps s
+        |  WHERE NOT EXISTS (SELECT 1 FROM UNNEST(range(1, len(s.syms))) t(i)
+        |                    JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1])
+        |),
+        |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |             UNNEST(range(1, len(t) + 1)) AS r(i)
+        |        WHERE t[i] <> '')
+        |SELECT pos.doc_id, pos.pos, final.pieces
+        |FROM pos JOIN final USING (w)
         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_decontaminate" ->

@@ -1747,6 +1747,18 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         numSegments, seed, heuristic = heuristic),
       partitionBy = Seq("seg"))
     catalog.updateMeta(db, coll, Map(
+      // recall-floor contract (r12 verdict #4): a FIXED default beam
+      // degrades silently as the corpus grows (measured: grouped easy-
+      // page overlap 0.95 → 0.81 at 4× corpus, §7-probes-r12), so the
+      // default serving ef derives from the stored segment size at
+      // rebuild time — ef₀ = max(16, 2·⌈√segSize⌉), calibrated to the
+      // §5b frontier (segSize 125 → 23 reads recall 0.99+; segSize 500
+      // → 45 reads 0.99 where the old fixed 10 read 0.80) — and rides
+      // graph meta like the auto-√N nlist precedent. Explicit ef stays
+      // the caller's override; compaction re-derives (segment sizes
+      // change); legacy graphs without the key serve the historical 10.
+      "index.hnsw.ef_default" -> GraftCollection.autoEf(
+        df.count(), numSegments).toString,
       "index.hnsw.m" -> m.toString, "index.hnsw.efc" -> efConstruction.toString,
       "index.hnsw.segments" -> numSegments.toString,
       "index.hnsw.metric" -> metric, "index.hnsw.dim" -> dim.toString,
@@ -1764,19 +1776,26 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
 
   /** HNSW search served from the persisted segment graphs (reference
     * collection.py:179 search param `ef` — "the number of vectors to
-    * be accessed", default 10). */
+    * be accessed"). `ef ≤ 0` (the default) serves at the DERIVED
+    * default beam persisted at rebuild time (`index.hnsw.ef_default` =
+    * max(16, 2·⌈√segSize⌉), the r13 recall-floor contract — a fixed
+    * default degrades silently with corpus growth); an explicit
+    * positive ef is the caller's fixed beam, unchanged. Graphs built
+    * before the key serve the historical default 10. */
   def searchHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
-                 limit: Int = 10, ef: Int = 10,
+                 limit: Int = 10, ef: Int = 0,
                  metric: Option[String] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.hnsw.m"),
       "no HNSW index: run rebuildHnswIndex first")
+    val efServe = if (ef > 0) ef
+                  else meta.get("index.hnsw.ef_default").map(_.toInt).getOrElse(10)
     val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
     remapQueryIds(
       graft.vector.HnswIndex.search(
         preparedHnswGraph(meta),
         df, idCol, vecCol, qarr,
-        metric.getOrElse(meta("index.hnsw.metric")), limit, ef,
+        metric.getOrElse(meta("index.hnsw.metric")), limit, efServe,
         prepared = true, nodeKey = nodeKeyOpt),
       remap)
   }
@@ -2712,12 +2731,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * from-scratch [[graft.vector.HnswIndex.build]] over the same rows
     * at the same offset (build is deterministic) — pinned in
     * HnswMaintenanceSpec. */
-  private def compactHnsw(meta0: Map[String, String], seg: Int): Unit =
-    HnswMaintain.compact(hnswStore,
-      df.where(col(vecCol).isNotNull)
-        .select(nodeKey.as("id"), col(vecCol).as(vecCol)),
-      vecCol, meta0,
-      publishExtra = Map("index.hnsw.base_seg" -> seg.toString))
+  private def compactHnsw(meta0: Map[String, String], seg: Int): Unit = {
+    val live = df.where(col(vecCol).isNotNull)
+      .select(nodeKey.as("id"), col(vecCol).as(vecCol))
+    HnswMaintain.compact(hnswStore, live, vecCol, meta0,
+      publishExtra = Map("index.hnsw.base_seg" -> seg.toString,
+        // compaction changes segment sizes — re-derive the default
+        // serving beam so the recall-floor contract tracks the folded
+        // graph, not the original rebuild's geometry
+        "index.hnsw.ef_default" -> GraftCollection.autoEf(live.count(),
+          meta0.getOrElse("index.hnsw.segments", "4").toInt).toString))
+  }
 
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
     * IVF_PQ: coarse cells prune the scan, PQ codes make the surviving
@@ -4051,6 +4075,20 @@ object GraftCollection {
   private[graft] def autoNlist(n: Long): Int =
     math.max(1L, math.min(65536L,
       math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
+
+  /** Derived default serving beam for an HNSW graph of `n` rows in
+    * `segments` segment graphs: ef₀ = max(16, 2·⌈√segSize⌉) — the
+    * §5b-frontier calibration (recall@10 ≥ 0.99 at both measured
+    * segment sizes where the fixed historical 10 read 0.80 at the
+    * larger one). Grows with the SQUARE ROOT of segment size, so the
+    * serving cost of the default stays sublinear while the recall
+    * floor holds; capped at 65536 like nlist (a graph that large
+    * should raise `numSegments` instead). */
+  private[graft] def autoEf(n: Long, segments: Int): Int = {
+    val segSize = math.max(n, 0L).toDouble / math.max(segments, 1)
+    math.min(65536L, math.max(16L,
+      2L * math.ceil(math.sqrt(segSize)).toLong)).toInt
+  }
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def mhSig(coll: String): String = coll + "__mh_sig"
   private[api] def mhBkt(coll: String): String = coll + "__mh_bkt"

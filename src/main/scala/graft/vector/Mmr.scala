@@ -155,6 +155,50 @@ object Mmr {
       .orderBy("query_id", "rank")
   }
 
+  /** Round-2 objective-gap telemetry — the TIE-DEGENERACY DETECTOR
+    * behind the oracled greedy (r12 verdict #7): an exactly-oracled
+    * argmax amplifies 1-ulp fp noise into different outputs precisely
+    * when the chosen (λ, corpus) operating point ties the round-2
+    * objectives — λ=0.5 with corpus-member queries ties the WHOLE pool
+    * at objective exactly 0 (penalty ≡ relevance, the regime that
+    * forced q_mmr's λ=0.5→0.7 move). Input is [[greedySelect]]'s own
+    * bounded-pool frame; returns the minimal (best − second-best)
+    * round-2 objective gap across queries (+∞ when no query has ≥ 3
+    * candidates). An operating point reading under ~1e-9 is inside
+    * fp noise and MUST NOT be SQL-oracled — DiversitySpec pins that
+    * the detector fires at the known-degenerate λ=0.5 point and stays
+    * clear at the production λ=0.7. Driver-side over the pool sliver
+    * (bounded by the caller, like the greedy itself). */
+  private[graft] def round2ObjectiveGap(rows: DataFrame, metric: String,
+                                        lambda: Double): Double = {
+    val asc = !VectorMetric(metric).largerIsBetter
+    val cand = rows.select(col("query_id"), col("id"), col("__s"), col("__v"))
+      .collect()
+    if (cand.isEmpty) return Double.PositiveInfinity
+    cand.groupBy(_.get(0)).values.map { g =>
+      val ids = g.map(_.get(1))
+      val rels = g.map(r => oriented(asc, r.getDouble(2)))
+      val vecs = g.map(_.getSeq[Double](3).toArray)
+      val n = g.length
+      if (n < 3) Double.PositiveInfinity
+      else {
+        // round 1 = greedySelect's first pick: argmax λ·rel (penalty
+        // identically 0), ties by id — the same comparison loop
+        var best = 0
+        var i = 1
+        while (i < n) {
+          val a = lambda * rels(i); val b = lambda * rels(best)
+          if (a > b || (a == b && idLess(ids(i), ids(best)))) best = i
+          i += 1
+        }
+        val objs = (0 until n).filter(_ != best).map { j =>
+          lambda * rels(j) - (1.0 - lambda) * sim(metric, vecs(j), vecs(best))
+        }.sorted(Ordering[Double].reverse)
+        objs(0) - objs(1)
+      }
+    }.min
+  }
+
   /** @return (query_id, rank, id, score) — `score` is the metric-native
     *         relevance (rounded to 4 decimals, the same contract as
     *         [[KnnSearch.topK]]), `rank` the SELECTION order. */

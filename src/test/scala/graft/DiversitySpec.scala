@@ -107,6 +107,42 @@ class DiversitySpec extends SparkSpec {
     assert(div.head.getInt(1) == 1 && plain.contains(div.head.getLong(2)))
   }
 
+  test("lambda-sweep tie-degeneracy detector: 0.5 with corpus-member queries is inside fp noise, the production 0.7 is not") {
+    // the r12 lesson institutionalized (r12 verdict #7): the q_mmr
+    // oracle replays an EXACT argmax, so its (λ, corpus) operating
+    // point must keep round-2 objective gaps far above ulp scale. At
+    // λ=0.5 with corpus-member queries, round 2's penalty equals
+    // relevance for every candidate sharing the query's pick — the
+    // objectives tie at exactly 0 and the detector must FIRE; at the
+    // production λ=0.7 the gaps are generic (~1e-3). A future λ or
+    // corpus change that silently re-enters the noise regime fails
+    // HERE before the oracle can flake.
+    val pool = {
+      // q_mmr's own pool shape: corpus-member queries, top-40 cosine
+      val q = embs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val scored = embs
+        .select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(q.select(col("qid").cast("long").as("query_id"),
+          col("qvec").as("__qv"))))
+        .select(col("query_id"), col("id"), col("__v"),
+          VectorScore.cosine(col("__v"), col("__qv")).as("__s"))
+      val top = scored.withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("__s"), asc("id"))))
+        .where(col("rn") <= 40)
+      top.select(col("query_id"), col("id"), col("__s"), col("__v"))
+    }.cache()
+    try {
+      val degenerate = Mmr.round2ObjectiveGap(pool, "cosine", lambda = 0.5)
+      assert(degenerate < 1e-9,
+        f"lambda=0.5 must sit in the tie-degenerate regime here (gap $degenerate%.3e)")
+      val production = Mmr.round2ObjectiveGap(pool, "cosine", lambda = 0.7)
+      assert(production > 1e-6,
+        f"q_mmr's operating point must stay clear of fp noise (gap $production%.3e)")
+    } finally pool.unpersist(blocking = false)
+  }
+
   test("MMR is deterministic and rank covers min(k, pool)") {
     val a = Mmr.topKDiverse(embs, "vec_id", "embedding", qdf, "qid", "qvec",
       "cosine", k = 8, lambda = 0.3, poolMult = 3).collect().toSeq

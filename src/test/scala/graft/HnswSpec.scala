@@ -354,4 +354,44 @@ class HnswSpec extends SparkSpec {
         s"query $qid: a returned id is outside the true ball")
     }
   }
+
+  test("auto-ef recall-floor contract: the derived default rides graph meta, serves by default, re-derives at compaction; explicit ef overrides") {
+    val rnd = new scala.util.Random(163)
+    val n = 400
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until n.toLong).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val root = java.nio.file.Files.createTempDirectory("graft-autoef").toString
+    val coll = new graft.api.GraftClient(spark, root)
+      .createDatabase("db").createCollection("v")
+    coll.upsert(rows.toDF("id", "vector"))
+    coll.rebuildHnswIndex(m = 8, efConstruction = 32, numSegments = 4)
+
+    // the derivation: ef₀ = max(16, 2·⌈√(N/segments)⌉) — here
+    // 2·⌈√100⌉ = 20 — persisted like the auto-√N nlist precedent
+    assert(coll.describe("index.hnsw.ef_default") == "20")
+
+    // the default-beam serve IS the derived beam (same bytes as an
+    // explicit ef at that value), and an explicit ef still overrides
+    val q = Seq((0L, rows(7)._2), (1L, rows(333)._2)).toDF("qid", "qvec")
+    val byDefault = coll.searchHnsw(q, "qid", "qvec", limit = 5).collect().toSeq
+    assert(byDefault == coll.searchHnsw(q, "qid", "qvec", limit = 5, ef = 20)
+      .collect().toSeq)
+    val exhaustive = coll.searchHnsw(q, "qid", "qvec", limit = 5,
+      ef = Int.MaxValue).collect().toSeq
+    // recall floor: the derived default recovers ≥ 0.9 of the exact
+    // page on this corpus (RecallProbe publishes the tri-SF curve)
+    val hit = byDefault.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = exhaustive.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hit.intersect(want).size >= math.ceil(0.9 * want.size).toInt,
+      s"derived-default recall floor: got ${hit.intersect(want).size}/${want.size}")
+
+    // compaction re-derives from the folded graph (append first so
+    // compaction has segments to fold and the row count changes)
+    coll.upsert((1000L until 1100L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vector"))
+    coll.compactIndexes()
+    assert(coll.describe("index.hnsw.ef_default") ==
+      graft.api.GraftCollection.autoEf(500L, 4).toString,
+      "compaction must re-derive the default beam from the folded size")
+  }
 }

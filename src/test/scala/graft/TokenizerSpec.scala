@@ -142,6 +142,32 @@ class TokenizerSpec extends SparkSpec {
     val pairs = merges.collect().map(r => (r.getString(1), r.getString(2))).toSet
     assert(!pairs.contains(("z", "z")))
   }
+  test("q_bpe_apply's pinned dictionary trains to EXACTLY the oracle's inlined merges") {
+    // the q_bpe_apply oracle spells these 12 merges as SQL VALUES; if
+    // the trainer's greedy/tie-break behavior ever drifts, THIS pin
+    // fails before the oracle can mismatch (the artifact-as-fixture
+    // contract of r12 verdict #6)
+    val got = Bpe.trainLocal(SparkEntry.BpeApplyDict, numMerges = 12)
+      .map(m => (m.rank, m.left, m.right)).toSeq
+    val pinned = Seq(
+      (0, "t", "a"), (1, "a", "n"), (2, "an", "</w>"), (3, "c", "an</w>"),
+      (4, "s", "can</w>"), (5, "a", "r"), (6, "ar", "k"), (7, "ark", "</w>"),
+      (8, "e", "</w>"), (9, "p", "ark</w>"), (10, "s", "park</w>"),
+      (11, "o", "r"))
+    assert(got == pinned,
+      s"trainLocal(BpeApplyDict) drifted from the oracle's inlined merges: $got")
+
+    // and the encode against those merges segments the corpus words
+    // the way the oracle's recursive CTE replays them
+    val docs = Seq((1L, "scan sort order table data spark"))
+      .toDF("doc_id", "text")
+    val merges = pinned.toDF("rank", "left", "right")
+    val pieces = Bpe.encode(docs, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(_.getSeq[String](2).mkString("|"))
+    assert(pieces.toSeq == Seq(
+      "scan</w>", "s|or|t|</w>", "or|d|e|r|</w>", "ta|b|l|e</w>",
+      "d|a|ta|</w>", "spark</w>"))
+  }
 }
 
 /** Unigram-LM tokenizer (Kudo 2018): seed→EM→prune training over the
@@ -253,4 +279,5 @@ class UnigramSpec extends SparkSpec {
       .map(p => (p.piece, p.logpMicro, p.pieceId)).toSeq.sorted
     assert(viaDf == viaLocal)
   }
+
 }

@@ -63,7 +63,14 @@ object Bench {
     // were exactly that failure mode. All three runs land in
     // BENCH_DETAIL.json for bisection.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // per-run 1-minute load average, sampled as each run STARTS — the
+    // co-tenant-pressure witness (r12 verdict #5: three straight
+    // rounds needed forensic reconstruction because a pressured run
+    // shipped with no self-identification)
+    val loadAvgs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val runs: Seq[Map[String, Double]] = (1 to 3).map { _ =>
+      loadAvgs += java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       names.map { name =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
@@ -112,6 +119,18 @@ object Bench {
     val minTotal = r3(minQ.map(_._2).sum)
     val meanTotal = r3(meanQ.map(_._2).sum)
     val medTotal = r3(medQ.map(_._2).sum)
+    // credibility signal (r12 verdict #5): per-run wall totals, their
+    // max/min spread, and a pressure flag at spread > 1.5 — the
+    // measured box envelope is 1.0–2.7× intra-run spread under
+    // co-tenant pressure, and a flagged run's min/median must not be
+    // compared across rounds without the BENCH_DETAIL forensics
+    val runTotals = runs.map(run => r3(names.map(run(_)).sum))
+    val runsSpread = r3(runTotals.max / math.max(runTotals.min, 1e-9))
+    val pressureFlag = runsSpread > 1.5
+    val pressureJs =
+      s""""run_totals":[${runTotals.mkString(",")}],""" +
+      s""""load_avg":[${loadAvgs.map(r3).mkString(",")}],""" +
+      s""""runs_spread":$runsSpread,"pressure_flag":$pressureFlag"""
 
     // full per-run detail to a file (the stdout line must stay compact:
     // the driver captures a bounded TAIL of stdout, and r5's long line
@@ -121,6 +140,7 @@ object Bench {
       "\"run" + (i + 1) + "\":" + js(names.map(n => n -> run(n)))
     }.mkString("{", ",",
       ",\"median\":" + js(medQ) +
+        "," + pressureJs +
         ",\"maintenance\":" + js(maint) +
         maintRuns.zipWithIndex.map { case (mr, i) =>
           ",\"maintenance_run" + (i + 1) + "\":" + js(mr)
@@ -128,7 +148,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"median_total":$medTotal,"runs":3,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"median_total":$medTotal,"runs":3,$pressureJs,"sf":"$sfDir"}""")
 
     // The driver captures a bounded 2000-char TAIL of stdout (which
     // also swallows sbt's trailing "[success]" line) and parses the
@@ -140,7 +160,7 @@ object Bench {
     // omitted here is in the full line above and BENCH_DETAIL.json.
     val budget = 1600
     val maintJs = js(maint)
-    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"median_total":$medTotal,"runs":3,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"median_total":$medTotal,"runs":3,$pressureJs,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
     val tail2 = s"},\"queries_total\":${names.length}}"
     val slowest = minQ.sortBy(-_._2)
     val sb = new StringBuilder(head)

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Isolated maintenance-arm probe (r11 verdict #1 — the bisect tool):
   * runs ONLY the Bench maintenance ops in a fresh JVM, no 3×136-query
   * timed suite before them, and prints each pass's numbers. If the
@@ -20,14 +18,12 @@ object MaintProbe {
     val passes = if (args.length > 1) args(1).toInt else 3
     val family = if (args.length > 2) args(2) else "model"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // session through GraftSession.builder like Round12Probe (ADVICE
+    // r12): a hand-rolled config here would drift from the bench this
+    // probe exists to bisect the moment a new required flag lands only
+    // in GraftSession
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def ops(): Seq[(String, Double)] = family match {
       case "model" => Bench.modelMaintenanceOps(spark, sfDir)

@@ -602,30 +602,16 @@ object RecallProbe {
     // beam = 1.0 by the byte-equality DiversitySpec pin), and how much
     // the MMR selection over a graph-seeded pool overlaps the
     // exact-pool selection at the same lambda.
+    // (shared block — ProbeUtil.groupedPageRecovery; the ef list is the
+    // probe's own sweep)
+    ProbeUtil.groupedPageRecovery(embs, queries, Seq(12, 24, 48, 96),
+      (config, v) => emit("grouped_hnsw_page", config, v))
     locally {
       val hnswD = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
         efConstruction = 64, numSegments = 4).cache()
       hnswD.count()
       val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
-        GroupedSearch.grpNorm(embs, "label").as("grp"))
-      val exactPage = GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
-          "label", queries, "qid", "qvec", "cosine", 3, 4)
-        .select("query_id", "grp", "id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      for (ef <- Seq(12, 24, 48, 96)) {
-        val beamPage = GroupedSearch.rankGrouped(
-            HnswIndex.scoredCandidates(hnswD, embs, "vec_id", "embedding",
-              qLocalD, "cosine", ef, prepared = false, nodeKey = None)
-              .join(grpOf, "id")
-              .select(col("query_id"), col("grp"), col("__s"), col("id")),
-            3, 4, asc = false)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        emit("grouped_hnsw_page", s"limit=3 groupSize=4 ef=$ef",
-          (exactPage & beamPage).size.toDouble / exactPage.size)
-      }
       val exactSel = Mmr.topKDiverse(embs, "vec_id", "embedding", queries,
           "qid", "qvec", "cosine", k, lambda = 0.5, poolMult = 4)
         .select("query_id", "id").collect()
@@ -656,105 +642,20 @@ object RecallProbe {
     }
 
     // ---- diversity-arm LADDER work accounting (r11 verdict #7) ------
-    // Rows 102/103/111 publish per-rung (width, pending) cost; the
-    // grouped/MMR fill ladders record the same telemetry but published
-    // nothing. Three mixes per arm through the CLIENT routes:
-    // grouped — easy (label groups: tens of small groups, the page
-    // fills on early rungs), coarse (4 giant groups ≥ the 3-group page:
-    // a group-blind beam may sit inside one cluster and must dig),
-    // unfillable (2 groups < the 3-group page: the ladder MUST run to
-    // the exhaustive rung — the fill guarantee's deliberate price);
-    // MMR — easy (no filter: the clamped first rung seeds the pool),
-    // starved (a 1-in-10 filter the traversal cannot see). recall =
-    // overlap with the exact route's page/selection (1.0 whenever the
-    // ladder ran to exhaustion, by the byte-equality pins).
-    locally {
-      val collD = probeDb.createCollection("div")
-      collD.upsert(embs.select(col("vec_id").as("id"),
-        col("embedding").as("vector"), col("label"),
-        pmod(col("vec_id"), lit(4L)).as("g4"),
-        pmod(col("vec_id"), lit(2L)).as("g2"),
-        pmod(col("vec_id"), lit(10L)).as("b10")))
-      collD.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
-        metric = "cosine")
-      for ((name, grpCol) <- Seq(("easy", "label"), ("coarse", "g4"),
-          ("unfillable", "g2"))) {
-        val exactPg = collD.searchGrouped(queries, "qid", "qvec", grpCol,
-            "cosine", limit = 3, groupSize = 4)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        val annPg = collD.searchGroupedHnsw(queries, "qid", "qvec", grpCol,
-            limit = 3, groupSize = 4, ef = 12)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        ladderLine("grouped_hnsw_ladder", s"$name groups=$grpCol ef0=12",
-          collD.lastLadderRungs.toSeq, corpusN,
-          (exactPg & annPg).size.toDouble / math.max(exactPg.size, 1))
-      }
-      for ((name, flt) <- Seq(("easy", ""), ("starved", "b10 = 0"))) {
-        val exactSel = collD.searchMmr(queries, "qid", "qvec", "cosine",
-            limit = k, lambda = 0.5, poolMult = 4, filter = flt)
-          .select("query_id", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val annSel = collD.searchMmrHnsw(queries, "qid", "qvec",
-            limit = k, lambda = 0.5, poolMult = 4, ef = 10, filter = flt)
-          .select("query_id", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        ladderLine("mmr_hnsw_ladder", s"$name filter=${if (flt.isEmpty) "none" else flt} ef0=10",
-          collD.lastLadderRungs.toSeq, corpusN,
-          (exactSel & annSel).size.toDouble / math.max(exactSel.size, 1))
-      }
-    }
+    // (shared block — ProbeUtil.diversityLadders: three grouped mixes
+    // easy/coarse/unfillable + two MMR mixes easy/starved through the
+    // CLIENT routes; recall = overlap with the exact route.)
+    ProbeUtil.diversityLadders(probeDb, embs, queries, corpusN, k)
 
     // ---- IVF_SQ8 cell certificate vs CLUSTER GEOMETRY (r11 verdict #6)
     // The sq_radius_cells row above measures the cell gate on the
-    // driver's UN-clustered corpus — the worst case, where every
-    // query ball overlaps most cells (82% kept at sf0.01). The
-    // file-listing-prune claim rests on clustered data, so sweep the
-    // established mixture generator (64 gaussian centers, spread σ·unit
-    // around each) at production nlist = ceil(sqrt(N)): per (σ), build
-    // cell stats, and report the fraction of (query, cell) pairs the
-    // ball bound ||q - c_j|| ≤ R + rho_j KEEPS — R matched per corpus
-    // to the median k-NN distance so ball occupancy is comparable.
-    // iso (no clusters) reproduces the worst case at production nlist.
-    locally {
-      val dim = 64
-      val nSynth = math.max(corpusN, 2000L)
-      val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
-      def g(key: String, salt: Int) = ProbeUtil.gauss(key, salt)
-      for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
-        val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
-        val mix = ProbeUtil.mixtureExpr(sigma)
-        val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
-            expr(s"transform(sequence(1, $dim), j -> $mix)")
-              .cast("array<double>").as("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        embsC.count()
-        val qC = embsC.where(col("vec_id") < nQ)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val qLocalC = qC.select(col("qid"), col("qvec"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        // R = median kth-NN distance: about half the balls hold ≥ k rows
-        val dists = KnnSearch.topK(embsC, "vec_id", "embedding", qC,
-            "qid", "qvec", "l2", k).where(col("rank") === k)
-          .select("score").collect().map(_.getDouble(0)).sorted
-        val r = dists(dists.length / 2)
-        val model = IvfSq.train(embsC, "embedding", nlist = nlist)
-        val centersT = model.ivf.kmeans.clusterCenters.map(_.toArray)
-          .zipWithIndex.toSeq
-        val rho = IvfSq.cellStats(centersT, embsC, "embedding")
-          .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
-        val kept = qLocalC.map { case (_, qv) =>
-          centersT.count { case (c, cell) =>
-            val d = math.sqrt(c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
-            rho.get(cell).exists(d <= r + _)
-          }
-        }.sum.toDouble
-        emit(s"sq_radius_cells_$geo", f"nlist=$nlist r=$r%.3f cells kept/probed",
-          kept / (qLocalC.length.toDouble * centersT.length))
-        embsC.unpersist()
-      }
-    }
+    // driver's UN-clustered corpus — the worst case. The file-listing-
+    // prune claim rests on clustered data (shared sweep —
+    // ProbeUtil.cellGeometrySweep: mixture corpus per sigma, production
+    // nlist = ceil(sqrt N), R matched to the median kth-NN distance).
+    ProbeUtil.cellGeometrySweep(spark, corpusN, nQ, k,
+      Seq(0.25, 0.5, 1.0, -1.0),
+      (geo, config, v) => emit(s"sq_radius_cells_$geo", config, v))
 
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")

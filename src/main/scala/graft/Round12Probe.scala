@@ -31,122 +31,25 @@ object Round12Probe {
     val queries = embs.where(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-    def ladderLine(family: String, config: String,
-                   rungs: Seq[(Int, Int)], cap: Long, recall: Double): Unit =
-      ProbeUtil.ladderLine(family, config, rungs, cap, recall)
-
     // ---- diversity-arm LADDER work accounting (the §7-probes-r12
-    // block, at this scale factor) ------------------------------------
+    // block, at this scale factor — shared block, ProbeUtil) ----------
     val probeRoot = java.nio.file.Files.createTempDirectory("graft-probe-r12").toString
     val probeDb = new graft.api.GraftClient(spark, probeRoot).createDatabase("p")
-    locally {
-      val collD = probeDb.createCollection("div")
-      collD.upsert(embs.select(col("vec_id").as("id"),
-        col("embedding").as("vector"), col("label"),
-        pmod(col("vec_id"), lit(4L)).as("g4"),
-        pmod(col("vec_id"), lit(2L)).as("g2"),
-        pmod(col("vec_id"), lit(10L)).as("b10")))
-      collD.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
-        metric = "cosine")
-      for ((name, grpCol) <- Seq(("easy", "label"), ("coarse", "g4"),
-          ("unfillable", "g2"))) {
-        val exactPg = collD.searchGrouped(queries, "qid", "qvec", grpCol,
-            "cosine", limit = 3, groupSize = 4)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        val annPg = collD.searchGroupedHnsw(queries, "qid", "qvec", grpCol,
-            limit = 3, groupSize = 4, ef = 12)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        ladderLine("grouped_hnsw_ladder", s"$name groups=$grpCol ef0=12",
-          collD.lastLadderRungs.toSeq, corpusN,
-          (exactPg & annPg).size.toDouble / math.max(exactPg.size, 1))
-      }
-      for ((name, flt) <- Seq(("easy", ""), ("starved", "b10 = 0"))) {
-        val exactSel = collD.searchMmr(queries, "qid", "qvec", "cosine",
-            limit = k, lambda = 0.5, poolMult = 4, filter = flt)
-          .select("query_id", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val annSel = collD.searchMmrHnsw(queries, "qid", "qvec",
-            limit = k, lambda = 0.5, poolMult = 4, ef = 10, filter = flt)
-          .select("query_id", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        ladderLine("mmr_hnsw_ladder", s"$name filter=${if (flt.isEmpty) "none" else flt} ef0=10",
-          collD.lastLadderRungs.toSeq, corpusN,
-          (exactSel & annSel).size.toDouble / math.max(exactSel.size, 1))
-      }
-    }
+    ProbeUtil.diversityLadders(probeDb, embs, queries, corpusN, k)
 
     // ---- grouped page recovery: FIXED-beam ef sweep at this SF ------
-    // (the §7-probes-r11 grouped_hnsw_page device, at the target
-    // corpus: what fraction of the exact (grp_rank, grp, id) page a
-    // group-blind beam recovers WITHOUT the fill ladder — the §5b-r12
-    // ef-vs-corpus guidance's measured basis. Page = 3 groups × 4.)
-    locally {
-      val hnswD = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
-        efConstruction = 64, numSegments = 4).cache()
-      hnswD.count()
-      val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val grpOf = embs.select(col("vec_id").cast("long").as("id"),
-        GroupedSearch.grpNorm(embs, "label").as("grp"))
-      val exactPage = GroupedSearch.groupedTopK(embs, "vec_id", "embedding",
-          "label", queries, "qid", "qvec", "cosine", 3, 4)
-        .select("query_id", "grp", "id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      for (ef <- Seq(12, 24, 48, 96, 192)) {
-        val beamPage = GroupedSearch.rankGrouped(
-            HnswIndex.scoredCandidates(hnswD, embs, "vec_id", "embedding",
-              qLocalD, "cosine", ef, prepared = false, nodeKey = None)
-              .join(grpOf, "id")
-              .select(col("query_id"), col("grp"), col("__s"), col("id")),
-            3, 4, asc = false)
-          .select("query_id", "grp", "id").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        println(f"""{"family":"grouped_hnsw_page","config":"n=$corpusN limit=3 groupSize=4 ef=$ef","value":${(exactPage & beamPage).size.toDouble / exactPage.size}%.4f}""")
-      }
-      hnswD.unpersist()
-    }
+    // (the §7-probes-r11 grouped_hnsw_page device at the target corpus
+    // — the §5b-r12 ef-vs-corpus guidance's measured basis)
+    ProbeUtil.groupedPageRecovery(embs, queries, Seq(12, 24, 48, 96, 192),
+      (config, v) => println(f"""{"family":"grouped_hnsw_page","config":"n=$corpusN $config","value":$v%.4f}"""))
 
     // ---- IVF_SQ8 cell certificate vs CLUSTER GEOMETRY ---------------
-    // (the §7-probes-r12 sweep at this SF's corpus size; see
-    // RecallProbe for the full commentary)
-    locally {
-      val dim = 64
-      val nSynth = math.max(corpusN, 2000L)
-      val nlist = math.ceil(math.sqrt(nSynth.toDouble)).toInt
-
-      for (sigma <- Seq(0.25, 0.5, 1.0, -1.0)) {
-        val geo = if (sigma < 0) "iso" else f"clustered_s$sigma%.2f"
-        val mix = ProbeUtil.mixtureExpr(sigma)
-        val embsC = spark.range(nSynth).select(col("id").as("vec_id"),
-            expr(s"transform(sequence(1, $dim), j -> $mix)")
-              .cast("array<double>").as("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        embsC.count()
-        val qC = embsC.where(col("vec_id") < nQ)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val qLocalC = qC.select(col("qid"), col("qvec"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        val dists = KnnSearch.topK(embsC, "vec_id", "embedding", qC,
-            "qid", "qvec", "l2", k).where(col("rank") === k)
-          .select("score").collect().map(_.getDouble(0)).sorted
-        val r = dists(dists.length / 2)
-        val model = IvfSq.train(embsC, "embedding", nlist = nlist)
-        val centersT = model.ivf.kmeans.clusterCenters.map(_.toArray)
-          .zipWithIndex.toSeq
-        val rho = IvfSq.cellStats(centersT, embsC, "embedding")
-          .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
-        val kept = qLocalC.map { case (_, qv) =>
-          centersT.count { case (c, cell) =>
-            val d = math.sqrt(c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
-            rho.get(cell).exists(d <= r + _)
-          }
-        }.sum.toDouble
-        println(f"""{"family":"sq_radius_cells_$geo","config":"n=$nSynth nlist=$nlist r=$r%.3f cells kept/probed","value":${kept / (qLocalC.length.toDouble * centersT.length)}%.4f}""")
-        embsC.unpersist()
-      }
-    }
+    // (the §7-probes-r12 sweep at this SF's corpus size; commentary in
+    // ProbeUtil.cellGeometrySweep)
+    ProbeUtil.cellGeometrySweep(spark, corpusN, nQ, k,
+      Seq(0.25, 0.5, 1.0, -1.0),
+      (geo, config, v) => println(
+        f"""{"family":"sq_radius_cells_$geo","config":"$config","value":$v%.4f}"""))
     // ---- radius serving: LADDER vs CERTIFICATE cost at matched
     // selectivity (the r11 verdict #5 done-criterion) -----------------
     // The row-102 adaptive beam ladder (l2-metric HNSW) vs the row-118
@@ -178,6 +81,16 @@ object Round12Probe {
       val collC = probeDb.createCollection("routeC")
       collC.upsert(data)
       collC.rebuildIvfSqIndex() // auto ceil(sqrt(N)) nlist — production default
+      // the r13 SIDECAR arm: the SAME graph as routeH plus the SQ8
+      // certificate maintained NEXT TO it — the configuration that
+      // lets the reference's default (graph-indexed) collection serve
+      // param-less radius through the certificate router instead of
+      // the ladder or the FLAT scan
+      val collS = probeDb.createCollection("routeS")
+      collS.upsert(data)
+      collS.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4,
+        metric = "l2")
+      collS.buildCertificateSidecar()
       val gtL2 = KnnSearch.topK(embs, "vec_id", "embedding", queries,
         "qid", "qvec", "l2", k).cache()
       gtL2.count()
@@ -206,11 +119,19 @@ object Round12Probe {
         val ladderRecall =
           if (viaCert.isEmpty) 1.0
           else (viaCert & viaLadder).size.toDouble / viaCert.size
+        // graph + sidecar: the param-less search(radius) routes through
+        // the sidecar certificate (answer-invariant — assert it)
+        val viaSide = key(collS.search(queries, "qid", "qvec", metric = "l2",
+          limit = k, radius = Some(r)).collect().toSeq)
+        require(viaSide == viaCert,
+          s"sidecar-routed radius must equal the certificate answer at $name")
         val tL = timed(collH.searchHnswRadius(queries, "qid", "qvec",
           radius = r, limit = k, ef = 10).count())
         val tC = timed(collC.searchIvfSqRadius(queries, "qid", "qvec",
           radius = r, limit = k).count())
-        println(f"""{"family":"radius_route_cost","config":"$name r=$r%.3f","ladder_sec":$tL%.3f,"cert_sec":$tC%.3f,"ladder_rungs":"${rungs.map(x => x._1 + "x" + x._2).mkString(",")}","ladder_recall":$ladderRecall%.4f,"cert_recall":1.0,"cert_over_ladder":${tC / tL}%.3f}""")
+        val tS = timed(collS.search(queries, "qid", "qvec", metric = "l2",
+          limit = k, radius = Some(r)).count())
+        println(f"""{"family":"radius_route_cost","config":"$name r=$r%.3f","ladder_sec":$tL%.3f,"cert_sec":$tC%.3f,"sidecar_sec":$tS%.3f,"ladder_rungs":"${rungs.map(x => x._1 + "x" + x._2).mkString(",")}","ladder_recall":$ladderRecall%.4f,"cert_recall":1.0,"sidecar_exact":true,"cert_over_ladder":${tC / tL}%.3f,"sidecar_over_ladder":${tS / tL}%.3f}""")
       }
     }
 

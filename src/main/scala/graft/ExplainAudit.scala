@@ -31,7 +31,9 @@ object ExplainAudit {
         "q_search_by_text_w2v",
         "q_sq_radius", "q_sq_radius_filtered", "q_pq_radius",
         "q_ivfpq_radius", "q_sq_topk_exact", "q_pq_topk_exact",
-        "q_grouped_search", "q_grouped_hnsw", "q_mmr")
+        "q_grouped_search", "q_grouped_hnsw", "q_mmr",
+        "q_sq_radius_cos", "q_multimodal", "q_media_resize",
+        "q_frame_sample", "q_bpe_apply")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

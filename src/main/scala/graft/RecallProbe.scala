@@ -603,13 +603,15 @@ object RecallProbe {
     // the MMR selection over a graph-seeded pool overlaps the
     // exact-pool selection at the same lambda.
     // (shared block — ProbeUtil.groupedPageRecovery; the ef list is the
-    // probe's own sweep)
-    ProbeUtil.groupedPageRecovery(embs, queries, Seq(12, 24, 48, 96),
-      (config, v) => emit("grouped_hnsw_page", config, v))
+    // probe's own sweep; ONE graph build serves this block and the MMR
+    // overlap below)
     locally {
       val hnswD = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
         efConstruction = 64, numSegments = 4).cache()
       hnswD.count()
+      ProbeUtil.groupedPageRecovery(embs, queries, Seq(12, 24, 48, 96),
+        (config, v) => emit("grouped_hnsw_page", config, v),
+        prebuilt = hnswD)
       val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val exactSel = Mmr.topKDiverse(embs, "vec_id", "embedding", queries,

@@ -4043,6 +4043,11 @@ object SparkEntry {
     // merges that ONE occurrence; a word with no applicable pair is
     // terminal. The merges are the pinned trainLocal(BpeApplyDict)
     // output, spelled as VALUES (TokenizerSpec pins the equality).
+    // Known split-unit caveat: the init CTE chars by CODE POINT
+    // (w[i]) while encodeWord chars by UTF-16 code unit — identical on
+    // the driver's ASCII corpora; a future vintage with astral-plane
+    // characters would fail this oracle LOUDLY (row mismatch), never
+    // silently (SURVEY §4).
     "q_bpe_apply" ->
       """WITH RECURSIVE
         |m(rank, l, r) AS (SELECT * FROM (VALUES

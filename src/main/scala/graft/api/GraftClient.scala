@@ -493,7 +493,16 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * ordering. */
   private def appendHnswSegment(batch: DataFrame, meta: Map[String, String]): Unit = {
     val (keyed, kid) = indexKeyed(batch.where(col(vecCol).isNotNull))
-    HnswMaintain.append(hnswStore, keyed, kid, vecCol, meta)
+    val shardRows = HnswMaintain.append(hnswStore, keyed, kid, vecCol, meta)
+    // recall-floor maintenance (row 123): an appended segment bigger
+    // than the stored derivation's basis would serve under-beamed at
+    // the default ef until compaction — max-fold the derived default
+    // so the stored value never understates the largest live segment
+    // (O(1): the append already counted the batch; compaction later
+    // re-derives from the folded graph's true sizes)
+    val cand = GraftCollection.autoEfSeg(shardRows)
+    if (meta.get("index.hnsw.ef_default").exists(_.toInt < cand))
+      catalog.updateMeta(db, coll, Map("index.hnsw.ef_default" -> cand.toString))
   }
 
   private def hnswStore: HnswStore =
@@ -2735,12 +2744,21 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val live = df.where(col(vecCol).isNotNull)
       .select(nodeKey.as("id"), col(vecCol).as(vecCol))
     HnswMaintain.compact(hnswStore, live, vecCol, meta0,
-      publishExtra = Map("index.hnsw.base_seg" -> seg.toString,
-        // compaction changes segment sizes — re-derive the default
-        // serving beam so the recall-floor contract tracks the folded
-        // graph, not the original rebuild's geometry
-        "index.hnsw.ef_default" -> GraftCollection.autoEf(live.count(),
-          meta0.getOrElse("index.hnsw.segments", "4").toInt).toString))
+      publishExtra = Map("index.hnsw.base_seg" -> seg.toString))
+    // re-derive the default serving beam from the FOLDED graph's
+    // ACTUAL largest segment (ef is a per-segment beam; a tiered merge
+    // produces shard sizes the configured-count division does not
+    // predict — deriving from total/cfgSegs would silently understate
+    // the beam on big merged shards, the exact degradation row 123
+    // exists to close). One small agg over the artifact compaction
+    // just rewrote; a crash between compact's publish and this write
+    // leaves the pre-compaction derivation — stale like any dependent
+    // meta, repaired by the next compaction.
+    val maxSeg = catalog.read(db, GraftCollection.hnswGraph(coll))
+      .groupBy(col("seg")).count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    catalog.updateMeta(db, coll, Map(
+      "index.hnsw.ef_default" -> GraftCollection.autoEfSeg(maxSeg).toString))
   }
 
   /** rebuild_index for the composed IVF_PQ index (Tencent VectorDB's
@@ -4076,19 +4094,26 @@ object GraftCollection {
     math.max(1L, math.min(65536L,
       math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toLong)).toInt
 
-  /** Derived default serving beam for an HNSW graph of `n` rows in
-    * `segments` segment graphs: ef₀ = max(16, 2·⌈√segSize⌉) — the
+  /** Derived default serving beam for an HNSW segment graph of
+    * `maxSegRows` rows: ef₀ = max(16, 2·⌈√maxSegRows⌉) — the
     * §5b-frontier calibration (recall@10 ≥ 0.99 at both measured
     * segment sizes where the fixed historical 10 read 0.80 at the
-    * larger one). Grows with the SQUARE ROOT of segment size, so the
-    * serving cost of the default stays sublinear while the recall
-    * floor holds; capped at 65536 like nlist (a graph that large
-    * should raise `numSegments` instead). */
-  private[graft] def autoEf(n: Long, segments: Int): Int = {
-    val segSize = math.max(n, 0L).toDouble / math.max(segments, 1)
+    * larger one). ef is a PER-SEGMENT beam, so the derivation's basis
+    * is the LARGEST live segment, not the average (a tiered merge can
+    * produce shards far bigger than total/configured-count — the
+    * review finding that moved this off `autoEf(n, segments)`). Grows
+    * with the SQUARE ROOT of segment size, so the default's serving
+    * cost stays sublinear while the recall floor holds; capped at
+    * 65536 like nlist (a graph that large should raise `numSegments`
+    * instead). */
+  private[graft] def autoEfSeg(maxSegRows: Long): Int =
     math.min(65536L, math.max(16L,
-      2L * math.ceil(math.sqrt(segSize)).toLong)).toInt
-  }
+      2L * math.ceil(math.sqrt(math.max(maxSegRows, 0L).toDouble)).toLong)).toInt
+
+  /** [[autoEfSeg]] at rebuild time, where the hash split makes every
+    * segment ≈ n/segments rows. */
+  private[graft] def autoEf(n: Long, segments: Int): Int =
+    autoEfSeg(math.ceil(math.max(n, 0L).toDouble / math.max(segments, 1)).toLong)
   private[api] def mutLedger(coll: String): String = coll + "__mut_ledger"
   private[api] def mhSig(coll: String): String = coll + "__mh_sig"
   private[api] def mhBkt(coll: String): String = coll + "__mh_bkt"

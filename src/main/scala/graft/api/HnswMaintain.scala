@@ -50,8 +50,14 @@ private[api] object HnswMaintain {
     * evidence that sweep-eligible ids exist. The marker is single-slot
     * by design: any surviving marker means "sweep at next compaction",
     * which covers every crashed batch at once. */
+  /** @return the appended segments' per-shard row count (⌈n/shards⌉;
+    *         0 for an empty batch) — the basis callers max-fold into a
+    *         derived default serving beam (row 123: an appended
+    *         segment larger than the stored derivation's basis must
+    *         widen the default, or it serves under-beamed until
+    *         compaction). */
   def append(st: HnswStore, keyed: DataFrame, kid: String, vecCol: String,
-             meta: Map[String, String]): Unit = {
+             meta: Map[String, String]): Long = {
     val n = keyed.count()
     if (n > 0) {
       val shards = shardsFor(n)
@@ -69,7 +75,8 @@ private[api] object HnswMaintain {
       st.update(Map(P + "gen" -> GraftCollection.freshGen()) ++
         (if (foreignPending.isEmpty) Map(P + "pending" -> null)
          else Map.empty[String, String]))
-    }
+      (n + shards - 1) / shards
+    } else 0L
   }
 
   /** Tiered compaction. `live` = the CURRENT snapshot's node rows

@@ -385,13 +385,24 @@ class HnswSpec extends SparkSpec {
     assert(hit.intersect(want).size >= math.ceil(0.9 * want.size).toInt,
       s"derived-default recall floor: got ${hit.intersect(want).size}/${want.size}")
 
-    // compaction re-derives from the folded graph (append first so
-    // compaction has segments to fold and the row count changes)
-    coll.upsert((1000L until 1100L).map(i =>
+    // an appended segment LARGER than the stored basis max-folds the
+    // derived default immediately (it must not serve under-beamed
+    // until compaction): 1000 appended rows land as one 1000-row
+    // segment ⇒ autoEfSeg(1000) = 64 > the rebuild's 20
+    coll.upsert((1000L until 2000L).map(i =>
       (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vector"))
-    coll.compactIndexes()
     assert(coll.describe("index.hnsw.ef_default") ==
-      graft.api.GraftCollection.autoEf(500L, 4).toString,
-      "compaction must re-derive the default beam from the folded size")
+      graft.api.GraftCollection.autoEfSeg(1000L).toString,
+      "an oversized appended segment must widen the stored default beam")
+
+    // compaction re-derives from the FOLDED graph's ACTUAL largest
+    // segment (ef is a per-segment beam — tiered merges produce shard
+    // sizes the configured-count division doesn't predict)
+    coll.compactIndexes()
+    val maxSeg = coll.hnswGraphRows.groupBy("seg").count()
+      .agg(max("count")).head.getLong(0)
+    assert(coll.describe("index.hnsw.ef_default") ==
+      graft.api.GraftCollection.autoEfSeg(maxSeg).toString,
+      "compaction must re-derive the default beam from the folded graph's largest segment")
   }
 }

@@ -260,5 +260,38 @@ class Round13Spec extends SparkSpec {
     pqColl.rebuildPqIndex(m = 4, k = 16, metric = "cosine")
     assert(pqColl.searchPqExact(q, "qid", "qvec", limit = 10)
       .collect().toSeq == wantTop)
+
+    // flat-PQ NATIVE cosine arm, pinned at the vector layer (the one
+    // family arm with no client route wired to it — searchPq always
+    // reranks; an unexercised branch is where a future bug ships
+    // unverified, the review finding): cosineScores=true must keep the
+    // gate-space ADC ranking byte-identical and emit 1 − d²/2 desc
+    locally {
+      import graft.vector.{PqIndex, VectorScore}
+      val normed = rows.toDF("id", "vector")
+        .withColumn("vector", VectorScore.unitNorm(col("vector")))
+      val model = PqIndex.train(normed, "vector", dim = 16, m = 4, k = 16)
+      val enc = PqIndex.encode(model, normed, "id", "vector")
+      val gq = Seq((0L, rows(3)._2), (1L, rows(90)._2))
+        .map { case (i, v) => (i, VectorScore.unitNormArr(v.toArray)) }.toArray
+      val asL2 = PqIndex.search(model, enc, gq, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val asCos = PqIndex.search(model, enc, gq, k = 10, cosineScores = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(asL2.map(t => (t._1, t._2, t._3)).toSeq ==
+        asCos.map(t => (t._1, t._2, t._3)).toSeq,
+        "cosineScores must not change the gate-space ranking")
+      // d is the ROUNDED emitted distance, c rounds the unrounded
+      // transform — 2e-4 covers the worst compounding at d ≤ 2
+      asL2.zip(asCos).foreach { case ((_, _, _, d), (_, _, _, c)) =>
+        assert(math.abs(c - (1.0 - d * d / 2)) <= 2e-4,
+          s"emitted score must be the dequantized-cosine estimate (d=$d c=$c)")
+      }
+      val perQ2 = asCos.groupBy(_._1)
+      perQ2.values.foreach { hits =>
+        val sc = hits.sortBy(_._2).map(_._4)
+        assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+      }
+    }
   }
 }

@@ -45,7 +45,7 @@ object Bench {
         // the unit-sphere artifact set (r13 cosine arm)
         "q_sq_radius", "q_sq_radius_cos",
         // builds the pinned-dictionary merge artifact (r13)
-        "q_bpe_apply",
+        "q_bpe_apply", "q_unigram_apply",
         // builds the bigram-frequency and distilled-classifier artifacts
         // (ingest-time cost) — timed runs then measure serving
         "q_rare_bigrams", "q_quality_classifier",

@@ -1694,6 +1694,25 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_unigram_apply" -> ((s, dir) => {
+      // the ORACLED member of the unigram family (q_bpe_apply's
+      // artifact-as-fixture device on the OTHER tokenizer): the SAME
+      // Unigram.encode machinery as q_unigram_encode — distinct-word
+      // table → broadcast piece table → per-word integer Viterbi →
+      // corpus equi-join — served from the pinned-dictionary artifact,
+      // so the DuckDB oracle replays the Viterbi DP itself with a
+      // recursive CTE (working table carries EVERY prefix state
+      // forward per iteration; the new prefix's argmax orders by
+      // (score DESC, piece-count ASC, piece ASC) — viterbi()'s exact
+      // tie rules; unseen single chars get the -69000000 UNK floor).
+      // q_unigram_encode (corpus-trained) stays rows-only by design.
+      graft.text.Unigram.encode(
+          Tables.documents(s, dir), "doc_id", "text", unigramApplyModelFor(s))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", col("pieces")).as("pieces"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_unigram_encode" -> ((s, dir) => {
       // unigram-LM (SentencePiece/Kudo) subword encoding served from
       // the persisted piece table (rows-only: the EM/prune trainer and
@@ -1837,6 +1856,21 @@ object SparkEntry {
       Multimodal.decodeImageStats(
           Multimodal.resizeNearest(
             Multimodal.plantPng(Tables.documents(s, dir), "doc_id"), 10, 7)).toDF()
+        .orderBy("doc_id")
+    }),
+
+    "q_audio_decode" -> ((s, dir) => {
+      // REAL audio decode (r13 late addition — the image lesson
+      // applied to sound: javax.sound.sampled parses RIFF/WAV PCM in
+      // the JDK, no sound hardware involved): plant one actual PCM16
+      // WAV per document (samples = an integer formula of (doc_id, i)
+      // in [-2048, 2047]), AudioSystem-decode it back per partition,
+      // reduce to integer sample sums. 16-bit PCM is lossless for the
+      // planted range, so the decoded stats equal the formula exactly
+      // — fully DuckDB-oracled through a real audio codec. Lossy
+      // audio (MP3/OGG) and video containers remain the declared stub.
+      Multimodal.decodeWavStats(
+          Multimodal.plantWav(Tables.documents(s, dir), "doc_id")).toDF()
         .orderBy("doc_id")
     }),
 
@@ -2226,6 +2260,20 @@ object SparkEntry {
   private[graft] def unigramModelFor(s: SparkSession, dir: String): DataFrame =
     graft.catalog.IndexStore.ensure(s, s"unigram_${sfKey(dir)}") {
       graft.text.Unigram.train(Tables.documents(s, dir), "text", vocabSize = 64)
+    }
+
+  /** Persisted unigram piece table of the FIXED dictionary — the
+    * oracled member of the unigram family (the q_bpe_apply device for
+    * the OTHER tokenizer): trained by the real EM/prune loop over the
+    * same pinned 10-word dictionary, persisted, read back by the
+    * encode; UnigramSpec pins trainLocal(dict) == the oracle's inlined
+    * 20 rows. */
+  private[graft] def unigramApplyModelFor(s: SparkSession): DataFrame =
+    graft.catalog.IndexStore.ensure(s, "unigramapply") {
+      import s.implicits._
+      graft.text.Unigram.trainLocal(BpeApplyDict, vocabSize = 20)
+        .map(p => (p.piece, p.logpMicro, p.pieceId)).toSeq
+        .toDF("piece", "logp_micro", "piece_id")
     }
 
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */
@@ -2675,6 +2723,18 @@ object SparkEntry {
         |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |       CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // planted PCM16 WAV through a REAL AudioSystem decode: the sample
+    // formula replayed in SQL (16-bit PCM is lossless for the range)
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 50 + (doc_id % 5) * 25 AS n FROM documents),
+        |s AS (SELECT doc_id, n, ((doc_id*37 + i*17) % 4096) - 2048 AS v
+        |      FROM d, UNNEST(range(0, n)) AS t(i))
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(sum(v) AS BIGINT) AS sum_amp,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // frame-stacked PNG, every 2nd frame of 2+id%3 sampled (the cap of
     // 8 never binds at ≤ 2 sampled frames), 12×8 frames
@@ -4074,6 +4134,57 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM UNNEST(range(1, len(s.syms))) t(i)
         |                    JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1])
         |),
+        |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |             UNNEST(range(1, len(t) + 1)) AS r(i)
+        |        WHERE t[i] <> '')
+        |SELECT pos.doc_id, pos.pos, final.pieces
+        |FROM pos JOIN final USING (w)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q_unigram_apply: Unigram.viterbi replayed as an integer DP — the
+    // working table carries EVERY prefix state (w, j ≤ it) forward per
+    // iteration (a recursive CTE sees only the previous iteration's
+    // rows, and position it+1 needs states back to it+1−maxPieceLen);
+    // the new prefix state is the argmax over candidate last pieces by
+    // (score DESC, piece-count ASC, piece ASC) — viterbi()'s tie rules
+    // verbatim; single chars outside the table score the -69000000 UNK
+    // floor, longer misses are not candidates. The piece table is the
+    // pinned trainLocal(BpeApplyDict, 20) artifact as VALUES
+    // (UnigramSpec pins the equality); 6 = its max piece length
+    // ("stream" — update together with the pin if the dict changes).
+    "q_unigram_apply" ->
+      """WITH RECURSIVE
+        |pt(piece, lp) AS (SELECT * FROM (VALUES
+        |  ('a',-1813266),('l',-2058388),('t',-2309703),('s',-2550865),
+        |  ('scan',-2646175),('e',-2751535),('h',-2751535),('spark',-2751535),
+        |  ('sort',-2869318),('stream',-3002850),('b',-3157000),('d',-3339322),
+        |  ('m',-3562466),('o',-3562466),('w',-3562466),('c',-5641907),
+        |  ('k',-5641907),('n',-5641907),('p',-5641907),('r',-5641907)) t),
+        |words AS (SELECT DISTINCT token AS w FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''),
+        |steps(w, j, score, np, path, it) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), 0, '', 0 FROM words
+        |  UNION ALL
+        |  SELECT w, j, score, np, path, it FROM (
+        |    SELECT w, j, score, np, path, it + 1 AS it, 0 AS is_new, CAST(0 AS BIGINT) AS rn
+        |    FROM steps WHERE it < len(w)
+        |    UNION ALL
+        |    SELECT c.w, c.it + 1 AS j, c.score, c.np, c.path, c.it + 1 AS it, 1 AS is_new,
+        |           row_number() OVER (PARTITION BY c.w ORDER BY c.score DESC, c.np, c.piece) AS rn
+        |    FROM (
+        |      SELECT s.w, s.it, s.score + lps.lp AS score, s.np + 1 AS np,
+        |             CASE WHEN s.path = '' THEN lps.piece ELSE s.path || '|' || lps.piece END AS path,
+        |             lps.piece
+        |      FROM steps s,
+        |           LATERAL (SELECT s.w[s.j + 1 : s.it + 1] AS piece,
+        |                           COALESCE((SELECT pt.lp FROM pt WHERE pt.piece = s.w[s.j + 1 : s.it + 1]),
+        |                                    CASE WHEN s.it + 1 - s.j = 1 THEN CAST(-69000000 AS BIGINT) END) AS lp) lps
+        |      WHERE s.it < len(s.w) AND s.j >= s.it + 1 - 6 AND s.j <= s.it AND lps.lp IS NOT NULL
+        |    ) c
+        |  ) WHERE is_new = 0 OR rn = 1
+        |),
+        |final AS (SELECT w, path AS pieces FROM steps WHERE j = len(w) AND it = len(w)),
         |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |             UNNEST(range(1, len(t) + 1)) AS r(i)

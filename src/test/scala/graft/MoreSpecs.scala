@@ -175,6 +175,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode: planted PCM16 round-trips integer-exactly through AudioSystem") {
+    val docs = Seq((0L, "x"), (3L, "x"), (7L, "x"), (1000001L, "x"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.plantWav(docs, "doc_id")
+    // the payload is a REAL RIFF/WAVE container, not a synthetic blob
+    val raw = media.collect()
+    assert(raw.forall(m => new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(m.payload, 8, 4, "US-ASCII") == "WAVE"))
+    val got = Multimodal.decodeWavStats(media).collect().sortBy(_.doc_id)
+    got.foreach { s =>
+      val n = 50 + (s.doc_id % 5) * 25
+      assert(s.n_samples == n && s.sample_rate == 8000)
+      val vals = (0L until n).map(i => ((s.doc_id * 37 + i * 17) % 4096) - 2048)
+      assert(s.sum_amp == vals.sum && s.sum_abs == vals.map(math.abs).sum,
+        s"decoded sample sums must equal the planted formula for doc ${s.doc_id}")
+    }
+  }
+
   test("real frame sampling: stacked-PNG bands slice to per-frame sums under the everyN/maxFrames contract") {
     val docs = Seq((0L, "x"), (1L, "x"), (2L, "x")).toDF("doc_id", "text")
     val got = Multimodal.frameStats(

@@ -261,6 +261,24 @@ class Round13Spec extends SparkSpec {
     assert(pqColl.searchPqExact(q, "qid", "qvec", limit = 10)
       .collect().toSeq == wantTop)
 
+    // IVF_PQ cosine: the third family's routed radius + rerank arms
+    // (implemented alongside SQ8/PQ but otherwise unexercised — the
+    // PQ-native lesson: an untested branch ships bugs)
+    locally {
+      val ipqColl = mkColl("topkivfpq", rows)
+      ipqColl.rebuildIvfPqIndex(nlist = 4, m = 4, k = 16, metric = "cosine")
+      val routed = ipqColl.search(q, "qid", "qvec", metric = "cosine",
+        limit = 30, radius = Some(0.2))
+      assert(planOf(routed).contains("resid"),
+        "cosine radius on a cosine-built IVF_PQ collection must route")
+      val wantBall = KnnSearch.radiusTopK(base, "id", "vector", q, "qid",
+        "qvec", "cosine", r = 0.2, k = 30).collect().toSeq
+      assert(routed.collect().toSeq == wantBall && wantBall.nonEmpty)
+      // full-probe + wide rerank degenerates to exact cosine KNN
+      assert(ipqColl.searchIvfPq(q, "qid", "qvec", limit = 10, nprobe = 4,
+        candMult = Some(20)).collect().toSeq == wantTop)
+    }
+
     // flat-PQ NATIVE cosine arm, pinned at the vector layer (the one
     // family arm with no client route wired to it — searchPq always
     // reranks; an unexercised branch is where a future bug ships

@@ -280,4 +280,25 @@ class UnigramSpec extends SparkSpec {
     assert(viaDf == viaLocal)
   }
 
+  test("q_unigram_apply's pinned dictionary trains to EXACTLY the oracle's inlined pieces") {
+    // the q_unigram_apply oracle spells these 20 (piece, logp_micro)
+    // rows as SQL VALUES (and hard-codes maxPieceLen 6 = "stream");
+    // trainer drift fails HERE before the oracle can mismatch — the
+    // artifact-as-fixture contract, unigram arm
+    val got = Unigram.trainLocal(SparkEntry.BpeApplyDict, vocabSize = 20)
+      .map(p => (p.piece, p.logpMicro, p.pieceId)).toSeq
+    val pinned = Seq(
+      ("a", -1813266L, 0), ("l", -2058388L, 1), ("t", -2309703L, 2),
+      ("s", -2550865L, 3), ("scan", -2646175L, 4), ("e", -2751535L, 5),
+      ("h", -2751535L, 6), ("spark", -2751535L, 7), ("sort", -2869318L, 8),
+      ("stream", -3002850L, 9), ("b", -3157000L, 10), ("d", -3339322L, 11),
+      ("m", -3562466L, 12), ("o", -3562466L, 13), ("w", -3562466L, 14),
+      ("c", -5641907L, 15), ("k", -5641907L, 16), ("n", -5641907L, 17),
+      ("p", -5641907L, 18), ("r", -5641907L, 19))
+    assert(got == pinned,
+      s"trainLocal(BpeApplyDict) drifted from the oracle's inlined pieces: $got")
+    assert(got.map(_._1.length).max == 6,
+      "the oracle hard-codes maxPieceLen 6 — re-pin both together")
+  }
+
 }

@@ -111,14 +111,16 @@ object ProbeUtil {
   def groupedPageRecovery(embs: DataFrame, queries: DataFrame,
                           efs: Seq[Int],
                           emit: (String, Double) => Unit,
-                          prebuilt: DataFrame = null): Unit = {
-    // accept a caller-built graph (RecallProbe shares one build with
-    // its MMR-overlap block — the graph build is the probe's dominant
-    // cost at sf0.1; review finding); standalone callers build+drop
-    val hnswD = if (prebuilt != null) prebuilt
-      else HnswIndex.build(embs, "vec_id", "embedding", m = 8,
+                          prebuilt: Option[DataFrame] = None): Unit = {
+    // accept a caller-built (and caller-counted) graph — RecallProbe
+    // shares one build with its MMR-overlap block, the probe's
+    // dominant cost at sf0.1; standalone callers build + drop
+    val hnswD = prebuilt.getOrElse {
+      val g = HnswIndex.build(embs, "vec_id", "embedding", m = 8,
         efConstruction = 64, numSegments = 4).cache()
-    hnswD.count()
+      g.count()
+      g
+    }
     val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val grpOf = embs.select(col("vec_id").cast("long").as("id"),
@@ -139,7 +141,7 @@ object ProbeUtil {
       emit(s"limit=3 groupSize=4 ef=$ef",
         (exactPage & beamPage).size.toDouble / exactPage.size)
     }
-    if (prebuilt == null) hnswD.unpersist()
+    if (prebuilt.isEmpty) hnswD.unpersist()
   }
 
   /** IVF_SQ8 cell certificate vs CLUSTER GEOMETRY (r11 verdict #6's

@@ -611,7 +611,7 @@ object RecallProbe {
       hnswD.count()
       ProbeUtil.groupedPageRecovery(embs, queries, Seq(12, 24, 48, 96),
         (config, v) => emit("grouped_hnsw_page", config, v),
-        prebuilt = hnswD)
+        prebuilt = Some(hnswD))
       val qLocalD = queries.select(col("qid"), col("qvec").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val exactSel = Mmr.topKDiverse(embs, "vec_id", "embedding", queries,

@@ -2754,9 +2754,13 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     // just rewrote; a crash between compact's publish and this write
     // leaves the pre-compaction derivation — stale like any dependent
     // meta, repaired by the next compaction.
-    val maxSeg = catalog.read(db, GraftCollection.hnswGraph(coll))
+    // an all-deleted collection folds to an EMPTY graph: max over zero
+    // groups is null, and the derivation must land on the floor (16,
+    // what the old n=0 path returned), not NPE mid-compaction
+    val maxSegRow = catalog.read(db, GraftCollection.hnswGraph(coll))
       .groupBy(col("seg")).count()
-      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.max("count")).head
+    val maxSeg = if (maxSegRow.isNullAt(0)) 0L else maxSegRow.getLong(0)
     catalog.updateMeta(db, coll, Map(
       "index.hnsw.ef_default" -> GraftCollection.autoEfSeg(maxSeg).toString))
   }

@@ -404,5 +404,14 @@ class HnswSpec extends SparkSpec {
     assert(coll.describe("index.hnsw.ef_default") ==
       graft.api.GraftCollection.autoEfSeg(maxSeg).toString,
       "compaction must re-derive the default beam from the folded graph's largest segment")
+
+    // an ALL-DELETED collection folds to an empty graph: the
+    // re-derivation must land on the floor (16), not NPE on a null
+    // max over zero segments (review finding — the old n=0 path's
+    // behavior, restored)
+    coll.deleteByIds(coll.df.select("id").collect().map(_.getLong(0)).toSeq)
+    coll.compactIndexes()
+    assert(coll.describe("index.hnsw.ef_default") == "16",
+      "empty folded graph must derive the floor default, not crash")
   }
 }

@@ -109,6 +109,24 @@ object RecallProbe {
       emit("ivf", s"nlist=16 nprobe=$nprobe",
         Recall.atK(IvfIndex.search(ivf, embs, "vec_id", "embedding",
           queries, "qid", "qvec", "l2", k, nprobe), gtL2))
+    // ---- the CALIBRATED default probe count (r13 — the cell-axis
+    // recall-floor contract): at PRODUCTION auto-√N nlist, the old
+    // fixed default 4 vs the rebuild-time calibration, per SF
+    locally {
+      val nlAuto = graft.api.GraftCollection.autoNlist(corpusN)
+      val ivfAuto = IvfIndex.train(embs, "embedding", nlist = nlAuto,
+        maxIter = 10)
+      val centersA = ivfAuto.kmeans.clusterCenters.map(_.toArray)
+        .zipWithIndex.toSeq
+      val npAuto = IvfIndex.calibrateNprobe(embs, "vec_id", "embedding",
+        centersA)
+      emit("ivf_auto", s"nlist=$nlAuto nprobe=$npAuto (calibrated default)",
+        Recall.atK(IvfIndex.search(ivfAuto, embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "l2", k, npAuto), gtL2))
+      emit("ivf_auto", s"nlist=$nlAuto nprobe=4 (old fixed default)",
+        Recall.atK(IvfIndex.search(ivfAuto, embs, "vec_id", "embedding",
+          queries, "qid", "qvec", "l2", k, 4), gtL2))
+    }
 
     // ---- PQ (L2): codebook grid, ADC-only vs exact rerank ----------
     val qLocal = queries.select(col("qid"), col("qvec").cast("array<double>"))

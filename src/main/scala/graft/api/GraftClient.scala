@@ -2813,7 +2813,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       "index.ivfpq.nlist" -> nl.toString, "index.ivfpq.m" -> m.toString,
       "index.ivfpq.k" -> k.toString, "index.ivfpq.dim" -> dim.toString,
       "index.ivfpq.base_seg" -> baseSeg.toString,
-      "index.ivfpq.metric" -> metric))
+      "index.ivfpq.metric" -> metric,
+      // calibrated default probe count (the IVF_SQ8 rationale)
+      "index.ivfpq.nprobe_default" -> graft.vector.IvfIndex.calibrateNprobe(
+        keyed, kid, vecCol,
+        model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq)
+        .toString))
   }
 
   /** rebuild_index for the composed IVF_SQ8 index (the remaining
@@ -2897,7 +2902,19 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     catalog.updateMeta(db, coll, Map(
       "index.ivfsq.nlist" -> nl.toString, "index.ivfsq.dim" -> dim.toString,
       "index.ivfsq.base_seg" -> baseSeg.toString,
-      "index.ivfsq.metric" -> metric))
+      "index.ivfsq.metric" -> metric,
+      // empirically calibrated default probe count (the row-123
+      // recall-floor contract on the cell axis): a fixed default
+      // degrades silently as auto-√N nlist grows — measured 0.69 →
+      // 0.49 recall@10 at 4× corpus for nprobe=4 — and the right
+      // count is a property of the stored corpus's cluster geometry,
+      // so it is measured against the corpus itself at rebuild time
+      // (IvfIndex.calibrateNprobe: smallest nprobe reaching 0.95
+      // top-k cell coverage on member queries, in gate space)
+      "index.ivfsq.nprobe_default" -> graft.vector.IvfIndex.calibrateNprobe(
+        keyed, kid, vecCol,
+        model.ivf.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq)
+        .toString))
   }
 
   /** IVF_SQ8 search served from the persisted artifacts. `candMult =
@@ -2906,10 +2923,17 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * RecallProbe measures it); `Some(c)` exactly re-ranks the top
     * limit·c candidates against their original vectors. */
   def searchIvfSq(queries: DataFrame, qIdCol: String, qVecCol: String,
-                  limit: Int = 10, nprobe: Int = 4,
+                  limit: Int = 10, nprobe: Int = 0,
                   candMult: Option[Int] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.ivfsq.nlist"), "no IVF_SQ8 index: run rebuildIvfSqIndex first")
+    // nprobe ≤ 0 (the default) serves at the CALIBRATED probe count
+    // persisted at rebuild (row 123's recall-floor contract on the
+    // cell axis — a fixed default degrades silently as auto-√N nlist
+    // grows); explicit nprobe is the caller's override, and legacy
+    // indexes without the key serve the historical 4
+    val np = if (nprobe > 0) nprobe
+             else meta.get("index.ivfsq.nprobe_default").map(_.toInt).getOrElse(4)
     val sq = sqModelFromMeta(meta)
     val centers = catalog.read(db, GraftCollection.ivfSqCentroids(coll))
       .select(col("centroid"), col("cell")).collect()
@@ -2925,10 +2949,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(candMult match {
       case None => restoreStringIds(
-        graft.vector.IvfSq.searchStored(centers, sq, codes, gq, limit, nprobe,
+        graft.vector.IvfSq.searchStored(centers, sq, codes, gq, limit, np,
           cosineScores = m == "cosine"))
       case Some(c) => graft.vector.IvfSq.searchStoredRerank(centers, sq, codes,
-        df, idCol, vecCol, gq, limit, nprobe, c, nodeKey = nodeKeyOpt,
+        df, idCol, vecCol, gq, limit, np, c, nodeKey = nodeKeyOpt,
         rerank = rr)
     }, remap)
   }
@@ -3328,10 +3352,15 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * 0.33 flat → 0.82 at nprobe=8, 0.86 at nprobe=16) for one
     * bounded-sliver vector fetch. */
   def searchIvfPq(queries: DataFrame, qIdCol: String, qVecCol: String,
-                  limit: Int = 10, nprobe: Int = 4,
+                  limit: Int = 10, nprobe: Int = 0,
                   candMult: Option[Int] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.ivfpq.nlist"), "no IVF_PQ index: run rebuildIvfPqIndex first")
+    // nprobe ≤ 0 = the CALIBRATED default persisted at rebuild
+    // (searchIvfSq's contract); explicit nprobe overrides, legacy
+    // indexes serve the historical 4
+    val np = if (nprobe > 0) nprobe
+             else meta.get("index.ivfpq.nprobe_default").map(_.toInt).getOrElse(4)
     val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))
     val centers = catalog.read(db, GraftCollection.ivfPqCentroids(coll))
       .select(col("centroid"), col("cell")).collect()
@@ -3345,10 +3374,10 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     val (gq, _, rr) = gateQueries(m, qarr, None)
     remapQueryIds(candMult match {
       case None => restoreStringIds(
-        graft.vector.IvfPq.searchStored(centers, pq, codes, gq, limit, nprobe,
+        graft.vector.IvfPq.searchStored(centers, pq, codes, gq, limit, np,
           cosineScores = m == "cosine"))
       case Some(c) => graft.vector.IvfPq.searchStoredRerank(centers, pq, codes,
-        df, idCol, vecCol, gq, limit, nprobe, c, nodeKey = nodeKeyOpt,
+        df, idCol, vecCol, gq, limit, np, c, nodeKey = nodeKeyOpt,
         rerank = rr)
     }, remap)
   }

@@ -149,6 +149,69 @@ object IvfIndex {
     centroidsDf.select(col("centroid").cast("array<double>"), col("cell").cast("int"))
       .collect().map(r => (r.getSeq[Double](0), r.getInt(1))).toSeq
 
+  /** EMPIRICAL default-nprobe calibration (r13 — the auto-ef
+    * recall-floor contract extended to the cell families): a FIXED
+    * default nprobe degrades silently as the auto-√N nlist grows with
+    * the corpus (measured on the driver embeddings at production
+    * nlist: nprobe=4 recall@10 reads 0.69 at 500 rows and 0.49 at
+    * 2000), and unlike ef no single formula fits — the right probe
+    * count is a property of the STORED corpus's cluster geometry
+    * (clustered cells cover neighborhoods at tiny nprobe, isotropic
+    * ones need ~nlist/2). So calibrate at rebuild time against the
+    * corpus itself: take `sampleQ` member queries (lowest ids —
+    * deterministic), compute their exact top-`k` over the corpus (one
+    * scan, the cellStats cost class), assign each true neighbor its
+    * cell through the SAME assignExpr as the encoder, and return the
+    * smallest nprobe whose mean TOP-K CELL COVERAGE (fraction of true
+    * neighbors whose cell ranks within the query's nprobe nearest
+    * cells) reaches `target`. Coverage bounds the serving recall from
+    * above and tracks it tightly (the candidate rescore inside probed
+    * cells is exact), and the whole calibration is sample-bounded:
+    * nothing corpus-sized reaches the driver. Persisted in index meta
+    * like ef_default; a rebuild recalibrates (the centroids' own
+    * staleness contract). */
+  def calibrateNprobe(data: DataFrame, idCol: String, vecCol: String,
+                      centers: Seq[(Array[Double], Int)], k: Int = 10,
+                      sampleQ: Int = 32, target: Double = 0.95): Int = {
+    val nlist = centers.length
+    if (nlist <= 1) return 1
+    val queries = data
+      .select(KnnSearch.idNorm(data, idCol).as("qid"), col(vecCol).as("qvec"))
+      .orderBy("qid").limit(sampleQ)
+    val gt = KnnSearch.topK(data, idCol, vecCol, queries, "qid", "qvec",
+      "l2", k)
+    // each true neighbor's cell via the encoder's own assignExpr — a
+    // different assignment rule could flip boundary rows (cellStats'
+    // rationale)
+    val pairs = centers.map { case (c, i) => (c.toSeq, i) }
+    val gtCells = gt.select(col("query_id"), col("id"))
+      .join(data.select(KnnSearch.idNorm(data, idCol).as("id"),
+        assignExpr(pairs, col(vecCol)).as("cell")), "id")
+      .select(col("query_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2) }
+    val qvecs = queries.select(col("qid").cast("long"),
+        col("qvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qvecs.isEmpty || gtCells.isEmpty) return 1
+    // per query: cells ranked by (distance, cell) — searchStored's own
+    // probe order — then the rank of each true neighbor's cell
+    val ranks: Array[Array[Int]] = qvecs.map { case (qid, qv) =>
+      val order = centers.map { case (c, cell) =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+        (d, cell)
+      }.sortBy(identity).map(_._2).zipWithIndex.toMap
+      gtCells.getOrElse(qid, Array.empty[Int]).map(order(_) + 1)
+    }
+    val total = ranks.map(_.length).sum.toDouble
+    if (total == 0) return 1
+    var np = 1
+    while (np < nlist &&
+        ranks.map(_.count(_ <= np)).sum / total < target) np += 1
+    np
+  }
+
   /** IVF search: prune to each query's `nprobe` nearest cells, exact
     * KNN within the union of those cells. */
   def search(model: Model, data: DataFrame, idCol: String, vecCol: String,

@@ -225,6 +225,56 @@ class Round13Spec extends SparkSpec {
       limit = 10, radius = Some(0.2))).contains("resid"))
   }
 
+  test("calibrated nprobe default: geometry-adaptive, recall-floored, overridable (the auto-ef contract on the cell axis)") {
+    val rnd = new scala.util.Random(167)
+    // ISOTROPIC corpus — the hard case where a fixed nprobe=4 at
+    // auto-sqrt(N) nlist measured 0.49 recall@10: the calibration must
+    // pick a probe count wide enough for the 0.95 coverage target
+    val iso: Seq[(Long, Seq[Double])] =
+      (0L until 600L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val isoColl = mkColl("npiso", iso)
+    isoColl.rebuildIvfSqIndex() // auto nlist = ceil(sqrt(600)) = 25
+    val nlist = isoColl.describe("index.ivfsq.nlist").toInt
+    val npIso = isoColl.describe("index.ivfsq.nprobe_default").toInt
+    assert(npIso > 4 && npIso <= nlist,
+      s"isotropic geometry must calibrate well above the old fixed 4 (got $npIso of $nlist)")
+
+    // the default-serve IS the calibrated count (same bytes as the
+    // explicit override at that value), and explicit nprobe overrides
+    val q = Seq((0L, iso(3)._2), (1L, iso(500)._2)).toDF("qid", "qvec")
+    val byDefault = isoColl.searchIvfSq(q, "qid", "qvec", limit = 10)
+      .collect().toSeq
+    assert(byDefault == isoColl.searchIvfSq(q, "qid", "qvec", limit = 10,
+      nprobe = npIso).collect().toSeq)
+    // recall floor vs the exact certificate route (member queries sit
+    // inside the calibration's coverage target)
+    val exact = isoColl.searchIvfSqExact(q, "qid", "qvec", limit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = byDefault.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.intersect(exact).size >= math.ceil(0.8 * exact.size).toInt,
+      s"calibrated-default recall floor: ${got.intersect(exact).size}/${exact.size}")
+
+    // CLUSTERED corpus — 8 tight clusters: neighborhoods live in one
+    // cell, so the calibration must pick a SMALL count (adaptive, not
+    // a fixed nlist ratio)
+    val clustered: Seq[(Long, Seq[Double])] =
+      (0L until 600L).map { i =>
+        val c = (i % 8).toInt
+        (i, Seq.tabulate(16)(d => (if (d == c * 2) 10.0 else 0.0) +
+          0.05 * rnd.nextGaussian()))
+      }
+    val cColl = mkColl("npclu", clustered)
+    cColl.rebuildIvfSqIndex()
+    val npClu = cColl.describe("index.ivfsq.nprobe_default").toInt
+    assert(npClu < npIso,
+      s"clustered geometry must calibrate below isotropic ($npClu vs $npIso)")
+
+    // IVF_PQ carries the same calibrated key
+    val pqColl = mkColl("npivfpq", iso)
+    pqColl.rebuildIvfPqIndex(m = 4, k = 16)
+    assert(pqColl.describe.contains("index.ivfpq.nprobe_default"))
+  }
+
   test("cosine-built quantized top-k serving: exact certificate + rerank arms rank in the stored metric") {
     val rnd = new scala.util.Random(157)
     val rows: Seq[(Long, Seq[Double])] =

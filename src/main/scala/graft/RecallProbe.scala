@@ -111,7 +111,13 @@ object RecallProbe {
           queries, "qid", "qvec", "l2", k, nprobe), gtL2))
     // ---- the CALIBRATED default probe count (r13 — the cell-axis
     // recall-floor contract): at PRODUCTION auto-√N nlist, the old
-    // fixed default 4 vs the rebuild-time calibration, per SF
+    // fixed default 4 vs the rebuild-time calibration, per SF.
+    // Evaluation is HELD-OUT (vec_id in [sampleQ, sampleQ + nQ) —
+    // disjoint from the 32 lowest-id queries the calibration fit; an
+    // in-sample recall row would be circular evidence for the floor
+    // claim — review finding). The calibration's internal exact-KNN
+    // scan is an accepted probe cost: one 32×N job per SF, the same
+    // class every rebuild pays.
     locally {
       val nlAuto = graft.api.GraftCollection.autoNlist(corpusN)
       val ivfAuto = IvfIndex.train(embs, "embedding", nlist = nlAuto,
@@ -120,12 +126,18 @@ object RecallProbe {
         .zipWithIndex.toSeq
       val npAuto = IvfIndex.calibrateNprobe(embs, "vec_id", "embedding",
         centersA)
-      emit("ivf_auto", s"nlist=$nlAuto nprobe=$npAuto (calibrated default)",
+      val qEval = embs.where(col("vec_id") >= 32 && col("vec_id") < (32 + nQ))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val gtEval = KnnSearch.topK(embs, "vec_id", "embedding", qEval,
+        "qid", "qvec", "l2", k).cache()
+      gtEval.count()
+      emit("ivf_auto", s"nlist=$nlAuto nprobe=$npAuto (calibrated default, held-out)",
         Recall.atK(IvfIndex.search(ivfAuto, embs, "vec_id", "embedding",
-          queries, "qid", "qvec", "l2", k, npAuto), gtL2))
-      emit("ivf_auto", s"nlist=$nlAuto nprobe=4 (old fixed default)",
+          qEval, "qid", "qvec", "l2", k, npAuto), gtEval))
+      emit("ivf_auto", s"nlist=$nlAuto nprobe=4 (old fixed default, held-out)",
         Recall.atK(IvfIndex.search(ivfAuto, embs, "vec_id", "embedding",
-          queries, "qid", "qvec", "l2", k, 4), gtL2))
+          qEval, "qid", "qvec", "l2", k, 4), gtEval))
+      gtEval.unpersist()
     }
 
     // ---- PQ (L2): codebook grid, ADC-only vs exact rerank ----------

@@ -2927,11 +2927,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                   candMult: Option[Int] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.ivfsq.nlist"), "no IVF_SQ8 index: run rebuildIvfSqIndex first")
-    // nprobe ≤ 0 (the default) serves at the CALIBRATED probe count
-    // persisted at rebuild (row 123's recall-floor contract on the
-    // cell axis — a fixed default degrades silently as auto-√N nlist
-    // grows); explicit nprobe is the caller's override, and legacy
-    // indexes without the key serve the historical 4
+    // nprobe = 0 (the default) is the DOCUMENTED sentinel for the
+    // CALIBRATED probe count persisted at rebuild (row 127's
+    // recall-floor contract on the cell axis — a fixed default
+    // degrades silently as auto-√N nlist grows); explicit positive
+    // nprobe is the caller's override, legacy indexes without the key
+    // serve the historical 4, and negatives are rejected rather than
+    // silently aliased onto the sentinel (the nlist ≤ 0 convention)
+    require(nprobe >= 0, s"nprobe=$nprobe (0 = the calibrated default)")
     val np = if (nprobe > 0) nprobe
              else meta.get("index.ivfsq.nprobe_default").map(_.toInt).getOrElse(4)
     val sq = sqModelFromMeta(meta)
@@ -3356,9 +3359,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
                   candMult: Option[Int] = None): DataFrame = {
     val meta = describe
     require(meta.contains("index.ivfpq.nlist"), "no IVF_PQ index: run rebuildIvfPqIndex first")
-    // nprobe ≤ 0 = the CALIBRATED default persisted at rebuild
-    // (searchIvfSq's contract); explicit nprobe overrides, legacy
-    // indexes serve the historical 4
+    // nprobe = 0 sentinel = the CALIBRATED default persisted at
+    // rebuild (searchIvfSq's contract, negatives rejected there too)
+    require(nprobe >= 0, s"nprobe=$nprobe (0 = the calibrated default)")
     val np = if (nprobe > 0) nprobe
              else meta.get("index.ivfpq.nprobe_default").map(_.toInt).getOrElse(4)
     val pq = pqModelFromMeta(meta, "index.ivfpq", GraftCollection.ivfPqCodebooks(coll))

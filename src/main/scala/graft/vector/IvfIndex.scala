@@ -173,35 +173,43 @@ object IvfIndex {
   def calibrateNprobe(data: DataFrame, idCol: String, vecCol: String,
                       centers: Seq[(Array[Double], Int)], k: Int = 10,
                       sampleQ: Int = 32, target: Double = 0.95): Int = {
+    // build-time numeric-id contract, like the encoders: string-PK
+    // collections calibrate over the surrogate-keyed frame (indexKeyed
+    // supplies it at every GraftClient call site) — idNorm would keep
+    // a string qid and crash the driver-side collect below
+    require(data.schema(idCol).dataType != org.apache.spark.sql.types.StringType,
+      "calibrateNprobe keys by numeric id: string-PK collections " +
+        "calibrate over a numeric surrogate column (the client derives xxhash64(id))")
     val nlist = centers.length
     if (nlist <= 1) return 1
     val queries = data
-      .select(KnnSearch.idNorm(data, idCol).as("qid"), col(vecCol).as("qvec"))
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qvec"))
       .orderBy("qid").limit(sampleQ)
+    // each member query's OWN row sits at distance 0 with its cell at
+    // probe rank 1 by construction — free coverage that would dilute
+    // the target by 1/k; exclude it so the 0.95 applies to GENUINE
+    // neighbors (review finding)
     val gt = KnnSearch.topK(data, idCol, vecCol, queries, "qid", "qvec",
-      "l2", k)
+        "l2", k)
+      .where(col("id") =!= col("query_id"))
     // each true neighbor's cell via the encoder's own assignExpr — a
     // different assignment rule could flip boundary rows (cellStats'
     // rationale)
     val pairs = centers.map { case (c, i) => (c.toSeq, i) }
     val gtCells = gt.select(col("query_id"), col("id"))
-      .join(data.select(KnnSearch.idNorm(data, idCol).as("id"),
+      .join(data.select(col(idCol).cast("long").as("id"),
         assignExpr(pairs, col(vecCol)).as("cell")), "id")
       .select(col("query_id"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getInt(1)))
       .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2) }
-    val qvecs = queries.select(col("qid").cast("long"),
+    val qvecs = queries.select(col("qid"),
         col("qvec").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (qvecs.isEmpty || gtCells.isEmpty) return 1
-    // per query: cells ranked by (distance, cell) — searchStored's own
-    // probe order — then the rank of each true neighbor's cell
+    // per query: cells ranked by the shared probe order, then the rank
+    // of each true neighbor's cell
     val ranks: Array[Array[Int]] = qvecs.map { case (qid, qv) =>
-      val order = centers.map { case (c, cell) =>
-        var d = 0.0; var i = 0
-        while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
-        (d, cell)
-      }.sortBy(identity).map(_._2).zipWithIndex.toMap
+      val order = probeOrder(centers, qv).zipWithIndex.toMap
       gtCells.getOrElse(qid, Array.empty[Int]).map(order(_) + 1)
     }
     val total = ranks.map(_.length).sum.toDouble
@@ -211,6 +219,20 @@ object IvfIndex {
         ranks.map(_.count(_ <= np)).sum / total < target) np += 1
     np
   }
+
+  /** Cells in probe order for one query: squared-L2 to each centroid,
+    * ranked by (distance, cell) — ONE definition of the probe
+    * tie-break ([[IvfPq.searchStored]], [[IvfSq.searchStored]] and
+    * [[calibrateNprobe]] all rank through this; a divergent loop could
+    * flip a boundary tiebreak and make the calibration measure a
+    * different route than the one that serves). */
+  private[vector] def probeOrder(centers: Seq[(Array[Double], Int)],
+                                 qv: Array[Double]): Seq[Int] =
+    centers.map { case (c, cell) =>
+      var d = 0.0; var i = 0
+      while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
+      (d, cell)
+    }.sortBy(identity).map(_._2)
 
   /** IVF search: prune to each query's `nprobe` nearest cells, exact
     * KNN within the union of those cells. */

@@ -498,15 +498,11 @@ object IvfSq {
     val spark = encoded.sparkSession
     import spark.implicits._
 
-    // driver-side probe ranking: queries and centroids are both tiny
+    // driver-side probe ranking (queries and centroids are both tiny)
+    // through the ONE probe-order definition (IvfIndex.probeOrder —
+    // shared with IVF_PQ serving and the nprobe calibration)
     val probes = queries.toSeq.flatMap { case (qid, qv) =>
-      centers.map { case (c, cell) =>
-        var d = 0.0
-        var i = 0
-        while (i < qv.length) { val df = qv(i) - c(i); d += df * df; i += 1 }
-        (qid, cell, d)
-      }.sortBy { case (_, cell, d) => (d, cell) }.take(nprobe)
-        .map { case (q, cell, _) => (q, cell) }
+      IvfIndex.probeOrder(centers, qv).take(nprobe).map(cell => (qid, cell))
     }
     val probesDf = probes.toDF("query_id", "cell")
 

@@ -134,10 +134,33 @@ object Bench {
     val runTotals = runs.map(run => r3(names.map(run(_)).sum))
     val runsSpread = r3(runTotals.max / math.max(runTotals.min, 1e-9))
     val pressureFlag = runsSpread > 1.7
+    // r13 verdict #6: a flagged run set must never HEADLINE a
+    // certification — when the flag fires, the summary's min/mean/
+    // median are recomputed over the CLEAN runs only (runs whose wall
+    // total is within the 1.7 envelope of the fastest; the pressured
+    // outlier is a co-tenant artifact, not a measurement of this
+    // code), the raw 3-run totals stay in run_totals for forensics,
+    // and headline_basis says exactly what the numbers are drawn
+    // from. An unflagged set is byte-identical to the historical
+    // output (basis "all_runs").
+    val cleanIdx = runTotals.zipWithIndex
+      .filter(_._1 <= runTotals.min * 1.7).map(_._2)
+    val cleanRuns = cleanIdx.map(runs(_))
+    val (minQ2, meanQ2, medQ2, basis) =
+      if (!pressureFlag || cleanRuns.isEmpty) (minQ, meanQ, medQ, "all_runs")
+      else (
+        names.map(n => n -> cleanRuns.map(_(n)).min),
+        names.map(n => n -> cleanRuns.map(_(n)).sum / cleanRuns.length),
+        names.map(n => n -> cleanRuns.map(_(n)).sorted.apply(cleanRuns.length / 2)),
+        s"clean_runs(${cleanRuns.length}of${runs.length})")
     val pressureJs =
       s""""run_totals":[${runTotals.mkString(",")}],""" +
       s""""load_avg":[${loadAvgs.map(r3).mkString(",")}],""" +
-      s""""runs_spread":$runsSpread,"pressure_flag":$pressureFlag"""
+      s""""runs_spread":$runsSpread,"pressure_flag":$pressureFlag,""" +
+      s""""headline_basis":"$basis""""
+    val minTotal2 = r3(minQ2.map(_._2).sum)
+    val meanTotal2 = r3(meanQ2.map(_._2).sum)
+    val medTotal2 = r3(medQ2.map(_._2).sum)
 
     // full per-run detail to a file (the stdout line must stay compact:
     // the driver captures a bounded TAIL of stdout, and r5's long line
@@ -155,7 +178,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    println(s"""{"metric":"total","value":$minTotal,"unit":"sec","queries":${js(minQ ++ maint)},"mean_total":$meanTotal,"median_total":$medTotal,"runs":3,$pressureJs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$minTotal2,"unit":"sec","queries":${js(minQ2 ++ maint)},"mean_total":$meanTotal2,"median_total":$medTotal2,"runs":3,$pressureJs,"sf":"$sfDir"}""")
 
     // The driver captures a bounded 2000-char TAIL of stdout (which
     // also swallows sbt's trailing "[success]" line) and parses the
@@ -167,9 +190,9 @@ object Bench {
     // omitted here is in the full line above and BENCH_DETAIL.json.
     val budget = 1600
     val maintJs = js(maint)
-    val head = s"""{"metric":"total","value":$minTotal,"unit":"sec","mean_total":$meanTotal,"median_total":$medTotal,"runs":3,$pressureJs,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
+    val head = s"""{"metric":"total","value":$minTotal2,"unit":"sec","mean_total":$meanTotal2,"median_total":$medTotal2,"runs":3,$pressureJs,"sf":"$sfDir","maintenance":$maintJs,"detail":"BENCH_DETAIL.json","queries":{"""
     val tail2 = s"},\"queries_total\":${names.length}}"
-    val slowest = minQ.sortBy(-_._2)
+    val slowest = minQ2.sortBy(-_._2)
     val sb = new StringBuilder(head)
     var first = true
     slowest.foreach { case (n, v) =>
@@ -375,6 +398,54 @@ object Bench {
     } catch { case _: Throwable =>
       Seq("m_bq_upsert_live_1x" -> -1.0, "m_bq_rebuild_1x" -> -1.0,
           "m_bq_upsert_live_8x" -> -1.0, "m_bq_rebuild_8x" -> -1.0)
+    }
+  }
+
+  /** Rebuild cost accounting for the stacked r13 steps (r13 verdict
+    * #5): the IVF_SQ8 rebuild now pays gate-space projection +
+    * cellStats + nprobe CALIBRATION — this times the full
+    * rebuildIvfSqIndex at 1× and 8× corpus, plus the calibration step
+    * ALONE at each scale (centers retrained untimed, isolating the
+    * calibrate call's own sample-bounded exact-KNN job), so §7 can
+    * show the calibration's share stays bounded as the corpus grows.
+    * MaintProbe family "rebuild"; deliberately NOT in the bench's
+    * default maintenance set — a full 8× quantized rebuild would
+    * stretch every bench run for a number that only moves when the
+    * rebuild path changes. */
+  private[graft] def rebuildCostOps(spark: SparkSession,
+                                    sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def freshClient() = new graft.api.GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-bench-rebuild").toString)
+      .createDatabase("bench")
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vector"))
+    // warm the train/encode/cellStats/calibrate path once (JIT + MLlib
+    // init — the index arm's lesson)
+    locally {
+      val warm = freshClient().createCollection("rwarm")
+      warm.upsert(base.limit(500))
+      warm.rebuildIvfSqIndex()
+    }
+    Seq(1, 8).flatMap { mult =>
+      val coll = freshClient().createCollection(s"r${mult}x")
+      val docs = (0 until mult).map(i =>
+          base.select((col("id") + lit(i * 1000000L)).as("id"), col("vector")))
+        .reduce(_ unionAll _)
+      coll.upsert(docs) // untimed: initial corpus load
+      val t0 = System.nanoTime()
+      coll.rebuildIvfSqIndex() // auto nlist, auto calibration — the prod path
+      val tRebuild = (System.nanoTime() - t0) / 1e9
+      val data = docs.select(col("id").as("vec_id"), col("vector").as("embedding"))
+      val model = graft.vector.IvfIndex.train(data, "embedding",
+        graft.api.GraftCollection.autoNlist(docs.count()))
+      val centers = model.kmeans.clusterCenters.map(_.toArray).zipWithIndex.toSeq
+      val t1 = System.nanoTime()
+      graft.vector.IvfIndex.calibrateNprobe(data, "vec_id", "embedding", centers)
+      val tCal = (System.nanoTime() - t1) / 1e9
+      Seq(s"m_ivfsq_rebuild_${mult}x" -> tRebuild,
+          s"m_ivfsq_calibrate_${mult}x" -> tCal)
     }
   }
 

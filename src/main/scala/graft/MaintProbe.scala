@@ -10,8 +10,9 @@ package graft
   * hypothesis) from a real plan regression (a diagnosis).
   *
   * Usage: runMain graft.MaintProbe [sfDir] [passes] [family]
-  * family ∈ all|model|index|vector|w2v (default model — the r11
-  * regression arm). */
+  * family ∈ all|model|index|vector|w2v|rebuild (default model — the
+  * r11 regression arm; "rebuild" = the r14 IVF_SQ8 rebuild/calibration
+  * cost pair at 1× vs 8×). */
 object MaintProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,6 +31,7 @@ object MaintProbe {
       case "index" => Bench.maintenanceOps(spark, sfDir)
       case "vector" => Bench.vectorMaintenanceOps(spark, sfDir)
       case "w2v" => Bench.w2vMaintenanceOps(spark, sfDir)
+      case "rebuild" => Bench.rebuildCostOps(spark, sfDir)
       case "all" => Bench.maintenanceOps(spark, sfDir) ++
         Bench.modelMaintenanceOps(spark, sfDir) ++
         Bench.vectorMaintenanceOps(spark, sfDir) ++
@@ -38,7 +40,7 @@ object MaintProbe {
       // the typo stamped on the output — this is a bisect tool, and a
       // mislabeled row sends the investigation the wrong way
       case other => throw new IllegalArgumentException(
-        s"unknown family '$other' (expected all|model|index|vector|w2v)")
+        s"unknown family '$other' (expected all|model|index|vector|w2v|rebuild)")
     }
     (1 to passes).foreach { i =>
       val kvs = ops()

@@ -139,7 +139,9 @@ object ProbeUtil {
         .select("query_id", "grp", "id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       emit(s"limit=3 groupSize=4 ef=$ef",
-        (exactPage & beamPage).size.toDouble / exactPage.size)
+        // max(size, 1): a degenerate empty exact page must emit 0.0,
+        // not NaN, into the probe JSON (the diversityLadders guard)
+        (exactPage & beamPage).size.toDouble / math.max(exactPage.size, 1))
     }
     if (prebuilt.isEmpty) hnswD.unpersist()
   }

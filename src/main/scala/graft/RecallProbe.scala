@@ -689,6 +689,56 @@ object RecallProbe {
       Seq(0.25, 0.5, 1.0, -1.0),
       (geo, config, v) => emit(s"sq_radius_cells_$geo", config, v))
 
+    // ---- hybrid + chunk DERIVED default beams (r13 weak → r14) ------
+    // The row-123 ef_default contract now covers the last two serving
+    // routes that hard-coded a fixed beam of 10: hybrid's unfiltered
+    // dense arm and the chunk graph. These rows measure, through the
+    // CLIENT routes, what the no-ef default recovers of the exhaustive
+    // page — the ≥ 0.9 floor claim — with the old fixed 10 alongside.
+    locally {
+      val docs = Tables.documents(spark, sfDir)
+      val hroot = java.nio.file.Files.createTempDirectory("graft-probe-hybef").toString
+      val hcoll = new graft.api.GraftClient(spark, hroot)
+        .createDatabase("p").createCollection("h")
+      hcoll.upsert(docs.select(col("doc_id").as("id"), col("text"))
+        .join(embs.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vector")), "id"))
+      hcoll.rebuildHnswIndex(m = 8, efConstruction = 64, numSegments = 4)
+      val kw = Seq("spark", "data", "query")
+      val autoEf = hcoll.describe("index.hnsw.ef_default").toInt
+      val hq = queries.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      def page(ef: Option[Int]): Set[(Long, String)] =
+        hcoll.hybridSearch(hq, "qid", "qvec", kw, limit = k, ef = ef)
+          .select("query_id", "id").collect()
+          .map(r => (r.getLong(0), r.get(1).toString)).toSet
+      val exact = page(Some(Int.MaxValue))
+      emit("hybrid_auto", s"no-ef (derived ef=$autoEf) vs exhaustive",
+        (page(None) & exact).size.toDouble / math.max(exact.size, 1))
+      emit("hybrid_auto", "fixed ef=10 (old default) vs exhaustive",
+        (page(Some(10)) & exact).size.toDouble / math.max(exact.size, 1))
+
+      val vroot = java.nio.file.Files.createTempDirectory("graft-probe-chunkef").toString
+      val view = new graft.api.GraftClient(spark, vroot)
+        .createDatabase("p").createCollectionView("docs")
+      view.uploadFiles(docs.select(
+        concat(lit("d"), col("doc_id"), lit(".md")).as("file_name"),
+        encode(col("text"), "UTF-8").as("content")))
+      view.rebuildChunkGraph()
+      val chunkEf = view.chunkGraphMeta("index.hnsw.default_ef").toInt
+      val contents = docs.orderBy("doc_id").limit(8).collect()
+        .map(_.getAs[String]("text").split(" ").take(5).mkString(" "))
+      def chunkPage(ef: Option[Int]): Set[(Int, String, String)] =
+        contents.zipWithIndex.flatMap { case (c, qi) =>
+          view.search(c, limit = k, ef = ef).collect()
+            .map(r => (qi, r.getString(1), r.get(2).toString))
+        }.toSet
+      val chunkExact = chunkPage(Some(Int.MaxValue))
+      emit("chunk_auto", s"no-ef (derived ef=$chunkEf) vs exhaustive",
+        (chunkPage(None) & chunkExact).size.toDouble / math.max(chunkExact.size, 1))
+      emit("chunk_auto", "fixed ef=10 (old default) vs exhaustive",
+        (chunkPage(Some(10)) & chunkExact).size.toDouble / math.max(chunkExact.size, 1))
+    }
+
     val qs = results.map { case (f, c, r) =>
       "\"" + f + " " + c + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
     println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":$nQ,"sf":"$sfDir","results":$qs}""")

@@ -740,6 +740,25 @@ object SparkEntry {
       IvfIndex.buildStats(model, embs, "embedding")
     }),
 
+    "q_ivf_assign" -> ((s, dir) => {
+      // the ORACLED half of the IVF build family (the q_bpe_apply
+      // artifact-as-fixture device on the index side): Lloyd's itself
+      // is not SQL, but the ASSIGNMENT against persisted centroids is
+      // — assignExpr's argmin-by-(distance, cell) replays as a window
+      // over the centroid cross join (bounded: nlist rows per vector).
+      // The centroids are genuinely trained (IvfIndex.train over the
+      // pinned input), persisted, read back here; Round14Spec pins
+      // trained == the oracle's inlined VALUES, so training drift
+      // fails the spec before it can desync the oracle.
+      val cents = ivfAssignCentroidsFor(s).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        .map { case (cell, c) => (c, cell) }.toSeq
+      Tables.embeddings(s, dir).select(col("vec_id"),
+          graft.vector.IvfIndex.assignExpr(cents,
+            col("embedding").cast("array<double>")).as("cell"))
+        .orderBy("vec_id")
+    }),
+
     "q_pq_search" -> ((s, dir) => {
       // PQ codes -> ADC candidate scan -> exact rerank of the sliver.
       // Codebooks + codes are persisted ingest artifacts (pqbooks /
@@ -1634,6 +1653,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_quality_score" -> ((s, dir) => {
+      // the ORACLED member of the learned-quality family (r14): the
+      // SAME HashingTF-counts → dot → decision serving as
+      // q_quality_classifier, from a PERSISTED micro-quantized (idx,
+      // w6) artifact whose training corpus is pinned — the weights are
+      // integer micro units (the NgramLm micro-nat discipline), so the
+      // dot product is order-independent integer arithmetic and the
+      // output stays in LOGIT domain (sign = the P ≥ 0.5 decision; the
+      // lone exp() never runs in the certified path, the same device
+      // that serves nll instead of perplexity). The DuckDB oracle
+      // replays it token-level: Σ over token instances of
+      // w6(bucket(token)), with the 31-token corpus vocabulary's
+      // bucket weights inlined as VALUES (collisions are harmless —
+      // colliding tokens share a bucket weight on both sides).
+      // QualityClassifierSpec pins quantize(train(pinned)) == the
+      // inlined map. The L-BFGS fit (q_quality_classifier) stays
+      // rows-only by design.
+      graft.ops.QualityClassifier.scoreLogitMicro(
+          qcMicroModelFor(s), Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_rare_bigrams" -> ((s, dir) => {
       // corpus-conditioned fluency scoring (the n-gram-LM quality
       // proxy, integer-exact): rare = corpus P(bigram) <= 1/20000,
@@ -1882,6 +1923,20 @@ object SparkEntry {
       // now DuckDB-oracled through the codec like q_multimodal.
       Multimodal.frameStats(
           Multimodal.plantFramePng(Tables.documents(s, dir), "doc_id"),
+          everyN = 2, maxFrames = 8).toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "q_gif_frames" -> ((s, dir) => {
+      // frame sampling over a REAL multi-frame CONTAINER (r14): each
+      // document plants a genuine animated GIF (2+id%3 frames,
+      // identity-gray palette = lossless), the sampler discovers the
+      // frame count FROM THE FILE (ImageReader.getNumImages) and
+      // decodes every 2nd frame via read(i) — the q_frame_sample
+      // contract with the one-file-many-frames geometry no longer
+      // simulated by a stacking convention.
+      Multimodal.gifFrameStats(
+          Multimodal.plantGif(Tables.documents(s, dir), "doc_id"),
           everyN = 2, maxFrames = 8).toDF()
         .orderBy("doc_id", "frame_idx")
     })
@@ -2275,6 +2330,204 @@ object SparkEntry {
         .map(p => (p.piece, p.logpMicro, p.pieceId)).toSeq
         .toDF("piece", "logp_micro", "piece_id")
     }
+
+  /** Pinned synthetic training vectors behind [[ivfAssignCentroidsFor]]
+    * — 64 deterministic dim-64 vectors (an integer formula over
+    * (i, j), scaled into the embeddings tables' own ≈[−0.5, 0.5]
+    * range so the assignment over the real corpus lands across many
+    * cells), constant across SFs so the trained centroid table is a
+    * constant the q_ivf_assign oracle can inline as VALUES. Single
+    * partition: k-means'' init and the Lloyd's aggregations are
+    * order-deterministic only with a fixed partitioning. */
+  private[graft] def ivfAssignTrainInput(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 64).map { i =>
+      (i.toLong, (0 until 64).map(j => ((i * 31 + j * 17) % 97) / 96.0 - 0.5))
+    }.toDF("id", "vec").coalesce(1)
+  }
+
+  /** Persisted centroid table of the pinned input — the oracled member
+    * of the IVF build family (genuinely trained, persisted, read back
+    * by the assignment; Round14Spec pins trained == the oracle's
+    * inlined rows). */
+  private[graft] def ivfAssignCentroidsFor(s: SparkSession): DataFrame =
+    graft.catalog.IndexStore.ensure(s, "ivfassigncent") {
+      IvfIndex.centroids(
+        IvfIndex.train(ivfAssignTrainInput(s), "vec", nlist = 8, maxIter = 20), s)
+    }
+
+  /** The PINNED weak-labeled micro-corpus behind [[qcMicroModelFor]] —
+    * 12 docs over the documents tables' own 31-token vocabulary with
+    * fixed 0/1 labels, so the trained classifier is a CONSTANT across
+    * SFs and the q_quality_score oracle can inline the vocabulary's
+    * bucket weights as VALUES. */
+  private[graft] val QcScoreCorpus: Seq[(String, Double)] = Seq(
+    ("spark data query window scan", 1.0),
+    ("join filter group agg table", 1.0),
+    ("vector stream batch merge sort", 1.0),
+    ("fast big column row value", 1.0),
+    ("customer order hash small spark", 1.0),
+    ("key line part merge query", 1.0),
+    ("dup dup dup dup dup", 0.0),
+    ("slow slow slow slow slow", 0.0),
+    ("dup slow dup slow dup", 0.0),
+    ("a a a a a", 0.0),
+    ("the the the the the", 0.0),
+    ("dup a slow the dup", 0.0))
+
+  private[graft] val QcNumFeatures = 256
+
+  /** Persisted micro-quantized quality model of the pinned corpus
+    * (idx, w6) — genuinely trained (the same L-BFGS as
+    * q_quality_classifier's model), quantized once to micro units,
+    * persisted, read back by the scorer. */
+  private[graft] def qcMicroModelFor(s: SparkSession): graft.ops.QualityClassifier.ModelMicro = {
+    val df = graft.catalog.IndexStore.ensure(s, "qcmicro") {
+      import s.implicits._
+      graft.ops.QualityClassifier.modelMicroDf(
+        graft.ops.QualityClassifier.quantize(
+          graft.ops.QualityClassifier.train(
+            QcScoreCorpus.toDF("text", "__label").coalesce(1),
+            "text", "__label", QcNumFeatures)), s)
+    }
+    graft.ops.QualityClassifier.modelMicroFromDf(df, QcNumFeatures)
+  }
+
+  /** The PINNED trained values of [[ivfAssignCentroidsFor]] — the rows
+    * the q_ivf_assign oracle inlines as VALUES. Round14Spec pins
+    * trained == these exactly (training drift fails the spec before it
+    * can desync the oracle); FixturePrint regenerates them. Spelled as
+    * Double.toString's shortest round-trip repr, which DuckDB's
+    * correctly-rounded strtod parses back to the identical double. */
+  private[graft] val IvfAssignCentroids: Array[(Int, Array[Double])] = Array(
+    (0, Array(
+      0.41015625, -0.42317708333333337, -0.24609375, -0.06901041666666666, 0.10807291666666667,
+      0.28515625, 0.3359375, -0.37109375, -0.19401041666666666, -0.01692708333333333,
+      0.16015625, 0.3372395833333333, -0.1171875, -0.3190104166666667, -0.14192708333333334,
+      0.03515624999999999, 0.21223958333333331, 0.3893229166666667, -0.44401041666666663, -0.2669270833333333,
+      -0.08984375, 0.08723958333333333, 0.2643229166666667, 0.44140625, -0.39192708333333337,
+      -0.21484375, -0.03776041666666667, 0.13932291666666669, 0.31640625, 0.11458333333333334,
+      -0.33984375, -0.16276041666666666, 0.014322916666666671, 0.19140625, 0.3684895833333333,
+      -0.3385416666666667, -0.2877604166666667, -0.11067708333333334, 0.06640625, 0.24348958333333331,
+      0.4205729166666667, -0.41276041666666663, -0.23567708333333331, -0.05859375, 0.11848958333333333,
+      0.2955729166666667, 0.22005208333333331, -0.36067708333333337, -0.18359375, -0.006510416666666678,
+      0.17057291666666669, 0.34765625, -0.10677083333333333, -0.30859375, -0.13151041666666666,
+      0.04557291666666667, 0.22265625, 0.3997395833333333, -0.43359375, -0.25651041666666663,
+      -0.07942708333333334, 0.09765625, 0.2747395833333333, 0.4518229166666667)),
+    (1, Array(
+      0.07291666666666666, 0.25, 0.4270833333333333, -0.40625000000000006, -0.22916666666666666,
+      -0.05208333333333333, 0.125, 0.3020833333333333, 0.1423611111111111, -0.35416666666666663,
+      -0.17708333333333331, 0.0, 0.17708333333333331, 0.35416666666666663, -0.14236111111111108,
+      -0.3020833333333333, -0.125, 0.05208333333333333, 0.22916666666666666, 0.40625,
+      -0.4270833333333333, -0.25, -0.07291666666666666, 0.10416666666666666, 0.28125,
+      0.20572916666666666, -0.37500000000000006, -0.19791666666666666, -0.020833333333333336, 0.15625,
+      0.3333333333333333, 0.005208333333333343, -0.32291666666666663, -0.14583333333333331, 0.03125,
+      0.20833333333333331, 0.38541666666666663, -0.27951388888888884, -0.2708333333333333, -0.09375,
+      0.08333333333333333, 0.26041666666666663, 0.35329861111111105, -0.3958333333333333, -0.21875,
+      -0.041666666666666664, 0.13541666666666666, 0.3125, 0.06857638888888888, -0.34375,
+      -0.16666666666666666, 0.010416666666666666, 0.1875, 0.3645833333333333, -0.21614583333333331,
+      -0.29166666666666663, -0.11458333333333333, 0.0625, 0.23958333333333331, 0.41666666666666663,
+      -0.41666666666666663, -0.23958333333333331, -0.0625, 0.11458333333333333)),
+    (2, Array(
+      -0.2222222222222222, -0.04513888888888888, 0.13194444444444442, 0.30902777777777773, 0.14930555555555552,
+      -0.3472222222222222, -0.17013888888888887, 0.0069444444444444284, 0.1840277777777778, 0.36111111111111105,
+      -0.3038194444444444, -0.2951388888888889, -0.11805555555555554, 0.05902777777777779, 0.23611111111111108,
+      0.4131944444444444, -0.4201388888888889, -0.2430555555555555, -0.06597222222222222, 0.1111111111111111,
+      0.2881944444444444, 0.4652777777777778, -0.3680555555555556, -0.19097222222222224, -0.013888888888888885,
+      0.16319444444444442, 0.3402777777777778, -0.15625, -0.3159722222222222, -0.13888888888888887,
+      0.038194444444444434, 0.21527777777777773, 0.39236111111111105, -0.4409722222222222, -0.26388888888888884,
+      -0.08680555555555554, 0.09027777777777779, 0.26736111111111105, 0.4444444444444444, -0.38888888888888884,
+      -0.21180555555555552, -0.034722222222222224, 0.1423611111111111, 0.3194444444444444, 0.1597222222222222,
+      -0.3368055555555556, -0.1597222222222222, 0.017361111111111112, 0.19444444444444442, 0.3715277777777778,
+      -0.46180555555555547, -0.2847222222222222, -0.10763888888888887, 0.06944444444444443, 0.24652777777777773,
+      0.42361111111111105, -0.4097222222222222, -0.23263888888888887, -0.05555555555555555, 0.12152777777777779,
+      0.29861111111111105, 0.30729166666666663, -0.3576388888888889, -0.18055555555555552)),
+    (3, Array(
+      -0.1388888888888889, -0.2986111111111111, -0.12152777777777778, 0.055555555555555546, 0.23263888888888887,
+      0.4097222222222222, -0.4236111111111111, -0.24652777777777776, -0.06944444444444445, 0.10763888888888888,
+      0.2847222222222222, 0.2372685185185185, -0.37152777777777773, -0.19444444444444442, -0.017361111111111105,
+      0.1597222222222222, 0.3368055555555555, -0.047453703703703706, -0.3194444444444444, -0.1423611111111111,
+      0.03472222222222222, 0.21180555555555555, 0.38888888888888884, -0.33217592592592593, -0.2673611111111111,
+      -0.09027777777777778, 0.08680555555555555, 0.2638888888888889, 0.3287037037037037, -0.3923611111111111,
+      -0.21527777777777776, -0.038194444444444454, 0.1388888888888889, 0.3159722222222222, 0.15625,
+      -0.34027777777777773, -0.16319444444444445, 0.013888888888888895, 0.1909722222222222, 0.3680555555555555,
+      -0.24074074074074076, -0.2881944444444444, -0.1111111111111111, 0.06597222222222222, 0.24305555555555555,
+      0.42013888888888884, -0.4131944444444444, -0.2361111111111111, -0.059027777777777776, 0.11805555555555555,
+      0.2951388888888889, 0.13541666666666666, -0.3611111111111111, -0.18402777777777776, -0.006944444444444456,
+      0.17013888888888887, 0.3472222222222222, -0.03703703703703704, -0.30902777777777773, -0.13194444444444445,
+      0.045138888888888895, 0.2222222222222222, 0.3993055555555555, -0.4340277777777777)),
+    (4, Array(
+      -0.09837962962962961, 0.0787037037037037, 0.25578703703703703, 0.3206018518518518, -0.4004629629629629,
+      -0.22337962962962965, -0.04629629629629629, 0.13078703703703703, 0.3078703703703703, 0.03587962962962962,
+      -0.34837962962962965, -0.1712962962962963, 0.005787037037037029, 0.18287037037037032, 0.3599537037037037,
+      -0.13657407407407404, -0.2962962962962963, -0.11921296296296297, 0.05787037037037036, 0.23495370370370372,
+      0.41203703703703703, -0.4212962962962963, -0.24421296296296294, -0.06712962962962964, 0.1099537037037037,
+      0.28703703703703703, 0.23958333333333326, -0.3692129629629629, -0.19212962962962962, -0.015046296296296292,
+      0.16203703703703703, 0.3391203703703703, -0.045138888888888874, -0.3171296296296296, -0.1400462962962963,
+      0.037037037037037035, 0.21412037037037032, 0.3912037037037037, -0.3298611111111111, -0.2650462962962963,
+      -0.08796296296296297, 0.08912037037037036, 0.2662037037037037, 0.21875, -0.3900462962962963,
+      -0.21296296296296294, -0.03587962962962963, 0.14120370370370372, 0.31828703703703703, 0.04629629629629629,
+      -0.3379629629629629, -0.1608796296296296, 0.0162037037037037, 0.19328703703703703, 0.3703703703703703,
+      -0.12615740740740738, -0.28587962962962965, -0.1087962962962963, 0.06828703703703702, 0.24537037037037032,
+      0.4224537037037037, -0.41087962962962965, -0.23379629629629628, -0.056712962962962965)),
+    (5, Array(
+      0.31875000000000003, 0.09166666666666666, -0.3375, -0.16041666666666665, 0.016666666666666663,
+      0.19375, 0.37083333333333335, -0.4625, -0.2854166666666667, -0.10833333333333335,
+      0.06875, 0.24583333333333332, 0.4229166666666667, -0.41041666666666665, -0.2333333333333333,
+      -0.05625, 0.12083333333333333, 0.2979166666666667, 0.47500000000000003, -0.3583333333333334,
+      -0.18125000000000002, -0.004166666666666663, 0.1729166666666667, 0.35000000000000003, -0.28125,
+      -0.30625, -0.12916666666666665, 0.04791666666666668, 0.225, 0.40208333333333335,
+      -0.43125, -0.25416666666666665, -0.07708333333333334, 0.1, 0.2770833333333333,
+      0.4541666666666667, -0.3791666666666667, -0.20208333333333336, -0.025, 0.15208333333333335,
+      0.3291666666666667, -0.1, -0.32708333333333334, -0.15000000000000002, 0.027083333333333327,
+      0.20416666666666672, 0.38125000000000003, -0.45208333333333334, -0.275, -0.09791666666666667,
+      0.07916666666666668, 0.25625000000000003, 0.43333333333333335, -0.4, -0.22291666666666665,
+      -0.04583333333333334, 0.13125, 0.30833333333333335, 0.2833333333333334, -0.3479166666666667,
+      -0.17083333333333336, 0.00625, 0.18333333333333335, 0.3604166666666667)),
+    (6, Array(
+      0.21354166666666666, 0.390625, -0.4427083333333333, -0.265625, -0.08854166666666666,
+      0.08854166666666666, 0.265625, 0.4427083333333333, -0.390625, -0.21354166666666666,
+      -0.03645833333333334, 0.140625, 0.3177083333333333, 0.1579861111111111, -0.33854166666666663,
+      -0.16145833333333331, 0.015625000000000007, 0.19270833333333331, 0.36979166666666663, -0.29513888888888884,
+      -0.2864583333333333, -0.109375, 0.06770833333333333, 0.24479166666666666, 0.421875,
+      -0.4114583333333333, -0.234375, -0.057291666666666664, 0.11979166666666666, 0.296875,
+      0.1371527777777778, -0.359375, -0.18229166666666666, -0.005208333333333343, 0.171875,
+      0.3489583333333333, -0.14756944444444442, -0.30729166666666663, -0.13020833333333331, 0.046875,
+      0.22395833333333331, 0.40104166666666663, -0.4322916666666666, -0.2552083333333333, -0.078125,
+      0.09895833333333333, 0.27604166666666663, 0.453125, -0.3802083333333333, -0.203125,
+      -0.026041666666666664, 0.15104166666666666, 0.328125, 1.850371707708594E-17, -0.328125,
+      -0.15104166666666666, 0.026041666666666664, 0.203125, 0.3802083333333333, -0.453125,
+      -0.27604166666666663, -0.09895833333333333, 0.078125, 0.2552083333333333)),
+    (7, Array(
+      -0.3263888888888889, -0.14930555555555555, 0.02777777777777777, 0.2048611111111111, 0.3819444444444444,
+      -0.3391203703703703, -0.2743055555555555, -0.09722222222222221, 0.0798611111111111, 0.2569444444444444,
+      0.43402777777777773, -0.3993055555555555, -0.2222222222222222, -0.045138888888888895, 0.13194444444444445,
+      0.30902777777777773, 0.14930555555555555, -0.3472222222222222, -0.17013888888888887, 0.00694444444444445,
+      0.18402777777777776, 0.3611111111111111, -0.24768518518518515, -0.2951388888888889, -0.11805555555555555,
+      0.059027777777777776, 0.2361111111111111, 0.4131944444444444, -0.42013888888888884, -0.24305555555555555,
+      -0.06597222222222222, 0.1111111111111111, 0.2881944444444444, 0.24074074074074076, -0.3680555555555555,
+      -0.1909722222222222, -0.0138888888888889, 0.16319444444444445, 0.34027777777777773, -0.04398148148148148,
+      -0.3159722222222222, -0.1388888888888889, 0.03819444444444445, 0.21527777777777776, 0.3923611111111111,
+      -0.4409722222222222, -0.2638888888888889, -0.08680555555555555, 0.09027777777777778, 0.2673611111111111,
+      0.4444444444444444, -0.38888888888888884, -0.21180555555555555, -0.034722222222222224, 0.1423611111111111,
+      0.3194444444444444, 0.047453703703703706, -0.3368055555555555, -0.1597222222222222, 0.017361111111111105,
+      0.19444444444444442, 0.37152777777777773, -0.34953703703703703, -0.28472222222222215)))
+
+  private[graft] val QcIntercept6: Long = -2487580L
+
+  private[graft] val QcTokenWeights: Seq[(String, Int, Long)] = Seq(
+    ("a", 99, -344297L), ("agg", 245, 1355054L), ("batch", 69, 1338028L),
+    ("big", 88, 1338028L), ("column", 228, 1338028L), ("customer", 37, 1334077L),
+    ("data", 223, 1310973L), ("dup", 130, -382696L), ("fast", 95, 1338028L),
+    ("filter", 193, 1355054L), ("group", 6, 1355054L), ("hash", 22, 1334077L),
+    ("join", 232, 1355054L), ("key", 107, 1435972L), ("line", 254, 1272831L),
+    ("merge", 0, 1435972L), ("order", 26, 1334077L), ("part", 100, 1272831L),
+    ("query", 153, 1421092L), ("row", 1, 1338028L), ("scan", 250, 1310973L),
+    ("slow", 59, -374671L), ("small", 78, 1334077L), ("sort", 152, 1338028L),
+    ("spark", 246, 1454777L), ("stream", 56, 1338028L), ("table", 219, 1355054L),
+    ("the", 145, -344297L), ("value", 107, 1435972L), ("vector", 128, 1338028L),
+    ("window", 147, 1310973L))
+
 
   /** Persisted corpus embedding (embed-at-ingest for search_by_text). */
   private[graft] def embedIndexFor(s: SparkSession, dir: String): DataFrame =
@@ -2750,6 +3003,61 @@ object SparkEntry {
         |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |       CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q_gif_frames: the SAME sampling contract through a REAL
+    // multi-frame GIF container — gray frames (identity palette, so
+    // r = g = b = the planted formula), frame count 2+id%3 discovered
+    // from the file, every 2nd frame sampled
+    "q_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT doc_id, f FROM d, UNNEST(range(0, nf)) AS tf(f) WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f,
+        |         (doc_id*31 + f*101 + x*7 + y*13) % 256 AS v
+        |       FROM fr, UNNEST(range(0, 12)) AS tx(x), UNNEST(range(0, 8)) AS ty(y))
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
+        |       CAST(sum(v) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q_ivf_assign: argmin-by-(distance, cell) against the PINNED
+    // trained centroids (IvfAssignCentroids — Round14Spec pins the
+    // persisted artifact == these rows). list_distance is DuckDB's
+    // sqrt-of-squared-diffs L2 — the q_ivf_search precedent against
+    // VectorScore.l2; the cell tiebreak mirrors assignExpr's least()
+    // over (d, c) structs.
+    "q_ivf_assign" ->
+      s"""WITH cent(cell, c) AS (VALUES
+         |${IvfAssignCentroids.map { case (cell, c) =>
+              s"  ($cell, [${c.map(java.lang.Double.toString).mkString(",")}]::DOUBLE[])"
+            }.mkString(",\n")}),
+         |a AS (SELECT e.vec_id, cent.cell,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY list_distance(e.embedding::DOUBLE[], cent.c) ASC, cent.cell ASC) AS rnk
+         |      FROM embeddings e, cent)
+         |SELECT vec_id, CAST(cell AS INT) AS cell FROM a WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+
+    // q_quality_score: token-level replay of the micro-logit serving —
+    // Σ over token instances of w6(bucket(token)) with the corpus
+    // vocabulary's bucket weights inlined from the PINNED quantized
+    // model (QcTokenWeights / QcIntercept6 — Round14Spec pins the
+    // trained artifact == these). Pure integer arithmetic on both
+    // sides; colliding tokens (key/value at bucket 107) share a weight
+    // on both sides by construction. A document token OUTSIDE the
+    // pinned vocabulary that collides with a trained bucket would
+    // hash-mismatch loudly (verified: the documents tables' distinct
+    // token set IS the 31 pinned tokens at all three SFs).
+    "q_quality_score" ->
+      s"""WITH w(tok, w6) AS (VALUES
+         |${QcTokenWeights.map { case (t, _, w) => s"  ('$t', ${w}::BIGINT)" }.mkString(",\n")}),
+         |tk AS (SELECT doc_id, tok FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |       WHERE tok <> ''),
+         |sw AS (SELECT tk.doc_id, sum(w.w6) AS s FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id)
+         |SELECT d.doc_id,
+         |       CAST($QcIntercept6 + coalesce(sw.s, 0) AS BIGINT) AS logit_micro,
+         |       ($QcIntercept6 + coalesce(sw.s, 0)) >= 0 AS pass
+         |FROM documents d LEFT JOIN sw ON d.doc_id = sw.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_pq_radius" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 8),

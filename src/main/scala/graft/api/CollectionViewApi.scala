@@ -215,14 +215,34 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     *
     * `defaultEf` is the beam [[search]] uses when the caller passes no
     * `ef` — persisted in the graph meta so the serving default is a
-    * property of the index, not a hard-coded constant. */
+    * property of the index, not a hard-coded constant.
+    *
+    * `defaultEf ≤ 0` (the default) DERIVES the beam from the chunk
+    * count at rebuild time — ef₀ = max(16, 2·⌈√segSize⌉), the
+    * collections row-123 recall-floor contract (a fixed default beam
+    * degrades silently as uploads grow the chunk index: the measured
+    * §5b floor is 0.80 recall@10 at the larger segment size where the
+    * derived beam reads 0.99). A derived default is max-folded on
+    * append and re-derived at compaction, exactly like collections; an
+    * EXPLICIT positive `defaultEf` is the caller's own fixed knob,
+    * never touched by maintenance (the `default_ef_src` marker records
+    * which; graphs built before the marker keep their stored value
+    * until rebuild). The rebuild-time basis is the ceil-average
+    * segment size — recall-safe-enough under ef = 2·√seg (hash-split
+    * skew moves the largest segment by a few percent, the beam by ~√
+    * of that), and the first compaction re-derives from actual
+    * per-segment counts. */
   def rebuildChunkGraph(m: Int = 8, efConstruction: Int = 64,
-                        numSegments: Int = 4, defaultEf: Int = 10): Unit = {
+                        numSegments: Int = 4, defaultEf: Int = 0): Unit = {
     catalog.createCollectionIfNotExists(db, graphColl)
     catalog.write(db, graphColl,
       CollectionView.buildChunkGraph(chunks, "doc_set", m, efConstruction,
         numSegments),
       partitionBy = Seq("seg"))
+    val (efVal, efSrc) =
+      if (defaultEf > 0) (defaultEf, "explicit")
+      else (GraftCollection.autoEf(chunkNodes(chunks).count(), numSegments),
+        "auto")
     // gen nonce keys the serving cache, exactly like collections; the
     // build params ride along so appends/compaction reproduce them
     graphStore.update(Map(
@@ -230,7 +250,8 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       "index.hnsw.efc" -> efConstruction.toString,
       "index.hnsw.segments" -> numSegments.toString,
       "index.hnsw.nextseg" -> numSegments.toString,
-      "index.hnsw.default_ef" -> defaultEf.toString,
+      "index.hnsw.default_ef" -> efVal.toString,
+      "index.hnsw.default_ef_src" -> efSrc,
       "index.hnsw.pending" -> null,
       "index.hnsw.merge_pending" -> null,
       "index.hnsw.appends" -> "0",
@@ -243,6 +264,12 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
   /** Test/ops visibility: current chunk-graph segment count. */
   private[graft] def chunkGraphSegments: Int =
     catalog.read(db, graphColl).select("seg").distinct().count().toInt
+
+  /** Test/ops visibility: the chunk graph's meta (serving params). */
+  private[graft] def chunkGraphMeta: Map[String, String] = graphStore.meta
+
+  /** Test/ops visibility: the raw chunk-graph artifact. */
+  private[graft] def chunkGraph: DataFrame = catalog.read(db, graphColl)
 
   /** The current chunk index keyed for the graph: node id = xxhash64
     * of the composite chunk key (the string-PK surrogate device).
@@ -260,7 +287,18 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
     if (catalog.collectionExists(db, graphColl)) {
       val meta = graphStore.meta
       if (meta.contains("index.hnsw.m")) {
-        HnswMaintain.append(graphStore, chunkNodes(newChunks), "id", "vec", meta)
+        val maxShard =
+          HnswMaintain.append(graphStore, chunkNodes(newChunks), "id", "vec", meta)
+        // recall-floor maintenance (the collections row-123 fold): an
+        // appended segment bigger than the derived default's basis
+        // would serve under-beamed until compaction — max-fold. An
+        // explicit caller default (or a pre-marker legacy graph) is
+        // never touched.
+        if (meta.get("index.hnsw.default_ef_src").contains("auto")) {
+          val cand = GraftCollection.autoEfSeg(maxShard)
+          if (meta.get("index.hnsw.default_ef").exists(_.toInt < cand))
+            graphStore.update(Map("index.hnsw.default_ef" -> cand.toString))
+        }
         // collections auto-fold after mutations (maybeAutoCompact); the
         // chunk graph needs the same policy or per-upload mini-segments
         // and re-upload staleness accumulate unboundedly — every search
@@ -290,7 +328,21 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
       val meta = graphStore.meta
       if (meta.contains("index.hnsw.m")) {
         HnswMaintain.compact(graphStore, chunkNodes(chunks), "vec", meta)
-        graphStore.update(Map("index.hnsw.appends" -> "0"))
+        // re-derive a DERIVED default from the folded graph's actual
+        // largest segment (the collections compactHnsw discipline —
+        // tiered merges produce shard sizes the configured-count
+        // division does not predict); empty graph ⇒ the floor (16).
+        // Explicit/legacy defaults stay the caller's.
+        val efFold: Map[String, String] =
+          if (!meta.get("index.hnsw.default_ef_src").contains("auto")) Map.empty
+          else {
+            val maxSegRow = catalog.read(db, graphColl)
+              .groupBy(col("seg")).count().agg(max("count")).head
+            val maxSeg = if (maxSegRow.isNullAt(0)) 0L else maxSegRow.getLong(0)
+            Map("index.hnsw.default_ef" ->
+              GraftCollection.autoEfSeg(maxSeg).toString)
+          }
+        graphStore.update(Map("index.hnsw.appends" -> "0") ++ efFold)
       }
     }
 
@@ -553,7 +605,12 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
           meta("index.hnsw.m").toInt,
           meta.getOrElse("index.hnsw.efc", "64").toInt,
           meta.getOrElse("index.hnsw.segments", "4").toInt,
-          meta.getOrElse("index.hnsw.default_ef", "10").toInt)
+          // an explicit caller default survives the re-embed rebuild;
+          // a derived (or pre-marker legacy) one re-derives — this IS
+          // a rebuild, the contract's re-derivation point
+          if (meta.get("index.hnsw.default_ef_src").contains("explicit"))
+            meta.getOrElse("index.hnsw.default_ef", "0").toInt
+          else 0)
         catch { case t: Throwable =>
           try dropChunkGraph()
           catch { case c: Throwable => t.addSuppressed(c) }

@@ -1528,13 +1528,22 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * radius √(max(0, 2−2r)) (r > 1 clamps to 0 — a superset gate is
     * all the certificate needs, the metric-space rerank gate decides);
     * l2 passes through with a null override (the historical plan,
-    * byte-identical). */
+    * byte-identical). The converted radius is widened by the same
+    * relative slack as [[graft.vector.Ranked]]'s gateEps — defense in
+    * depth for a pair sitting EXACTLY on the cosine boundary, where
+    * the √(2−2r) conversion's own fp error plus the stored vectors'
+    * unitNorm rounding must not be left to the downstream resid slack
+    * alone (widening a provable-superset gate only grows the candidate
+    * set; the metric-space exact rerank still decides membership). */
   private def gateQueries(metric: String, qarr: Array[(Long, Array[Double])],
                           radius: Option[Double])
       : (Array[(Long, Array[Double])], Double, graft.vector.Ranked.Rerank) =
     if (metric == "cosine")
       (qarr.map { case (q, v) => (q, graft.vector.VectorScore.unitNormArr(v)) },
-        radius.map(r => math.sqrt(math.max(0.0, 2.0 - 2.0 * r))).getOrElse(0.0),
+        radius.map { r =>
+          val g = math.sqrt(math.max(0.0, 2.0 - 2.0 * r))
+          g + 1e-9 * (g + 1.0)
+        }.getOrElse(0.0),
         graft.vector.Ranked.Rerank("cosine", qarr, radius))
     else (qarr, radius.getOrElse(0.0), null)
 
@@ -1790,7 +1799,11 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     * max(16, 2·⌈√segSize⌉), the r13 recall-floor contract — a fixed
     * default degrades silently with corpus growth); an explicit
     * positive ef is the caller's fixed beam, unchanged. Graphs built
-    * before the key serve the historical default 10. */
+    * before the key serve the historical default 10. NOTE the
+    * deliberate divergence from the reference's documented DEFAULT
+    * ef = 10 (collection.py:179 also bounds ef to [1, 32768], which
+    * caps the derivation): callers porting from the reference who
+    * want the literal fixed behavior pass ef = 10. */
   def searchHnsw(queries: DataFrame, qIdCol: String, qVecCol: String,
                  limit: Int = 10, ef: Int = 0,
                  metric: Option[String] = None): DataFrame = {
@@ -2863,7 +2876,37 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
       .getOrElse(throw new IllegalArgumentException(
         "cannot build IVF_SQ8 sidecar on an empty collection"))
     buildIvfSqArtifacts(nlist, m, dim)
+    // the staleness witness (r13 verdict #4): this key deliberately
+    // lives OUTSIDE every invalidation list, so when a later vector
+    // rebuild drops the sidecar's artifacts it SURVIVES — the one
+    // piece of evidence that a sidecar was wanted here, which is what
+    // lets sidecarStale report the silent FLAT fallback instead of
+    // the loss being invisible until someone reads query plans
+    catalog.updateMeta(db, coll, Map("index.sidecar.wanted" -> "true"))
   }
+
+  /** True when a certificate sidecar was built next to this
+    * collection's vector index but a LATER rebuild invalidated its
+    * artifacts: the param-less `search(radius)` route silently fell
+    * back to FLAT — correct, but the routed cost tier (measured
+    * 0.73–0.82× the adaptive ladder AND exact) is gone until
+    * [[buildCertificateSidecar]] runs again. The graph-rebuild →
+    * sidecar-invalidation ordering is the documented contract; this
+    * is its visibility hook (the segmentDebt / w2vDriftCheck
+    * precedent: maintenance debt must be reportable, not forensic). */
+  def sidecarStale: Boolean = {
+    val meta = describe
+    meta.get("index.sidecar.wanted").contains("true") &&
+      !liveIndexes(meta).ivfSqLive
+  }
+
+  /** One-line operator recommendation when [[sidecarStale]]. */
+  def sidecarRecommendation: Option[String] =
+    if (sidecarStale) Some(
+      "certificate sidecar invalidated by a later index rebuild: " +
+        "search(radius) serves FLAT — run buildCertificateSidecar() " +
+        "to restore the routed cost tier")
+    else None
 
   /** The IVF_SQ8 artifact build shared by [[rebuildIvfSqIndex]] (after
     * sibling invalidation) and [[buildCertificateSidecar]] (without). */
@@ -3807,7 +3850,14 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         searchHnswFiltered(queries, qIdCol, qVecCol, filter, fetch, 10)
       else {
         // HnswIndex.search clamps the per-segment beam to >= the rerank
-        // k, so the default ef still fills `fetch` fused ranks
+        // k, so the default ef still fills `fetch` fused ranks. A
+        // no-ef call serves at the STORED derived default beam
+        // (index.hnsw.ef_default, the row-123 recall-floor contract) —
+        // this is the route the reference's default COSINE+HNSW
+        // configuration actually exercises, and a literal fixed 10
+        // here read 0.80 recall@10 at the larger measured segment size
+        // where the derived beam reads 0.99 (§5b). Legacy graphs
+        // without the key keep the historical 10 until rebuild.
         val (qarr, remap) = collectQueries(queries, qIdCol, qVecCol)
         remapQueryIds(
           graft.vector.HnswIndex.search(
@@ -3815,7 +3865,9 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
             if (filter.isEmpty) df else df.where(FilterParser.parse(filter)),
             idCol, vecCol, qarr,
             meta.getOrElse("index.hnsw.metric", "cosine"), fetch,
-            ef.getOrElse(10), prepared = true, nodeKey = nodeKeyOpt),
+            ef.getOrElse(
+              meta.get("index.hnsw.ef_default").map(_.toInt).getOrElse(10)),
+            prepared = true, nodeKey = nodeKeyOpt),
           remap)
       }
     }
@@ -3838,7 +3890,12 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
     *    fusion over the 4-decimal arm scores);
     *  - `ef` / `nprobe`: the live index's own search param — `ef`
     *    selects the HNSW arm, `nprobe` the IVF arm (mutually
-    *    exclusive; each errors if its index is not live);
+    *    exclusive; each errors if its index is not live). With NO ef,
+    *    a live-graph dense arm serves at the stored DERIVED default
+    *    beam (`index.hnsw.ef_default` — the recall-floor contract;
+    *    deliberately ≠ the reference's documented fixed default
+    *    ef = 10, which measured 0.80 recall@10 at the larger segment
+    *    size: pass ef = Some(10) for the literal reference behavior);
     *  - `filter`: scalar predicate over the matched documents. The
     *    FLAT dense arm pre-filters with scan pushdown; the HNSW arm
     *    filters at the rerank (candidates join the FILTERED snapshot
@@ -4140,10 +4197,16 @@ object GraftCollection {
     * review finding that moved this off `autoEf(n, segments)`). Grows
     * with the SQUARE ROOT of segment size, so the default's serving
     * cost stays sublinear while the recall floor holds; capped at
-    * 65536 like nlist (a graph that large should raise `numSegments`
-    * instead). */
+    * 32768 — the top of the reference's documented ef range
+    * (collection.py:179 bounds ef to [1, 32768]), so the derived
+    * default can never exceed a value the reference would accept (a
+    * graph needing more should raise `numSegments` instead). NOTE the
+    * deliberate divergence from the reference's documented DEFAULT
+    * ef = 10: a fixed 10 degrades silently with corpus growth (the
+    * measured 0.80 floor above); callers porting from the reference
+    * who want the literal behavior pass ef = 10 explicitly. */
   private[graft] def autoEfSeg(maxSegRows: Long): Int =
-    math.min(65536L, math.max(16L,
+    math.min(32768L, math.max(16L,
       2L * math.ceil(math.sqrt(math.max(maxSegRows, 0L).toDouble)).toLong)).toInt
 
   /** [[autoEfSeg]] at rebuild time, where the hash split makes every

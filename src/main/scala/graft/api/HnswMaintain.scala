@@ -50,17 +50,25 @@ private[api] object HnswMaintain {
     * evidence that sweep-eligible ids exist. The marker is single-slot
     * by design: any surviving marker means "sweep at next compaction",
     * which covers every crashed batch at once. */
-  /** @return the appended segments' per-shard row count (⌈n/shards⌉;
-    *         0 for an empty batch) — the basis callers max-fold into a
-    *         derived default serving beam (row 123: an appended
-    *         segment larger than the stored derivation's basis must
-    *         widen the default, or it serves under-beamed until
-    *         compaction). */
+  /** @return the LARGEST appended shard's actual row count (0 for an
+    *         empty batch) — the basis callers max-fold into a derived
+    *         default serving beam (row 123: an appended segment larger
+    *         than the stored derivation's basis must widen the
+    *         default, or it serves under-beamed until compaction).
+    *         Actual counts, not ⌈n/shards⌉: shards are xxhash64-hash-
+    *         split, so the largest can exceed the ceil-average — the
+    *         same basis error compaction's re-derivation closes (one
+    *         small groupBy over the batch; the single-shard common
+    *         case pays nothing, the count IS the shard size). */
   def append(st: HnswStore, keyed: DataFrame, kid: String, vecCol: String,
              meta: Map[String, String]): Long = {
     val n = keyed.count()
     if (n > 0) {
       val shards = shardsFor(n)
+      val maxShard =
+        if (shards == 1) n
+        else keyed.groupBy(pmod(xxhash64(col(kid).cast("long")), lit(shards)))
+          .count().agg(max("count")).head.getLong(0)
       val offset = meta.getOrElse(P + "nextseg", meta(P + "segments")).toInt
       val foreignPending = meta.get(P + "pending")
       st.update(Map(P + "nextseg" -> (offset + shards).toString,
@@ -75,7 +83,7 @@ private[api] object HnswMaintain {
       st.update(Map(P + "gen" -> GraftCollection.freshGen()) ++
         (if (foreignPending.isEmpty) Map(P + "pending" -> null)
          else Map.empty[String, String]))
-      (n + shards - 1) / shards
+      maxShard
     } else 0L
   }
 

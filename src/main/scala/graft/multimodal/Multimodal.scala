@@ -252,6 +252,112 @@ object Multimodal {
       }
     }(Encoders.product[FrameStat])
 
+  // ------------------------------------------- real multi-frame container
+
+  /** The 256-entry identity gray ramp palette: index v renders as
+    * (v, v, v). With ≤256 colors GIF is LOSSLESS, so a planted palette
+    * index round-trips the codec exactly. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Plant one REAL ANIMATED GIF per document — a genuine
+    * one-file-many-frames container (the frame-stacked PNG of
+    * [[plantFramePng]] proved the codec; this closes the remaining
+    * simulation: the container geometry itself). `javax.imageio`'s GIF
+    * plugin writes and reads multi-frame files
+    * (prepareWriteSequence / getNumImages / read(i)); each frame here
+    * is full-size at offset (0, 0) with no inter-frame compositing, so
+    * read(i) IS frame i. Pixels are the planted GRAY formula
+    * (value = plantR(id, f, x, y), identity gray palette), so the
+    * decoded per-frame sums are integer-exact and DuckDB-oracle-able
+    * through the real container. Frame COUNT deliberately does NOT
+    * ride the metadata struct — the sampler discovers it from the
+    * container, as a real video pipeline must. */
+  def plantGif(docs: DataFrame, idCol: String, frameW: Int = 12,
+               frameH: Int = 8): Dataset[MediaRow] = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    ids.as(Encoders.scalaLong).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = it.map { id =>
+        val frames = (2 + id % 3).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(frameW, frameH,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < frameH) {
+            var x = 0
+            while (x < frameW) {
+              raster.setSample(x, y, 0, plantR(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        MediaRow(id, "gif", frameW, frameH, baos.toByteArray)
+      }
+      // one writer per partition (the per-partition decoder-init
+      // geometry); disposal rides the iterator's end
+      new Iterator[MediaRow] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) writer.dispose(); h }
+        def next(): MediaRow = out.next()
+      }
+    }(Encoders.product[MediaRow])
+  }
+
+  /** REAL multi-frame sampling: open the GIF container, discover the
+    * frame count FROM THE FILE (ImageReader.getNumImages), decode and
+    * emit every `everyN`-th frame's integer pixel sums under the
+    * `maxFrames` cap — the [[frameStats]] contract on a genuine
+    * container instead of a stacked-band convention. Fails loudly on
+    * an unreadable payload or a frame whose size disagrees with the
+    * metadata struct (a corrupt container must not pass silently). */
+  def gifFrameStats(media: Dataset[MediaRow], everyN: Int = 2,
+                    maxFrames: Int = 8): Dataset[FrameStat] =
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          reader.setInput(iis, false, true)
+          val nFrames = reader.getNumImages(true)
+          require(nFrames > 0, s"unreadable gif payload for doc ${m.doc_id}")
+          (0 until nFrames by everyN).take(maxFrames).map { f =>
+            val img = reader.read(f)
+            require(img.getWidth == m.width && img.getHeight == m.height,
+              s"frame $f of doc ${m.doc_id} is ${img.getWidth}x${img.getHeight}, " +
+                s"metadata says ${m.width}x${m.height}")
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            FrameStat(m.doc_id, f, sr, sg, sb)
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }(Encoders.product[FrameStat])
+
   // ------------------------------------------------ real audio decode
   //
   // The JDK also ships a REAL audio codec: javax.sound.sampled parses

@@ -121,4 +121,61 @@ object QualityClassifier {
     withScoreAs(model, docs, textCol, "__qprob")
       .where(col("__qprob") >= minProb)
       .drop("__qprob")
+
+  // ------------------------------------------------ micro-logit serving
+
+  /** The micro-quantized model: weights rounded once to integer MICRO
+    * units (w6 = round(w·10⁶)), the NgramLm micro-nat discipline on
+    * the classifier — scoring becomes pure INTEGER arithmetic
+    * (logit6 = i6 + Σ count·w6, order-independent, cross-engine
+    * exact), and the serving output stays in LOGIT domain (sign =
+    * decision, monotone in probability) exactly as the LM rows serve
+    * nll instead of perplexity: the one exp() never runs in the
+    * certified path, only for display. An L-BFGS weight is never an
+    * exact half-micro boundary, so the one rounding is safe. */
+  final case class ModelMicro(numFeatures: Int, intercept6: Long, coef6: Array[Long])
+
+  def quantize(model: Model): ModelMicro =
+    ModelMicro(model.numFeatures, math.round(model.intercept * 1e6),
+      model.coef.map(w => math.round(w * 1e6)))
+
+  /** ModelMicro → (idx, w6) rows + the intercept at idx = -1 — the
+    * persistable artifact form (the modelDf convention in micro). */
+  def modelMicroDf(m: ModelMicro, spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    ((-1, m.intercept6) +: m.coef6.toSeq.zipWithIndex.map(_.swap))
+      .toDF("idx", "w6")
+  }
+
+  def modelMicroFromDf(df: DataFrame, numFeatures: Int): ModelMicro = {
+    val coef = new Array[Long](numFeatures)
+    var intercept = 0L
+    df.select(col("idx"), col("w6")).collect().foreach { r =>
+      val i = r.getInt(0)
+      if (i < 0) intercept = r.getLong(1) else coef(i) = r.getLong(1)
+    }
+    ModelMicro(numFeatures, intercept, coef)
+  }
+
+  /** (id, logit_micro, pass) for every doc — integer-exact serving
+    * from the micro artifact. Tokenization filters EMPTY tokens (so a
+    * double space can never contribute a hash bucket the replaying
+    * oracle does not see); counts cast to BIGINT exactly (they are
+    * small integers), the dot product and intercept stay integers
+    * end-to-end. `pass` is the logit's sign: P ≥ 0.5 ⇔ logit ≥ 0. */
+  def scoreLogitMicro(m: ModelMicro, docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val tf = new MlHashingTF().setInputCol("__toks").setOutputCol("__feat")
+      .setNumFeatures(m.numFeatures)
+    val logit = lit(m.intercept6) + expr(
+      "aggregate(zip_with(__fa6, __cf6, (x, w) -> x * w), 0L, (acc, v) -> acc + v)")
+    tf.transform(docs.select(col(idCol), col(textCol))
+        .withColumn("__toks",
+          filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")))
+      .withColumn("__fa6", vector_to_array(col("__feat")).cast("array<bigint>"))
+      .withColumn("__cf6", typedLit(m.coef6.toSeq))
+      .withColumn("logit_micro", logit)
+      .select(col(idCol), col("logit_micro"),
+        (col("logit_micro") >= 0L).as("pass"))
+  }
 }

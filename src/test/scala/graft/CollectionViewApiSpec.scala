@@ -174,6 +174,53 @@ class CollectionViewApiSpec extends SparkSpec {
       "defaultEf = MaxValue must make the no-param call exact")
   }
 
+  test("chunk graph derives, folds, and re-derives its default beam (row-123 contract)") {
+    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvautoef").toString)
+    val view = client.createDatabase("db").createCollectionView("docs")
+    def meta = view.chunkGraphMeta
+    view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
+    view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
+
+    // rebuild with no defaultEf DERIVES from the chunk count
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2)
+    val n = view.chunks.where(col("vec").isNotNull).count()
+    val derived = graft.api.GraftCollection.autoEf(n, 2)
+    assert(meta.get("index.hnsw.default_ef").map(_.toInt).contains(derived),
+      s"rebuild must persist the derived default, got ${meta.get("index.hnsw.default_ef")}")
+    assert(meta.get("index.hnsw.default_ef_src").contains("auto"))
+    // the no-ef call serves AT that stored beam, byte-for-byte
+    val auto = view.search("slow table", limit = 3).collect().toSeq
+    val explicit = view.search("slow table", limit = 3,
+      ef = Some(derived)).collect().toSeq
+    assert(auto == explicit,
+      "no-ef chunk search must serve at the stored derived beam")
+
+    // a big upload max-folds the derived default: 70+ chunks in one
+    // segment push autoEfSeg above the 16 floor
+    val words = (1 to 900).map(i => s"w$i").mkString(" ")
+    view.loadAndSplitText("big.md", words)
+    val folded = meta.get("index.hnsw.default_ef").map(_.toInt)
+    assert(folded.exists(_ > 16),
+      s"append of a big segment must max-fold the derived default, got $folded")
+
+    // compaction re-derives from the folded graph's ACTUAL largest seg
+    view.compactChunkGraph()
+    val maxSeg = view.chunkGraph.groupBy("seg").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(meta.get("index.hnsw.default_ef").map(_.toInt)
+        .contains(graft.api.GraftCollection.autoEfSeg(maxSeg)),
+      "compaction must re-derive the default from actual segment sizes")
+
+    // an EXPLICIT default is the caller's: maintenance never touches it
+    view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2,
+      defaultEf = 7)
+    assert(meta.get("index.hnsw.default_ef_src").contains("explicit"))
+    view.loadAndSplitText("more.md", words)
+    view.compactChunkGraph()
+    assert(meta.get("index.hnsw.default_ef").contains("7"),
+      "explicit defaultEf must survive append and compaction")
+  }
+
   test("filter delete over many document sets stays distributed (anti-join path)") {
     val client = new GraftClient(spark, Files.createTempDirectory("graft-cvdel").toString)
     val view = client.createDatabase("db").createCollectionView("bulk")

@@ -51,10 +51,28 @@ class HybridAnnSpec extends SparkSpec {
       ef = Some(Int.MaxValue)).select(pick: _*))
     assert(ann.toSeq == flat.toSeq,
       "exhaustive-ef ANN hybrid must be byte-equal to the FLAT hybrid")
-    // default ef (the reference's 10) still fills every fused rank
+    // default ef still fills every fused rank
     val prod = coll.hybridSearch(queries, "qid", "qv", kw, limit = 5)
     assert(prod.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L),
       "index-armed hybrid must fill `limit` ranks per query")
+  }
+
+  test("no-ef hybrid serves the dense arm at the STORED derived default beam") {
+    // the r13 recall-floor contract (index.hnsw.ef_default) propagated
+    // to hybrid's unfiltered live-graph arm: a no-ef call must be
+    // byte-equal to an explicit ef at the stored derived default —
+    // NOT to the historical fixed 10 the route used to hard-code
+    val coll = freshColl("defef")
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    val stored = coll.describe.get("index.hnsw.ef_default").map(_.toInt)
+    assert(stored.nonEmpty && stored.get >= 16,
+      s"rebuild must persist a derived ef_default >= the floor, got $stored")
+    val pick = Seq("query_id", "id", "rank", "rrf").map(col)
+    val auto = collect(coll.hybridSearch(queries, "qid", "qv", kw).select(pick: _*))
+    val explicit = collect(coll.hybridSearch(queries, "qid", "qv", kw,
+      ef = Some(stored.get)).select(pick: _*))
+    assert(auto.toSeq == explicit.toSeq,
+      "no-ef hybrid must serve at the stored derived default beam")
   }
 
   test("batch (per-query keyword) hybrid serves the ANN arm too") {

@@ -33,7 +33,9 @@ object ExplainAudit {
         "q_ivfpq_radius", "q_sq_topk_exact", "q_pq_topk_exact",
         "q_grouped_search", "q_grouped_hnsw", "q_mmr",
         "q_sq_radius_cos", "q_multimodal", "q_media_resize",
-        "q_frame_sample", "q_bpe_apply", "q_unigram_apply", "q_audio_decode")
+        "q_frame_sample", "q_bpe_apply", "q_unigram_apply", "q_audio_decode",
+        "q_gif_frames", "q_ivf_assign", "q_quality_score",
+        "q_bpe_apply_ids", "q_unigram_apply_ids")
     val spark = GraftSession.get()
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -1797,6 +1797,40 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    "q_bpe_apply_ids" -> ((s, dir) => {
+      // the ORACLED member of the loader-ID family (r14): the SAME
+      // Bpe.encodeIds machinery as q_bpe_ids — merge replay + the
+      // piece→id map derived from the MERGE ARTIFACT ALONE (EndMark=0,
+      // sorted base alphabet, then merge products in rank order,
+      // first-wins on collision) — served from the PINNED 12-merge
+      // artifact, so the DuckDB oracle extends the q_bpe_apply
+      // recursive CTE with the id table computed IN SQL from the same
+      // inlined merges (alphabet = distinct unit chars of the merge
+      // symbols; first-wins = min id per piece; OOV → -1).
+      // q_bpe_ids (corpus-trained merges) stays rows-only by design.
+      graft.text.Bpe.encodeIds(
+          Tables.documents(s, dir), "doc_id", "text", bpeApplyMergesFor(s))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", transform(col("piece_ids"), i => i.cast("string")))
+            .as("piece_ids"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_unigram_apply_ids" -> ((s, dir) => {
+      // the unigram side of the same graduation: Unigram.encodeIds
+      // from the pinned piece table, whose stored piece_id is the
+      // 0-based (logp DESC, piece ASC) rank — re-derivable in SQL as a
+      // row_number over the inlined VALUES, so the oracle extends the
+      // q_unigram_apply Viterbi CTE with the id join (UNK single
+      // chars → -1). q_unigram_ids (corpus-trained) stays rows-only.
+      graft.text.Unigram.encodeIds(
+          Tables.documents(s, dir), "doc_id", "text", unigramApplyModelFor(s))
+        .select(col("doc_id"), col("pos"),
+          concat_ws("|", transform(col("piece_ids"), i => i.cast("string")))
+            .as("piece_ids"))
+        .orderBy("doc_id", "pos")
+    }),
+
     "q_events_window" -> ((s, dir) => {
       // batch form of the streaming windowed aggregation (row 40):
       // tumbling 1h windows over the events stream table. Handles both
@@ -4499,6 +4533,120 @@ object SparkEntry {
         |        WHERE t[i] <> '')
         |SELECT pos.doc_id, pos.pos, final.pieces
         |FROM pos JOIN final USING (w)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q_bpe_apply_ids: the q_bpe_apply merge replay extended with the
+    // loader-id map computed IN SQL from the same inlined merges —
+    // Bpe.pieceIds verbatim: id 0 = '</w>', ids 1..A = the sorted
+    // distinct unit characters of the merge symbols (trailing '</w>'
+    // stripped, the bare '</w>' symbol excluded), then one id per
+    // merge PRODUCT in rank order; first-wins on collision = min(id)
+    // per piece (assignment order is ascending id); OOV pieces → -1
+    // (Tokenizer.UnkId).
+    "q_bpe_apply_ids" ->
+      """WITH RECURSIVE
+        |m(rank, l, r) AS (SELECT * FROM (VALUES
+        |  (0,'t','a'),(1,'a','n'),(2,'an','</w>'),(3,'c','an</w>'),(4,'s','can</w>'),
+        |  (5,'a','r'),(6,'ar','k'),(7,'ark','</w>'),(8,'e','</w>'),(9,'p','ark</w>'),
+        |  (10,'s','park</w>'),(11,'o','r')) t),
+        |words AS (SELECT DISTINCT token AS w FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''),
+        |init AS (SELECT w, list_append([w[i] for i in range(1, len(w)+1)], '</w>') AS syms FROM words),
+        |steps(w, syms) AS (
+        |  SELECT w, syms FROM init
+        |  UNION ALL
+        |  SELECT w, list_slice(syms, 1, p-1) || [syms[p] || syms[p+1]] || list_slice(syms, p+2, len(syms))
+        |  FROM (
+        |    SELECT s.w, s.syms, c.p,
+        |           row_number() OVER (PARTITION BY s.w ORDER BY c.rank, c.p) AS rn
+        |    FROM steps s,
+        |         LATERAL (SELECT i AS p, m.rank FROM UNNEST(range(1, len(s.syms))) t(i)
+        |                  JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1]) c
+        |  ) WHERE rn = 1
+        |),
+        |finals AS (
+        |  SELECT w, syms FROM steps s
+        |  WHERE NOT EXISTS (SELECT 1 FROM UNNEST(range(1, len(s.syms))) t(i)
+        |                    JOIN m ON m.l = s.syms[i] AND m.r = s.syms[i+1])
+        |),
+        |msyms AS (SELECT l AS sym FROM m UNION ALL SELECT r AS sym FROM m),
+        |alpha AS (SELECT DISTINCT ch FROM (
+        |  SELECT unnest([s2[i] for i in range(1, len(s2)+1)]) AS ch FROM (
+        |    SELECT CASE WHEN sym LIKE '%</w>' THEN sym[1:len(sym)-4] ELSE sym END AS s2
+        |    FROM msyms WHERE sym <> '</w>'))),
+        |ids0 AS (
+        |  SELECT '</w>' AS piece, CAST(0 AS BIGINT) AS pid
+        |  UNION ALL
+        |  SELECT ch, row_number() OVER (ORDER BY ch) FROM alpha
+        |  UNION ALL
+        |  SELECT l || r, (SELECT count(*) FROM alpha) + 1 + rank FROM m),
+        |ids AS (SELECT piece, min(pid) AS pid FROM ids0 GROUP BY piece),
+        |fp AS (SELECT w, i AS ord, syms[i] AS piece
+        |       FROM finals, UNNEST(range(1, len(syms)+1)) r(i)),
+        |fid AS (SELECT w, ord, COALESCE(ids.pid, -1) AS pid
+        |        FROM fp LEFT JOIN ids USING (piece)),
+        |finalids AS (SELECT w, string_agg(CAST(pid AS VARCHAR), '|' ORDER BY ord) AS piece_ids
+        |             FROM fid GROUP BY w),
+        |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |             UNNEST(range(1, len(t) + 1)) AS r(i)
+        |        WHERE t[i] <> '')
+        |SELECT pos.doc_id, pos.pos, finalids.piece_ids
+        |FROM pos JOIN finalids USING (w)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // q_unigram_apply_ids: the q_unigram_apply Viterbi CTE extended
+    // with the stored piece_id re-derived in SQL — trainLocal assigns
+    // pieceId = 0-based rank in (logp DESC, piece ASC) order
+    // (Unigram.scala trainLocal's sortBy(-lp, s).zipWithIndex), so
+    // row_number() - 1 over the same inlined VALUES reproduces it;
+    // UNK single chars (the -69000000 floor path) → -1.
+    "q_unigram_apply_ids" ->
+      """WITH RECURSIVE
+        |pt(piece, lp) AS (SELECT * FROM (VALUES
+        |  ('a',-1813266),('l',-2058388),('t',-2309703),('s',-2550865),
+        |  ('scan',-2646175),('e',-2751535),('h',-2751535),('spark',-2751535),
+        |  ('sort',-2869318),('stream',-3002850),('b',-3157000),('d',-3339322),
+        |  ('m',-3562466),('o',-3562466),('w',-3562466),('c',-5641907),
+        |  ('k',-5641907),('n',-5641907),('p',-5641907),('r',-5641907)) t),
+        |ptid AS (SELECT piece, row_number() OVER (ORDER BY lp DESC, piece) - 1 AS pid FROM pt),
+        |words AS (SELECT DISTINCT token AS w FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> ''),
+        |steps(w, j, score, np, path, it) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), 0, '', 0 FROM words
+        |  UNION ALL
+        |  SELECT w, j, score, np, path, it FROM (
+        |    SELECT w, j, score, np, path, it + 1 AS it, 0 AS is_new, CAST(0 AS BIGINT) AS rn
+        |    FROM steps WHERE it < len(w)
+        |    UNION ALL
+        |    SELECT c.w, c.it + 1 AS j, c.score, c.np, c.path, c.it + 1 AS it, 1 AS is_new,
+        |           row_number() OVER (PARTITION BY c.w ORDER BY c.score DESC, c.np, c.piece) AS rn
+        |    FROM (
+        |      SELECT s.w, s.it, s.score + lps.lp AS score, s.np + 1 AS np,
+        |             CASE WHEN s.path = '' THEN lps.piece ELSE s.path || '|' || lps.piece END AS path,
+        |             lps.piece
+        |      FROM steps s,
+        |           LATERAL (SELECT s.w[s.j + 1 : s.it + 1] AS piece,
+        |                           COALESCE((SELECT pt.lp FROM pt WHERE pt.piece = s.w[s.j + 1 : s.it + 1]),
+        |                                    CASE WHEN s.it + 1 - s.j = 1 THEN CAST(-69000000 AS BIGINT) END) AS lp) lps
+        |      WHERE s.it < len(s.w) AND s.j >= s.it + 1 - 6 AND s.j <= s.it AND lps.lp IS NOT NULL
+        |    ) c
+        |  ) WHERE is_new = 0 OR rn = 1
+        |),
+        |final AS (SELECT w, path AS pieces FROM steps WHERE j = len(w) AND it = len(w)),
+        |fp AS (SELECT w, i AS ord, sp[i] AS piece
+        |       FROM (SELECT w, string_split(pieces, '|') AS sp FROM final),
+        |            UNNEST(range(1, len(sp)+1)) r(i)),
+        |fid AS (SELECT w, ord, COALESCE(ptid.pid, -1) AS pid
+        |        FROM fp LEFT JOIN ptid USING (piece)),
+        |finalids AS (SELECT w, string_agg(CAST(pid AS VARCHAR), '|' ORDER BY ord) AS piece_ids
+        |             FROM fid GROUP BY w),
+        |pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS w
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |             UNNEST(range(1, len(t) + 1)) AS r(i)
+        |        WHERE t[i] <> '')
+        |SELECT pos.doc_id, pos.pos, finalids.piece_ids
+        |FROM pos JOIN finalids USING (w)
         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_decontaminate" ->

@@ -605,12 +605,16 @@ final class GraftCollectionView(spark: SparkSession, catalog: Catalog,
           meta("index.hnsw.m").toInt,
           meta.getOrElse("index.hnsw.efc", "64").toInt,
           meta.getOrElse("index.hnsw.segments", "4").toInt,
-          // an explicit caller default survives the re-embed rebuild;
-          // a derived (or pre-marker legacy) one re-derives — this IS
-          // a rebuild, the contract's re-derivation point
-          if (meta.get("index.hnsw.default_ef_src").contains("explicit"))
-            meta.getOrElse("index.hnsw.default_ef", "0").toInt
-          else 0)
+          // an explicit caller default survives the re-embed rebuild,
+          // and so does a PRE-MARKER legacy value: this rebuild
+          // preserves the graph's configuration (m/efc/segments pass
+          // through verbatim), and a stored default_ef with no
+          // provenance marker may be a caller's deliberate knob — only
+          // a value this contract itself derived (marker "auto") is
+          // safe to re-derive here. Legacy graphs opt into the derived
+          // beam by calling rebuildChunkGraph() directly.
+          if (meta.get("index.hnsw.default_ef_src").contains("auto")) 0
+          else meta.getOrElse("index.hnsw.default_ef", "0").toInt)
         catch { case t: Throwable =>
           try dropChunkGraph()
           catch { case c: Throwable => t.addSuppressed(c) }

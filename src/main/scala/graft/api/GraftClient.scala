@@ -2908,6 +2908,23 @@ final class GraftCollection(spark: SparkSession, catalog: Catalog,
         "to restore the routed cost tier")
     else None
 
+  /** The deliberate opt-OUT of the certificate sidecar: drops its
+    * artifacts (when live in the sidecar role) AND the `wanted`
+    * witness, so a collection whose owner has decided FLAT radius
+    * serving is fine stops reporting [[sidecarStale]]. Without this
+    * the witness was irrevocable — the only way to silence the debt
+    * report was to rebuild an artifact the owner no longer wanted
+    * (r14 review fix). When IVF_SQ8 is the PRIMARY index (no live
+    * graph) the artifact set serves top-k too and is left alone;
+    * only the witness clears. */
+  def dropCertificateSidecar(): Unit = {
+    val live = liveIndexes(describe)
+    if (live.ivfSqLive && live.hnswLive)
+      invalidateVectorIndex(keepIvf = true, keepLsh = true, keepPq = true,
+        keepIvfPq = true, keepIvfSq = false, keepHnsw = true, keepBq = true)
+    catalog.updateMeta(db, coll, Map("index.sidecar.wanted" -> "false"))
+  }
+
   /** The IVF_SQ8 artifact build shared by [[rebuildIvfSqIndex]] (after
     * sibling invalidation) and [[buildCertificateSidecar]] (without). */
   private def buildIvfSqArtifacts(nlist: Int, metric: String, dim: Int): Unit = {

@@ -328,8 +328,12 @@ object Multimodal {
                     maxFrames: Int = 8): Dataset[FrameStat] =
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.flatMap { m =>
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // one reader per partition, like plantGif's writer: setInput
+      // resets all decoder state per payload, disposal rides the
+      // iterator's end (r14 review fix — the per-row registry lookup
+      // + reader construction paid codec init once per DOCUMENT)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val out = it.flatMap { m =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
         try {
@@ -354,7 +358,11 @@ object Multimodal {
             }
             FrameStat(m.doc_id, f, sr, sg, sb)
           }
-        } finally { reader.dispose(); iis.close() }
+        } finally { iis.close() }
+      }
+      new Iterator[FrameStat] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) reader.dispose(); h }
+        def next(): FrameStat = out.next()
       }
     }(Encoders.product[FrameStat])
 

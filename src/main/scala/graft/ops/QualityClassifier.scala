@@ -39,7 +39,13 @@ object QualityClassifier {
                            numFeatures: Int): DataFrame = {
     val tf = new MlHashingTF().setInputCol("__toks").setOutputCol("__feat")
       .setNumFeatures(numFeatures)
-    tf.transform(docs.withColumn("__toks", split(coalesce(col(textCol), lit("")), " ")))
+    // EMPTY tokens filtered, exactly as scoreLogitMicro does: train,
+    // float serving, and integer micro serving must all see the same
+    // feature vector, or a double space near the decision boundary
+    // flips the quantized `pass` relative to quality_prob >= 0.5 for
+    // the same model (r14 review fix)
+    tf.transform(docs.withColumn("__toks",
+      filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")))
   }
 
   /** Fit on `labelCol` (0.0/1.0). */

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.api.GraftClient
+import graft.api.{GraftClient, GraftCollectionView}
 
 /** Document-set CRUD parity with the reference AI-document surface
   * (collection_view.py get_document_set/delete/update/get_chunks and
@@ -380,13 +380,25 @@ class CollectionViewApiSpec extends SparkSpec {
   }
 
   test("trainEmbedding rebuilds a live chunk graph in the new embedding space") {
-    val client = new GraftClient(spark, Files.createTempDirectory("graft-cvw2vg").toString)
+    val root = Files.createTempDirectory("graft-cvw2vg").toString
+    val client = new GraftClient(spark, root)
     val view = client.createDatabase("db").createCollectionView("docs")
     view.loadAndSplitText("a.md", ("spark join fast " * 12).trim)
     view.loadAndSplitText("b.md", ("slow table scan " * 12).trim)
     view.rebuildChunkGraph(m = 4, efConstruction = 16, numSegments = 2,
       defaultEf = Int.MaxValue)
+    // simulate a PRE-MARKER legacy graph: strip the provenance key the
+    // r14 contract writes. The re-embed rebuild must PRESERVE the
+    // stored default (it preserves m/efc/segments the same way) — a
+    // value with unknown provenance may be a caller's deliberate knob
+    // (r14 review fix); only marker="auto" re-derives here.
+    new graft.catalog.Catalog(spark, root).updateMeta("db",
+      "docs" + GraftCollectionView.GraphSuffix,
+      Map("index.hnsw.default_ef_src" -> null))
     view.trainEmbedding(dim = 8, minCount = 2, maxIter = 2)
+    assert(view.chunkGraphMeta.get("index.hnsw.default_ef")
+        .contains(Int.MaxValue.toString),
+      "a pre-marker stored default_ef must survive the re-embed rebuild")
     // the graph serves the NEW space: exhaustive-ef graph search must
     // equal the FLAT ranking over the re-embedded chunks
     val viaGraph = view.search("slow table scan", limit = 3,

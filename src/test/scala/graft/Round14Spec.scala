@@ -123,6 +123,44 @@ class Round14Spec extends SparkSpec {
     // rebuilding the sidecar clears the flag
     coll.buildCertificateSidecar(nlist = 4)
     assert(!coll.sidecarStale && coll.sidecarRecommendation.isEmpty)
+    // the deliberate opt-OUT (r14 review fix — the witness must not be
+    // irrevocable): dropping the sidecar clears artifacts AND witness,
+    // so an owner who decided FLAT serving is fine is never nagged
+    coll.dropCertificateSidecar()
+    assert(!coll.sidecarStale && coll.sidecarRecommendation.isEmpty,
+      "a dropped sidecar must not report stale")
+    val meta = coll.describe
+    assert(!meta.contains("index.ivfsq.nlist"),
+      "the opt-out drops the sidecar artifact set")
+    assert(meta.contains("index.hnsw.m"),
+      "the primary graph survives the opt-out")
+    coll.rebuildHnswIndex(m = 4, efConstruction = 16, numSegments = 2)
+    assert(!coll.sidecarStale,
+      "after the opt-out, later rebuilds must not resurrect the debt report")
+  }
+
+  test("BPE loader-id map of the pinned merges has the layout the oracle re-derives in SQL") {
+    // the q_bpe_apply_ids oracle computes the id table FROM the
+    // inlined merges (EndMark=0, sorted unit-char alphabet, products
+    // in rank order, first-wins); this pins Bpe.pieceIds over the SAME
+    // persisted artifact to that exact layout, so any change to the
+    // id-assignment discipline fails here before it desyncs the oracle
+    val ids = graft.text.Bpe.pieceIds(SparkEntry.bpeApplyMergesFor(spark))
+    assert(ids("</w>") == 0)
+    // alphabet of the 12 pinned merges: a,c,e,k,n,o,p,r,s,t
+    assert(ids("a") == 1 && ids("t") == 10,
+      s"sorted 10-char alphabet must occupy ids 1..10, got $ids")
+    assert(ids("ta") == 11 && ids("or") == 22,
+      "products must follow in rank order after the alphabet")
+    assert(ids.size == 23, s"1 + 10 + 12 distinct pieces, got ${ids.size}")
+    // the unigram side: stored piece_id must be the 0-based
+    // (logp DESC, piece ASC) rank the oracle's row_number re-derives
+    val pt = SparkEntry.unigramApplyModelFor(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val rederived = pt.sortBy { case (p, lp, _) => (-lp, p) }
+      .zipWithIndex.map { case ((p, lp, _), i) => (p, lp, i) }
+    assert(pt.sortBy(_._3).toList == rederived.sortBy(_._3).toList,
+      "stored unigram piece_id must equal the (logp DESC, piece ASC) row rank")
   }
 
   test("IVF-assign centroids: trained artifact equals the pinned oracle rows exactly") {

@@ -232,6 +232,24 @@ object TextAnalysis {
                                salt: String): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val toksC = filter(split(col(textCol), " "), x => x =!= "")
+    // The eligibility filter tests the TOKEN COUNT (a doc yields >= w
+    // windows iff it has >= k+w-1 tokens — size(__h) = ntok-k+1), so
+    // the predicate Catalyst pushes toward the scan costs one
+    // split+count per row; filtering on size(__h) instead duplicated
+    // the ENTIRE per-gram md5 expression into the pushed filter
+    // (hashing every gram twice — guide §4.4's duplication, reproduced
+    // with built-in expressions; the r14 before-plan shows it).
+    // Par.floor then (a) spreads the per-gram hashing across cores —
+    // this stage is the corpus-heaviest pure projection in the bench —
+    // and (b) acts as the projection barrier that materializes the
+    // token array: CollapseProject would otherwise inline
+    // filter(split(text)) into every gram's slice() lambda,
+    // O(grams·tokens) splitting per document.
+    val toks = graft.ops.Par.floor(
+      docs
+        .select(col(idCol).as("doc_id"), toksC.as("__t"))
+        .where(size(col("__t")) >= k + w - 1),
+      col("doc_id"))
     // k-gram strings, then the 32-bit salted-md5 hash of each (the
     // salt binds as a lit — never interpolated into SQL text, the
     // saltedHash32 discipline). The hash array MATERIALIZES as its own
@@ -240,13 +258,12 @@ object TextAnalysis {
     // referencing the transform expression there would recompute EVERY
     // gram's md5 per element access — O(grams²·w) hashing per document
     // instead of O(grams)
-    val hashesC = when(size(toksC) >= k + w - 1,
+    val hashesC =
       transform(
-        transform(sequence(lit(0), size(toksC) - k),
-          i => array_join(slice(toksC, i + 1, lit(k)), " ")),
+        transform(sequence(lit(0), size(col("__t")) - k),
+          i => array_join(slice(col("__t"), i + 1, lit(k)), " ")),
         g => conv(substring(md5(concat(g, lit(salt))), 1, 8), 16, 10)
-          .cast("long")))
-      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .cast("long"))
     // per window j (0-based): leftmost argmin of __h[j .. j+w-1]
     val sels =
       s"""transform(sequence(0, size(__h) - $w), j ->
@@ -257,9 +274,8 @@ object TextAnalysis {
          |                  THEN struct(element_at(__h, i + 1) AS mh,
          |                              CAST(i AS INT) AS mp)
          |                  ELSE acc END))""".stripMargin
-    docs
-      .select(col(idCol).as("doc_id"), hashesC.as("__h"))
-      .where(size(col("__h")) >= w)
+    toks
+      .select(col("doc_id"), hashesC.as("__h"))
       .select(col("doc_id"), explode(expr(sels)).as("__s"))
       .select(col("doc_id"), col("__s.mp").as("pos"),
         col("__s.mh").as("fingerprint"))

@@ -340,7 +340,7 @@ object Bench {
       }
       val t0 = System.nanoTime()
       graft.dedup.Dedup.embedLshFromBuckets(buckets, embs,
-        "vec_id", "embedding", threshold = 0.5).count()
+        "vec_id", "embedding", threshold = 0.5, bands = 16).count()
       Seq("m_dedup_embed_lsh_prod" -> (System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => Seq("m_dedup_embed_lsh_prod" -> -1.0) }
 

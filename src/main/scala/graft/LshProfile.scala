@@ -28,11 +28,11 @@ object LshProfile {
       val tRaw = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val distinctCand = graft.dedup.Dedup
-        .lshCandidatesFromBuckets(buckets).count()
+        .lshCandidatesFromBuckets(buckets, bands).count()
       val tDistinct = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val pairs = graft.dedup.Dedup
-        .embedLshFromBuckets(buckets, embs, "vec_id", "embedding", t).count()
+        .embedLshFromBuckets(buckets, embs, "vec_id", "embedding", t, bands).count()
       val tFull = (System.nanoTime() - t0) / 1e9
       buckets.unpersist()
       val allPairs = n * (n - 1) / 2

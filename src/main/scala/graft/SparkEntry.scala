@@ -538,7 +538,7 @@ object SparkEntry {
           nBits = 32, bands = 16, seed = 42L)
       }
       Dedup.embedLshFromBuckets(buckets, Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.45)
+        "vec_id", "embedding", threshold = 0.45, bands = 16)
     }),
 
 

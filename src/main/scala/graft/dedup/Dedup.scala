@@ -145,10 +145,23 @@ object Dedup {
     val dim = graft.vector.LshIndex.deriveDim((embs, vecCol))
     val sig = graft.vector.LshIndex.withSignature(
       embs.select(col(idCol).as("doc_id"), col(vecCol).as("__v")), "__v", nBits, dim, seed)
-    sig.select(col("doc_id"), explode(array((0 until bands).map(bnd =>
-        struct(lit(bnd).as("b"),
-          shiftright(col("sig"), bnd * bandBits).bitwiseAND(mask).as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.v").as("v"))
+    // carries the full band-value array __vs next to each exploded
+    // (b, v) row: the candidate join needs both sides' arrays to emit
+    // a colliding pair exactly once (at its first shared band) instead
+    // of deduplicating the multi-band fanout with a corpus-pair-sized
+    // distinct — see [[lshCandidatesFromBuckets]]. __vs derives from
+    // the sig LONG above the Generate, never below it: the signature
+    // expression embeds nBits x dim plane literals, and fusing a
+    // retained __vs alias of it into the Generate stage doubles that
+    // tree in the generated code (janino OOMs compiling it at
+    // nBits = 64); sig-the-column is one long, and 2·bands shifts per
+    // exploded row are noise.
+    val bandVals = array((0 until bands).map(bnd =>
+      shiftright(col("sig"), bnd * bandBits).bitwiseAND(mask)): _*)
+    sig.select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandVals).as(Seq("b", "v")))
+      .select(col("doc_id"), bandVals.as("__vs"), col("b"), col("v"))
   }
 
   /** LSH candidate pairs: docs sharing at least one `bandBits`-bit band
@@ -156,16 +169,45 @@ object Dedup {
     * vectors are re-attached by join afterwards. */
   private[graft] def lshCandidates(embs: DataFrame, idCol: String, vecCol: String,
                                    nBits: Int, bands: Int, seed: Long): DataFrame =
-    lshCandidatesFromBuckets(lshBandBuckets(embs, idCol, vecCol, nBits, bands, seed))
+    lshCandidatesFromBuckets(
+      lshBandBuckets(embs, idCol, vecCol, nBits, bands, seed), bands)
 
   /** [[lshCandidates]] over a precomputed (persisted) band-bucket
-    * table. */
-  private[graft] def lshCandidatesFromBuckets(buckets: DataFrame): DataFrame =
-    buckets.as("x").join(buckets.as("y"),
+    * table (doc_id, __vs, b, v — see [[lshBandBuckets]]).
+    *
+    * A pair colliding on k >= 1 bands used to surface k times and
+    * collapse through a distinct — a shuffle + hash aggregate over
+    * every DUPLICATED pair (r14 measured 8.1M fanout rows -> 2.0M
+    * pairs at sf0.1, and the aggregation dominated the query). A pair
+    * is now emitted ONLY from its first shared band (the smallest i
+    * with __vs_x[i] = __vs_y[i], the [[firstSharedBand]] when-chain),
+    * which is the identical distinct pair set with zero exchanges;
+    * Par.floor spreads the fanout across cores where the
+    * single-row-group artifact scan would pin it to one task. */
+  private[graft] def lshCandidatesFromBuckets(buckets: DataFrame,
+                                              bands: Int): DataFrame = {
+    val bl = graft.ops.Par.floor(buckets, col("doc_id"))
+    bl.as("x").join(bl.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.b") === firstSharedBand(bands))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+  }
+
+  /** First band index i < `bands` where the joined sides' band-value
+    * arrays agree (aliases x/y), else the sentinel `bands`. A static
+    * when-chain: pure whole-stage-codegen comparisons with first-match
+    * short-circuit, where a higher-order aggregate over the arrays is
+    * CodegenFallback — a per-row interpreter walk (plus allocations) on
+    * the FULL multi-band fanout, the hottest row stream in the dedup
+    * family. `bands` must equal the band count the bucket table was
+    * built with (callers pass the same constant): a smaller value would
+    * silently drop pairs whose only shared band lies past it. */
+  private def firstSharedBand(bands: Int): Column =
+    (0 until bands).foldRight(lit(bands).cast("int")) { (i, acc) =>
+      when(element_at(col("x.__vs"), i + 1) ===
+           element_at(col("y.__vs"), i + 1), lit(i)).otherwise(acc)
+    }
 
   /** Embedding-cosine near-dup with LSH candidate generation composed in
     * front of the exact verify — the scale path for [[embedCosine]]:
@@ -184,20 +226,22 @@ object Dedup {
   def embedLsh(embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
                nBits: Int = 64, bands: Int = 32, seed: Long = 42L): DataFrame =
     embedLshFromBuckets(lshBandBuckets(embs, idCol, vecCol, nBits, bands, seed),
-      embs, idCol, vecCol, threshold)
+      embs, idCol, vecCol, threshold, bands)
 
   /** [[embedLsh]] served from a precomputed (doc_id, b, v) band-bucket
     * table (see [[lshBandBuckets]]) — the ingest-artifact path: the
     * O(corpus · nBits) signature pass is persisted once; every dedup
     * run pays only the bucket self-join + exact verify. */
   def embedLshFromBuckets(buckets: DataFrame, embs: DataFrame, idCol: String,
-                          vecCol: String, threshold: Double): DataFrame = {
+                          vecCol: String, threshold: Double,
+                          bands: Int = 16): DataFrame = {
     // candidates dedup on ids BEFORE vectors are attached (a pair
     // surfaces from ~b·p^r bands; scoring the duplicates instead
     // measured 2x slower than the ids-only distinct), then the exact
     // verify joins the (tiny at high thresholds, broadcastable here)
-    // vector table back on each side.
-    val cand = lshCandidatesFromBuckets(buckets)
+    // vector table back on each side. `bands` must match the bucket
+    // table's band count (firstSharedBand contract).
+    val cand = lshCandidatesFromBuckets(buckets, bands)
     val vecs = embs.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
     val cos = VectorScore.cosine(col("__va"), col("__vb"))
     cand
@@ -785,12 +829,28 @@ object Dedup {
     * contiguous components. Ids only cross the distinct. */
   private[graft] def minhashCandidates(sig: DataFrame, numPerms: Int,
                                        bands: Int): DataFrame = {
-    val buckets = minhashBandBuckets(sig, numPerms, bands)
-    buckets.as("x").join(buckets.as("y"),
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rowsPerBand = numPerms / bands
+    // own band-array frame rather than [[minhashBandBuckets]] (whose
+    // (doc_id, b, h) schema is a persisted collection format): carrying
+    // every band hash as __vs lets the join emit a colliding pair
+    // exactly once — at its first shared band — the shared
+    // first-shared-band device ([[lshCandidatesFromBuckets]]) that
+    // replaces the duplicated-pair distinct with a codegen filter.
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand).map(i => col(s"m$i"))
+      xxhash64(slice: _*)
+    }
+    val bl = graft.ops.Par.floor(
+      sig.select(col("doc_id"), array(bandCols: _*).as("__vs"))
+        .select(col("doc_id"), col("__vs"),
+          posexplode(col("__vs")).as(Seq("b", "h"))),
+      col("doc_id"))
+    bl.as("x").join(bl.as("y"),
         col("x.b") === col("y.b") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.b") === firstSharedBand(bands))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
   }
 
   /** Estimated jaccard between two signature rows joined under aliases
@@ -939,13 +999,33 @@ object Dedup {
     require(blocks > 0 && 64 % blocks == 0, "blocks must divide 64")
     val bits = 64 / blocks
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val bl = sig.select(col("doc_id"), explode(array((0 until blocks).map(bnd =>
-        struct(lit(bnd).as("b"),
-          shiftright(col("simhash"), bnd * bits).bitwiseAND(mask).as("v"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.v").as("v"))
-    // same (doc_id, b, v) bucket shape as the embedding bands — one
-    // shared candidate join, not a third copy of it
-    lshCandidatesFromBuckets(bl)
+    val bl = graft.ops.Par.floor(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until blocks).map(bnd =>
+          struct(lit(bnd).as("b"),
+            shiftright(col("simhash"), bnd * bits).bitwiseAND(mask).as("v"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.b").as("b"), col("bk.v").as("v")),
+      col("doc_id"))
+    // A pair sharing k >= 1 blocks used to surface from k bucket joins
+    // and collapse through a distinct — a shuffle + hash aggregate over
+    // EVERY duplicated pair (r14 measured 6.8M pre-distinct rows ->
+    // 5.1M pairs at sf0.1: a 4.4s aggregation buying a 1.3x dedup).
+    // Emitting a pair ONLY at its first shared block — the lowest zero
+    // (64/blocks)-bit group of the signatures' xor, a pure codegen
+    // CASE chain — yields the identical distinct pair set with zero
+    // exchanges: dedup moves from an O(candidate-pairs) aggregation to
+    // a per-row filter.
+    val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstShared = (0 until blocks).foldRight(lit(blocks).cast("int")) {
+      (bnd, acc) =>
+        when(shiftright(xor, bnd * bits).bitwiseAND(mask) === 0, lit(bnd))
+          .otherwise(acc)
+    }
+    bl.as("x").join(bl.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.b") === firstShared)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
   }
 
   /** SimHash-bucketed candidate generation composed with the EXACT
@@ -1284,12 +1364,21 @@ object Dedup {
         struct(lit(bnd).as("b"),
           shiftright(col("simhash"), bnd * 16).bitwiseAND(0xFFFFL).as("v"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.b").as("b"), col("bk.v").as("v"))
+    // first-shared-block emission instead of a distinct — the
+    // simhashCandidates device: a pair agreeing on k blocks surfaces
+    // exactly once (at the lowest zero 16-bit group of the xor), so the
+    // duplicated-pair shuffle + aggregate disappears from the plan.
+    val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstShared = (0 until 4).foldRight(lit(4).cast("int")) { (bnd, acc) =>
+      when(shiftright(xor, bnd * 16).bitwiseAND(0xFFFFL) === 0, lit(bnd))
+        .otherwise(acc)
+    }
     blocks.as("x").join(blocks.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.b") === firstShared)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+        bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }

@@ -24,14 +24,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   * CollapseProject would otherwise inline its expression into every
   * consumer — including per-element lambda bodies.
   *
-  * Call on pre-shuffle frames (scan + narrow ops) only: the partition
-  * probe walks the physical plan, which is exact and cheap there. */
+  * The under-parallelized probe uses plan STATISTICS, never execution
+  * (the [[graft.dedup.Dedup.embedCosine]] device): materializing the
+  * RDD here would eagerly run any upstream AQE stages at plan-
+  * construction time. A scan can only reach `cores` tasks when its
+  * input is at least cores x maxPartitionBytes, so below that the
+  * floor fires; above it the scan parallelizes naturally and the floor
+  * is a no-op. Derived plans overestimate stats, which errs toward
+  * skipping the repartition — the safe direction at scale. */
 object Par {
   def floor(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val parts =
-      try df.queryExecution.toRdd.getNumPartitions
-      catch { case _: Throwable => Int.MaxValue }
-    if (parts >= target) df else df.repartition(target, key)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxSplit) * target) df
+    else df.repartition(target, key)
   }
 }

@@ -1538,8 +1538,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val model = graft.text.NgramLm.train(
         docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      // scored materializes once (localCheckpoint, inside the timed
+      // query): buckets() executes its input twice — the grouped
+      // threshold pass and the final assignment join — and scored is
+      // the whole-corpus LM pass, the query's heaviest subplan (each
+      // re-execution also re-trains every broadcast model table)
       val scored = graft.text.NgramLm.score(docs, "doc_id", "text", model)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .localCheckpoint()
       graft.text.NgramLm.buckets(scored, "doc_id", "source")
         .select("doc_id", "source", "n_tokens", "nll", "ppl_bucket")
         .orderBy("doc_id")

@@ -67,10 +67,15 @@ object Dsir {
     * projection; the text column never shuffles. */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
                           nBuckets: Int): DataFrame =
-    docs
-      .select(col(idCol), expr(
-        s"filter(split($textCol, ' '), x -> x <> '')").as("__a"))
-      .where(size(col("__a")) > 0)
+    // Par.floor: the per-gram salted md5 below is the heavy stage of
+    // every DSIR pass and runs pre-shuffle — a single-row-group input
+    // file would otherwise pin it to one task
+    graft.ops.Par.floor(
+      docs
+        .select(col(idCol), expr(
+          s"filter(split($textCol, ' '), x -> x <> '')").as("__a"))
+        .where(size(col("__a")) > 0),
+      col(idCol))
       // ONE explode of unigrams ++ bigrams, so each corpus is scanned
       // once, not once per gram order (the size >= 2 guard matters:
       // sequence(1, 0) would count DOWN in Spark)

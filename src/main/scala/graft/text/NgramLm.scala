@@ -58,15 +58,26 @@ object NgramLm {
     * `<s>` start context so position 0 is scored too — one
     * struct-pair transform + explode, nothing but (id, v, w) leaves
     * the projection. */
-  private def pairRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), expr(
+  /** `par = true` applies the Par.floor parallelism repartition before
+    * the explode — right for the SCORING probe side (one heavy
+    * pre-shuffle stage per query). Training callers must keep the
+    * default: the train subplan is re-executed once per derived model
+    * table each time the tables are broadcast, and a shuffle inside
+    * each of those broadcast builds serializes what are otherwise
+    * concurrent narrow pipelines (measured 1.2s -> 2.2s on
+    * q_ppl_buckets when train carried the floor too). */
+  private def pairRows(docs: DataFrame, idCol: String, textCol: String,
+                       par: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol), expr(
         s"filter(split($textCol, ' '), x -> x <> '')").as("__a"))
       .where(size(col("__a")) > 0)
+    (if (par) graft.ops.Par.floor(base, col(idCol)) else base)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(__a) - 1), " +
           "i -> struct(if(i = 0, '<s>', __a[i - 1]) AS v, __a[i] AS w))"))
         .as("__p"))
       .select(col(idCol), col("__p.v").as("v"), col("__p.w").as("w"))
+  }
 
   /** Rebuild a full [[Model]] from a persisted bigram table alone —
     * the bigram counts are the SUFFICIENT STATISTIC: every token
@@ -108,10 +119,12 @@ object NgramLm {
   /** (id, u, v, w) trigram rows with DOUBLE `<s>` padding: position 0
     * scores under (`<s>`, `<s>`) and position 1 under (`<s>`, w₀), so
     * every token instance appears exactly once as a `w` here too. */
-  private def tripleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), expr(
+  private def tripleRows(docs: DataFrame, idCol: String, textCol: String,
+                         par: Boolean = false): DataFrame = {
+    val base = docs.select(col(idCol), expr(
         s"filter(split($textCol, ' '), x -> x <> '')").as("__a"))
       .where(size(col("__a")) > 0)
+    (if (par) graft.ops.Par.floor(base, col(idCol)) else base)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(__a) - 1), " +
           "i -> struct(if(i <= 1, '<s>', __a[i - 2]) AS u, " +
@@ -119,6 +132,7 @@ object NgramLm {
         .as("__p"))
       .select(col(idCol), col("__p.u").as("u"), col("__p.v").as("v"),
         col("__p.w").as("w"))
+  }
 
   /** Rebuild the full order-3 chain from the persisted trigram table
     * alone: the (v, w) marginal Σ_u c(u,v,w) IS the bigram table (the
@@ -180,7 +194,7 @@ object NgramLm {
              model: Model3): DataFrame = {
     val d = lit(Discount)
     val m2 = model.bigram
-    val scored = tripleRows(docs, idCol, textCol)
+    val scored = tripleRows(docs, idCol, textCol, par = true)
       .join(model.trigrams.withColumnRenamed("c_uvw", "__cuvw"),
         Seq("u", "v", "w"), "left")
       .join(model.bicontexts, Seq("u", "v"), "left")
@@ -207,7 +221,7 @@ object NgramLm {
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: Model): DataFrame =
     aggregateNll(
-      pairRows(docs, idCol, textCol)
+      pairRows(docs, idCol, textCol, par = true)
         .join(model.bigrams.withColumnRenamed("c_vw", "__cvw"),
           Seq("v", "w"), "left")
         .join(model.contexts, Seq("v"), "left")
@@ -251,7 +265,7 @@ object NgramLm {
         col("c_v").cast("double") +
         (d * col("n1p").cast("double") / col("c_v").cast("double")) * pCont)
     aggregateNll(
-      pairRows(docs, idCol, textCol)
+      pairRows(docs, idCol, textCol, par = true)
         .join(model.bigrams.withColumnRenamed("c_vw", "__cvw"),
           Seq("v", "w"), "left")
         .join(model.contexts, Seq("v"), "left")

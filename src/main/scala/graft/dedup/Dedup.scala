@@ -119,6 +119,12 @@ object Dedup {
     * (~20k rows of 128-dim float vectors). */
   val AllPairsGuardBytes: BigInt = BigInt(32L * 1024 * 1024)
 
+  /** Largest measured near-dup edge set the connected-components
+    * driver fast path may collect (16 B/edge -> ~64 MB at the bound;
+    * the count is already materialized for partition sizing, so the
+    * gate is free). Above it the distributed min-label loop runs. */
+  val DriverCcMaxEdges: Long = 4L * 1024 * 1024
+
   /** The exhaustive all-pairs scan — the ORACLE PROBE for the LSH
     * path's band configs (tests compare [[embedLsh]] against it).
     * Deliberately not part of the production API: O(n²). */
@@ -276,8 +282,44 @@ object Dedup {
     val edges0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
+    val edgeCount = edges0.count()
+    // SMALL-graph fast path (long ids): near-dup edge sets are usually
+    // tiny (hundreds of pairs on the test corpora), but the distributed
+    // fixpoint pays 2+ scheduled jobs PER ROUND (checkpoint + label-sum
+    // witness) — ~1.8s of pure job latency for a 144-edge graph. Under
+    // the measured bound a single bounded collect (the calibrateNprobe
+    // / MMR-pool discipline: size-gated, loud, with the distributed
+    // loop as the at-scale fallback) runs union-find on the driver and
+    // returns a local relation the callers broadcast anyway. Min-label
+    // semantics identical: every node maps to its component's smallest
+    // id.
+    val longIds = edges0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (edgeCount <= DriverCcMaxEdges && longIds) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      val nodes = new java.util.LinkedHashSet[Long]()
+      edges0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes.add(a); nodes.add(b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      nodes.forEach(id => out += ((id, find(id))))
+      import pairs.sparkSession.implicits._
+      return out.toSeq.toDF("doc_id", "cluster_id")
+    }
     val parts = numPartitions.getOrElse(
-      math.min(2000L, edges0.count() / 1000000L + 1L).toInt)
+      math.min(2000L, edgeCount / 1000000L + 1L).toInt)
     val edges =
       if (parts < edges0.rdd.getNumPartitions) edges0.coalesce(parts).localCheckpoint(true)
       else edges0

@@ -78,7 +78,12 @@ object Dedup {
         // driver memory) — AQE picks broadcast when the set is small
         ng.join(hot, Seq("g"), "left_anti")
     }
-    val inter = joinable.as("a").join(joinable.as("b"),
+    // Par.floor on the PROBE side only: the per-gram fanout plus the
+    // (id_a, id_b) partial aggregation run pre-shuffle, and a single-
+    // row-group posting artifact pins them to one task; the build side
+    // stays un-floored so its broadcast estimate is untouched
+    val inter = graft.ops.Par.floor(joinable, col("doc_id")).as("a")
+      .join(joinable.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -1142,8 +1147,18 @@ object Dedup {
       case Some(n) =>
         // BloomFilterAggregate's own item cap is 4M by default; past it
         // the gate degrades to fpp creep, so clamp and let the verify
-        // join keep the result exact regardless.
-        val items = math.min(math.max(n, 64L), 4000000L)
+        // join keep the result exact regardless. The caller's value is
+        // a CAPACITY CAP; the actual size also reads the reference's
+        // plan-statistics row estimate (bytes/64 — the zero-job sizing
+        // device Par.floor uses): a fixed 2^20 capacity bakes a 1.2 MB
+        // bitmap literal into the plan and the generated code whatever
+        // the reference size, and compiling it dominated the query on
+        // small references. Undersizing only raises fpp — the verify
+        // join keeps the result exact.
+        val statsRows =
+          (reference.queryExecution.optimizedPlan.stats.sizeInBytes / 64)
+            .min(BigInt(Long.MaxValue)).toLong
+        val items = math.min(math.max(math.min(n, statsRows), 64L), 4000000L)
         val nBits = org.apache.spark.util.sketch.BloomFilter
           .optimalNumOfBits(items, bloomFpp)
         val hashedFp = new XxHash64(Seq(GraftShims.expression(col("__fp"))))
@@ -1189,9 +1204,11 @@ object Dedup {
                      window: Int = 16, stride: Int = 16, minDocs: Int = 2,
                      approxDocs: Boolean = false): DataFrame = {
     require(window >= 1 && stride >= 1, "window and stride must be positive")
-    val toks = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .where(size(col("__toks")) >= window)
+    val toks = graft.ops.Par.floor(
+      docs
+        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+        .where(size(col("__toks")) >= window),
+      col("doc_id"))
     val passages = toks.select(col("doc_id"),
       explode(transform(
         sequence(lit(0), size(col("__toks")) - window, lit(stride)),
@@ -1212,9 +1229,13 @@ object Dedup {
     * aggregated or joined here. */
   private def slidingWindows(docs: DataFrame, idCol: String, textCol: String,
                              window: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-      .where(size(col("__toks")) >= window)
+    // Par.floor: building window×-the-text strings is the heavy
+    // pre-shuffle stage of both consumers
+    graft.ops.Par.floor(
+      docs
+        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+        .where(size(col("__toks")) >= window),
+      col("doc_id"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - window, lit(1)),
         i => concat_ws(" ", slice(col("__toks"), i + lit(1), lit(window))))))

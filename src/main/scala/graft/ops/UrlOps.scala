@@ -124,7 +124,14 @@ object UrlOps {
     * smallest id (the exact-dedup representative rule). Returns
     * (id, url_canon) of the survivors. */
   def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), canonicalize(col(urlCol)).as("url_canon"))
+    // Par.floor BELOW the canonicalization: the heavy regex/split
+    // projection and the partial aggregation then run post-exchange on
+    // every core (flooring the canonicalized frame instead evaluates
+    // it in the single scan task and merely adds a shuffle — measured
+    // 1.5s -> 2.1s that way)
+    graft.ops.Par.floor(
+      docs.select(col(idCol).as("id"), col(urlCol).as("__u")), col("id"))
+      .select(col("id"), canonicalize(col("__u")).as("url_canon"))
       .groupBy("url_canon").agg(min(col("id")).as("id"))
       .select(col("id"), col("url_canon"))
       .orderBy("id")

@@ -181,8 +181,11 @@ object TextAnalysis {
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docs.count()
-    val tf = docs
-      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+    // Par.floor: the term explode + (doc, term) partial aggregation is
+    // the heavy pre-shuffle stage
+    val tf = graft.ops.Par.floor(
+        docs.select(col(idCol), toks(col(textCol)).as("__t")), col(idCol))
+      .select(col(idCol), explode(col("__t")).as("term"))
       .where(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

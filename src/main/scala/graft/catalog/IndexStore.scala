@@ -36,7 +36,19 @@ object IndexStore {
       // build must be retried by the next caller, not served as a
       // phantom empty index for the rest of the JVM's life
       if (!built.contains(path)) {
-        val w = build.write.mode("overwrite")
+        val df = build
+        // output-file sizing (guide §6): small artifacts otherwise land
+        // as shuffle.partitions tiny files (32 x ~10 KB here) and every
+        // consumer query pays per-file open + task overhead on each
+        // scan. The file budget derives from plan statistics
+        // (bytes / 128 MB target, zero jobs), so a 100 TB build keeps
+        // its parallelism; coalesce — never repartition — preserves a
+        // builder's range-clustered, sorted-within layout (rowgroup
+        // pruning) since it concatenates partitions in order.
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val files = (bytes / (128L * 1024 * 1024) + 1)
+          .min(BigInt(200000)).toInt
+        val w = df.coalesce(files).write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
         built.add(path)
       }

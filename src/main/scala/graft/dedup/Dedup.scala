@@ -1204,11 +1204,14 @@ object Dedup {
                      window: Int = 16, stride: Int = 16, minDocs: Int = 2,
                      approxDocs: Boolean = false): DataFrame = {
     require(window >= 1 && stride >= 1, "window and stride must be positive")
-    val toks = graft.ops.Par.floor(
-      docs
-        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-        .where(size(col("__toks")) >= window),
-      col("doc_id"))
+    // no Par.floor here: at stride = window the explode emits ~1/window
+    // of the token stream, and the barrier exchange (which carries the
+    // full token arrays) measured SLOWER than the single-task explode
+    // (0.57s -> 0.81s at sf0.1); the stride-1 path (slidingWindows)
+    // keeps the floor because its explode is window x the text
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .where(size(col("__toks")) >= window)
     val passages = toks.select(col("doc_id"),
       explode(transform(
         sequence(lit(0), size(col("__toks")) - window, lit(stride)),

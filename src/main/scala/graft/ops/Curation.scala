@@ -73,6 +73,9 @@ object Curation {
     * times. */
   def contaminationFromGrams(grams: DataFrame, trainPct: Int = 90,
                              buckets: Int = 100): DataFrame = {
+    // no Par.floor: the frame feeds THREE consumers whose differing
+    // column pruning defeats exchange reuse — each would pay its own
+    // posting-table shuffle (measured slower than the single-task scan)
     val g = grams.withColumn("__b", bucketOf(col("doc_id"), buckets))
     val evalG = g.where(col("__b") >= trainPct).select("doc_id", "g")
     val trainG = g.where(col("__b") < trainPct).select("g").distinct()
@@ -108,6 +111,7 @@ object Curation {
   def decontaminateFromGrams(grams: DataFrame, trainPct: Int = 90,
                              buckets: Int = 100,
                              maxShare: Double = 0.8): DataFrame = {
+    // no Par.floor — the contaminationFromGrams multi-consumer rationale
     val g = grams.withColumn("__b", bucketOf(col("doc_id"), buckets))
     val trainG = g.where(col("__b") < trainPct).select("doc_id", "g")
     val evalG = g.where(col("__b") >= trainPct).select("g").distinct()

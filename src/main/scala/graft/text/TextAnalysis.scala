@@ -325,7 +325,10 @@ object TextAnalysis {
       .where(col("__df") <= maxDf).select("fingerprint")
     val pruned = fp.join(rare, Seq("fingerprint"), "left_semi")
     val b = pruned.select(col("fingerprint"), col("doc_id").as("id_b"))
-    pruned.select(col("fingerprint"), col("doc_id").as("id_a"))
+    // Par.floor on the probe side only — the ngramJaccardFromPostings
+    // rationale (pair fanout + partial agg run pre-shuffle)
+    graft.ops.Par.floor(pruned, col("doc_id"))
+      .select(col("fingerprint"), col("doc_id").as("id_a"))
       .join(b, "fingerprint")
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))

@@ -143,9 +143,14 @@ object TextEmbed {
     * artifact. */
   def embedWithVocab(docs: DataFrame, idCol: String, textCol: String,
                      vocab: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      explode(filter(split(coalesce(col(textCol), lit("")), " "),
-        t => t =!= "")).as("word"))
+    // Par.floor: the (token x dim) posexplode + partial aggregation
+    // below is ~32x the token stream and runs pre-shuffle
+    val toks = graft.ops.Par.floor(
+      docs.select(col(idCol).as("__id"),
+        filter(split(coalesce(col(textCol), lit("")), " "),
+          t => t =!= "").as("__t")),
+      col("__id"))
+      .select(col("__id"), explode(col("__t")).as("word"))
     val sums = toks.join(vocab, "word")
       .select(col("__id"), posexplode(col("vec")).as(Seq("pos", "x")))
       .groupBy("__id", "pos")
